@@ -34,9 +34,15 @@ object IndexOps {
     require(df.columns.contains(ID), s"alignIdCol: missing '$ID' column")
     val maxRow = df.agg(max(col(ID).cast(LongType))).head()
     if (maxRow.isNullAt(0)) return df // empty frame: passthrough
-    val ids = df.sparkSession.range(maxRow.getLong(0) + 1).toDF(ID)
+    // Generated range is cast back to the input's id dtype so a round-trip
+    // through alignIdCol never changes the table schema (reference keeps
+    // UInt32 throughout, tmdb_index.py:67-68).
+    val idType = df.schema(df.schema.fieldIndex(ID)).dataType
+    val ids = df.sparkSession
+      .range(maxRow.getLong(0) + 1)
+      .select(col("id").cast(idType).as(ID))
     ids
-      .join(df.withColumn(ID, col(ID).cast(LongType)), Seq(ID), "left")
+      .join(df, Seq(ID), "left")
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
@@ -80,16 +86,38 @@ object IndexOps {
     * table is never shuffled; a window-over-id formulation would shuffle
     * everything.
     */
-  def updateOrAppend(df: DataFrame, other: DataFrame): DataFrame = {
+  def updateOrAppend(df: DataFrame, other: DataFrame): DataFrame =
+    updateOrAppend(df, other, None)
+
+  /** As [[updateOrAppend]], but first dedups `other` on id keeping the row
+    * with the highest `deltaOrdinal` — the Spark re-expression of the
+    * reference's `unique(subset="id", keep="last")` on the delta itself
+    * (tmdb_index.py:104). Pass the fetch ordinal / source priority that
+    * defines "last".
+    */
+  def updateOrAppend(df: DataFrame, other: DataFrame,
+      deltaOrdinal: Option[Column]): DataFrame = {
     val outFields = unionSchema(df.schema, other.schema)
     require(outFields.exists(_.name == ID), "output schema must have id column")
 
-    if (df.isEmpty) return matchToSchema(other, outFields)
+    // A delta that is not unique on id would fan out the enrichment join
+    // and emit duplicate ids, breaking the dense-id invariant downstream.
+    // Dedup by the caller's ordinal when given; otherwise enforce the
+    // precondition (cheap: LocalLimit(1) early-exits the aggregate).
+    val delta = deltaOrdinal match {
+      case Some(ord) => dedupKeepLast(other, ID, ord)
+      case None =>
+        require(duplicateIds(other).limit(1).isEmpty,
+          "updateOrAppend: delta must be unique on id (pass deltaOrdinal to dedup keep-last)")
+        other
+    }
+
+    if (df.isEmpty) return matchToSchema(delta, outFields)
 
     val left = matchToSchema(df, outFields)
     // enrich incoming rows with old values for columns the delta lacks
-    val overlap = (other.columns.toSet - ID).toSeq
-    val enriched = other.join(left.drop(overlap: _*), Seq(ID), "left")
+    val overlap = (delta.columns.toSet - ID).toSeq
+    val enriched = delta.join(left.drop(overlap: _*), Seq(ID), "left")
     val right = matchToSchema(enriched, outFields)
 
     left.join(right.select(ID), Seq(ID), "left_anti").unionByName(right)
@@ -273,19 +301,29 @@ object IndexOps {
     */
   def fetchQueue(df: DataFrame, backfillLimit: Int, refreshLimit: Int,
       retrievedAt: String = "retrieved_at", dateCol: String = "date"): DataFrame = {
+    // Reference guards `backfill_limit > 0` / `refresh_limit > 0` and skips
+    // those predicates entirely (tmdb_index.py:497,516); Spark's `limit`
+    // additionally rejects negatives, so the guard is load-bearing here.
+    val noIds = df.filter(lit(false)).select(col(ID))
     if (!df.columns.contains(retrievedAt)) {
       // fallback (c): first N by id (reference tmdb_index.py:511)
+      if (backfillLimit <= 0) return noIds
       return df.select(col(ID)).orderBy(col(ID)).limit(backfillLimit)
     }
     val ra = col(retrievedAt)
-    val stale = df.filter(col(dateCol) >= roundToDay(ra)).select(col(ID))
+    // stale predicate needs BOTH columns; with `date` absent the reference
+    // still emits backfill+refresh (tmdb_index.py:491-495).
+    val stale =
+      if (df.columns.contains(dateCol))
+        df.filter(col(dateCol) >= roundToDay(ra)).select(col(ID))
+      else noIds
     val backfill =
-      df.filter(ra.isNull).select(col(ID)).orderBy(col(ID)).limit(backfillLimit)
-    val refresh = df
-      .filter(ra.isNotNull)
-      .orderBy(ra.asc, col(ID).asc)
-      .limit(refreshLimit)
-      .select(col(ID))
+      if (backfillLimit <= 0) noIds
+      else df.filter(ra.isNull).select(col(ID)).orderBy(col(ID)).limit(backfillLimit)
+    val refresh =
+      if (refreshLimit <= 0) noIds
+      else df.filter(ra.isNotNull).orderBy(ra.asc, col(ID).asc)
+        .limit(refreshLimit).select(col(ID))
     stale.union(backfill).union(refresh).distinct()
   }
 

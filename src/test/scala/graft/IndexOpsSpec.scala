@@ -41,6 +41,13 @@ class IndexOpsSpec extends SparkSpec {
     assert(alignIdCol(df).columns.toSeq == Seq("value", "name", "id"))
   }
 
+  test("alignIdCol preserves the input id dtype") {
+    val df = Seq((2, "a")).toDF("id", "v") // IntegerType id
+    val out = alignIdCol(df)
+    assert(out.schema("id").dataType == IntegerType)
+    assert(out.count() == 3)
+  }
+
   // --- O2 update_or_append (test_tmdb_index.py:50-92) ---
 
   test("updateOrAppend keep-last upsert") {
@@ -81,6 +88,20 @@ class IndexOpsSpec extends SparkSpec {
     val old = Seq((1L, 1L)).toDF("id", "v")
     val delta = Seq((1L, "x")).toDF("id", "v")
     intercept[IllegalArgumentException] { updateOrAppend(old, delta) }
+  }
+
+  test("updateOrAppend rejects a delta with duplicate ids") {
+    val old = Seq((0L, 1L)).toDF("id", "v")
+    val delta = Seq((1L, 2L), (1L, 3L)).toDF("id", "v")
+    intercept[IllegalArgumentException] { updateOrAppend(old, delta) }
+  }
+
+  test("updateOrAppend dedups delta keep-last by explicit ordinal") {
+    val old = Seq((0L, 1L)).toDF("id", "v")
+    val delta = Seq((1L, 2L, 0), (1L, 3L, 1)).toDF("id", "v", "ord")
+    val got = updateOrAppend(old, delta, Some(col("ord")))
+      .orderBy("id").select("id", "v").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L), (1L, 3L)))
   }
 
   // --- O3 validate (test via idCheck) ---
@@ -226,6 +247,30 @@ class IndexOpsSpec extends SparkSpec {
     val got = fetchQueue(df, backfillLimit = 2, refreshLimit = 5)
       .as[Long].collect().sorted.toSeq
     assert(got == Seq(0L, 1L))
+  }
+
+  test("fetchQueue with retrieved_at but no date col skips stale branch") {
+    val df = Seq(
+      (0L, Some(Timestamp.valueOf("2023-01-01 00:00:00"))),
+      (1L, None: Option[Timestamp]),
+      (2L, Some(Timestamp.valueOf("2024-01-01 00:00:00"))))
+      .toDF("id", "retrieved_at")
+    val got = fetchQueue(df, backfillLimit = 1, refreshLimit = 1)
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(0L, 1L)) // backfill id=1, refresh oldest id=0, no stale
+  }
+
+  test("fetchQueue with non-positive limits skips those branches") {
+    val df = Seq(
+      (0L, Date.valueOf("2024-01-10"), Some(Timestamp.valueOf("2024-01-09 13:00:00"))),
+      (1L, Date.valueOf("2024-01-01"), None: Option[Timestamp]),
+      (2L, Date.valueOf("2022-12-31"), Some(Timestamp.valueOf("2023-01-01 00:00:00"))))
+      .toDF("id", "date", "retrieved_at")
+    val got = fetchQueue(df, backfillLimit = 0, refreshLimit = -1)
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(0L)) // only the stale row
+    val none = fetchQueue(df.select("id"), backfillLimit = -5, refreshLimit = 0)
+    assert(none.count() == 0)
   }
 
   // --- O18 clamp ---
