@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash/LSH,
+  * SimHash, and n-gram Jaccard (north-star extension, SURVEY.md §7.1 step 6).
+  *
+  * Scale posture (the 100 TB contract):
+  *  - exact dedup is one hash-aggregate shuffle on the content key;
+  *  - shingle/minhash signatures are computed by EXPLODING shingles to rows
+  *    and hash-aggregating per (doc, hash-index) — map-side partial
+  *    aggregation applies, and no quadratic per-row array work happens;
+  *  - pair generation always goes through an inverted index (shingle or
+  *    LSH-band bucket join), never a cross join; hot buckets are capped by
+  *    `maxDf` (drop shingles/bands occurring in more than maxDf docs — the
+  *    standard df-cut that bounds the quadratic term at web scale);
+  *  - all hashes are exact integer arithmetic (TextOps.charHash) so the
+  *    DuckDB oracle reproduces results exactly.
+  */
+object DedupOps {
+  import TextOps.{HashP, charHash, wordShingles}
+
+  /** Exact duplicate groups by content: one row per distinct text with the
+    * canonical (minimum) id and the duplicate count. At scale this is a
+    * single hash aggregate; for very wide texts hash the content first
+    * (`groupBy(xxhash64(text))`) to shrink the shuffle key.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+
+  /** Rows surviving exact dedup: the canonical (min-id) row per text. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    IndexOps.dedupKeepFirst(df, textCol, col(idCol))
+
+  /** Distinct (id, shingle-hash) pairs — the inverted-index edge list that
+    * every near-dup operator below shares. Explode + distinct: a shuffle
+    * on (id, hash), linear in corpus size.
+    */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("sid"),
+        explode(wordShingles(col(textCol), k)).as("shingle"))
+      .select(col("sid"), charHash(col("shingle")).as("sh"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similar pairs via inverted-index join.
+    *
+    * intersection(a,b) = #common shingle hashes, union = |a|+|b|−inter;
+    * emits pairs with jaccard >= minJaccard (id_a < id_b). `maxDf` drops
+    * shingles present in more than that many docs before the self-join —
+    * the df-cut that keeps the posting-list self-join near-linear on
+    * power-law corpora.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, k)
+    val filtered = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+        .filter(col("df_cnt") <= maxDf).select("sh"),
+      Seq("sh"))
+    val sizes = filtered.groupBy("sid").agg(count(lit(1)).as("n_sh"))
+    val a = filtered.select(col("sid").as("id_a"), col("sh"))
+    val b = filtered.select(col("sid").as("id_b"), col("sh"))
+    a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** Deterministic MinHash permutation parameters: h_j(s) = (a_j*s + b_j)
+    * mod P, with odd a_j derived from the Knuth constant. Products stay
+    * under 2^61 (both factors < P ~ 2^30). */
+  def minhashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { j =>
+      val a = (TextOps.HashA * (2 * j + 1)) % HashP
+      val b = (TextOps.HashA * TextOps.HashA % HashP * (j + 7)) % HashP
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** MinHash signatures: one row per doc, columns mh0..mh{n-1}. Computed
+    * as a single hash aggregate over the exploded shingle rows (min of
+    * each permuted hash) — partial aggregation makes this map-side-mostly.
+    * Docs with no shingles (shorter than k words) drop out, as with the
+    * reference sketch libraries.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, k: Int = 3): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, k)
+    val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("sh") * a + b, lit(HashP))).as(s"mh$j")
+    }
+    sh.groupBy(col("sid").as(idCol) :: Nil: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("sid", idCol)
+  }
+
+  /** LSH candidate pairs from minhash signatures: band the signature
+    * (bands × rowsPerBand = numHashes), bucket-join on (band, band-key).
+    * Emits distinct candidate pairs (id_a < id_b). Hot buckets capped at
+    * maxBucket docs (skew guard — at 100 TB a single boilerplate bucket
+    * would otherwise produce a quadratic blowup).
+    */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int, maxBucket: Int = 1000): DataFrame = {
+    val banded = signatures.select(
+      col(idCol).as("sid"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      }: _*)).as(Seq("band", "key")))
+    val small = banded.join(
+      banded.groupBy("band", "key").agg(count(lit(1)).as("bc"))
+        .filter(col("bc") <= maxBucket).select("band", "key"),
+      Seq("band", "key"))
+    val a = small.select(col("band"), col("key"), col("sid").as("id_a"))
+    val b = small.select(col("band"), col("key"), col("sid").as("id_b"))
+    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs: LSH candidates verified with exact
+    * n-gram Jaccard (candidates ∩ verification — the standard two-phase
+    * dedup; verification cost is proportional to candidates, not pairs²).
+    */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, k: Int = 3, bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, k)
+    val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
+    val exact = ngramJaccardPairs(df, idCol, textCol, k, minJaccard = 0.0)
+    cands.join(exact, Seq("id_a", "id_b"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash: `bits`-wide signature from the doc's token-hash bit votes.
+    * One explode + one hash aggregate (sum of ±1 per bit), then the bits
+    * are reassembled arithmetically — exact integers throughout, and a
+    * single pass at scale.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 24): DataFrame = {
+    val words = df.select(col(idCol).as("sid"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .select(col("sid"), charHash(col("w")).as("wh"))
+    val votes = (0 until bits).map { b =>
+      sum(when(pmod(col("wh").divide(lit(1L << b)).cast("long"), lit(2L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
+    }
+    val bitsum = (0 until bits).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    words.groupBy("sid").agg(votes.head, votes.tail: _*)
+      .select(col("sid").as(idCol), bitsum.as("simhash"))
+  }
+}

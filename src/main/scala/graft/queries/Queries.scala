@@ -1,0 +1,641 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** The driver-facing query surface: one entry per implemented operator
+  * (SURVEY.md §2 inventory + the training-data extension ops), each with
+  * a DuckDB-equivalent oracle SQL over the same parquet tables.
+  *
+  * Determinism rules (the oracle hash-matches only if both engines
+  * produce identical values):
+  *  - sums of doubles go through exact per-row integer cents
+  *    (`round(x*100)::BIGINT`) — aggregation order then can't matter;
+  *  - doubles appear only as single exactly-rounded IEEE ops on exact
+  *    integers (division, sqrt) — bit-identical across engines;
+  *  - text/minhash/simhash hashing is exact modular integer arithmetic
+  *    (TextOps.charHash) reproduced literally in SQL;
+  *  - event time is integer microseconds (DuckDB truncates the parquet
+  *    ns timestamps to µs; Spark reads ns-as-long and divides);
+  *  - every top-k has a total tie-broken order.
+  */
+object Queries {
+  import TextOps.{HashA, HashP}
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** SQL fragment: TextOps.charHash of a string expression (DuckDB's
+    * list_transform index is 1-based; Spark's 0-based `i+1` matches). */
+  private def sqlHash(e: String): String =
+    s"CAST(list_sum(list_transform(string_split($e,''), (c,i) -> (ascii(c) * ((i*$HashA) % $HashP)) % $HashP)) % $HashP AS BIGINT)"
+
+  // ---------------------------------------------------------------------
+  // Index-maintenance parity (SURVEY.md §2, O1-O20) on the dense-id
+  // `documents` table and the TPC-H-ish tables.
+  // ---------------------------------------------------------------------
+
+  private def alignIdColQ(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) =!= 1)
+      .select(col("doc_id").as("id"), col("n_chars"), col("lang"))
+    IndexOps.alignIdCol(src)
+  }
+
+  private val alignIdColSql =
+    """WITH src AS (SELECT doc_id AS id, n_chars, lang FROM documents WHERE doc_id % 3 <> 1),
+      |ids AS (SELECT UNNEST(range(0, (SELECT max(id) + 1 FROM src))) AS id)
+      |SELECT ids.id, s.n_chars, s.lang FROM ids LEFT JOIN src s ON s.id = ids.id""".stripMargin
+
+  private def updateOrAppendQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") < 400)
+      .select(col("doc_id").as("id"), col("lang"), col("n_chars"))
+    val delta = docs.filter(col("doc_id") >= 300 && col("doc_id") < 450)
+      .select(col("doc_id").as("id"), (col("n_chars") * 2).as("n_chars"), col("source"))
+    IndexOps.updateOrAppend(old, delta)
+  }
+
+  private val updateOrAppendSql =
+    """WITH old AS (SELECT doc_id AS id, lang, n_chars FROM documents WHERE doc_id < 400),
+      |delta AS (SELECT doc_id AS id, n_chars*2 AS n_chars, source FROM documents WHERE doc_id >= 300 AND doc_id < 450)
+      |SELECT o.id, o.lang, o.n_chars, CAST(NULL AS VARCHAR) AS source
+      |FROM old o LEFT JOIN delta d ON d.id = o.id WHERE d.id IS NULL
+      |UNION ALL
+      |SELECT d.id, o.lang, d.n_chars, d.source FROM delta d LEFT JOIN old o ON o.id = d.id""".stripMargin
+
+  private def idCheckQ(s: SparkSession, dir: String): DataFrame =
+    IndexOps.idCheck(t(s, dir, "documents").select(col("doc_id").as("id")))
+
+  private val idCheckSql =
+    """SELECT *, n_rows = 0 OR (min_id = 0 AND max_id = n_rows - 1 AND n_distinct = n_rows AND n_null = 0) AS valid
+      |FROM (SELECT count(*)::BIGINT AS n_rows, min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id,
+      |  count(DISTINCT doc_id)::BIGINT AS n_distinct, (count(*) - count(doc_id))::BIGINT AS n_null FROM documents)""".stripMargin
+
+  private def changeSummaryQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.select(col("doc_id").as("id"), col("lang"), col("n_chars"))
+    val neu = docs.filter(col("doc_id") < 450)
+      .select(col("doc_id").as("id"), col("lang"),
+        when(pmod(col("doc_id"), lit(10)) === 0, col("n_chars") + 1)
+          .otherwise(col("n_chars")).as("n_chars"))
+    IndexOps.changeSummary(old, neu)
+  }
+
+  private val changeSummarySql =
+    """WITH oldt AS (SELECT doc_id AS id, lang, n_chars FROM documents),
+      |newt AS (SELECT doc_id AS id, lang, CASE WHEN doc_id % 10 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars FROM documents WHERE doc_id < 450),
+      |minlen AS (SELECT least((SELECT count(*) FROM oldt), (SELECT count(*) FROM newt)) AS m)
+      |SELECT GREATEST((SELECT count(*) FROM newt) - (SELECT count(*) FROM oldt), 0)::BIGINT AS added,
+      |  GREATEST((SELECT count(*) FROM oldt) - (SELECT count(*) FROM newt), 0)::BIGINT AS removed,
+      |  (SELECT count(*) FROM oldt o JOIN newt n ON o.id = n.id
+      |     WHERE o.id < (SELECT m FROM minlen)
+      |       AND (o.lang IS DISTINCT FROM n.lang OR o.n_chars IS DISTINCT FROM n.n_chars))::BIGINT AS updated""".stripMargin
+
+  private def duplicateIdsQ(s: SparkSession, dir: String): DataFrame =
+    IndexOps.duplicateIds(t(s, dir, "lineitem").select(col("l_orderkey").as("id")))
+
+  private val duplicateIdsSql =
+    "SELECT l_orderkey AS id FROM lineitem GROUP BY 1 HAVING count(*) > 1"
+
+  private def exportFlagQ(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey").as("id"), col("c_name"))
+    val e = t(s, dir, "orders").select(col("o_custkey").as("id"))
+    IndexOps.updateExportFlag(c, e)
+  }
+
+  private val exportFlagSql =
+    """SELECT c.c_custkey AS id, c.c_name, (o.o_custkey IS NOT NULL) AS in_export
+      |FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON o.o_custkey = c.c_custkey""".stripMargin
+
+  /** Epoch µs of 2024-01-01T00:00:00Z. */
+  private val Epoch2024Us = 1704067200000000L
+
+  private def fetchQueueQ(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "documents").select(col("doc_id").as("id"))
+      .withColumn("retrieved_at",
+        when(pmod(col("id"), lit(7)) === 0, lit(null).cast("timestamp"))
+          .otherwise(timestamp_micros(lit(Epoch2024Us) + col("id") * 3600000000L)))
+      .withColumn("date",
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")), pmod(col("id"), lit(40)).cast("int")))
+    IndexOps.fetchQueue(df, backfillLimit = 20, refreshLimit = 30)
+  }
+
+  private val fetchQueueSql =
+    """WITH t AS (SELECT doc_id AS id,
+      |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR END AS retrieved_at,
+      |  DATE '2024-01-01' + CAST(doc_id % 40 AS INTEGER) AS d FROM documents)
+      |SELECT DISTINCT id FROM (
+      |  SELECT id FROM t WHERE d >= CAST(retrieved_at AS DATE) + CASE WHEN EXTRACT(hour FROM retrieved_at) >= 12 THEN 1 ELSE 0 END
+      |  UNION ALL SELECT id FROM (SELECT id FROM t WHERE retrieved_at IS NULL ORDER BY id LIMIT 20)
+      |  UNION ALL SELECT id FROM (SELECT id FROM t WHERE retrieved_at IS NOT NULL ORDER BY retrieved_at, id LIMIT 30))""".stripMargin
+
+  private def roundToDayQ(s: SparkSession, dir: String): DataFrame =
+    EventOps.loadEvents(s, dir)
+      .select(col("event_id"), IndexOps.roundToDay(timestamp_micros(col("ts_us"))).as("day"))
+
+  private val roundToDaySql =
+    """SELECT event_id, CAST(ts AS DATE) + CASE WHEN EXTRACT(hour FROM ts) >= 12 THEN 1 ELSE 0 END AS day
+      |FROM events""".stripMargin
+
+  private def clampUint32Q(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey").as("id"),
+      IndexOps.clampUInt32(col("o_orderkey") * 100000L).as("clamped"))
+
+  private val clampUint32Sql =
+    """SELECT o_orderkey AS id,
+      |  CASE WHEN o_orderkey * 100000 BETWEEN 0 AND 4294967295 THEN o_orderkey * 100000 ELSE NULL END AS clamped
+      |FROM orders""".stripMargin
+
+  private def computeStatsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") < 300).select(
+      col("doc_id").as("id"), col("lang"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(null).cast("boolean"))
+        .otherwise(pmod(col("doc_id"), lit(2)) === 0).as("flag"))
+    val neu = docs.filter(col("doc_id") < 400).select(
+      col("doc_id").as("id"),
+      when(pmod(col("doc_id"), lit(10)) < 2, lit("xx")).otherwise(col("lang")).as("lang"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(null).cast("boolean"))
+        .otherwise(pmod(col("doc_id"), lit(2)) === 1).as("flag"))
+    IndexOps.computeStats(old, neu)
+  }
+
+  private val computeStatsSql =
+    """WITH oldt AS (SELECT doc_id AS id, lang,
+      |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE doc_id % 2 = 0 END AS flag FROM documents WHERE doc_id < 300),
+      |newt AS (SELECT doc_id AS id, CASE WHEN doc_id % 10 < 2 THEN 'xx' ELSE lang END AS lang,
+      |    CASE WHEN doc_id % 3 = 0 THEN NULL ELSE doc_id % 2 = 1 END AS flag FROM documents WHERE doc_id < 400),
+      |j AS (SELECT o.id AS oid, n.id AS nid, o.lang AS olang, n.lang AS nlang, o.flag AS oflag, n.flag AS nflag
+      |      FROM oldt o FULL OUTER JOIN newt n ON o.id = n.id)
+      |SELECT 'id' AS name, 'bigint' AS dtype, (SELECT count(*) - count(id) FROM newt)::BIGINT AS n_null,
+      |  0::BIGINT AS n_true, 0::BIGINT AS n_false,
+      |  (SELECT count(DISTINCT id) = count(id) FROM newt) AS is_unique,
+      |  (SELECT count(*) FROM j WHERE oid <> nid)::BIGINT AS n_updated
+      |UNION ALL
+      |SELECT 'lang', 'string', (SELECT count(*) - count(lang) FROM newt)::BIGINT, 0::BIGINT, 0::BIGINT,
+      |  (SELECT count(DISTINCT lang) = count(lang) FROM newt),
+      |  (SELECT count(*) FROM j WHERE olang <> nlang)::BIGINT
+      |UNION ALL
+      |SELECT 'flag', 'boolean', (SELECT count(*) - count(flag) FROM newt)::BIGINT,
+      |  (SELECT count(*) FILTER (WHERE flag) FROM newt)::BIGINT,
+      |  (SELECT count(*) FILTER (WHERE NOT flag) FROM newt)::BIGINT,
+      |  (SELECT count(DISTINCT flag) = count(flag) FROM newt),
+      |  (SELECT count(*) FROM j WHERE oflag <> nflag)::BIGINT""".stripMargin
+
+  private def unionKeepFirstQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val p = docs.filter(col("doc_id") >= 100 && col("doc_id") < 300)
+      .select(col("doc_id").as("id"), col("source"), lit("P").as("origin"))
+    val sec = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+      .select(col("doc_id").as("id"), col("source"), lit("S").as("origin"))
+    IndexOps.unionKeepFirst(p, sec)
+  }
+
+  private val unionKeepFirstSql =
+    """WITH p AS (SELECT doc_id AS id, source, 'P' AS origin FROM documents WHERE doc_id >= 100 AND doc_id < 300),
+      |s AS (SELECT doc_id AS id, source, 'S' AS origin FROM documents WHERE doc_id >= 200 AND doc_id < 400)
+      |SELECT * FROM p UNION ALL SELECT s.* FROM s LEFT JOIN p ON p.id = s.id WHERE p.id IS NULL""".stripMargin
+
+  private def dedupKeepLastQ(s: SparkSession, dir: String): DataFrame = {
+    val e = EventOps.loadEvents(s, dir).select(col("user_id"), col("event_id"), col("event_type"))
+    IndexOps.dedupKeepLast(e, "user_id", col("event_id"))
+  }
+
+  private val dedupKeepLastSql =
+    """SELECT user_id, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Analytics over the TPC-H-ish star schema (scan/filter/join/agg/
+  // window/top-k coverage; bench headliners).
+  // ---------------------------------------------------------------------
+
+  private def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price_cents"),
+        count(lit(1)).as("n"))
+
+  private val q1PricingSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+      |  count(*)::BIGINT AS n
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  private def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  private val q3TopOrdersSql =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+      |ORDER BY revenue_cents DESC, o_orderkey LIMIT 10""".stripMargin
+
+  private def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q5RegionRevenueSql =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |  count(*)::BIGINT AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  private def topCustomersQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("total_cents"), count(lit(1)).as("n_orders"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_cents"), col("n_orders"))
+      .orderBy(col("total_cents").desc, col("c_custkey").asc)
+      .limit(15)
+
+  private val topCustomersSql =
+    """SELECT c_custkey, c_name, total_cents, n_orders FROM (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |    count(*)::BIGINT AS n_orders FROM orders GROUP BY o_custkey) o
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_cents DESC, c_custkey LIMIT 15""".stripMargin
+
+  private def customerOrderRankQ(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"), col("rk").cast("long").as("rk"))
+  }
+
+  private val customerOrderRankSql =
+    """SELECT o_custkey, o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, rk::BIGINT AS rk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |      FROM orders) WHERE rk <= 3""".stripMargin
+
+  private def partBrandStatsQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(cents(col("p_retailprice"))).as("retail_cents"),
+        min(col("p_size")).cast("long").as("min_size"),
+        max(col("p_size")).cast("long").as("max_size"),
+        countDistinct(col("p_type")).as("n_types"))
+
+  private val partBrandStatsSql =
+    """SELECT p_brand, count(*)::BIGINT AS n_parts,
+      |  CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS retail_cents,
+      |  min(p_size)::BIGINT AS min_size, max(p_size)::BIGINT AS max_size,
+      |  count(DISTINCT p_type)::BIGINT AS n_types
+      |FROM part GROUP BY p_brand""".stripMargin
+
+  private def eventsHourlyQ(s: SparkSession, dir: String): DataFrame =
+    EventOps.hourlyAgg(EventOps.loadEvents(s, dir))
+
+  private val eventsHourlySql =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, event_type,
+      |  count(*)::BIGINT AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+      |  count(DISTINCT user_id)::BIGINT AS n_users
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private def eventsSessionsQ(s: SparkSession, dir: String): DataFrame =
+    EventOps.sessionStats(EventOps.loadEvents(s, dir), gapMinutes = 30)
+
+  private val eventsSessionsSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+      |s AS (SELECT *, CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+      |         OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+      |       THEN 1 ELSE 0 END AS ns FROM e),
+      |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_seq FROM s)
+      |SELECT user_id, session_seq::BIGINT AS session_seq, count(*)::BIGINT AS n_events,
+      |  min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+      |  (max(ts_us) - min(ts_us))::BIGINT AS duration_us
+      |FROM g GROUP BY user_id, session_seq""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Training-data pipeline ops: text analysis, dedup, similarity,
+  // multimodal (north-star extension; SURVEY.md §7.1 step 6).
+  // ---------------------------------------------------------------------
+
+  private def textQualityQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityFeatures(t(s, dir, "documents"), "text")
+      .select("doc_id", "n_words", "n_text_chars", "n_stopwords", "n_punct",
+        "avg_word_len", "stopword_ratio")
+
+  private val textQualitySql = {
+    val stops = TextOps.Stopwords
+      .map(w => s"len(list_filter(string_split(text,' '), x -> x = '$w'))")
+      .mkString(" + ")
+    s"""SELECT doc_id, n_words, n_text_chars, n_stopwords, n_punct,
+       |  CAST(n_text_chars - (n_words - 1) AS DOUBLE) / NULLIF(n_words, 0) AS avg_word_len,
+       |  CAST(n_stopwords AS DOUBLE) / NULLIF(n_words, 0) AS stopword_ratio
+       |FROM (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_words,
+       |  length(text)::BIGINT AS n_text_chars, ($stops)::BIGINT AS n_stopwords,
+       |  len(regexp_extract_all(text, '[.!?,;:]'))::BIGINT AS n_punct FROM documents)""".stripMargin
+  }
+
+  private def tokenCountQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenCounts(t(s, dir, "documents"), "text")
+      .select("doc_id", "n_ws_tokens", "n_bpeish_tokens")
+
+  private val tokenCountSql =
+    s"""SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '${TextOps.BpeishPattern}'))::BIGINT AS n_bpeish_tokens
+       |FROM documents""".stripMargin
+
+  private def langIdQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextOps.languageId(col("text")).as("pred_lang"),
+      (TextOps.languageId(col("text")) === col("lang")).as("is_correct"))
+
+  private val langIdSql = {
+    val scores = TextOps.LangMarkers.map { case (lang, ws) =>
+      val cnt = ws.map(w => s"len(list_filter(string_split(text,' '), x -> x = '$w'))").mkString(" + ")
+      lang -> s"($cnt)"
+    }
+    val langs = scores.map(_._1)
+    val caseExpr = langs.dropRight(1).zipWithIndex.map { case (l, i) =>
+      val cond = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    val scoreCols = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+    s"""SELECT doc_id, pred_lang, pred_lang = lang AS is_correct FROM (
+       |  SELECT doc_id, lang, CASE $caseExpr ELSE '${langs.last}' END AS pred_lang
+       |  FROM (SELECT doc_id, lang, $scoreCols FROM documents))""".stripMargin
+  }
+
+  private def docFingerprintQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+
+  private val docFingerprintSql =
+    s"""WITH w AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
+       |tri AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+       |        FROM w, UNNEST(range(1, len(ws)-1)) t(i)),
+       |trih AS (SELECT doc_id, ${sqlHash("sh")} AS h FROM tri),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS n_shingles, min(h)::BIGINT AS min_shingle_hash
+       |        FROM trih GROUP BY doc_id)
+       |SELECT w.doc_id, ${sqlHash("w.text")} AS fp,
+       |  coalesce(a.n_shingles, 0)::BIGINT AS n_shingles, a.min_shingle_hash
+       |FROM w LEFT JOIN agg a ON a.doc_id = w.doc_id""".stripMargin
+
+  private def dedupExactQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
+
+  private val dedupExactSql =
+    "SELECT min(doc_id)::BIGINT AS canonical_id, count(*)::BIGINT AS n_copies FROM documents GROUP BY text"
+
+  /** Shared SQL: distinct (doc_id, shingle-hash) pairs for word trigrams. */
+  private val sqlShingleHashes =
+    s"""SELECT DISTINCT doc_id, h FROM (
+       |  SELECT doc_id, ${sqlHash("sh")} AS h FROM (
+       |    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+       |    FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) w,
+       |         UNNEST(range(1, len(ws)-1)) t(i)))""".stripMargin
+
+  private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 3, minJaccard = 0.5, maxDf = 1000)
+
+  private val ngramJaccardSql =
+    s"""WITH sh AS ($sqlShingleHashes),
+       |ok AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 1000),
+       |f AS (SELECT sh.doc_id, sh.h FROM sh JOIN ok ON ok.h = sh.h),
+       |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM f GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+       |          FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+       |FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""".stripMargin
+
+  private val MinhashN = 16
+  private val MinhashBands = 8
+
+  private def minhashSignaturesQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", MinhashN, k = 3)
+
+  private val minhashSignaturesSql = {
+    val mins = DedupOps.minhashParams(MinhashN).zipWithIndex.map { case ((a, b), j) =>
+      s"min((h * $a + $b) % $HashP)::BIGINT AS mh$j"
+    }.mkString(", ")
+    s"""WITH sh AS ($sqlShingleHashes)
+       |SELECT doc_id, $mins FROM sh GROUP BY doc_id""".stripMargin
+  }
+
+  private def minhashLshPairsQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+      numHashes = MinhashN, k = 3, bands = MinhashBands, minJaccard = 0.5)
+
+  private val minhashLshPairsSql = {
+    val r = MinhashN / MinhashBands
+    val bandKeys = (0 until MinhashBands).map { bnd =>
+      val key = (0 until r).map(i => s"CAST(mh${bnd * r + i} AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS key FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS ($sqlShingleHashes),
+       |sigs AS ($minhashSignaturesInner),
+       |banded AS ($bandKeys),
+       |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+       |           FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+       |FROM cands c JOIN common ON common.id_a = c.id_a AND common.id_b = c.id_b
+       |JOIN sizes sa ON sa.doc_id = c.id_a JOIN sizes sb ON sb.doc_id = c.id_b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5""".stripMargin
+  }
+
+  private def minhashSignaturesInner: String = {
+    val mins = DedupOps.minhashParams(MinhashN).zipWithIndex.map { case ((a, b), j) =>
+      s"min((h * $a + $b) % $HashP)::BIGINT AS mh$j"
+    }.mkString(", ")
+    s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
+  }
+
+  private val SimhashBits = 24
+
+  private def simhashQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text", SimhashBits)
+
+  private val simhashSql = {
+    val votes = (0 until SimhashBits).map { b =>
+      s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(", ")
+    val assemble = (0 until SimhashBits).map { b =>
+      s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH wh AS (SELECT doc_id, ${sqlHash("w")} AS h FROM
+       |  (SELECT doc_id, UNNEST(string_split(text,' ')) AS w FROM documents)),
+       |v AS (SELECT doc_id, $votes FROM wh GROUP BY doc_id)
+       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM v""".stripMargin
+  }
+
+  /** Shared SQL: quantized embeddings with exact integer squared norms. */
+  private val sqlQuantized =
+    """SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+      |FROM embeddings""".stripMargin
+
+  private def embedTopkQ(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings")
+    SimilarityOps.bruteForceTopK(em.filter(col("vec_id") < 20), em, "vec_id", "embedding", k = 5)
+  }
+
+  private val embedTopkSql =
+    s"""WITH q0 AS ($sqlQuantized),
+       |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM q0),
+       |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |    CAST(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+       |  FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id)
+       |SELECT q_id, c_id, cos, rk::BIGINT AS rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM scored)
+       |WHERE rk <= 5""".stripMargin
+
+  private def embedNearDupQ(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.45)
+
+  private val embedNearDupSql =
+    s"""WITH q0 AS ($sqlQuantized),
+       |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM q0)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  CAST(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) AS DOUBLE)
+       |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE CAST(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) AS DOUBLE)
+       |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.45""".stripMargin
+
+  private def multimodalMetaQ(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.mediaMeta(
+      MultimodalOps.attachFakeMedia(t(s, dir, "documents"), "doc_id", "text"))
+
+  private val multimodalMetaSql =
+    """SELECT doc_id, strlen(text)::BIGINT AS n_bytes, sha256(text) AS digest FROM documents""".stripMargin
+
+  private def frameSampleQ(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.sampleFrames(
+      MultimodalOps.attachFakeMedia(t(s, dir, "documents"), "doc_id", "text"), stride = 64)
+
+  private val frameSampleSql =
+    """SELECT doc_id, i::BIGINT AS frame_idx, (i * 64)::BIGINT AS byte_offset
+      |FROM (SELECT doc_id, strlen(text) AS nb FROM documents), UNNEST(range(0, (nb - 1) // 64 + 1)) t(i)""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_align_id_col" -> (alignIdColQ _),
+    "q_update_or_append" -> (updateOrAppendQ _),
+    "q_id_check" -> (idCheckQ _),
+    "q_change_summary" -> (changeSummaryQ _),
+    "q_duplicate_ids" -> (duplicateIdsQ _),
+    "q_export_flag" -> (exportFlagQ _),
+    "q_fetch_queue" -> (fetchQueueQ _),
+    "q_round_to_day" -> (roundToDayQ _),
+    "q_clamp_uint32" -> (clampUint32Q _),
+    "q_compute_stats" -> (computeStatsQ _),
+    "q_union_keep_first" -> (unionKeepFirstQ _),
+    "q_dedup_keep_last" -> (dedupKeepLastQ _),
+    "q1_pricing_summary" -> (q1Pricing _),
+    "q3_top_orders" -> (q3TopOrders _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "q_top_customers" -> (topCustomersQ _),
+    "q_customer_order_rank" -> (customerOrderRankQ _),
+    "q_part_brand_stats" -> (partBrandStatsQ _),
+    "q_events_hourly" -> (eventsHourlyQ _),
+    "q_events_sessions" -> (eventsSessionsQ _),
+    "q_text_quality" -> (textQualityQ _),
+    "q_token_count" -> (tokenCountQ _),
+    "q_lang_id" -> (langIdQ _),
+    "q_doc_fingerprint" -> (docFingerprintQ _),
+    "q_dedup_exact" -> (dedupExactQ _),
+    "q_ngram_jaccard_pairs" -> (ngramJaccardQ _),
+    "q_minhash_signatures" -> (minhashSignaturesQ _),
+    "q_minhash_lsh_pairs" -> (minhashLshPairsQ _),
+    "q_simhash" -> (simhashQ _),
+    "q_embed_cosine_topk" -> (embedTopkQ _),
+    "q_embed_near_dup" -> (embedNearDupQ _),
+    "q_multimodal_meta" -> (multimodalMetaQ _),
+    "q_frame_sample" -> (frameSampleQ _))
+
+  val oracle: Map[String, String] = Map(
+    "q_align_id_col" -> alignIdColSql,
+    "q_update_or_append" -> updateOrAppendSql,
+    "q_id_check" -> idCheckSql,
+    "q_change_summary" -> changeSummarySql,
+    "q_duplicate_ids" -> duplicateIdsSql,
+    "q_export_flag" -> exportFlagSql,
+    "q_fetch_queue" -> fetchQueueSql,
+    "q_round_to_day" -> roundToDaySql,
+    "q_clamp_uint32" -> clampUint32Sql,
+    "q_compute_stats" -> computeStatsSql,
+    "q_union_keep_first" -> unionKeepFirstSql,
+    "q_dedup_keep_last" -> dedupKeepLastSql,
+    "q1_pricing_summary" -> q1PricingSql,
+    "q3_top_orders" -> q3TopOrdersSql,
+    "q5_region_revenue" -> q5RegionRevenueSql,
+    "q_top_customers" -> topCustomersSql,
+    "q_customer_order_rank" -> customerOrderRankSql,
+    "q_part_brand_stats" -> partBrandStatsSql,
+    "q_events_hourly" -> eventsHourlySql,
+    "q_events_sessions" -> eventsSessionsSql,
+    "q_text_quality" -> textQualitySql,
+    "q_token_count" -> tokenCountSql,
+    "q_lang_id" -> langIdSql,
+    "q_doc_fingerprint" -> docFingerprintSql,
+    "q_dedup_exact" -> dedupExactSql,
+    "q_ngram_jaccard_pairs" -> ngramJaccardSql,
+    "q_minhash_signatures" -> minhashSignaturesSql,
+    "q_minhash_lsh_pairs" -> minhashLshPairsSql,
+    "q_simhash" -> simhashSql,
+    "q_embed_cosine_topk" -> embedTopkSql,
+    "q_embed_near_dup" -> embedNearDupSql,
+    "q_multimodal_meta" -> multimodalMetaSql,
+    "q_frame_sample" -> frameSampleSql)
+}
