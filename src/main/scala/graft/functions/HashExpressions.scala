@@ -1,0 +1,211 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels shared by interpreted eval and generated code. */
+object HashKernels {
+  val P: Long = 1000000007L
+  val A: Long = 2654435761L
+
+  /** Position-weighted codepoint hash: sum_i cp_i * ((i+1)*A mod P) mod P.
+    * Semantically identical to the composed-expression form
+    * `aggregate(transform(split(s,""), ...))` in TextOps.charHash — same
+    * formula the DuckDB oracle reproduces — but it runs as one tight
+    * primitive loop instead of interpreted lambda evaluation per char.
+    */
+  def weightedCharHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    var pos = 1L
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h + cp * ((pos * A) % P) % P) % P
+      i += Character.charCount(cp)
+      pos += 1
+    }
+    h
+  }
+
+  /** Hashes of all word k-shingles of a single-space-tokenized text:
+    * element i = weightedCharHash(words[i..i+k-1] joined by ' '), computed
+    * without materializing the joined strings (the space codepoint is
+    * streamed between words). Splitting happens ONCE per row — the
+    * composed `transform(sequence, i => charHash(concat_ws(element_at..)))`
+    * form re-evaluates the split per element access, which is O(words^2)
+    * per document.
+    */
+  def shingleHashes(s: UTF8String, k: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val n = words.length
+    if (n < k) return ArrayData.toArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h = 0L
+      var pos = 1L
+      var j = 0
+      while (j < k) {
+        if (j > 0) { // the joining space
+          h = (h + 32L * ((pos * A) % P) % P) % P
+          pos += 1
+        }
+        val w = words(i + j)
+        var ci = 0
+        val wn = w.length
+        while (ci < wn) {
+          val cp = w.codePointAt(ci)
+          h = (h + cp * ((pos * A) % P) % P) % P
+          ci += Character.charCount(cp)
+          pos += 1
+        }
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Exact dot product of two long arrays (quantized embeddings). */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** Quantize a float/double array to exact integers at `scale`
+    * resolution: round(double(x) * scale). Bit-deterministic (widening
+    * is exact, one exactly-rounded multiply, ties never hit on binary
+    * float inputs). */
+  def quantizeFloat(a: ArrayData, scale: Long): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = math.round(a.getFloat(i).toDouble * scale); i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  def quantizeDouble(a: ArrayData, scale: Long): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = math.round(a.getDouble(i) * scale); i += 1 }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** Codegen'd TextOps.charHash (custom Catalyst Expression — the brief's
+  * preference (b): native Expression with doGenCode over UDFs). */
+case class WeightedCharHash(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"weighted_char_hash needs string, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.weightedCharHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.weightedCharHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): WeightedCharHash =
+    copy(child = newChild)
+}
+
+/** Codegen'd word-k-shingle hash array (see HashKernels.shingleHashes);
+  * equals `transform(wordShingles(text,k), charHash)` element-for-element
+  * (pinned by TextOpsSpec) but splits the text exactly once per row. */
+case class ShingleHashArray(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingleHashes(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashArray =
+    copy(child = newChild)
+}
+
+/** Codegen'd exact dot product over two ArrayType(LongType) columns. */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == ArrayType(LongType, false) || left.dataType == ArrayType(LongType, true)) {
+      if (right.dataType == ArrayType(LongType, false) || right.dataType == ArrayType(LongType, true))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_long needs array<bigint>, got ${right.dataType}")
+    } else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_long needs array<bigint>, got ${left.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd quantizer: float/double array -> exact long array. */
+case class QuantizeVector(child: Expression, scale: Long)
+    extends UnaryExpression {
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    elemType match {
+      case FloatType | DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_vector needs array<float|double>, got ${child.dataType}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    elemType match {
+      case FloatType => HashKernels.quantizeFloat(arr, scale)
+      case DoubleType => HashKernels.quantizeDouble(arr, scale)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = elemType match {
+      case FloatType => "quantizeFloat"
+      case DoubleType => "quantizeDouble"
+    }
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.$fn($c, ${scale}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVector =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the custom expressions. */
+object exprs {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.shims
+
+  def charHashFast(c: Column): Column =
+    shims.column(WeightedCharHash(shims.expression(c)))
+  def shingleHashes(c: Column, k: Int): Column =
+    shims.column(ShingleHashArray(shims.expression(c), k))
+  def dotLong(a: Column, b: Column): Column =
+    shims.column(DotProductLong(shims.expression(a), shims.expression(b)))
+  def quantizeVec(c: Column, scale: Long = 10000L): Column =
+    shims.column(QuantizeVector(shims.expression(c), scale))
+}

@@ -41,8 +41,7 @@ object DedupOps {
     */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("sid"),
-        explode(wordShingles(col(textCol), k)).as("shingle"))
-      .select(col("sid"), charHash(col("shingle")).as("sh"))
+        explode(graft.functions.exprs.shingleHashes(col(textCol), k)).as("sh"))
       .distinct()
 
   /** Exact n-gram Jaccard similar pairs via inverted-index join.
@@ -130,12 +129,30 @@ object DedupOps {
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, k: Int = 3, bands: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingleHashes(df, idCol, textCol, k)
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, k)
     val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
-    val exact = ngramJaccardPairs(df, idCol, textCol, k, minJaccard = 0.0)
-    cands.join(exact, Seq("id_a", "id_b"))
+    verifyPairsJaccard(sh, cands)
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact Jaccard restricted to candidate pairs: the verification cost
+    * is |candidates| x shingles-per-doc, NOT all-overlapping-pairs —
+    * this is what makes LSH pay off at scale (verifying every
+    * overlapping pair would re-create the quadratic term LSH avoids).
+    */
+  def verifyPairsJaccard(sh: DataFrame, cands: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("sid").agg(count(lit(1)).as("n_sh"))
+    val aSide = cands.join(sh.withColumnRenamed("sid", "id_a"), Seq("id_a"))
+    val common = aSide
+      .join(sh.select(col("sid").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("sid").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("sid").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
   }
 
   /** SimHash: `bits`-wide signature from the doc's token-hash bit votes.

@@ -29,13 +29,19 @@ object TextOps {
     * `string_split(t, ' ')` agrees exactly (testdata is single-spaced). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Order-sensitive exact string hash: sum_i ascii(c_i) * w(i) mod P with
-    * w(i) = (i+1)*A mod P. Unlike a Horner fold this is expressible as a
-    * plain weighted sum, which both Catalyst (`transform` with index) and
-    * the DuckDB oracle (`list_transform` with 1-based index) support.
-    * Codegen-friendly; each product <= 2^21 * 2^30, summed after mod P.
+  /** Order-sensitive exact string hash: sum_i cp_i * w(i) mod P with
+    * w(i) = (i+1)*A mod P. Runs as the custom codegen expression
+    * [[graft.functions.WeightedCharHash]] — Spark's higher-order array
+    * functions (`transform`/`aggregate`) evaluate their lambdas
+    * interpreted per element, which made the composed form ~20x slower
+    * on the hot dedup paths. [[charHashComposed]] keeps the pure-builtin
+    * formulation; both are pinned equal by TextOpsSpec, and the DuckDB
+    * oracle reproduces the same weighted-sum formula.
     */
-  def charHash(s: Column): Column =
+  def charHash(s: Column): Column = graft.functions.exprs.charHashFast(s)
+
+  /** Reference formulation of [[charHash]] in pure Catalyst builtins. */
+  def charHashComposed(s: Column): Column =
     pmod(
       aggregate(
         transform(split(s, ""),
@@ -122,11 +128,10 @@ object TextOps {
     * extends it to full signatures.
     */
   def fingerprint(df: DataFrame, idCol: String, text: String, k: Int = 3): DataFrame = {
-    val sh = wordShingles(col(text), k)
-    val hashes = transform(sh, s => charHash(s))
+    val hashes = graft.functions.exprs.shingleHashes(col(text), k)
     df.select(col(idCol),
       charHash(col(text)).as("fp"),
-      size(sh).cast("long").as("n_shingles"),
+      size(hashes).cast("long").as("n_shingles"),
       array_min(hashes).as("min_shingle_hash"))
   }
 }
