@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.DedupOps
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 0/1 near-identical (one word changed), doc 2 unrelated,
+  // doc 3 exact dup of 0.
+  private val docs = Seq(
+    (0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+    (1L, "w1 w2 w3 w4 wX w6 w7 w8 w9 w10"),
+    (2L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+    (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+    .toDF("doc_id", "text")
+
+  test("exactDupGroups groups identical texts under the min id") {
+    val got = DedupOps.exactDupGroups(docs, "doc_id", "text")
+      .orderBy("canonical_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("exactDedup keeps the canonical row per text") {
+    val ids = DedupOps.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("ngramJaccardPairs finds near and exact duplicates") {
+    val got = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.2)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    // 8 trigrams each; 0 vs 1 share the trigrams not touching w5 -> 5/11.
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L), (0L, 3L), (1L, 3L)))
+    val j01 = got.find(p => p._1 == 0L && p._2 == 1L).get._3
+    assert(math.abs(j01 - 5.0 / 11.0) < 1e-12)
+    assert(got.find(p => p._1 == 0L && p._2 == 3L).get._3 == 1.0)
+  }
+
+  test("ngramJaccardPairs maxDf drops ubiquitous shingles") {
+    // with maxDf=1 every shared shingle is dropped -> no pairs
+    assert(DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDf = 1).isEmpty)
+  }
+
+  test("minhash signatures agree for identical docs and differ across docs") {
+    val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", numHashes = 8)
+      .orderBy("doc_id").collect()
+    assert(sigs.length == 4)
+    val row0 = sigs(0).toSeq.drop(1)
+    assert(row0 == sigs(3).toSeq.drop(1)) // exact dup -> identical signature
+    assert(row0 != sigs(2).toSeq.drop(1)) // unrelated -> different
+  }
+
+  test("minhashDedupPairs surfaces the exact dup through LSH + verification") {
+    val got = DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+      numHashes = 8, bands = 4, minJaccard = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.contains((0L, 3L)))
+    assert(!got.exists(p => p._2 == 2L || p._1 == 2L))
+  }
+
+  test("lshCandidatePairs caps hot buckets") {
+    val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", numHashes = 8)
+    val uncapped = DedupOps.lshCandidatePairs(sigs, "doc_id", 4, 2).count()
+    val capped = DedupOps.lshCandidatePairs(sigs, "doc_id", 4, 2, maxBucket = 1).count()
+    assert(uncapped >= 1 && capped == 0)
+  }
+
+  test("simhash of identical docs matches; hamming-near for near dups") {
+    val got = DedupOps.simhash(docs, "doc_id", "text", bits = 24)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(got(0) == got(3))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(got(0), got(1)) < ham(got(0), got(2)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EventOps, MultimodalOps}
+
+class EventMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def minUs(m: Long) = m * 60L * 1000000L
+
+  // user 10: events at t=0,10,50 min (gap 40 > 30 splits) -> 2 sessions;
+  // user 20: single event.
+  private val events = Seq(
+    (0L, minUs(0), 10L, "view", 1.0),
+    (1L, minUs(10), 10L, "click", 2.0),
+    (2L, minUs(50), 10L, "view", 3.0),
+    (3L, minUs(5), 20L, "view", 4.0))
+    .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+
+  test("sessionize splits on gaps greater than the threshold") {
+    val got = EventOps.sessionStats(events, gapMinutes = 30)
+      .orderBy("user_id", "session_seq").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 1L)))
+    val s1 = got(0)
+    assert(s1.getAs[Long]("duration_us") == minUs(10))
+    assert(s1.getAs[Long]("value_cents") == 300L)
+  }
+
+  test("hourlyAgg buckets into exact epoch-hour windows") {
+    val got = EventOps.hourlyAgg(events).orderBy("hour_us", "event_type").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((0L, "click", 1L), (0L, "view", 3L)))
+  }
+
+  test("loadEvents reads ns timestamps as exact integer micros") {
+    val ev = EventOps.loadEvents(spark, "/root/testdata/sf0.001")
+    val r = ev.select(col("ts"), col("ts_us")).head()
+    assert(r.getLong(0) / 1000L == r.getLong(1))
+    assert(ev.columns.contains("event_id"))
+  }
+
+  test("multimodal meta digests payload bytes without decoding") {
+    val media = MultimodalOps.attachFakeMedia(
+      Seq((7L, "hello")).toDF("doc_id", "text"), "doc_id", "text")
+    val r = MultimodalOps.mediaMeta(media).head()
+    assert(r.getLong(1) == 5L)
+    assert(r.getString(2) ==
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+  }
+
+  test("decodeFeatures runs the stubbed decode per partition deterministically") {
+    val media = MultimodalOps.attachFakeMedia(
+      Seq((1L, "abc"), (2L, "abcd")).toDF("doc_id", "text"), "doc_id", "text")
+    val got = MultimodalOps.decodeFeatures(media).orderBy("doc_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getInt(1) == 16 + 3 % 32)
+    assert(got(0).getSeq[Float](3).length == 8)
+    // deterministic: same bytes -> same features on re-run
+    val again = MultimodalOps.decodeFeatures(media).orderBy("doc_id").collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("sampleFrames emits stride-aligned offsets") {
+    val media = MultimodalOps.attachFakeMedia(
+      Seq((1L, "x" * 130)).toDF("doc_id", "text"), "doc_id", "text")
+    val got = MultimodalOps.sampleFrames(media, stride = 64)
+      .orderBy("frame_idx").collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 0L), (1L, 64L), (2L, 128L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SimilarityOps
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)), // near 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f))) // opposite of 0
+    .toDF("vec_id", "embedding")
+
+  test("quantize produces exact integers at 1e-4 resolution") {
+    val q = vecs.filter(col("vec_id") === 1)
+      .select(SimilarityOps.quantize(col("embedding"))).head().getSeq[Long](0)
+    assert(q == Seq(9000L, 1000L, 0L))
+  }
+
+  test("dotQ is an exact integer dot product") {
+    val d = vecs.filter(col("vec_id") === 0).crossJoin(
+        vecs.filter(col("vec_id") === 1).select(col("embedding").as("e2")))
+      .select(SimilarityOps.dotQ(
+        SimilarityOps.quantize(col("embedding")),
+        SimilarityOps.quantize(col("e2")))).head().getLong(0)
+    assert(d == 10000L * 9000L)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak, self excluded") {
+    val got = SimilarityOps.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 4)
+      .orderBy("rk").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L)) // cos: .994, 0, 0, -1
+    assert(math.abs(got(0).getDouble(2) - 0.9938) < 1e-3)
+    assert(got(3).getDouble(2) == -1.0)
+  }
+
+  test("embeddingNearDupPairs finds only the close pair") {
+    val got = SimilarityOps.embeddingNearDupPairs(vecs, "vec_id", "embedding", minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L)))
+  }
+
+  test("ivfTopK searches within the assigned cluster only") {
+    val centroids = vecs.filter(col("vec_id") === 0 || col("vec_id") === 2)
+    val got = SimilarityOps.ivfTopK(
+      vecs.filter(col("vec_id") === 1), vecs, centroids, "vec_id", "embedding", k = 2)
+      .collect()
+    // query 1 lands in cluster of centroid 0 (cos .99 vs .1). Corpus
+    // assignment: 0 -> c0, 1 -> c0, 2 -> c2, 3 -> tie (cos 0 to both,
+    // lowest centroid id wins) -> c0, 4 -> c2 (cos -1 vs 0). Cluster of
+    // c0 = {0, 1, 3}; self excluded -> neighbors ranked by cos: 0, 3.
+    assert(got.map(_.getLong(1)).toSeq == Seq(0L, 3L))
+  }
+}

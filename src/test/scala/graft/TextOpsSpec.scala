@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+import graft.functions.exprs
+
+/** Text-analysis operator specs, including the pins that keep the custom
+  * codegen expressions semantically identical to their pure-builtin
+  * (oracle-reproducible) formulations.
+  */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps", "en"),
+    (1L, "the quick brown fox jumps", "en"), // exact dup of 0
+    (2L, "le chat et la souris", "fr"),
+    (3L, "a b", "en"), // shorter than a trigram
+    (4L, "", "en"))
+    .toDF("doc_id", "text", "lang")
+
+  test("charHash (codegen) equals the composed builtin formulation") {
+    val got = docs.select(
+      exprs.charHashFast(col("text")).as("fast"),
+      TextOps.charHashComposed(col("text")).as("slow")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
+  test("charHash is deterministic and order-sensitive") {
+    val h = Seq(("ab", "ba")).toDF("x", "y")
+      .select(exprs.charHashFast(col("x")), exprs.charHashFast(col("y"))).head()
+    assert(h.getLong(0) != h.getLong(1))
+    assert(Seq("").toDF("x").select(exprs.charHashFast(col("x"))).head().getLong(0) == 0L)
+  }
+
+  test("shingleHashes (codegen) equals charHash over wordShingles") {
+    val got = docs.select(
+      exprs.shingleHashes(col("text"), 3).as("fast"),
+      transform(TextOps.wordShingles(col("text"), 3),
+        s => TextOps.charHash(s)).as("slow")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
+    }
+  }
+
+  test("wordShingles yields n-k+1 shingles, empty below k words") {
+    val got = docs.orderBy("doc_id")
+      .select(size(TextOps.wordShingles(col("text"), 3))).collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(3, 3, 3, 0, 0))
+  }
+
+  test("languageId votes marker words with fixed tie order") {
+    val got = docs.orderBy("doc_id")
+      .select(TextOps.languageId(col("text"))).collect().map(_.getString(0))
+    // doc0/1: 'the' + 'a'? -> en; doc2: le/la/et -> fr; doc3: 'a' -> en;
+    // doc4: all scores 0 -> tie -> first language (en).
+    assert(got.toSeq == Seq("en", "en", "fr", "en", "en"))
+  }
+
+  test("qualityFeatures computes exact counts and deterministic ratios") {
+    val r = TextOps.qualityFeatures(docs.filter(col("doc_id") === 0), "text")
+      .select("n_words", "n_text_chars", "n_stopwords", "avg_word_len", "stopword_ratio")
+      .head()
+    assert(r.getLong(0) == 5L)
+    assert(r.getLong(1) == 25L)
+    assert(r.getLong(2) == 1L) // 'the'
+    assert(r.getDouble(3) == (25.0 - 4.0) / 5.0)
+    assert(r.getDouble(4) == 1.0 / 5.0)
+  }
+
+  test("qualityFeatures null ratios on empty token count are guarded") {
+    // empty text still has one (empty) whitespace token -> no div-by-zero
+    val r = TextOps.qualityFeatures(docs.filter(col("doc_id") === 4), "text")
+      .select("n_words", "avg_word_len").head()
+    assert(r.getLong(0) == 1L)
+    assert(!r.isNullAt(1))
+  }
+
+  test("tokenCounts whitespace vs bpe-ish segmentation") {
+    val r = TextOps.tokenCounts(Seq((0L, "ab3 x")).toDF("doc_id", "text"), "text")
+      .select("n_ws_tokens", "n_bpeish_tokens").head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 3L) // ab | 3 | x
+  }
+
+  test("fingerprint emits doc hash plus shingle sketch") {
+    val r = TextOps.fingerprint(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r.length == 5)
+    assert(r(0).getLong(1) == r(1).getLong(1)) // identical texts agree
+    assert(r(3).getLong(2) == 0L && r(3).isNullAt(3)) // < k words
+    assert(r(0).getLong(2) == 3L)
+  }
+}
