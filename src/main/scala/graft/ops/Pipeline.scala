@@ -1,0 +1,256 @@
+package graft.ops
+
+import java.time.{LocalDate, LocalTime, ZonedDateTime, ZoneOffset}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pipeline composition — the reference's `process` entry point and its
+  * sources/sinks (reference tmdb_index.py:546-568 and neighbors), HTTP-free:
+  * network sources are injected as DataFrames / fetcher functions so unit
+  * tests drive fixtures exactly like the reference's tests stub its feed.
+  */
+object Pipeline {
+  import IndexOps._
+
+  // --- O7: changes-feed day frame normalization (tmdb_index.py:192-217) ---
+
+  /** Changes feed schema after normalization. */
+  val changesSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("date", DateType),
+    StructField("adult", BooleanType)))
+
+  /** Normalize one day of the changes feed: stamp the date literal,
+    * project (id, date, adult), drop null ids, dedup on id keep-LAST in
+    * feed order — the caller supplies the fetch ordinal column that
+    * defines feed order (Spark rows are unordered; reference :214 relies
+    * on row order).
+    */
+  def normalizeChangesDay(raw: DataFrame, day: LocalDate, ordinal: Column): DataFrame = {
+    val shaped = raw
+      .withColumn("date", lit(java.sql.Date.valueOf(day)))
+      .withColumn("__ord", ordinal)
+      .select(col("id").cast(LongType).as("id"), col("date"), col("adult"), col("__ord"))
+      .filter(col("id").isNotNull)
+    dedupKeepLast(shaped, "id", col("__ord")).drop("__ord")
+  }
+
+  // --- O8: incremental cursor (tmdb_index.py:220-238) ---
+
+  /** Resume window: from `max(date) − 1 day` (the reference's one-day
+    * late-data overlap re-read, :235) or from the type's epoch when the
+    * table has no date column yet; inclusive daily range to `today`.
+    */
+  def changesBackfillDateRange(df: DataFrame, today: LocalDate,
+      epoch: LocalDate): Seq[LocalDate] = {
+    val start =
+      if (!df.columns.contains("date")) epoch
+      else {
+        val m = df.agg(max(col("date"))).head()
+        if (m.isNullAt(0)) epoch
+        else m.getDate(0).toLocalDate.minusDays(1)
+      }
+    Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(today)).toSeq
+  }
+
+  // --- O9: daily micro-batch fold (tmdb_index.py:241-256) ---
+
+  /** Fold each day's (already-normalized) changes frame into the table:
+    * update-mode upsert per day, then one dense re-index. The "stream" is
+    * a driver-side date cursor — source offsets are dates, state is the
+    * table itself (SURVEY.md §2.9).
+    */
+  def insertLatestChanges(df: DataFrame, days: Seq[DataFrame],
+      daysLimit: Int = Int.MaxValue): DataFrame = {
+    val merged = days.take(daysLimit).foldLeft(df)((acc, day) => updateOrAppend(acc, day))
+    if (merged.columns.contains(ID) && !merged.isEmpty) alignIdCol(merged) else merged
+  }
+
+  // --- O10/O13: bulk export source (tmdb_index.py:259-270, 298-324) ---
+
+  /** JSONL(.gz) export file → (id, in_export=true). Spark's JSON source
+    * decodes .gz transparently and parallelizes over files at scale. */
+  def rawExport(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema("id LONG").json(path)
+      .filter(col("id").isNotNull)
+      .select(col("id"), lit(true).as("in_export"))
+
+  // --- O11: publication calendar (tmdb_index.py:273-276) ---
+
+  /** Daily exports publish at 08:00 UTC; before that use yesterday's. */
+  def exportDate(now: ZonedDateTime): LocalDate = {
+    val utc = now.withZoneSameInstant(ZoneOffset.UTC)
+    if (utc.toLocalTime.isBefore(LocalTime.of(8, 0))) utc.toLocalDate.minusDays(1)
+    else utc.toLocalDate
+  }
+
+  // --- O12: availability probe with previous-day fallback (:282-295) ---
+
+  def availableExport(probe: LocalDate => Boolean, day: LocalDate,
+      maxBack: Int = 1): Option[LocalDate] =
+    (0 to maxBack).map(day.minusDays(_)).find(probe)
+
+  // --- O15: movie ∪ collection export, movie wins (:331-352) ---
+
+  def combinedExport(movie: DataFrame, collection: DataFrame): DataFrame =
+    unionKeepFirst(movie, collection)
+
+  // --- O17: retry policy (pure; the HTTP client wires around it) ---
+
+  /** Backoff for attempt n (0-based): honor Retry-After when given, else
+    * exponential 2^n, clamped to [1, 60] seconds; callers re-raise after
+    * `MaxAttempts` (reference tmdb_index.py:369-402).
+    */
+  val MaxAttempts = 5
+  def backoffSeconds(attempt: Int, retryAfter: Option[Long] = None): Long =
+    math.min(60L, math.max(1L, retryAfter.getOrElse(1L << attempt)))
+
+  // --- O19: external-ids response typing (tmdb_index.py:414-466) ---
+
+  /** Scalar extraction from a raw external-ids response frame with
+    * string columns (imdb_id "tt123"/"nm123", wikidata_id "Q42", raw
+    * tvdb_id): regex capture-group → long, uint32-clamped; tvdb kept for
+    * tv only. `retrieved_at` is stamped by the caller (the fetch time).
+    */
+  def typeExternalIds(raw: DataFrame, kind: String): DataFrame = {
+    def num(c: Column, pattern: String): Column =
+      clampUInt32(nullif(regexp_extract(c, pattern, 1), lit("")).cast(LongType))
+    val imdbPattern = if (kind == "person") "nm(\\d+)" else "tt(\\d+)"
+    val base = raw
+      .withColumn("imdb_numeric_id", num(col("imdb_id"), imdbPattern))
+      .withColumn("wikidata_numeric_id", num(col("wikidata_id"), "Q(\\d+)"))
+    val typed =
+      if (kind == "tv") base.withColumn("tvdb_id", clampUInt32(col("tvdb_id").cast(LongType)))
+      else base.drop("tvdb_id")
+    typed.drop("imdb_id", "wikidata_id")
+  }
+
+  // --- O20 + O2: enrichment pass (tmdb_index.py:482-543) ---
+
+  /** Build the fetch queue, run the injected fetcher over it, upsert the
+    * typed result, re-index. `fetcher` stands in for the per-id HTTP
+    * loop (at scale: mapPartitions with per-partition rate limiting).
+    */
+  def insertExternalIds(df: DataFrame, fetcher: DataFrame => DataFrame,
+      backfillLimit: Int, refreshLimit: Int): DataFrame = {
+    val queue = fetchQueue(df, backfillLimit, refreshLimit)
+    val fetched = fetcher(queue)
+    if (fetched.isEmpty) df
+    else alignIdCol(updateOrAppend(df, fetched))
+  }
+
+  // --- O21: process (tmdb_index.py:546-568) ---
+
+  def process(df: DataFrame, changeDays: Seq[DataFrame], exportIds: DataFrame,
+      fetcher: DataFrame => DataFrame, backfillLimit: Int = 10000,
+      refreshLimit: Int = 1000, daysLimit: Int = 30): DataFrame = {
+    val afterChanges = insertLatestChanges(df, changeDays, daysLimit)
+    val afterExport = updateExportFlag(afterChanges, exportIds)
+    insertExternalIds(afterExport, fetcher, backfillLimit, refreshLimit)
+  }
+
+  // --- O22: markdown report sink (tmdb_index.py:571-600) ---
+
+  private def pct(v: Long, n: Long): String =
+    if (n == 0) s"$v" else f"$v (${100.0 * v / n}%.1f%%)"
+
+  /** Render the run report: id validation, per-column profile, diff
+    * line, and table shape — golden-tested byte-for-byte (our own
+    * golden; the reference's is Polars' ASCII_MARKDOWN).
+    */
+  def formatSummary(dfOld: DataFrame, dfNew: DataFrame): String = {
+    validateId(dfOld)
+    validateId(dfNew)
+    val n = dfNew.count()
+    val stats = computeStats(dfOld, dfNew).collect()
+    val diff = changeSummary(dfOld, dfNew).head()
+    val header = "| column | dtype | null | true | false | unique | updated |"
+    val sep = "| --- | --- | --- | --- | --- | --- | --- |"
+    val rows = stats.map { r =>
+      val isBool = r.getString(1) == "boolean"
+      val t = if (isBool) pct(r.getLong(3), n) else ""
+      val f = if (isBool) pct(r.getLong(4), n) else ""
+      s"| ${r.getString(0)} | ${r.getString(1)} | ${pct(r.getLong(2), n)} | $t | $f | " +
+        s"${if (r.getBoolean(5)) "yes" else "no"} | ${pct(r.getLong(6), n)} |"
+    }
+    val shape = s"shape: (${n}, ${dfNew.columns.length})"
+    val changes = s"changes: +${diff.getLong(0)} -${diff.getLong(1)} ~${diff.getLong(2)}"
+    (Seq(header, sep) ++ rows ++ Seq("", shape, changes)).mkString("\n")
+  }
+
+  // --- O23: CLI shell (tmdb_index.py:603-716) ---
+
+  /** Read the persisted index or bootstrap the empty table (`id` only —
+    * reference :672). */
+  def readOrInit(spark: SparkSession, path: String): DataFrame =
+    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField(ID, LongType))))
+
+  /** Monotonic-growth publish gate (reference :688-694). */
+  def heightGuard(before: DataFrame, after: DataFrame): Unit = {
+    val (b, a) = (before.count(), after.count())
+    require(a >= b, s"index shrank: $b -> $a rows; refusing to publish")
+  }
+
+  /** Publish: id-sorted zstd parquet with statistics — sorted so
+    * consumers' id predicates prune row groups via min/max stats
+    * (SURVEY.md §4). At 100 TB this becomes a partitioned directory
+    * (`partitionBy(id div N)`); semantics unchanged.
+    */
+  def writeIndex(df: DataFrame, path: String): Unit =
+    df.orderBy(ID).write.mode("overwrite")
+      .option("compression", "zstd").parquet(path)
+
+  /** CLI parity shell (flags/env mirroring reference :603-653), wired to
+    * local fixture sources instead of HTTP (no network here): changes
+    * days and exports are JSONL files under `--source-dir`.
+    */
+  def main(args: Array[String]): Unit = {
+    def opt(name: String, env: String, default: String): String = {
+      val i = args.indexOf(s"--$name")
+      if (i >= 0 && i + 1 < args.length) args(i + 1)
+      else sys.env.getOrElse(env, default)
+    }
+    val kind = opt("tmdb-type", "TMDB_TYPE", "movie")
+    val file = opt("file", "GRAFT_INDEX_FILE", s"/tmp/graft_$kind.parquet")
+    val sourceDir = opt("source-dir", "GRAFT_SOURCE_DIR", "")
+    val dryRun = args.contains("--dry-run")
+    val backfill = opt("backfill-limit", "BACKFILL_LIMIT", "10000").toInt
+    val refresh = opt("refresh-limit", "REFRESH_LIMIT", "1000").toInt
+    val daysLimit = opt("days-limit", "DAYS_LIMIT", "30").toInt
+
+    val spark = SparkSession.builder().master(
+        sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val before = readOrInit(spark, file)
+    val changeDays =
+      if (sourceDir.isEmpty) Seq.empty[DataFrame]
+      else new java.io.File(s"$sourceDir/changes").listFiles().toSeq
+        .sortBy(_.getName).map { f =>
+          val day = LocalDate.parse(f.getName.stripSuffix(".jsonl").stripSuffix(".json"))
+          normalizeChangesDay(
+            spark.read.schema("id LONG, adult BOOLEAN, __ord LONG").json(f.getPath),
+            day, col("__ord"))
+        }
+    val exportIds =
+      if (sourceDir.isEmpty || !new java.io.File(s"$sourceDir/export.jsonl").exists())
+        before.sparkSession.emptyDataFrame.withColumn("id", lit(null).cast(LongType))
+          .filter(lit(false)).select("id")
+      else rawExport(spark, s"$sourceDir/export.jsonl").select("id")
+    val after = process(before, changeDays, exportIds, queue => queue.limit(0),
+      backfill, refresh, daysLimit)
+
+    heightGuard(before, after)
+    println(formatSummary(if (before.isEmpty) after else before, after))
+    if (!dryRun) writeIndex(after, file)
+    spark.stop()
+  }
+}
