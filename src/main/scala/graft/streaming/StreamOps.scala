@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.IndexOps
+
+/** Structured Streaming surface. The reference's "stream" is a daily
+  * micro-batch cursor with a 1-day late-data re-read and update-mode
+  * upsert (SURVEY.md §2.9: watermark = max(date) - 1 day, dedup-by-key
+  * keep-latest; the persisted parquet file IS the state store). These
+  * operators re-express that shape on real Structured Streaming so the
+  * same library serves continuous feeds:
+  *
+  *  - [[streamSource]]: file-based `readStream` (new files = new offsets,
+  *    exactly the changes-feed pagination model);
+  *  - [[windowedCounts]]: event-time tumbling windows with a watermark
+  *    bounding state (the reference's 1-day overlap generalized);
+  *  - [[latestPerKey]]: update-mode dedup keep-latest per key via
+  *    `dropDuplicatesWithinWatermark`-style state — here with
+  *    max-by-ordinal aggregation, the streaming form of O2's keep-last;
+  *  - [[indexSink]]: `foreachBatch` folding each micro-batch through
+  *    `updateOrAppend` + `alignIdCol` into the parquet index — the
+  *    reference's per-day loop verbatim, driven by the engine's trigger.
+  */
+object StreamOps {
+  /** File-source stream with a declared schema (parquet or json dirs). */
+  def streamSource(spark: SparkSession, path: String, schema: StructType,
+      format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+
+  /** Event-time tumbling-window counts with a watermark. State is bounded
+    * by the watermark delay; at scale this is a streaming shuffle on
+    * (window, keyCol) with partial aggregation per micro-batch.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String = "1 hour", watermarkDelay: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n_events"), col("value_cents"))
+
+  /** Keep the latest row per key (by an explicit ordinal) in update mode —
+    * the streaming re-expression of the reference's `unique(keep="last")`:
+    * max_by over the watermark-bounded state.
+    */
+  def latestPerKey(events: DataFrame, tsCol: String, keyCol: String,
+      ordCol: String, watermarkDelay: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol))
+      .agg(max(col(ordCol)).as("latest_ord"),
+        max_by(struct(events.columns.map(col).toIndexedSeq: _*), col(ordCol)).as("row"))
+      .select(col(keyCol), col("latest_ord"), col("row"))
+
+  /** Upsert each micro-batch into the parquet index: read-modify-write of
+    * the table through O2 + O1, exactly the reference's per-day fold
+    * (tmdb_index.py:241-256) with the stream engine supplying batches.
+    * Use `Trigger.AvailableNow` for catch-up runs, a processing-time
+    * trigger for continuous tailing.
+    */
+  def indexSink(batches: DataFrame, indexPath: String, ordinal: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val current = graft.ops.Pipeline.readOrInit(spark, indexPath)
+        val next = IndexOps.alignIdCol(
+          IndexOps.updateOrAppend(current, batch, Some(col(ordinal))))
+        // write to a tmp dir then swap: the state store must never be
+        // half-written (same publish discipline as the batch CLI)
+        val tmp = indexPath + "__staging"
+        next.orderBy(IndexOps.ID).write.mode("overwrite")
+          .option("compression", "zstd").parquet(tmp)
+        val fs = new java.io.File(indexPath)
+        if (fs.exists()) org.apache.commons.io.FileUtils.deleteDirectory(fs)
+        new java.io.File(tmp).renameTo(fs)
+        ()
+      }
+
+  /** One-shot catch-up run of [[indexSink]] (processes all available
+    * input then stops) — the streaming equivalent of the CLI's daily
+    * invocation. */
+  def runCatchUp(batches: DataFrame, indexPath: String, ordinal: String,
+      checkpoint: String): Unit = {
+    val q = indexSink(batches, indexPath, ordinal)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

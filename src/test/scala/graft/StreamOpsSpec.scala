@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.StreamOps
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("windowedCounts: event-time tumbling windows over a file stream") {
+    val in = tmpDir("graft_stream_in")
+    Seq(
+      (Timestamp.valueOf("2024-01-01 00:10:00"), "view", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:50:00"), "view", 2.0),
+      (Timestamp.valueOf("2024-01-01 01:10:00"), "click", 3.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(in)
+
+    val stream = StreamOps.streamSource(spark, in,
+      spark.read.parquet(in).schema)
+    val q = StreamOps.windowedCounts(stream, "ts", "event_type")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("wc").orderBy("window_start", "event_type").collect()
+    assert(got.map(r => (r.getTimestamp(0).toString, r.getString(1),
+      r.getLong(2), r.getLong(3))).toSeq == Seq(
+      ("2024-01-01 00:00:00.0", "view", 2L, 300L),
+      ("2024-01-01 01:00:00.0", "click", 1L, 300L)))
+  }
+
+  test("indexSink: micro-batches fold into the dense parquet index") {
+    val in = tmpDir("graft_stream_idx_in")
+    val idx = tmpDir("graft_stream_idx") + "/index.parquet"
+    val ckpt = tmpDir("graft_stream_ckpt")
+    Seq((0L, "a", 1L), (2L, "c", 2L), (0L, "a2", 3L))
+      .toDF("id", "v", "ord")
+      .write.mode("overwrite").parquet(in)
+
+    val stream = StreamOps.streamSource(spark, in, spark.read.parquet(in).schema)
+    StreamOps.runCatchUp(stream, idx, "ord", ckpt)
+
+    val got = spark.read.parquet(idx).orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    // keep-last by ordinal: id 0 took the ord=3 row; gap id=1 is null
+    assert(got(0).getString(1) == "a2")
+    assert(got(1).isNullAt(1))
+    assert(got(2).getString(1) == "c")
+  }
+
+  test("latestPerKey keeps the max-ordinal row per key") {
+    val in = tmpDir("graft_stream_latest_in")
+    Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 10L, "old"),
+      (Timestamp.valueOf("2024-01-01 00:05:00"), 1L, 20L, "new"),
+      (Timestamp.valueOf("2024-01-01 00:06:00"), 2L, 5L, "only"))
+      .toDF("ts", "user_id", "ord", "v")
+      .write.mode("overwrite").parquet(in)
+
+    val stream = StreamOps.streamSource(spark, in, spark.read.parquet(in).schema)
+    val q = StreamOps.latestPerKey(stream, "ts", "user_id", "ord")
+      .writeStream.format("memory").queryName("lpk")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("lpk").orderBy("user_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1),
+      r.getStruct(2).getAs[String]("v"))).toSeq ==
+      Seq((1L, 20L, "new"), (2L, 5L, "only")))
+  }
+}
