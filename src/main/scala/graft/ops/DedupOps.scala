@@ -54,7 +54,11 @@ object DedupOps {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    // The postings feed three consumers (sizes, both join sides); persist
+    // so the explode+hash+distinct shuffle runs once. At 100 TB the same
+    // role is played by checkpointing the postings to parquet.
     val sh = shingleHashes(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
         .filter(col("df_cnt") <= maxDf).select("sh"),
@@ -107,11 +111,14 @@ object DedupOps {
     */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int, maxBucket: Int = 1000): DataFrame = {
+    // banded feeds the bucket-count filter and both self-join sides;
+    // persist so the signature aggregation runs once.
     val banded = signatures.select(
       col(idCol).as("sid"),
       posexplode(array((0 until bands).map { b =>
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
       }: _*)).as(Seq("band", "key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val small = banded.join(
       banded.groupBy("band", "key").agg(count(lit(1)).as("bc"))
         .filter(col("bc") <= maxBucket).select("band", "key"),
@@ -130,7 +137,11 @@ object DedupOps {
       numHashes: Int = 16, k: Int = 3, bands: Int = 8,
       minJaccard: Double = 0.5): DataFrame = {
     val sh = shingleHashes(df, idCol, textCol, k)
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("sh") * a + b, lit(HashP))).as(s"mh$j")
+    }
+    val sigs = sh.groupBy(col("sid").as(idCol)).agg(aggs.head, aggs.tail: _*)
     val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
     verifyPairsJaccard(sh, cands)
       .filter(col("jaccard") >= minJaccard)
