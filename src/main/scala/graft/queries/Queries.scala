@@ -568,6 +568,82 @@ object Queries {
       |FROM (SELECT doc_id, strlen(text) AS nb FROM documents), UNNEST(range(0, (nb - 1) // 64 + 1)) t(i)""".stripMargin
 
   // ---------------------------------------------------------------------
+  // O19 + O21: external-id extraction and the full process composition,
+  // both with complete SQL oracles (the e2e is the strongest parity
+  // proof: fold + align + flag + queue + enrichment in one query).
+  // ---------------------------------------------------------------------
+
+  private def externalIdsQ(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "documents").select(
+      col("doc_id").as("id"),
+      lit(true).as("success"),
+      when(pmod(col("doc_id"), lit(10)) === 0, lit("ttbad"))
+        .otherwise(concat(lit("tt"), (col("doc_id") * 3).cast("string"))).as("imdb_id"),
+      concat(lit("Q"), (col("doc_id") * 11).cast("string")).as("wikidata_id"),
+      (col("doc_id") * 9000000L).as("tvdb_id"))
+    Pipeline.typeExternalIds(raw, "tv")
+  }
+
+  private val externalIdsSql =
+    """SELECT doc_id AS id, TRUE AS success,
+      |  CASE WHEN doc_id * 9000000 BETWEEN 0 AND 4294967295 THEN doc_id * 9000000 END AS tvdb_id,
+      |  CASE WHEN CAST(NULLIF(regexp_extract(imdb_id, 'tt(\d+)', 1), '') AS BIGINT)
+      |       BETWEEN 0 AND 4294967295
+      |       THEN CAST(NULLIF(regexp_extract(imdb_id, 'tt(\d+)', 1), '') AS BIGINT) END AS imdb_numeric_id,
+      |  CASE WHEN CAST(NULLIF(regexp_extract(wikidata_id, 'Q(\d+)', 1), '') AS BIGINT)
+      |       BETWEEN 0 AND 4294967295
+      |       THEN CAST(NULLIF(regexp_extract(wikidata_id, 'Q(\d+)', 1), '') AS BIGINT) END AS wikidata_numeric_id
+      |FROM (SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 0 THEN 'ttbad' ELSE 'tt' || CAST(doc_id * 3 AS VARCHAR) END AS imdb_id,
+      |  'Q' || CAST(doc_id * 11 AS VARCHAR) AS wikidata_id FROM documents)""".stripMargin
+
+  private def processE2eQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def slice(lo: Long, hi: Long, dateOff: Int): DataFrame =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi).select(
+        col("doc_id").as("id"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")), lit(dateOff)).as("date"),
+        (pmod(col("doc_id"), lit(2)) === 0).as("adult"))
+    val base = slice(0, 300, 0)
+    val day1 = slice(250, 320, 1)
+    val day2 = slice(330, 350, 2) // leaves the 320-329 id gap for align
+    val exportIds = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id").as("id"))
+    val fetcher: DataFrame => DataFrame = queue =>
+      queue.join(docs, queue("id") === docs("doc_id")).select(
+        queue("id"),
+        lit(true).as("success"),
+        lit(java.sql.Timestamp.valueOf("2024-02-01 06:00:00")).as("retrieved_at"),
+        IndexOps.clampUInt32(col("n_chars") * 1000).as("imdb_numeric_id"))
+    Pipeline.process(base, Seq(day1, day2), exportIds, fetcher,
+      backfillLimit = 40, refreshLimit = 25)
+  }
+
+  private val processE2eSql =
+    """WITH base AS (SELECT doc_id AS id, DATE '2024-01-01' AS date, doc_id % 2 = 0 AS adult
+      |              FROM documents WHERE doc_id < 300),
+      |day1 AS (SELECT doc_id AS id, DATE '2024-01-02' AS date, doc_id % 2 = 0 AS adult
+      |         FROM documents WHERE doc_id >= 250 AND doc_id < 320),
+      |day2 AS (SELECT doc_id AS id, DATE '2024-01-03' AS date, doc_id % 2 = 0 AS adult
+      |         FROM documents WHERE doc_id >= 330 AND doc_id < 350),
+      |m1 AS (SELECT * FROM base WHERE id NOT IN (SELECT id FROM day1) UNION ALL SELECT * FROM day1),
+      |m2 AS (SELECT * FROM m1 WHERE id NOT IN (SELECT id FROM day2) UNION ALL SELECT * FROM day2),
+      |al AS (SELECT i.id, m.date, m.adult
+      |       FROM (SELECT UNNEST(range(0, (SELECT max(id) + 1 FROM m2))) AS id) i
+      |       LEFT JOIN m2 m ON m.id = i.id),
+      |fl AS (SELECT al.*, (e.id IS NOT NULL) AS in_export FROM al
+      |       LEFT JOIN (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id % 3 = 0) e
+      |       ON e.id = al.id),
+      |q AS (SELECT id FROM fl ORDER BY id LIMIT 40),
+      |f AS (SELECT q.id, TRUE AS success, TIMESTAMP '2024-02-01 06:00:00' AS retrieved_at,
+      |        CASE WHEN d.n_chars * 1000 BETWEEN 0 AND 4294967295 THEN d.n_chars * 1000 END AS imdb_numeric_id
+      |      FROM q JOIN documents d ON d.doc_id = q.id)
+      |SELECT fl.id, fl.date, fl.adult, fl.in_export, CAST(NULL AS BOOLEAN) AS success,
+      |  CAST(NULL AS TIMESTAMP) AS retrieved_at, CAST(NULL AS BIGINT) AS imdb_numeric_id
+      |FROM fl WHERE fl.id NOT IN (SELECT id FROM f)
+      |UNION ALL
+      |SELECT f.id, fl.date, fl.adult, fl.in_export, f.success, f.retrieved_at, f.imdb_numeric_id
+      |FROM f JOIN fl ON fl.id = f.id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_align_id_col" -> (alignIdColQ _),
@@ -602,7 +678,9 @@ object Queries {
     "q_embed_cosine_topk" -> (embedTopkQ _),
     "q_embed_near_dup" -> (embedNearDupQ _),
     "q_multimodal_meta" -> (multimodalMetaQ _),
-    "q_frame_sample" -> (frameSampleQ _))
+    "q_frame_sample" -> (frameSampleQ _),
+    "q_external_ids" -> (externalIdsQ _),
+    "q_process_e2e" -> (processE2eQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -637,5 +715,7 @@ object Queries {
     "q_embed_cosine_topk" -> embedTopkSql,
     "q_embed_near_dup" -> embedNearDupSql,
     "q_multimodal_meta" -> multimodalMetaSql,
-    "q_frame_sample" -> frameSampleSql)
+    "q_frame_sample" -> frameSampleSql,
+    "q_external_ids" -> externalIdsSql,
+    "q_process_e2e" -> processE2eSql)
 }
