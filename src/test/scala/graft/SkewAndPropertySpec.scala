@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IndexOps, SkewOps}
+
+/** Skew-helper specs plus property tests for the merge algebra
+  * (SURVEY.md §5: updateOrAppend/alignIdCol laws). Cases are generated
+  * from a fixed seed (the scalatest-scalacheck bridge isn't in the
+  * offline cache, so generation is hand-rolled but equally exhaustive
+  * for this small domain).
+  */
+class SkewAndPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cases(seed: Long, n: Int): Seq[List[(Long, Long)]] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val size = rnd.nextInt(12)
+      List.fill(size)(rnd.nextLong(16L)).distinct.map(i => (i, i * 10))
+    }
+  }
+
+  test("saltedJoin equals the plain join, spread over salt buckets") {
+    val left = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d")).toDF("k", "lv")
+    val right = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).orderBy("k", "lv")
+      .collect().map(_.toSeq).toSeq
+    val salted = SkewOps.saltedJoin(left, right, "k", saltFactor = 4)
+      .orderBy("k", "lv").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedAgg equals the plain aggregate") {
+    val df = (1 to 100).map(i => (i % 3, i.toLong)).toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("s")).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val salted = SkewOps.saltedAgg(df, "k", sum(col("v")), "s",
+        c => sum(col(c)), saltFactor = 8)
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(salted == plain)
+  }
+
+  test("keySkewProfile surfaces the hot key first") {
+    val df = (Seq.fill(90)(1L) ++ Seq.fill(10)(2L)).toDF("k")
+    val top = SkewOps.keySkewProfile(df, "k", topN = 1).head()
+    assert(top.getLong(0) == 1L && top.getLong(1) == 90L)
+    assert(math.abs(top.getDouble(2) - 0.9) < 1e-12)
+  }
+
+  test("property: alignIdCol is idempotent and establishes the invariant") {
+    for (rows <- cases(seed = 1, n = 15) if rows.nonEmpty) {
+      val df = rows.toDF("id", "v")
+      val once = IndexOps.alignIdCol(df)
+      val twice = IndexOps.alignIdCol(once)
+      assert(twice.orderBy("id").collect().toSeq == once.orderBy("id").collect().toSeq,
+        s"case: $rows")
+      IndexOps.validateId(once)
+    }
+  }
+
+  test("property: updateOrAppend with an empty delta changes nothing") {
+    for (rows <- cases(seed = 2, n = 10) if rows.nonEmpty) {
+      val df = rows.toDF("id", "v")
+      val got = IndexOps.updateOrAppend(df, df.filter(lit(false)))
+      assert(got.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq,
+        s"case: $rows")
+    }
+  }
+
+  test("property: updateOrAppend is idempotent in the delta") {
+    for ((a, b) <- cases(seed = 3, n = 10).zip(cases(seed = 4, n = 10))
+         if a.nonEmpty && b.nonEmpty) {
+      val once = IndexOps.updateOrAppend(a.toDF("id", "v"), b.toDF("id", "v"))
+      val twice = IndexOps.updateOrAppend(once, b.toDF("id", "v"))
+      assert(twice.orderBy("id").collect().toSeq == once.orderBy("id").collect().toSeq,
+        s"case: $a / $b")
+    }
+  }
+
+  test("property: delta rows always win; other rows survive") {
+    for ((a, b) <- cases(seed = 5, n = 10).zip(cases(seed = 6, n = 10))
+         if a.nonEmpty) {
+      val delta = b.map { case (i, _) => (i, -1L) }.toDF("id", "v")
+      val got = IndexOps.updateOrAppend(a.toDF("id", "v"), delta).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      b.foreach { case (i, _) => assert(got(i) == -1L, s"case: $a / $b") }
+      a.filterNot(r => b.exists(_._1 == r._1)).foreach { case (i, v) =>
+        assert(got(i) == v, s"case: $a / $b")
+      }
+    }
+  }
+}
