@@ -52,13 +52,21 @@ object DedupOps {
     * the df-cut that keeps the posting-list self-join near-linear on
     * power-law corpora.
     */
+  /** Persist an intermediate when asked. The postings/signatures below
+    * feed 3-4 consumers each; measured on local[32] at test scale,
+    * recomputing them (codegen'd hashing over a hot page cache) beats the
+    * persist's materialization barrier + serialization by ~2x — so the
+    * default is OFF. On a real cluster, where the upstream is a 100 TB
+    * scan, flip `persistIntermediates` on (or checkpoint the postings to
+    * parquet, the durable variant of the same trade).
+    */
+  private def maybePersist(df: DataFrame, on: Boolean): DataFrame =
+    if (on) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    // The postings feed three consumers (sizes, both join sides); persist
-    // so the explode+hash+distinct shuffle runs once. At 100 TB the same
-    // role is played by checkpointing the postings to parquet.
-    val sh = shingleHashes(df, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000,
+      persistIntermediates: Boolean = false): DataFrame = {
+    val sh = maybePersist(shingleHashes(df, idCol, textCol, k), persistIntermediates)
     val filtered = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
         .filter(col("df_cnt") <= maxDf).select("sh"),
@@ -110,15 +118,13 @@ object DedupOps {
     * would otherwise produce a quadratic blowup).
     */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
-      bands: Int, rowsPerBand: Int, maxBucket: Int = 1000): DataFrame = {
-    // banded feeds the bucket-count filter and both self-join sides;
-    // persist so the signature aggregation runs once.
-    val banded = signatures.select(
+      bands: Int, rowsPerBand: Int, maxBucket: Int = 1000,
+      persistIntermediates: Boolean = false): DataFrame = {
+    val banded = maybePersist(signatures.select(
       col(idCol).as("sid"),
       posexplode(array((0 until bands).map { b =>
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
-      }: _*)).as(Seq("band", "key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }: _*)).as(Seq("band", "key"))), persistIntermediates)
     val small = banded.join(
       banded.groupBy("band", "key").agg(count(lit(1)).as("bc"))
         .filter(col("bc") <= maxBucket).select("band", "key"),
@@ -135,14 +141,14 @@ object DedupOps {
     */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, k: Int = 3, bands: Int = 8,
-      minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      minJaccard: Double = 0.5, persistIntermediates: Boolean = false): DataFrame = {
+    val sh = maybePersist(shingleHashes(df, idCol, textCol, k), persistIntermediates)
     val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("sh") * a + b, lit(HashP))).as(s"mh$j")
     }
     val sigs = sh.groupBy(col("sid").as(idCol)).agg(aggs.head, aggs.tail: _*)
-    val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands)
+    val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands,
+      persistIntermediates = persistIntermediates)
     verifyPairsJaccard(sh, cands)
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")

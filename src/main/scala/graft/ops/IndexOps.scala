@@ -96,7 +96,15 @@ object IndexOps {
     * defines "last".
     */
   def updateOrAppend(df: DataFrame, other: DataFrame,
-      deltaOrdinal: Option[Column]): DataFrame = {
+      deltaOrdinal: Option[Column]): DataFrame =
+    updateOrAppend(df, other, deltaOrdinal, assumeUniqueDelta = false)
+
+  /** As above; `assumeUniqueDelta = true` skips the eager delta-uniqueness
+    * check (it costs one Spark job per call — fine interactively, wrong
+    * inside a per-day fold whose deltas are already normalized/deduped).
+    */
+  def updateOrAppend(df: DataFrame, other: DataFrame,
+      deltaOrdinal: Option[Column], assumeUniqueDelta: Boolean): DataFrame = {
     val outFields = unionSchema(df.schema, other.schema)
     require(outFields.exists(_.name == ID), "output schema must have id column")
 
@@ -106,6 +114,7 @@ object IndexOps {
     // precondition (cheap: LocalLimit(1) early-exits the aggregate).
     val delta = deltaOrdinal match {
       case Some(ord) => dedupKeepLast(other, ID, ord)
+      case None if assumeUniqueDelta => other
       case None =>
         require(duplicateIds(other).limit(1).isEmpty,
           "updateOrAppend: delta must be unique on id (pass deltaOrdinal to dedup keep-last)")

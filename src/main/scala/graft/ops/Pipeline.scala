@@ -64,7 +64,16 @@ object Pipeline {
     */
   def insertLatestChanges(df: DataFrame, days: Seq[DataFrame],
       daysLimit: Int = Int.MaxValue): DataFrame = {
-    val merged = days.take(daysLimit).foldLeft(df)((acc, day) => updateOrAppend(acc, day))
+    // updateOrAppend references its left side twice (anti-join +
+    // enrichment), so an N-day fold would otherwise build a plan whose
+    // recompute cost doubles per day. Truncate lineage after each day —
+    // the reference materializes the table daily anyway (its parquet
+    // write); localCheckpoint is the in-job equivalent. Deltas are
+    // normalized (unique on id) by construction, so the per-day
+    // uniqueness job is skipped.
+    val merged = days.take(daysLimit).foldLeft(df) { (acc, day) =>
+      updateOrAppend(acc, day, None, assumeUniqueDelta = true).localCheckpoint()
+    }
     if (merged.columns.contains(ID) && !merged.isEmpty) alignIdCol(merged) else merged
   }
 
@@ -147,7 +156,9 @@ object Pipeline {
       fetcher: DataFrame => DataFrame, backfillLimit: Int = 10000,
       refreshLimit: Int = 1000, daysLimit: Int = 30): DataFrame = {
     val afterChanges = insertLatestChanges(df, changeDays, daysLimit)
-    val afterExport = updateExportFlag(afterChanges, exportIds)
+    // the flagged table feeds the queue's predicate branches AND both
+    // sides of the enrichment upsert — truncate lineage once here
+    val afterExport = updateExportFlag(afterChanges, exportIds).localCheckpoint()
     insertExternalIds(afterExport, fetcher, backfillLimit, refreshLimit)
   }
 

@@ -333,6 +333,40 @@ object Queries {
       |  count(DISTINCT p_type)::BIGINT AS n_types
       |FROM part GROUP BY p_brand""".stripMargin
 
+  private def antiJoinQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), cents(col("c_acctbal")).as("acctbal_cents"))
+
+  private val antiJoinSql =
+    """SELECT c_custkey, c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+      |FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin
+
+  private def semiJoinQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .join(t(s, dir, "lineitem").select(col("l_partkey")).distinct(),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"))
+
+  private val semiJoinSql =
+    "SELECT p_partkey, p_brand FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)"
+
+  private def rollupRevenueQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderstatus"))
+      .agg(sum(cents(col("o_totalprice"))).as("total_cents"), count(lit(1)).as("n_orders"))
+
+  private val rollupRevenueSql =
+    """SELECT n_name, o_orderstatus,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+      |  count(*)::BIGINT AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin
+
   private def eventsHourlyQ(s: SparkSession, dir: String): DataFrame =
     EventOps.hourlyAgg(EventOps.loadEvents(s, dir))
 
@@ -680,7 +714,10 @@ object Queries {
     "q_multimodal_meta" -> (multimodalMetaQ _),
     "q_frame_sample" -> (frameSampleQ _),
     "q_external_ids" -> (externalIdsQ _),
-    "q_process_e2e" -> (processE2eQ _))
+    "q_process_e2e" -> (processE2eQ _),
+    "q_anti_join" -> (antiJoinQ _),
+    "q_semi_join" -> (semiJoinQ _),
+    "q_rollup_revenue" -> (rollupRevenueQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -717,5 +754,8 @@ object Queries {
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_frame_sample" -> frameSampleSql,
     "q_external_ids" -> externalIdsSql,
-    "q_process_e2e" -> processE2eSql)
+    "q_process_e2e" -> processE2eSql,
+    "q_anti_join" -> antiJoinSql,
+    "q_semi_join" -> semiJoinSql,
+    "q_rollup_revenue" -> rollupRevenueSql)
 }
