@@ -208,4 +208,27 @@ object exprs {
     shims.column(DotProductLong(shims.expression(a), shims.expression(b)))
   def quantizeVec(c: Column, scale: Long = 10000L): Column =
     shims.column(QuantizeVector(shims.expression(c), scale))
+
+  /** Make the custom expressions callable from `spark.sql(...)`:
+    * graft_char_hash(s), graft_shingle_hashes(s, k),
+    * graft_dot_long(a, b), graft_quantize(v, scale).
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    def intArg(e: Expression, what: String): Long = e match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    shims.registerFunction(spark, "graft_char_hash",
+      args => WeightedCharHash(args.head))
+    shims.registerFunction(spark, "graft_shingle_hashes",
+      args => ShingleHashArray(args.head, intArg(args(1), "shingle size").toInt))
+    shims.registerFunction(spark, "graft_dot_long",
+      args => DotProductLong(args(0), args(1)))
+    shims.registerFunction(spark, "graft_quantize",
+      args => QuantizeVector(args.head,
+        if (args.length > 1) intArg(args(1), "scale") else 10000L))
+  }
 }
