@@ -177,6 +177,22 @@ object DedupOps {
     * are reassembled arithmetically — exact integers throughout, and a
     * single pass at scale.
     */
+  /** SimHash near-dup pairs: hamming distance over the signatures. The
+    * all-pairs form is the exactness baseline; at scale, block by
+    * signature bands (split the simhash into chunks, bucket-join on any
+    * equal chunk — pigeonhole guarantees recall for hamming <= chunks-1).
+    */
+  def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 24, maxHamming: Int = 3): DataFrame = {
+    val s = simhash(df, idCol, textCol, bits)
+    val a = s.select(col(idCol).as("id_a"), col("simhash").as("h_a"))
+    val b = s.select(col(idCol).as("id_b"), col("simhash").as("h_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 24): DataFrame = {
     val words = df.select(col(idCol).as("sid"),
         explode(TextOps.tokens(col(textCol))).as("w"))

@@ -113,6 +113,19 @@ object TextOps {
         nStop.cast("double") / nullif(nWords, lit(0L)))
   }
 
+  /** Quality gate: the composite keep/drop rule a training-data pipeline
+    * runs after scoring — minimum length, bounded stopword density,
+    * plausible word shape. Thresholds compare exact-integer-derived
+    * doubles, so the rule is bit-deterministic.
+    */
+  def qualityFilter(df: DataFrame, text: String, minWords: Long = 20,
+      maxStopRatio: Double = 0.5, minAvgLen: Double = 2.0,
+      maxAvgLen: Double = 12.0): DataFrame =
+    qualityFeatures(df, text)
+      .filter(col("n_words") >= minWords &&
+        col("stopword_ratio") <= maxStopRatio &&
+        col("avg_word_len") >= minAvgLen && col("avg_word_len") <= maxAvgLen)
+
   /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
     * (letter runs / digit runs / single other non-space chars) — the
     * standard pre-tokenizer shape for LLM data work. */

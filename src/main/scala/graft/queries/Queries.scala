@@ -539,18 +539,76 @@ object Queries {
   private def simhashQ(s: SparkSession, dir: String): DataFrame =
     DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text", SimhashBits)
 
-  private val simhashSql = {
+  private def simhashInnerSql: String = {
     val votes = (0 until SimhashBits).map { b =>
       s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
     }.mkString(", ")
     val assemble = (0 until SimhashBits).map { b =>
       s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH wh AS (SELECT doc_id, ${sqlHash("w")} AS h FROM
-       |  (SELECT doc_id, UNNEST(string_split(text,' ')) AS w FROM documents)),
-       |v AS (SELECT doc_id, $votes FROM wh GROUP BY doc_id)
-       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM v""".stripMargin
+    s"""SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM (
+       |  SELECT doc_id, $votes FROM (
+       |    SELECT doc_id, ${sqlHash("w")} AS h FROM
+       |      (SELECT doc_id, UNNEST(string_split(text,' ')) AS w FROM documents))
+       |  GROUP BY doc_id)""".stripMargin
   }
+
+  private def simhashSql = simhashInnerSql
+
+  private def simhashNearQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.simhashNearPairs(t(s, dir, "documents"), "doc_id", "text",
+      SimhashBits, maxHamming = 3)
+
+  private def simhashNearSql =
+    s"""WITH sh AS ($simhashInnerSql)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  private def qualityFilterQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityFilter(t(s, dir, "documents"), "text")
+      .select("doc_id", "n_words", "avg_word_len", "stopword_ratio")
+
+  private val qualityFilterSql = {
+    val stops = TextOps.Stopwords
+      .map(w => s"len(list_filter(string_split(text,' '), x -> x = '$w'))")
+      .mkString(" + ")
+    s"""SELECT doc_id, n_words,
+       |  CAST(n_text_chars - (n_words - 1) AS DOUBLE) / NULLIF(n_words, 0) AS avg_word_len,
+       |  CAST(n_stopwords AS DOUBLE) / NULLIF(n_words, 0) AS stopword_ratio
+       |FROM (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_words,
+       |  length(text)::BIGINT AS n_text_chars, ($stops)::BIGINT AS n_stopwords FROM documents)
+       |WHERE n_words >= 20
+       |  AND CAST(n_stopwords AS DOUBLE) / NULLIF(n_words, 0) <= 0.5
+       |  AND CAST(n_text_chars - (n_words - 1) AS DOUBLE) / NULLIF(n_words, 0) BETWEEN 2.0 AND 12.0""".stripMargin
+  }
+
+  private def ivfTopkQ(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings")
+    SimilarityOps.ivfTopK(em.filter(col("vec_id") < 10), em,
+      em.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3)
+  }
+
+  private def ivfTopkSql =
+    s"""WITH q0 AS ($sqlQuantized),
+       |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM q0),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, v, n2, cent_id FROM (
+       |  SELECT a.vec_id, a.v, a.n2, c.cent_id,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      CAST(list_sum(list_transform(a.v, (x,i) -> x * c.cv[i])) AS DOUBLE)
+       |        / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC,
+       |      c.cent_id) AS crk
+       |  FROM n a CROSS JOIN cents c) WHERE crk = 1),
+       |scored AS (SELECT qa.vec_id AS q_id, cb.vec_id AS c_id,
+       |    CAST(list_sum(list_transform(qa.v, (x,i) -> x * cb.v[i])) AS DOUBLE)
+       |      / sqrt(CAST(qa.n2 AS DOUBLE) * CAST(cb.n2 AS DOUBLE)) AS cos
+       |  FROM asg qa JOIN asg cb ON qa.cent_id = cb.cent_id
+       |    AND qa.vec_id < 10 AND qa.vec_id <> cb.vec_id)
+       |SELECT q_id, c_id, cos, rk::BIGINT AS rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+       |  FROM scored) WHERE rk <= 3""".stripMargin
 
   /** Shared SQL: quantized embeddings with exact integer squared norms. */
   private val sqlQuantized =
@@ -717,7 +775,10 @@ object Queries {
     "q_process_e2e" -> (processE2eQ _),
     "q_anti_join" -> (antiJoinQ _),
     "q_semi_join" -> (semiJoinQ _),
-    "q_rollup_revenue" -> (rollupRevenueQ _))
+    "q_rollup_revenue" -> (rollupRevenueQ _),
+    "q_simhash_near_pairs" -> (simhashNearQ _),
+    "q_quality_filter" -> (qualityFilterQ _),
+    "q_ivf_topk" -> (ivfTopkQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -757,5 +818,8 @@ object Queries {
     "q_process_e2e" -> processE2eSql,
     "q_anti_join" -> antiJoinSql,
     "q_semi_join" -> semiJoinSql,
-    "q_rollup_revenue" -> rollupRevenueSql)
+    "q_rollup_revenue" -> rollupRevenueSql,
+    "q_simhash_near_pairs" -> simhashNearSql,
+    "q_quality_filter" -> qualityFilterSql,
+    "q_ivf_topk" -> ivfTopkSql)
 }

@@ -69,6 +69,13 @@ class DedupOpsSpec extends SparkSpec {
     assert(uncapped >= 1 && capped == 0)
   }
 
+  test("simhashNearPairs surfaces exact and near dups, not unrelated docs") {
+    val got = DedupOps.simhashNearPairs(docs, "doc_id", "text", bits = 24, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0L)) // exact dup
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated stays out
+  }
+
   test("simhash of identical docs matches; hamming-near for near dups") {
     val got = DedupOps.simhash(docs, "doc_id", "text", bits = 24)
       .orderBy("doc_id").collect().map(_.getLong(1))

@@ -84,6 +84,17 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(1) == 3L) // ab | 3 | x
   }
 
+  test("qualityFilter applies the composite keep rule") {
+    val fixture = Seq(
+      (0L, ("word " * 30).trim),            // passes
+      (1L, "too short"),                    // fails min words
+      (2L, ("the " * 30).trim))             // fails stopword ratio (1.0)
+      .toDF("doc_id", "text")
+    val kept = TextOps.qualityFilter(fixture, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(0L))
+  }
+
   test("fingerprint emits doc hash plus shingle sketch") {
     val r = TextOps.fingerprint(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(r.length == 5)
