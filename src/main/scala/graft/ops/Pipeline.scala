@@ -171,7 +171,14 @@ object Pipeline {
     * line, and table shape — golden-tested byte-for-byte (our own
     * golden; the reference's is Polars' ASCII_MARKDOWN).
     */
-  def formatSummary(dfOld: DataFrame, dfNew: DataFrame): String = {
+  def formatSummary(dfOld: DataFrame, dfNew: DataFrame): String =
+    formatSummary(dfOld, dfNew, rssBytes = None)
+
+  /** As above with the reference's `rss` size line (tmdb_index.py:598);
+    * pass e.g. [[estimatedSizeBytes]]. Optional so the golden test pins
+    * a size-independent report. */
+  def formatSummary(dfOld: DataFrame, dfNew: DataFrame,
+      rssBytes: Option[Long]): String = {
     validateId(dfOld)
     validateId(dfNew)
     val n = dfNew.count()
@@ -188,8 +195,14 @@ object Pipeline {
     }
     val shape = s"shape: (${n}, ${dfNew.columns.length})"
     val changes = s"changes: +${diff.getLong(0)} -${diff.getLong(1)} ~${diff.getLong(2)}"
-    (Seq(header, sep) ++ rows ++ Seq("", shape, changes)).mkString("\n")
+    val rss = rssBytes.map(b => s"rss: ${b / (1024 * 1024)}MB").toSeq
+    (Seq(header, sep) ++ rows ++ Seq("", shape, changes) ++ rss).mkString("\n")
   }
+
+  /** Catalyst's estimate of the table's in-memory size — the analog of
+    * the reference's Arrow `estimated_size` (tmdb_index.py:598). */
+  def estimatedSizeBytes(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
 
   // --- O23: CLI shell (tmdb_index.py:603-716) ---
 
@@ -241,7 +254,10 @@ object Pipeline {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val before = readOrInit(spark, file)
+    // non-tv types never carry tvdb_id; drop a stray column left by a
+    // type switch on the same file (reference tmdb_index.py:675-677)
+    val read = readOrInit(spark, file)
+    val before = if (kind != "tv") read.drop("tvdb_id") else read
     val changeDays =
       if (sourceDir.isEmpty) Seq.empty[DataFrame]
       else new java.io.File(s"$sourceDir/changes").listFiles().toSeq
@@ -260,7 +276,8 @@ object Pipeline {
       backfill, refresh, daysLimit)
 
     heightGuard(before, after)
-    println(formatSummary(if (before.isEmpty) after else before, after))
+    println(formatSummary(if (before.isEmpty) after else before, after,
+      Some(estimatedSizeBytes(after))))
     if (!dryRun) writeIndex(after, file)
     spark.stop()
   }

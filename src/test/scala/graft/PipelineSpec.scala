@@ -125,6 +125,13 @@ class PipelineSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("formatSummary rss line and size estimate") {
+    val df = Seq((0L, true), (1L, false)).toDF("id", "adult")
+    val report = Pipeline.formatSummary(df, df, Some(5L * 1024 * 1024))
+    assert(report.endsWith("rss: 5MB"))
+    assert(Pipeline.estimatedSizeBytes(df) > 0L)
+  }
+
   test("formatSummary golden report") {
     val old = Seq((0L, Some(false)), (1L, Some(true))).toDF("id", "adult")
     val neu = Seq((0L, Some(false)), (1L, Some(false)), (2L, None)).toDF("id", "adult")
