@@ -228,6 +228,29 @@ object Pipeline {
     df.orderBy(ID).write.mode("overwrite")
       .option("compression", "zstd").parquet(path)
 
+  /** 100 TB publish variant: directory partitioned on id ranges
+    * (`id_bucket = id div idsPerPartition`), each partition internally
+    * id-sorted. Consumers' id predicates prune whole directories (plus
+    * row groups inside, via min/max stats); use [[readIndexRange]] to
+    * get the pruning filter right.
+    */
+  def writeIndexPartitioned(df: DataFrame, path: String,
+      idsPerPartition: Long): Unit =
+    df.withColumn("id_bucket", expr(s"$ID div $idsPerPartition"))
+      .repartition(col("id_bucket"))
+      .sortWithinPartitions(ID)
+      .write.mode("overwrite").partitionBy("id_bucket")
+      .option("compression", "zstd").parquet(path)
+
+  /** Range read over a partitioned index: the id_bucket predicate makes
+    * partition pruning kick in (check PartitionFilters in the plan). */
+  def readIndexRange(spark: SparkSession, path: String,
+      idsPerPartition: Long, lo: Long, hi: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("id_bucket").between(lo / idsPerPartition, hi / idsPerPartition) &&
+        col(ID).between(lo, hi))
+      .drop("id_bucket")
+
   /** CLI parity shell (flags/env mirroring reference :603-653), wired to
     * local fixture sources instead of HTTP (no network here): changes
     * days and exports are JSONL files under `--source-dir`.

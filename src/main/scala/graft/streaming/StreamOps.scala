@@ -84,6 +84,38 @@ object StreamOps {
         ()
       }
 
+  /** A keyed record for stateful streaming ops (payload = whatever the
+    * caller packs; typed so `flatMapGroupsWithState` gets encoders). */
+  case class Keyed(key: Long, ord: Long, payload: String)
+
+  /** Streaming exact-dedup: emit only the FIRST record ever seen per key
+    * — the streaming form of training-data exact dedup, via
+    * `flatMapGroupsWithState` with a per-key boolean state. State is one
+    * boolean per distinct key; for bounded state on infinite key spaces
+    * use [[dropDupsWithinWatermark]] instead.
+    */
+  def firstSeenPerKey(ds: org.apache.spark.sql.Dataset[Keyed])
+      : org.apache.spark.sql.Dataset[Keyed] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Boolean, Keyed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Keyed], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) }
+      }
+  }
+
+  /** Watermark-bounded streaming dedup on arbitrary columns: state for a
+    * key is dropped once the watermark passes it — the right tool when
+    * the key space is unbounded (URLs, content hashes).
+    */
+  def dropDupsWithinWatermark(df: DataFrame, tsCol: String,
+      keyCols: Seq[String], watermarkDelay: String = "1 day"): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** One-shot catch-up run of [[indexSink]] (processes all available
     * input then stops) — the streaming equivalent of the CLI's daily
     * invocation. */
