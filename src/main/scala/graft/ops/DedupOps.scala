@@ -35,14 +35,16 @@ object DedupOps {
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     IndexOps.dedupKeepFirst(df, textCol, col(idCol))
 
-  /** Distinct (id, shingle-hash) pairs — the inverted-index edge list that
-    * every near-dup operator below shares. Explode + distinct: a shuffle
-    * on (id, hash), linear in corpus size.
+  /** Distinct (id, shingle-hash) pairs — the inverted-index edge list
+    * that every near-dup operator below shares. Per-doc dedup happens in
+    * the array (`array_distinct`) BEFORE the explode, so building the
+    * postings is map-only — no shuffle at all (a global `.distinct()`
+    * would shuffle the whole edge list for rows that are already unique
+    * within each document).
     */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("sid"),
-        explode(graft.functions.exprs.shingleHashes(col(textCol), k)).as("sh"))
-      .distinct()
+        explode(array_distinct(graft.functions.exprs.shingleHashes(col(textCol), k))).as("sh"))
 
   /** Exact n-gram Jaccard similar pairs via inverted-index join.
     *
@@ -66,18 +68,20 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000,
       persistIntermediates: Boolean = false): DataFrame = {
-    val sh = maybePersist(shingleHashes(df, idCol, textCol, k), persistIntermediates)
-    val filtered = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
-        .filter(col("df_cnt") <= maxDf).select("sh"),
-      Seq("sh"))
-    val sizes = filtered.groupBy("sid").agg(count(lit(1)).as("n_sh"))
-    val a = filtered.select(col("sid").as("id_a"), col("sh"))
-    val b = filtered.select(col("sid").as("id_b"), col("sh"))
+    import org.apache.spark.sql.expressions.Window
+    // df-cut and per-doc sizes as two window passes over one pipeline,
+    // then materialize once (localCheckpoint) so the self-join reads the
+    // edge list instead of recomputing it per side. Sizes ride along the
+    // exploded rows — no separate sizes join.
+    val filtered = shingleHashes(df, idCol, textCol, k)
+      .withColumn("df_cnt", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("df_cnt") <= maxDf).drop("df_cnt")
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("sid")))
+      .localCheckpoint()
+    val a = filtered.select(col("sid").as("id_a"), col("n_sh").as("n_a"), col("sh"))
+    val b = filtered.select(col("sid").as("id_b"), col("n_sh").as("n_b"), col("sh"))
     a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-      .join(sizes.withColumnRenamed("sid", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("sid", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_common"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
