@@ -555,6 +555,49 @@ object Queries {
 
   private def simhashSql = simhashInnerSql
 
+  private def eventsPropsQ(s: SparkSession, dir: String): DataFrame =
+    EventOps.loadEvents(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+        count(col("k")).as("n_with_k"))
+
+  private val eventsPropsSql =
+    """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, max(k)::BIGINT AS max_k,
+      |  count(k)::BIGINT AS n_with_k
+      |FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
+      |GROUP BY event_type""".stripMargin
+
+  private def stringFuncsQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      upper(col("lang")).as("lang_u"),
+      substring(col("text"), 1, 20).as("prefix"),
+      expr("replace(source, 'src', 'origin_')").as("origin"),
+      length(col("source")).cast("long").as("src_len"),
+      concat_ws("|", col("lang"), col("source")).as("lang_src"))
+
+  private val stringFuncsSql =
+    """SELECT doc_id, upper(lang) AS lang_u, substr(text, 1, 20) AS prefix,
+      |  replace(source, 'src', 'origin_') AS origin, length(source)::BIGINT AS src_len,
+      |  lang || '|' || source AS lang_src
+      |FROM documents""".stripMargin
+
+  private def setOpsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = docs.filter(pmod(col("doc_id"), lit(2)) === 0).select(col("doc_id").as("id"))
+    val b = docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("doc_id").as("id"))
+    a.except(b).withColumn("op", lit("except"))
+      .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+  }
+
+  private val setOpsSql =
+    """WITH a AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 = 0),
+      |b AS (SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0)
+      |SELECT id, 'except' AS op FROM (SELECT id FROM a EXCEPT SELECT id FROM b)
+      |UNION ALL
+      |SELECT id, 'intersect' AS op FROM (SELECT id FROM a INTERSECT SELECT id FROM b)""".stripMargin
+
   private def simhashNearQ(s: SparkSession, dir: String): DataFrame =
     DedupOps.simhashNearPairs(t(s, dir, "documents"), "doc_id", "text",
       SimhashBits, maxHamming = 3)
@@ -778,7 +821,10 @@ object Queries {
     "q_rollup_revenue" -> (rollupRevenueQ _),
     "q_simhash_near_pairs" -> (simhashNearQ _),
     "q_quality_filter" -> (qualityFilterQ _),
-    "q_ivf_topk" -> (ivfTopkQ _))
+    "q_ivf_topk" -> (ivfTopkQ _),
+    "q_events_props" -> (eventsPropsQ _),
+    "q_string_funcs" -> (stringFuncsQ _),
+    "q_set_ops" -> (setOpsQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -821,5 +867,8 @@ object Queries {
     "q_rollup_revenue" -> rollupRevenueSql,
     "q_simhash_near_pairs" -> simhashNearSql,
     "q_quality_filter" -> qualityFilterSql,
-    "q_ivf_topk" -> ivfTopkSql)
+    "q_ivf_topk" -> ivfTopkSql,
+    "q_events_props" -> eventsPropsSql,
+    "q_string_funcs" -> stringFuncsSql,
+    "q_set_ops" -> setOpsSql)
 }
