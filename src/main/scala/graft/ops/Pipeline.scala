@@ -39,6 +39,14 @@ object Pipeline {
 
   // --- O8: incremental cursor (tmdb_index.py:220-238) ---
 
+  /** Per-type feed epochs (reference TMDB_CHANGES_EPOCH,
+    * tmdb_index.py:185-189) — the cursor start when a table has no
+    * history yet. */
+  val ChangesEpoch: Map[String, LocalDate] = Map(
+    "movie" -> LocalDate.of(2012, 10, 5),
+    "tv" -> LocalDate.of(2012, 12, 31),
+    "person" -> LocalDate.of(2012, 10, 5))
+
   /** Resume window: from `max(date) − 1 day` (the reference's one-day
     * late-data overlap re-read, :235) or from the type's epoch when the
     * table has no date column yet; inclusive daily range to `today`.

@@ -163,6 +163,18 @@ class IndexOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_updated") == 1L)
   }
 
+  test("computeStats on empty frames (test_tmdb_index.py:783-795)") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("id", LongType), StructField("adult", BooleanType))))
+    val got = computeStats(empty, empty).orderBy("name").collect()
+    assert(got.length == 2)
+    val byName = got.map(r => r.getString(0) -> r).toMap
+    assert(byName("id").getBoolean(5)) // unique on empty = true
+    assert(byName("adult").getString(1) == "boolean")
+    assert(got.forall(r => r.getLong(2) == 0 && r.getLong(6) == 0))
+  }
+
   test("computeStats uniqueness ignores nulls") {
     val old = Seq((0L, Some(1L))).toDF("id", "v")
     val nw = Seq((0L, Some(1L)), (1L, Some(2L)), (2L, None: Option[Long]),

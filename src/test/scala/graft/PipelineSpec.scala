@@ -21,6 +21,19 @@ class PipelineSpec extends SparkSpec {
     assert(got == (11 to 14).map(d => LocalDate.parse(f"2024-03-$d%02d")))
   }
 
+  test("per-type epochs match the reference and apply to empty date cols") {
+    // reference TMDB_CHANGES_EPOCH + test_tmdb_index.py:342-369
+    assert(Pipeline.ChangesEpoch("movie").toString == "2012-10-05")
+    assert(Pipeline.ChangesEpoch("tv").toString == "2012-12-31")
+    assert(Pipeline.ChangesEpoch("person").toString == "2012-10-05")
+    // date column present but EMPTY -> epoch start (max(date) is null)
+    val empty = Seq((0L, Date.valueOf("2024-01-01"))).toDF("id", "date")
+      .filter(col("id") < 0)
+    val got = Pipeline.changesBackfillDateRange(empty,
+      today = LocalDate.parse("2012-10-07"), epoch = Pipeline.ChangesEpoch("movie"))
+    assert(got.map(_.toString) == Seq("2012-10-05", "2012-10-06", "2012-10-07"))
+  }
+
   test("changesBackfillDateRange falls back to the epoch without a date col") {
     val df = Seq(Tuple1(0L)).toDF("id")
     val got = Pipeline.changesBackfillDateRange(df,
@@ -89,6 +102,11 @@ class PipelineSpec extends SparkSpec {
         lit(Timestamp.valueOf("2024-01-02 12:00:00")).as("retrieved_at"))
     val got = Pipeline.process(base, Seq(day1), exportIds, fetcher,
       backfillLimit = 2, refreshLimit = 2)
+    // exact column ORDER: left fields first, then novel enrichment fields
+    // in delta order (reference test_tmdb_index.py:554-580 asserts the
+    // analogous list)
+    assert(got.columns.toSeq ==
+      Seq("id", "date", "adult", "in_export", "success", "retrieved_at"))
     val rows = got.orderBy("id").collect()
     // ids densified 0..3 (2 materialized as the null gap row)
     assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
