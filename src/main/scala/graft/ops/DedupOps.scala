@@ -181,6 +181,54 @@ object DedupOps {
     * are reassembled arithmetically — exact integers throughout, and a
     * single pass at scale.
     */
+  /** Connected components over near-dup pair edges: assigns every id the
+    * minimum id reachable through the pair graph — the cluster key a
+    * dedup pipeline keeps ONE canonical doc per. Iterative min-label
+    * propagation (the standard Spark CC idiom: hash-join per round,
+    * lineage truncated per iteration, rounds ~ graph diameter, which for
+    * near-dup graphs is tiny).
+    *
+    * Input: `pairs` with (id_a, id_b); `allIds` the full id universe (so
+    * singletons appear as their own cluster). Output: (id, cluster_id).
+    */
+  def nearDupClusters(pairs: DataFrame, allIds: DataFrame, idCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = allIds.select(col(idCol).as("node"), col(idCol).as("label"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // candidate label per node = min(own, min over neighbors' labels)
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
+        .select(col("src").as("node"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).limit(1).isEmpty
+      converged = changed
+      labels = next
+      round += 1
+    }
+    labels.select(col("node").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Full dedup pass: near-dup pairs -> clusters -> keep the canonical
+    * (minimum-id) doc per cluster. */
+  def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.8): DataFrame = {
+    val pairs = minhashDedupPairs(df, idCol, textCol, minJaccard = minJaccard)
+    val clusters = nearDupClusters(pairs, df.select(col(idCol)), idCol)
+    df.join(clusters, Seq(idCol))
+      .filter(col(idCol) === col("cluster_id"))
+      .drop("cluster_id")
+  }
+
   /** SimHash near-dup pairs: hamming distance over the signatures. The
     * all-pairs form is the exactness baseline; at scale, block by
     * signature bands (split the simhash into chunks, bucket-join on any

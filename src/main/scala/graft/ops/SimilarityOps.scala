@@ -96,6 +96,23 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** Train an IVF codebook with spark.ml KMeans (seeded — deterministic)
+    * and return it in the (id, vec) shape [[ivfTopK]] consumes. At scale
+    * train on a sample (`df.sample`) — KMeans cost is iterations x |df| x k.
+    */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int = 20, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setMaxIter(maxIter).setSeed(seed).fit(feats)
+    val spark = df.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toDF(idCol, vecCol)
+  }
+
   /** Embedding near-duplicate pairs: all (a < b) pairs with cosine >=
     * minCos. Brute force at test scale; the LSH/IVF bucketing above is
     * the scale path (bucket first, verify within buckets).

@@ -534,6 +534,40 @@ object Queries {
     s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
   }
 
+  private def dedupClustersQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+      numHashes = MinhashN, k = 3, bands = MinhashBands, minJaccard = 0.5)
+    DedupOps.nearDupClusters(pairs, docs.select(col("doc_id")), "doc_id")
+  }
+
+  private def dedupClustersSql = {
+    val r = MinhashN / MinhashBands
+    val bandKeys = (0 until MinhashBands).map { bnd =>
+      val key = (0 until r).map(i => s"CAST(mh${bnd * r + i} AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS key FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE sh AS ($sqlShingleHashes),
+       |sigs AS ($minhashSignaturesInner),
+       |banded AS ($bandKeys),
+       |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+       |           FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT c.id_a, c.id_b
+       |          FROM cands c JOIN common ON common.id_a = c.id_a AND common.id_b = c.id_b
+       |          JOIN sizes sa ON sa.doc_id = c.id_a JOIN sizes sb ON sb.doc_id = c.id_b
+       |          WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |walk(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst)
+       |SELECT node AS doc_id, min(label)::BIGINT AS cluster_id FROM walk GROUP BY node""".stripMargin
+  }
+
   private val SimhashBits = 24
 
   private def simhashQ(s: SparkSession, dir: String): DataFrame =
@@ -824,7 +858,8 @@ object Queries {
     "q_ivf_topk" -> (ivfTopkQ _),
     "q_events_props" -> (eventsPropsQ _),
     "q_string_funcs" -> (stringFuncsQ _),
-    "q_set_ops" -> (setOpsQ _))
+    "q_set_ops" -> (setOpsQ _),
+    "q_dedup_clusters" -> (dedupClustersQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -870,5 +905,6 @@ object Queries {
     "q_ivf_topk" -> ivfTopkSql,
     "q_events_props" -> eventsPropsSql,
     "q_string_funcs" -> stringFuncsSql,
-    "q_set_ops" -> setOpsSql)
+    "q_set_ops" -> setOpsSql,
+    "q_dedup_clusters" -> dedupClustersSql)
 }

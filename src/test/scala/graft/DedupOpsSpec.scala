@@ -62,6 +62,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(!got.exists(p => p._2 == 2L || p._1 == 2L))
   }
 
+  test("nearDupClusters: transitive closure with min-id labels") {
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val ids = (1L to 9L).toDF("doc_id")
+    val got = DedupOps.nearDupClusters(pairs, ids, "doc_id")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // {1,2,5} -> 1 (transitively), {7,8} -> 7, rest singleton
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      5L -> 1L, 6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("dedupByMinhash keeps one canonical doc per near-dup cluster") {
+    val kept = DedupOps.dedupByMinhash(docs, "doc_id", "text", minJaccard = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // 0 and 3 are exact dups -> cluster {0,3} keeps 0; 1 and 2 survive
+    assert(kept.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("lshCandidatePairs caps hot buckets") {
     val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", numHashes = 8)
     val uncapped = DedupOps.lshCandidatePairs(sigs, "doc_id", 4, 2).count()

@@ -45,6 +45,20 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L)))
   }
 
+  test("trainCentroids: seeded KMeans codebook drives ivfTopK") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = SimilarityOps.trainCentroids(em, "vec_id", "embedding", k = 4)
+    assert(cents.count() == 4)
+    assert(cents.head().getSeq[Float](1).length == 64)
+    val got = SimilarityOps.ivfTopK(
+      em.filter(col("vec_id") < 5), em, cents, "vec_id", "embedding", k = 3)
+    assert(got.filter(col("rk") === 1).count() == 5) // every query answered
+    // deterministic across runs (seeded)
+    val cents2 = SimilarityOps.trainCentroids(em, "vec_id", "embedding", k = 4)
+    assert(cents.orderBy("vec_id").collect().map(_.toString).toSeq ==
+      cents2.orderBy("vec_id").collect().map(_.toString).toSeq)
+  }
+
   test("ivfTopK searches within the assigned cluster only") {
     val centroids = vecs.filter(col("vec_id") === 0 || col("vec_id") === 2)
     val got = SimilarityOps.ivfTopK(
