@@ -34,6 +34,7 @@ object Bench {
       // queries aren't measured under accumulated storage-memory pressure
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.sharedState.cacheManager.clearCache()
+      System.gc() // settle between queries: attribute GC to no one
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -66,8 +66,7 @@ object DedupOps {
     if (on) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000,
-      persistIntermediates: Boolean = false): DataFrame = {
+      k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // df-cut and per-doc sizes as two window passes over one pipeline,
     // then materialize once (localCheckpoint) so the self-join reads the
