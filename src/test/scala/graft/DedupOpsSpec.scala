@@ -79,6 +79,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("LSH recall vs exact Jaccard on the real corpus (planted near-dups)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = DedupOps.ngramJaccardPairs(corpus, "doc_id", "text", 3, minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashDedupPairs(corpus, "doc_id", "text",
+        numHashes = 16, k = 3, bands = 8, minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // the driver plants near-dup documents
+    assert(lsh.subsetOf(exact)) // verification step guarantees precision 1.0
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.7, s"LSH recall $recall (${lsh.size}/${exact.size})")
+  }
+
   test("lshCandidatePairs caps hot buckets") {
     val sigs = DedupOps.minhashSignatures(docs, "doc_id", "text", numHashes = 8)
     val uncapped = DedupOps.lshCandidatePairs(sigs, "doc_id", 4, 2).count()
