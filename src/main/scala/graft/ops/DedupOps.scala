@@ -228,17 +228,46 @@ object DedupOps {
       .drop("cluster_id")
   }
 
-  /** SimHash near-dup pairs: hamming distance over the signatures. The
-    * all-pairs form is the exactness baseline; at scale, block by
-    * signature bands (split the simhash into chunks, bucket-join on any
-    * equal chunk — pigeonhole guarantees recall for hamming <= chunks-1).
+  /** SimHash near-dup pairs via pigeonhole chunk-bucketing — the
+    * scale-correct shape (no all-pairs join anywhere in the plan).
+    *
+    * The signature is split into `maxHamming + 1` bit-chunks; two
+    * signatures within hamming distance `maxHamming` differ in at most
+    * `maxHamming` chunks, so by pigeonhole they agree EXACTLY on at least
+    * one chunk — bucket-joining on (chunk index, chunk value) is
+    * recall-lossless. Hamming is then verified only on candidates, so the
+    * cost is proportional to bucket collisions, not pairs².
+    *
+    * `maxBucket` caps hot buckets (a chunk value shared by more than that
+    * many docs is dropped from candidate generation — the skew guard that
+    * bounds the quadratic term on boilerplate-heavy corpora; recall on
+    * pairs whose ONLY agreeing chunk is hot is sacrificed, documented
+    * trade, same shape as [[lshCandidatePairs]]).
     */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 24, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 24, maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
     val s = simhash(df, idCol, textCol, bits)
-    val a = s.select(col(idCol).as("id_a"), col("simhash").as("h_a"))
-    val b = s.select(col(idCol).as("id_b"), col("simhash").as("h_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+    val nChunks = maxHamming + 1
+    // chunk i covers bits [lo, hi): even spread, first chunks get the
+    // remainder — boundaries i*bits/nChunks for i = 0..nChunks
+    val bounds = (0 to nChunks).map(i => i * bits / nChunks)
+    val chunkCols = (0 until nChunks).map { i =>
+      val lo = bounds(i)
+      val width = bounds(i + 1) - lo
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1))
+    }
+    val banded = s.select(col(idCol).as("sid"), col("simhash"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
+    val small = banded.join(
+      banded.groupBy("chunk", "ckey").agg(count(lit(1)).as("bc"))
+        .filter(col("bc") <= maxBucket).select("chunk", "ckey"),
+      Seq("chunk", "ckey"))
+    val a = small.select(col("chunk"), col("ckey"),
+      col("sid").as("id_a"), col("simhash").as("h_a"))
+    val b = small.select(col("chunk"), col("ckey"),
+      col("sid").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

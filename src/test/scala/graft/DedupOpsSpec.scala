@@ -106,6 +106,35 @@ class DedupOpsSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated stays out
   }
 
+  test("simhashNearPairs plans no all-pairs join (banded, scale shape)") {
+    val plan = DedupOps.simhashNearPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
+  test("banded simhashNearPairs == all-pairs form on the real corpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigs = DedupOps.simhash(corpus, "doc_id", "text", bits = 24)
+    val a = sigs.select(col("doc_id").as("id_a"), col("simhash").as("h_a"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = DedupOps.simhashNearPairs(corpus, "doc_id", "text", bits = 24, maxHamming = 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pigeonhole: chunk-bucketing is recall-lossless for hamming <= chunks-1
+    assert(banded == exact, s"banded=${banded.size} exact=${exact.size}")
+  }
+
+  test("simhashNearPairs maxBucket drops hot-chunk candidates") {
+    // all four docs agree on at least one chunk; cap 1 removes every bucket
+    assert(DedupOps.simhashNearPairs(docs, "doc_id", "text", maxBucket = 1).isEmpty)
+  }
+
   test("simhash of identical docs matches; hamming-near for near dups") {
     val got = DedupOps.simhash(docs, "doc_id", "text", bits = 24)
       .orderBy("doc_id").collect().map(_.getLong(1))
