@@ -67,29 +67,41 @@ object SimilarityOps {
       .select(col("q_id"), col("c_id"), col("cos"), col("rk").cast("long").as("rk"))
   }
 
+  /** Assign each row of a `withQ`-prefixed side to its `probes` nearest
+    * centroids (by cosine, ties to the lowest centroid id). The centroid
+    * frame is tiny, so Catalyst broadcasts it and assignment is a linear
+    * scan + per-row top-p window partitioned by the row id — no shuffle
+    * of the big side beyond the window's hash partitioning.
+    */
+  private def assignClusters(cents: DataFrame, side: DataFrame, p: String,
+      probes: Int): DataFrame = {
+    val scored = side.crossJoin(cents)
+      .withColumn("ccos",
+        cosineFromQ(dotQ(col(s"${p}_q"), col("cent_q")), col(s"${p}_n2"), col("cent_n2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(s"${p}_id")).orderBy(col("ccos").desc, col("cent_id").asc)
+    scored.withColumn("crk", row_number().over(w)).filter(col("crk") <= probes)
+      .select(col(s"${p}_id"), col(s"${p}_q"), col(s"${p}_n2"),
+        col("cent_id").as(s"${p}_cluster"))
+  }
+
   /** IVF-style ANN: assign every corpus vector to its nearest centroid
     * (by cosine, ties to the lowest centroid id), then answer queries by
-    * searching only the query's own cluster. `centroids` is any small
-    * DataFrame of (id, vec) — e.g. a sampled/trained codebook. At scale
-    * the centroid assignment is a broadcast join + argmax (linear), and
-    * the search join is bucketed by cluster — the classic IVF trade of
-    * recall for a K-fold cost cut.
+    * searching only the query's `nprobe` nearest clusters. `centroids` is
+    * any small DataFrame of (id, vec) — e.g. a sampled/trained codebook.
+    * At scale the centroid assignment is a broadcast join + argmax
+    * (linear), and the search join is bucketed by cluster — the classic
+    * IVF trade of recall for a K-fold cost cut. `nprobe > 1` recovers
+    * recall at cluster boundaries: each query fans out to its top-p
+    * clusters (corpus rows stay uniquely assigned, so no result dedup is
+    * needed), multiplying search cost by p.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = withQ(centroids, idCol, vecCol, "cent")
-    def assign(side: DataFrame, p: String): DataFrame = {
-      val scored = side.crossJoin(cents)
-        .withColumn("ccos",
-          cosineFromQ(dotQ(col(s"${p}_q"), col("cent_q")), col(s"${p}_n2"), col("cent_n2")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(s"${p}_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-      scored.withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
-        .select(col(s"${p}_id"), col(s"${p}_q"), col(s"${p}_n2"),
-          col("cent_id").as(s"${p}_cluster"))
-    }
-    val q = assign(withQ(queries, idCol, vecCol, "q"), "q")
-    val c = assign(withQ(corpus, idCol, vecCol, "c"), "c")
+    val q = assignClusters(cents, withQ(queries, idCol, vecCol, "q"), "q", nprobe)
+    val c = assignClusters(cents, withQ(corpus, idCol, vecCol, "c"), "c", 1)
     val scored = q.join(c, col("q_cluster") === col("c_cluster"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosineFromQ(dotQ(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")))
@@ -114,8 +126,8 @@ object SimilarityOps {
   }
 
   /** Embedding near-duplicate pairs: all (a < b) pairs with cosine >=
-    * minCos. Brute force at test scale; the LSH/IVF bucketing above is
-    * the scale path (bucket first, verify within buckets).
+    * minCos. All-pairs — the exactness baseline for recall measurement
+    * at test scale only; [[embeddingNearDupPairsIVF]] is the scale path.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCos: Double): DataFrame = {
@@ -125,5 +137,31 @@ object SimilarityOps {
       .withColumn("cos", cosineFromQ(dotQ(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")))
       .filter(col("cos") >= minCos)
       .select(col("q_id").as("id_a"), col("c_id").as("id_b"), col("cos"))
+  }
+
+  /** Corpus-vs-corpus near-duplicate pairs bucketed by IVF cluster: every
+    * vector is assigned to its `probes` nearest centroids, and pairs are
+    * generated only WITHIN a shared cluster — the join is
+    * hash-partitioned on cluster id, never all-pairs, so cost is sum
+    * over clusters of |cluster|² instead of N². Multi-probe assignment
+    * (default 2) recovers pairs that straddle a single cluster boundary
+    * — the canopy-clustering trade; a pair is missed only when the two
+    * top-`probes` cluster sets are disjoint. Duplicate candidates (a
+    * pair sharing several clusters) are deduplicated after the cosine
+    * filter, where rows are narrowest. Spec pins measured recall against
+    * the exact baseline on the real embedding fixture.
+    */
+  def embeddingNearDupPairsIVF(df: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, minCos: Double, probes: Int = 2): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val cents = withQ(centroids, idCol, vecCol, "cent")
+    val a = assignClusters(cents, withQ(df, idCol, vecCol, "q"), "q", probes)
+    val b = assignClusters(cents, withQ(df, idCol, vecCol, "c"), "c", probes)
+    a.join(b, col("q_cluster") === col("c_cluster"))
+      .filter(col("q_id") < col("c_id"))
+      .withColumn("cos", cosineFromQ(dotQ(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")))
+      .filter(col("cos") >= minCos)
+      .select(col("q_id").as("id_a"), col("c_id").as("id_b"), col("cos"))
+      .distinct()
   }
 }

@@ -721,6 +721,30 @@ object Queries {
        |WHERE CAST(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) AS DOUBLE)
        |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.45""".stripMargin
 
+  private def embedNearDupIvfQ(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings")
+    SimilarityOps.embeddingNearDupPairsIVF(
+      em, em.filter(col("vec_id") < 8), "vec_id", "embedding", minCos = 0.45)
+  }
+
+  private def embedNearDupIvfSql =
+    s"""WITH q0 AS ($sqlQuantized),
+       |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM q0),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, v, n2, cent_id FROM (
+       |  SELECT a.vec_id, a.v, a.n2, c.cent_id,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      CAST(list_sum(list_transform(a.v, (x,i) -> x * c.cv[i])) AS DOUBLE)
+       |        / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC,
+       |      c.cent_id) AS crk
+       |  FROM n a CROSS JOIN cents c) WHERE crk <= 2)
+       |SELECT DISTINCT id_a, id_b, cos FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    CAST(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+       |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+       |WHERE cos >= 0.45""".stripMargin
+
   private def multimodalMetaQ(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaMeta(
       MultimodalOps.attachFakeMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -846,6 +870,7 @@ object Queries {
     "q_simhash" -> (simhashQ _),
     "q_embed_cosine_topk" -> (embedTopkQ _),
     "q_embed_near_dup" -> (embedNearDupQ _),
+    "q_embed_near_dup_ivf" -> (embedNearDupIvfQ _),
     "q_multimodal_meta" -> (multimodalMetaQ _),
     "q_frame_sample" -> (frameSampleQ _),
     "q_external_ids" -> (externalIdsQ _),
@@ -893,6 +918,7 @@ object Queries {
     "q_simhash" -> simhashSql,
     "q_embed_cosine_topk" -> embedTopkSql,
     "q_embed_near_dup" -> embedNearDupSql,
+    "q_embed_near_dup_ivf" -> embedNearDupIvfSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_frame_sample" -> frameSampleSql,
     "q_external_ids" -> externalIdsSql,

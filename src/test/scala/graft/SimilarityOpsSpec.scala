@@ -59,6 +59,55 @@ class SimilarityOpsSpec extends SparkSpec {
       cents2.orderBy("vec_id").collect().map(_.toString).toSeq)
   }
 
+  test("embeddingNearDupPairsIVF: within-cluster pairs only, subset of exact") {
+    val centroids = vecs.filter(col("vec_id") === 0 || col("vec_id") === 2)
+    val got = SimilarityOps.embeddingNearDupPairsIVF(
+      vecs, centroids, "vec_id", "embedding", minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 0 and 1 share cluster c0 -> the close pair survives bucketing
+    assert(got.toSeq == Seq((0L, 1L)))
+  }
+
+  test("IVF near-dup recall vs exact baseline on the real embeddings") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = SimilarityOps.embeddingNearDupPairs(em, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = SimilarityOps.trainCentroids(em, "vec_id", "embedding", k = 4)
+    val ivf = SimilarityOps.embeddingNearDupPairsIVF(em, cents, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty) // driver plants near-dup embeddings
+    assert(ivf.subsetOf(exact)) // within-cluster verify keeps precision 1.0
+    val recall = ivf.size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF near-dup recall $recall (${ivf.size}/${exact.size})")
+  }
+
+  test("embeddingNearDupPairsIVF pair join is not all-pairs") {
+    val centroids = vecs.filter(col("vec_id") === 0 || col("vec_id") === 2)
+    val plan = SimilarityOps.embeddingNearDupPairsIVF(
+      vecs, centroids, "vec_id", "embedding", 0.9)
+      .queryExecution.executedPlan.toString
+    // centroid assignment legitimately broadcasts the tiny codebook; the
+    // corpus-vs-corpus pair join must be an equi-join on cluster id
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("q_cluster"), plan.take(2000))
+  }
+
+  test("ivfTopK nprobe=K recovers brute-force results; recall rises with nprobe") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = em.filter(col("vec_id") < 20)
+    val cents = SimilarityOps.trainCentroids(em, "vec_id", "embedding", k = 4)
+    val exact = SimilarityOps.bruteForceTopK(queries, em, "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(p: Int): Double = {
+      val got = SimilarityOps.ivfTopK(queries, em, cents, "vec_id", "embedding", k = 5, nprobe = p)
+        .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recallAt(1); val r4 = recallAt(4)
+    assert(r4 >= r1, s"recall@nprobe=4 ($r4) < recall@nprobe=1 ($r1)")
+    assert(r4 == 1.0, s"probing all 4 clusters must equal brute force, got $r4")
+  }
+
   test("ivfTopK searches within the assigned cluster only") {
     val centroids = vecs.filter(col("vec_id") === 0 || col("vec_id") === 2)
     val got = SimilarityOps.ivfTopK(
