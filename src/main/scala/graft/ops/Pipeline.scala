@@ -158,6 +158,34 @@ object Pipeline {
     else alignIdCol(updateOrAppend(df, fetched))
   }
 
+  /** Fixture-backed enrichment fetcher: answers the queue from a local
+    * external-ids JSONL file instead of the per-id HTTP loop (reference
+    * tmdb_index.py:529-543) — same row contract as the live fetcher.
+    * Queue ids present in the fixture get their typed numeric ids with
+    * `success = true`; queue ids absent from it get a null row with
+    * `success = false` (the reference's 404 → fetched-and-absent record).
+    * All rows are stamped `retrieved_at = fetchedAt`.
+    *
+    * Scale: the fixture (like a day's fetch results) is delta-sized; the
+    * queue-to-fixture join broadcasts, and the upsert downstream never
+    * shuffles the big table.
+    */
+  def fixtureExternalIdsFetcher(spark: SparkSession, path: String, kind: String,
+      fetchedAt: java.sql.Timestamp): DataFrame => DataFrame = { queue =>
+    val raw = spark.read
+      .schema("id LONG, imdb_id STRING, wikidata_id STRING, tvdb_id LONG")
+      .json(path)
+      .filter(col("id").isNotNull)
+      .withColumn("success", lit(true))
+    // one result row per queued id, like the live loop; a fixture with
+    // duplicate ids is a broken input — updateOrAppend's uniqueness
+    // enforcement downstream rejects the fan-out explicitly
+    val typed = typeExternalIds(raw, kind)
+    queue.join(typed, Seq(ID), "left")
+      .withColumn("success", coalesce(col("success"), lit(false)))
+      .withColumn("retrieved_at", lit(fetchedAt))
+  }
+
   // --- O21: process (tmdb_index.py:546-568) ---
 
   def process(df: DataFrame, changeDays: Seq[DataFrame], exportIds: DataFrame,
@@ -261,7 +289,12 @@ object Pipeline {
 
   /** CLI parity shell (flags/env mirroring reference :603-653), wired to
     * local fixture sources instead of HTTP (no network here): changes
-    * days and exports are JSONL files under `--source-dir`.
+    * days, exports, and enrichment results are JSONL files under
+    * `--source-dir`. Flag surface mirrors the reference's argparse:
+    * `--tmdb-type --file --source-dir --backfill-limit --refresh-limit
+    * --days-limit --tmdb-api-key --verbose --dry-run`, each with its env
+    * fallback; the run report honors `$GITHUB_STEP_SUMMARY` (append, like
+    * a GitHub Actions step) and falls back to stdout (reference :701-703).
     */
   def main(args: Array[String]): Unit = {
     def opt(name: String, env: String, default: String): String = {
@@ -273,17 +306,30 @@ object Pipeline {
     val file = opt("file", "GRAFT_INDEX_FILE", s"/tmp/graft_$kind.parquet")
     val sourceDir = opt("source-dir", "GRAFT_SOURCE_DIR", "")
     val dryRun = args.contains("--dry-run")
+    val verbose = args.contains("--verbose") ||
+      sys.env.get("VERBOSE").exists(_.nonEmpty)
+    // accepted for parity; only consulted by the live-HTTP deployment
+    // path (reference :613-617 requires it for its fetch loop — the
+    // fixture fetcher here replaces that loop, see HttpJsonFetcher)
+    val apiKey = opt("tmdb-api-key", "TMDB_API_KEY", "")
     val backfill = opt("backfill-limit", "BACKFILL_LIMIT", "10000").toInt
     val refresh = opt("refresh-limit", "REFRESH_LIMIT", "1000").toInt
     val daysLimit = opt("days-limit", "DAYS_LIMIT", "30").toInt
 
-    val spark = SparkSession.builder().master(
+    // reuse an already-running session (tests drive main in-JVM); only
+    // stop what this invocation created
+    val active = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = active.getOrElse(SparkSession.builder().master(
         sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+      .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel(if (verbose) "INFO" else "WARN")
+    if (verbose)
+      println(s"graft: type=$kind file=$file sourceDir=$sourceDir " +
+        s"backfill=$backfill refresh=$refresh daysLimit=$daysLimit " +
+        s"apiKey=${if (apiKey.nonEmpty) "set" else "unset"} dryRun=$dryRun")
 
     // non-tv types never carry tvdb_id; drop a stray column left by a
     // type switch on the same file (reference tmdb_index.py:675-677)
@@ -303,13 +349,28 @@ object Pipeline {
         before.sparkSession.emptyDataFrame.withColumn("id", lit(null).cast(LongType))
           .filter(lit(false)).select("id")
       else rawExport(spark, s"$sourceDir/export.jsonl").select("id")
-    val after = process(before, changeDays, exportIds, queue => queue.limit(0),
+    // O20: enrichment answered from the external-ids fixture when present
+    // (the zero-egress stand-in for the reference's per-id fetch loop,
+    // :529-543); without one the queue is computed but nothing is fetched
+    val externalIdsPath = s"$sourceDir/external_ids.jsonl"
+    val fetcher: DataFrame => DataFrame =
+      if (sourceDir.nonEmpty && new java.io.File(externalIdsPath).exists())
+        fixtureExternalIdsFetcher(spark, externalIdsPath, kind,
+          java.sql.Timestamp.from(java.time.Instant.now()))
+      else queue => queue.limit(0)
+    val after = process(before, changeDays, exportIds, fetcher,
       backfill, refresh, daysLimit)
 
     heightGuard(before, after)
-    println(formatSummary(if (before.isEmpty) after else before, after,
-      Some(estimatedSizeBytes(after))))
+    val summary = formatSummary(if (before.isEmpty) after else before, after,
+      Some(estimatedSizeBytes(after)))
+    sys.env.get("GITHUB_STEP_SUMMARY").filter(_.nonEmpty) match {
+      case Some(p) =>
+        val w = new java.io.FileWriter(p, true)
+        try w.write(summary + "\n") finally w.close()
+      case None => println(summary)
+    }
     if (!dryRun) writeIndex(after, file)
-    spark.stop()
+    if (active.isEmpty) spark.stop()
   }
 }
