@@ -66,17 +66,17 @@ object DedupOps {
     if (on) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+      k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000,
+      mat: Materializer = Materializer.Local): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // df-cut and per-doc sizes as two window passes over one pipeline,
-    // then materialize once (localCheckpoint) so the self-join reads the
-    // edge list instead of recomputing it per side. Sizes ride along the
+    // then materialize once (per `mat`) so the self-join reads the edge
+    // list instead of recomputing it per side. Sizes ride along the
     // exploded rows — no separate sizes join.
-    val filtered = shingleHashes(df, idCol, textCol, k)
+    val filtered = mat(shingleHashes(df, idCol, textCol, k)
       .withColumn("df_cnt", count(lit(1)).over(Window.partitionBy("sh")))
       .filter(col("df_cnt") <= maxDf).drop("df_cnt")
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("sid")))
-      .localCheckpoint()
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("sid"))))
     val a = filtered.select(col("sid").as("id_a"), col("n_sh").as("n_a"), col("sh"))
     val b = filtered.select(col("sid").as("id_b"), col("n_sh").as("n_b"), col("sh"))
     a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
@@ -191,13 +191,11 @@ object DedupOps {
     * singletons appear as their own cluster). Output: (id, cluster_id).
     */
   def nearDupClusters(pairs: DataFrame, allIds: DataFrame, idCol: String,
-      maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      maxRounds: Int = 20, mat: Materializer = Materializer.Local): DataFrame = {
+    val edges = mat(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = allIds.select(col(idCol).as("node"), col(idCol).as("label"))
-      .localCheckpoint()
+      .distinct())
+    var labels = mat(allIds.select(col(idCol).as("node"), col(idCol).as("label")))
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -205,9 +203,8 @@ object DedupOps {
       val viaEdges = edges
         .join(labels.withColumnRenamed("node", "dst2"), col("dst") === col("dst2"))
         .select(col("src").as("node"), col("label"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      val next = mat(labels.unionByName(viaEdges)
+        .groupBy("node").agg(min(col("label")).as("label")))
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).limit(1).isEmpty
       converged = changed
@@ -220,9 +217,9 @@ object DedupOps {
   /** Full dedup pass: near-dup pairs -> clusters -> keep the canonical
     * (minimum-id) doc per cluster. */
   def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double = 0.8): DataFrame = {
+      minJaccard: Double = 0.8, mat: Materializer = Materializer.Local): DataFrame = {
     val pairs = minhashDedupPairs(df, idCol, textCol, minJaccard = minJaccard)
-    val clusters = nearDupClusters(pairs, df.select(col(idCol)), idCol)
+    val clusters = nearDupClusters(pairs, df.select(col(idCol)), idCol, mat = mat)
     df.join(clusters, Seq(idCol))
       .filter(col(idCol) === col("cluster_id"))
       .drop("cluster_id")

@@ -1,0 +1,64 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization strategy for intermediates that feed several consumers
+  * or iterative folds (dedup postings, connected-components labels, the
+  * per-day upsert fold). The choice is a durability/throughput trade the
+  * CALLER owns, because it depends on where the job runs:
+  *
+  *  - [[Materializer.Inline]] — no materialization; Catalyst keeps full
+  *    lineage and recomputes per consumer. Correct everywhere; quadratic
+  *    plan growth in iterative folds.
+  *  - [[Materializer.Local]] (default) — `localCheckpoint`: truncates
+  *    lineage into executor-local blocks. Fastest, and measured faster
+  *    than persist at local[32]; but blocks die with an executor, so on a
+  *    multi-node cluster a lost executor kills the job.
+  *  - [[Materializer.Reliable]] — `checkpoint` to the context's
+  *    checkpoint directory (HDFS/object store on a real cluster):
+  *    survives executor loss — the 100 TB default.
+  *  - [[Materializer.Parquet]] — explicit parquet round-trip: durable AND
+  *    columnar (consumers get pushdown/pruning on the materialized form),
+  *    at the cost of a write job per call. The right choice when the
+  *    intermediate (e.g. the postings list) is itself worth keeping.
+  */
+sealed trait Materializer {
+  def apply(df: DataFrame): DataFrame
+}
+
+object Materializer {
+  case object Inline extends Materializer {
+    def apply(df: DataFrame): DataFrame = df
+  }
+
+  case object Local extends Materializer {
+    def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+  }
+
+  /** Reliable RDD checkpoint. `dir` (when given) is installed as the
+    * context's checkpoint directory if none is set yet; with `dir` empty
+    * the caller must have called `sc.setCheckpointDir` already.
+    */
+  final case class Reliable(dir: Option[String] = None) extends Materializer {
+    def apply(df: DataFrame): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        dir.foreach(sc.setCheckpointDir)
+      require(sc.getCheckpointDir.nonEmpty,
+        "Materializer.Reliable needs a checkpoint dir (pass one or call setCheckpointDir)")
+      df.checkpoint()
+    }
+  }
+
+  /** Parquet round-trip under `dir` (one numbered subdirectory per call). */
+  final case class Parquet(dir: String) extends Materializer {
+    private val n = new AtomicLong()
+    def apply(df: DataFrame): DataFrame = {
+      val path = s"$dir/graft_mat_${n.getAndIncrement()}"
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    }
+  }
+}

@@ -71,16 +71,17 @@ object Pipeline {
     * table itself (SURVEY.md §2.9).
     */
   def insertLatestChanges(df: DataFrame, days: Seq[DataFrame],
-      daysLimit: Int = Int.MaxValue): DataFrame = {
+      daysLimit: Int = Int.MaxValue,
+      mat: Materializer = Materializer.Local): DataFrame = {
     // updateOrAppend references its left side twice (anti-join +
     // enrichment), so an N-day fold would otherwise build a plan whose
     // recompute cost doubles per day. Truncate lineage after each day —
     // the reference materializes the table daily anyway (its parquet
-    // write); localCheckpoint is the in-job equivalent. Deltas are
-    // normalized (unique on id) by construction, so the per-day
-    // uniqueness job is skipped.
+    // write); `mat` picks the local (fast) or reliable (fault-tolerant)
+    // equivalent. Deltas are normalized (unique on id) by construction,
+    // so the per-day uniqueness job is skipped.
     val merged = days.take(daysLimit).foldLeft(df) { (acc, day) =>
-      updateOrAppend(acc, day, None, assumeUniqueDelta = true).localCheckpoint()
+      mat(updateOrAppend(acc, day, None, assumeUniqueDelta = true))
     }
     if (merged.columns.contains(ID) && !merged.isEmpty) alignIdCol(merged) else merged
   }
@@ -190,11 +191,12 @@ object Pipeline {
 
   def process(df: DataFrame, changeDays: Seq[DataFrame], exportIds: DataFrame,
       fetcher: DataFrame => DataFrame, backfillLimit: Int = 10000,
-      refreshLimit: Int = 1000, daysLimit: Int = 30): DataFrame = {
-    val afterChanges = insertLatestChanges(df, changeDays, daysLimit)
+      refreshLimit: Int = 1000, daysLimit: Int = 30,
+      mat: Materializer = Materializer.Local): DataFrame = {
+    val afterChanges = insertLatestChanges(df, changeDays, daysLimit, mat)
     // the flagged table feeds the queue's predicate branches AND both
     // sides of the enrichment upsert — truncate lineage once here
-    val afterExport = updateExportFlag(afterChanges, exportIds).localCheckpoint()
+    val afterExport = mat(updateExportFlag(afterChanges, exportIds))
     insertExternalIds(afterExport, fetcher, backfillLimit, refreshLimit)
   }
 

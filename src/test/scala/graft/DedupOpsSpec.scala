@@ -135,6 +135,32 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.simhashNearPairs(docs, "doc_id", "text", maxBucket = 1).isEmpty)
   }
 
+  test("reliable + parquet materializers reproduce the local results on the real corpus") {
+    import graft.ops.Materializer
+    val root = "/tmp/graft_mat_spec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def pairsWith(m: Materializer) =
+      DedupOps.ngramJaccardPairs(corpus, "doc_id", "text", 3, minJaccard = 0.5, mat = m)
+        .orderBy("id_a", "id_b").collect().map(_.toString).toSeq
+    val local = pairsWith(Materializer.Local)
+    assert(pairsWith(Materializer.Reliable(Some(s"$root/ckpt"))) == local)
+    assert(pairsWith(Materializer.Parquet(s"$root/pq")) == local)
+    assert(pairsWith(Materializer.Inline) == local)
+    // reliable checkpoint files actually landed in the durable dir
+    assert(new java.io.File(s"$root/ckpt").exists())
+
+    // iterative CC under the reliable strategy (per-round truncation)
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val ids = (1L to 9L).toDF("doc_id")
+    val got = DedupOps.nearDupClusters(pairs, ids, "doc_id",
+        mat = Materializer.Reliable(Some(s"$root/ckpt")))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      5L -> 1L, 6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
   test("simhash of identical docs matches; hamming-near for near dups") {
     val got = DedupOps.simhash(docs, "doc_id", "text", bits = 24)
       .orderBy("doc_id").collect().map(_.getLong(1))
