@@ -22,14 +22,20 @@ object DedupOps {
   import TextOps.{HashP, charHash, wordShingles}
 
   /** Exact duplicate groups by content: one row per distinct text with the
-    * canonical (minimum) id and the duplicate count. At scale this is a
-    * single hash aggregate; for very wide texts hash the content first
-    * (`groupBy(xxhash64(text))`) to shrink the shuffle key.
+    * canonical (minimum) id and the duplicate count. One hash aggregate;
+    * by default the group key is `xxhash64(text)` so the map-side partial
+    * aggregates shuffle an 8-byte key instead of the document — at 100 TB
+    * the shuffle shrinks by the mean document size. The trade is the
+    * 64-bit collision bound (~N²/2⁶⁵: ~3% chance of ONE conflated pair at
+    * 10⁹ docs); pass `hashKey = false` for the byte-exact key.
     */
-  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String,
+      hashKey: Boolean = true): DataFrame = {
+    val key = if (hashKey) xxhash64(col(textCol)) else col(textCol)
+    df.groupBy(key.as("__graft_key"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
+  }
 
   /** Rows surviving exact dedup: the canonical (min-id) row per text. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -23,6 +23,17 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("exactDupGroups hashed key matches text key on the real corpus; plan shuffles the hash") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("canonical_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val hashed = DedupOps.exactDupGroups(corpus, "doc_id", "text")
+    assert(norm(hashed) ==
+      norm(DedupOps.exactDupGroups(corpus, "doc_id", "text", hashKey = false)))
+    // the aggregate key in the plan is the 8-byte hash, not the document
+    assert(hashed.queryExecution.executedPlan.toString.contains("xxhash64"))
+  }
+
   test("exactDedup keeps the canonical row per text") {
     val ids = DedupOps.exactDedup(docs, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).sorted
