@@ -93,6 +93,28 @@ object DedupOps {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least one
+    * word k-gram with any benchmark/eval text — the n-gram overlap test
+    * used to scrub training corpora against evaluation sets (13-gram in
+    * the GPT-3/PaLM writeups; k is a parameter because short eval items
+    * need smaller k). Returns (id, n_hits) where n_hits counts the doc's
+    * DISTINCT contaminated k-grams; join back and anti-filter to drop.
+    *
+    * Scale shape: the benchmark side is eval-set sized (10³-10⁶ grams) —
+    * its distinct hash set broadcasts, so the corpus side is one map-only
+    * shingle explode + broadcast semi-join + per-doc count. The 100 TB
+    * corpus is never shuffled (the count aggregate shuffles only hit
+    * rows, bounded by |benchmark grams| × df).
+    */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int = 13): DataFrame = {
+    val corpusSh = shingleHashes(corpus, idCol, textCol, k)
+    val benchSh = shingleHashes(benchmark, idCol, textCol, k)
+      .select("sh").distinct()
+    corpusSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy(col("sid").as(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Deterministic MinHash permutation parameters: h_j(s) = (a_j*s + b_j)
     * mod P, with odd a_j derived from the Knuth constant. Products stay
     * under 2^61 (both factors < P ~ 2^30). */

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and per-group caps for training-data curation.
+  *
+  * `df.sample` is seed- AND partitioning-dependent (each partition draws
+  * from its own stream), so the same call over the same data can keep
+  * different rows after a repartition — useless for reproducible corpus
+  * builds. Everything here keys the decision on an exact content hash
+  * ([[TextOps.charHash]] of a key column), so membership is a pure
+  * function of the row: stable across runs, partitionings, engines, and
+  * incremental rebuilds, and reproducible by the DuckDB oracle.
+  */
+object SampleOps {
+  private def keyHash(key: Column): Column =
+    TextOps.charHash(key.cast("string"))
+
+  /** Deterministic Bernoulli sample at rate num/den: keeps rows whose
+    * key-hash lands in the first `num` of `den` residue classes. A row's
+    * membership never changes, so downstream incremental jobs see a
+    * consistent subset as the corpus grows. Filter only — no shuffle,
+    * stays inside whole-stage codegen next to the scan.
+    */
+  def hashSample(df: DataFrame, key: Column, num: Int, den: Int): DataFrame = {
+    require(den > 0 && num >= 0 && num <= den, s"need 0 <= num <= den, got $num/$den")
+    df.filter(pmod(keyHash(key), lit(den.toLong)) < num.toLong)
+  }
+
+  /** Cap every group (domain, source, language …) at `maxRows`, keeping
+    * the deterministic hash-order prefix — the C4-style per-domain cap
+    * that stops a handful of giant domains from dominating the corpus,
+    * without sort-order bias (hash order is a stable shuffle of each
+    * group; ties broken by the key itself).
+    *
+    * One shuffle on the group key + a per-group window; groups are
+    * processed independently so skew is bounded by the largest group —
+    * for pathological groups raise `spark.sql.shuffle.partitions` or
+    * pre-filter with [[hashSample]].
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, key: Column,
+      maxRows: Int): DataFrame = {
+    require(maxRows >= 0, s"maxRows must be >= 0, got $maxRows")
+    val w = Window.partitionBy(col(groupCol)).orderBy(keyHash(key).asc, key.asc)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= maxRows)
+      .drop("__graft_rn")
+  }
+}

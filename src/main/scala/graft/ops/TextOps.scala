@@ -135,6 +135,33 @@ object TextOps {
     df.withColumn("n_ws_tokens", size(tokens(col(text))).cast("long"))
       .withColumn("n_bpeish_tokens", regexp_count(col(text), lit(BpeishPattern)).cast("long"))
 
+  /** Within-document repetition features over word n-grams — the
+    * Gopher-style repetition signals a quality pipeline thresholds on
+    * (fraction of duplicate n-grams, most-frequent-n-gram share). Two
+    * exact ratios from exact integer counts: `dup_ratio` =
+    * (n_grams − n_distinct)/n_grams, `top_ratio` = top_count/n_grams;
+    * single IEEE divisions, bit-reproducible in the oracle.
+    *
+    * Shape: one explode + a two-level hash aggregate keyed by (doc,
+    * gram-hash) then doc — map-side partial aggregation applies to both
+    * levels, no joins, no windows. Documents shorter than n words have
+    * no grams and drop out (gate them by length first).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, text: String,
+      n: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol).as("sid"),
+      explode(graft.functions.exprs.shingleHashes(col(text), n)).as("g"))
+    grams.groupBy("sid", "g").agg(count(lit(1)).as("c"))
+      .groupBy("sid")
+      .agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_count"))
+      .select(col("sid").as(idCol), col("n_grams"), col("n_distinct"),
+        col("top_count"),
+        ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .as("dup_ratio"),
+        (col("top_count").cast("double") / col("n_grams")).as("top_ratio"))
+  }
+
   /** Document fingerprint: whole-text rolling hash plus a shingle-sketch
     * summary (count + min shingle hash). The min-hash of the shingle set
     * is the 1-permutation MinHash — a compact near-dup signal; DedupOps

@@ -465,12 +465,20 @@ object Queries {
     "SELECT min(doc_id)::BIGINT AS canonical_id, count(*)::BIGINT AS n_copies FROM documents GROUP BY text"
 
   /** Shared SQL: distinct (doc_id, shingle-hash) pairs for word trigrams. */
-  private val sqlShingleHashes =
-    s"""SELECT DISTINCT doc_id, h FROM (
+  /** Word-k-gram hashes per document; `distinct` mirrors the per-doc
+    * `array_distinct` in DedupOps.shingleHashes (off for repetition
+    * counting, where multiplicity is the signal). */
+  private def sqlShingleHashesK(k: Int, distinct: Boolean = true): String = {
+    val gram = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    val d = if (distinct) "DISTINCT " else ""
+    s"""SELECT ${d}doc_id, h FROM (
        |  SELECT doc_id, ${sqlHash("sh")} AS h FROM (
-       |    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+       |    SELECT doc_id, $gram AS sh
        |    FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) w,
-       |         UNNEST(range(1, len(ws)-1)) t(i)))""".stripMargin
+       |         UNNEST(range(1, len(ws)-${k - 2})) t(i)))""".stripMargin
+  }
+
+  private val sqlShingleHashes = sqlShingleHashesK(3)
 
   private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
     DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -745,6 +753,54 @@ object Queries {
        |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
        |WHERE cos >= 0.45""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Training-data curation: decontamination, repetition quality,
+  // deterministic sampling, per-domain caps.
+  // ---------------------------------------------------------------------
+
+  private def contaminationQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // first 10 docs stand in for the benchmark/eval set
+    DedupOps.contaminationHits(docs, docs.filter(col("doc_id") < 10),
+      "doc_id", "text", k = 5)
+  }
+
+  private def contaminationSql =
+    s"""WITH sh AS (${sqlShingleHashesK(5)}),
+       |b AS (SELECT DISTINCT h FROM sh WHERE doc_id < 10)
+       |SELECT doc_id, count(*)::BIGINT AS n_hits
+       |FROM sh JOIN b ON sh.h = b.h GROUP BY doc_id""".stripMargin
+
+  private def repetitionQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
+
+  private def repetitionSql =
+    s"""WITH g AS (${sqlShingleHashesK(2, distinct = false)}),
+       |c AS (SELECT doc_id, h, count(*)::BIGINT AS c FROM g GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+       |  count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS top_count,
+       |  CAST(CAST(sum(c) AS BIGINT) - count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dup_ratio,
+       |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_ratio
+       |FROM c GROUP BY doc_id""".stripMargin
+
+  private def hashSampleQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.hashSample(t(s, dir, "documents"), col("doc_id"), 100, 1000)
+      .select("doc_id", "lang", "source")
+
+  private def hashSampleSql =
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE ${sqlHash("CAST(doc_id AS VARCHAR)")} % 1000 < 100""".stripMargin
+
+  private def capPerSourceQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.capPerGroup(t(s, dir, "documents"), "source", col("doc_id"), 50)
+      .select("doc_id", "source")
+
+  private def capPerSourceSql =
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+       |    ORDER BY ${sqlHash("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+       |  FROM documents) WHERE rn <= 50""".stripMargin
+
   private def multimodalMetaQ(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaMeta(
       MultimodalOps.attachFakeMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -884,6 +940,10 @@ object Queries {
     "q_events_props" -> (eventsPropsQ _),
     "q_string_funcs" -> (stringFuncsQ _),
     "q_set_ops" -> (setOpsQ _),
+    "q_contamination" -> (contaminationQ _),
+    "q_repetition" -> (repetitionQ _),
+    "q_hash_sample" -> (hashSampleQ _),
+    "q_cap_per_source" -> (capPerSourceQ _),
     "q_dedup_clusters" -> (dedupClustersQ _))
 
   val oracle: Map[String, String] = Map(
@@ -932,5 +992,9 @@ object Queries {
     "q_events_props" -> eventsPropsSql,
     "q_string_funcs" -> stringFuncsSql,
     "q_set_ops" -> setOpsSql,
+    "q_contamination" -> contaminationSql,
+    "q_repetition" -> repetitionSql,
+    "q_hash_sample" -> hashSampleSql,
+    "q_cap_per_source" -> capPerSourceSql,
     "q_dedup_clusters" -> dedupClustersSql)
 }

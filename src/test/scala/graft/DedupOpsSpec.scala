@@ -146,6 +146,17 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.simhashNearPairs(docs, "doc_id", "text", maxBucket = 1).isEmpty)
   }
 
+  test("contaminationHits flags docs overlapping the benchmark, via broadcast") {
+    // benchmark = doc 0; doc 3 is its exact dup (all 8 trigrams hit),
+    // doc 1 shares the trigrams not touching the changed word, doc 2 none
+    val hits = DedupOps.contaminationHits(
+      docs, docs.filter(col("doc_id") === 0), "doc_id", "text", k = 3)
+    val got = hits.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 8L), (1L, 5L), (3L, 8L)))
+    // eval-set side must broadcast: the corpus is never shuffled for the join
+    assert(hits.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("reliable + parquet materializers reproduce the local results on the real corpus") {
     import graft.ops.Materializer
     val root = "/tmp/graft_mat_spec"

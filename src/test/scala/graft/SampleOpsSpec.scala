@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{SampleOps, TextOps}
+
+class SampleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("hashSample is a pure function of the row: stable across partitionings") {
+    val a = SampleOps.hashSample(corpus, col("doc_id"), 100, 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = SampleOps.hashSample(corpus.repartition(17, col("lang")), col("doc_id"), 100, 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // rate lands in a sane band around 10% (hash uniformity, not exactness)
+    assert(a.size > 20 && a.size < 200, s"sampled ${a.size} of ${corpus.count()}")
+    // every kept row satisfies the residue predicate
+    val check = corpus.filter(col("doc_id").isInCollection(a))
+      .select(pmod(TextOps.charHash(col("doc_id").cast("string")), lit(1000L)))
+      .collect().map(_.getLong(0))
+    assert(check.forall(_ < 100))
+  }
+
+  test("hashSample boundary rates keep none / all") {
+    assert(SampleOps.hashSample(corpus, col("doc_id"), 0, 1000).isEmpty)
+    assert(SampleOps.hashSample(corpus, col("doc_id"), 1000, 1000).count() == corpus.count())
+  }
+
+  test("capPerGroup bounds every group and picks a stable subset") {
+    val capped = SampleOps.capPerGroup(corpus, "source", col("doc_id"), 30)
+    val perGroup = capped.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val full = corpus.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(perGroup.values.forall(_ <= 30))
+    full.foreach { case (g, n) => assert(perGroup(g) == math.min(n, 30L)) }
+    // deterministic across physical layout
+    val again = SampleOps.capPerGroup(corpus.repartition(13), "source", col("doc_id"), 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == capped.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("capPerGroup cap above group size keeps everything") {
+    val df = Seq((0L, "a"), (1L, "a"), (2L, "b")).toDF("id", "g")
+    assert(SampleOps.capPerGroup(df, "g", col("id"), 10).count() == 3)
+    assert(SampleOps.capPerGroup(df, "g", col("id"), 0).isEmpty)
+  }
+}

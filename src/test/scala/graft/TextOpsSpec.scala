@@ -95,6 +95,22 @@ class TextOpsSpec extends SparkSpec {
     assert(kept == Seq(0L))
   }
 
+  test("repetitionStats counts n-gram multiplicity and exact ratios") {
+    import spark.implicits._
+    val fixture = Seq(
+      (0L, "a b a b a b"), // bigrams: ab ba ab ba ab -> 5 total, 2 distinct, top 3
+      (1L, "x y z"),       // xy yz -> no repetition
+      (2L, "w"))           // shorter than n -> drops out
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(fixture, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3)) == (5L, 2L, 3L))
+    assert(got(0).getDouble(4) == 3.0 / 5.0) // dup_ratio
+    assert(got(0).getDouble(5) == 3.0 / 5.0) // top_ratio
+    assert(got(1).getDouble(4) == 0.0)
+  }
+
   test("fingerprint emits doc hash plus shingle sketch") {
     val r = TextOps.fingerprint(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(r.length == 5)
