@@ -115,6 +115,30 @@ object DedupOps {
       .groupBy(col("sid").as(idCol)).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Fuzzy cross-corpus decontamination: near-duplicate pairs BETWEEN two
+    * corpora (training docs that nearly duplicate an eval item survive
+    * the exact [[contaminationHits]] test when lightly paraphrased; LSH
+    * catches them). Runs banded MinHash-LSH over the union and keeps only
+    * pairs with one side in each corpus. Ids must be distinct across the
+    * two inputs (re-key first otherwise).
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, sides in different
+    * corpora. Same scale shape as [[minhashDedupPairs]] — banded buckets,
+    * capped, candidate-only verification.
+    */
+  def crossCorpusNearDups(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 16, k: Int = 3, bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    val tagged = a.select(col(idCol), col(textCol)).withColumn("__graft_src", lit(0))
+      .unionByName(b.select(col(idCol), col(textCol)).withColumn("__graft_src", lit(1)))
+    val tags = tagged.select(col(idCol), col("__graft_src"))
+    minhashDedupPairs(tagged, idCol, textCol, numHashes, k, bands, minJaccard)
+      .join(tags.select(col(idCol).as("id_a"), col("__graft_src").as("src_a")), Seq("id_a"))
+      .join(tags.select(col(idCol).as("id_b"), col("__graft_src").as("src_b")), Seq("id_b"))
+      .filter(col("src_a") =!= col("src_b"))
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Deterministic MinHash permutation parameters: h_j(s) = (a_j*s + b_j)
     * mod P, with odd a_j derived from the Knuth constant. Products stay
     * under 2^61 (both factors < P ~ 2^30). */

@@ -162,6 +162,36 @@ object TextOps {
         (col("top_count").cast("double") / col("n_grams")).as("top_ratio"))
   }
 
+  /** Split documents into fixed-size token windows with overlap — the
+    * standard long-document preparation for context-window packing and
+    * passage-level embedding. One row per chunk: (id, chunk_idx,
+    * chunk_text, n_tokens); stride = chunkTokens − overlap, the final
+    * chunk keeps the tail (may be shorter). Pure per-row array ops
+    * (sequence + slice inside codegen) then one explode — map-only, no
+    * shuffle; chunk count per doc is ⌈(n−overlap)/stride⌉-shaped, so
+    * output size is predictable from token counts.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, text: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
+    val stride = chunkTokens - overlap
+    val ws = tokens(col(text))
+    val n = size(ws)
+    val numChunks = when(n <= chunkTokens, lit(1))
+      .otherwise((n - chunkTokens + (stride - 1)).divide(stride).cast("int") + 1)
+    df.select(col(idCol), ws.as("__ws"), n.as("__n"), numChunks.as("__nc"))
+      .select(col(idCol), col("__n"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"),
+        col("__ws"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__ws"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("chunk_idx") * stride)
+          .cast("long").as("n_tokens"))
+  }
+
   /** Document fingerprint: whole-text rolling hash plus a shingle-sketch
     * summary (count + min shingle hash). The min-hash of the shingle set
     * is the 1-permutation MinHash — a compact near-dup signal; DedupOps

@@ -801,6 +801,50 @@ object Queries {
        |    ORDER BY ${sqlHash("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
        |  FROM documents) WHERE rn <= 50""".stripMargin
 
+  private def crossCorpusQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // split the corpus in two: "training" (id >= 50) vs "eval" (id < 50)
+    DedupOps.crossCorpusNearDups(
+      docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+      "doc_id", "text", numHashes = MinhashN, k = 3, bands = MinhashBands,
+      minJaccard = 0.5)
+  }
+
+  private def crossCorpusSql = {
+    val r = MinhashN / MinhashBands
+    val bandKeys = (0 until MinhashBands).map { bnd =>
+      val key = (0 until r).map(i => s"CAST(mh${bnd * r + i} AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS key FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS ($sqlShingleHashes),
+       |sigs AS ($minhashSignaturesInner),
+       |banded AS ($bandKeys),
+       |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+       |           FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+       |FROM cands c JOIN common ON common.id_a = c.id_a AND common.id_b = c.id_b
+       |JOIN sizes sa ON sa.doc_id = c.id_a JOIN sizes sb ON sb.doc_id = c.id_b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+       |  AND (c.id_a < 50) <> (c.id_b < 50)""".stripMargin
+  }
+
+  private def chunkDocsQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = 32, overlap = 8)
+
+  private val chunkDocsSql =
+    """SELECT doc_id, i::BIGINT AS chunk_idx,
+      |  array_to_string(ws[i*24+1 : i*24+32], ' ') AS chunk_text,
+      |  least(32, n - i*24)::BIGINT AS n_tokens
+      |FROM (SELECT doc_id, ws, len(ws) AS n,
+      |        CASE WHEN len(ws) <= 32 THEN 1 ELSE (len(ws) - 32 + 23) // 24 + 1 END AS nc
+      |      FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
+      |  UNNEST(range(0, nc)) t(i)""".stripMargin
+
   private def multimodalMetaQ(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaMeta(
       MultimodalOps.attachFakeMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -941,6 +985,8 @@ object Queries {
     "q_string_funcs" -> (stringFuncsQ _),
     "q_set_ops" -> (setOpsQ _),
     "q_contamination" -> (contaminationQ _),
+    "q_cross_corpus_near_dup" -> (crossCorpusQ _),
+    "q_chunk_docs" -> (chunkDocsQ _),
     "q_repetition" -> (repetitionQ _),
     "q_hash_sample" -> (hashSampleQ _),
     "q_cap_per_source" -> (capPerSourceQ _),
@@ -993,6 +1039,8 @@ object Queries {
     "q_string_funcs" -> stringFuncsSql,
     "q_set_ops" -> setOpsSql,
     "q_contamination" -> contaminationSql,
+    "q_cross_corpus_near_dup" -> crossCorpusSql,
+    "q_chunk_docs" -> chunkDocsSql,
     "q_repetition" -> repetitionSql,
     "q_hash_sample" -> hashSampleSql,
     "q_cap_per_source" -> capPerSourceSql,

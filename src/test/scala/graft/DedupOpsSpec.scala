@@ -157,6 +157,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(hits.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("crossCorpusNearDups keeps only pairs straddling the two corpora") {
+    // corpus A = {0, 2}; corpus B = {1, 3}. Near/exact relations: 0~1,
+    // 0~3 (exact dup), 1~3. Within-corpus pair (none among dups) and the
+    // unrelated doc 2 must not appear.
+    val a = docs.filter(col("doc_id") === 0 || col("doc_id") === 2)
+    val b = docs.filter(col("doc_id") === 1 || col("doc_id") === 3)
+    val got = DedupOps.crossCorpusNearDups(a, b, "doc_id", "text",
+        numHashes = 8, bands = 4, minJaccard = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 3L))) // exact dup across corpora
+    assert(!got.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated absent
+    // 1 and 3 are both corpus B: the within-B near-dup pair is filtered out
+    assert(!got.contains((1L, 3L)))
+  }
+
   test("reliable + parquet materializers reproduce the local results on the real corpus") {
     import graft.ops.Materializer
     val root = "/tmp/graft_mat_spec"

@@ -111,6 +111,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1).getDouble(4) == 0.0)
   }
 
+  test("chunkDocuments windows tokens with overlap; tail chunk short") {
+    import spark.implicits._
+    val fixture = Seq(
+      (0L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (1L, "a b"))                                    // fits one chunk
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkDocuments(fixture, "doc_id", "text",
+        chunkTokens = 4, overlap = 1) // stride 3
+      .orderBy("doc_id", "chunk_idx").collect()
+    val c0 = got.filter(_.getLong(0) == 0L)
+    // 10 tokens, chunk 4, stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+    assert(c0.map(_.getString(2)).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(c0.map(_.getLong(3)).toSeq == Seq(4L, 4L, 4L))
+    val c1 = got.filter(_.getLong(0) == 1L)
+    assert(c1.length == 1 && c1(0).getString(2) == "a b" && c1(0).getLong(3) == 2L)
+    // overlap: each consecutive pair shares `overlap` tokens
+    assert(c0(0).getString(2).split(" ").last == c0(1).getString(2).split(" ").head)
+  }
+
+  test("chunkDocuments uneven tail keeps the remainder tokens") {
+    import spark.implicits._
+    val fixture = Seq((0L, "a b c d e")).toDF("doc_id", "text") // 5 tokens
+    val got = TextOps.chunkDocuments(fixture, "doc_id", "text", chunkTokens = 3)
+      .orderBy("chunk_idx").collect()
+    assert(got.map(_.getString(2)).toSeq == Seq("a b c", "d e"))
+    assert(got.map(_.getLong(3)).toSeq == Seq(3L, 2L))
+  }
+
   test("fingerprint emits doc hash plus shingle sketch") {
     val r = TextOps.fingerprint(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(r.length == 5)
