@@ -242,6 +242,75 @@ object Pipeline {
   def estimatedSizeBytes(df: DataFrame): Long =
     df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
 
+  // --- O22 byte-parity renderer (reference tmdb_index.py:571-600) ---
+
+  private def commas(v: Long): String =
+    String.format(java.util.Locale.US, "%,d", java.lang.Long.valueOf(v))
+
+  /** Polars' `_string_repr()` for the Spark type, so the dtype column
+    * renders like the reference's. Spark has no unsigned ints, so the
+    * reference's `u32` id appears as `i32`/`i64` — the one declared
+    * rendering difference. */
+  private def polarsDtype(dt: DataType): String = dt match {
+    case BooleanType => "bool"
+    case ByteType => "i8"
+    case ShortType => "i16"
+    case IntegerType => "i32"
+    case LongType => "i64"
+    case FloatType => "f32"
+    case DoubleType => "f64"
+    case StringType => "str"
+    case DateType => "date"
+    case _: TimestampType => "datetime[μs]"
+    case other => other.simpleString
+  }
+
+  /** Render the run report byte-compatible with the reference's Polars
+    * ASCII_MARKDOWN output (tmdb_index.py:571-600; golden
+    * test_tmdb_index.py:797-827): `## filename`, the stats table with
+    * inline `(str)` dtypes and width-padded cells (zero counts render as
+    * empty cells), then shape / changes / rss lines with thousands
+    * separators. [[formatSummary]] remains the compact variant.
+    */
+  def formatSummaryAscii(dfOld: DataFrame, dfNew: DataFrame,
+      filename: String, rssBytes: Long): String = {
+    validateId(dfOld)
+    validateId(dfNew)
+    val n = dfNew.count()
+    val stats = computeStats(dfOld, dfNew).collect()
+    val diff = changeSummary(dfOld, dfNew).head()
+    val types = dfNew.schema.map(f => f.name -> f.dataType).toMap
+
+    def fmt(v: Long): String =
+      if (v == 0 || n == 0) ""
+      else s"${commas(v)} (${String.format(java.util.Locale.US, "%.1f", Double.box(100.0 * v / n))}%)"
+
+    val headers = Seq("name", "dtype", "null", "true", "false", "unique", "updated")
+      .map(h => s"$h (str)")
+    val cells = stats.map { r =>
+      val isBool = types(r.getString(0)) == BooleanType
+      Seq(r.getString(0), polarsDtype(types(r.getString(0))),
+        fmt(r.getLong(2)),
+        if (isBool) fmt(r.getLong(3)) else "",
+        if (isBool) fmt(r.getLong(4)) else "",
+        if (r.getBoolean(5)) "true" else "",
+        fmt(r.getLong(6)))
+    }
+    val widths = headers.indices.map(i => (headers(i) +: cells.map(_(i)).toSeq).map(_.length).max)
+    def row(cs: Seq[String]) =
+      cs.zip(widths).map { case (c, w) => " " + c.padTo(w, ' ') + " " }
+        .mkString("|", "|", "|")
+    val sep = widths.map(w => "-" * (w + 2)).mkString("|", "|", "|")
+    val table = (row(headers) +: sep +: cells.map(row).toSeq).mkString("\n")
+
+    val mb = String.format(java.util.Locale.US, "%,.1f",
+      Double.box(rssBytes / (1024.0 * 1024.0)))
+    Seq(s"## $filename", "", table, "",
+      s"shape: (${commas(n)}, ${commas(dfNew.columns.length.toLong)})",
+      s"changes: +${commas(diff.getLong(0))} -${commas(diff.getLong(1))} ~${commas(diff.getLong(2))}",
+      s"rss: ${mb}MB").mkString("\n")
+  }
+
   // --- O23: CLI shell (tmdb_index.py:603-716) ---
 
   /** Read the persisted index or bootstrap the empty table (`id` only —
@@ -364,8 +433,10 @@ object Pipeline {
       backfill, refresh, daysLimit)
 
     heightGuard(before, after)
-    val summary = formatSummary(if (before.isEmpty) after else before, after,
-      Some(estimatedSizeBytes(after)))
+    // reference-parity report (tmdb_index.py:698-703): ASCII_MARKDOWN
+    // stats table headed by the published filename
+    val summary = formatSummaryAscii(if (before.isEmpty) after else before,
+      after, new java.io.File(file).getName, estimatedSizeBytes(after))
     sys.env.get("GITHUB_STEP_SUMMARY").filter(_.nonEmpty) match {
       case Some(p) =>
         val w = new java.io.FileWriter(p, true)

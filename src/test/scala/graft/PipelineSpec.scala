@@ -150,6 +150,35 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.estimatedSizeBytes(df) > 0L)
   }
 
+  test("formatSummaryAscii matches the reference's ASCII_MARKDOWN golden") {
+    // mirror of test_tmdb_index.py:797-827, byte-for-byte except the id
+    // dtype: the reference's UInt32 renders u32; Spark has no unsigned,
+    // so an IntegerType id renders i32 (declared rendering difference)
+    val old = Seq((0, false), (1, false)).toDF("id", "adult")
+    val neu = Seq((0, false), (1, true), (2, false)).toDF("id", "adult")
+    val got = Pipeline.formatSummaryAscii(old, neu, "tmdb-movie.parquet", 0L)
+    val expected =
+      """|## tmdb-movie.parquet
+         |
+         || name (str) | dtype (str) | null (str) | true (str) | false (str) | unique (str) | updated (str) |
+         ||------------|-------------|------------|------------|-------------|--------------|---------------|
+         || id         | i32         |            |            |             | true         |               |
+         || adult      | bool        |            | 1 (33.3%)  | 2 (66.7%)   |              | 1 (33.3%)     |
+         |
+         |shape: (3, 2)
+         |changes: +1 -0 ~1
+         |rss: 0.0MB""".stripMargin
+    assert(got == expected)
+  }
+
+  test("formatSummaryAscii thousands separators on large counts") {
+    val big = spark.range(0, 2500).toDF("id")
+    val report = Pipeline.formatSummaryAscii(big, big, "x.parquet", 3 * 1024 * 1024 + 200 * 1024)
+    assert(report.contains("shape: (2,500, 1)"))
+    assert(report.contains("rss: 3.2MB"))
+    assert(report.contains("changes: +0 -0 ~0"))
+  }
+
   test("formatSummary golden report") {
     val old = Seq((0L, Some(false)), (1L, Some(true))).toDF("id", "adult")
     val neu = Seq((0L, Some(false)), (1L, Some(false)), (2L, None)).toDF("id", "adult")
