@@ -266,6 +266,22 @@ object DedupOps {
     labels.select(col("node").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** Leakage-safe train/validation split: each document is routed by the
+    * content hash of its near-dup CLUSTER id, so near-duplicates can
+    * never straddle the split boundary (a plain per-doc split leaks: the
+    * val copy of a near-dup trains the model on the val answer). Input
+    * is [[nearDupClusters]] output; `valPerMille` of the hash space goes
+    * to "val". Pure projection over the cluster frame — membership is
+    * deterministic across runs and engines.
+    */
+  def splitByCluster(clusters: DataFrame, valPerMille: Int): DataFrame = {
+    require(valPerMille >= 0 && valPerMille <= 1000,
+      s"valPerMille must be in [0, 1000], got $valPerMille")
+    clusters.withColumn("split",
+      when(pmod(charHash(col("cluster_id").cast("string")), lit(1000L)) < valPerMille,
+        "val").otherwise("train"))
+  }
+
   /** Full dedup pass: near-dup pairs -> clusters -> keep the canonical
     * (minimum-id) doc per cluster. */
   def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,

@@ -51,6 +51,24 @@ object EventOps {
       .withColumn("session_seq", sum(col("new_session")).over(w))
   }
 
+  /** Cohort retention: users bucketed by first-seen day (integer
+    * day-of-epoch from exact µs — no timezone/date arithmetic), counted
+    * per (cohort day, activity day). Two hash aggregates + one join on
+    * user_id; the distinct day frame is ≤ users × active-days, far
+    * smaller than events, and the cohort frame (one row per user)
+    * co-partitions on the same key — canonical retention-matrix shape.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, Seq("user_id"))
+      .groupBy("cohort_day", "day")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+  }
+
   /** Per-session rollup on top of [[sessionize]]. */
   def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
     sessionize(events, gapMinutes)

@@ -135,6 +135,21 @@ object TextOps {
     df.withColumn("n_ws_tokens", size(tokens(col(text))).cast("long"))
       .withColumn("n_bpeish_tokens", regexp_count(col(text), lit(BpeishPattern)).cast("long"))
 
+  /** Per-group corpus profile (group = language, source, domain …): doc
+    * count, token/char volume, and length extremes — the reporting table
+    * a curation pipeline publishes per snapshot. One partial-aggregated
+    * hash aggregate on a low-cardinality key; scales as a pure map-side
+    * combine.
+    */
+  def corpusStats(df: DataFrame, groupCol: String, text: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(text)))).cast("long").as("n_tokens"),
+        sum(length(col(text))).cast("long").as("n_chars"),
+        min(length(col(text))).cast("long").as("min_chars"),
+        max(length(col(text))).cast("long").as("max_chars"))
+
   /** Within-document repetition features over word n-grams — the
     * Gopher-style repetition signals a quality pipeline thresholds on
     * (fraction of duplicate n-grams, most-frequent-n-gram share). Two

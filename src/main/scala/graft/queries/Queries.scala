@@ -845,6 +845,45 @@ object Queries {
       |      FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
       |  UNNEST(range(0, nc)) t(i)""".stripMargin
 
+  private def corpusStatsQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.corpusStats(t(s, dir, "documents"), "lang", "text")
+
+  private val corpusStatsSql =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |  min(length(text))::BIGINT AS min_chars,
+      |  max(length(text))::BIGINT AS max_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
+  private def clusterSplitQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+      numHashes = MinhashN, k = 3, bands = MinhashBands, minJaccard = 0.5)
+    DedupOps.splitByCluster(
+      DedupOps.nearDupClusters(pairs, docs.select(col("doc_id")), "doc_id"),
+      valPerMille = 100)
+  }
+
+  private def clusterSplitSql =
+    s"""WITH clusters AS ($dedupClustersSql)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN ${sqlHash("CAST(cluster_id AS VARCHAR)")} % 1000 < 100
+       |       THEN 'val' ELSE 'train' END AS split
+       |FROM clusters""".stripMargin
+
+  private def retentionQ(s: SparkSession, dir: String): DataFrame =
+    EventOps.retentionCohorts(EventOps.loadEvents(s, dir))
+
+  private val retentionSql =
+    """WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |cohorts AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+      |SELECT cohort_day::BIGINT AS cohort_day, day::BIGINT AS day,
+      |  count(DISTINCT d.user_id)::BIGINT AS n_users,
+      |  (day - cohort_day)::BIGINT AS day_offset
+      |FROM days d JOIN cohorts c ON d.user_id = c.user_id
+      |GROUP BY cohort_day, day""".stripMargin
+
   private def multimodalMetaQ(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaMeta(
       MultimodalOps.attachFakeMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -987,6 +1026,9 @@ object Queries {
     "q_contamination" -> (contaminationQ _),
     "q_cross_corpus_near_dup" -> (crossCorpusQ _),
     "q_chunk_docs" -> (chunkDocsQ _),
+    "q_corpus_stats" -> (corpusStatsQ _),
+    "q_cluster_split" -> (clusterSplitQ _),
+    "q_retention" -> (retentionQ _),
     "q_repetition" -> (repetitionQ _),
     "q_hash_sample" -> (hashSampleQ _),
     "q_cap_per_source" -> (capPerSourceQ _),
@@ -1041,6 +1083,9 @@ object Queries {
     "q_contamination" -> contaminationSql,
     "q_cross_corpus_near_dup" -> crossCorpusSql,
     "q_chunk_docs" -> chunkDocsSql,
+    "q_corpus_stats" -> corpusStatsSql,
+    "q_cluster_split" -> clusterSplitSql,
+    "q_retention" -> retentionSql,
     "q_repetition" -> repetitionSql,
     "q_hash_sample" -> hashSampleSql,
     "q_cap_per_source" -> capPerSourceSql,

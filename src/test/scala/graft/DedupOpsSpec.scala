@@ -157,6 +157,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(hits.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("splitByCluster routes whole near-dup clusters to one split") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 1L))
+      .toDF("doc_id", "cluster_id")
+    val got = DedupOps.splitByCluster(clusters, valPerMille = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every member of cluster 1 lands on the same side
+    val cluster1 = got.filter(_._2 == 1L).map(_._3).toSet
+    assert(cluster1.size == 1)
+    // 0 and 1000 per-mille are total routes
+    assert(DedupOps.splitByCluster(clusters, 0)
+      .filter(col("split") === "val").isEmpty)
+    assert(DedupOps.splitByCluster(clusters, 1000)
+      .filter(col("split") === "train").isEmpty)
+  }
+
   test("crossCorpusNearDups keeps only pairs straddling the two corpora") {
     // corpus A = {0, 2}; corpus B = {1, 3}. Near/exact relations: 0~1,
     // 0~3 (exact dup), 1~3. Within-corpus pair (none among dups) and the

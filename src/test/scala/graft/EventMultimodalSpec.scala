@@ -34,6 +34,20 @@ class EventMultimodalSpec extends SparkSpec {
       Seq((0L, "click", 1L), (0L, "view", 3L)))
   }
 
+  test("retentionCohorts counts users per (cohort day, activity day)") {
+    def dayUs(d: Long, m: Long) = d * 86400000000L + minUs(m)
+    val ev = Seq(
+      (0L, dayUs(0, 1), 1L, "view", 0.0), // u1 first seen day 0
+      (1L, dayUs(0, 2), 1L, "view", 0.0), // same day dup -> one row
+      (2L, dayUs(2, 0), 1L, "view", 0.0), // u1 returns day 2
+      (3L, dayUs(0, 0), 2L, "view", 0.0), // u2 cohort day 0
+      (4L, dayUs(1, 0), 3L, "view", 0.0)) // u3 cohort day 1
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val got = EventOps.retentionCohorts(ev).orderBy("cohort_day", "day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 0L, 2L, 0L), (0L, 2L, 1L, 2L), (1L, 1L, 1L, 0L)))
+  }
+
   test("loadEvents reads ns timestamps as exact integer micros") {
     val ev = EventOps.loadEvents(spark, "/root/testdata/sf0.001")
     val r = ev.select(col("ts"), col("ts_us")).head()

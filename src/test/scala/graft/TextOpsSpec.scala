@@ -111,6 +111,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1).getDouble(4) == 0.0)
   }
 
+  test("corpusStats profiles doc/token/char volume per group") {
+    import spark.implicits._
+    val fixture = Seq(
+      (0L, "a b c", "en"), (1L, "d e", "en"), (2L, "xyz", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.corpusStats(fixture, "lang", "text")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("en", 2L, 5L, 8L, 3L, 5L), ("fr", 1L, 1L, 3L, 3L, 3L)))
+  }
+
   test("chunkDocuments windows tokens with overlap; tail chunk short") {
     import spark.implicits._
     val fixture = Seq(
