@@ -266,6 +266,67 @@ object DedupOps {
     labels.select(col("node").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** Incremental near-dup check of a NEW batch against an EXISTING
+    * corpus whose MinHash signatures are already stored — the
+    * daily-ingest shape: at 100 TB the standing corpus is never
+    * re-shingled; its signature table (one row per doc, written once by
+    * [[minhashSignatures]]) is read back and only BANDS are joined.
+    * Verification is signature-level (fraction of agreeing minhash
+    * components estimates Jaccard) because the old corpus' raw text may
+    * be in cold storage.
+    *
+    * Returns (id_new, id_old, est_jaccard). `maxBucket` caps hot bands
+    * on the index side. Ids across the two inputs must be disjoint.
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, indexSigs: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 16, k: Int = 3,
+      bands: Int = 8, minEstJaccard: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPer = numHashes / bands
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, numHashes, k)
+    def banded(sigs: DataFrame, p: String) = sigs.select(
+      col(idCol).as(p),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws("_", (0 until rowsPer).map(r => col(s"mh${b * rowsPer + r}")): _*)
+      }: _*)).as(Seq("band", "key")))
+    val idxBands = banded(indexSigs, "id_old")
+    val capped = idxBands.join(
+      idxBands.groupBy("band", "key").agg(count(lit(1)).as("bc"))
+        .filter(col("bc") <= maxBucket).select("band", "key"),
+      Seq("band", "key"))
+    val cands = banded(newSigs, "id_new").join(capped, Seq("band", "key"))
+      .select("id_new", "id_old").distinct()
+    val a = newSigs.select(col(idCol).as("id_new") +:
+      (0 until numHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val b = indexSigs.select(col(idCol).as("id_old") +:
+      (0 until numHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val est = (0 until numHashes)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _).cast("double") / numHashes
+    cands.join(a, Seq("id_new")).join(b, Seq("id_old"))
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_new", "id_old", "est_jaccard")
+  }
+
+  /** Keep the best-scoring document per near-dup cluster — canonical
+    * selection by QUALITY instead of minimum id (dedup pipelines keep
+    * the longest / highest-quality copy, not an arbitrary one). `score`
+    * is any deterministic column over `df` (e.g. `length(col("text"))`
+    * or a [[TextOps.qualityFeatures]] output); ties break by id for a
+    * total order. One join + one per-cluster window.
+    */
+  def dedupKeepBest(df: DataFrame, clusters: DataFrame, idCol: String,
+      score: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(score.desc, col(idCol).asc)
+    df.join(clusters, Seq(idCol))
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn", "cluster_id")
+  }
+
   /** Leakage-safe train/validation split: each document is routed by the
     * content hash of its near-dup CLUSTER id, so near-duplicates can
     * never straddle the split boundary (a plain per-doc split leaks: the

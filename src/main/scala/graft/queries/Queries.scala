@@ -884,6 +884,57 @@ object Queries {
       |FROM days d JOIN cohorts c ON d.user_id = c.user_id
       |GROUP BY cohort_day, day""".stripMargin
 
+  private def dedupIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // standing corpus = ids < 450 (signatures precomputed); new batch = rest
+    val indexSigs = DedupOps.minhashSignatures(
+      docs.filter(col("doc_id") < 450), "doc_id", "text", MinhashN, k = 3)
+    DedupOps.dedupAgainstIndex(docs.filter(col("doc_id") >= 450), indexSigs,
+      "doc_id", "text", MinhashN, k = 3, bands = MinhashBands,
+      minEstJaccard = 0.5)
+  }
+
+  private def dedupIncrementalSql = {
+    val r = MinhashN / MinhashBands
+    def bandKeys(src: String, idAs: String, pred: String) =
+      (0 until MinhashBands).map { bnd =>
+        val key = (0 until r).map(i => s"CAST(mh${bnd * r + i} AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc_id AS $idAs, $bnd AS band, $key AS key FROM $src WHERE $pred"
+      }.mkString(" UNION ALL ")
+    val agree = (0 until MinhashN)
+      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sh AS ($sqlShingleHashes),
+       |sigs AS ($minhashSignaturesInner),
+       |newb AS (${bandKeys("sigs", "id_new", "doc_id >= 450")}),
+       |oldb0 AS (${bandKeys("sigs", "id_old", "doc_id < 450")}),
+       |ok AS (SELECT band, key FROM oldb0 GROUP BY band, key HAVING count(*) <= 1000),
+       |oldb AS (SELECT o.* FROM oldb0 o JOIN ok ON ok.band = o.band AND ok.key = o.key),
+       |cands AS (SELECT DISTINCT id_new, id_old
+       |          FROM newb n JOIN oldb o ON n.band = o.band AND n.key = o.key)
+       |SELECT id_new, id_old, CAST($agree AS DOUBLE) / $MinhashN AS est_jaccard
+       |FROM cands JOIN sigs a ON a.doc_id = id_new JOIN sigs b ON b.doc_id = id_old
+       |WHERE CAST($agree AS DOUBLE) / $MinhashN >= 0.5""".stripMargin
+  }
+
+  private def dedupKeepBestQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+      numHashes = MinhashN, k = 3, bands = MinhashBands, minJaccard = 0.5)
+    val clusters = DedupOps.nearDupClusters(pairs, docs.select(col("doc_id")), "doc_id")
+    DedupOps.dedupKeepBest(docs, clusters, "doc_id", col("n_chars"))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  private def dedupKeepBestSql =
+    s"""WITH clusters AS ($dedupClustersSql)
+       |SELECT doc_id, lang, source, n_chars FROM (
+       |  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+       |  FROM documents d JOIN clusters c ON c.doc_id = d.doc_id)
+       |WHERE rn = 1""".stripMargin
+
   private def multimodalMetaQ(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaMeta(
       MultimodalOps.attachFakeMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -1029,6 +1080,8 @@ object Queries {
     "q_corpus_stats" -> (corpusStatsQ _),
     "q_cluster_split" -> (clusterSplitQ _),
     "q_retention" -> (retentionQ _),
+    "q_dedup_incremental" -> (dedupIncrementalQ _),
+    "q_dedup_keep_best" -> (dedupKeepBestQ _),
     "q_repetition" -> (repetitionQ _),
     "q_hash_sample" -> (hashSampleQ _),
     "q_cap_per_source" -> (capPerSourceQ _),
@@ -1086,6 +1139,8 @@ object Queries {
     "q_corpus_stats" -> corpusStatsSql,
     "q_cluster_split" -> clusterSplitSql,
     "q_retention" -> retentionSql,
+    "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_repetition" -> repetitionSql,
     "q_hash_sample" -> hashSampleSql,
     "q_cap_per_source" -> capPerSourceSql,

@@ -157,6 +157,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(hits.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("dedupAgainstIndex surfaces new-vs-index dups from stored signatures") {
+    // index = docs {0, 2}; new batch = {1, 3}. 3 is an exact dup of 0
+    // (identical signature -> est 1.0); 1 is near 0; 2 unrelated.
+    val idx = DedupOps.minhashSignatures(
+      docs.filter(col("doc_id") === 0 || col("doc_id") === 2), "doc_id", "text", 8)
+    val got = DedupOps.dedupAgainstIndex(
+      docs.filter(col("doc_id") === 1 || col("doc_id") === 3), idx,
+      "doc_id", "text", numHashes = 8, bands = 4, minEstJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists(p => p._1 == 3L && p._2 == 0L && p._3 == 1.0))
+    assert(!got.exists(p => p._2 == 2L)) // unrelated index doc untouched
+  }
+
+  test("dedupKeepBest keeps the highest-scoring doc per cluster") {
+    val corpus = Seq((1L, "x", 5L), (2L, "y", 9L), (3L, "z", 7L))
+      .toDF("doc_id", "text", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("doc_id", "cluster_id")
+    val kept = DedupOps.dedupKeepBest(corpus, clusters, "doc_id", col("n_chars"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // cluster {1,2}: 2 wins on n_chars; singleton 3 stays
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
   test("splitByCluster routes whole near-dup clusters to one split") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 1L))
       .toDF("doc_id", "cluster_id")
