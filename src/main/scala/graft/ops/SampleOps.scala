@@ -29,6 +29,30 @@ object SampleOps {
     df.filter(pmod(keyHash(key), lit(den.toLong)) < num.toLong)
   }
 
+  /** Greedy sequence packing: lay items (documents/chunks with a token
+    * count) into fixed-capacity bins — the context-window packing step
+    * of training prep. Truly sequential first-fit doesn't parallelize,
+    * so items are packed in deterministic content-hash order within
+    * `buckets` independent streams: bin = (bucket, exclusive running
+    * token sum `div` capacity). An item crossing a capacity boundary
+    * charges the overflow to the next bin — bounded overrun of one item
+    * per bin, the standard batch-packing trade. Output adds
+    * (pack_bucket, bin_seq); one shuffle on the bucket key, windows
+    * partitioned per bucket.
+    */
+  def packBins(df: DataFrame, key: Column, tokenCol: String, capacity: Int,
+      buckets: Int = 64): DataFrame = {
+    require(capacity > 0 && buckets > 0, s"need positive capacity/buckets")
+    val h = keyHash(key)
+    val bucket = pmod(h, lit(buckets.toLong))
+    val w = Window.partitionBy(bucket).orderBy(h.asc, key.asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("pack_bucket", bucket)
+      .withColumn("__graft_cum", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("bin_seq", expr(s"__graft_cum div $capacity"))
+      .drop("__graft_cum")
+  }
+
   /** Cap every group (domain, source, language …) at `maxRows`, keeping
     * the deterministic hash-order prefix — the C4-style per-domain cap
     * that stops a handful of giant domains from dominating the corpus,

@@ -935,6 +935,19 @@ object Queries {
        |  FROM documents d JOIN clusters c ON c.doc_id = d.doc_id)
        |WHERE rn = 1""".stripMargin
 
+  private def packBinsQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.packBins(
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+      col("doc_id"), "n_tokens", capacity = 256, buckets = 8)
+
+  private def packBinsSql =
+    s"""SELECT doc_id, n_tokens, h % 8 AS pack_bucket,
+       |  COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 256 AS bin_seq
+       |FROM (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens,
+       |        ${sqlHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents)""".stripMargin
+
   private def multimodalMetaQ(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaMeta(
       MultimodalOps.attachFakeMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -1082,6 +1095,7 @@ object Queries {
     "q_retention" -> (retentionQ _),
     "q_dedup_incremental" -> (dedupIncrementalQ _),
     "q_dedup_keep_best" -> (dedupKeepBestQ _),
+    "q_pack_bins" -> (packBinsQ _),
     "q_repetition" -> (repetitionQ _),
     "q_hash_sample" -> (hashSampleQ _),
     "q_cap_per_source" -> (capPerSourceQ _),
@@ -1141,6 +1155,7 @@ object Queries {
     "q_retention" -> retentionSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
+    "q_pack_bins" -> packBinsSql,
     "q_repetition" -> repetitionSql,
     "q_hash_sample" -> hashSampleSql,
     "q_cap_per_source" -> capPerSourceSql,

@@ -44,6 +44,36 @@ class SampleOpsSpec extends SparkSpec {
     assert(again == capped.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("packBins: bins within a bucket fill contiguously under the budget") {
+    val chunks = corpus
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val packed = SampleOps.packBins(chunks, col("doc_id"), "n_tokens",
+      capacity = 256, buckets = 8)
+    val rows = packed.collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(1))) // (bucket, bin, tokens)
+    assert(rows.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+    // every item is assigned, none lost or duplicated
+    assert(rows.length == corpus.count())
+    // per (bucket, bin): the tokens BELOW an item (exclusive prefix) stay
+    // under capacity => each bin's pre-overflow load is < capacity + max item
+    val byBin = rows.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sum)
+    val maxItem = rows.map(_._3).max
+    assert(byBin.values.forall(_ < 256 + maxItem))
+    // deterministic across partitionings
+    val again = SampleOps.packBins(
+      chunks.repartition(11), col("doc_id"), "n_tokens", 256, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(again == packed.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet)
+  }
+
+  test("hashSample is monotone in the rate: smaller samples nest in larger") {
+    val s100 = SampleOps.hashSample(corpus, col("doc_id"), 100, 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s300 = SampleOps.hashSample(corpus, col("doc_id"), 300, 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s100.subsetOf(s300))
+  }
+
   test("capPerGroup cap above group size keeps everything") {
     val df = Seq((0L, "a"), (1L, "a"), (2L, "b")).toDF("id", "g")
     assert(SampleOps.capPerGroup(df, "g", col("id"), 10).count() == 3)

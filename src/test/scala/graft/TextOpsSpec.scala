@@ -143,6 +143,23 @@ class TextOpsSpec extends SparkSpec {
     assert(c0(0).getString(2).split(" ").last == c0(1).getString(2).split(" ").head)
   }
 
+  test("chunkDocuments reconstruction property on the real corpus") {
+    // dropping each chunk's first `overlap` tokens (except chunk 0) and
+    // concatenating reproduces the original token stream exactly
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val overlap = 8
+    val chunks = TextOps.chunkDocuments(corpus, "doc_id", "text", 32, overlap)
+      .collect().groupBy(_.getLong(0))
+    corpus.select("doc_id", "text").collect().foreach { r =>
+      val expected = r.getString(1).split(" ").toSeq
+      val parts = chunks(r.getLong(0)).sortBy(_.getLong(1)).map(_.getString(2))
+      val rebuilt = parts.head.split(" ").toSeq ++
+        parts.tail.toSeq.flatMap(p => p.split(" ").drop(overlap).toSeq)
+      assert(rebuilt == expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("chunkDocuments uneven tail keeps the remainder tokens") {
     import spark.implicits._
     val fixture = Seq((0L, "a b c d e")).toDF("doc_id", "text") // 5 tokens
