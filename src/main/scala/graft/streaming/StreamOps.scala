@@ -116,6 +116,28 @@ object StreamOps {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming ingest gate: contamination observations for a document
+    * stream against a STATIC benchmark/eval set — the pre-ingest filter
+    * of a continuous training-data feed. Stream-static left-semi join on
+    * word-k-gram hash: the eval side's distinct grams broadcast, the
+    * join is stateless (no watermark, no state store), and each output
+    * row is one contaminated gram occurrence (id, sh). Reduce to doc
+    * level with [[dropDupsWithinWatermark]] or aggregate inside a
+    * `foreachBatch` sink (batch composition:
+    * [[graft.ops.DedupOps.contaminationHits]] + anti-join).
+    */
+  def contaminationHitsStream(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int = 13): DataFrame = {
+    val benchSh = graft.ops.DedupOps
+      .shingleHashes(benchmark, idCol, textCol, k)
+      .select("sh").distinct()
+    docs.select(col(idCol).as("sid"),
+        explode(array_distinct(
+          graft.functions.exprs.shingleHashes(col(textCol), k))).as("sh"))
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .select(col("sid").as(idCol), col("sh"))
+  }
+
   /** One-shot catch-up run of [[indexSink]] (processes all available
     * input then stops) — the streaming equivalent of the CLI's daily
     * invocation. */

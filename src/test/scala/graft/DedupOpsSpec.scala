@@ -180,6 +180,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 3L))
   }
 
+  test("curation ops are total on empty inputs") {
+    val empty = docs.filter(lit(false))
+    assert(DedupOps.contaminationHits(docs, empty, "doc_id", "text", 3).isEmpty)
+    assert(DedupOps.contaminationHits(empty, docs, "doc_id", "text", 3).isEmpty)
+    assert(DedupOps.dedupAgainstIndex(empty,
+      DedupOps.minhashSignatures(docs, "doc_id", "text", 8), "doc_id", "text",
+      numHashes = 8, bands = 4).isEmpty)
+    assert(DedupOps.crossCorpusNearDups(empty, docs, "doc_id", "text",
+      numHashes = 8, bands = 4).isEmpty)
+    assert(graft.ops.TextOps.repetitionStats(empty, "doc_id", "text").isEmpty)
+    assert(graft.ops.TextOps.chunkDocuments(empty, "doc_id", "text", 32).isEmpty)
+  }
+
   test("splitByCluster routes whole near-dup clusters to one split") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 1L))
       .toDF("doc_id", "cluster_id")

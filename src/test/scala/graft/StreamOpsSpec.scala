@@ -57,6 +57,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(got(2).getString(1) == "c")
   }
 
+  test("contaminationHitsStream flags streamed docs overlapping the static eval set") {
+    val in = tmpDir("graft_stream_contam_in")
+    Seq(
+      (10L, "w1 w2 w3 w4 w5"),   // shares trigrams with the benchmark
+      (11L, "z1 z2 z3 z4 z5"))   // clean
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    val benchmark = Seq((0L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+
+    val stream = StreamOps.streamSource(spark, in, spark.read.parquet(in).schema)
+    val q = StreamOps.contaminationHitsStream(stream, benchmark, "doc_id", "text", k = 3)
+      .writeStream.format("memory").queryName("contam")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("contam").collect().map(_.getLong(0))
+    assert(got.nonEmpty && got.toSet == Set(10L)) // only the overlapping doc
+    assert(got.length == 2) // its two benchmark trigrams
+  }
+
   test("latestPerKey keeps the max-ordinal row per key") {
     val in = tmpDir("graft_stream_latest_in")
     Seq(
