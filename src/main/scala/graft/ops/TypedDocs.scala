@@ -39,4 +39,16 @@ object TypedDocs {
       .select("doc_id", "text", "lang", "source", "n_chars")
       .as[Document]
   }
+
+  case class Chunk(doc_id: Long, chunk_idx: Long, chunk_text: String,
+      n_tokens: Long)
+
+  /** Token-window chunking, typed — the gate→chunk tail of a curation
+    * pipeline as `Dataset` stages (`keepQuality andThen chunk`). */
+  def chunk(ds: Dataset[Document], chunkTokens: Int,
+      overlap: Int = 0): Dataset[Chunk] = {
+    import ds.sparkSession.implicits._
+    TextOps.chunkDocuments(ds.toDF(), "doc_id", "text", chunkTokens, overlap)
+      .as[Chunk]
+  }
 }

@@ -180,6 +180,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 3L))
   }
 
+  test("incremental and cross-corpus dedup plans contain no all-pairs join") {
+    val idx = DedupOps.minhashSignatures(
+      docs.filter(col("doc_id") < 2), "doc_id", "text", 8)
+    val p1 = DedupOps.dedupAgainstIndex(docs.filter(col("doc_id") >= 2), idx,
+        "doc_id", "text", numHashes = 8, bands = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"),
+      p1.take(1500))
+    val p2 = DedupOps.crossCorpusNearDups(
+        docs.filter(col("doc_id") < 2), docs.filter(col("doc_id") >= 2),
+        "doc_id", "text", numHashes = 8, bands = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      p2.take(1500))
+  }
+
   test("curation ops are total on empty inputs") {
     val empty = docs.filter(lit(false))
     assert(DedupOps.contaminationHits(docs, empty, "doc_id", "text", 3).isEmpty)

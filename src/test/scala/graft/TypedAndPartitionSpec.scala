@@ -19,6 +19,10 @@ class TypedAndPartitionSpec extends SparkSpec {
     val kept = TypedDocs.keepQuality(docs)
     assert(kept.count() > 0 && kept.count() <= docs.count())
     assert(kept.head().doc_id >= 0)
+    // typed tail of the pipeline: gate -> chunk, still Dataset-shaped
+    val chunks = TypedDocs.chunk(kept, chunkTokens = 32, overlap = 8)
+    assert(chunks.count() >= kept.count()) // every doc yields >= 1 chunk
+    assert(chunks.filter(_.n_tokens > 32).isEmpty)
   }
 
   test("partitioned index publish prunes partitions on range reads") {
