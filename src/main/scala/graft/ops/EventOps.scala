@@ -69,6 +69,41 @@ object EventOps {
       .withColumn("day_offset", col("day") - col("cohort_day"))
   }
 
+  /** Ordered funnel: users completing each prefix of `steps` in order,
+    * with every step inside `withinUs` of the FIRST step. Level i+1 is a
+    * join of step-(i+1) events against level-i completions on user_id
+    * (each level frame is one row per user — broadcastable long before
+    * the event table would be), taking the earliest qualifying time; the
+    * result is one row per step with the converted-user count. N−1
+    * joins for N steps, each co-partitioned on user_id.
+    */
+  def funnelCounts(events: DataFrame, steps: Seq[String],
+      withinUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id")
+      .agg(min(col("ts_us")).as("t_prev"))
+      .withColumn("t_first", col("t_prev"))
+    val levels = steps.tail.scanLeft(first) { (prev, step) =>
+      events.filter(col("event_type") === step)
+        .select(col("user_id"), col("ts_us"))
+        .join(prev, Seq("user_id"))
+        .filter(col("ts_us") > col("t_prev") &&
+          col("ts_us") - col("t_first") <= withinUs)
+        .groupBy("user_id", "t_first")
+        .agg(min(col("ts_us")).as("t_prev"))
+        .select(col("user_id"), col("t_prev"), col("t_first"))
+    }
+    levels.zip(steps).zipWithIndex
+      .map { case ((lvl, step), i) =>
+        lvl.select(lit(i + 1L).as("step_seq"), lit(step).as("step"),
+          col("user_id"))
+      }
+      .reduce(_ unionByName _)
+      .groupBy("step_seq", "step")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Per-session rollup on top of [[sessionize]]. */
   def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
     sessionize(events, gapMinutes)

@@ -42,6 +42,18 @@ object MultimodalOps {
       col("n_bytes"),
       sha2(col("media"), 256).as("digest"))
 
+  /** Media exact-dedup groups by content digest: one row per duplicated
+    * payload with the canonical (minimum) doc id and the copy count —
+    * [[DedupOps.exactDupGroups]] specialized to binary columns. The
+    * 32-byte digest is the shuffle key; the payload itself never moves
+    * (the whole point of digest-then-shuffle at 100 TB of media). */
+  def mediaDupGroups(media: DataFrame): DataFrame =
+    mediaMeta(media)
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("digest", "canonical_id", "n_copies")
+
   /** STUB decode: deterministic fake dimensions/features from the bytes.
     * A real implementation decodes the codec here — per partition, so
     * the (expensive, native) decoder state is reused across the batch

@@ -207,6 +207,20 @@ object TextOps {
           .cast("long").as("n_tokens"))
   }
 
+  /** Top-k most frequent tokens per document (ties by token string for a
+    * total order) — log-free keyword extraction: explode + two-level
+    * count + per-doc window, all exact integers. */
+  def topTerms(df: DataFrame, idCol: String, text: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sid").orderBy(col("n").desc, col("term").asc)
+    df.select(col(idCol).as("sid"), explode(tokens(col(text))).as("term"))
+      .groupBy("sid", "term").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("sid").as(idCol), col("term"), col("n"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Document fingerprint: whole-text rolling hash plus a shingle-sketch
     * summary (count + min shingle hash). The min-hash of the shingle set
     * is the 1-permutation MinHash — a compact near-dup signal; DedupOps

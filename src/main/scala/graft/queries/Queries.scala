@@ -948,6 +948,44 @@ object Queries {
        |FROM (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens,
        |        ${sqlHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents)""".stripMargin
 
+  private def funnelQ(s: SparkSession, dir: String): DataFrame =
+    EventOps.funnelCounts(EventOps.loadEvents(s, dir),
+      Seq("signup", "view", "purchase"), withinUs = 7L * 86400000000L)
+
+  private val funnelSql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |l1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      |l2 AS (SELECT e.user_id, l1.t1, min(ts_us) AS t2 FROM e JOIN l1 ON e.user_id = l1.user_id
+      |       WHERE event_type = 'view' AND ts_us > t1 AND ts_us - t1 <= 604800000000
+      |       GROUP BY e.user_id, l1.t1),
+      |l3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN l2 ON e.user_id = l2.user_id
+      |       WHERE event_type = 'purchase' AND ts_us > t2 AND ts_us - t1 <= 604800000000
+      |       GROUP BY e.user_id)
+      |SELECT 1::BIGINT AS step_seq, 'signup' AS step, count(DISTINCT user_id)::BIGINT AS n_users FROM l1
+      |UNION ALL SELECT 2::BIGINT, 'view', count(DISTINCT user_id)::BIGINT FROM l2
+      |UNION ALL SELECT 3::BIGINT, 'purchase', count(DISTINCT user_id)::BIGINT FROM l3""".stripMargin
+
+  private def topTermsQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+
+  private val topTermsSql =
+    """SELECT doc_id, term, n, rank FROM (
+      |  SELECT doc_id, term, n,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, term) AS rank
+      |  FROM (SELECT doc_id, term, count(*)::BIGINT AS n
+      |        FROM (SELECT doc_id, UNNEST(string_split(text,' ')) AS term FROM documents)
+      |        GROUP BY doc_id, term))
+      |WHERE rank <= 3""".stripMargin
+
+  private def mediaDupGroupsQ(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.mediaDupGroups(
+      MultimodalOps.attachFakeMedia(t(s, dir, "documents"), "doc_id", "text"))
+
+  private val mediaDupGroupsSql =
+    """SELECT sha256(text) AS digest, min(doc_id)::BIGINT AS canonical_id,
+      |  count(*)::BIGINT AS n_copies
+      |FROM documents GROUP BY sha256(text) HAVING count(*) > 1""".stripMargin
+
   private def multimodalMetaQ(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaMeta(
       MultimodalOps.attachFakeMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -1096,6 +1134,9 @@ object Queries {
     "q_dedup_incremental" -> (dedupIncrementalQ _),
     "q_dedup_keep_best" -> (dedupKeepBestQ _),
     "q_pack_bins" -> (packBinsQ _),
+    "q_funnel" -> (funnelQ _),
+    "q_top_terms" -> (topTermsQ _),
+    "q_media_dup_groups" -> (mediaDupGroupsQ _),
     "q_repetition" -> (repetitionQ _),
     "q_hash_sample" -> (hashSampleQ _),
     "q_cap_per_source" -> (capPerSourceQ _),
@@ -1156,6 +1197,9 @@ object Queries {
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_pack_bins" -> packBinsSql,
+    "q_funnel" -> funnelSql,
+    "q_top_terms" -> topTermsSql,
+    "q_media_dup_groups" -> mediaDupGroupsSql,
     "q_repetition" -> repetitionSql,
     "q_hash_sample" -> hashSampleSql,
     "q_cap_per_source" -> capPerSourceSql,

@@ -48,6 +48,35 @@ class EventMultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 0L, 2L, 0L), (0L, 2L, 1L, 2L), (1L, 1L, 1L, 0L)))
   }
 
+  test("funnelCounts requires ordered steps within the window") {
+    val ev = Seq(
+      // u1 converts fully: signup @0 -> view @10 -> purchase @20
+      (0L, minUs(0), 1L, "signup", 0.0),
+      (1L, minUs(10), 1L, "view", 0.0),
+      (2L, minUs(20), 1L, "purchase", 0.0),
+      // u2 views BEFORE signing up -> stops at step 1
+      (3L, minUs(5), 2L, "view", 0.0),
+      (4L, minUs(6), 2L, "signup", 0.0),
+      // u3 views too late (outside the window)
+      (5L, minUs(0), 3L, "signup", 0.0),
+      (6L, minUs(100), 3L, "view", 0.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val got = EventOps.funnelCounts(ev, Seq("signup", "view", "purchase"),
+        withinUs = minUs(30))
+      .orderBy("step_seq").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, "signup", 3L), (2L, "view", 1L), (3L, "purchase", 1L)))
+  }
+
+  test("mediaDupGroups groups identical payloads by digest") {
+    val media = MultimodalOps.attachFakeMedia(
+      Seq((0L, "same"), (1L, "same"), (2L, "other")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val got = MultimodalOps.mediaDupGroups(media).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 0L && got(0).getLong(2) == 2L)
+  }
+
   test("loadEvents reads ns timestamps as exact integer micros") {
     val ev = EventOps.loadEvents(spark, "/root/testdata/sf0.001")
     val r = ev.select(col("ts"), col("ts_us")).head()

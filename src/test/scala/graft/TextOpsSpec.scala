@@ -111,6 +111,15 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1).getDouble(4) == 0.0)
   }
 
+  test("topTerms ranks tokens by count with term tiebreak") {
+    import spark.implicits._
+    val fixture = Seq((0L, "b a a c b a")).toDF("doc_id", "text")
+    val got = TextOps.topTerms(fixture, "doc_id", "text", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", 3L, 1L), ("b", 2L, 2L)))
+  }
+
   test("corpusStats profiles doc/token/char volume per group") {
     import spark.implicits._
     val fixture = Seq(
