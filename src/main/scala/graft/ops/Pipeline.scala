@@ -187,6 +187,39 @@ object Pipeline {
       .withColumn("retrieved_at", lit(fetchedAt))
   }
 
+  /** Live enrichment fetcher: drives a per-id JSON GET loop over the
+    * queue (reference tmdb_index.py:529-543) with an injectable
+    * transport — pass [[HttpJsonFetcher]]`.fetch` in production, a stub
+    * in tests (the reference tests stub `urlopen` the same way). The
+    * queue is bounded by backfill+refresh limits (10⁴/day shaped), so
+    * the driver-side loop matches the reference's sequential fetch; a
+    * queue large enough to need distribution belongs in `mapPartitions`
+    * with per-partition clients (see Fetch.scala notes).
+    *
+    * `fetch` returns Some(body) on 2xx, None on 404 (recorded as a
+    * failed row — fetched-and-absent); transport errors propagate after
+    * the retry policy gives up.
+    */
+  def liveExternalIdsFetcher(spark: SparkSession, kind: String,
+      urlFor: Long => String, fetch: String => Option[String],
+      fetchedAt: java.sql.Timestamp): DataFrame => DataFrame = { queue =>
+    import spark.implicits._
+    val ids = queue.select(col(ID)).collect().map(_.getLong(0)).toSeq
+    val bodies = ids.map(id => (id, fetch(urlFor(id))))
+    val raw = bodies.toDF(ID, "body")
+      .withColumn("success", col("body").isNotNull)
+      .withColumn("parsed", from_json(col("body"),
+        StructType(Seq(
+          StructField("imdb_id", StringType),
+          StructField("wikidata_id", StringType),
+          StructField("tvdb_id", LongType)))))
+      .select(col(ID), col("success"),
+        col("parsed.imdb_id").as("imdb_id"),
+        col("parsed.wikidata_id").as("wikidata_id"),
+        col("parsed.tvdb_id").as("tvdb_id"))
+    typeExternalIds(raw, kind).withColumn("retrieved_at", lit(fetchedAt))
+  }
+
   // --- O21: process (tmdb_index.py:546-568) ---
 
   def process(df: DataFrame, changeDays: Seq[DataFrame], exportIds: DataFrame,
@@ -420,14 +453,20 @@ object Pipeline {
         before.sparkSession.emptyDataFrame.withColumn("id", lit(null).cast(LongType))
           .filter(lit(false)).select("id")
       else rawExport(spark, s"$sourceDir/export.jsonl").select("id")
-    // O20: enrichment answered from the external-ids fixture when present
-    // (the zero-egress stand-in for the reference's per-id fetch loop,
-    // :529-543); without one the queue is computed but nothing is fetched
+    // O20: enrichment priority mirrors the reference's deploy modes —
+    // a local external-ids fixture when present (the zero-egress
+    // stand-in), else the live per-id HTTP loop when an API key is
+    // supplied (reference :613-617, :529-543), else a computed-but-idle
+    // queue
     val externalIdsPath = s"$sourceDir/external_ids.jsonl"
+    val now = java.sql.Timestamp.from(java.time.Instant.now())
     val fetcher: DataFrame => DataFrame =
       if (sourceDir.nonEmpty && new java.io.File(externalIdsPath).exists())
-        fixtureExternalIdsFetcher(spark, externalIdsPath, kind,
-          java.sql.Timestamp.from(java.time.Instant.now()))
+        fixtureExternalIdsFetcher(spark, externalIdsPath, kind, now)
+      else if (apiKey.nonEmpty)
+        liveExternalIdsFetcher(spark, kind,
+          id => s"https://api.themoviedb.org/3/$kind/$id/external_ids?api_key=$apiKey",
+          new HttpJsonFetcher().fetch, now)
       else queue => queue.limit(0)
     val after = process(before, changeDays, exportIds, fetcher,
       backfill, refresh, daysLimit)

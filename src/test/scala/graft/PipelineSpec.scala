@@ -92,6 +92,29 @@ class PipelineSpec extends SparkSpec {
     assert(person.getAs[Long]("imdb_numeric_id") == 206L)
   }
 
+  test("liveExternalIdsFetcher drives the per-id loop through an injected transport") {
+    val fetched = scala.collection.mutable.ArrayBuffer[String]()
+    val fetch: String => Option[String] = url => {
+      fetched += url
+      if (url.contains("/tv/0/")) // id 1 is a 404 -> fetched-and-absent
+        Some("""{"imdb_id": "tt100", "wikidata_id": "Q7", "tvdb_id": 5}""")
+      else None
+    }
+    val got = Pipeline.liveExternalIdsFetcher(spark, "tv",
+        id => s"https://host/3/tv/$id/external_ids", fetch,
+        Timestamp.valueOf("2024-01-02 12:00:00"))(Seq(0L, 1L).toDF("id"))
+      .orderBy("id").collect()
+    assert(fetched.toSeq == Seq(
+      "https://host/3/tv/0/external_ids", "https://host/3/tv/1/external_ids"))
+    assert(got(0).getAs[Boolean]("success"))
+    assert(got(0).getAs[Long]("imdb_numeric_id") == 100L)
+    assert(got(0).getAs[Long]("wikidata_numeric_id") == 7L)
+    assert(got(0).getAs[Long]("tvdb_id") == 5L)
+    assert(!got(1).getAs[Boolean]("success"))
+    assert(got(1).isNullAt(got(1).fieldIndex("imdb_numeric_id")))
+    got.foreach(r => assert(!r.isNullAt(r.fieldIndex("retrieved_at"))))
+  }
+
   test("process folds changes, refreshes export flag, enriches the queue") {
     val base = Seq((0L, Date.valueOf("2024-01-01"), false)).toDF("id", "date", "adult")
     val day1 = Seq((1L, Date.valueOf("2024-01-02"), false),
