@@ -327,6 +327,24 @@ object DedupOps {
       .drop("__graft_rn", "cluster_id")
   }
 
+  /** Hybrid near-dup pairs across modalities: the union of text-level
+    * MinHash-LSH pairs and embedding-level IVF-bucketed pairs for the
+    * same id space — lexical rewrites that keep semantics are caught by
+    * the embedding side, boilerplate/templated text by the lexical side.
+    * Output: (id_a, id_b, via ∈ {'text','embedding','both'}). Both
+    * inputs are the scale-shaped pair generators (banded/bucketed, no
+    * all-pairs), and the merge is a full outer join on the pair key.
+    */
+  def hybridNearDupPairs(textPairs: DataFrame, embedPairs: DataFrame): DataFrame = {
+    val t = textPairs.select(col("id_a"), col("id_b"), lit(true).as("__t"))
+    val e = embedPairs.select(col("id_a"), col("id_b"), lit(true).as("__e"))
+    t.join(e, Seq("id_a", "id_b"), "full_outer")
+      .select(col("id_a"), col("id_b"),
+        when(col("__t").isNotNull && col("__e").isNotNull, "both")
+          .when(col("__t").isNotNull, "text")
+          .otherwise("embedding").as("via"))
+  }
+
   /** Leakage-safe train/validation split: each document is routed by the
     * content hash of its near-dup CLUSTER id, so near-duplicates can
     * never straddle the split boundary (a plain per-doc split leaks: the

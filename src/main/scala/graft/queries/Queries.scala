@@ -986,6 +986,25 @@ object Queries {
       |  count(*)::BIGINT AS n_copies
       |FROM documents GROUP BY sha256(text) HAVING count(*) > 1""".stripMargin
 
+  private def hybridNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val em = t(s, dir, "embeddings")
+    DedupOps.hybridNearDupPairs(
+      DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+        numHashes = MinhashN, k = 3, bands = MinhashBands, minJaccard = 0.5),
+      SimilarityOps.embeddingNearDupPairsIVF(
+        em, em.filter(col("vec_id") < 8), "vec_id", "embedding", minCos = 0.45))
+  }
+
+  private def hybridNearDupSql =
+    s"""WITH tp AS ($minhashLshPairsSql),
+       |ep AS ($embedNearDupIvfSql)
+       |SELECT COALESCE(tp.id_a, ep.id_a) AS id_a,
+       |  COALESCE(tp.id_b, ep.id_b) AS id_b,
+       |  CASE WHEN tp.id_a IS NOT NULL AND ep.id_a IS NOT NULL THEN 'both'
+       |       WHEN tp.id_a IS NOT NULL THEN 'text' ELSE 'embedding' END AS via
+       |FROM tp FULL OUTER JOIN ep ON tp.id_a = ep.id_a AND tp.id_b = ep.id_b""".stripMargin
+
   private def multimodalMetaQ(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaMeta(
       MultimodalOps.attachFakeMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -1135,6 +1154,7 @@ object Queries {
     "q_dedup_keep_best" -> (dedupKeepBestQ _),
     "q_pack_bins" -> (packBinsQ _),
     "q_funnel" -> (funnelQ _),
+    "q_hybrid_near_dup" -> (hybridNearDupQ _),
     "q_top_terms" -> (topTermsQ _),
     "q_media_dup_groups" -> (mediaDupGroupsQ _),
     "q_repetition" -> (repetitionQ _),
@@ -1198,6 +1218,7 @@ object Queries {
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_pack_bins" -> packBinsSql,
     "q_funnel" -> funnelSql,
+    "q_hybrid_near_dup" -> hybridNearDupSql,
     "q_top_terms" -> topTermsSql,
     "q_media_dup_groups" -> mediaDupGroupsSql,
     "q_repetition" -> repetitionSql,

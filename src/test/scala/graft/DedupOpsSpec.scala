@@ -209,6 +209,15 @@ class DedupOpsSpec extends SparkSpec {
     assert(graft.ops.TextOps.chunkDocuments(empty, "doc_id", "text", 32).isEmpty)
   }
 
+  test("hybridNearDupPairs merges modalities with provenance") {
+    val tp = Seq((0L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+    val ep = Seq((2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = DedupOps.hybridNearDupPairs(tp, ep)
+      .orderBy("id_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((0L, 1L, "text"), (2L, 3L, "both"), (4L, 5L, "embedding")))
+  }
+
   test("splitByCluster routes whole near-dup clusters to one split") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 1L))
       .toDF("doc_id", "cluster_id")
