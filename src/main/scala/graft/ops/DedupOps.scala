@@ -250,6 +250,14 @@ object DedupOps {
     var labels = mat(allIds.select(col(idCol).as("node"), col(idCol).as("label")))
     var round = 0
     var converged = false
+    // Convergence via the label-sum invariant: labels are per-node
+    // non-increasing (min-propagation), so the total is strictly smaller
+    // iff ANY node changed — one scalar aggregate on the materialized
+    // frame replaces a join + early-exit scan per round. Decimal sum so
+    // the check never overflows regardless of id magnitude.
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+    var prevSum = labelSum(labels)
     while (round < maxRounds && !converged) {
       // candidate label per node = min(own, min over neighbors' labels)
       val viaEdges = edges
@@ -257,9 +265,11 @@ object DedupOps {
         .select(col("src").as("node"), col("label"))
       val next = mat(labels.unionByName(viaEdges)
         .groupBy("node").agg(min(col("label")).as("label")))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).limit(1).isEmpty
-      converged = changed
+      // scale is fixed (decimal(38,0) sum), so Option/BigDecimal equality
+      // is exact; None == None converges the empty-graph case immediately
+      val curSum = labelSum(next)
+      converged = prevSum == curSum
+      prevSum = curSum
       labels = next
       round += 1
     }
