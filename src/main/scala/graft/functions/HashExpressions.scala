@@ -72,6 +72,36 @@ object HashKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Occurrence count of each target word among the single-space tokens
+    * of `s`, in ONE pass over the text (tokens are scanned in place, no
+    * token array materialized). Semantically element-wise equal to
+    * `size(filter(split(s," "), t => t === word))` per word — the
+    * composed form evaluates an interpreted lambda per token per word
+    * (20 filters/row for language-ID's marker matrix). Empty targets
+    * never match (split-empty tokens are skipped by the length check
+    * only matching non-empty words).
+    */
+  def wordCounts(s: UTF8String, words: Array[String]): ArrayData = {
+    val text = s.toString
+    val out = new Array[Long](words.length)
+    val n = text.length
+    var start = 0
+    var done = false
+    while (!done) {
+      var end = text.indexOf(' ', start)
+      if (end < 0) { end = n; done = true }
+      val len = end - start
+      var wi = 0
+      while (wi < words.length) {
+        val w = words(wi)
+        if (w.length == len && text.regionMatches(start, w, 0, len)) out(wi) += 1
+        wi += 1
+      }
+      start = end + 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Exact dot product of two long arrays (quantized embeddings). */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -137,6 +167,30 @@ case class ShingleHashArray(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingleHashes($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashArray =
+    copy(child = newChild)
+}
+
+/** Codegen'd multi-word occurrence counter (see HashKernels.wordCounts):
+  * one text pass for the whole word list instead of one interpreted
+  * `filter` lambda per word. Word list is a literal parameter, shipped
+  * into generated code as a reference object. */
+case class WordOccurrenceCounts(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  require(words.nonEmpty && words.forall(_.nonEmpty), "words must be non-empty")
+  private lazy val wordsArr: Array[String] = words.toArray
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_counts needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.wordCounts(input.asInstanceOf[UTF8String], wordsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftWords", wordsArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.wordCounts($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordOccurrenceCounts =
     copy(child = newChild)
 }
 
@@ -208,6 +262,8 @@ object exprs {
     shims.column(DotProductLong(shims.expression(a), shims.expression(b)))
   def quantizeVec(c: Column, scale: Long = 10000L): Column =
     shims.column(QuantizeVector(shims.expression(c), scale))
+  def wordCounts(c: Column, words: Seq[String]): Column =
+    shims.column(WordOccurrenceCounts(shims.expression(c), words))
 
   /** Make the custom expressions callable from `spark.sql(...)`:
     * graft_char_hash(s), graft_shingle_hashes(s, k),

@@ -63,6 +63,15 @@ object TextOps {
   def wordCount(text: Column, word: String): Column =
     size(filter(tokens(text), t => t === word)).cast("long")
 
+  /** Occurrence counts for a whole word list in one text pass — the
+    * codegen expression [[graft.functions.WordOccurrenceCounts]]
+    * (element-wise equal to [[wordCount]] per word, pinned by spec; the
+    * composed form runs one interpreted `filter` lambda per word per
+    * row, 20× for the language-ID marker matrix). 1-indexed via
+    * `element_at`. */
+  def wordCountsAll(text: Column, words: Seq[String]): Column =
+    graft.functions.exprs.wordCounts(text, words)
+
   /** Language-ID by marker-word voting: each language scores the count of
     * its marker words; argmax with a fixed language-preference order for
     * ties. A real deployment swaps the marker lists for per-language
@@ -75,10 +84,17 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und"),
     "zh" -> Seq("zh0", "zh1", "zh2", "zh3"))
 
-  def langScores(text: Column): Seq[(String, Column)] =
-    LangMarkers.map { case (lang, ws) =>
-      lang -> ws.map(w => wordCount(text, w)).reduce(_ + _)
+  def langScores(text: Column): Seq[(String, Column)] = {
+    // one-pass counts over the whole marker matrix; identical expression
+    // trees across the per-language sums, so whole-stage codegen CSE
+    // evaluates the scan once per row
+    val allWords = LangMarkers.flatMap(_._2)
+    val counts = wordCountsAll(text, allWords)
+    val offsets = LangMarkers.map(_._2.length).scanLeft(0)(_ + _)
+    LangMarkers.zip(offsets).map { case ((lang, ws), off) =>
+      lang -> ws.indices.map(i => element_at(counts, off + i + 1)).reduce(_ + _)
     }
+  }
 
   /** Predicted language: first language (in LangMarkers order) whose score
     * is >= every other language's score. */
@@ -101,7 +117,8 @@ object TextOps {
   def qualityFeatures(df: DataFrame, text: String): DataFrame = {
     val t = col(text)
     val nWords = size(tokens(t)).cast("long")
-    val nStop = Stopwords.map(w => wordCount(t, w)).reduce(_ + _)
+    val stopCounts = wordCountsAll(t, Stopwords)
+    val nStop = Stopwords.indices.map(i => element_at(stopCounts, i + 1)).reduce(_ + _)
     val nPunct = regexp_count(t, lit("[.!?,;:]"))
     df.withColumn("n_words", nWords)
       .withColumn("n_text_chars", length(t).cast("long"))

@@ -111,6 +111,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1).getDouble(4) == 0.0)
   }
 
+  test("wordCountsAll (codegen) equals per-word wordCount on the real corpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = TextOps.LangMarkers.flatMap(_._2) ++ TextOps.Stopwords
+    val fused = corpus.select(TextOps.wordCountsAll(col("text"), words))
+      .collect().map(_.getSeq[Long](0))
+    val composed = corpus.select(
+        array(words.map(w => TextOps.wordCount(col("text"), w)): _*))
+      .collect().map(_.getSeq[Long](0))
+    assert(fused.toSeq == composed.toSeq)
+  }
+
   test("topTerms ranks tokens by count with term tiebreak") {
     import spark.implicits._
     val fixture = Seq((0L, "b a a c b a")).toDF("doc_id", "text")
