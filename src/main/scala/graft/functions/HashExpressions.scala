@@ -286,5 +286,13 @@ object exprs {
     shims.registerFunction(spark, "graft_quantize",
       args => QuantizeVector(args.head,
         if (args.length > 1) intArg(args(1), "scale") else 10000L))
+    // word list as a comma-separated string literal (SQL has no Seq arg)
+    shims.registerFunction(spark, "graft_word_counts",
+      args => WordOccurrenceCounts(args.head, args(1) match {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+          v.toString.split(",").toSeq
+        case other => throw new IllegalArgumentException(
+          s"word list must be a string literal, got $other")
+      }))
   }
 }

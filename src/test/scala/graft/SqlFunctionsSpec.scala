@@ -28,4 +28,12 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaSql.getSeq[Long](2) == Seq(5000L, -2500L))
     assert(viaSql.getLong(3) == 5000L * 5000L + 2500L * 2500L)
   }
+
+  test("graft_word_counts takes its word list as a CSV string literal") {
+    exprs.registerSql(spark)
+    Seq(Tuple1("a b a c")).toDF("t").createOrReplaceTempView("sqlfn_wc")
+    val got = spark.sql("SELECT graft_word_counts(t, 'a,b,z') AS c FROM sqlfn_wc")
+      .head().getSeq[Long](0)
+    assert(got == Seq(2L, 1L, 0L))
+  }
 }
