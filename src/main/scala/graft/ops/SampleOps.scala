@@ -53,6 +53,23 @@ object SampleOps {
       .drop("__graft_cum")
   }
 
+  /** Materialize [[packBins]] output into one training sequence per bin:
+    * members are concatenated in the SAME deterministic hash order the
+    * packer used (collect_list is partitioning-ordered, so the collected
+    * structs are array_sort-ed by (hash, key) before joining — never
+    * rely on collection order). One aggregate keyed by (bucket, bin).
+    */
+  def materializePacked(packed: DataFrame, key: Column,
+      textCol: String): DataFrame = {
+    val item = struct(keyHash(key).as("h"), key.as("k"), col(textCol).as("t"))
+    packed.groupBy("pack_bucket", "bin_seq")
+      .agg(array_sort(collect_list(item)).as("__items"))
+      .select(col("pack_bucket"), col("bin_seq"),
+        concat_ws(" ", transform(col("__items"), x => x.getField("t")))
+          .as("sequence_text"),
+        size(col("__items")).cast("long").as("n_items"))
+  }
+
   /** Cap every group (domain, source, language …) at `maxRows`, keeping
     * the deterministic hash-order prefix — the C4-style per-domain cap
     * that stops a handful of giant domains from dominating the corpus,

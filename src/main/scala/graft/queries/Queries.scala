@@ -1005,6 +1005,27 @@ object Queries {
        |       WHEN tp.id_a IS NOT NULL THEN 'text' ELSE 'embedding' END AS via
        |FROM tp FULL OUTER JOIN ep ON tp.id_a = ep.id_a AND tp.id_b = ep.id_b""".stripMargin
 
+  private def packMaterializeQ(s: SparkSession, dir: String): DataFrame = {
+    val packed = SampleOps.packBins(
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+      col("doc_id"), "n_tokens", capacity = 256, buckets = 8)
+    SampleOps.materializePacked(packed, col("doc_id"), "text")
+  }
+
+  private def packMaterializeSql =
+    s"""WITH packed AS (
+       |  SELECT doc_id, text, h, h % 8 AS pack_bucket,
+       |    COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 256 AS bin_seq
+       |  FROM (SELECT doc_id, text, len(string_split(text,' '))::BIGINT AS n_tokens,
+       |          ${sqlHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents))
+       |SELECT pack_bucket, bin_seq,
+       |  string_agg(text, ' ' ORDER BY h, doc_id) AS sequence_text,
+       |  count(*)::BIGINT AS n_items
+       |FROM packed GROUP BY pack_bucket, bin_seq""".stripMargin
+
   private def multimodalMetaQ(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaMeta(
       MultimodalOps.attachFakeMedia(t(s, dir, "documents"), "doc_id", "text"))
@@ -1153,6 +1174,7 @@ object Queries {
     "q_dedup_incremental" -> (dedupIncrementalQ _),
     "q_dedup_keep_best" -> (dedupKeepBestQ _),
     "q_pack_bins" -> (packBinsQ _),
+    "q_pack_materialize" -> (packMaterializeQ _),
     "q_funnel" -> (funnelQ _),
     "q_hybrid_near_dup" -> (hybridNearDupQ _),
     "q_top_terms" -> (topTermsQ _),
@@ -1217,6 +1239,7 @@ object Queries {
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_pack_bins" -> packBinsSql,
+    "q_pack_materialize" -> packMaterializeSql,
     "q_funnel" -> funnelSql,
     "q_hybrid_near_dup" -> hybridNearDupSql,
     "q_top_terms" -> topTermsSql,

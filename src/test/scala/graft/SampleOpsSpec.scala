@@ -66,6 +66,23 @@ class SampleOpsSpec extends SparkSpec {
     assert(again == packed.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet)
   }
 
+  test("materializePacked concatenates bin members in deterministic hash order") {
+    val chunks = corpus
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val packed = SampleOps.packBins(chunks, col("doc_id"), "n_tokens", 256, 4)
+    val seqs = SampleOps.materializePacked(packed, col("doc_id"), "text")
+    // no document lost: total member count equals the corpus size
+    assert(seqs.agg(sum(col("n_items"))).head().getLong(0) == corpus.count())
+    // deterministic across physical layout (collect order never leaks)
+    val again = SampleOps.materializePacked(
+      SampleOps.packBins(chunks.repartition(7), col("doc_id"), "n_tokens", 256, 4),
+      col("doc_id"), "text")
+      .orderBy("pack_bucket", "bin_seq").collect().map(_.getString(2)).toSeq
+    assert(again == seqs.orderBy("pack_bucket", "bin_seq")
+      .collect().map(_.getString(2)).toSeq)
+  }
+
   test("hashSample is monotone in the rate: smaller samples nest in larger") {
     val s100 = SampleOps.hashSample(corpus, col("doc_id"), 100, 1000)
       .select("doc_id").collect().map(_.getLong(0)).toSet
