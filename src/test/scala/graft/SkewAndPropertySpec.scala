@@ -78,6 +78,47 @@ class SkewAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: chunkDocuments reconstructs random token streams") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 12) {
+      val n = 1 + rnd.nextInt(40)
+      val text = (0 until n).map(i => s"t${rnd.nextInt(9)}x$i").mkString(" ")
+      val chunk = 2 + rnd.nextInt(8)
+      val overlap = rnd.nextInt(chunk)
+      val parts = graft.ops.TextOps.chunkDocuments(
+          Seq((0L, text)).toDF("doc_id", "text"), "doc_id", "text", chunk, overlap)
+        .orderBy("chunk_idx").collect().map(_.getString(2)).toSeq
+      val rebuilt = parts.head.split(" ").toSeq ++
+        parts.tail.flatMap(p => p.split(" ").drop(overlap).toSeq)
+      assert(rebuilt == text.split(" ").toSeq,
+        s"n=$n chunk=$chunk overlap=$overlap")
+    }
+  }
+
+  test("property: packBins never loses or duplicates items at any capacity") {
+    val rnd = new scala.util.Random(8)
+    for (_ <- 0 until 8) {
+      val rows = (0 until 1 + rnd.nextInt(60)).map(i => (i.toLong, 1L + rnd.nextInt(50)))
+      val capacity = 1 + rnd.nextInt(128)
+      val got = graft.ops.SampleOps.packBins(
+          rows.toDF("id", "n_tokens"), col("id"), "n_tokens", capacity, buckets = 4)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == rows.map(_._1).sorted.toSeq, s"capacity=$capacity")
+    }
+  }
+
+  test("property: hashSample partitions the corpus exactly across residue bands") {
+    // disjoint residue bands [0,300) and [300,1000) cover every row once:
+    // |sample(300)| + |band(300..1000)| == total, with no overlap
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lo = graft.ops.SampleOps.hashSample(docs, col("doc_id"), 300, 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = graft.ops.SampleOps.hashSample(docs, col("doc_id"), 1000, 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = all -- lo
+    assert(lo.intersect(hi).isEmpty && (lo.size + hi.size) == docs.count())
+  }
+
   test("property: delta rows always win; other rows survive") {
     for ((a, b) <- cases(seed = 5, n = 10).zip(cases(seed = 6, n = 10))
          if a.nonEmpty) {
