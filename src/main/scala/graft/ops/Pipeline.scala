@@ -448,11 +448,22 @@ object Pipeline {
             spark.read.schema("id LONG, adult BOOLEAN, __ord LONG").json(f.getPath),
             day, col("__ord"))
         }
+    // O15 parity: the movie path unions the movie and collection exports
+    // keep-first (reference tmdb_index.py:331-352) — here as a second
+    // fixture file alongside export.jsonl
+    val collectionPath = s"$sourceDir/collection_export.jsonl"
     val exportIds =
       if (sourceDir.isEmpty || !new java.io.File(s"$sourceDir/export.jsonl").exists())
         before.sparkSession.emptyDataFrame.withColumn("id", lit(null).cast(LongType))
           .filter(lit(false)).select("id")
-      else rawExport(spark, s"$sourceDir/export.jsonl").select("id")
+      else {
+        val primary = rawExport(spark, s"$sourceDir/export.jsonl")
+        val export =
+          if (kind == "movie" && new java.io.File(collectionPath).exists())
+            combinedExport(primary, rawExport(spark, collectionPath))
+          else primary
+        export.select("id")
+      }
     // O20: enrichment priority mirrors the reference's deploy modes —
     // a local external-ids fixture when present (the zero-egress
     // stand-in), else the live per-id HTTP loop when an API key is

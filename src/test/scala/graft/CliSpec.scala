@@ -74,6 +74,22 @@ class CliSpec extends SparkSpec {
     graft.ops.IndexOps.validateId(got)
   }
 
+  test("main: movie type unions the collection export keep-first") {
+    val (src, idx) = freshDirs("collexp")
+    writeLines(s"$src/changes/2024-01-02.jsonl", Seq(
+      """{"id": 0, "adult": false, "__ord": 0}""",
+      """{"id": 1, "adult": false, "__ord": 1}""",
+      """{"id": 2, "adult": false, "__ord": 2}"""))
+    writeLines(s"$src/export.jsonl", Seq("""{"id": 0}"""))
+    writeLines(s"$src/collection_export.jsonl", Seq("""{"id": 1}""", """{"id": 0}"""))
+    Pipeline.main(Array("--tmdb-type", "movie", "--file", idx, "--source-dir", src))
+    val rows = spark.read.parquet(idx).orderBy("id").collect()
+    // 0 from the movie export (dup in collection collapses keep-first),
+    // 1 only from the collection export, 2 in neither
+    assert(rows.map(r => (r.getLong(0), r.getAs[Boolean]("in_export"))).toSeq ==
+      Seq((0L, true), (1L, true), (2L, false)))
+  }
+
   test("main: second run refreshes from the persisted index; --dry-run does not publish") {
     val (src, idx) = freshDirs("rerun")
     writeLines(s"$src/changes/2024-01-02.jsonl", Seq(
