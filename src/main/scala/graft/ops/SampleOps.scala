@@ -70,6 +70,23 @@ object SampleOps {
         size(col("__items")).cast("long").as("n_items"))
   }
 
+  /** Stratified deterministic sampling: a per-group keep-rate (per
+    * mille), with groups absent from the map keeping the `default`. The
+    * C4/multilingual rebalancing shape — downsample the over-represented
+    * languages/domains, keep the rest — with [[hashSample]]'s guarantee
+    * that membership is a pure row function. Still a single codegen
+    * filter against the scan: the rate table compiles into a CASE chain.
+    */
+  def stratifiedHashSample(df: DataFrame, groupCol: String, key: Column,
+      perMille: Map[String, Int], default: Int = 1000): DataFrame = {
+    require((default +: perMille.values.toSeq).forall(r => r >= 0 && r <= 1000),
+      s"rates must be in [0, 1000]: $perMille / $default")
+    val rate = perMille.foldLeft(lit(default)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.filter(pmod(keyHash(key), lit(1000L)) < rate)
+  }
+
   /** Cap every group (domain, source, language …) at `maxRows`, keeping
     * the deterministic hash-order prefix — the C4-style per-domain cap
     * that stops a handful of giant domains from dominating the corpus,

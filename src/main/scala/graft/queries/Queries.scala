@@ -783,6 +783,16 @@ object Queries {
        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_ratio
        |FROM c GROUP BY doc_id""".stripMargin
 
+  private def stratifiedSampleQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.stratifiedHashSample(t(s, dir, "documents"), "lang", col("doc_id"),
+      Map("en" -> 200, "zh" -> 500), default = 1000)
+      .select("doc_id", "lang")
+
+  private def stratifiedSampleSql =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${sqlHash("CAST(doc_id AS VARCHAR)")} % 1000 <
+       |  CASE WHEN lang = 'en' THEN 200 WHEN lang = 'zh' THEN 500 ELSE 1000 END""".stripMargin
+
   private def hashSampleQ(s: SparkSession, dir: String): DataFrame =
     SampleOps.hashSample(t(s, dir, "documents"), col("doc_id"), 100, 1000)
       .select("doc_id", "lang", "source")
@@ -1181,6 +1191,7 @@ object Queries {
     "q_media_dup_groups" -> (mediaDupGroupsQ _),
     "q_repetition" -> (repetitionQ _),
     "q_hash_sample" -> (hashSampleQ _),
+    "q_stratified_sample" -> (stratifiedSampleQ _),
     "q_cap_per_source" -> (capPerSourceQ _),
     "q_dedup_clusters" -> (dedupClustersQ _))
 
@@ -1246,6 +1257,7 @@ object Queries {
     "q_media_dup_groups" -> mediaDupGroupsSql,
     "q_repetition" -> repetitionSql,
     "q_hash_sample" -> hashSampleSql,
+    "q_stratified_sample" -> stratifiedSampleSql,
     "q_cap_per_source" -> capPerSourceSql,
     "q_dedup_clusters" -> dedupClustersSql)
 }

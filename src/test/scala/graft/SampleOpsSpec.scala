@@ -91,6 +91,27 @@ class SampleOpsSpec extends SparkSpec {
     assert(s100.subsetOf(s300))
   }
 
+  test("stratifiedHashSample applies per-group rates, default for the rest") {
+    val sampled = SampleOps.stratifiedHashSample(
+      corpus, "lang", col("doc_id"), Map("en" -> 0), default = 1000)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val full = corpus.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(!byLang.contains("en")) // rate 0 drops the group entirely
+    full.filterNot(_._1 == "en").foreach { case (g, n) =>
+      assert(byLang(g) == n) // default 1000 keeps everything else
+    }
+    // per-group membership equals plain hashSample restricted to the group
+    val zh = SampleOps.stratifiedHashSample(
+        corpus, "lang", col("doc_id"), Map("zh" -> 300), default = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = SampleOps.hashSample(
+        corpus.filter(col("lang") === "zh"), col("doc_id"), 300, 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(zh == direct)
+  }
+
   test("capPerGroup cap above group size keeps everything") {
     val df = Seq((0L, "a"), (1L, "a"), (2L, "b")).toDF("id", "g")
     assert(SampleOps.capPerGroup(df, "g", col("id"), 10).count() == 3)
