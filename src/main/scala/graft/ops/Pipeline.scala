@@ -458,11 +458,11 @@ object Pipeline {
           .filter(lit(false)).select("id")
       else {
         val primary = rawExport(spark, s"$sourceDir/export.jsonl")
-        val export =
+        val combined =
           if (kind == "movie" && new java.io.File(collectionPath).exists())
             combinedExport(primary, rawExport(spark, collectionPath))
           else primary
-        export.select("id")
+        combined.select("id")
       }
     // O20: enrichment priority mirrors the reference's deploy modes —
     // a local external-ids fixture when present (the zero-egress
