@@ -484,16 +484,33 @@ object Pipeline {
 
     heightGuard(before, after)
     // reference-parity report (tmdb_index.py:698-703): ASCII_MARKDOWN
-    // stats table headed by the published filename
+    // Publish via stage-then-swap (same discipline as StreamOps.indexSink):
+    // the new index is written to a staging dir FIRST, so the summary's
+    // `before` frame still reads the intact old file, and the swap is the
+    // last step — the persisted index is never half-written. The rss line
+    // is the staged artifact's on-disk size (the reference reports the
+    // frame's in-memory Arrow size; Catalyst's sizeInBytes stat is a
+    // planning estimate that wildly overshoots after joins, so disk size
+    // is the honest analog); dry runs keep the estimate.
+    val staging = file + "__staging"
+    if (!dryRun) writeIndex(after, staging)
+    val rssBytes =
+      if (!dryRun) org.apache.commons.io.FileUtils.sizeOf(new java.io.File(staging))
+      else estimatedSizeBytes(after)
     val summary = formatSummaryAscii(if (before.isEmpty) after else before,
-      after, new java.io.File(file).getName, estimatedSizeBytes(after))
+      after, new java.io.File(file).getName, rssBytes)
     sys.env.get("GITHUB_STEP_SUMMARY").filter(_.nonEmpty) match {
       case Some(p) =>
         val w = new java.io.FileWriter(p, true)
         try w.write(summary + "\n") finally w.close()
       case None => println(summary)
     }
-    if (!dryRun) writeIndex(after, file)
+    if (!dryRun) {
+      val dst = new java.io.File(file)
+      if (dst.exists()) org.apache.commons.io.FileUtils.forceDelete(dst)
+      if (!new java.io.File(staging).renameTo(dst))
+        sys.error(s"failed to publish $staging -> $file")
+    }
     if (active.isEmpty) spark.stop()
   }
 }
