@@ -52,14 +52,6 @@ object DedupOps {
     df.select(col(idCol).as("sid"),
         explode(array_distinct(graft.functions.exprs.shingleHashes(col(textCol), k))).as("sh"))
 
-  /** Exact n-gram Jaccard similar pairs via inverted-index join.
-    *
-    * intersection(a,b) = #common shingle hashes, union = |a|+|b|−inter;
-    * emits pairs with jaccard >= minJaccard (id_a < id_b). `maxDf` drops
-    * shingles present in more than that many docs before the self-join —
-    * the df-cut that keeps the posting-list self-join near-linear on
-    * power-law corpora.
-    */
   /** Persist an intermediate when asked. The postings/signatures below
     * feed 3-4 consumers each; measured on local[32] at test scale,
     * recomputing them (codegen'd hashing over a hot page cache) beats the
@@ -71,6 +63,14 @@ object DedupOps {
   private def maybePersist(df: DataFrame, on: Boolean): DataFrame =
     if (on) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
 
+  /** Exact n-gram Jaccard similar pairs via inverted-index join.
+    *
+    * intersection(a,b) = #common shingle hashes, union = |a|+|b|−inter;
+    * emits pairs with jaccard >= minJaccard (id_a < id_b). `maxDf` drops
+    * shingles present in more than that many docs before the self-join —
+    * the df-cut that keeps the posting-list self-join near-linear on
+    * power-law corpora.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000,
       mat: Materializer = Materializer.Local): DataFrame = {
@@ -227,11 +227,6 @@ object DedupOps {
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
   }
 
-  /** SimHash: `bits`-wide signature from the doc's token-hash bit votes.
-    * One explode + one hash aggregate (sum of ±1 per bit), then the bits
-    * are reassembled arithmetically — exact integers throughout, and a
-    * single pass at scale.
-    */
   /** Connected components over near-dup pair edges: assigns every id the
     * minimum id reachable through the pair graph — the cluster key a
     * dedup pipeline keeps ONE canonical doc per. Iterative min-label
@@ -427,6 +422,11 @@ object DedupOps {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** SimHash: `bits`-wide signature from the doc's token-hash bit votes.
+    * One explode + one hash aggregate (sum of ±1 per bit), then the bits
+    * are reassembled arithmetically — exact integers throughout, and a
+    * single pass at scale.
+    */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 24): DataFrame = {
     val words = df.select(col(idCol).as("sid"),
         explode(TextOps.tokens(col(textCol))).as("w"))
