@@ -44,10 +44,22 @@ object Bench {
       }.min
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Tail-capture robustness (round-3 BENCH had parsed:null — the
+    // driver's tail window cut the head of the 2.6 KB line): per-query
+    // times at millisecond resolution halve the line; the total is
+    // emitted BOTH first ("value") and last ("total_sec") so either a
+    // head- or tail-truncated window still shows it; and the full JSON
+    // is also written to bench.json so the number survives any capture.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${r3(total)}}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }
+    println(json)
     spark.stop()
   }
 }

@@ -347,11 +347,52 @@ object Pipeline {
   // --- O23: CLI shell (tmdb_index.py:603-716) ---
 
   /** Read the persisted index or bootstrap the empty table (`id` only —
-    * reference :672). */
-  def readOrInit(spark: SparkSession, path: String): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    * reference :672). Before bootstrapping, recover from a publish that
+    * crashed between [[publishStaged]]'s two renames: a complete staging
+    * dir (it is fully written, `_SUCCESS` marker and all, before any
+    * rename starts) finishes its swap; otherwise the aside copy rolls
+    * back. Bootstrapping empty while either exists would silently lose
+    * the standing enrichment state — and then PASS `heightGuard`, which
+    * compares against whatever `before` frame this function returns.
+    */
+  def readOrInit(spark: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    if (!f.exists()) {
+      val staging = new java.io.File(path + "__staging")
+      val aside = new java.io.File(path + "__old")
+      if (staging.exists() && new java.io.File(staging, "_SUCCESS").exists()) {
+        if (!staging.renameTo(f)) sys.error(s"failed to recover $staging -> $path")
+        org.apache.commons.io.FileUtils.deleteQuietly(aside)
+      } else if (aside.exists()) {
+        if (!aside.renameTo(f)) sys.error(s"failed to recover $aside -> $path")
+      }
+    }
+    if (f.exists()) spark.read.parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField(ID, LongType))))
+  }
+
+  /** Crash-safe swap of a fully-written staging dir into place: the old
+    * index is renamed ASIDE first (never deleted before the new one has
+    * landed), staging is renamed in, and only then is the aside copy
+    * removed. A crash at any point leaves either the index file itself
+    * or a recoverable staging/aside dir — [[readOrInit]] completes or
+    * rolls back the interrupted swap on the next run.
+    */
+  def publishStaged(staging: String, file: String): Unit = {
+    val dst = new java.io.File(file)
+    val aside = new java.io.File(file + "__old")
+    // stale aside from an earlier publish that crashed AFTER its swap
+    // completed (dst exists): clear it so the rename below can land
+    if (aside.exists()) org.apache.commons.io.FileUtils.forceDelete(aside)
+    if (dst.exists() && !dst.renameTo(aside))
+      sys.error(s"failed to set aside $file")
+    if (!new java.io.File(staging).renameTo(dst)) {
+      if (aside.exists()) aside.renameTo(dst) // roll back, never leave a gap
+      sys.error(s"failed to publish $staging -> $file")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(aside)
+  }
 
   /** Monotonic-growth publish gate (reference :688-694). */
   def heightGuard(before: DataFrame, after: DataFrame): Unit = {
@@ -400,33 +441,47 @@ object Pipeline {
     * fallback; the run report honors `$GITHUB_STEP_SUMMARY` (append, like
     * a GitHub Actions step) and falls back to stdout (reference :701-703).
     */
-  def main(args: Array[String]): Unit = {
-    def opt(name: String, env: String, default: String): String = {
+  def main(args: Array[String]): Unit = runCli(args, sys.env)
+
+  /** CLI body with an injectable environment, so specs can pin the env
+    * fallbacks (a JVM can't set real env vars for an in-process run). */
+  def runCli(args: Array[String], env: Map[String, String]): Unit = {
+    def opt(name: String, envName: String, default: String): String =
+      optEnvs(name, Seq(envName), default)
+    // flag wins; then the first set env var in order (the reference's
+    // TMDB_-prefixed names first, this repo's historical names kept as
+    // fallback so existing deployments don't silently change behavior)
+    def optEnvs(name: String, envs: Seq[String], default: String): String = {
       val i = args.indexOf(s"--$name")
       if (i >= 0 && i + 1 < args.length) args(i + 1)
-      else sys.env.getOrElse(env, default)
+      else envs.iterator.flatMap(env.get).nextOption().getOrElse(default)
     }
     val kind = opt("tmdb-type", "TMDB_TYPE", "movie")
     val file = opt("file", "GRAFT_INDEX_FILE", s"/tmp/graft_$kind.parquet")
     val sourceDir = opt("source-dir", "GRAFT_SOURCE_DIR", "")
     val dryRun = args.contains("--dry-run")
     val verbose = args.contains("--verbose") ||
-      sys.env.get("VERBOSE").exists(_.nonEmpty)
+      env.get("VERBOSE").exists(_.nonEmpty)
     // accepted for parity; only consulted by the live-HTTP deployment
     // path (reference :613-617 requires it for its fetch loop — the
     // fixture fetcher here replaces that loop, see HttpJsonFetcher)
     val apiKey = opt("tmdb-api-key", "TMDB_API_KEY", "")
-    val backfill = opt("backfill-limit", "BACKFILL_LIMIT", "10000").toInt
-    val refresh = opt("refresh-limit", "REFRESH_LIMIT", "1000").toInt
-    val daysLimit = opt("days-limit", "DAYS_LIMIT", "30").toInt
+    // env names mirror the reference CLI's `envvar=` declarations
+    // (reference tmdb_index.py:636,645,652)
+    val backfill =
+      optEnvs("backfill-limit", Seq("TMDB_BACKFILL_LIMIT", "BACKFILL_LIMIT"), "10000").toInt
+    val refresh =
+      optEnvs("refresh-limit", Seq("TMDB_REFRESH_LIMIT", "REFRESH_LIMIT"), "1000").toInt
+    val daysLimit =
+      optEnvs("days-limit", Seq("TMDB_DAYS_LIMIT", "DAYS_LIMIT"), "30").toInt
 
     // reuse an already-running session (tests drive main in-JVM); only
     // stop what this invocation created
     val active = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = active.getOrElse(SparkSession.builder().master(
-        sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+        env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel(if (verbose) "INFO" else "WARN")
@@ -499,18 +554,13 @@ object Pipeline {
       else estimatedSizeBytes(after)
     val summary = formatSummaryAscii(if (before.isEmpty) after else before,
       after, new java.io.File(file).getName, rssBytes)
-    sys.env.get("GITHUB_STEP_SUMMARY").filter(_.nonEmpty) match {
+    env.get("GITHUB_STEP_SUMMARY").filter(_.nonEmpty) match {
       case Some(p) =>
         val w = new java.io.FileWriter(p, true)
         try w.write(summary + "\n") finally w.close()
       case None => println(summary)
     }
-    if (!dryRun) {
-      val dst = new java.io.File(file)
-      if (dst.exists()) org.apache.commons.io.FileUtils.forceDelete(dst)
-      if (!new java.io.File(staging).renameTo(dst))
-        sys.error(s"failed to publish $staging -> $file")
-    }
+    if (!dryRun) publishStaged(staging, file)
     if (active.isEmpty) spark.stop()
   }
 }

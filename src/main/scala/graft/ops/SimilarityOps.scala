@@ -68,21 +68,50 @@ object SimilarityOps {
   }
 
   /** Assign each row of a `withQ`-prefixed side to its `probes` nearest
-    * centroids (by cosine, ties to the lowest centroid id). The centroid
-    * frame is tiny, so Catalyst broadcasts it and assignment is a linear
-    * scan + per-row top-p window partitioned by the row id — no shuffle
-    * of the big side beyond the window's hash partitioning.
+    * centroids (by cosine, ties to the lowest centroid id) — MAP-ONLY.
+    *
+    * The codebook is folded into ONE array-of-structs row by a scalar
+    * subquery (computed once per query, reused by Catalyst), and each
+    * side row ranks the centroids locally with higher-order functions:
+    * `slice(array_sort(transform(cents, ...)), 1, probes)`. The big side
+    * is never shuffled, sorted, windowed, or aggregated — assignment is
+    * embarrassingly parallel, which is the plan you want at 10⁹ rows.
+    *
+    * Rejected alternatives (measured on Spark 4.1): the round-3
+    * `row_number` window sort-shuffles all N×K scored rows;
+    * `max_by(value, struct(ord, tiebreak))` plans as SortAggregate
+    * (struct ordering keys are not HashAggregate-mutable buffer types),
+    * and a `collect_list`-based ObjectHashAggregate falls back to
+    * sort-based aggregation past 128 distinct keys per partition — every
+    * aggregate form re-introduces a local sort of N×K rows plus a
+    * shuffle of N vectors that the per-row ranking simply avoids.
+    *
+    * The dot product inside the lambda is the compiled
+    * [[graft.functions.HashKernels.dotLong]] kernel (one interpreted
+    * dispatch per centroid, O(dim) work inside the kernel).
+    * `explode_outer` (not `explode`) keeps the optimizer from inferring
+    * a non-empty pre-filter that would re-evaluate the K-centroid
+    * ranking a second time per row; a null cluster (empty codebook) is
+    * dropped by the downstream equi-join. Zero-norm vectors have NaN
+    * cosine and rank last (the window ranked them first) — defined, and
+    * the sane choice: a meaningless cosine should never win assignment.
     */
-  private def assignClusters(cents: DataFrame, side: DataFrame, p: String,
+  private[graft] def assignClusters(cents: DataFrame, side: DataFrame, p: String,
       probes: Int): DataFrame = {
-    val scored = side.crossJoin(cents)
-      .withColumn("ccos",
-        cosineFromQ(dotQ(col(s"${p}_q"), col("cent_q")), col(s"${p}_n2"), col("cent_n2")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(s"${p}_id")).orderBy(col("ccos").desc, col("cent_id").asc)
-    scored.withColumn("crk", row_number().over(w)).filter(col("crk") <= probes)
+    val centArr = cents.agg(
+      collect_list(struct(col("cent_id"), col("cent_q"), col("cent_n2"))).as("cents"))
+    val ranked = transform(col("cents"), c =>
+      struct(
+        negate(cosineFromQ(dotQ(col(s"${p}_q"), c.getField("cent_q")),
+          col(s"${p}_n2"), c.getField("cent_n2"))).as("neg_cos"),
+        c.getField("cent_id").as("cent_id")))
+    side
+      .withColumn("cents", centArr.scalar())
+      .withColumn("top", slice(array_sort(ranked), 1, probes))
       .select(col(s"${p}_id"), col(s"${p}_q"), col(s"${p}_n2"),
-        col("cent_id").as(s"${p}_cluster"))
+        explode_outer(col("top")).as("pick"))
+      .select(col(s"${p}_id"), col(s"${p}_q"), col(s"${p}_n2"),
+        col("pick").getField("cent_id").as(s"${p}_cluster"))
   }
 
   /** IVF-style ANN: assign every corpus vector to its nearest centroid

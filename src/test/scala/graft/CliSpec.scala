@@ -90,6 +90,58 @@ class CliSpec extends SparkSpec {
       Seq((0L, true), (1L, true), (2L, false)))
   }
 
+  test("runCli: TMDB_-prefixed env limits drive the run and win over legacy names") {
+    val (src, idx) = freshDirs("envparity")
+    writeLines(s"$src/changes/2024-01-02.jsonl", Seq(
+      """{"id": 0, "adult": false, "__ord": 0}"""))
+    writeLines(s"$src/external_ids.jsonl", Seq(
+      """{"id": 0, "imdb_id": "tt1", "wikidata_id": "Q1", "tvdb_id": null}"""))
+    // reference env names (tmdb_index.py:636,645,652) zero the queue; the
+    // legacy names say 10000 — TMDB_* must win, so NO enrichment happens
+    Pipeline.runCli(Array("--tmdb-type", "movie", "--file", idx, "--source-dir", src),
+      Map("TMDB_BACKFILL_LIMIT" -> "0", "TMDB_REFRESH_LIMIT" -> "0",
+        "BACKFILL_LIMIT" -> "10000", "REFRESH_LIMIT" -> "1000"))
+    val cols = spark.read.parquet(idx).columns.toSeq
+    assert(!cols.contains("success") && !cols.contains("retrieved_at"), cols.toString)
+
+    // legacy names still work as fallback when the TMDB_ ones are unset
+    val (src2, idx2) = freshDirs("envparity2")
+    writeLines(s"$src2/changes/2024-01-02.jsonl", Seq(
+      """{"id": 0, "adult": false, "__ord": 0}"""))
+    writeLines(s"$src2/external_ids.jsonl", Seq(
+      """{"id": 0, "imdb_id": "tt1", "wikidata_id": "Q1", "tvdb_id": null}"""))
+    Pipeline.runCli(Array("--tmdb-type", "movie", "--file", idx2, "--source-dir", src2),
+      Map("BACKFILL_LIMIT" -> "1", "REFRESH_LIMIT" -> "0"))
+    assert(spark.read.parquet(idx2).columns.contains("success"))
+  }
+
+  test("publish crash recovery: interrupted swap is completed or rolled back, never empty") {
+    import spark.implicits._
+    val root = "/tmp/graft_cli_crash"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val idx = s"$root/index.parquet"
+    // crash AFTER the old index was set aside, BEFORE staging landed:
+    // only __old exists -> readOrInit rolls it back
+    Pipeline.writeIndex(Seq(1L, 2L).toDF("id"), idx)
+    assert(new java.io.File(idx).renameTo(new java.io.File(idx + "__old")))
+    assert(Pipeline.readOrInit(spark, idx).count() == 2)
+    assert(new java.io.File(idx).exists() && !new java.io.File(idx + "__old").exists())
+
+    // crash BETWEEN the renames with the (complete) staging dir present:
+    // the NEW index finishes its swap and the aside copy is cleared
+    Pipeline.writeIndex(Seq(1L, 2L, 3L).toDF("id"), idx + "__staging")
+    assert(new java.io.File(idx).renameTo(new java.io.File(idx + "__old")))
+    assert(Pipeline.readOrInit(spark, idx).count() == 3)
+    assert(!new java.io.File(idx + "__old").exists())
+    assert(!new java.io.File(idx + "__staging").exists())
+
+    // normal publish path keeps working end to end
+    Pipeline.writeIndex(Seq(1L, 2L, 3L, 4L).toDF("id"), idx + "__staging")
+    Pipeline.publishStaged(idx + "__staging", idx)
+    assert(spark.read.parquet(idx).count() == 4)
+    assert(!new java.io.File(idx + "__old").exists())
+  }
+
   test("main: second run refreshes from the persisted index; --dry-run does not publish") {
     val (src, idx) = freshDirs("rerun")
     writeLines(s"$src/changes/2024-01-02.jsonl", Seq(

@@ -108,6 +108,32 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(r4 == 1.0, s"probing all 4 clusters must equal brute force, got $r4")
   }
 
+  test("centroid assignment is map-only: no window/sort/shuffle of the side") {
+    val side = vecs.select(col("vec_id").as("q_id"),
+        SimilarityOps.quantize(col("embedding")).as("q_q"))
+      .withColumn("q_n2", SimilarityOps.norm2Q(col("q_q")))
+    val cents = vecs.filter(col("vec_id") === 0 || col("vec_id") === 2)
+      .select(col("vec_id").as("cent_id"),
+        SimilarityOps.quantize(col("embedding")).as("cent_q"))
+      .withColumn("cent_n2", SimilarityOps.norm2Q(col("cent_q")))
+    val asg = SimilarityOps.assignClusters(cents, side, "q", 2)
+    val plan = asg.queryExecution.executedPlan.toString
+    // round-3 shape was a row_number window = sort-shuffle of N×K scored
+    // rows; the aggregate forms (max_by struct / collect_list) plan as
+    // SortAggregate / sort-fallback ObjectHashAggregate. The map-only
+    // shape has NONE of those: the only exchange anywhere is the
+    // single-partition fold of the tiny codebook inside the scalar
+    // subquery — the side itself is scan → project → generate.
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
+    // multi-probe tie semantics preserved: vec 3 ties both centroids
+    // (cos 0), probes=2 assigns it to both, lowest centroid first
+    val picks = asg.filter(col("q_id") === 3).collect().map(_.getLong(3)).toSeq
+    assert(picks == Seq(0L, 2L), picks.toString)
+  }
+
   test("ivfTopK searches within the assigned cluster only") {
     val centroids = vecs.filter(col("vec_id") === 0 || col("vec_id") === 2)
     val got = SimilarityOps.ivfTopK(
