@@ -7,10 +7,11 @@ import java.time.Duration
 /** Per-item fetch with the reference's retry policy (tmdb_index.py:369-402),
   * split into a pure decision function (unit-testable offline) and a thin
   * transport. The pipeline consumes fetch results as an injected
-  * DataFrame (Pipeline.insertExternalIds); this module is how a deployment
-  * produces that frame from a live REST API — driver-side for queue sizes
-  * like the reference's (10^4/day), or inside `mapPartitions` with
-  * per-partition clients + rate limiting when the queue itself is big.
+  * DataFrame (Pipeline.insertExternalIds); a deployment produces that
+  * frame from a live REST API via `Pipeline.liveExternalIdsFetcher` — a
+  * `mapPartitions` over the queue with one [[HttpJsonFetcher]] per
+  * partition and per-partition request pacing, so the loop distributes
+  * instead of collecting the queue to the driver.
   */
 object FetchPolicy {
   sealed trait Decision

@@ -187,26 +187,49 @@ object Pipeline {
       .withColumn("retrieved_at", lit(fetchedAt))
   }
 
-  /** Live enrichment fetcher: drives a per-id JSON GET loop over the
-    * queue (reference tmdb_index.py:529-543) with an injectable
-    * transport — pass [[HttpJsonFetcher]]`.fetch` in production, a stub
-    * in tests (the reference tests stub `urlopen` the same way). The
-    * queue is bounded by backfill+refresh limits (10⁴/day shaped), so
-    * the driver-side loop matches the reference's sequential fetch; a
-    * queue large enough to need distribution belongs in `mapPartitions`
-    * with per-partition clients (see Fetch.scala notes).
+  /** Live enrichment fetcher: the per-id JSON GET loop over the queue
+    * (reference tmdb_index.py:529-543) run INSIDE the plan — a
+    * `mapPartitions` over the queue ids with one transport instance per
+    * partition, so the queue is never collected to the driver and a
+    * queue of any size distributes across executors. `transport` is a
+    * serializable FACTORY invoked once per partition (an HTTP client is
+    * not serializable; each partition builds its own): pass
+    * `() => new HttpJsonFetcher().fetch` in production, a stub lambda in
+    * tests (the reference tests stub `urlopen` the same way).
     *
-    * `fetch` returns Some(body) on 2xx, None on 404 (recorded as a
-    * failed row — fetched-and-absent); transport errors propagate after
-    * the retry policy gives up.
+    * `maxRpsPerPartition` paces each partition's loop (min-interval
+    * sleep between requests); the aggregate request rate is
+    * `maxRpsPerPartition × queue partitions`, so size the two together
+    * against the API's quota. 0 disables pacing. The reference's
+    * sequential loop is the one-partition special case
+    * (`queue.coalesce(1)`), giving the same global ordering and rate.
+    *
+    * The transport returns Some(body) on 2xx, None on 404 (recorded as
+    * a failed row — fetched-and-absent); transport errors propagate
+    * after the retry policy gives up, failing the task (Spark's task
+    * retry then re-runs only that partition's ids — fetches are
+    * idempotent GETs).
     */
   def liveExternalIdsFetcher(spark: SparkSession, kind: String,
-      urlFor: Long => String, fetch: String => Option[String],
-      fetchedAt: java.sql.Timestamp): DataFrame => DataFrame = { queue =>
+      urlFor: Long => String, transport: () => String => Option[String],
+      fetchedAt: java.sql.Timestamp,
+      maxRpsPerPartition: Double = 0.0): DataFrame => DataFrame = { queue =>
     import spark.implicits._
-    val ids = queue.select(col(ID)).collect().map(_.getLong(0)).toSeq
-    val bodies = ids.map(id => (id, fetch(urlFor(id))))
-    val raw = bodies.toDF(ID, "body")
+    val minIntervalNanos =
+      if (maxRpsPerPartition > 0) (1e9 / maxRpsPerPartition).toLong else 0L
+    val bodies = queue.select(col(ID)).as[Long].mapPartitions { ids =>
+      val fetch = transport() // one client per partition
+      var nextAllowed = System.nanoTime()
+      ids.map { id =>
+        if (minIntervalNanos > 0) {
+          val wait = nextAllowed - System.nanoTime()
+          if (wait > 0) Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
+          nextAllowed = math.max(System.nanoTime(), nextAllowed) + minIntervalNanos
+        }
+        (id, fetch(urlFor(id)))
+      }
+    }.toDF(ID, "body")
+    val raw = bodies
       .withColumn("success", col("body").isNotNull)
       .withColumn("parsed", from_json(col("body"),
         StructType(Seq(
@@ -532,7 +555,8 @@ object Pipeline {
       else if (apiKey.nonEmpty)
         liveExternalIdsFetcher(spark, kind,
           id => s"https://api.themoviedb.org/3/$kind/$id/external_ids?api_key=$apiKey",
-          new HttpJsonFetcher().fetch, now)
+          () => new HttpJsonFetcher().fetch, now,
+          maxRpsPerPartition = 10.0)
       else queue => queue.limit(0)
     val after = process(before, changeDays, exportIds, fetcher,
       backfill, refresh, daysLimit)

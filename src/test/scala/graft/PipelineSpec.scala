@@ -93,19 +93,33 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("liveExternalIdsFetcher drives the per-id loop through an injected transport") {
-    val fetched = scala.collection.mutable.ArrayBuffer[String]()
-    val fetch: String => Option[String] = url => {
-      fetched += url
-      if (url.contains("/tv/0/")) // id 1 is a 404 -> fetched-and-absent
-        Some("""{"imdb_id": "tt100", "wikidata_id": "Q7", "tvdb_id": 5}""")
-      else None
+    LiveFetchProbe.reset()
+    // transport factory runs INSIDE each task; the probe is a JVM-static
+    // object because the closure is serialized per task (a driver-side
+    // buffer would silently record nothing, even in local mode)
+    val transport: () => String => Option[String] = () => {
+      LiveFetchProbe.clients.incrementAndGet()
+      url => {
+        LiveFetchProbe.urls.add(url)
+        if (url.contains("/tv/0/")) // id 1 is a 404 -> fetched-and-absent
+          Some("""{"imdb_id": "tt100", "wikidata_id": "Q7", "tvdb_id": 5}""")
+        else None
+      }
     }
-    val got = Pipeline.liveExternalIdsFetcher(spark, "tv",
-        id => s"https://host/3/tv/$id/external_ids", fetch,
-        Timestamp.valueOf("2024-01-02 12:00:00"))(Seq(0L, 1L).toDF("id"))
-      .orderBy("id").collect()
-    assert(fetched.toSeq == Seq(
+    // two explicit input partitions: mapPartitions consumes them as-is
+    val queue = spark.sparkContext.parallelize(Seq(0L, 1L), 2).toDF("id")
+    val df = Pipeline.liveExternalIdsFetcher(spark, "tv",
+      id => s"https://host/3/tv/$id/external_ids", transport,
+      Timestamp.valueOf("2024-01-02 12:00:00"))(queue)
+    // the loop is part of the PLAN — the queue is never collected to the
+    // driver (round-3 shape); this is the verdict's no-driver-collect pin
+    assert(df.queryExecution.executedPlan.toString.contains("MapPartitions"))
+    // sort driver-side: a global orderBy adds a range-sampling pass that
+    // would re-run the fetch stage and double the client count
+    val got = df.collect().sortBy(_.getLong(0))
+    assert(LiveFetchProbe.urls.toArray.toSet == Set(
       "https://host/3/tv/0/external_ids", "https://host/3/tv/1/external_ids"))
+    assert(LiveFetchProbe.clients.get() == 2) // one client per partition
     assert(got(0).getAs[Boolean]("success"))
     assert(got(0).getAs[Long]("imdb_numeric_id") == 100L)
     assert(got(0).getAs[Long]("wikidata_numeric_id") == 7L)
@@ -113,6 +127,18 @@ class PipelineSpec extends SparkSpec {
     assert(!got(1).getAs[Boolean]("success"))
     assert(got(1).isNullAt(got(1).fieldIndex("imdb_numeric_id")))
     got.foreach(r => assert(!r.isNullAt(r.fieldIndex("retrieved_at"))))
+  }
+
+  test("liveExternalIdsFetcher paces each partition to maxRpsPerPartition") {
+    val transport: () => String => Option[String] = () => _ => None
+    val queue = spark.sparkContext.parallelize(Seq(0L, 1L, 2L), 1).toDF("id")
+    val t0 = System.nanoTime()
+    Pipeline.liveExternalIdsFetcher(spark, "movie", id => s"u/$id", transport,
+      Timestamp.valueOf("2024-01-02 12:00:00"), maxRpsPerPartition = 5.0)(queue)
+      .collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    // 3 requests at 5 rps = two enforced 200 ms gaps
+    assert(elapsedMs >= 400.0, s"expected >= 400 ms of pacing, got $elapsedMs ms")
   }
 
   test("process folds changes, refreshes export flag, enriches the queue") {
@@ -216,4 +242,11 @@ class PipelineSpec extends SparkSpec {
         |changes: +1 -0 ~1""".stripMargin
     assert(got == expected)
   }
+}
+
+/** JVM-static probe for the serialized-into-task transport closures. */
+object LiveFetchProbe {
+  val urls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val clients = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { urls.clear(); clients.set(0) }
 }
