@@ -17,14 +17,20 @@ object BucketOps {
   /** Persist `df` as a bucketed, per-bucket-sorted table. Drops a stale
     * registration/location first: with the in-memory catalog a previous
     * JVM's table directory survives while its registration doesn't, and
-    * overwrite refuses the orphaned location. */
+    * overwrite refuses the orphaned location. The stale location is
+    * resolved through the Hadoop FileSystem for the warehouse URI, so
+    * the helper works against any warehouse scheme (local fs, HDFS,
+    * s3a/abfs object stores), not just `file:`. Default-database layout
+    * (`<warehouse>/<table>`) assumed, matching the in-memory catalog.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir")), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)

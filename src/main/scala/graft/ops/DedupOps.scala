@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Deduplication operators for training-data pipelines: exact, MinHash/LSH,
   * SimHash, and n-gram Jaccard (north-star extension, SURVEY.md §7.1 step 6).
@@ -238,21 +239,36 @@ object DedupOps {
     * singletons appear as their own cluster). Output: (id, cluster_id).
     */
   def nearDupClusters(pairs: DataFrame, allIds: DataFrame, idCol: String,
-      maxRounds: Int = 20, mat: Materializer = Materializer.Local): DataFrame = {
+      maxRounds: Int = 20, mat: Materializer = Materializer.Local,
+      broadcastLabels: Boolean = true): DataFrame = {
     val edges = mat(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct())
-    var labels = mat(allIds.select(col(idCol).as("node"), col(idCol).as("label")))
-    var round = 0
-    var converged = false
-    // Convergence via the label-sum invariant: labels are per-node
-    // non-increasing (min-propagation), so the total is strictly smaller
-    // iff ANY node changed — one scalar aggregate on the materialized
-    // frame replaces a join + early-exit scan per round. Decimal sum so
-    // the check never overflows regardless of id magnitude.
+    // Iterate over the EDGE-INDUCED subgraph only: a node with no edges
+    // can never receive a smaller label, so the (usually dominant) mass
+    // of singleton docs is excluded from every round and rejoined once at
+    // the end. On a near-dup corpus the edge nodes are a few percent of
+    // the ids — the loop's joins shrink by that factor.
+    var labels = mat(edges.select(col("src").as("node"))
+      .distinct().withColumn("label", col("node")))
+    // Convergence check. For integral label types: the label-sum
+    // invariant (labels are per-node non-increasing under
+    // min-propagation, so the decimal(38,0) total strictly drops iff ANY
+    // node changed — one scalar aggregate per round). Other types
+    // (string/UUID doc ids) are NOT losslessly castable — the cast would
+    // null out and declare convergence after one round, silently
+    // under-merging — so they use an any-row-changed join on the
+    // (small, materialized) label frames instead.
+    val sumCheckable = allIds.schema(idCol).dataType match {
+      case types.ByteType | types.ShortType | types.IntegerType | types.LongType => true
+      case d: types.DecimalType => d.scale == 0
+      case _ => false // strings; fractional doubles could alias under cast
+    }
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
-    var prevSum = labelSum(labels)
+    var prevSum = if (sumCheckable) labelSum(labels) else None
+    var round = 0
+    var converged = false
     while (round < maxRounds && !converged) {
       // candidate label per node = min(own, min over neighbors' labels)
       val viaEdges = edges
@@ -260,15 +276,39 @@ object DedupOps {
         .select(col("src").as("node"), col("label"))
       val next = mat(labels.unionByName(viaEdges)
         .groupBy("node").agg(min(col("label")).as("label")))
-      // scale is fixed (decimal(38,0) sum), so Option/BigDecimal equality
-      // is exact; None == None converges the empty-graph case immediately
-      val curSum = labelSum(next)
-      converged = prevSum == curSum
-      prevSum = curSum
+      if (sumCheckable) {
+        // fixed scale, so Option/BigDecimal equality is exact; None ==
+        // None converges the empty-graph case immediately
+        val curSum = labelSum(next)
+        converged = prevSum == curSum
+        prevSum = curSum
+      } else {
+        converged = next
+          .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+          .filter(col("label") =!= col("prev")).isEmpty
+      }
+      mat.release(labels)
       labels = next
       round += 1
     }
-    labels.select(col("node").as(idCol), col("label").as("cluster_id"))
+    // rejoin the singletons: every id keeps its own label unless the loop
+    // assigned a smaller one. The label side is edge-nodes-only (small),
+    // so it is broadcast and the id universe is never shuffled; on a
+    // corpus whose near-dup subgraph outgrows executor memory, pass
+    // `broadcastLabels = false` to fall back to a shuffle join.
+    val labelSide = if (broadcastLabels) labels.hint("broadcast") else labels
+    val out = allIds.select(col(idCol).as("node"))
+      .join(labelSide, Seq("node"), "left")
+      .select(col("node").as(idCol),
+        coalesce(col("label"), col("node")).as("cluster_id"))
+    mat match {
+      case p: Materializer.Parquet =>
+        // `out` still reads the final labels parquet — retire only the
+        // edge list, which nothing downstream references
+        p.release(edges)
+      case _ => ()
+    }
+    out
   }
 
   /** Incremental near-dup check of a NEW batch against an EXISTING
@@ -395,6 +435,13 @@ object DedupOps {
     */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 24, maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+    // bits > 63 would overflow the signed-long chunk mask (1L << 64 == 0,
+    // collapsing every signature into one bucket — silent zero recall
+    // once maxBucket drops it); fewer than maxHamming+1 bits cannot give
+    // every chunk at least one bit (the pigeonhole guarantee needs
+    // maxHamming+1 non-empty chunks)
+    require(bits >= maxHamming + 1 && bits <= 63,
+      s"bits must be in [maxHamming+1, 63] = [${maxHamming + 1}, 63], got $bits")
     val s = simhash(df, idCol, textCol, bits)
     val nChunks = maxHamming + 1
     // chunk i covers bits [lo, hi): even spread, first chunks get the

@@ -26,6 +26,15 @@ import org.apache.spark.sql.DataFrame
   */
 sealed trait Materializer {
   def apply(df: DataFrame): DataFrame
+
+  /** Release a frame previously returned by [[apply]], promising it will
+    * never be read again (e.g. a superseded iteration of a loop). No-op
+    * for the in-memory strategies (Spark's storage eviction owns those
+    * blocks); [[Materializer.Parquet]] deletes the frame's backing
+    * directory — without this, an iterative fold leaks one full copy of
+    * its state per round for the life of the driver.
+    */
+  def release(df: DataFrame): Unit = ()
 }
 
 object Materializer {
@@ -52,13 +61,27 @@ object Materializer {
     }
   }
 
-  /** Parquet round-trip under `dir` (one numbered subdirectory per call). */
+  /** Parquet round-trip under `dir` (one numbered subdirectory per call).
+    * Returned frames are tracked so [[release]] can delete a superseded
+    * frame's directory (identity-keyed: the exact frame returned by
+    * apply, not a derived one).
+    */
   final case class Parquet(dir: String) extends Materializer {
     private val n = new AtomicLong()
+    private val backing =
+      java.util.Collections.synchronizedMap(
+        new java.util.IdentityHashMap[DataFrame, String]())
     def apply(df: DataFrame): DataFrame = {
       val path = s"$dir/graft_mat_${n.getAndIncrement()}"
       df.write.mode("overwrite").parquet(path)
-      df.sparkSession.read.parquet(path)
+      val back = df.sparkSession.read.parquet(path)
+      backing.put(back, path)
+      back
+    }
+    override def release(df: DataFrame): Unit = {
+      val path = backing.remove(df)
+      if (path != null)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     }
   }
 }

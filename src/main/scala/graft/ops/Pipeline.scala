@@ -329,7 +329,8 @@ object Pipeline {
     * separators. [[formatSummary]] remains the compact variant.
     */
   def formatSummaryAscii(dfOld: DataFrame, dfNew: DataFrame,
-      filename: String, rssBytes: Long): String = {
+      filename: String, rssBytes: Long,
+      dtypeOverride: Map[String, String] = Map.empty): String = {
     validateId(dfOld)
     validateId(dfNew)
     val n = dfNew.count()
@@ -345,7 +346,12 @@ object Pipeline {
       .map(h => s"$h (str)")
     val cells = stats.map { r =>
       val isBool = types(r.getString(0)) == BooleanType
-      Seq(r.getString(0), polarsDtype(types(r.getString(0))),
+      Seq(r.getString(0),
+        // declared-dtype override: Spark has no unsigned ints, so a
+        // deployment that KNOWS a column is uint32-clamped (clampUInt32)
+        // can annotate it `u32` and reproduce the reference's report
+        // byte-for-byte — the physical Spark type stays i64
+        dtypeOverride.getOrElse(r.getString(0), polarsDtype(types(r.getString(0)))),
         fmt(r.getLong(2)),
         if (isBool) fmt(r.getLong(3)) else "",
         if (isBool) fmt(r.getLong(4)) else "",

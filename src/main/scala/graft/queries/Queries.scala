@@ -458,6 +458,9 @@ object Queries {
        |  coalesce(a.n_shingles, 0)::BIGINT AS n_shingles, a.min_shingle_hash
        |FROM w LEFT JOIN agg a ON a.doc_id = w.doc_id""".stripMargin
 
+  // default hashKey=true: groups by xxhash64(text), whose 64-bit
+  // collision bound (~N²/2⁶⁵) is accepted here for the 8-byte shuffle
+  // key; a caller needing byte-exact grouping passes hashKey=false
   private def dedupExactQ(s: SparkSession, dir: String): DataFrame =
     DedupOps.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
 

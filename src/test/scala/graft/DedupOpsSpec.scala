@@ -83,6 +83,27 @@ class DedupOpsSpec extends SparkSpec {
       5L -> 1L, 6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("nearDupClusters handles STRING ids: multi-hop chains still merge fully") {
+    // string labels are not decimal-castable — the label-sum convergence
+    // shortcut would see null sums and stop after ONE propagation round;
+    // a 3-hop chain needs two, so full merging proves the join-based
+    // change check kicks in for non-numeric id types
+    val pairs = Seq(("d", "c"), ("c", "b"), ("b", "a")).toDF("id_a", "id_b")
+    val ids = Seq("a", "b", "c", "d", "e").toDF("doc_id")
+    val got = DedupOps.nearDupClusters(pairs, ids, "doc_id")
+      .orderBy("doc_id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "e"))
+  }
+
+  test("simhashNearPairs rejects bit widths the long chunk math cannot hold") {
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashNearPairs(docs, "doc_id", "text", bits = 64, maxHamming = 0)
+    }
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashNearPairs(docs, "doc_id", "text", bits = 3, maxHamming = 3)
+    }
+  }
+
   test("dedupByMinhash keeps one canonical doc per near-dup cluster") {
     val kept = DedupOps.dedupByMinhash(docs, "doc_id", "text", minJaccard = 0.9)
       .select("doc_id").collect().map(_.getLong(0)).sorted
@@ -168,6 +189,32 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.exists(p => p._1 == 3L && p._2 == 0L && p._3 == 1.0))
     assert(!got.exists(p => p._2 == 2L)) // unrelated index doc untouched
+  }
+
+  test("dedupAgainstIndex recall vs full recompute on the real corpus") {
+    // The incremental path verifies candidates at SIGNATURE level
+    // (fraction of agreeing minhash components estimates Jaccard — the
+    // standing corpus' raw text may be in cold storage), while the full
+    // recompute verifies at SHINGLE level. This pins what that loses:
+    // every cross-boundary pair the full pipeline finds must also be
+    // found incrementally, up to the pinned recall floor.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val oldDocs = corpus.filter(col("doc_id") < 450)
+    val newDocs = corpus.filter(col("doc_id") >= 450)
+    val full = DedupOps.minhashDedupPairs(corpus, "doc_id", "text",
+        numHashes = 16, k = 3, bands = 8, minJaccard = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1))).toSet
+    val crossFull = full.filter(p => (p._1 < 450) != (p._2 < 450))
+    val indexSigs = DedupOps.minhashSignatures(oldDocs, "doc_id", "text", 16, k = 3)
+    val inc = DedupOps.dedupAgainstIndex(newDocs, indexSigs, "doc_id", "text",
+        numHashes = 16, k = 3, bands = 8, minEstJaccard = 0.5)
+      .select("id_new", "id_old").collect()
+      .map(r => (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1))).toSet
+    assert(crossFull.nonEmpty) // driver plants near-dups across the split
+    val recall = inc.intersect(crossFull).size.toDouble / crossFull.size
+    assert(recall >= 0.8,
+      s"incremental recall $recall (${inc.intersect(crossFull).size}/${crossFull.size})")
   }
 
   test("dedupKeepBest keeps the highest-scoring doc per cluster") {
@@ -272,6 +319,18 @@ class DedupOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
       5L -> 1L, 6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+
+    // Parquet strategy: CC's loop releases superseded rounds, so after
+    // the final frame is consumed at most the final labels dir remains —
+    // round-3 leaked one labels copy per round for the driver's lifetime
+    val pqDir = s"$root/pq_cc"
+    val pq = Materializer.Parquet(pqDir)
+    val got2 = DedupOps.nearDupClusters(pairs, ids, "doc_id", mat = pq)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got2.toSeq == got.toSeq)
+    val remaining = new java.io.File(pqDir).listFiles()
+    assert(remaining != null && remaining.length <= 1,
+      s"released dirs must be deleted, found: ${remaining.toSeq.mkString(", ")}")
   }
 
   test("simhash of identical docs matches; hamming-near for near dups") {

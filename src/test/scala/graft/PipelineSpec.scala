@@ -218,6 +218,25 @@ class PipelineSpec extends SparkSpec {
          |changes: +1 -0 ~1
          |rss: 0.0MB""".stripMargin
     assert(got == expected)
+
+    // with the declared-dtype override the output reproduces the
+    // reference's own golden literally — INCLUDING the u32 cell Spark
+    // has no physical type for (ids are uint32-clamped by clampUInt32,
+    // so the annotation is truthful)
+    val gotU32 = Pipeline.formatSummaryAscii(old, neu, "tmdb-movie.parquet", 0L,
+      dtypeOverride = Map("id" -> "u32"))
+    val referenceGolden =
+      """|## tmdb-movie.parquet
+         |
+         || name (str) | dtype (str) | null (str) | true (str) | false (str) | unique (str) | updated (str) |
+         ||------------|-------------|------------|------------|-------------|--------------|---------------|
+         || id         | u32         |            |            |             | true         |               |
+         || adult      | bool        |            | 1 (33.3%)  | 2 (66.7%)   |              | 1 (33.3%)     |
+         |
+         |shape: (3, 2)
+         |changes: +1 -0 ~1
+         |rss: 0.0MB""".stripMargin
+    assert(gotU32 == referenceGolden)
   }
 
   test("formatSummaryAscii thousands separators on large counts") {
