@@ -265,6 +265,13 @@ object exprs {
   def wordCounts(c: Column, words: Seq[String]): Column =
     shims.column(WordOccurrenceCounts(shims.expression(c), words))
 
+  /** Top-k (ord, value) pairs per group as an aggregate column —
+    * `array<struct<ord, value>>` ranked (ord desc, value asc); the
+    * shuffle-light replacement for a per-group ranking window. */
+  def topKByOrd(ord: Column, value: Column, k: Int): Column =
+    shims.column(TopKByOrdPairs(shims.expression(ord), shims.expression(value), k)
+      .toAggregateExpression())
+
   /** Make the custom expressions callable from `spark.sql(...)`:
     * graft_char_hash(s), graft_shingle_hashes(s, k),
     * graft_dot_long(a, b), graft_quantize(v, scale).

@@ -76,13 +76,21 @@ object DedupOps {
       k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000,
       mat: Materializer = Materializer.Local): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // df-cut and per-doc sizes as two window passes over one pipeline,
-    // then materialize once (per `mat`) so the self-join reads the edge
-    // list instead of recomputing it per side. Sizes ride along the
-    // exploded rows — no separate sizes join.
-    val filtered = mat(shingleHashes(df, idCol, textCol, k)
-      .withColumn("df_cnt", count(lit(1)).over(Window.partitionBy("sh")))
-      .filter(col("df_cnt") <= maxDf).drop("df_cnt")
+    // df-cut as a broadcast ANTI-join: shingles over the cut are FEW
+    // (the power-law tail the cut exists for), so count them with a
+    // map-side-combined narrow aggregate and anti-join the postings
+    // against the broadcast hot set. The postings list itself never
+    // shuffles by shingle for the cut — the round-3 count-window did,
+    // concentrating every copy of a hot shingle in one partition, i.e.
+    // paying the exact skew the cut is meant to remove. Per-doc sizes
+    // then ride along the surviving rows (one window by doc id — groups
+    // bounded by a doc's shingle count), and the result materializes
+    // once (per `mat`) so the self-join reads the edge list instead of
+    // recomputing it per side.
+    val postings = shingleHashes(df, idCol, textCol, k)
+    val hot = postings.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") > maxDf).select("sh")
+    val filtered = mat(postings.join(broadcast(hot), Seq("sh"), "left_anti")
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("sid"))))
     val a = filtered.select(col("sid").as("id_a"), col("n_sh").as("n_a"), col("sh"))
     val b = filtered.select(col("sid").as("id_b"), col("n_sh").as("n_b"), col("sh"))

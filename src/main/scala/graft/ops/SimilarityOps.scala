@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * (division / sqrt are exactly rounded), which makes results
   * bit-reproducible across engines — the DuckDB oracle matches exactly.
   *
-  * Scale posture: top-k per query is a window over the query id —
-  * shuffle-partitioned by query, never a global sort. Brute force is
+  * Scale posture: top-k per query is a bounded custom aggregate keyed
+  * by query id (O(k) buffers, map-side combined — the exchange carries
+  * answers, not candidates), never a global sort. Brute force is
   * O(|Q|·|C|): fine for |Q| small (broadcast the queries); the IVF path
   * prunes the corpus side by centroid assignment so the join is
   * |Q|·|C|/K per probed cluster.
@@ -59,13 +60,20 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("c_id"), col("cos"), col("rk").cast("long").as("rk"))
-  }
+  /** Top-k per query via the custom bounded aggregate
+    * [[graft.functions.TopKByOrdPairs]] — same total order a
+    * `row_number` window over (cos desc, c_id asc) would give, but the
+    * candidates partial-aggregate map-side into O(k) buffers, so the
+    * exchange carries |queries| × k pairs instead of sort-shuffling
+    * EVERY candidate row (at IVF scale, candidates per query =
+    * |cluster| × nprobe — orders of magnitude more than k).
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.exprs.topKByOrd(col("cos"), col("c_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "pick")))
+      .select(col("q_id"), col("pick.value").as("c_id"), col("pick.ord").as("cos"),
+        (col("pos") + 1).cast("long").as("rk"))
 
   /** Assign each row of a `withQ`-prefixed side to its `probes` nearest
     * centroids (by cosine, ties to the lowest centroid id) — MAP-ONLY.

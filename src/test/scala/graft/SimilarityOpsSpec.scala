@@ -134,6 +134,31 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(picks == Seq(0L, 2L), picks.toString)
   }
 
+  test("top-k per query is the bounded aggregate, not a ranking window") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val topk = SimilarityOps.bruteForceTopK(
+      em.filter(col("vec_id") < 5), em, "vec_id", "embedding", k = 4)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("graft_top_k_by_ord"), plan.take(2000))
+    // equivalence against an independent window-ranked reference
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    val scored = em.filter(col("vec_id") < 5).select(col("vec_id").as("q_id"),
+        SimilarityOps.quantize(col("embedding")).as("q_q"))
+      .withColumn("q_n2", SimilarityOps.norm2Q(col("q_q")))
+      .crossJoin(em.select(col("vec_id").as("c_id"),
+          SimilarityOps.quantize(col("embedding")).as("c_q"))
+        .withColumn("c_n2", SimilarityOps.norm2Q(col("c_q"))))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", SimilarityOps.cosineFromQ(
+        SimilarityOps.dotQ(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")))
+    val ref = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rk").cast("long").as("rk"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(topk.collect().map(_.toString).sorted.toSeq == ref)
+  }
+
   test("ivfTopK searches within the assigned cluster only") {
     val centroids = vecs.filter(col("vec_id") === 0 || col("vec_id") === 2)
     val got = SimilarityOps.ivfTopK(
