@@ -293,6 +293,11 @@ object exprs {
     shims.registerFunction(spark, "graft_quantize",
       args => QuantizeVector(args.head,
         if (args.length > 1) intArg(args(1), "scale") else 10000L))
+    // aggregate: graft_top_k(ord, value, k) -> array<struct<ord, value>>
+    // ranked (ord desc, value asc) — the analyzer wraps the returned
+    // AggregateFunction in its AggregateExpression
+    shims.registerFunction(spark, "graft_top_k",
+      args => TopKByOrdPairs(args(0), args(1), intArg(args(2), "k").toInt))
     // word list as a comma-separated string literal (SQL has no Seq arg)
     shims.registerFunction(spark, "graft_word_counts",
       args => WordOccurrenceCounts(args.head, args(1) match {

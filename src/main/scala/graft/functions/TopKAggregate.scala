@@ -85,6 +85,9 @@ case class TopKByOrdPairs(ord: Expression, value: Expression, k: Int,
   override def createAggregationBuffer(): TopKPairsBuffer = new TopKPairsBuffer(k)
 
   override def update(b: TopKPairsBuffer, input: InternalRow): TopKPairsBuffer = {
+    // null ord/value rows are dropped entirely (a desc window would rank
+    // them last and only surface them when a group has < k candidates);
+    // NaN ords rank FIRST, matching the window's desc NaN-greatest order
     val o = ord.eval(input)
     val v = value.eval(input)
     if (o != null && v != null)

@@ -29,6 +29,19 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaSql.getLong(3) == 5000L * 5000L + 2500L * 2500L)
   }
 
+  test("graft_top_k aggregates the ranked pairs from SQL") {
+    exprs.registerSql(spark)
+    Seq((1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.9, 7L), (2L, 0.1, 20L))
+      .toDF("g", "ord", "v").createOrReplaceTempView("sqlfn_topk")
+    val got = spark.sql(
+      "SELECT g, graft_top_k(ord, v, 2) AS top FROM sqlfn_topk GROUP BY g ORDER BY g")
+      .collect()
+    // group 1: ties at 0.9 break by value asc -> 7 then 11; 0.5 dropped (k=2)
+    assert(got(0).getSeq[org.apache.spark.sql.Row](1).map(r =>
+      (r.getDouble(0), r.getLong(1))) == Seq((0.9, 7L), (0.9, 11L)))
+    assert(got(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(20L))
+  }
+
   test("graft_word_counts takes its word list as a CSV string literal") {
     exprs.registerSql(spark)
     Seq(Tuple1("a b a c")).toDF("t").createOrReplaceTempView("sqlfn_wc")
