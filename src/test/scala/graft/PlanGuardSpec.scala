@@ -38,4 +38,27 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("ngram pairs: the df-cut is a broadcast anti-join, not a shingle-keyed window") {
+    // probe with Inline materialization: the default localCheckpoint
+    // truncates the plan, hiding the cut inside a checkpointed leaf
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.ops.DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, minJaccard = 0.5, mat = graft.ops.Materializer.Inline)
+      .queryExecution.executedPlan.toString
+    // round-4 shape: hot shingles counted map-side-combined and removed
+    // with a broadcast LeftAnti join; the only window left is the
+    // per-doc size ride-along (partitioned by doc id, never by shingle)
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("windowspecdefinition(sh"), plan.take(3000))
+    assert(plan.contains("windowspecdefinition(sid"), plan.take(3000))
+  }
+
+  test("similarity top-k queries rank via the bounded aggregate, never a window") {
+    for (q <- Seq("q_embed_cosine_topk", "q_ivf_topk")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Window"), s"$q: ${plan.take(2000)}")
+      assert(plan.contains("graft_top_k_by_ord"), s"$q: ${plan.take(2000)}")
+    }
+  }
 }

@@ -119,6 +119,44 @@ class SkewAndPropertySpec extends SparkSpec {
     assert(lo.intersect(hi).isEmpty && (lo.size + hi.size) == docs.count())
   }
 
+  test("property: TopKPairsBuffer insert/merge/serde equal a sort reference") {
+    import graft.functions.{TopKByOrdPairs, TopKPairsBuffer}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val rnd = new scala.util.Random(11L)
+    // ord pool stresses the edge ordering: NaN (ranks FIRST), signed
+    // zeros (equal), and tie-heavy plain values (break by value asc)
+    val ordPool = Array(Double.NaN, -0.0, 0.0, 1.5, 1.5, -2.25, 3.0, 0.5)
+    def refTopK(pairs: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
+      pairs.sortWith { case ((o1, v1), (o2, v2)) =>
+        // independent reference order: +0.0 normalizes -0.0; NaN sorts
+        // greatest under Double.compare — rank = ord desc, value asc
+        val c = java.lang.Double.compare(o2 + 0.0, o1 + 0.0)
+        if (c != 0) c < 0 else v1 < v2
+      }.take(k)
+    for (_ <- 1 to 200) {
+      val k = 1 + rnd.nextInt(5)
+      val pairs = Seq.fill(rnd.nextInt(30))(
+        (ordPool(rnd.nextInt(ordPool.length)), rnd.nextLong(10L)))
+      // split into random partial buffers, round-trip each through the
+      // aggregate's serializer, then merge — the distributed life cycle
+      val agg = TopKByOrdPairs(Literal(0.0), Literal(0L), k)
+      val parts = pairs.grouped(math.max(1, 1 + rnd.nextInt(7))).map { chunk =>
+        val b = new TopKPairsBuffer(k)
+        chunk.foreach { case (o, v) => b.insert(o, v) }
+        agg.deserialize(agg.serialize(b))
+      }
+      val merged = parts.foldLeft(new TopKPairsBuffer(k))(agg.merge)
+      val got = (0 until merged.n).map(i => (merged.ords(i), merged.vals(i)))
+      val want = refTopK(pairs, k)
+      // compare on canonical bits: doubleToLongBits canonicalizes NaN,
+      // +0.0 normalizes -0.0 — both sides are stable orders, so the
+      // surviving representatives must match exactly
+      def key(p: (Double, Long)) =
+        (java.lang.Double.doubleToLongBits(p._1 + 0.0), p._2)
+      assert(got.map(key) == want.map(key), s"pairs=$pairs k=$k got=$got want=$want")
+    }
+  }
+
   test("property: delta rows always win; other rows survive") {
     for ((a, b) <- cases(seed = 5, n = 10).zip(cases(seed = 6, n = 10))
          if a.nonEmpty) {
