@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.StringType
+
+/** Session-extension entry point: registers every graft SQL function at
+  * session build time, so a pure-SQL deployment enables them with
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` and
+  * never has to call [[exprs.registerSql]] from code. The function set
+  * and semantics are identical to `registerSql` (spec-pinned).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Single source of truth for the SQL surface — shared with
+    * [[exprs.registerSql]] so the two registration paths cannot drift. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_char_hash" -> (args => WeightedCharHash(args.head)),
+    "graft_shingle_hashes" -> (args =>
+      ShingleHashArray(args.head, intArg(args(1), "shingle size").toInt)),
+    "graft_dot_long" -> (args => DotProductLong(args(0), args(1))),
+    "graft_quantize" -> (args => QuantizeVector(args.head,
+      if (args.length > 1) intArg(args(1), "scale") else 10000L)),
+    "graft_top_k" -> (args =>
+      TopKByOrdPairs(args(0), args(1), intArg(args(2), "k").toInt)),
+    // word list as a comma-separated string literal (SQL has no Seq arg)
+    "graft_word_counts" -> (args => WordOccurrenceCounts(args.head, args(1) match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        v.toString.split(",").toSeq
+      case other => throw new IllegalArgumentException(
+        s"word list must be a string literal, got $other")
+    })))
+}

@@ -272,39 +272,16 @@ object exprs {
     shims.column(TopKByOrdPairs(shims.expression(ord), shims.expression(value), k)
       .toAggregateExpression())
 
-  /** Make the custom expressions callable from `spark.sql(...)`:
-    * graft_char_hash(s), graft_shingle_hashes(s, k),
-    * graft_dot_long(a, b), graft_quantize(v, scale).
+  /** Make the custom expressions callable from `spark.sql(...)` on a
+    * LIVE session: graft_char_hash(s), graft_shingle_hashes(s, k),
+    * graft_dot_long(a, b), graft_quantize(v, scale),
+    * graft_top_k(ord, v, k), graft_word_counts(s, csv). The builders are
+    * shared with [[GraftExtensions]] (the session-build-time
+    * `spark.sql.extensions` path for pure-SQL deployments), so the two
+    * registration routes cannot drift.
     */
-  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-    def intArg(e: Expression, what: String): Long = e match {
-      case Literal(v: Int, _) => v.toLong
-      case Literal(v: Long, _) => v
-      case other => throw new IllegalArgumentException(
-        s"$what must be an integer literal, got $other")
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      shims.registerFunction(spark, name, builder)
     }
-    shims.registerFunction(spark, "graft_char_hash",
-      args => WeightedCharHash(args.head))
-    shims.registerFunction(spark, "graft_shingle_hashes",
-      args => ShingleHashArray(args.head, intArg(args(1), "shingle size").toInt))
-    shims.registerFunction(spark, "graft_dot_long",
-      args => DotProductLong(args(0), args(1)))
-    shims.registerFunction(spark, "graft_quantize",
-      args => QuantizeVector(args.head,
-        if (args.length > 1) intArg(args(1), "scale") else 10000L))
-    // aggregate: graft_top_k(ord, value, k) -> array<struct<ord, value>>
-    // ranked (ord desc, value asc) — the analyzer wraps the returned
-    // AggregateFunction in its AggregateExpression
-    shims.registerFunction(spark, "graft_top_k",
-      args => TopKByOrdPairs(args(0), args(1), intArg(args(2), "k").toInt))
-    // word list as a comma-separated string literal (SQL has no Seq arg)
-    shims.registerFunction(spark, "graft_word_counts",
-      args => WordOccurrenceCounts(args.head, args(1) match {
-        case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
-          v.toString.split(",").toSeq
-        case other => throw new IllegalArgumentException(
-          s"word list must be a string literal, got $other")
-      }))
-  }
 }

@@ -42,6 +42,35 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(got(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(20L))
   }
 
+  test("GraftExtensions registers the same surface at session build time") {
+    // a NEW session (sharing this JVM's SparkContext) built WITH the
+    // extension: getOrCreate reuses an existing default session and
+    // silently ignores extensions, so clear the default first and
+    // restore it after — the functions must resolve from SQL with no
+    // registerSql call
+    import org.apache.spark.sql.SparkSession
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val got = s2.sql(
+        "SELECT graft_char_hash('hello world') AS h, graft_top_k(d, v, 1) AS t " +
+          "FROM VALUES (0.5D, 1L), (0.9D, 2L) AS t(d, v) GROUP BY 1").head()
+      val viaCol = spark.range(1)
+        .select(exprs.charHashFast(lit("hello world"))).head().getLong(0)
+      assert(got.getLong(0) == viaCol)
+      assert(got.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(2L))
+    } finally {
+      SparkSession.clearActiveSession()
+      prev.foreach(SparkSession.setDefaultSession)
+      prev.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("graft_word_counts takes its word list as a CSV string literal") {
     exprs.registerSql(spark)
     Seq(Tuple1("a b a c")).toDF("t").createOrReplaceTempView("sqlfn_wc")
