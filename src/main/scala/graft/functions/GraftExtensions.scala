@@ -26,7 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private def intArg(e: Expression, what: String): Long = e match {
     case Literal(v: Int, _) => v.toLong
-    case Literal(v: Long, _) => v
+    case Literal(v: Long, _) =>
+      // .toInt at the use sites would silently wrap an out-of-range long
+      // (4294967298L -> k=2); fail loudly here instead
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"$what out of int range: $v")
+      v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }

@@ -74,7 +74,8 @@ object DedupOps {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000,
-      mat: Materializer = Materializer.Local): DataFrame = {
+      mat: Materializer = Materializer.Local,
+      broadcastHotSet: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // df-cut as a broadcast ANTI-join: shingles over the cut are FEW
     // (the power-law tail the cut exists for), so count them with a
@@ -87,10 +88,18 @@ object DedupOps {
     // bounded by a doc's shingle count), and the result materializes
     // once (per `mat`) so the self-join reads the edge list instead of
     // recomputing it per side.
+    // The hot-set aggregate and the anti-join each scan the shingled
+    // corpus once — a deliberate recompute (codegen shingling beats a
+    // full-postings materialization barrier ~2x locally, see
+    // maybePersist); at cluster scale pass mat = Parquet/Reliable and
+    // materialize upstream, or flip persistIntermediates where offered.
+    // `broadcastHotSet = false` is the escape hatch for a corpus where
+    // a tiny maxDf makes the over-the-cut set itself too big to ship.
     val postings = shingleHashes(df, idCol, textCol, k)
     val hot = postings.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") > maxDf).select("sh")
-    val filtered = mat(postings.join(broadcast(hot), Seq("sh"), "left_anti")
+    val hotSide = if (broadcastHotSet) broadcast(hot) else hot
+    val filtered = mat(postings.join(hotSide, Seq("sh"), "left_anti")
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("sid"))))
     val a = filtered.select(col("sid").as("id_a"), col("n_sh").as("n_a"), col("sh"))
     val b = filtered.select(col("sid").as("id_b"), col("n_sh").as("n_b"), col("sh"))

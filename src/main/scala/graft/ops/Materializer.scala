@@ -63,14 +63,18 @@ object Materializer {
 
   /** Parquet round-trip under `dir` (one numbered subdirectory per call).
     * Returned frames are tracked so [[release]] can delete a superseded
-    * frame's directory (identity-keyed: the exact frame returned by
-    * apply, not a derived one).
+    * frame's directory (keyed by reference identity — DataFrame doesn't
+    * override equals — and weakly, so frames the caller simply drops
+    * don't pin plans in driver memory for the materializer's lifetime;
+    * their directories stay, which is Parquet's "worth keeping" intent).
+    * Deletion goes through the Hadoop FileSystem of the frame's session,
+    * so any warehouse scheme works (local fs, HDFS, object stores).
     */
   final case class Parquet(dir: String) extends Materializer {
     private val n = new AtomicLong()
     private val backing =
       java.util.Collections.synchronizedMap(
-        new java.util.IdentityHashMap[DataFrame, String]())
+        new java.util.WeakHashMap[DataFrame, String]())
     def apply(df: DataFrame): DataFrame = {
       val path = s"$dir/graft_mat_${n.getAndIncrement()}"
       df.write.mode("overwrite").parquet(path)
@@ -80,8 +84,12 @@ object Materializer {
     }
     override def release(df: DataFrame): Unit = {
       val path = backing.remove(df)
-      if (path != null)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      if (path != null) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        try fs.delete(p, true)
+        catch { case _: java.io.IOException => () } // best-effort, like deleteQuietly
+      }
     }
   }
 }

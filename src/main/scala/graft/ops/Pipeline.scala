@@ -209,11 +209,22 @@ object Pipeline {
     * after the retry policy gives up, failing the task (Spark's task
     * retry then re-runs only that partition's ids — fetches are
     * idempotent GETs).
+    *
+    * The typed result is EAGERLY materialized through `mat` before it is
+    * returned: the enrichment upsert references the fetched frame twice
+    * (anti-join + union) and the CLI follows with count/write/summary
+    * actions — left lazy, every one of those would re-run the whole HTTP
+    * loop (multiplying load on the remote API and letting transient
+    * answers diverge between passes). Exactly-once is spec-pinned. Pass
+    * `Materializer.Reliable`/`Parquet` on a multi-node cluster where
+    * executor loss must not fail the run ([[Materializer]] trade table);
+    * `Inline` only if the caller materializes the result itself.
     */
   def liveExternalIdsFetcher(spark: SparkSession, kind: String,
       urlFor: Long => String, transport: () => String => Option[String],
       fetchedAt: java.sql.Timestamp,
-      maxRpsPerPartition: Double = 0.0): DataFrame => DataFrame = { queue =>
+      maxRpsPerPartition: Double = 0.0,
+      mat: Materializer = Materializer.Local): DataFrame => DataFrame = { queue =>
     import spark.implicits._
     val minIntervalNanos =
       if (maxRpsPerPartition > 0) (1e9 / maxRpsPerPartition).toLong else 0L
@@ -240,7 +251,7 @@ object Pipeline {
         col("parsed.imdb_id").as("imdb_id"),
         col("parsed.wikidata_id").as("wikidata_id"),
         col("parsed.tvdb_id").as("tvdb_id"))
-    typeExternalIds(raw, kind).withColumn("retrieved_at", lit(fetchedAt))
+    mat(typeExternalIds(raw, kind).withColumn("retrieved_at", lit(fetchedAt)))
   }
 
   // --- O21: process (tmdb_index.py:546-568) ---

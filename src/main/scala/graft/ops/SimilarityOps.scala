@@ -67,13 +67,34 @@ object SimilarityOps {
     * exchange carries |queries| × k pairs instead of sort-shuffling
     * EVERY candidate row (at IVF scale, candidates per query =
     * |cluster| × nprobe — orders of magnitude more than k).
+    *
+    * The aggregate carries long values, so non-long integral ids are
+    * cast in and back losslessly; non-integral id types (string/UUID)
+    * keep the window form — bounded-buffer ranking needs a fixed-width
+    * value, and correctness beats the shuffle saving there.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("q_id"))
-      .agg(graft.functions.exprs.topKByOrd(col("cos"), col("c_id"), k).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "pick")))
-      .select(col("q_id"), col("pick.value").as("c_id"), col("pick.ord").as("cos"),
-        (col("pos") + 1).cast("long").as("rk"))
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = scored.schema("c_id").dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integral)
+      scored.groupBy(col("q_id"))
+        .agg(graft.functions.exprs.topKByOrd(
+          col("cos"), col("c_id").cast("long"), k).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "pick")))
+        .select(col("q_id"), col("pick.value").cast(idType).as("c_id"),
+          col("pick.ord").as("cos"), (col("pos") + 1).cast("long").as("rk"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("q_id"), col("c_id"), col("cos"), col("rk").cast("long").as("rk"))
+    }
+  }
 
   /** Assign each row of a `withQ`-prefixed side to its `probes` nearest
     * centroids (by cosine, ties to the lowest centroid id) — MAP-ONLY.

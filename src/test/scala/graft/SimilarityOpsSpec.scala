@@ -108,6 +108,17 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(r4 == 1.0, s"probing all 4 clusters must equal brute force, got $r4")
   }
 
+  test("bruteForceTopK supports non-integral id types via the window fallback") {
+    // the bounded aggregate carries long values; string ids must keep
+    // working (round-3 window semantics), routed through the fallback
+    val svecs = vecs.select(concat(lit("d"), col("vec_id")).as("vec_id"), col("embedding"))
+    val got = SimilarityOps.bruteForceTopK(
+      svecs.filter(col("vec_id") === "d0"), svecs, "vec_id", "embedding", k = 2)
+      .orderBy("rk").collect()
+    // cos: d1 .994; d2/d3 tie at 0 -> lexicographic id tiebreak keeps d2
+    assert(got.map(_.getString(1)).toSeq == Seq("d1", "d2"))
+  }
+
   test("centroid assignment is map-only: no window/sort/shuffle of the side") {
     val side = vecs.select(col("vec_id").as("q_id"),
         SimilarityOps.quantize(col("embedding")).as("q_q"))
