@@ -102,6 +102,47 @@ object HashKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** SimHash signature in ONE text pass: tokenize on single spaces
+    * (empty tokens kept, mirroring `split(text, " ")` with Spark's
+    * keep-trailing-empties semantics), weightedCharHash each token, vote
+    * ±1 per bit, set bit where the vote sum is positive. Element-wise
+    * equal to the explode → 24-way conditional-sum aggregate it replaces
+    * (spec-pinned), but map-only: no word explosion, no shuffle.
+    */
+  def simhashBits(s: UTF8String, bits: Int): Long = {
+    val text = s.toString
+    val votes = new Array[Int](bits)
+    val n = text.length
+    var start = 0
+    var done = false
+    while (!done) {
+      var end = text.indexOf(' ', start)
+      if (end < 0) { end = n; done = true }
+      var h = 0L
+      var pos = 1L
+      var ci = start
+      while (ci < end) {
+        val cp = text.codePointAt(ci)
+        h = (h + cp * ((pos * A) % P) % P) % P
+        ci += Character.charCount(cp)
+        pos += 1
+      }
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      start = end + 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
   /** Exact dot product of two long arrays (quantized embeddings). */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -194,6 +235,24 @@ case class WordOccurrenceCounts(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Codegen'd one-pass SimHash (see HashKernels.simhashBits). */
+case class SimhashBits(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash_bits needs string, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhashBits(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhashBits($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimhashBits =
+    copy(child = newChild)
+}
+
 /** Codegen'd exact dot product over two ArrayType(LongType) columns. */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -264,6 +323,8 @@ object exprs {
     shims.column(QuantizeVector(shims.expression(c), scale))
   def wordCounts(c: Column, words: Seq[String]): Column =
     shims.column(WordOccurrenceCounts(shims.expression(c), words))
+  def simhashBits(c: Column, bits: Int): Column =
+    shims.column(SimhashBits(shims.expression(c), bits))
 
   /** Top-k (ord, value) pairs per group as an aggregate column —
     * `array<struct<ord, value>>` ranked (ord desc, value asc); the

@@ -486,12 +486,28 @@ object DedupOps {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** SimHash: `bits`-wide signature from the doc's token-hash bit votes.
-    * One explode + one hash aggregate (sum of ±1 per bit), then the bits
-    * are reassembled arithmetically — exact integers throughout, and a
-    * single pass at scale.
+  /** SimHash: `bits`-wide signature from the doc's token-hash bit votes,
+    * computed per row by the one-pass codegen kernel
+    * [[graft.functions.SimhashBits]] — MAP-ONLY. The round-3 form
+    * exploded every token and ran a 24-way conditional-sum aggregate,
+    * shuffling the word rows (10-100× the corpus row count) by doc id;
+    * the kernel removes that exchange entirely. Element-wise equality
+    * with the composed form is spec-pinned (including empty-token and
+    * trailing-space edge cases). One row per doc expected (the old
+    * groupBy would merge votes across duplicate-id rows — every caller
+    * passes one-row-per-doc corpora); null texts are dropped, matching
+    * the old explode's behavior on a null token array.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 24): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 24): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.exprs.simhashBits(col(textCol), bits).as("simhash"))
+
+  /** Round-3 formulation of [[simhash]] in pure builtins (explode +
+    * conditional-sum aggregate) — kept as the equivalence reference the
+    * spec pins the kernel against. */
+  private[graft] def simhashComposed(df: DataFrame, idCol: String, textCol: String,
+      bits: Int): DataFrame = {
     val words = df.select(col(idCol).as("sid"),
         explode(TextOps.tokens(col(textCol))).as("w"))
       .select(col("sid"), charHash(col("w")).as("wh"))

@@ -333,6 +333,26 @@ class DedupOpsSpec extends SparkSpec {
       s"released dirs must be deleted, found: ${remaining.toSeq.mkString(", ")}")
   }
 
+  test("one-pass simhash kernel == composed explode/aggregate form") {
+    import spark.implicits._
+    // edge cases the tokenizer must mirror from split(text, " "):
+    // empty text, leading/trailing/double spaces (empty tokens kept),
+    // multi-codepoint chars; plus the real corpus for breadth
+    val edge = Seq((0L, ""), (1L, " "), (2L, "a "), (3L, " a"), (4L, "a  b"),
+      (5L, "héllo wörld"), (6L, "a"), (7L, "𝕊 unicode 𝕋")).toDF("doc_id", "text")
+    for (df <- Seq(edge, spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))) {
+      val fast = DedupOps.simhash(df, "doc_id", "text", bits = 24)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val slow = DedupOps.simhashComposed(df, "doc_id", "text", bits = 24)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(fast == slow)
+    }
+    // and the kernel path is map-only: no exchange at all
+    val plan = DedupOps.simhash(edge, "doc_id", "text", 24)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   test("simhash of identical docs matches; hamming-near for near dups") {
     val got = DedupOps.simhash(docs, "doc_id", "text", bits = 24)
       .orderBy("doc_id").collect().map(_.getLong(1))
