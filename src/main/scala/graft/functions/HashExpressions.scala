@@ -143,6 +143,71 @@ object HashKernels {
     out
   }
 
+  /** Repetition counts over the doc's word n-gram hashes in one pass:
+    * [n_grams, n_distinct, top_count]. Equal to the two-level
+    * (doc, gram) → doc aggregate it replaces (spec-pinned) — computed by
+    * sorting this row's gram array and counting runs, no shuffle. Empty
+    * gram lists (docs shorter than n words) return [0, 0, 0]; callers
+    * filter them like the explode used to drop them.
+    */
+  def repetitionCounts(s: UTF8String, n: Int): ArrayData = {
+    val grams = shingleHashes(s, n)
+    val cnt = grams.numElements()
+    if (cnt == 0) return ArrayData.toArrayData(Array(0L, 0L, 0L))
+    val arr = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) { arr(i) = grams.getLong(i); i += 1 }
+    java.util.Arrays.sort(arr)
+    var distinct = 1L
+    var top = 1L
+    var run = 1L
+    i = 1
+    while (i < cnt) {
+      if (arr(i) == arr(i - 1)) run += 1
+      else { distinct += 1; if (run > top) top = run; run = 1 }
+      i += 1
+    }
+    if (run > top) top = run
+    ArrayData.toArrayData(Array(cnt.toLong, distinct, top))
+  }
+
+  /** Top-k (term, count) pairs of the doc's single-space tokens in one
+    * pass, ranked (count DESC, term ASC by BINARY UTF-8 order — exactly
+    * Spark's string sort order, which differs from Java's UTF-16
+    * compareTo for supplementary characters). Tokenization mirrors
+    * `split(text, " ")` including empty tokens. Replaces the
+    * explode → (doc, term) count → per-doc rank window pipeline
+    * (spec-pinned equal), shuffling nothing.
+    */
+  def topTermCounts(s: UTF8String, k: Int): ArrayData = {
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    val text = s.toString
+    val n = text.length
+    var start = 0
+    var done = false
+    while (!done) {
+      var end = text.indexOf(' ', start)
+      if (end < 0) { end = n; done = true }
+      val term = UTF8String.fromString(text.substring(start, end))
+      val c = counts.get(term)
+      if (c == null) counts.put(term, Array(1L)) else c(0) += 1
+      start = end + 1
+    }
+    val entries = new java.util.ArrayList(counts.entrySet())
+    entries.sort { (a, b) =>
+      val c = java.lang.Long.compare(b.getValue()(0), a.getValue()(0))
+      if (c != 0) c else a.getKey.compareTo(b.getKey) // binary UTF-8 order
+    }
+    val out = new Array[Any](math.min(k, entries.size()))
+    var i = 0
+    while (i < out.length) {
+      val e = entries.get(i)
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue()(0))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Exact dot product of two long arrays (quantized embeddings). */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -253,6 +318,44 @@ case class SimhashBits(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd one-pass repetition counts (see HashKernels.repetitionCounts). */
+case class RepetitionCounts(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"repetition_counts needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.repetitionCounts(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.repetitionCounts($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionCounts =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass top-k term counts (see HashKernels.topTermCounts). */
+case class TopTermCounts(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"top_term_counts needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.topTermCounts(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.topTermCounts($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): TopTermCounts =
+    copy(child = newChild)
+}
+
 /** Codegen'd exact dot product over two ArrayType(LongType) columns. */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -325,6 +428,10 @@ object exprs {
     shims.column(WordOccurrenceCounts(shims.expression(c), words))
   def simhashBits(c: Column, bits: Int): Column =
     shims.column(SimhashBits(shims.expression(c), bits))
+  def repetitionCounts(c: Column, n: Int): Column =
+    shims.column(RepetitionCounts(shims.expression(c), n))
+  def topTermCounts(c: Column, k: Int): Column =
+    shims.column(TopTermCounts(shims.expression(c), k))
 
   /** Top-k (ord, value) pairs per group as an aggregate column —
     * `array<struct<ord, value>>` ranked (ord desc, value asc); the

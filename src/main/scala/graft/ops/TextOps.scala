@@ -181,6 +181,26 @@ object TextOps {
     */
   def repetitionStats(df: DataFrame, idCol: String, text: String,
       n: Int = 2): DataFrame = {
+    // one-pass codegen kernel per row (sorted-run counting over this
+    // doc's gram array) — MAP-ONLY; the round-3 two-level aggregate
+    // shuffled every (doc, gram) pair. Zero-gram docs (shorter than n
+    // words) are filtered like the explode used to drop them; the
+    // composed form stays below as the spec's equivalence reference.
+    val c = graft.functions.exprs.repetitionCounts(col(text), n)
+    df.filter(col(text).isNotNull)
+      .select(col(idCol), c.getItem(0).as("n_grams"),
+        c.getItem(1).as("n_distinct"), c.getItem(2).as("top_count"))
+      .filter(col("n_grams") > 0)
+      .select(col(idCol), col("n_grams"), col("n_distinct"), col("top_count"),
+        ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
+          .as("dup_ratio"),
+        (col("top_count").cast("double") / col("n_grams")).as("top_ratio"))
+  }
+
+  /** Round-3 formulation of [[repetitionStats]] (explode + two-level
+    * aggregate) — the spec's equivalence reference. */
+  private[graft] def repetitionStatsComposed(df: DataFrame, idCol: String,
+      text: String, n: Int): DataFrame = {
     val grams = df.select(col(idCol).as("sid"),
       explode(graft.functions.exprs.shingleHashes(col(text), n)).as("g"))
     grams.groupBy("sid", "g").agg(count(lit(1)).as("c"))
@@ -227,7 +247,22 @@ object TextOps {
   /** Top-k most frequent tokens per document (ties by token string for a
     * total order) — log-free keyword extraction: explode + two-level
     * count + per-doc window, all exact integers. */
-  def topTerms(df: DataFrame, idCol: String, text: String, k: Int): DataFrame = {
+  def topTerms(df: DataFrame, idCol: String, text: String, k: Int): DataFrame =
+    // one-pass per-row kernel (count map + rank by count desc, term asc
+    // in binary UTF-8 order — Spark's own string sort order) — MAP-ONLY;
+    // the round-3 pipeline shuffled every (doc, term) pair and ranked
+    // with a per-doc window. Composed reference below for the spec.
+    df.filter(col(text).isNotNull)
+      .select(col(idCol).as("sid"),
+        posexplode(graft.functions.exprs.topTermCounts(col(text), k))
+          .as(Seq("pos", "e")))
+      .select(col("sid").as(idCol), col("e.term").as("term"), col("e.n").as("n"),
+        (col("pos") + 1).cast("long").as("rank"))
+
+  /** Round-3 formulation of [[topTerms]] (explode + count + rank
+    * window) — the spec's equivalence reference. */
+  private[graft] def topTermsComposed(df: DataFrame, idCol: String,
+      text: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("sid").orderBy(col("n").desc, col("term").asc)
     df.select(col(idCol).as("sid"), explode(tokens(col(text))).as("term"))

@@ -131,6 +131,34 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 3L, 1L), ("b", 2L, 2L)))
   }
 
+  test("one-pass repetition/topTerms kernels == composed forms; map-only plans") {
+    import spark.implicits._
+    val edge = Seq((0L, ""), (1L, "a  b a"), (2L, "x y z x y x"),
+      (3L, "𝕊 b 𝕊 ꬁ b 𝕊"), (4L, "t "), (5L, "solo"))
+      .toDF("doc_id", "text")
+    for (df <- Seq(edge, spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))) {
+      val repF = TextOps.repetitionStats(df, "doc_id", "text", n = 2)
+        .collect().map(_.toString).sorted.toSeq
+      val repC = TextOps.repetitionStatsComposed(df, "doc_id", "text", n = 2)
+        .collect().map(_.toString).sorted.toSeq
+      assert(repF == repC)
+      // supplementary chars in the edge fixture force the binary-UTF-8
+      // (not UTF-16) tie order the window's string sort uses
+      val ttF = TextOps.topTerms(df, "doc_id", "text", k = 3)
+        .collect().map(_.toString).sorted.toSeq
+      val ttC = TextOps.topTermsComposed(df, "doc_id", "text", k = 3)
+        .collect().map(_.toString).sorted.toSeq
+      assert(ttF == ttC)
+    }
+    for (plan <- Seq(
+        TextOps.repetitionStats(edge, "doc_id", "text", 2),
+        TextOps.topTerms(edge, "doc_id", "text", 3))
+        .map(_.queryExecution.executedPlan.toString)) {
+      assert(!plan.contains("Exchange"), plan.take(1500))
+      assert(!plan.contains("Window"), plan.take(1500))
+    }
+  }
+
   test("corpusStats profiles doc/token/char volume per group") {
     import spark.implicits._
     val fixture = Seq(
