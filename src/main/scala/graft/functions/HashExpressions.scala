@@ -208,6 +208,50 @@ object HashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** MinHash permutation parameters for slot j: a_j odd-ish multiplier,
+    * b_j offset, both mod P — the single source of truth shared by the
+    * kernel below and the DuckDB oracle builders (DedupOps.minhashParams
+    * delegates here). Products stay under 2^61 (both factors < P ~ 2^30).
+    */
+  def minhashA(j: Int): Long = {
+    val a = (A * (2 * j + 1)) % P
+    if (a == 0) 1L else a
+  }
+  def minhashB(j: Int): Long = (A * A % P * (j + 7)) % P
+
+  /** MinHash signature of the doc's word k-shingles in one pass:
+    * mins over (h * a_j + b_j) mod P for each permutation j. Returned
+    * NESTED — an outer array holding zero (no shingles: docs shorter
+    * than k words, which the old exploded aggregate dropped) or one
+    * signature array — so `explode` drops empty docs while evaluating
+    * the kernel exactly once per row (a separate size() filter would be
+    * pushed below the projection and re-evaluate the kernel).
+    */
+  def minhashSignature(s: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val grams = shingleHashes(s, k)
+    val m = grams.numElements()
+    if (m == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) { as(j) = minhashA(j); bs(j) = minhashB(j); j += 1 }
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val h = grams.getLong(i) // in [0, P): h * a + b < 2^61, no overflow
+      j = 0
+      while (j < numHashes) {
+        val v = (h * as(j) + bs(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](ArrayData.toArrayData(mins)))
+  }
+
   /** Exact dot product of two long arrays (quantized embeddings). */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -356,6 +400,27 @@ case class TopTermCounts(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd one-pass MinHash signature (see HashKernels.minhashSignature);
+  * returns array<array<long>> with 0 or 1 signatures — explode the result. */
+case class MinhashSignature(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(k >= 1 && numHashes >= 1, s"bad minhash params: k=$k numHashes=$numHashes")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature needs string, got ${child.dataType}")
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSignature(input.asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.minhashSignature($c, $k, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
 /** Codegen'd exact dot product over two ArrayType(LongType) columns. */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -430,6 +495,8 @@ object exprs {
     shims.column(SimhashBits(shims.expression(c), bits))
   def repetitionCounts(c: Column, n: Int): Column =
     shims.column(RepetitionCounts(shims.expression(c), n))
+  def minhashSignature(c: Column, k: Int, numHashes: Int): Column =
+    shims.column(MinhashSignature(shims.expression(c), k, numHashes))
   def topTermCounts(c: Column, k: Int): Column =
     shims.column(TopTermCounts(shims.expression(c), k))
 

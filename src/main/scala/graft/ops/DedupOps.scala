@@ -162,19 +162,31 @@ object DedupOps {
     * under 2^61 (both factors < P ~ 2^30). */
   def minhashParams(numHashes: Int): Seq[(Long, Long)] =
     (0 until numHashes).map { j =>
-      val a = (TextOps.HashA * (2 * j + 1)) % HashP
-      val b = (TextOps.HashA * TextOps.HashA % HashP * (j + 7)) % HashP
-      (if (a == 0) 1L else a, b)
+      (graft.functions.HashKernels.minhashA(j), graft.functions.HashKernels.minhashB(j))
     }
 
   /** MinHash signatures: one row per doc, columns mh0..mh{n-1}. Computed
-    * as a single hash aggregate over the exploded shingle rows (min of
-    * each permuted hash) — partial aggregation makes this map-side-mostly.
-    * Docs with no shingles (shorter than k words) drop out, as with the
-    * reference sketch libraries.
+    * per row by the one-pass codegen kernel
+    * [[graft.functions.MinhashSignature]] — MAP-ONLY (Generate +
+    * Project); the round-3 form exploded every shingle row and ran a
+    * 16-way min aggregate, shuffling the postings by doc id. The kernel
+    * returns a nested 0-or-1-element array so `explode` drops docs
+    * shorter than k words (as the exploded aggregate did) while
+    * evaluating once per row. Equality with the composed form is
+    * spec-pinned; [[minhashSignaturesComposed]] is the reference.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, k: Int = 3): DataFrame = {
+      numHashes: Int = 16, k: Int = 3): DataFrame =
+    df.select(col(idCol),
+        explode(graft.functions.exprs.minhashSignature(col(textCol), k, numHashes))
+          .as("__sig"))
+      .select(col(idCol) +: (0 until numHashes).map(j =>
+        col("__sig").getItem(j).as(s"mh$j")): _*)
+
+  /** Round-3 formulation of [[minhashSignatures]] (explode + min
+    * aggregate) — the spec's equivalence reference. */
+  private[graft] def minhashSignaturesComposed(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, k: Int): DataFrame = {
     val sh = shingleHashes(df, idCol, textCol, k)
     val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("sh") * a + b, lit(HashP))).as(s"mh$j")
@@ -216,10 +228,10 @@ object DedupOps {
       numHashes: Int = 16, k: Int = 3, bands: Int = 8,
       minJaccard: Double = 0.5, persistIntermediates: Boolean = false): DataFrame = {
     val sh = maybePersist(shingleHashes(df, idCol, textCol, k), persistIntermediates)
-    val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(col("sh") * a + b, lit(HashP))).as(s"mh$j")
-    }
-    val sigs = sh.groupBy(col("sid").as(idCol)).agg(aggs.head, aggs.tail: _*)
+    // signatures come from the map-only kernel (no aggregate over the
+    // postings); sh stays for candidate verification, which needs the
+    // exploded shingles anyway
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, k)
     val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands,
       persistIntermediates = persistIntermediates)
     verifyPairsJaccard(sh, cands)

@@ -333,6 +333,23 @@ class DedupOpsSpec extends SparkSpec {
       s"released dirs must be deleted, found: ${remaining.toSeq.mkString(", ")}")
   }
 
+  test("one-pass minhash kernel == composed explode/aggregate form; map-only plan") {
+    import spark.implicits._
+    val edge = Seq((0L, ""), (1L, "a b"), (2L, "a b c"), (3L, "a b c d a b c"),
+      (4L, "x  y z w")).toDF("doc_id", "text") // 0,1 shorter than k=3 -> dropped
+    for (df <- Seq(edge, spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))) {
+      val fast = DedupOps.minhashSignatures(df, "doc_id", "text", 16, k = 3)
+        .collect().map(_.toString).sorted.toSeq
+      val slow = DedupOps.minhashSignaturesComposed(df, "doc_id", "text", 16, 3)
+        .collect().map(_.toString).sorted.toSeq
+      assert(fast == slow && fast.nonEmpty)
+    }
+    val plan = DedupOps.minhashSignatures(edge, "doc_id", "text", 16, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+    assert(!plan.contains("HashAggregate"), plan.take(1500))
+  }
+
   test("one-pass simhash kernel == composed explode/aggregate form") {
     import spark.implicits._
     // edge cases the tokenizer must mirror from split(text, " "):
