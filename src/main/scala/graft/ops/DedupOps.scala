@@ -227,16 +227,51 @@ object DedupOps {
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, k: Int = 3, bands: Int = 8,
       minJaccard: Double = 0.5, persistIntermediates: Boolean = false): DataFrame = {
-    val sh = maybePersist(shingleHashes(df, idCol, textCol, k), persistIntermediates)
-    // signatures come from the map-only kernel (no aggregate over the
-    // postings); sh stays for candidate verification, which needs the
-    // exploded shingles anyway
+    // signatures come from the map-only kernel and verification works on
+    // per-doc shingle ARRAYS — the minhash pipeline never explodes a
+    // postings list anywhere
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, k)
     val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands,
       persistIntermediates = persistIntermediates)
-    verifyPairsJaccard(sh, cands)
+    verifyPairsJaccardArrays(df, idCol, textCol, k, cands)
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Candidate verification from per-doc shingle ARRAYS: doc arrays are
+    * built map-only by the shingle kernel, semi-filtered to the (few)
+    * candidate ids — AQE broadcasts that small side at runtime, so the
+    * corpus is scanned once with no shuffle — and each surviving pair
+    * computes its intersection locally with `array_intersect` (codegen,
+    * O(|a|+|b|)). The postings-based [[verifyPairsJaccard]] stays for
+    * callers that already hold an exploded postings frame; the two are
+    * spec-pinned equal. The array form avoids the |cands| × shingles
+    * row explosion the postings join pays before its pair aggregate.
+    */
+  def verifyPairsJaccardArrays(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, cands: DataFrame, mat: Materializer = Materializer.Local): DataFrame = {
+    // both materialized frames are candidate-sized, never corpus-sized:
+    // candsM because the pair list is referenced three times (id
+    // projection + both join sides) and would otherwise re-run the whole
+    // LSH chain per reference; rel because both join sides read it and
+    // the corpus should be array-scanned exactly once
+    val candsM = mat(cands)
+    val arrays = docs.select(col(idCol).as("sid"),
+        array_distinct(graft.functions.exprs.shingleHashes(col(textCol), k)).as("sharr"))
+      .withColumn("n_sh", size(col("sharr")).cast("long"))
+    val candIds = candsM.select(col("id_a").as("sid"))
+      .unionByName(candsM.select(col("id_b").as("sid"))).distinct()
+    val rel = mat(arrays.join(candIds, Seq("sid")))
+    candsM
+      .join(rel.select(col("sid").as("id_a"), col("sharr").as("arr_a"),
+        col("n_sh").as("n_a")), Seq("id_a"))
+      .join(rel.select(col("sid").as("id_b"), col("sharr").as("arr_b"),
+        col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
   /** Exact Jaccard restricted to candidate pairs: the verification cost

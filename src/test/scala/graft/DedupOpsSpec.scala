@@ -350,6 +350,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), plan.take(1500))
   }
 
+  test("array-based candidate verify == postings-based verify") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sigs = DedupOps.minhashSignatures(corpus, "doc_id", "text", 16, k = 3)
+    val cands = DedupOps.lshCandidatePairs(sigs, "doc_id", bands = 8, rowsPerBand = 2)
+    val sh = DedupOps.shingleHashes(corpus, "doc_id", "text", 3)
+    val viaPostings = DedupOps.verifyPairsJaccard(sh, cands.select("id_a", "id_b"))
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+      .collect().map(_.toString).sorted.toSeq
+    val viaArrays = DedupOps.verifyPairsJaccardArrays(
+        corpus, "doc_id", "text", 3, cands.select("id_a", "id_b"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaArrays == viaPostings && viaArrays.nonEmpty)
+  }
+
   test("one-pass simhash kernel == composed explode/aggregate form") {
     import spark.implicits._
     // edge cases the tokenizer must mirror from split(text, " "):
