@@ -64,37 +64,102 @@ object DedupOps {
   private def maybePersist(df: DataFrame, on: Boolean): DataFrame =
     if (on) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
 
-  /** Exact n-gram Jaccard similar pairs via inverted-index join.
+  /** Exact n-gram Jaccard pairs via PREFIX-FILTERED inverted index (the
+    * AllPairs idiom — Bayardo, Ma & Srikant, "Scaling Up All Pairs
+    * Similarity Search", WWW 2007): only each doc's first
+    * |d| − ⌈t·|d|⌉ + 1 sorted shingles are exploded and self-joined
+    * (if all common elements sat outside a side's prefix they would
+    * number ≤ ⌈t·|d|⌉ − 1 < ⌈t·|d|⌉ ≤ |∩|, so the smallest common
+    * element is in BOTH prefixes — recall-lossless), and the candidate
+    * pairs are verified with per-pair `array_intersect` over map-only
+    * per-doc arrays. No window, no postings aggregate, nothing
+    * corpus-sized shuffled by shingle.
     *
-    * intersection(a,b) = #common shingle hashes, union = |a|+|b|−inter;
-    * emits pairs with jaccard >= minJaccard (id_a < id_b). `maxDf` drops
-    * shingles present in more than that many docs before the self-join —
-    * the df-cut that keeps the posting-list self-join near-linear on
-    * power-law corpora.
+    * MEASURED TRADE vs [[ngramJaccardPairs]] (the full-join default):
+    * with value-ordered prefixes (order is free — no global df pass) the
+    * prefix prunes ~(1−t)² of candidate GENERATION but every surviving
+    * candidate pays an O(|a|+|b|) array intersect, where the full join
+    * counts common shingles at one aggregate row each. On the planted
+    * near-dup corpus at t=0.5 that nets ~1.5x SLOWER (5.9s vs 3.4s at
+    * sf0.1) — overlapping pairs here are mostly real near-dups, so
+    * candidate pruning saves little. Prefer this form for HIGH
+    * thresholds / low-overlap corpora (t=0.8+ prunes 24/25 of the
+    * quadratic term); the published rare-first (df-ascending) ordering
+    * would prune far better but needs a postings ⋈ df join + per-doc
+    * re-sort — two more corpus-sized shuffles — before it starts.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000,
+      mat: Materializer = Materializer.Local,
+      broadcastHotSet: Boolean = true): DataFrame = {
+    val postings = shingleHashes(df, idCol, textCol, k)
+    val hot = postings.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") > maxDf)
+    // `broadcastHotSet = false` escape hatch: a corpus where a tiny
+    // maxDf makes the over-the-cut set too big to ship as one array
+    // falls back to the anti-join form of the cut
+    val arrays = mat(
+      if (broadcastHotSet) {
+        val hotArr = hot.agg(collect_list(col("sh")).as("hs"))
+        df.filter(col(textCol).isNotNull)
+          .withColumn("__hot", hotArr.scalar())
+          .select(col(idCol).as("sid"),
+            array_sort(array_except(
+              graft.functions.exprs.shingleHashes(col(textCol), k),
+              coalesce(col("__hot"), array().cast("array<bigint>")))).as("sharr"))
+          .withColumn("n_sh", size(col("sharr")).cast("long"))
+          .filter(col("n_sh") > 0)
+      } else {
+        postings.join(hot.select("sh"), Seq("sh"), "left_anti")
+          .groupBy(col("sid"))
+          .agg(sort_array(collect_list(col("sh"))).as("sharr"),
+            count(lit(1)).as("n_sh"))
+      })
+    // prefix length |d| − ⌈t·|d|⌉ + 1 (ceil on doubles is safe: n·t is
+    // far below 2^53; a longer prefix would only add candidates)
+    val prefLen = (col("n_sh") - ceil(col("n_sh") * minJaccard).cast("long") + 1)
+      .cast("int")
+    val pref = arrays.select(col("sid"), col("sharr"), col("n_sh"),
+      explode(slice(col("sharr"), lit(1), prefLen)).as("sh"))
+    val cands = pref.select(col("sid").as("id_a"), col("sh"))
+      .join(pref.select(col("sid").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(arrays.select(col("sid").as("id_a"), col("sharr").as("arr_a"),
+        col("n_sh").as("n_a")), Seq("id_a"))
+      .join(arrays.select(col("sid").as("id_b"), col("sharr").as("arr_b"),
+        col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard similar pairs via inverted-index join — the
+    * DEFAULT form: full postings self-join with the common-shingle count
+    * taken by aggregate. intersection(a,b) = #common shingle hashes,
+    * union = |a|+|b|−inter; emits pairs with jaccard >= minJaccard
+    * (id_a < id_b). `maxDf` drops shingles in more than that many docs
+    * first — the df-cut that keeps the self-join near-linear on
+    * power-law corpora — applied as a broadcast ANTI-join against the
+    * (few) over-the-cut shingles, so the postings never shuffle by
+    * shingle for the cut and hot-shingle skew never materializes
+    * (`broadcastHotSet = false` is the escape hatch for a pathological
+    * maxDf). Per-doc sizes ride along the surviving rows (one window by
+    * doc id — groups bounded by a doc's shingle count) and the edge
+    * list materializes once (per `mat`) so the self-join reads it
+    * instead of recomputing per side. See [[ngramJaccardPairsPrefix]]
+    * for the AllPairs prefix-filtered alternative and the measured
+    * trade between the two.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000,
       mat: Materializer = Materializer.Local,
       broadcastHotSet: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // df-cut as a broadcast ANTI-join: shingles over the cut are FEW
-    // (the power-law tail the cut exists for), so count them with a
-    // map-side-combined narrow aggregate and anti-join the postings
-    // against the broadcast hot set. The postings list itself never
-    // shuffles by shingle for the cut — the round-3 count-window did,
-    // concentrating every copy of a hot shingle in one partition, i.e.
-    // paying the exact skew the cut is meant to remove. Per-doc sizes
-    // then ride along the surviving rows (one window by doc id — groups
-    // bounded by a doc's shingle count), and the result materializes
-    // once (per `mat`) so the self-join reads the edge list instead of
-    // recomputing it per side.
-    // The hot-set aggregate and the anti-join each scan the shingled
-    // corpus once — a deliberate recompute (codegen shingling beats a
-    // full-postings materialization barrier ~2x locally, see
-    // maybePersist); at cluster scale pass mat = Parquet/Reliable and
-    // materialize upstream, or flip persistIntermediates where offered.
-    // `broadcastHotSet = false` is the escape hatch for a corpus where
-    // a tiny maxDf makes the over-the-cut set itself too big to ship.
     val postings = shingleHashes(df, idCol, textCol, k)
     val hot = postings.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") > maxDf).select("sh")

@@ -350,6 +350,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), plan.take(1500))
   }
 
+  test("prefix-filtered ngram pairs == full postings self-join (recall-lossless)") {
+    import graft.ops.Materializer
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for ((t, cut) <- Seq((0.5, 1000), (0.3, 1000), (0.8, 20))) {
+      val full = DedupOps.ngramJaccardPairs(corpus, "doc_id", "text",
+          k = 3, minJaccard = t, maxDf = cut)
+        .collect().map(_.toString).sorted.toSeq
+      val prefix = DedupOps.ngramJaccardPairsPrefix(corpus, "doc_id", "text",
+          k = 3, minJaccard = t, maxDf = cut)
+        .collect().map(_.toString).sorted.toSeq
+      assert(prefix == full, s"t=$t maxDf=$cut")
+      if (t == 0.5) assert(prefix.nonEmpty)
+      // the prefix form's non-broadcast fallback cut agrees too
+      val fb = DedupOps.ngramJaccardPairsPrefix(corpus, "doc_id", "text",
+          k = 3, minJaccard = t, maxDf = cut, mat = Materializer.Inline,
+          broadcastHotSet = false)
+        .collect().map(_.toString).sorted.toSeq
+      assert(fb == full, s"fallback t=$t maxDf=$cut")
+    }
+  }
+
   test("array-based candidate verify == postings-based verify") {
     import spark.implicits._
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

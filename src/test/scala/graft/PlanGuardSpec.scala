@@ -46,12 +46,23 @@ class PlanGuardSpec extends SparkSpec {
     val plan = graft.ops.DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
         k = 3, minJaccard = 0.5, mat = graft.ops.Materializer.Inline)
       .queryExecution.executedPlan.toString
-    // round-4 shape: hot shingles counted map-side-combined and removed
+    // default shape: hot shingles counted map-side-combined and removed
     // with a broadcast LeftAnti join; the only window left is the
     // per-doc size ride-along (partitioned by doc id, never by shingle)
     assert(plan.contains("LeftAnti"), plan.take(3000))
     assert(!plan.contains("windowspecdefinition(sh"), plan.take(3000))
     assert(plan.contains("windowspecdefinition(sid"), plan.take(3000))
+  }
+
+  test("prefix ngram variant: window-free, scalar-subquery cut, array verify") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.ops.DedupOps.ngramJaccardPairsPrefix(docs, "doc_id", "text",
+        k = 3, minJaccard = 0.5, mat = graft.ops.Materializer.Inline)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("array_intersect"), plan.take(3000))
+    assert(plan.contains("array_except"), plan.take(3000))
+    assert(plan.contains("slice("), plan.take(3000))
   }
 
   test("similarity top-k queries rank via the bounded aggregate, never a window") {
