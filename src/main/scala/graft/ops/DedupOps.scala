@@ -9,13 +9,17 @@ import org.apache.spark.sql.types
   *
   * Scale posture (the 100 TB contract):
   *  - exact dedup is one hash-aggregate shuffle on the content key;
-  *  - shingle/minhash signatures are computed by EXPLODING shingles to rows
-  *    and hash-aggregating per (doc, hash-index) — map-side partial
-  *    aggregation applies, and no quadratic per-row array work happens;
+  *  - per-document sketches (MinHash signatures, SimHash) are computed by
+  *    one-pass codegen kernels — MAP-ONLY, the corpus is never exploded
+  *    or aggregated to build them (round-3 used explode + hash-aggregate;
+  *    the kernels removed those exchanges, equivalence spec-pinned);
   *  - pair generation always goes through an inverted index (shingle or
   *    LSH-band bucket join), never a cross join; hot buckets are capped by
   *    `maxDf` (drop shingles/bands occurring in more than maxDf docs — the
   *    standard df-cut that bounds the quadratic term at web scale);
+  *  - candidate verification is candidate-sized: per-pair array intersects
+  *    over semi-filtered per-doc arrays, or the postings join where the
+  *    caller already holds postings;
   *  - all hashes are exact integer arithmetic (TextOps.charHash) so the
   *    DuckDB oracle reproduces results exactly.
   */
