@@ -102,23 +102,27 @@ object DedupOps {
     // `broadcastHotSet = false` escape hatch: a corpus where a tiny
     // maxDf makes the over-the-cut set too big to ship as one array
     // falls back to the anti-join form of the cut
+    // the n_sh > 0 cut happens AFTER materialization: placed above the
+    // projection it would be pushed below it and re-run the shingle
+    // kernel per row (under Inline the double evaluation remains — the
+    // caller opted out of materialization)
     val arrays = mat(
       if (broadcastHotSet) {
         val hotArr = hot.agg(collect_list(col("sh")).as("hs"))
-        df.filter(col(textCol).isNotNull)
+        df.filter(col(textCol).isNotNull &&
+            size(split(col(textCol), " ")) >= k)
           .withColumn("__hot", hotArr.scalar())
           .select(col(idCol).as("sid"),
             array_sort(array_except(
               graft.functions.exprs.shingleHashes(col(textCol), k),
               coalesce(col("__hot"), array().cast("array<bigint>")))).as("sharr"))
           .withColumn("n_sh", size(col("sharr")).cast("long"))
-          .filter(col("n_sh") > 0)
       } else {
         postings.join(hot.select("sh"), Seq("sh"), "left_anti")
           .groupBy(col("sid"))
           .agg(sort_array(collect_list(col("sh"))).as("sharr"),
             count(lit(1)).as("n_sh"))
-      })
+      }).filter(col("n_sh") > 0)
     // prefix length |d| − ⌈t·|d|⌉ + 1 (ceil on doubles is safe: n·t is
     // far below 2^53; a longer prefix would only add candidates)
     val prefLen = (col("n_sh") - ceil(col("n_sh") * minJaccard).cast("long") + 1)
@@ -295,14 +299,17 @@ object DedupOps {
     */
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, k: Int = 3, bands: Int = 8,
-      minJaccard: Double = 0.5, persistIntermediates: Boolean = false): DataFrame = {
+      minJaccard: Double = 0.5, persistIntermediates: Boolean = false,
+      mat: Materializer = Materializer.Local): DataFrame = {
     // signatures come from the map-only kernel and verification works on
     // per-doc shingle ARRAYS — the minhash pipeline never explodes a
-    // postings list anywhere
+    // postings list anywhere. `mat` is threaded into verification (its
+    // candidate-sized intermediates materialize eagerly at construction
+    // — pass Reliable/Parquet on multi-node clusters, like the CC loop).
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, k)
     val cands = lshCandidatePairs(sigs, idCol, bands, numHashes / bands,
       persistIntermediates = persistIntermediates)
-    verifyPairsJaccardArrays(df, idCol, textCol, k, cands)
+    verifyPairsJaccardArrays(df, idCol, textCol, k, cands, mat)
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
@@ -314,8 +321,10 @@ object DedupOps {
     * computes its intersection locally with `array_intersect` (codegen,
     * O(|a|+|b|)). The postings-based [[verifyPairsJaccard]] stays for
     * callers that already hold an exploded postings frame; the two are
-    * spec-pinned equal. The array form avoids the |cands| × shingles
-    * row explosion the postings join pays before its pair aggregate.
+    * spec-pinned equal (including candidates referencing docs shorter
+    * than k words, which BOTH forms drop). The array form avoids the
+    * |cands| × shingles row explosion the postings join pays before its
+    * pair aggregate.
     */
   def verifyPairsJaccardArrays(docs: DataFrame, idCol: String, textCol: String,
       k: Int, cands: DataFrame, mat: Materializer = Materializer.Local): DataFrame = {
@@ -325,7 +334,15 @@ object DedupOps {
     // LSH chain per reference; rel because both join sides read it and
     // the corpus should be array-scanned exactly once
     val candsM = mat(cands)
-    val arrays = docs.select(col(idCol).as("sid"),
+    // docs shorter than k words have no shingles: the postings form
+    // drops their pairs via the inner join, so the array form must too.
+    // The word-count predicate is equivalent (n-k+1 shingles exist iff
+    // words >= k) and CHEAP — an n_sh > 0 filter above the projection
+    // would be pushed below it and re-run the shingle kernel per row.
+    val arrays = docs
+      .filter(col(textCol).isNotNull &&
+        size(split(col(textCol), " ")) >= k)
+      .select(col(idCol).as("sid"),
         array_distinct(graft.functions.exprs.shingleHashes(col(textCol), k)).as("sharr"))
       .withColumn("n_sh", size(col("sharr")).cast("long"))
     val candIds = candsM.select(col("id_a").as("sid"))
@@ -543,7 +560,7 @@ object DedupOps {
     * (minimum-id) doc per cluster. */
   def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.8, mat: Materializer = Materializer.Local): DataFrame = {
-    val pairs = minhashDedupPairs(df, idCol, textCol, minJaccard = minJaccard)
+    val pairs = minhashDedupPairs(df, idCol, textCol, minJaccard = minJaccard, mat = mat)
     val clusters = nearDupClusters(pairs, df.select(col(idCol)), idCol, mat = mat)
     df.join(clusters, Seq(idCol))
       .filter(col(idCol) === col("cluster_id"))

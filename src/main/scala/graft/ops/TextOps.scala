@@ -184,13 +184,17 @@ object TextOps {
     // one-pass codegen kernel per row (sorted-run counting over this
     // doc's gram array) — MAP-ONLY; the round-3 two-level aggregate
     // shuffled every (doc, gram) pair. Zero-gram docs (shorter than n
-    // words) are filtered like the explode used to drop them; the
-    // composed form stays below as the spec's equivalence reference.
+    // words) are dropped by the CHEAP word-count pre-filter — a
+    // post-kernel n_grams > 0 filter would be pushed below the
+    // projection and re-run the kernel per row. One row per doc
+    // expected (the old aggregate merged counts across duplicate-id
+    // rows; every caller passes one-row-per-doc corpora). The composed
+    // form stays below as the spec's equivalence reference.
     val c = graft.functions.exprs.repetitionCounts(col(text), n)
-    df.filter(col(text).isNotNull)
+    df.filter(col(text).isNotNull &&
+        size(split(col(text), " ")) >= n)
       .select(col(idCol), c.getItem(0).as("n_grams"),
         c.getItem(1).as("n_distinct"), c.getItem(2).as("top_count"))
-      .filter(col("n_grams") > 0)
       .select(col(idCol), col("n_grams"), col("n_distinct"), col("top_count"),
         ((col("n_grams") - col("n_distinct")).cast("double") / col("n_grams"))
           .as("dup_ratio"),
@@ -251,7 +255,10 @@ object TextOps {
     // one-pass per-row kernel (count map + rank by count desc, term asc
     // in binary UTF-8 order — Spark's own string sort order) — MAP-ONLY;
     // the round-3 pipeline shuffled every (doc, term) pair and ranked
-    // with a per-doc window. Composed reference below for the spec.
+    // with a per-doc window. One row per doc expected (the old
+    // aggregate merged token counts across duplicate-id rows; every
+    // caller passes one-row-per-doc corpora). Composed reference below
+    // for the spec.
     df.filter(col(text).isNotNull)
       .select(col(idCol).as("sid"),
         posexplode(graft.functions.exprs.topTermCounts(col(text), k))
