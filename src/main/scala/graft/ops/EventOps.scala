@@ -104,6 +104,53 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Backward as-of join: for each `left` row, the payload of the `right`
+    * row with the same key and the greatest `tsCol` at-or-before the left
+    * row's (inclusive); nulls when no such row exists (left-outer
+    * semantics). Ties among right rows at the same instant resolve to the
+    * greatest `ordCol` — callers pass a unique ordinal (event id) so the
+    * result is total-order deterministic.
+    *
+    * Spark has no as-of join; the naive encodings are a range join
+    * (O(|L|·|R|) BroadcastNestedLoop per key) or a groupBy-max correlated
+    * join (two shuffles of the big side). This is the scalable shape —
+    * the kdb/Flink merge expressed relationally: tag the sides, UNION,
+    * and run ONE window per key ordered by (ts, side, ord) carrying
+    * `last(payload, ignoreNulls)`; right rows sort before left rows at
+    * equal ts, so inclusive semantics fall out of the sort order. The
+    * plan has NO join operator at all: one hash exchange on the key +
+    * one per-partition sort, both sides streamed once. At 100 TB the
+    * only hazard is per-key skew (a hot key's rows sort in one
+    * partition) — same envelope as [[sessionize]], and the window sort
+    * spills rather than OOMs.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payloadCols: Seq[String], ordCol: String): DataFrame = {
+    require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(payloadCols.contains),
+      s"payload columns ${payloadCols.mkString(",")} collide with left columns")
+    val pType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c).copy(name = c)))
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__ord", lit(null).cast("long"))
+      .withColumn("__p", lit(null).cast(pType))
+    val r = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+        col(ordCol).cast("long").as("__ord"),
+        struct(payloadCols.map(col): _*).as("__p")) ++
+        leftCols.filterNot(Seq(keyCol, tsCol).contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col("__side"), col("__ord"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col("__m").getField(c).as(c)): _*)
+  }
+
   /** Per-session rollup on top of [[sessionize]]. */
   def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
     sessionize(events, gapMinutes)

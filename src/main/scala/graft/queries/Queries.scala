@@ -897,6 +897,31 @@ object Queries {
       |FROM days d JOIN cohorts c ON d.user_id = c.user_id
       |GROUP BY cohort_day, day""".stripMargin
 
+  private def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventOps.loadEvents(s, dir)
+    EventOps.asofJoin(
+      ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us"),
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_event_id"),
+          round(col("value") * 100).cast("long").as("click_cents")),
+      keyCol = "user_id", tsCol = "ts_us",
+      payloadCols = Seq("click_event_id", "click_cents"),
+      ordCol = "click_event_id")
+  }
+
+  /** DuckDB's native ASOF LEFT JOIN — an independent implementation of
+    * the same semantics (greatest right ts at-or-before each left row). */
+  private val asofJoinSql =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+      |           WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_event_id,
+      |        CAST(round(value * 100) AS BIGINT) AS click_cents FROM events
+      |      WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts_us, c.click_event_id, c.click_cents
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin
+
   private def dedupIncrementalQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     // standing corpus = ids < 450 (signatures precomputed); new batch = rest
@@ -1196,7 +1221,8 @@ object Queries {
     "q_hash_sample" -> (hashSampleQ _),
     "q_stratified_sample" -> (stratifiedSampleQ _),
     "q_cap_per_source" -> (capPerSourceQ _),
-    "q_dedup_clusters" -> (dedupClustersQ _))
+    "q_dedup_clusters" -> (dedupClustersQ _),
+    "q_asof_join" -> (asofJoinQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1262,5 +1288,6 @@ object Queries {
     "q_hash_sample" -> hashSampleSql,
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_cap_per_source" -> capPerSourceSql,
-    "q_dedup_clusters" -> dedupClustersSql)
+    "q_dedup_clusters" -> dedupClustersSql,
+    "q_asof_join" -> asofJoinSql)
 }

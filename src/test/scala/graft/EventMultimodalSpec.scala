@@ -48,6 +48,36 @@ class EventMultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 0L, 2L, 0L), (0L, 2L, 1L, 2L), (1L, 1L, 1L, 0L)))
   }
 
+  test("asofJoin attaches the latest at-or-before right row per key") {
+    val left = Seq(
+      (100L, 1L, minUs(10)), // matches right @10 (inclusive, tie on ord)
+      (101L, 1L, minUs(30)), // matches right @20
+      (102L, 1L, minUs(5)),  // before every right row -> nulls
+      (103L, 2L, minUs(50))) // key with no right rows -> nulls
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq(
+      (1L, minUs(10), 7L, 111L),
+      (1L, minUs(10), 8L, 222L), // same instant, higher ord wins
+      (1L, minUs(20), 9L, 333L))
+      .toDF("user_id", "ts_us", "r_ord", "r_val")
+    val got = EventOps.asofJoin(left, right, "user_id", "ts_us",
+        Seq("r_val"), ordCol = "r_ord")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[java.lang.Long]("r_val")).map(_.toLong)))
+    assert(got.toSeq == Seq(
+      (100L, Some(222L)), (101L, Some(333L)), (102L, None), (103L, None)))
+  }
+
+  test("asofJoin plans as one exchange + window — no join operator") {
+    val left = Seq((1L, 2L, 3L)).toDF("event_id", "user_id", "ts_us")
+    val right = Seq((2L, 1L, 4L, 5L)).toDF("user_id", "ts_us", "r_ord", "r_val")
+    val plan = EventOps.asofJoin(left, right, "user_id", "ts_us",
+        Seq("r_val"), ordCol = "r_ord")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
   test("funnelCounts requires ordered steps within the window") {
     val ev = Seq(
       // u1 converts fully: signup @0 -> view @10 -> purchase @20
