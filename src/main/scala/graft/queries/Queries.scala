@@ -858,6 +858,29 @@ object Queries {
       |      FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
       |  UNNEST(range(0, nc)) t(i)""".stripMargin
 
+  private def chunkDedupQ(s: SparkSession, dir: String): DataFrame =
+    // hashKey=false: byte-exact chunk key so the oracle needs no hash
+    // formula; the spec pins the default xxhash64-key path equal on the
+    // real corpus
+    DedupOps.chunkDedup(t(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = 32, hashKey = false)
+
+  private val chunkDedupSql =
+    """WITH ch AS (
+      |  SELECT doc_id, i::BIGINT AS chunk_idx,
+      |    array_to_string(ws[i*32+1 : i*32+32], ' ') AS chunk_text,
+      |    least(32, n - i*32)::BIGINT AS n_tokens
+      |  FROM (SELECT doc_id, ws, len(ws) AS n, (len(ws) - 1) // 32 + 1 AS nc
+      |        FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
+      |    UNNEST(range(0, nc)) t(i)),
+      |win AS (SELECT *, row_number() OVER (PARTITION BY chunk_text
+      |          ORDER BY doc_id, chunk_idx) AS rn FROM ch)
+      |SELECT doc_id,
+      |  string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text,
+      |  count(*)::BIGINT AS n_chunks_kept,
+      |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+      |FROM win WHERE rn = 1 GROUP BY doc_id""".stripMargin
+
   private def corpusStatsQ(s: SparkSession, dir: String): DataFrame =
     TextOps.corpusStats(t(s, dir, "documents"), "lang", "text")
 
@@ -1222,7 +1245,8 @@ object Queries {
     "q_stratified_sample" -> (stratifiedSampleQ _),
     "q_cap_per_source" -> (capPerSourceQ _),
     "q_dedup_clusters" -> (dedupClustersQ _),
-    "q_asof_join" -> (asofJoinQ _))
+    "q_asof_join" -> (asofJoinQ _),
+    "q_chunk_dedup" -> (chunkDedupQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1289,5 +1313,6 @@ object Queries {
     "q_stratified_sample" -> stratifiedSampleSql,
     "q_cap_per_source" -> capPerSourceSql,
     "q_dedup_clusters" -> dedupClustersSql,
-    "q_asof_join" -> asofJoinSql)
+    "q_asof_join" -> asofJoinSql,
+    "q_chunk_dedup" -> chunkDedupSql)
 }

@@ -34,6 +34,36 @@ class DedupOpsSpec extends SparkSpec {
     assert(hashed.queryExecution.executedPlan.toString.contains("xxhash64"))
   }
 
+  test("chunkDedup keeps first occurrence of repeated chunks and reassembles") {
+    // 4-token chunks; "h1 h2 h3 h4" is boilerplate shared by docs 1 and 2
+    val d = Seq(
+      (1L, "h1 h2 h3 h4 a b c d"),
+      (2L, "h1 h2 h3 h4 x y z w"),
+      (3L, "h1 h2 h3 h4")) // all chunks repeated -> doc vanishes
+      .toDF("doc_id", "text")
+    val got = DedupOps.chunkDedup(d, "doc_id", "text", chunkTokens = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "h1 h2 h3 h4 a b c d", 2L, 8L),
+      (2L, "x y z w", 1L, 4L)))
+  }
+
+  test("chunkDedup hashed key matches text key on the real corpus; no sort exchange") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val hashed = DedupOps.chunkDedup(corpus, "doc_id", "text", chunkTokens = 32)
+    assert(norm(hashed) ==
+      norm(DedupOps.chunkDedup(corpus, "doc_id", "text", chunkTokens = 32,
+        hashKey = false)))
+    // first-occurrence is a hash aggregate on a packed long — never a
+    // row_number window (sort exchange) over all chunks
+    val plan = hashed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("exactDedup keeps the canonical row per text") {
     val ids = DedupOps.exactDedup(docs, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).sorted
