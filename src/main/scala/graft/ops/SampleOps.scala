@@ -87,6 +87,42 @@ object SampleOps {
     df.filter(pmod(keyHash(key), lit(1000L)) < rate)
   }
 
+  /** Temperature-flattened mixture sampling (α = 0.5): downsample each
+    * group (language/domain/source) to a share proportional to √n_g —
+    * the standard multilingual/data-mixing rebalance that keeps
+    * long-tail groups visible without letting the head dominate. The
+    * caller gives a row `budget`; group g's target is
+    * budget · w_g / Σw where w_g = ⌊√n_g⌋, realized as a deterministic
+    * [[hashSample]]-style parts-per-million rate so membership stays a
+    * pure row function (stable across runs, partitionings, engines).
+    *
+    * Everything is EXACT integer arithmetic — ⌊√n⌋ is one correctly-
+    * rounded IEEE op on an exact integer, and rates are integer
+    * divisions — so the DuckDB oracle reproduces membership bit-for-bit
+    * (a general α would need a correctly-rounded `pow`, which neither
+    * engine guarantees). Bounds: budget · w_g and target · SCALE must
+    * stay under 2⁶³ — safe for budget ≤ 10¹², n_g ≤ 10¹².
+    *
+    * Shape: one tiny per-group count aggregate, broadcast back, then a
+    * codegen filter at the scan — the corpus is never shuffled.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, key: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val Scale = 1000000L
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    val rates = counts
+      .withColumn("__tw", counts.agg(sum(col("__w"))).scalar())
+      .withColumn("__thr", least(lit(Scale),
+        expr(s"(($budget * __w) div __tw) * $Scale div __n")))
+      .select(col(groupCol), col("__thr"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(pmod(keyHash(key), lit(Scale)) < col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Cap every group (domain, source, language …) at `maxRows`, keeping
     * the deterministic hash-order prefix — the C4-style per-domain cap
     * that stops a handful of giant domains from dominating the corpus,

@@ -804,6 +804,20 @@ object Queries {
     s"""SELECT doc_id, lang, source FROM documents
        |WHERE ${sqlHash("CAST(doc_id AS VARCHAR)")} % 1000 < 100""".stripMargin
 
+  private def mixtureSampleQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.temperatureSample(t(s, dir, "documents"), "lang", col("doc_id"),
+      budget = 200)
+      .select("doc_id", "lang")
+
+  private def mixtureSampleSql =
+    s"""WITH n AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+       |w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM n),
+       |thr AS (SELECT lang,
+       |    least(1000000, ((200 * w) // (SELECT CAST(sum(w) AS BIGINT) FROM w)) * 1000000 // n) AS t
+       |  FROM w)
+       |SELECT doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+       |WHERE ${sqlHash("CAST(doc_id AS VARCHAR)")} % 1000000 < t""".stripMargin
+
   private def capPerSourceQ(s: SparkSession, dir: String): DataFrame =
     SampleOps.capPerGroup(t(s, dir, "documents"), "source", col("doc_id"), 50)
       .select("doc_id", "source")
@@ -1246,7 +1260,8 @@ object Queries {
     "q_cap_per_source" -> (capPerSourceQ _),
     "q_dedup_clusters" -> (dedupClustersQ _),
     "q_asof_join" -> (asofJoinQ _),
-    "q_chunk_dedup" -> (chunkDedupQ _))
+    "q_chunk_dedup" -> (chunkDedupQ _),
+    "q_mixture_sample" -> (mixtureSampleQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1314,5 +1329,6 @@ object Queries {
     "q_cap_per_source" -> capPerSourceSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_asof_join" -> asofJoinSql,
-    "q_chunk_dedup" -> chunkDedupSql)
+    "q_chunk_dedup" -> chunkDedupSql,
+    "q_mixture_sample" -> mixtureSampleSql)
 }

@@ -30,6 +30,31 @@ class SampleOpsSpec extends SparkSpec {
     assert(SampleOps.hashSample(corpus, col("doc_id"), 1000, 1000).count() == corpus.count())
   }
 
+  test("temperatureSample flattens the mixture toward sqrt-share targets") {
+    // heavily skewed groups: 400 / 100 / 25 rows
+    val rows = (0L until 400L).map(i => (i, "big")) ++
+      (400L until 500L).map(i => (i, "mid")) ++
+      (500L until 525L).map(i => (i, "tiny"))
+    val df = rows.toDF("id", "g")
+    val got = SampleOps.temperatureSample(df, "g", col("id"), budget = 100)
+    val perGroup = got.groupBy("g").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // w = floor(sqrt(n)) = 20/10/5, tw = 35; targets = 100*w/35 = 57/28/14
+    // hash realization is approximate; shares must flatten: the big
+    // group's keep-RATE far below the tiny group's
+    val rateBig = perGroup.getOrElse("big", 0L).toDouble / 400
+    val rateTiny = perGroup.getOrElse("tiny", 0L).toDouble / 25
+    assert(rateTiny > rateBig * 2,
+      s"expected flattening, got rates big=$rateBig tiny=$rateTiny ($perGroup)")
+    // membership is a pure row function: partitioning-independent
+    val again = SampleOps.temperatureSample(df.repartition(13, col("g")), "g",
+      col("id"), budget = 100).select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
+    // groups over-budget never exceed rate 1; a budget >= corpus keeps all
+    val all = SampleOps.temperatureSample(df, "g", col("id"), budget = 100000)
+    assert(all.count() == 525L)
+  }
+
   test("capPerGroup bounds every group and picks a stable subset") {
     val capped = SampleOps.capPerGroup(corpus, "source", col("doc_id"), 30)
     val perGroup = capped.groupBy("source").count().collect()
