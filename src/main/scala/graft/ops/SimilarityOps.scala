@@ -197,6 +197,73 @@ object SimilarityOps {
       .select(col("q_id").as("id_a"), col("c_id").as("id_b"), col("cos"))
   }
 
+  /** Deterministic ±1 random-hyperplane matrix (`nPlanes` × `dim`),
+    * seeded — the same call builds the Spark plan's literals and the
+    * oracle SQL's, so signature parity holds by construction. */
+  def rpHyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Long]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
+  }
+
+  /** Random-hyperplane LSH near-dup pairs (SimHash for cosine): each
+    * vector gets `bands` keys of `bitsPerBand` sign bits
+    * (bit j = [v · h_j ≥ 0]); two vectors are candidates when ANY band
+    * key collides, and candidates are verified with the exact quantized
+    * cosine. The codebook-free complement to
+    * [[embeddingNearDupPairsIVF]]: no KMeans training pass, recall is
+    * tunable analytically (P[bit agrees] = 1 − θ/π, band collision =
+    * that^bits), and the hyperplanes are ±1 literals compiled into the
+    * plan — signatures are exact integer arithmetic, so the DuckDB
+    * oracle reproduces them bit-for-bit.
+    *
+    * Scale shape (mirrors the text MinHash-LSH spine): signature
+    * computation is MAP-ONLY (`bands·bits` dot-product kernels per row,
+    * no shuffle); candidates come from an equi-join on (band, key) with
+    * hot buckets above `maxBucket` dropped deterministically (skew cap —
+    * near-zero-norm vectors pile into degenerate sign buckets);
+    * verification is candidate-sized. Never all-pairs.
+    *
+    * Tuning (recall at threshold τ = 1 − (1 − p^bits)^bands with
+    * p = 1 − arccos(τ)/π): the 8×8 default is the HIGH-similarity
+    * regime — recall ≈ 0.94 at τ = 0.9, ≈ 0.75 at τ = 0.8 — with strong
+    * bucket pruning. For low thresholds (τ ≈ 0.45, p ≈ 0.65) flip to
+    * many short bands (bands = 16, bitsPerBand = 4: recall ≈ 0.95);
+    * the price is weaker pruning, intrinsic to hyperplane LSH when the
+    * target similarity sits close to the background distribution.
+    */
+  def embeddingNearDupPairsRP(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, dim: Int, bands: Int = 8, bitsPerBand: Int = 8,
+      seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 62,
+      s"need 0 < bitsPerBand <= 62, got bands=$bands bits=$bitsPerBand")
+    val planes = rpHyperplanes(dim, bands * bitsPerBand, seed)
+    val v = withQ(df, idCol, vecCol, "q")
+    val bandKeys = array((0 until bands).map { b =>
+      (0 until bitsPerBand).map { j =>
+        when(dotQ(col("q_q"), typedlit(planes(b * bitsPerBand + j).toSeq)) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val banded = v.select(col("q_id"), posexplode(bandKeys).as(Seq("band", "key")))
+    val ok = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band", "key")
+    val inOk = banded.join(ok, Seq("band", "key"))
+    val cands = inOk.select(col("band"), col("key"), col("q_id").as("id_a"))
+      .join(inOk.select(col("band"), col("key"), col("q_id").as("id_b")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = v.select(col("q_id").as("id_a"), col("q_q").as("__qa"), col("q_n2").as("__na"))
+    val b = v.select(col("q_id").as("id_b"), col("q_q").as("__qb"), col("q_n2").as("__nb"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("cos", cosineFromQ(dotQ(col("__qa"), col("__qb")),
+        col("__na"), col("__nb")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Corpus-vs-corpus near-duplicate pairs bucketed by IVF cluster: every
     * vector is assigned to its `probes` nearest centroids, and pairs are
     * generated only WITHIN a shared cluster — the join is

@@ -756,6 +756,41 @@ object Queries {
        |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
        |WHERE cos >= 0.45""".stripMargin
 
+  private def embedRpLshQ(s: SparkSession, dir: String): DataFrame =
+    // 16 bands × 4 bits: the low-threshold parameterization — this
+    // corpus's near-dup band sits at cos ≈ 0.45-0.5 (recall ≈ 0.95
+    // there; the 8×8 default targets the cos ≥ 0.8 regime)
+    SimilarityOps.embeddingNearDupPairsRP(t(s, dir, "embeddings"),
+      "vec_id", "embedding", minCos = 0.45, dim = 64,
+      bands = 16, bitsPerBand = 4)
+
+  private def embedRpLshSql = {
+    val planes = SimilarityOps.rpHyperplanes(dim = 64, nPlanes = 64, seed = 42L)
+    // band key b = Σ_j 2^j · [v · h_{4b+j} ≥ 0]; the ±1 hyperplanes are
+    // the same literals the Spark plan compiled in (same seeded call)
+    val bandSelects = (0 until 16).map { b =>
+      val key = (0 until 4).map { j =>
+        val h = planes(b * 4 + j).mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(v, (x,i) -> x * ($h)[i])) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $key AS key FROM n"
+    }.mkString(" UNION ALL ")
+    s"""WITH q0 AS ($sqlQuantized),
+       |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM q0),
+       |banded AS ($bandSelects),
+       |ok AS (SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1000),
+       |inok AS (SELECT b.* FROM banded b JOIN ok ON ok.band = b.band AND ok.key = b.key),
+       |cands AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |          FROM inok a JOIN inok b ON a.band = b.band AND a.key = b.key
+       |            AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b,
+       |  CAST(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) AS DOUBLE)
+       |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+       |FROM cands JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b
+       |WHERE CAST(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) AS DOUBLE)
+       |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.45""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Training-data curation: decontamination, repetition quality,
   // deterministic sampling, per-domain caps.
@@ -1261,7 +1296,8 @@ object Queries {
     "q_dedup_clusters" -> (dedupClustersQ _),
     "q_asof_join" -> (asofJoinQ _),
     "q_chunk_dedup" -> (chunkDedupQ _),
-    "q_mixture_sample" -> (mixtureSampleQ _))
+    "q_mixture_sample" -> (mixtureSampleQ _),
+    "q_embed_rplsh_pairs" -> (embedRpLshQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1330,5 +1366,6 @@ object Queries {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_asof_join" -> asofJoinSql,
     "q_chunk_dedup" -> chunkDedupSql,
-    "q_mixture_sample" -> mixtureSampleSql)
+    "q_mixture_sample" -> mixtureSampleSql,
+    "q_embed_rplsh_pairs" -> embedRpLshSql)
 }

@@ -81,6 +81,45 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF near-dup recall $recall (${ivf.size}/${exact.size})")
   }
 
+  test("RP-LSH near-dup recall vs exact baseline on the real embeddings") {
+    // this corpus's near pairs sit at cos 0.40-0.51, so the query-side
+    // low-threshold parameterization (16 bands x 4 bits) applies;
+    // theoretical recall at the 0.45 boundary is ~0.95
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = SimilarityOps.embeddingNearDupPairs(em, "vec_id", "embedding", 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rp = SimilarityOps.embeddingNearDupPairsRP(em, "vec_id", "embedding",
+        0.45, dim = 64, bands = 16, bitsPerBand = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(rp.subsetOf(exact)) // exact-cosine verify keeps precision 1.0
+    val recall = rp.size.toDouble / exact.size
+    assert(recall >= 0.7, s"RP-LSH near-dup recall $recall (${rp.size}/${exact.size})")
+  }
+
+  test("RP-LSH default (8x8) catches true high-similarity duplicates") {
+    // plant exact-direction duplicates (scaled copies, cos = 1): every
+    // sign bit agrees, so every band collides — recall 1.0 by
+    // construction exercises the full signature->band->verify pipeline
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 100).select("vec_id", "embedding")
+    val planted = em.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val rp = SimilarityOps.embeddingNearDupPairsRP(em.unionByName(planted),
+        "vec_id", "embedding", minCos = 0.99, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 100L).map(i => (i, i + 100000L)).toSet
+    assert(want.subsetOf(rp), s"missing ${(want -- rp).size} planted dup pairs")
+  }
+
+  test("RP-LSH pair generation is banded equi-join, never all-pairs") {
+    val plan = SimilarityOps.embeddingNearDupPairsRP(vecs, "vec_id", "embedding",
+        0.9, dim = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("embeddingNearDupPairsIVF pair join is not all-pairs") {
     val centroids = vecs.filter(col("vec_id") === 0 || col("vec_id") === 2)
     val plan = SimilarityOps.embeddingNearDupPairsIVF(
