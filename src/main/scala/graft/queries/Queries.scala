@@ -969,6 +969,24 @@ object Queries {
       |FROM days d JOIN cohorts c ON d.user_id = c.user_id
       |GROUP BY cohort_day, day""".stripMargin
 
+  private def numericProfileQ(s: SparkSession, dir: String): DataFrame =
+    ProfileOps.numericProfile(t(s, dir, "lineitem"), "l_quantity")
+
+  private val numericProfileSql =
+    """WITH v AS (SELECT l_quantity AS v FROM lineitem),
+      |base AS (SELECT count(*)::BIGINT AS n_rows,
+      |    CAST(count(*) - count(v) AS BIGINT) AS n_null,
+      |    count(v)::BIGINT AS n, min(v) AS min_v, max(v) AS max_v,
+      |    CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM v),
+      |c AS (SELECT v AS val, count(*)::BIGINT AS c FROM v
+      |      WHERE v IS NOT NULL GROUP BY v),
+      |cum AS (SELECT val, sum(c) OVER (ORDER BY val) AS cum FROM c)
+      |SELECT n_rows, n_null, min_v, max_v, sum_cents,
+      |  (SELECT min(val) FROM cum WHERE cum >= (SELECT (n + 1) // 2 FROM base)) AS median,
+      |  (SELECT min(val) FROM cum WHERE cum >= (SELECT (9 * n + 9) // 10 FROM base)) AS p90
+      |FROM base""".stripMargin
+
   private def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
     val ev = EventOps.loadEvents(s, dir)
     EventOps.asofJoin(
@@ -1297,7 +1315,8 @@ object Queries {
     "q_asof_join" -> (asofJoinQ _),
     "q_chunk_dedup" -> (chunkDedupQ _),
     "q_mixture_sample" -> (mixtureSampleQ _),
-    "q_embed_rplsh_pairs" -> (embedRpLshQ _))
+    "q_embed_rplsh_pairs" -> (embedRpLshQ _),
+    "q_numeric_profile" -> (numericProfileQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1367,5 +1386,6 @@ object Queries {
     "q_asof_join" -> asofJoinSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_mixture_sample" -> mixtureSampleSql,
-    "q_embed_rplsh_pairs" -> embedRpLshSql)
+    "q_embed_rplsh_pairs" -> embedRpLshSql,
+    "q_numeric_profile" -> numericProfileSql)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{SampleOps, TextOps}
+import graft.ops.{ProfileOps, SampleOps, TextOps}
 
 class SampleOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -28,6 +28,19 @@ class SampleOpsSpec extends SparkSpec {
   test("hashSample boundary rates keep none / all") {
     assert(SampleOps.hashSample(corpus, col("doc_id"), 0, 1000).isEmpty)
     assert(SampleOps.hashSample(corpus, col("doc_id"), 1000, 1000).count() == corpus.count())
+  }
+
+  test("numericProfile: exact discrete quantiles from the value histogram") {
+    val df = Seq(Some(1.0), Some(2.0), Some(2.0), Some(3.0), Some(100.0), None)
+      .toDF("x")
+    val r = ProfileOps.numericProfile(df, "x").head()
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_null") == 1L)
+    assert(r.getAs[Double]("min_v") == 1.0 && r.getAs[Double]("max_v") == 100.0)
+    assert(r.getAs[Long]("sum_cents") == 10800L)
+    // n=5 non-null: median = 3rd smallest = 2; p90 = ceil(4.5)=5th = 100
+    assert(r.getAs[Double]("median") == 2.0)
+    assert(r.getAs[Double]("p90") == 100.0)
   }
 
   test("temperatureSample flattens the mixture toward sqrt-share targets") {
