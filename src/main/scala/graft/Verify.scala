@@ -17,9 +17,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for fast local iteration
-    // (unset = all queries; the driver never sets it)
+    // (unset/empty = all queries; the driver never sets it). Skipped
+    // queries keep any stale output dirs — subset runs are for spot
+    // checks, so say so loudly and reject unknown names.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not registered: ${unknown.mkString(",")}")
+      System.err.println(s"[verify] SUBSET run (${names.size} queries): ${names.mkString(",")}; other outputs in $outDir may be stale")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

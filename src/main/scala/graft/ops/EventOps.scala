@@ -135,7 +135,14 @@ object EventOps {
     val l = left.withColumn("__side", lit(1))
       .withColumn("__ord", lit(null).cast("long"))
       .withColumn("__p", lit(null).cast(pType))
-    val r = right.select(
+    // right rows with a null key or null ts can never match under SQL
+    // equality / >= (null never equals, null ts is not at-or-before
+    // anything) — drop them so the null-key window partition and the
+    // nulls-first ts sort can't fabricate matches the join semantics
+    // forbid. Null-key/null-ts LEFT rows stay and get null payloads
+    // (left-outer), falling out of the same sort order.
+    val rIn = right.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    val r = rIn.select(
       Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
         col(ordCol).cast("long").as("__ord"),
         struct(payloadCols.map(col): _*).as("__p")) ++

@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * Quantiles are EXACT and discrete (the value at position
   * ⌈n/2⌉ / ⌈9n/10⌉ of the sorted non-null values — no interpolation,
   * so no cross-engine float blending) and computed from the
-  * VALUE HISTOGRAM: a hash aggregate of counts per distinct value, a
-  * running sum over the distinct values, and two scalar lookups. Cost
-  * scales with DISTINCT values, not rows — for bounded-cardinality
-  * columns (quantities, scores, bucketed lengths) the window is tiny.
+  * VALUE HISTOGRAM in ONE subquery pass: a hash aggregate of counts per
+  * distinct value, one running-sum window (the total rides the same
+  * sort as an unbounded frame — n needs no extra scan), and both
+  * positional lookups folded into a single struct-valued scalar
+  * subquery. Cost scales with DISTINCT values, not rows — for
+  * bounded-cardinality columns (quantities, scores, bucketed lengths)
+  * the window is tiny.
   * For near-unique columns (prices, ids) the distinct histogram
   * approaches the row count and its global sort becomes the cost —
   * there the 100 TB substitute is `approx_percentile` (documented
@@ -28,26 +31,33 @@ import org.apache.spark.sql.functions._
 object ProfileOps {
   def numericProfile(df: DataFrame, valueCol: String): DataFrame = {
     val v = col(valueCol)
-    val nonNull = df.filter(v.isNotNull)
-    val n = nonNull.agg(count(lit(1))).scalar()
-    val counts = nonNull.groupBy(v.as("val")).agg(count(lit(1)).as("c"))
-    val cum = counts.withColumn("cum",
-      sum(col("c")).over(Window.orderBy("val")
-        .rowsBetween(Window.unboundedPreceding, 0)))
+    val counts = df.filter(v.isNotNull)
+      .groupBy(v.as("val")).agg(count(lit(1)).as("c"))
+    val ordered = Window.orderBy("val")
+    val cum = counts
+      .withColumn("cum", sum(col("c"))
+        .over(ordered.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum(col("c"))
+        .over(ordered.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
     // k-th smallest = first value whose running count reaches k;
     // k = floor((n+1)/2) and floor((9n+9)/10) = the ceil-position
-    // formulas in pure integer-valued arithmetic
-    def kth(k: Column): Column =
-      cum.filter(col("cum") >= k).agg(min(col("val"))).scalar()
-    val k50 = floor((n.cast("double") + 1.0) / 2.0).cast("long")
-    val k90 = floor((n.cast("double") * 9.0 + 9.0) / 10.0).cast("long")
+    // formulas in integer-valued double arithmetic (exact below 2^53)
+    def kth(k: Column): Column = min(when(col("cum") >= k, col("val")))
+    val k50 = floor((col("tot").cast("double") + 1.0) / 2.0)
+    val k90 = floor((col("tot").cast("double") * 9.0 + 9.0) / 10.0)
+    val quantiles = cum.agg(
+      struct(kth(k50).as("median"), kth(k90).as("p90")).as("q"))
     df.agg(
       count(lit(1)).as("n_rows"),
       (count(lit(1)) - count(v)).as("n_null"),
       min(v).as("min_v"),
       max(v).as("max_v"),
       sum(round(v * 100).cast("long")).as("sum_cents"))
-      .withColumn("median", kth(k50))
-      .withColumn("p90", kth(k90))
+      .withColumn("__q", quantiles.scalar())
+      .select(col("n_rows"), col("n_null"), col("min_v"), col("max_v"),
+        col("sum_cents"),
+        col("__q").getField("median").as("median"),
+        col("__q").getField("p90").as("p90"))
   }
 }

@@ -117,8 +117,11 @@ object SampleOps {
       .withColumn("__tw", counts.agg(sum(col("__w"))).scalar())
       .withColumn("__thr", least(lit(Scale),
         expr(s"(($budget * __w) div __tw) * $Scale div __n")))
-      .select(col(groupCol), col("__thr"))
-    df.join(broadcast(rates), Seq(groupCol))
+      .select(col(groupCol).as("__g"), col("__thr"))
+    // null-safe join: a null group is a group like any other (groupBy
+    // counted it and priced it a rate) — a plain equi-join would
+    // silently drop every null-group row
+    df.join(broadcast(rates), col(groupCol) <=> col("__g"))
       .filter(pmod(keyHash(key), lit(Scale)) < col("__thr"))
       .select(df.columns.map(col): _*)
   }

@@ -898,14 +898,20 @@ object Queries {
     TextOps.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
       chunkTokens = 32, overlap = 8)
 
-  private val chunkDocsSql =
-    """SELECT doc_id, i::BIGINT AS chunk_idx,
-      |  array_to_string(ws[i*24+1 : i*24+32], ' ') AS chunk_text,
-      |  least(32, n - i*24)::BIGINT AS n_tokens
-      |FROM (SELECT doc_id, ws, len(ws) AS n,
-      |        CASE WHEN len(ws) <= 32 THEN 1 ELSE (len(ws) - 32 + 23) // 24 + 1 END AS nc
-      |      FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
-      |  UNNEST(range(0, nc)) t(i)""".stripMargin
+  /** SQL fragment: token-window chunking of `documents` (`w`-token
+    * chunks every `stride` tokens) — mirrors TextOps.chunkDocuments;
+    * shared by the chunking and chunk-dedup oracles so the two can't
+    * drift. */
+  private def sqlChunks(w: Int, stride: Int): String =
+    s"""SELECT doc_id, i::BIGINT AS chunk_idx,
+       |  array_to_string(ws[i*$stride+1 : i*$stride+$w], ' ') AS chunk_text,
+       |  least($w, n - i*$stride)::BIGINT AS n_tokens
+       |FROM (SELECT doc_id, ws, len(ws) AS n,
+       |        CASE WHEN len(ws) <= $w THEN 1 ELSE (len(ws) - $w + ${stride - 1}) // $stride + 1 END AS nc
+       |      FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
+       |  UNNEST(range(0, nc)) t(i)""".stripMargin
+
+  private val chunkDocsSql = sqlChunks(w = 32, stride = 24)
 
   private def chunkDedupQ(s: SparkSession, dir: String): DataFrame =
     // hashKey=false: byte-exact chunk key so the oracle needs no hash
@@ -915,13 +921,7 @@ object Queries {
       chunkTokens = 32, hashKey = false)
 
   private val chunkDedupSql =
-    """WITH ch AS (
-      |  SELECT doc_id, i::BIGINT AS chunk_idx,
-      |    array_to_string(ws[i*32+1 : i*32+32], ' ') AS chunk_text,
-      |    least(32, n - i*32)::BIGINT AS n_tokens
-      |  FROM (SELECT doc_id, ws, len(ws) AS n, (len(ws) - 1) // 32 + 1 AS nc
-      |        FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
-      |    UNNEST(range(0, nc)) t(i)),
+    s"""WITH ch AS (${sqlChunks(w = 32, stride = 32)}),
       |win AS (SELECT *, row_number() OVER (PARTITION BY chunk_text
       |          ORDER BY doc_id, chunk_idx) AS rn FROM ch)
       |SELECT doc_id,
@@ -995,20 +995,27 @@ object Queries {
       ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts_us"),
           col("event_id").as("click_event_id"),
-          round(col("value") * 100).cast("long").as("click_cents")),
+          cents(col("value")).as("click_cents")),
       keyCol = "user_id", tsCol = "ts_us",
       payloadCols = Seq("click_event_id", "click_cents"),
       ordCol = "click_event_id")
   }
 
   /** DuckDB's native ASOF LEFT JOIN — an independent implementation of
-    * the same semantics (greatest right ts at-or-before each left row). */
+    * the same semantics (greatest right ts at-or-before each left row).
+    * DuckDB's pick among equal-timestamp right rows is unspecified, so
+    * the oracle dedups ties to the max event_id first — exactly the
+    * tie-break asofJoin's ordCol already guarantees on the Spark side
+    * (no ties exist in this data today; this pins determinism if ns→µs
+    * truncation ever creates one). */
   private val asofJoinSql =
     """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
       |           WHERE event_type = 'purchase'),
-      |c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_event_id,
-      |        CAST(round(value * 100) AS BIGINT) AS click_cents FROM events
-      |      WHERE event_type = 'click')
+      |c0 AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS click_cents FROM events
+      |       WHERE event_type = 'click'),
+      |c AS (SELECT * FROM c0 QUALIFY row_number() OVER (
+      |        PARTITION BY user_id, ts_us ORDER BY click_event_id DESC) = 1)
       |SELECT p.event_id, p.user_id, p.ts_us, c.click_event_id, c.click_cents
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin
 

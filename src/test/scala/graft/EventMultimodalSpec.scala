@@ -68,6 +68,22 @@ class EventMultimodalSpec extends SparkSpec {
       (100L, Some(222L)), (101L, Some(333L)), (102L, None), (103L, None)))
   }
 
+  test("asofJoin never matches through null keys or null right timestamps") {
+    val left = Seq((100L, Some(1L), minUs(10)), (101L, None, minUs(10)))
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq(
+      (None, Some(minUs(5)), 1L, 111L),    // null key: unmatchable
+      (Some(1L), None, 2L, 222L),          // null ts: unmatchable
+      (Some(1L), Some(minUs(5)), 3L, 333L))
+      .toDF("user_id", "ts_us", "r_ord", "r_val")
+    val got = EventOps.asofJoin(left, right, "user_id", "ts_us",
+        Seq("r_val"), ordCol = "r_ord")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[java.lang.Long]("r_val")).map(_.toLong)))
+    // left null-key row survives (left-outer) with a null payload
+    assert(got.toSeq == Seq((100L, Some(333L)), (101L, None)))
+  }
+
   test("asofJoin plans as one exchange + window — no join operator") {
     val left = Seq((1L, 2L, 3L)).toDF("event_id", "user_id", "ts_us")
     val right = Seq((2L, 1L, 4L, 5L)).toDF("user_id", "ts_us", "r_ord", "r_val")

@@ -66,6 +66,11 @@ class SampleOpsSpec extends SparkSpec {
     // groups over-budget never exceed rate 1; a budget >= corpus keeps all
     val all = SampleOps.temperatureSample(df, "g", col("id"), budget = 100000)
     assert(all.count() == 525L)
+    // a null group is a group like any other (null-safe join) — not dropped
+    val withNull = rows.map { case (i, g) => (i, Some(g)) } :+ (525L, None)
+    val nf = withNull.toDF("id", "g")
+    assert(SampleOps.temperatureSample(nf, "g", col("id"), budget = 100000)
+      .count() == 526L)
   }
 
   test("capPerGroup bounds every group and picks a stable subset") {
