@@ -250,11 +250,17 @@ object SimilarityOps {
       .filter(col("__n") <= maxBucket)
       .select("band", "key")
     val inOk = banded.join(ok, Seq("band", "key"))
+    // multi-band duplicates are dropped AFTER the cosine filter, where
+    // rows are narrowest (same trade as the IVF path): a distinct() on
+    // the raw candidate set instead would shuffle every candidate pair
+    // a second time to save re-verifying ≤`bands`-fold duplicates
+    // (measured equal at sf0.1, where multiplicity is low; the exchange
+    // it avoids grows with candidates, the duplication stays bounded)
     val cands = inOk.select(col("band"), col("key"), col("q_id").as("id_a"))
       .join(inOk.select(col("band"), col("key"), col("q_id").as("id_b")),
         Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
     val a = v.select(col("q_id").as("id_a"), col("q_q").as("__qa"), col("q_n2").as("__na"))
     val b = v.select(col("q_id").as("id_b"), col("q_q").as("__qb"), col("q_n2").as("__nb"))
     cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -262,6 +268,7 @@ object SimilarityOps {
         col("__na"), col("__nb")))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
+      .distinct()
   }
 
   /** Corpus-vs-corpus near-duplicate pairs bucketed by IVF cluster: every
