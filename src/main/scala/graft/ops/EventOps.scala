@@ -22,7 +22,10 @@ object EventOps {
   /** Tumbling-window aggregate: events per (hour-of-epoch, event_type)
     * with exact cent sums. One hash-aggregate shuffle; at scale this is
     * the canonical partial-agg-friendly shape (map-side combine on the
-    * low-cardinality window×type key).
+    * low-cardinality window×type key). `n_users` is an exact
+    * countDistinct (a second expand/aggregate pass over the window's
+    * rows) — at 100 TB substitute `approx_count_distinct` when a ±2%
+    * HLL answer is acceptable, as SURVEY §2.1 does for n_unique.
     */
   def hourlyAgg(events: DataFrame): DataFrame =
     events

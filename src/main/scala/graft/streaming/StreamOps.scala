@@ -73,15 +73,14 @@ object StreamOps {
         val current = graft.ops.Pipeline.readOrInit(spark, indexPath)
         val next = IndexOps.alignIdCol(
           IndexOps.updateOrAppend(current, batch, Some(col(ordinal))))
-        // write to a tmp dir then swap: the state store must never be
-        // half-written (same publish discipline as the batch CLI)
+        // stage fully, then crash-safe swap (old index set ASIDE, never
+        // deleted before the new one lands) — the same publish
+        // discipline as the batch CLI; readOrInit above recovers an
+        // interrupted swap on the next batch
         val tmp = indexPath + "__staging"
         next.orderBy(IndexOps.ID).write.mode("overwrite")
           .option("compression", "zstd").parquet(tmp)
-        val fs = new java.io.File(indexPath)
-        if (fs.exists()) org.apache.commons.io.FileUtils.deleteDirectory(fs)
-        new java.io.File(tmp).renameTo(fs)
-        ()
+        graft.ops.Pipeline.publishStaged(tmp, indexPath)
       }
 
   /** A keyed record for stateful streaming ops (payload = whatever the
@@ -104,6 +103,84 @@ object StreamOps {
         (_: Long, rows: Iterator[Keyed], state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else { state.update(true); rows.take(1) }
+      }
+  }
+
+  /** One event of a user's stream, micros derived from the event-time
+    * timestamp the watermark tracks. */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, cents: Long)
+  /** Open-session state: pure aggregates, O(1) per user. */
+  case class SessionAgg(start_us: Long, end_us: Long, n: Long, cents: Long)
+  /** An emitted (closed) session; `closed_by` = "gap" when a later event
+    * of the same user closed it inside a batch, "timeout" when the
+    * event-time watermark passed the gap deadline. */
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, value_cents: Long, closed_by: String)
+
+  /** Streaming sessionization — the continuous form of
+    * [[graft.ops.EventOps.sessionize]]: per-user sessions close when the
+    * gap since the user's last event exceeds `gapMinutes`, emitted in
+    * APPEND mode via `flatMapGroupsWithState` with EVENT-TIME timeout.
+    * State is one O(1) aggregate per user with an open session — no
+    * event buffering — and is dropped on emission, so state size tracks
+    * concurrently-active users, not history. Batch events are processed
+    * in event-time order; a session still open at batch end arms a
+    * timeout at `end + gap` (clamped above the current watermark, which
+    * may already have passed it) and is emitted by the first trigger
+    * whose watermark exceeds it. Late events older than the open
+    * session merge into it best-effort (they extend counts, never
+    * reorder history) — the watermark bounds how late that can happen,
+    * exactly as the batch operator's semantics assume completeness.
+    */
+  def sessionizeStream(events: DataFrame, tsCol: String, userCol: String,
+      valueCol: String, gapMinutes: Int,
+      watermarkDelay: String = "1 hour"): org.apache.spark.sql.Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val gapUs = gapMinutes * 60L * 1000000L
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val ds = events
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(userCol).cast("long").as("user_id"),
+        col(tsCol).as("ts"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+      .as[SessionEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start_us, s.end_us, s.n, s.cents, "timeout"))
+          } else {
+            val evs = rows.toVector.sortBy(e => us(e.ts))
+            val out = Vector.newBuilder[SessionOut]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = us(e.ts)
+              cur match {
+                case Some(s) if t - s.end_us <= gapUs =>
+                  cur = Some(SessionAgg(math.min(s.start_us, t),
+                    math.max(s.end_us, t), s.n + 1, s.cents + e.cents))
+                case Some(s) =>
+                  out += SessionOut(user, s.start_us, s.end_us, s.n, s.cents, "gap")
+                  cur = Some(SessionAgg(t, t, 1L, e.cents))
+                case None =>
+                  cur = Some(SessionAgg(t, t, 1L, e.cents))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // the deadline may already be behind the watermark (a
+              // batch of old events); clamp — the next trigger fires it
+              state.setTimeoutTimestamp(math.max((s.end_us + gapUs) / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
+          }
       }
   }
 

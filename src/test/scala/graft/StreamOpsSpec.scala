@@ -57,6 +57,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(got(2).getString(1) == "c")
   }
 
+  test("sessionizeStream: gap-closed sessions emit in-batch, open ones on watermark timeout") {
+    val in = tmpDir("graft_stream_sess_in")
+    // batch 1 (user 1): 00:00 + 00:10 form one session (gap 30m);
+    // 01:00 closes it in-batch and opens a second session
+    Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0),
+      (Timestamp.valueOf("2024-01-01 00:10:00"), 1L, 2.0),
+      (Timestamp.valueOf("2024-01-01 01:00:00"), 1L, 4.0))
+      .toDF("ts", "user_id", "value")
+      .coalesce(1).write.parquet(s"$in/b1")
+    Thread.sleep(50) // distinct mtimes: file order = batch order
+    // batch 2 (user 2, much later): advances the watermark past the
+    // 01:30 deadline of user 1's open session -> it times out
+    Seq((Timestamp.valueOf("2024-01-01 05:00:00"), 2L, 8.0))
+      .toDF("ts", "user_id", "value")
+      .coalesce(1).write.parquet(s"$in/b2")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = StreamOps.sessionizeStream(stream, "ts", "user_id", "value",
+        gapMinutes = 30, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def usOf(s: String) = Timestamp.valueOf(s).getTime * 1000L
+    val got = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    // session 1 closed by the 01:00 event inside batch 1
+    assert(got.contains((1L, usOf("2024-01-01 00:00:00"),
+      usOf("2024-01-01 00:10:00"), 2L, 300L, "gap")), got)
+    // session 2 (open at 01:00, deadline 01:30) times out once batch 2
+    // pushes the watermark to 04:50
+    assert(got.contains((1L, usOf("2024-01-01 01:00:00"),
+      usOf("2024-01-01 01:00:00"), 1L, 400L, "timeout")), got)
+  }
+
   test("contaminationHitsStream flags streamed docs overlapping the static eval set") {
     val in = tmpDir("graft_stream_contam_in")
     Seq(
