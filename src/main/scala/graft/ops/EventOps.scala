@@ -107,12 +107,16 @@ object EventOps {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
-  /** Backward as-of join: for each `left` row, the payload of the `right`
-    * row with the same key and the greatest `tsCol` at-or-before the left
-    * row's (inclusive); nulls when no such row exists (left-outer
-    * semantics). Ties among right rows at the same instant resolve to the
-    * greatest `ordCol` — callers pass a unique ordinal (event id) so the
-    * result is total-order deterministic.
+  /** As-of join: for each `left` row, the payload of the `right` row with
+    * the same key and the nearest `tsCol` at-or-before it (`direction =
+    * "backward"`, the default) or at-or-after it (`"forward"`), both
+    * inclusive; nulls when no such row exists (left-outer semantics).
+    * Ties among right rows at the same instant resolve to the greatest
+    * `ordCol` backward / least forward — callers pass a unique ordinal
+    * (event id) so the result is total-order deterministic. With
+    * `toleranceUs`, matches farther than the tolerance from the left
+    * row's time null out (the kdb/pandas `merge_asof` staleness bound;
+    * requires a numeric time column — integer micros here).
     *
     * Spark has no as-of join; the naive encodings are a range join
     * (O(|L|·|R|) BroadcastNestedLoop per key) or a groupBy-max correlated
@@ -128,13 +132,22 @@ object EventOps {
     * spills rather than OOMs.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, payloadCols: Seq[String], ordCol: String): DataFrame = {
+      tsCol: String, payloadCols: Seq[String], ordCol: String,
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
     require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    require(toleranceUs.forall(_ >= 0), s"tolerance must be >= 0")
     val leftCols = left.columns.toSeq
     require(!leftCols.exists(payloadCols.contains),
       s"payload columns ${payloadCols.mkString(",")} collide with left columns")
+    val backward = direction == "backward"
+    // the matched right timestamp rides inside the payload struct so the
+    // tolerance bound can compare it against the left row's time
     val pType = org.apache.spark.sql.types.StructType(
-      payloadCols.map(c => right.schema(c).copy(name = c)))
+      payloadCols.map(c => right.schema(c).copy(name = c)) :+
+        org.apache.spark.sql.types.StructField("__mts", right.schema(tsCol).dataType))
     val l = left.withColumn("__side", lit(1))
       .withColumn("__ord", lit(null).cast("long"))
       .withColumn("__p", lit(null).cast(pType))
@@ -148,17 +161,30 @@ object EventOps {
     val r = rIn.select(
       Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
         col(ordCol).cast("long").as("__ord"),
-        struct(payloadCols.map(col): _*).as("__p")) ++
+        struct(payloadCols.map(col) :+ col(tsCol).as("__mts"): _*).as("__p")) ++
         leftCols.filterNot(Seq(keyCol, tsCol).contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(col(tsCol), col("__side"), col("__ord"))
+    // backward scans time ascending (nearest-before = last right seen);
+    // forward is its mirror image on descending time, with the ordinal
+    // tie-break mirrored too so "nearest" tie resolves to the least ord
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+      .orderBy(
+        (if (backward) col(tsCol).asc else col(tsCol).desc),
+        col("__side").asc,
+        (if (backward) col("__ord").asc else col("__ord").desc))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    l.unionByName(r)
+    val matched = l.unionByName(r)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
-        payloadCols.map(c => col("__m").getField(c).as(c)): _*)
+    val inTol = toleranceUs match {
+      case None => lit(true)
+      case Some(t) =>
+        val delta = if (backward) col(tsCol) - col("__m").getField("__mts")
+        else col("__m").getField("__mts") - col(tsCol)
+        delta <= t
+    }
+    matched.select(leftCols.map(col) ++
+      payloadCols.map(c => when(inTol, col("__m").getField(c)).as(c)): _*)
   }
 
   /** Per-session rollup on top of [[sessionize]]. */

@@ -68,6 +68,26 @@ class EventMultimodalSpec extends SparkSpec {
       (100L, Some(222L)), (101L, Some(333L)), (102L, None), (103L, None)))
   }
 
+  test("asofJoin forward direction and tolerance bound") {
+    val left = Seq(
+      (100L, 1L, minUs(10)),
+      (101L, 1L, minUs(40))) // nearest-after is @41, outside 30s tolerance runs below
+      .toDF("event_id", "user_id", "ts_us")
+    val right = Seq(
+      (1L, minUs(10), 1L, 111L), // equal instant: inclusive for forward too
+      (1L, minUs(10), 2L, 222L), // forward tie -> LEAST ord wins
+      (1L, minUs(41), 3L, 333L))
+      .toDF("user_id", "ts_us", "r_ord", "r_val")
+    def run(tol: Option[Long]) =
+      EventOps.asofJoin(left, right, "user_id", "ts_us", Seq("r_val"),
+        ordCol = "r_ord", direction = "forward", toleranceUs = tol)
+        .orderBy("event_id").collect()
+        .map(r => Option(r.getAs[java.lang.Long]("r_val")).map(_.toLong)).toSeq
+    assert(run(None) == Seq(Some(111L), Some(333L)))
+    // 30s tolerance: the @40 -> @41 match (60s away) nulls out
+    assert(run(Some(30L * 1000000L)) == Seq(Some(111L), None))
+  }
+
   test("asofJoin never matches through null keys or null right timestamps") {
     val left = Seq((100L, Some(1L), minUs(10)), (101L, None, minUs(10)))
       .toDF("event_id", "user_id", "ts_us")
