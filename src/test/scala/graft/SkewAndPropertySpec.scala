@@ -157,6 +157,66 @@ class SkewAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: asofJoin equals the brute-force nearest-match on random streams") {
+    val rnd = new scala.util.Random(7)
+    for (c <- 0 until 8) {
+      // small ts domain FORCES equal-instant ties; a few keys force
+      // both matched and unmatched partitions
+      val left = (0 until 20).map(i =>
+        (i.toLong, rnd.nextLong(3), rnd.nextLong(8)))
+      val right = (0 until 15).map(i =>
+        (rnd.nextLong(4), rnd.nextLong(8), i.toLong, rnd.nextLong(100)))
+      val ldf = left.toDF("event_id", "k", "ts")
+      val rdf = right.toDF("k", "ts", "ord", "v")
+      for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(2L))) {
+        val got = graft.ops.EventOps.asofJoin(ldf, rdf, "k", "ts", Seq("v"),
+            "ord", dir, tol)
+          .collect().map(r => r.getLong(0) ->
+            Option(r.getAs[java.lang.Long]("v")).map(_.toLong)).toMap
+        val want = left.map { case (id, k, ts) =>
+          val m = right
+            .filter(r => r._1 == k &&
+              (if (dir == "backward") r._2 <= ts else r._2 >= ts) &&
+              tol.forall(t => (r._2 - ts).abs <= t))
+          val pick = // nearest ts; tie -> max ord backward, min ord forward
+            if (dir == "backward") m.sortBy(r => (r._2, r._3)).lastOption
+            else m.sortBy(r => (-r._2, -r._3)).lastOption
+          id -> pick.map(_._4)
+        }.toMap
+        assert(got == want, s"case $c dir=$dir tol=$tol\nleft=$left\nright=$right")
+      }
+    }
+  }
+
+  test("property: chunkDedup equals a reference keep-first on random corpora") {
+    val rnd = new scala.util.Random(11)
+    for (c <- 0 until 6) {
+      // tiny vocabulary + short chunks force cross-doc chunk repeats
+      val docs = (0 until 12).map { i =>
+        val words = Seq.fill(1 + rnd.nextInt(9))(s"w${rnd.nextInt(3)}")
+        (i.toLong, words.mkString(" "))
+      }
+      val w = 2
+      val got = graft.ops.DedupOps.chunkDedup(docs.toDF("doc_id", "text"),
+          "doc_id", "text", chunkTokens = w)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      // reference: chunk all docs, keep globally-first occurrences in
+      // (doc_id, chunk_idx) order, reassemble
+      val chunks = docs.flatMap { case (id, text) =>
+        text.split(" ", -1).grouped(w).zipWithIndex
+          .map { case (ws, idx) => (id, idx.toLong, ws.mkString(" ")) }
+      }
+      val firsts = chunks.groupBy(_._3).map { case (_, occ) =>
+        occ.minBy(o => (o._1, o._2))
+      }.toSet
+      val want = chunks.filter(firsts.contains)
+        .groupBy(_._1)
+        .map { case (id, ch) =>
+          id -> ch.sortBy(_._2).map(_._3).mkString(" ") }
+      assert(got == want, s"case $c docs=$docs")
+    }
+  }
+
   test("property: delta rows always win; other rows survive") {
     for ((a, b) <- cases(seed = 5, n = 10).zip(cases(seed = 6, n = 10))
          if a.nonEmpty) {
