@@ -271,6 +271,35 @@ object SimilarityOps {
       .distinct()
   }
 
+  /** Semantic cross-corpus decontamination: embedding near-dup pairs
+    * with one side in each corpus — the embedding-space complement of
+    * [[graft.ops.DedupOps.crossCorpusNearDups]], catching PARAPHRASED
+    * eval contamination that token-level n-gram/MinHash overlap misses
+    * entirely (the rewritten benchmark answer has disjoint shingles but
+    * a near-identical embedding). Runs [[embeddingNearDupPairsRP]] over
+    * the tagged union and keeps cross-side pairs only. Ids must be
+    * distinct across the two inputs (re-key first otherwise).
+    *
+    * Output: (id_a, id_b, cos) with id_a < id_b, sides in different
+    * corpora. Same scale shape as the underlying RP-LSH: map-only
+    * signatures, capped band buckets, candidate-only verification —
+    * the training corpus is never cross-joined against the eval set.
+    */
+  def crossCorpusEmbeddingNearDups(a: DataFrame, b: DataFrame,
+      idCol: String, vecCol: String, minCos: Double, dim: Int,
+      bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
+    val tagged = a.select(col(idCol), col(vecCol)).withColumn("__graft_src", lit(0))
+      .unionByName(b.select(col(idCol), col(vecCol)).withColumn("__graft_src", lit(1)))
+    val tags = tagged.select(col(idCol), col("__graft_src"))
+    embeddingNearDupPairsRP(tagged, idCol, vecCol, minCos, dim,
+        bands, bitsPerBand, seed, maxBucket)
+      .join(tags.select(col(idCol).as("id_a"), col("__graft_src").as("src_a")), Seq("id_a"))
+      .join(tags.select(col(idCol).as("id_b"), col("__graft_src").as("src_b")), Seq("id_b"))
+      .filter(col("src_a") =!= col("src_b"))
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Corpus-vs-corpus near-duplicate pairs bucketed by IVF cluster: every
     * vector is assigned to its `probes` nearest centroids, and pairs are
     * generated only WITHIN a shared cluster — the join is

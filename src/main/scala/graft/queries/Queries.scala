@@ -791,6 +791,21 @@ object Queries {
        |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.45""".stripMargin
   }
 
+  private def embedCrossCorpusQ(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings")
+    // eval set = vec_id < 50, training corpus = the rest; the union the
+    // op forms is exactly the full table, so the oracle is the RP-LSH
+    // pair query filtered to cross-side pairs
+    SimilarityOps.crossCorpusEmbeddingNearDups(
+      em.filter(col("vec_id") >= 50), em.filter(col("vec_id") < 50),
+      "vec_id", "embedding", minCos = 0.45, dim = 64,
+      bands = 16, bitsPerBand = 4)
+  }
+
+  private def embedCrossCorpusSql =
+    s"""SELECT id_a, id_b, cos FROM ($embedRpLshSql)
+       |WHERE (id_a < 50) <> (id_b < 50)""".stripMargin
+
   // ---------------------------------------------------------------------
   // Training-data curation: decontamination, repetition quality,
   // deterministic sampling, per-domain caps.
@@ -1323,7 +1338,8 @@ object Queries {
     "q_chunk_dedup" -> (chunkDedupQ _),
     "q_mixture_sample" -> (mixtureSampleQ _),
     "q_embed_rplsh_pairs" -> (embedRpLshQ _),
-    "q_numeric_profile" -> (numericProfileQ _))
+    "q_numeric_profile" -> (numericProfileQ _),
+    "q_embed_cross_corpus" -> (embedCrossCorpusQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1394,5 +1410,6 @@ object Queries {
     "q_chunk_dedup" -> chunkDedupSql,
     "q_mixture_sample" -> mixtureSampleSql,
     "q_embed_rplsh_pairs" -> embedRpLshSql,
-    "q_numeric_profile" -> numericProfileSql)
+    "q_numeric_profile" -> numericProfileSql,
+    "q_embed_cross_corpus" -> embedCrossCorpusSql)
 }

@@ -112,6 +112,19 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(want.subsetOf(rp), s"missing ${(want -- rp).size} planted dup pairs")
   }
 
+  test("crossCorpusEmbeddingNearDups keeps only pairs straddling the corpora") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val all = SimilarityOps.embeddingNearDupPairsRP(em, "vec_id", "embedding",
+        0.45, dim = 64, bands = 16, bitsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = SimilarityOps.crossCorpusEmbeddingNearDups(
+        em.filter(col("vec_id") >= 250), em.filter(col("vec_id") < 250),
+        "vec_id", "embedding", 0.45, dim = 64, bands = 16, bitsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross == all.filter { case (a, b) => (a < 250) != (b < 250) })
+    assert(cross.forall { case (a, b) => (a < 250) != (b < 250) })
+  }
+
   test("RP-LSH pair generation is banded equi-join, never all-pairs") {
     val plan = SimilarityOps.embeddingNearDupPairsRP(vecs, "vec_id", "embedding",
         0.9, dim = 3)
