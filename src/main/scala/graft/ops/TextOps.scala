@@ -280,6 +280,34 @@ object TextOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Corpus vocabulary: the `topN` most frequent terms with total
+    * occurrence count (tf), document frequency (df), and a total-order
+    * rank (tf desc, term asc) — the tokenizer-prep / stopword-discovery
+    * profile of a corpus.
+    *
+    * Shape: one explode + TWO-LEVEL hash aggregate — (term, doc) counts
+    * partial-aggregate map-side (each doc's repeats collapse before the
+    * exchange), then the per-term rollup gives tf as a sum and df as a
+    * plain count without `countDistinct`'s expand. Top-N is
+    * `orderBy.limit` (TakeOrderedAndProject — per-partition partial
+    * top-N, never a global sort); the rank window runs over the N
+    * surviving rows only.
+    */
+  def vocabulary(df: DataFrame, idCol: String, text: String,
+      topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be > 0, got $topN")
+    val perDoc = df.filter(col(text).isNotNull)
+      .select(col(idCol).as("sid"), explode(tokens(col(text))).as("term"))
+      .groupBy("term", "sid").agg(count(lit(1)).as("c"))
+    val top = perDoc.groupBy("term")
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("term").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Document fingerprint: whole-text rolling hash plus a shingle-sketch
     * summary (count + min shingle hash). The min-hash of the shingle set
     * is the 1-permutation MinHash — a compact near-dup signal; DedupOps

@@ -945,6 +945,19 @@ object Queries {
       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
       |FROM win WHERE rn = 1 GROUP BY doc_id""".stripMargin
 
+  private def vocabularyQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabulary(t(s, dir, "documents"), "doc_id", "text", topN = 25)
+
+  private val vocabularySql =
+    """WITH tc AS (SELECT term, doc_id, count(*)::BIGINT AS c
+      |            FROM (SELECT doc_id, UNNEST(string_split(text,' ')) AS term
+      |                  FROM documents)
+      |            GROUP BY term, doc_id),
+      |v AS (SELECT term, CAST(sum(c) AS BIGINT) AS tf, count(*)::BIGINT AS df
+      |      FROM tc GROUP BY term)
+      |SELECT term, tf, df, row_number() OVER (ORDER BY tf DESC, term) AS rank
+      |FROM v ORDER BY tf DESC, term LIMIT 25""".stripMargin
+
   private def corpusStatsQ(s: SparkSession, dir: String): DataFrame =
     TextOps.corpusStats(t(s, dir, "documents"), "lang", "text")
 
@@ -1339,7 +1352,8 @@ object Queries {
     "q_mixture_sample" -> (mixtureSampleQ _),
     "q_embed_rplsh_pairs" -> (embedRpLshQ _),
     "q_numeric_profile" -> (numericProfileQ _),
-    "q_embed_cross_corpus" -> (embedCrossCorpusQ _))
+    "q_embed_cross_corpus" -> (embedCrossCorpusQ _),
+    "q_vocabulary" -> (vocabularyQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1411,5 +1425,6 @@ object Queries {
     "q_mixture_sample" -> mixtureSampleSql,
     "q_embed_rplsh_pairs" -> embedRpLshSql,
     "q_numeric_profile" -> numericProfileSql,
-    "q_embed_cross_corpus" -> embedCrossCorpusSql)
+    "q_embed_cross_corpus" -> embedCrossCorpusSql,
+    "q_vocabulary" -> vocabularySql)
 }

@@ -131,6 +131,20 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 3L, 1L), ("b", 2L, 2L)))
   }
 
+  test("vocabulary: corpus tf/df with total-order rank; distributed top-N plan") {
+    import spark.implicits._
+    val fixture = Seq((0L, "a b a"), (1L, "a c"), (2L, "c c c")).toDF("doc_id", "text")
+    val got = TextOps.vocabulary(fixture, "doc_id", "text", topN = 2)
+    val rows = got.orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // tf tie a=3/c=4? a: 3 occurrences in docs 0,1 (df 2); c: 4 in docs 1,2 (df 2)
+    assert(rows.toSeq == Seq(("c", 4L, 2L, 1L), ("a", 3L, 2L, 2L)))
+    // top-N must be TakeOrderedAndProject (per-partition partial top-N),
+    // never a global Sort of the vocabulary
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("one-pass repetition/topTerms kernels == composed forms; map-only plans") {
     import spark.implicits._
     val edge = Seq((0L, ""), (1L, "a  b a"), (2L, "x y z x y x"),
