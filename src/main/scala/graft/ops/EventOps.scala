@@ -143,11 +143,16 @@ object EventOps {
     require(!leftCols.exists(payloadCols.contains),
       s"payload columns ${payloadCols.mkString(",")} collide with left columns")
     val backward = direction == "backward"
-    // the matched right timestamp rides inside the payload struct so the
-    // tolerance bound can compare it against the left row's time
+    // with a tolerance, the matched right timestamp rides inside the
+    // payload struct so the bound can compare it against the left row's
+    // time; without one, don't widen every row through the exchange+sort
+    // for a field nothing reads
+    val withMts = toleranceUs.isDefined
+    val pFields = payloadCols.map(c => right.schema(c).copy(name = c))
     val pType = org.apache.spark.sql.types.StructType(
-      payloadCols.map(c => right.schema(c).copy(name = c)) :+
-        org.apache.spark.sql.types.StructField("__mts", right.schema(tsCol).dataType))
+      if (withMts) pFields :+ org.apache.spark.sql.types.StructField(
+        "__mts", right.schema(tsCol).dataType)
+      else pFields)
     val l = left.withColumn("__side", lit(1))
       .withColumn("__ord", lit(null).cast("long"))
       .withColumn("__p", lit(null).cast(pType))
@@ -161,15 +166,20 @@ object EventOps {
     val r = rIn.select(
       Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
         col(ordCol).cast("long").as("__ord"),
-        struct(payloadCols.map(col) :+ col(tsCol).as("__mts"): _*).as("__p")) ++
+        struct(payloadCols.map(col) ++
+          (if (withMts) Seq(col(tsCol).as("__mts")) else Nil): _*).as("__p")) ++
         leftCols.filterNot(Seq(keyCol, tsCol).contains)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     // backward scans time ascending (nearest-before = last right seen);
     // forward is its mirror image on descending time, with the ordinal
-    // tie-break mirrored too so "nearest" tie resolves to the least ord
+    // tie-break mirrored too so "nearest" tie resolves to the least ord.
+    // Null-ts LEFT rows must sort BEFORE every right row in both scans
+    // (they can match nothing) — asc puts nulls first by default, the
+    // desc mirror needs desc_nulls_first or a null-ts left row would
+    // sort after all right rows and steal the minimum-ts payload
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
       .orderBy(
-        (if (backward) col(tsCol).asc else col(tsCol).desc),
+        (if (backward) col(tsCol).asc else col(tsCol).desc_nulls_first),
         col("__side").asc,
         (if (backward) col("__ord").asc else col("__ord").desc))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

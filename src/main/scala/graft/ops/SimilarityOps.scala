@@ -289,10 +289,16 @@ object SimilarityOps {
       idCol: String, vecCol: String, minCos: Double, dim: Int,
       bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L,
       maxBucket: Int = 1000): DataFrame = {
-    val tagged = a.select(col(idCol), col(vecCol)).withColumn("__graft_src", lit(0))
-      .unionByName(b.select(col(idCol), col(vecCol)).withColumn("__graft_src", lit(1)))
-    val tags = tagged.select(col(idCol), col("__graft_src"))
-    embeddingNearDupPairsRP(tagged, idCol, vecCol, minCos, dim,
+    val union = a.select(col(idCol), col(vecCol))
+      .unionByName(b.select(col(idCol), col(vecCol)))
+    // the (id, side) frame comes from the inputs directly — one narrow
+    // column per side instead of re-evaluating the vector union once
+    // per tag join; the verified pair set is tiny relative to the
+    // corpus, so AQE picks it as the broadcast/build side (no hint:
+    // the tag frame itself is corpus-sized and must never broadcast)
+    val tags = a.select(col(idCol), lit(0).as("__graft_src"))
+      .unionByName(b.select(col(idCol), lit(1).as("__graft_src")))
+    embeddingNearDupPairsRP(union, idCol, vecCol, minCos, dim,
         bands, bitsPerBand, seed, maxBucket)
       .join(tags.select(col(idCol).as("id_a"), col("__graft_src").as("src_a")), Seq("id_a"))
       .join(tags.select(col(idCol).as("id_b"), col("__graft_src").as("src_b")), Seq("id_b"))

@@ -141,11 +141,15 @@ object StreamOps {
     val gapUs = gapMinutes * 60L * 1000000L
     def us(t: java.sql.Timestamp): Long =
       t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    // SessionEvent carries primitive longs: a null user/ts row would be
+    // an encoder poison pill that kills the whole query — drop them (no
+    // session can be attributed), and count a null value as 0 cents
     val ds = events
       .withWatermark(tsCol, watermarkDelay)
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).cast("long").as("user_id"),
         col(tsCol).as("ts"),
-        round(col(valueCol) * 100).cast("long").as("cents"))
+        coalesce(round(col(valueCol) * 100).cast("long"), lit(0L)).as("cents"))
       .as[SessionEvent]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAgg, SessionOut](

@@ -86,6 +86,14 @@ class EventMultimodalSpec extends SparkSpec {
     assert(run(None) == Seq(Some(111L), Some(333L)))
     // 30s tolerance: the @40 -> @41 match (60s away) nulls out
     assert(run(Some(30L * 1000000L)) == Seq(Some(111L), None))
+    // a null-ts left row matches nothing in the forward scan either
+    // (desc_nulls_first — it must not steal the minimum-ts payload)
+    val nullTs = Seq((200L, Some(1L), None: Option[Long]))
+      .toDF("event_id", "user_id", "ts_us")
+    val gotNull = EventOps.asofJoin(nullTs, right, "user_id", "ts_us",
+        Seq("r_val"), ordCol = "r_ord", direction = "forward")
+      .collect().map(r => Option(r.getAs[java.lang.Long]("r_val"))).toSeq
+    assert(gotNull == Seq(None))
   }
 
   test("asofJoin never matches through null keys or null right timestamps") {

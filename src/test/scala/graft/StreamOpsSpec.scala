@@ -60,11 +60,14 @@ class StreamOpsSpec extends SparkSpec {
   test("sessionizeStream: gap-closed sessions emit in-batch, open ones on watermark timeout") {
     val in = tmpDir("graft_stream_sess_in")
     // batch 1 (user 1): 00:00 + 00:10 form one session (gap 30m);
-    // 01:00 closes it in-batch and opens a second session
+    // 01:00 closes it in-batch and opens a second session. The
+    // null-user and null-value rows must not poison the query (encoder
+    // primitives): null user drops, null value counts 0 cents
     Seq(
-      (Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0),
-      (Timestamp.valueOf("2024-01-01 00:10:00"), 1L, 2.0),
-      (Timestamp.valueOf("2024-01-01 01:00:00"), 1L, 4.0))
+      (Timestamp.valueOf("2024-01-01 00:00:00"), Some(1L), Some(1.0)),
+      (Timestamp.valueOf("2024-01-01 00:10:00"), Some(1L), None),
+      (Timestamp.valueOf("2024-01-01 00:10:00"), None, Some(9.0)),
+      (Timestamp.valueOf("2024-01-01 01:00:00"), Some(1L), Some(4.0)))
       .toDF("ts", "user_id", "value")
       .coalesce(1).write.parquet(s"$in/b1")
     Thread.sleep(50) // distinct mtimes: file order = batch order
@@ -89,9 +92,10 @@ class StreamOpsSpec extends SparkSpec {
     val got = spark.table("sess").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getString(5))).toSet
-    // session 1 closed by the 01:00 event inside batch 1
+    // session 1 closed by the 01:00 event inside batch 1 (null value
+    // counted as 0 cents; the null-user row contributed nothing)
     assert(got.contains((1L, usOf("2024-01-01 00:00:00"),
-      usOf("2024-01-01 00:10:00"), 2L, 300L, "gap")), got)
+      usOf("2024-01-01 00:10:00"), 2L, 100L, "gap")), got)
     // session 2 (open at 01:00, deadline 01:30) times out once batch 2
     // pushes the watermark to 04:50
     assert(got.contains((1L, usOf("2024-01-01 01:00:00"),
