@@ -11,35 +11,58 @@ import org.apache.spark.sql.functions._
   * Quantiles are EXACT and discrete (the value at position
   * ⌈n/2⌉ / ⌈9n/10⌉ of the sorted non-null values — no interpolation,
   * so no cross-engine float blending) and computed from the
-  * VALUE HISTOGRAM in ONE subquery pass: a hash aggregate of counts per
-  * distinct value, one running-sum window (the total rides the same
-  * sort as an unbounded frame — n needs no extra scan), and both
-  * positional lookups folded into a single struct-valued scalar
-  * subquery. Cost scales with DISTINCT values, not rows — for
-  * bounded-cardinality columns (quantities, scores, bucketed lengths)
-  * the window is tiny.
+  * VALUE HISTOGRAM — a hash aggregate of counts per distinct value —
+  * so cost scales with DISTINCT values, not rows.
+  *
+  * The running count over the histogram is a DISTRIBUTED prefix sum,
+  * not a single-partition global window: `repartitionByRange` makes
+  * ascending partition id == ascending value range, per-partition
+  * subtotals (one row per partition, cluster-config-sized) get their
+  * exclusive offsets from a broadcast triangular self-join, and the
+  * within-partition running sum is a window PARTITIONED by partition
+  * id. Every stage is partition-parallel; the only single-task step is
+  * the final one-row quantile lookup aggregate.
+  *
   * For near-unique columns (prices, ids) the distinct histogram
-  * approaches the row count and its global sort becomes the cost —
+  * approaches the row count and the range shuffle becomes the cost —
   * there the 100 TB substitute is `approx_percentile` (documented
   * trade; same substitution SURVEY §2.1 makes for n_unique).
   *
   * Determinism: counts/min/max are arithmetic-free; the sum is exact
   * per-row integer cents; quantile positions use only integer-valued
-  * double ops (exactly representable below 2^53), so the DuckDB oracle
-  * reproduces every cell bit-for-bit.
+  * double ops (exactly representable below 2^53); and the prefix sums
+  * are exact integers wherever the range partitioner draws its
+  * boundaries — so the DuckDB oracle reproduces every cell
+  * bit-for-bit regardless of partitioning.
   */
 object ProfileOps {
   def numericProfile(df: DataFrame, valueCol: String): DataFrame = {
     val v = col(valueCol)
     val counts = df.filter(v.isNotNull)
       .groupBy(v.as("val")).agg(count(lit(1)).as("c"))
-    val ordered = Window.orderBy("val")
-    val cum = counts
-      .withColumn("cum", sum(col("c"))
-        .over(ordered.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("tot", sum(col("c"))
-        .over(ordered.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+    // ascending pid == ascending value range; pids are deterministic
+    // (RangePartitioner seeds its reservoir sample per partition index)
+    // and correctness never depends on where the boundaries land
+    val ranged = counts.repartitionByRange(col("val"))
+      .withColumn("pid", spark_partition_id())
+    val perPid = ranged.groupBy("pid").agg(sum(col("c")).as("psum"))
+    // exclusive prefix offsets + grand total over the per-partition
+    // subtotals: a P×P broadcast triangular join on a
+    // cluster-config-sized (rows == shuffle partitions) table
+    val offs = perPid
+      .crossJoin(broadcast(
+        perPid.select(col("pid").as("pid2"), col("psum").as("psum2"))))
+      .groupBy(col("pid"))
+      .agg(
+        sum(when(col("pid2") < col("pid"), col("psum2")).otherwise(lit(0L)))
+          .as("off"),
+        sum(col("psum2")).as("tot"))
+    val wpid = Window.partitionBy("pid").orderBy("val")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = ranged
+      .withColumn("pcum", sum(col("c")).over(wpid))
+      .join(broadcast(offs), "pid")
+      .withColumn("cum", col("off") + col("pcum"))
     // k-th smallest = first value whose running count reaches k;
     // k = floor((n+1)/2) and floor((9n+9)/10) = the ceil-position
     // formulas in integer-valued double arithmetic (exact below 2^53)

@@ -43,6 +43,18 @@ class SampleOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("p90") == 100.0)
   }
 
+  test("numericProfile: prefix sum is distributed — no unpartitioned window") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val qe = ProfileOps.numericProfile(df, "l_quantity").queryExecution
+    // the histogram running sum lives in a scalar subquery, so explain
+    // the full tree (formatted mode inlines subquery plans)
+    val plan = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("windowspecdefinition(pid"), plan.take(3000))
+    assert(!plan.contains("windowspecdefinition(val"),
+      "global unpartitioned window reappeared:\n" + plan.take(3000))
+  }
+
   test("temperatureSample flattens the mixture toward sqrt-share targets") {
     // heavily skewed groups: 400 / 100 / 25 rows
     val rows = (0L until 400L).map(i => (i, "big")) ++
