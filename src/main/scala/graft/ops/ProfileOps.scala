@@ -34,17 +34,25 @@ import org.apache.spark.sql.functions._
   * are exact integers wherever the range partitioner draws its
   * boundaries — so the DuckDB oracle reproduces every cell
   * bit-for-bit regardless of partitioning.
+  *
+  * The ranged histogram feeds three consumers (per-pid subtotals, the
+  * triangular offsets join, and the running-sum probe side), so it is
+  * materialized once through `mat` — exchange reuse across those
+  * branches is otherwise not guaranteed, and recomputing the histogram
+  * aggregate three times is the dominant avoidable cost.
   */
 object ProfileOps {
-  def numericProfile(df: DataFrame, valueCol: String): DataFrame = {
+  def numericProfile(df: DataFrame, valueCol: String,
+      mat: Materializer = Materializer.Local): DataFrame = {
     val v = col(valueCol)
     val counts = df.filter(v.isNotNull)
       .groupBy(v.as("val")).agg(count(lit(1)).as("c"))
     // ascending pid == ascending value range; pids are deterministic
     // (RangePartitioner seeds its reservoir sample per partition index)
-    // and correctness never depends on where the boundaries land
-    val ranged = counts.repartitionByRange(col("val"))
-      .withColumn("pid", spark_partition_id())
+    // and correctness never depends on where the boundaries land —
+    // and materializing FREEZES the pid assignment besides
+    val ranged = mat(counts.repartitionByRange(col("val"))
+      .withColumn("pid", spark_partition_id()))
     val perPid = ranged.groupBy("pid").agg(sum(col("c")).as("psum"))
     // exclusive prefix offsets + grand total over the per-partition
     // subtotals: a P×P broadcast triangular join on a

@@ -290,8 +290,11 @@ object TextOps {
     * exchange), then the per-term rollup gives tf as a sum and df as a
     * plain count without `countDistinct`'s expand. Top-N is
     * `orderBy.limit` (TakeOrderedAndProject — per-partition partial
-    * top-N, never a global sort); the rank window runs over the N
-    * surviving rows only.
+    * top-N, never a global sort). Rank is derived WITHOUT a window:
+    * the `topN` surviving rows collapse into one sorted array
+    * (bounded by `topN` — a driver-config-sized constant, not data)
+    * and `posexplode` restores them with the ordinal as rank, so no
+    * plan in the library carries an unpartitioned WindowExec.
     */
   def vocabulary(df: DataFrame, idCol: String, text: String,
       topN: Int): DataFrame = {
@@ -303,9 +306,13 @@ object TextOps {
       .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
       .orderBy(col("tf").desc, col("term").asc)
       .limit(topN)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("tf").desc, col("term").asc)
-    top.withColumn("rank", row_number().over(w).cast("long"))
+    // negated tf makes ascending struct order == (tf desc, term asc);
+    // term is a group key, so the sort key is unique and rank total
+    top.agg(sort_array(collect_list(
+        struct(negate(col("tf")).as("ntf"), col("term"), col("df")))).as("ks"))
+      .select(posexplode(col("ks")).as(Seq("pos", "e")))
+      .select(col("e.term").as("term"), negate(col("e.ntf")).as("tf"),
+        col("e.df").as("df"), (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Document fingerprint: whole-text rolling hash plus a shingle-sketch

@@ -65,6 +65,22 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("slice("), plan.take(3000))
   }
 
+  test("no query plans an unpartitioned Window anywhere (incl. subqueries)") {
+    // A partition-less Window moves ALL rows to a single task — the one
+    // plan shape that cannot survive a scale-up. Sweep every registered
+    // query's optimized plan, descending into scalar/IN subqueries.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = Queries.all.keys.toSeq.sorted.flatMap { q =>
+      val plan = Queries.all(q)(spark, dir).queryExecution.optimizedPlan
+      plan.collectWithSubqueries {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          s"$q: ${w.simpleString(120)}"
+      }
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned Window found:\n" + offenders.mkString("\n"))
+  }
+
   test("similarity top-k queries rank via the bounded aggregate, never a window") {
     for (q <- Seq("q_embed_cosine_topk", "q_ivf_topk")) {
       val plan = planOf(q)

@@ -55,6 +55,46 @@ class SampleOpsSpec extends SparkSpec {
       "global unpartitioned window reappeared:\n" + plan.take(3000))
   }
 
+  test("property: numericProfile equals brute force across data shapes and partitionings") {
+    // Pins the doc-comment claim mechanically: the distributed prefix
+    // sum is exact wherever the range partitioner draws boundaries, so
+    // every cell must be identical under ANY shuffle-partition count —
+    // including the degenerate 1 and counts above the histogram size.
+    val rnd = new scala.util.Random(17)
+    val cases: Seq[Seq[Option[Double]]] = Seq(
+      Seq.empty[Option[Double]],       // empty input
+      Seq(None, None, None),           // all null
+      Seq(Some(5.0)),                  // single row
+    ) ++ (0 until 4).map { _ =>
+      Seq.fill(50 + rnd.nextInt(150))(
+        if (rnd.nextInt(10) == 0) None
+        else Some((rnd.nextInt(40) + 1) * 0.25)) // duplicate-heavy histogram
+    }
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (parts <- Seq(1, 3, 7, 32); data <- cases) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val r = ProfileOps.numericProfile(data.toDF("x"), "x").head()
+        val nn = data.flatten.sorted
+        val ctx = s"parts=$parts n=${data.size} nn=${nn.size}"
+        assert(r.getAs[Long]("n_rows") == data.size, ctx)
+        assert(r.getAs[Long]("n_null") == data.count(_.isEmpty), ctx)
+        if (nn.isEmpty) {
+          for (f <- Seq("min_v", "max_v", "median", "p90"))
+            assert(r.isNullAt(r.fieldIndex(f)), s"$ctx $f")
+        } else {
+          val k50 = (nn.size + 1) / 2
+          val k90 = (9 * nn.size + 9) / 10
+          assert(r.getAs[Double]("min_v") == nn.head, ctx)
+          assert(r.getAs[Double]("max_v") == nn.last, ctx)
+          assert(r.getAs[Long]("sum_cents") == nn.map(v => Math.round(v * 100)).sum, ctx)
+          assert(r.getAs[Double]("median") == nn(k50 - 1), ctx)
+          assert(r.getAs[Double]("p90") == nn(k90 - 1), ctx)
+        }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("temperatureSample flattens the mixture toward sqrt-share targets") {
     // heavily skewed groups: 400 / 100 / 25 rows
     val rows = (0L until 400L).map(i => (i, "big")) ++

@@ -140,9 +140,11 @@ class TextOpsSpec extends SparkSpec {
     // tf tie a=3/c=4? a: 3 occurrences in docs 0,1 (df 2); c: 4 in docs 1,2 (df 2)
     assert(rows.toSeq == Seq(("c", 4L, 2L, 1L), ("a", 3L, 2L, 2L)))
     // top-N must be TakeOrderedAndProject (per-partition partial top-N),
-    // never a global Sort of the vocabulary
+    // never a global Sort of the vocabulary — and rank must come from
+    // the posexplode ordinal, not an unpartitioned window
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
   }
 
   test("one-pass repetition/topTerms kernels == composed forms; map-only plans") {
