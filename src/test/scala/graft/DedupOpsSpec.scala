@@ -243,7 +243,11 @@ class DedupOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1))).toSet
     assert(crossFull.nonEmpty) // driver plants near-dups across the split
     val recall = inc.intersect(crossFull).size.toDouble / crossFull.size
-    assert(recall >= 0.8,
+    // measured 1.0000 on this corpus across three splits (doc_id<450:
+    // 4/4, doc_id<300: 13/13, doc_id%3: 14/14 — hashing is seeded, so
+    // the figure is deterministic); 0.95 trips on ANY lost pair while
+    // leaving headroom for a deliberate borderline-semantics change
+    assert(recall >= 0.95,
       s"incremental recall $recall (${inc.intersect(crossFull).size}/${crossFull.size})")
   }
 
