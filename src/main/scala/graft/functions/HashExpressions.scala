@@ -252,6 +252,35 @@ object HashKernels {
       Array[Any](ArrayData.toArrayData(mins)))
   }
 
+  /** Bloom-membership hit count: how many grams have ALL `probes` bloom
+    * positions set in `bm` (an array of 64-bit words, bit i of word w =
+    * position w*64+i). Probe j's position is
+    * ((h * minhashA(j) + minhashB(j)) mod P) mod m — the minhash
+    * permutation family doubling as the bloom hash family, so the DuckDB
+    * oracle reproduces every position with the same published params.
+    * Callers pass an already-distinct gram array when counting DISTINCT
+    * contaminated grams. m must be a multiple of 64 matching bm's size.
+    */
+  def bloomHits(grams: ArrayData, bm: ArrayData, probes: Int, m: Long): Long = {
+    val n = grams.numElements()
+    var hits = 0L
+    var i = 0
+    while (i < n) {
+      val h = grams.getLong(i)
+      var all = true
+      var j = 0
+      while (all && j < probes) {
+        val pos = ((h * minhashA(j) + minhashB(j)) % P) % m
+        if (((bm.getLong((pos >>> 6).toInt) >>> (pos & 63L).toInt) & 1L) == 0L)
+          all = false
+        j += 1
+      }
+      if (all) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   /** Exact dot product of two long arrays (quantized embeddings). */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -442,6 +471,34 @@ case class DotProductLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd bloom probe (see HashKernels.bloomHits): grams array on the
+  * left, the bitmap array on the right (normally a scalar-subquery
+  * literal, evaluated ONCE — a higher-order-function formulation would
+  * re-evaluate the 10⁴-element bitmap per gram, interpreted). */
+case class BloomHitCount(left: Expression, right: Expression,
+    probes: Int, m: Long) extends BinaryExpression {
+  require(probes >= 1 && probes <= 16, s"probes must be in [1,16], got $probes")
+  require(m >= 64 && (m & 63L) == 0L, s"m must be a positive multiple of 64, got $m")
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bloom_hits needs two array<bigint>, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.bloomHits(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], probes, m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.bloomHits($a, $b, $probes, ${m}L)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomHitCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd quantizer: float/double array -> exact long array. */
 case class QuantizeVector(child: Expression, scale: Long)
     extends UnaryExpression {
@@ -499,6 +556,8 @@ object exprs {
     shims.column(MinhashSignature(shims.expression(c), k, numHashes))
   def topTermCounts(c: Column, k: Int): Column =
     shims.column(TopTermCounts(shims.expression(c), k))
+  def bloomHits(grams: Column, bitmap: Column, probes: Int, m: Long): Column =
+    shims.column(BloomHitCount(shims.expression(grams), shims.expression(bitmap), probes, m))
 
   /** Top-k (ord, value) pairs per group as an aggregate column —
     * `array<struct<ord, value>>` ranked (ord desc, value asc); the

@@ -256,6 +256,56 @@ object DedupOps {
       .groupBy(col("sid").as(idCol)).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[contaminationHits]] without the join: the eval set's k-gram
+    * hashes build a DETERMINISTIC bloom bitmap (probe j's position =
+    * the minhash-j permutation of the gram hash, mod `2^log2m`), the
+    * bitmap rides into the corpus scan as one scalar-subquery
+    * `array<long>` literal, and each document is scored by a codegen'd
+    * probe over its own gram array. The corpus side is therefore
+    * MAP-ONLY — no join, no explode, no exchange, not even a per-doc
+    * aggregate; the only shuffles are eval-set-sized (the bitmap
+    * build). The price is bloom false POSITIVES (never negatives):
+    * ~(q·probes/m)^probes per distinct gram for q eval grams, so
+    * returned docs are a slight superset to re-check exactly or accept
+    * (decontamination errs toward dropping). Deterministic modular
+    * arithmetic end-to-end: the DuckDB oracle rebuilds the identical
+    * bitmap, so results hash-match bit-for-bit.
+    *
+    * Output: (id, n_hits) with n_hits = DISTINCT flagged grams, rows
+    * where n_hits >= 1 — same shape as [[contaminationHits]].
+    *
+    * Reference analog: tmdb_index.py has no decontamination; this is
+    * part of the LLM-pipeline extension surface (SURVEY §2 extension).
+    */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int = 13, probes: Int = 3,
+      log2m: Int = 20): DataFrame = {
+    require(probes >= 1 && probes <= 16, s"probes must be in [1,16], got $probes")
+    // 2^27 bits = a 16 MiB bitmap literal — the broadcast ceiling; below
+    // 2^6 the single word is all-ones for any real eval set
+    require(log2m >= 6 && log2m <= 27, s"log2m must be in [6,27], got $log2m")
+    val m = 1L << log2m
+    val nWords = m >>> 6
+    val params = minhashParams(probes)
+    val posCols = params.map { case (a, b) =>
+      ((col("sh") * a + b) % graft.functions.HashKernels.P) % m
+    }
+    val words = shingleHashes(benchmark, idCol, textCol, k)
+      .select(explode(array(posCols: _*)).as("pos"))
+      .select(shiftrightunsigned(col("pos"), 6).as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
+    val bitmap = words
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("mp"))
+      .select(transform(sequence(lit(0L), lit(nWords - 1)), i =>
+        coalesce(element_at(col("mp"), i), lit(0L))).as("bm"))
+    corpus.filter(col(textCol).isNotNull)
+      .select(col(idCol), graft.functions.exprs.bloomHits(
+        array_distinct(graft.functions.exprs.shingleHashes(col(textCol), k)),
+        bitmap.scalar(), probes, m).as("n_hits"))
+      .filter(col("n_hits") >= 1)
+  }
+
   /** Fuzzy cross-corpus decontamination: near-duplicate pairs BETWEEN two
     * corpora (training docs that nearly duplicate an eval item survive
     * the exact [[contaminationHits]] test when lightly paraphrased; LSH

@@ -145,4 +145,37 @@ object SampleOps {
       .filter(col("__graft_rn") <= maxRows)
       .drop("__graft_rn")
   }
+
+  /** Weighted sampling without replacement: keep the `k` rows per group
+    * with the highest PRIORITY w/u — priority sampling (Duffield, Lund
+    * & Thorup, "Priority sampling for estimation of arbitrary subset
+    * sums", JACM 54(6), 2007), which selects each row with probability
+    * ≈ min(1, w/τ) for the group's k-th priority threshold τ, i.e.
+    * approximately probability-proportional-to-weight — the
+    * quality-weighted subsampling step of corpus curation.
+    *
+    * Deterministic like everything in this file: u comes from the row's
+    * own key hash, priority = w / (hash+1) — ONE IEEE division of
+    * exactly-representable integers (both < 2^53), so the value (and
+    * therefore the selection AND the emitted priority column) is
+    * bit-reproducible across runs, partitionings, and engines. Ties
+    * (only possible at equal weight AND equal hash) break on the key.
+    *
+    * Scale shape: priority is a pure row function; the per-group rank
+    * filter plans a WindowGroupLimit (partial per-partition top-k
+    * BEFORE the exchange since Spark 3.5), so only ~k·partitions rows
+    * per group reach the shuffle — the same shape as a per-group
+    * TakeOrdered. Null weights/keys cannot be sampled and are dropped.
+    */
+  def prioritySample(df: DataFrame, groupCol: String, key: Column,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val pr = weight.cast("double") / (keyHash(key) + lit(1L)).cast("double")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("priority").desc, key.asc)
+    df.filter(weight.isNotNull && key.isNotNull)
+      .withColumn("priority", pr)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= k)
+      .drop("__graft_rn")
+  }
 }

@@ -824,6 +824,52 @@ object Queries {
        |SELECT doc_id, count(*)::BIGINT AS n_hits
        |FROM sh JOIN b ON sh.h = b.h GROUP BY doc_id""".stripMargin
 
+  private val BloomProbes = 3
+  private val BloomLog2m = 16
+
+  private def bloomContaminationQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    DedupOps.bloomDecontaminate(docs, docs.filter(col("doc_id") < 10),
+      "doc_id", "text", k = 5, probes = BloomProbes, log2m = BloomLog2m)
+  }
+
+  /** The oracle rebuilds the IDENTICAL bloom set: probe j's position is
+    * the minhash-j permutation mod 2^log2m (same published params), the
+    * eval side's distinct positions become a list, and a gram hits iff
+    * ALL its probe positions are in the list — bit-for-bit the bitmap
+    * test, false positives included. */
+  private def bloomContaminationSql = {
+    val m = 1L << BloomLog2m
+    val ps = DedupOps.minhashParams(BloomProbes)
+    def pos(j: Int): String = {
+      val (a, b) = ps(j); s"((h * $a + $b) % $HashP) % $m"
+    }
+    val branches = (0 until BloomProbes)
+      .map(j => s"SELECT DISTINCT ${pos(j)} AS p FROM sh WHERE doc_id < 10")
+      .mkString(" UNION ")
+    val probeList = (0 until BloomProbes).map(pos).mkString(", ")
+    s"""WITH sh AS (${sqlShingleHashesK(5)}),
+       |pos AS ($branches),
+       |pl AS (SELECT list(p) AS l FROM pos)
+       |SELECT doc_id, count(*)::BIGINT AS n_hits
+       |FROM sh, pl
+       |WHERE list_has_all(pl.l, [$probeList])
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  private def prioritySampleQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.prioritySample(
+      t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+      "lang", col("doc_id"), col("n_chars") + 1, k = 20)
+
+  private def prioritySampleSql =
+    s"""WITH p AS (SELECT doc_id, lang, n_chars,
+       |  CAST(n_chars + 1 AS DOUBLE) /
+       |    CAST(${sqlHash("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE) AS priority
+       |  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL)
+       |SELECT doc_id, lang, n_chars, priority FROM p
+       |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY priority DESC, doc_id) <= 20""".stripMargin
+
   private def repetitionQ(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
 
@@ -1353,7 +1399,9 @@ object Queries {
     "q_embed_rplsh_pairs" -> (embedRpLshQ _),
     "q_numeric_profile" -> (numericProfileQ _),
     "q_embed_cross_corpus" -> (embedCrossCorpusQ _),
-    "q_vocabulary" -> (vocabularyQ _))
+    "q_vocabulary" -> (vocabularyQ _),
+    "q_bloom_contamination" -> (bloomContaminationQ _),
+    "q_priority_sample" -> (prioritySampleQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1426,5 +1474,7 @@ object Queries {
     "q_embed_rplsh_pairs" -> embedRpLshSql,
     "q_numeric_profile" -> numericProfileSql,
     "q_embed_cross_corpus" -> embedCrossCorpusSql,
-    "q_vocabulary" -> vocabularySql)
+    "q_vocabulary" -> vocabularySql,
+    "q_bloom_contamination" -> bloomContaminationSql,
+    "q_priority_sample" -> prioritySampleSql)
 }

@@ -251,6 +251,47 @@ class DedupOpsSpec extends SparkSpec {
       s"incremental recall $recall (${inc.intersect(crossFull).size}/${crossFull.size})")
   }
 
+  test("bloomDecontaminate never misses an exact hit; corpus side is map-only") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval = corpus.filter(col("doc_id") < 10)
+    val exact = DedupOps.contaminationHits(corpus, eval, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bloomDf = DedupOps.bloomDecontaminate(corpus, eval, "doc_id", "text",
+      k = 5, probes = 3, log2m = 16)
+    val bloom = bloomDf.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // no false negatives, ever: every exact hit is flagged with at
+    // least the exact count (extra hits are bloom false positives)
+    for ((id, n) <- exact)
+      assert(bloom.getOrElse(id, 0L) >= n, s"doc $id: exact=$n bloom=${bloom.get(id)}")
+    // false-positive overhead is small at this load factor
+    val extra = bloom.values.sum - exact.values.sum
+    assert(extra.toDouble <= 0.01 * exact.values.sum + 5,
+      s"fp overhead too high: exact=${exact.values.sum} bloom=${bloom.values.sum}")
+    // corpus side plans NO join and NO aggregate — scan, project,
+    // filter only (the bitmap build lives in the scalar subquery, which
+    // logical collect does not descend into)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val heavy = bloomDf.queryExecution.optimizedPlan.collect {
+      case j: Join => j.nodeName
+      case a: Aggregate => a.nodeName
+    }
+    assert(heavy.isEmpty, s"corpus side not map-only: $heavy")
+  }
+
+  test("bloomDecontaminate kernel: unrelated text stays clean at honest m") {
+    val corpus = Seq((100L, "zz1 zz2 zz3 zz4 zz5 zz6")).toDF("doc_id", "text")
+    val eval = Seq((0L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    // k=3 grams share nothing; at m=2^16 with ~18 eval positions the
+    // fp chance per gram is ~(18/65536)^3 — zero hits expected
+    assert(DedupOps.bloomDecontaminate(corpus, eval, "doc_id", "text",
+      k = 3, probes = 3, log2m = 16).isEmpty)
+    // sanity: a shared gram IS flagged with the right count
+    val hit = DedupOps.bloomDecontaminate(
+      Seq((100L, "w1 w2 w3 other words here")).toDF("doc_id", "text"),
+      eval, "doc_id", "text", k = 3, probes = 3, log2m = 16).collect()
+    assert(hit.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((100L, 1L)))
+  }
+
   test("dedupKeepBest keeps the highest-scoring doc per cluster") {
     val corpus = Seq((1L, "x", 5L), (2L, "y", 9L), (3L, "z", 7L))
       .toDF("doc_id", "text", "n_chars")

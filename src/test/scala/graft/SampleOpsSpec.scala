@@ -55,6 +55,40 @@ class SampleOpsSpec extends SparkSpec {
       "global unpartitioned window reappeared:\n" + plan.take(3000))
   }
 
+  test("prioritySample: brute-force equal, weight-sensitive, partial top-k plan") {
+    import graft.functions.HashKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    // 2 groups x 100 rows; heavy rows get weight 1000, light rows 1
+    val rows = (0L until 200L).map { i =>
+      (i, if (i % 2 == 0) "g0" else "g1", if (i < 100) 1000L else 1L)
+    }
+    val df = rows.toDF("id", "g", "w")
+    val got = SampleOps.prioritySample(df, "g", col("id"), col("w"), k = 25)
+    // brute-force reference: same hash, same single-division priority,
+    // same (priority desc, id) order — selection must be identical
+    def pri(id: Long, w: Long): Double =
+      w.toDouble / (HashKernels.weightedCharHash(UTF8String.fromString(id.toString)) + 1L).toDouble
+    val expect = rows.groupBy(_._2).flatMap { case (_, g) =>
+      g.sortBy { case (id, _, w) => (-pri(id, w), id) }.take(25)
+    }.map(_._1).toSet
+    val gotIds = got.select("id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == expect)
+    // priority column is emitted and bit-equal to the reference formula
+    got.select("id", "w", "priority").collect().foreach { r =>
+      assert(r.getDouble(2) == pri(r.getLong(0), r.getLong(1)))
+    }
+    // weighted: heavy rows (weight 1000, half of each group) dominate
+    val heavy = gotIds.count(_ < 100L)
+    assert(heavy >= 40, s"only $heavy/50 sampled rows are heavy-weight")
+    // k >= group size keeps everything
+    assert(SampleOps.prioritySample(df, "g", col("id"), col("w"), k = 500)
+      .count() == 200L)
+    // rank filter compiles to a partial per-partition top-k, so only
+    // ~k rows per group per partition reach the exchange
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("property: numericProfile equals brute force across data shapes and partitionings") {
     // Pins the doc-comment claim mechanically: the distributed prefix
     // sum is exact wherever the range partitioner draws boundaries, so
