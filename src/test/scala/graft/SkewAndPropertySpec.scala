@@ -217,6 +217,29 @@ class SkewAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bloomDecontaminate ⊇ exact contamination on random corpora") {
+    // The bloom op's contract is one-sided: NEVER a false negative, for
+    // any corpus, gram size, probe count, or bitmap size — exercised
+    // over random word soups whose tiny vocabulary forces real overlap.
+    val rnd = new scala.util.Random(23)
+    for (c <- 0 until 5) {
+      val mkDoc = () => Seq.fill(3 + rnd.nextInt(10))(s"w${rnd.nextInt(8)}").mkString(" ")
+      val corpus = (0 until 20).map(i => (i.toLong, mkDoc())).toDF("doc_id", "text")
+      val eval = (100 until 103).map(i => (i.toLong, mkDoc())).toDF("doc_id", "text")
+      val k = 2 + rnd.nextInt(2)
+      val probes = 1 + rnd.nextInt(4)
+      val log2m = 10 + rnd.nextInt(7)
+      val exact = graft.ops.DedupOps.contaminationHits(corpus, eval, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val bloom = graft.ops.DedupOps.bloomDecontaminate(corpus, eval, "doc_id", "text",
+          k, probes, log2m)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      for ((id, n) <- exact)
+        assert(bloom.getOrElse(id, 0L) >= n,
+          s"case $c (k=$k probes=$probes log2m=$log2m): doc $id exact=$n bloom=${bloom.get(id)}")
+    }
+  }
+
   test("property: delta rows always win; other rows survive") {
     for ((a, b) <- cases(seed = 5, n = 10).zip(cases(seed = 6, n = 10))
          if a.nonEmpty) {
