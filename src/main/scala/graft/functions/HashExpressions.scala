@@ -281,6 +281,26 @@ object HashKernels {
     hits
   }
 
+  /** Scatter sparse (word-index, bits) entries into a dense length-n
+    * bitmap array — O(n + entries), where the map_from_entries +
+    * per-index element_at formulation is O(n · entries) (Catalyst map
+    * lookup is a linear scan). Entries are structs (w, bits); w out of
+    * [0, n) throws rather than silently truncating the bitmap.
+    */
+  def bitmapFromEntries(entries: ArrayData, n: Int): ArrayData = {
+    val out = new Array[Long](n)
+    val cnt = entries.numElements()
+    var i = 0
+    while (i < cnt) {
+      val e = entries.getStruct(i, 2)
+      val w = e.getLong(0)
+      require(w >= 0 && w < n, s"bitmap word index $w out of [0, $n)")
+      out(w.toInt) |= e.getLong(1)
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Exact dot product of two long arrays (quantized embeddings). */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -499,6 +519,31 @@ case class BloomHitCount(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd sparse-to-dense bitmap scatter (see
+  * HashKernels.bitmapFromEntries): array<struct<w:bigint,bits:bigint>>
+  * -> array<bigint> of fixed length `n`. */
+case class BitmapFromEntries(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"bitmap length must be >= 1, got $n")
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(StructType(fs), _) =>
+      fs.length == 2 && fs.forall(_.dataType == LongType)
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ok(child.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bitmap_from_entries needs array<struct<bigint,bigint>>, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bitmapFromEntries(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bitmapFromEntries($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): BitmapFromEntries =
+    copy(child = newChild)
+}
+
 /** Codegen'd quantizer: float/double array -> exact long array. */
 case class QuantizeVector(child: Expression, scale: Long)
     extends UnaryExpression {
@@ -558,6 +603,8 @@ object exprs {
     shims.column(TopTermCounts(shims.expression(c), k))
   def bloomHits(grams: Column, bitmap: Column, probes: Int, m: Long): Column =
     shims.column(BloomHitCount(shims.expression(grams), shims.expression(bitmap), probes, m))
+  def bitmapFromEntries(entries: Column, n: Int): Column =
+    shims.column(BitmapFromEntries(shims.expression(entries), n))
 
   /** Top-k (ord, value) pairs per group as an aggregate column —
     * `array<struct<ord, value>>` ranked (ord desc, value asc); the

@@ -295,10 +295,14 @@ object DedupOps {
       .select(shiftrightunsigned(col("pos"), 6).as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
       .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
+    // dense assembly is a codegen'd O(nWords + entries) scatter — a
+    // map_from_entries + per-index element_at form would be
+    // O(nWords × entries) (Catalyst map lookup is a linear scan),
+    // minutes stalled in the one-row subquery task at log2m ≥ 24
     val bitmap = words
-      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("mp"))
-      .select(transform(sequence(lit(0L), lit(nWords - 1)), i =>
-        coalesce(element_at(col("mp"), i), lit(0L))).as("bm"))
+      .agg(collect_list(struct(col("w"), col("bits"))).as("entries"))
+      .select(graft.functions.exprs.bitmapFromEntries(
+        col("entries"), nWords.toInt).as("bm"))
     corpus.filter(col(textCol).isNotNull)
       .select(col(idCol), graft.functions.exprs.bloomHits(
         array_distinct(graft.functions.exprs.shingleHashes(col(textCol), k)),

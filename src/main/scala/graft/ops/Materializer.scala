@@ -46,6 +46,17 @@ object Materializer {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint()
   }
 
+  /** Lazy [[Local]]: the checkpoint is wired at plan time but
+    * materializes on the FIRST action and is reused by every later one.
+    * The right default when all consumers live inside one returned
+    * plan — constructing the DataFrame stays job-free (no surprise
+    * Spark job from a plain constructor call), while the intermediate
+    * still computes exactly once. Same durability trade as [[Local]].
+    */
+  case object LocalLazy extends Materializer {
+    def apply(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+  }
+
   /** Reliable RDD checkpoint. `dir` (when given) is installed as the
     * context's checkpoint directory if none is set yet; with `dir` empty
     * the caller must have called `sc.setCheckpointDir` already.

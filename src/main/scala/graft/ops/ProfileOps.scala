@@ -39,11 +39,14 @@ import org.apache.spark.sql.functions._
   * triangular offsets join, and the running-sum probe side), so it is
   * materialized once through `mat` — exchange reuse across those
   * branches is otherwise not guaranteed, and recomputing the histogram
-  * aggregate three times is the dominant avoidable cost.
+  * aggregate three times is the dominant avoidable cost. The default is
+  * the LAZY local checkpoint: all consumers live inside the returned
+  * plan, so the histogram still computes exactly once, and merely
+  * CONSTRUCTING the DataFrame never launches a job.
   */
 object ProfileOps {
   def numericProfile(df: DataFrame, valueCol: String,
-      mat: Materializer = Materializer.Local): DataFrame = {
+      mat: Materializer = Materializer.LocalLazy): DataFrame = {
     val v = col(valueCol)
     val counts = df.filter(v.isNotNull)
       .groupBy(v.as("val")).agg(count(lit(1)).as("c"))

@@ -158,8 +158,10 @@ object SampleOps {
     * own key hash, priority = w / (hash+1) — ONE IEEE division of
     * exactly-representable integers (both < 2^53), so the value (and
     * therefore the selection AND the emitted priority column) is
-    * bit-reproducible across runs, partitionings, and engines. Ties
-    * (only possible at equal weight AND equal hash) break on the key.
+    * bit-reproducible across runs, partitionings, and engines. Equal
+    * priorities are possible from different (weight, hash) pairs (IEEE
+    * quotients collide: 2/2 == 3/3), so the key tie-break is load-
+    * bearing for determinism — never drop it from the ordering.
     *
     * Scale shape: priority is a pure row function; the per-group rank
     * filter plans a WindowGroupLimit (partial per-partition top-k
@@ -170,6 +172,8 @@ object SampleOps {
   def prioritySample(df: DataFrame, groupCol: String, key: Column,
       weight: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("priority"),
+      "input already has a 'priority' column — rename it first (prioritySample emits its own)")
     val pr = weight.cast("double") / (keyHash(key) + lit(1L)).cast("double")
     val w = Window.partitionBy(col(groupCol)).orderBy(col("priority").desc, key.asc)
     df.filter(weight.isNotNull && key.isNotNull)

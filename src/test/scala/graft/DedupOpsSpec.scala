@@ -382,6 +382,7 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairsWith(Materializer.Reliable(Some(s"$root/ckpt"))) == local)
     assert(pairsWith(Materializer.Parquet(s"$root/pq")) == local)
     assert(pairsWith(Materializer.Inline) == local)
+    assert(pairsWith(Materializer.LocalLazy) == local)
     // reliable checkpoint files actually landed in the durable dir
     assert(new java.io.File(s"$root/ckpt").exists())
 

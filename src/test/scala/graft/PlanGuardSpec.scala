@@ -69,6 +69,10 @@ class PlanGuardSpec extends SparkSpec {
     // A partition-less Window moves ALL rows to a single task — the one
     // plan shape that cannot survive a scale-up. Sweep every registered
     // query's optimized plan, descending into scalar/IN subqueries.
+    // CAVEAT: checkpointing Materializers truncate lineage into a
+    // LogicalRDD this sweep cannot see through — ops that materialize
+    // internally get a supplemental Inline-mat probe (below, and the
+    // ngram probes above).
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val offenders = Queries.all.keys.toSeq.sorted.flatMap { q =>
       val plan = Queries.all(q)(spark, dir).queryExecution.optimizedPlan
@@ -79,6 +83,20 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       "unpartitioned Window found:\n" + offenders.mkString("\n"))
+  }
+
+  test("numericProfile full lineage (Inline mat) has no unpartitioned Window either") {
+    // q_numeric_profile's default materializer hides the histogram
+    // subtree from the sweep above; re-derive with Inline so the
+    // pre-materialization stages are covered too
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+    val plan = graft.ops.ProfileOps.numericProfile(df, "l_quantity",
+      graft.ops.Materializer.Inline).queryExecution.optimizedPlan
+    val bad = plan.collectWithSubqueries {
+      case w: LWindow if w.partitionSpec.isEmpty => w.simpleString(120)
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
   }
 
   test("similarity top-k queries rank via the bounded aggregate, never a window") {
