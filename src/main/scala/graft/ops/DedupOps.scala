@@ -280,14 +280,45 @@ object DedupOps {
   def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, k: Int = 13, probes: Int = 3,
       log2m: Int = 20): DataFrame = {
+    val m = 1L << log2m
+    bloomScore(corpus,
+      bloomBitmapPlan(benchmark, idCol, textCol, k, probes, log2m).scalar(),
+      idCol, textCol, k, probes, m)
+  }
+
+  /** The eval-set bloom bitmap as a driver value — build once, reuse
+    * across jobs/micro-batches. This is the multi-job form of
+    * [[bloomDecontaminate]]: at 100 TB the eval set is fixed while the
+    * corpus arrives continuously, so the bitmap is a publishable
+    * artifact (≤ 16 MiB of longs), and scoring against it
+    * ([[bloomDecontaminateWithBitmap]]) is a plan LITERAL — legal in
+    * Structured Streaming plans, where scalar subqueries are not.
+    */
+  def bloomBitmap(benchmark: DataFrame, idCol: String, textCol: String,
+      k: Int = 13, probes: Int = 3, log2m: Int = 20): Array[Long] =
+    bloomBitmapPlan(benchmark, idCol, textCol, k, probes, log2m)
+      .head().getSeq[Long](0).toArray
+
+  /** [[bloomDecontaminate]] against a prebuilt [[bloomBitmap]]: pure
+    * map-only scoring, streaming-legal. `m` is implied by the bitmap
+    * length; `k`/`probes` must match the build call. */
+  def bloomDecontaminateWithBitmap(corpus: DataFrame, bitmap: Array[Long],
+      idCol: String, textCol: String, k: Int = 13,
+      probes: Int = 3): DataFrame = {
+    require(bitmap.nonEmpty, "bitmap must be non-empty")
+    bloomScore(corpus, typedLit(bitmap), idCol, textCol, k, probes,
+      bitmap.length.toLong * 64L)
+  }
+
+  private def bloomBitmapPlan(benchmark: DataFrame, idCol: String,
+      textCol: String, k: Int, probes: Int, log2m: Int): DataFrame = {
     require(probes >= 1 && probes <= 16, s"probes must be in [1,16], got $probes")
     // 2^27 bits = a 16 MiB bitmap literal — the broadcast ceiling; below
     // 2^6 the single word is all-ones for any real eval set
     require(log2m >= 6 && log2m <= 27, s"log2m must be in [6,27], got $log2m")
     val m = 1L << log2m
     val nWords = m >>> 6
-    val params = minhashParams(probes)
-    val posCols = params.map { case (a, b) =>
+    val posCols = minhashParams(probes).map { case (a, b) =>
       ((col("sh") * a + b) % graft.functions.HashKernels.P) % m
     }
     val words = shingleHashes(benchmark, idCol, textCol, k)
@@ -299,16 +330,18 @@ object DedupOps {
     // map_from_entries + per-index element_at form would be
     // O(nWords × entries) (Catalyst map lookup is a linear scan),
     // minutes stalled in the one-row subquery task at log2m ≥ 24
-    val bitmap = words
-      .agg(collect_list(struct(col("w"), col("bits"))).as("entries"))
+    words.agg(collect_list(struct(col("w"), col("bits"))).as("entries"))
       .select(graft.functions.exprs.bitmapFromEntries(
         col("entries"), nWords.toInt).as("bm"))
+  }
+
+  private def bloomScore(corpus: DataFrame, bitmap: Column, idCol: String,
+      textCol: String, k: Int, probes: Int, m: Long): DataFrame =
     corpus.filter(col(textCol).isNotNull)
       .select(col(idCol), graft.functions.exprs.bloomHits(
         array_distinct(graft.functions.exprs.shingleHashes(col(textCol), k)),
-        bitmap.scalar(), probes, m).as("n_hits"))
+        bitmap, probes, m).as("n_hits"))
       .filter(col("n_hits") >= 1)
-  }
 
   /** Fuzzy cross-corpus decontamination: near-duplicate pairs BETWEEN two
     * corpora (training docs that nearly duplicate an eval item survive

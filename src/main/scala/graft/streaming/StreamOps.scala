@@ -219,6 +219,23 @@ object StreamOps {
       .select(col("sid").as(idCol), col("sh"))
   }
 
+  /** Streaming bloom ingest gate: map-only decontamination of a
+    * document stream against a prebuilt eval-set bitmap
+    * ([[graft.ops.DedupOps.bloomBitmap]] — built once, reused across
+    * micro-batches and jobs). The bitmap ships as a plan LITERAL
+    * because scalar subqueries are not allowed in streaming plans;
+    * scoring is stateless codegen'd probing — no join, no broadcast
+    * exchange, no state store, no watermark. The per-micro-batch
+    * alternative ([[contaminationHitsStream]]) re-broadcasts the eval
+    * grams instead and is exact; this gate trades bounded false
+    * positives for a fixed ≤ 16 MiB footprint however large the eval
+    * set's gram count grows.
+    */
+  def bloomGateStream(docs: DataFrame, bitmap: Array[Long], idCol: String,
+      textCol: String, k: Int = 13, probes: Int = 3): DataFrame =
+    graft.ops.DedupOps.bloomDecontaminateWithBitmap(
+      docs, bitmap, idCol, textCol, k, probes)
+
   /** One-shot catch-up run of [[indexSink]] (processes all available
     * input then stops) — the streaming equivalent of the CLI's daily
     * invocation. */

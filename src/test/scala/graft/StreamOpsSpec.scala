@@ -123,6 +123,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.length == 2) // its two benchmark trigrams
   }
 
+  test("bloomGateStream: prebuilt bitmap gates a stream like the batch op") {
+    val in = tmpDir("graft_stream_bloom_in")
+    val docs = Seq(
+      (10L, "w1 w2 w3 w4 w5"),   // shares trigrams with the benchmark
+      (11L, "z1 z2 z3 z4 z5"))   // clean
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(in)
+    val benchmark = Seq((0L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val bm = graft.ops.DedupOps.bloomBitmap(benchmark, "doc_id", "text",
+      k = 3, probes = 3, log2m = 16)
+
+    val stream = StreamOps.streamSource(spark, in, spark.read.parquet(in).schema)
+    val q = StreamOps.bloomGateStream(stream, bm, "doc_id", "text", k = 3, probes = 3)
+      .writeStream.format("memory").queryName("bloomgate")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("bloomgate").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical to the batch op on the same frames (literal == subquery)
+    val batch = graft.ops.DedupOps.bloomDecontaminate(docs, benchmark,
+      "doc_id", "text", k = 3, probes = 3, log2m = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    assert(got.map(_._1) == Set(10L), got) // streamed doc 10 flagged, 11 clean
+  }
+
   test("latestPerKey keeps the max-ordinal row per key") {
     val in = tmpDir("graft_stream_latest_in")
     Seq(
