@@ -292,7 +292,12 @@ object HashKernels {
     val cnt = entries.numElements()
     var i = 0
     while (i < cnt) {
+      // fail fast on null slots: ArrayData.getLong reads a null slot as
+      // 0, which would silently OR bits into word 0 (a corrupt bitmap)
+      require(!entries.isNullAt(i), s"null entry at $i in bitmap entries")
       val e = entries.getStruct(i, 2)
+      require(!e.isNullAt(0) && !e.isNullAt(1),
+        s"null field in bitmap entry at $i")
       val w = e.getLong(0)
       require(w >= 0 && w < n, s"bitmap word index $w out of [0, $n)")
       out(w.toInt) |= e.getLong(1)

@@ -305,7 +305,13 @@ object DedupOps {
   def bloomDecontaminateWithBitmap(corpus: DataFrame, bitmap: Array[Long],
       idCol: String, textCol: String, k: Int = 13,
       probes: Int = 3): DataFrame = {
-    require(bitmap.nonEmpty, "bitmap must be non-empty")
+    // a power-of-two word count is the only shape bloomBitmap produces;
+    // anything else (a truncated/corrupted published artifact) would
+    // probe a DIFFERENT modulus than the build used — silent false
+    // negatives on the op whose headline guarantee is "never misses"
+    require(bitmap.nonEmpty && java.lang.Integer.bitCount(bitmap.length) == 1,
+      s"bitmap length must be a power of two (got ${bitmap.length}) — " +
+        "not a bloomBitmap-built artifact")
     bloomScore(corpus, typedLit(bitmap), idCol, textCol, k, probes,
       bitmap.length.toLong * 64L)
   }

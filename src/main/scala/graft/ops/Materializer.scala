@@ -46,12 +46,15 @@ object Materializer {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint()
   }
 
-  /** Lazy [[Local]]: the checkpoint is wired at plan time but
-    * materializes on the FIRST action and is reused by every later one.
-    * The right default when all consumers live inside one returned
-    * plan — constructing the DataFrame stays job-free (no surprise
-    * Spark job from a plain constructor call), while the intermediate
-    * still computes exactly once. Same durability trade as [[Local]].
+  /** Lazy [[Local]]: the checkpoint's RESULT stage is deferred to the
+    * first action and reused by every later one. Strictly less eager
+    * than [[Local]] (whose trailing count computes and stores every
+    * block at call time) — but NOT fully job-free at construction:
+    * wiring the checkpoint plans the physical RDD, and under AQE
+    * (Spark's default) that synchronously materializes the UPSTREAM
+    * exchanges so the final stages can be re-planned. The right default
+    * when all consumers live inside one returned plan: the intermediate
+    * computes exactly once. Same durability trade as [[Local]].
     */
   case object LocalLazy extends Materializer {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)

@@ -41,8 +41,10 @@ import org.apache.spark.sql.functions._
   * branches is otherwise not guaranteed, and recomputing the histogram
   * aggregate three times is the dominant avoidable cost. The default is
   * the LAZY local checkpoint: all consumers live inside the returned
-  * plan, so the histogram still computes exactly once, and merely
-  * CONSTRUCTING the DataFrame never launches a job.
+  * plan, so the histogram computes exactly once, and the checkpoint's
+  * result stage is deferred to the first action (under AQE the upstream
+  * exchanges still materialize at construction — see
+  * [[Materializer.LocalLazy]]).
   */
 object ProfileOps {
   def numericProfile(df: DataFrame, valueCol: String,

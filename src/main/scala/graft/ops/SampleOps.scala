@@ -172,7 +172,9 @@ object SampleOps {
   def prioritySample(df: DataFrame, groupCol: String, key: Column,
       weight: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(!df.columns.contains("priority"),
+    // case-insensitive: Spark's default resolver would let
+    // withColumn("priority", ...) silently replace a "Priority" column
+    require(!df.columns.exists(_.equalsIgnoreCase("priority")),
       "input already has a 'priority' column — rename it first (prioritySample emits its own)")
     val pr = weight.cast("double") / (keyHash(key) + lit(1L)).cast("double")
     val w = Window.partitionBy(col(groupCol)).orderBy(col("priority").desc, key.asc)
