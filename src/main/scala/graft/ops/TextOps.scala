@@ -315,6 +315,54 @@ object TextOps {
         col("e.df").as("df"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Corpus collocations: the `topN` adjacent word pairs ranked by LIFT
+    * = N·c(x,y) / (c(x)·c(y)) with a `minCount` support floor — the
+    * multi-word-expression discovery pass of tokenizer/vocab prep
+    * (word2vec's phrase score is this statistic with a discount; PMI is
+    * its log, so the RANKING is identical while lift stays computable
+    * EXACTLY: both products are exact integers < 2^53, and lift is then
+    * ONE IEEE division — bit-reproducible by the DuckDB oracle).
+    *
+    * Scale shape: bigram and unigram counts are map-side-combined hash
+    * aggregates; the `minCount` cut prunes the bigram long tail BEFORE
+    * the two unigram joins (they carry only surviving bigrams, and the
+    * unigram side is vocabulary-sized — AQE broadcasts it); the corpus
+    * token total derives from the unigram table (no second corpus
+    * scan); top-N is `orderBy.limit` (TakeOrderedAndProject). No
+    * windows. Bigrams come from `zip_with` over two slices — the
+    * lambda touches only its arguments, so the token array is NOT
+    * re-evaluated per element (the [[wordShingles]] O(words²) trap).
+    * The unigram table feeds three consumers (token total + both
+    * joins), so it materializes once through `mat` — without it each
+    * consumer re-scans the corpus for its own unigram aggregate.
+    */
+  def collocations(df: DataFrame, idCol: String, text: String,
+      minCount: Int = 5, topN: Int = 50,
+      mat: graft.ops.Materializer = graft.ops.Materializer.LocalLazy): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val ws = df.filter(col(text).isNotNull).select(tokens(col(text)).as("ws"))
+    val uni = mat(ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")))
+    val nTotal = uni.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+    val len = greatest(size(col("ws")) - 1, lit(0))
+    val bi = ws
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), len), slice(col("ws"), lit(2), len),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    bi.join(uni.select(col("w").as("x"), col("c").as("n_x")), Seq("x"))
+      .join(uni.select(col("w").as("y"), col("c").as("n_y")), Seq("y"))
+      .select(concat(col("x"), lit(" "), col("y")).as("bigram"),
+        col("n_xy"), col("n_x"), col("n_y"),
+        ((nTotal.scalar() * col("n_xy")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("bigram").asc)
+      .limit(topN)
+  }
+
   /** Document fingerprint: whole-text rolling hash plus a shingle-sketch
     * summary (count + min shingle hash). The min-hash of the shingle set
     * is the 1-permutation MinHash — a compact near-dup signal; DedupOps

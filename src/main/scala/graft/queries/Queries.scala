@@ -862,6 +862,24 @@ object Queries {
       t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
       "lang", col("doc_id"), col("n_chars") + 1, k = 20)
 
+  private def collocationsQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.collocations(t(s, dir, "documents"), "doc_id", "text",
+      minCount = 5, topN = 50)
+
+  private val collocationsSql =
+    """WITH ws AS (SELECT string_split(text,' ') AS ws FROM documents WHERE text IS NOT NULL),
+      |toks AS (SELECT UNNEST(ws) AS w FROM ws),
+      |uni AS (SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w),
+      |n AS (SELECT CAST(coalesce(sum(c),0) AS BIGINT) AS n FROM uni),
+      |bi AS (SELECT ws[i] AS x, ws[i+1] AS y FROM ws, UNNEST(range(1, len(ws))) t(i)),
+      |bc AS (SELECT x, y, count(*)::BIGINT AS n_xy FROM bi GROUP BY x, y HAVING count(*) >= 5)
+      |SELECT x || ' ' || y AS bigram, n_xy, cx.c AS n_x, cy.c AS n_y,
+      |  CAST(n.n * n_xy AS DOUBLE) / CAST(cx.c * cy.c AS DOUBLE) AS lift
+      |FROM bc CROSS JOIN n
+      |JOIN uni cx ON cx.w = bc.x
+      |JOIN uni cy ON cy.w = bc.y
+      |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin
+
   private def prioritySampleSql =
     s"""WITH p AS (SELECT doc_id, lang, n_chars,
        |  CAST(n_chars + 1 AS DOUBLE) /
@@ -1401,7 +1419,8 @@ object Queries {
     "q_embed_cross_corpus" -> (embedCrossCorpusQ _),
     "q_vocabulary" -> (vocabularyQ _),
     "q_bloom_contamination" -> (bloomContaminationQ _),
-    "q_priority_sample" -> (prioritySampleQ _))
+    "q_priority_sample" -> (prioritySampleQ _),
+    "q_collocations" -> (collocationsQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1476,5 +1495,6 @@ object Queries {
     "q_embed_cross_corpus" -> embedCrossCorpusSql,
     "q_vocabulary" -> vocabularySql,
     "q_bloom_contamination" -> bloomContaminationSql,
-    "q_priority_sample" -> prioritySampleSql)
+    "q_priority_sample" -> prioritySampleSql,
+    "q_collocations" -> collocationsSql)
 }

@@ -147,6 +147,31 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("collocations ranks adjacent pairs by exact lift; distributed top-N plan") {
+    import spark.implicits._
+    // "a b" appears 3x, "b c" 2x, "c a" 1x; tokens: a=4 b=3 c=3, N=10
+    val fixture = Seq(
+      (0L, "a b c a b"),
+      (1L, "a b c a")).toDF("doc_id", "text")
+    val got = TextOps.collocations(fixture, "doc_id", "text", minCount = 2, topN = 10)
+    val rows = got.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // pairs: doc0 -> ab bc ca ab, doc1 -> ab bc ca; so "a b"=3,
+    // "b c"=2, "c a"=2. unigrams a=4 b=3 c=2, N=9.
+    // lift(b c) = 9*2/(3*2) = 3.0 ranks first; "a b" = 9*3/(4*3) and
+    // "c a" = 9*2/(2*4) tie at 2.25 -> bigram asc breaks the tie
+    assert(rows.length == 3)
+    assert(rows(0) == ("b c", 2L, 3L, 2L, 3.0))
+    assert(rows(1) == ("a b", 3L, 4L, 3L, 2.25))
+    assert(rows(2) == ("c a", 2L, 2L, 4L, 2.25))
+    // top-N is TakeOrderedAndProject; no window anywhere
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    // the minCount cut prunes before the joins: raising it empties
+    assert(TextOps.collocations(fixture, "doc_id", "text", minCount = 4, topN = 10).isEmpty)
+  }
+
   test("one-pass repetition/topTerms kernels == composed forms; map-only plans") {
     import spark.implicits._
     val edge = Seq((0L, ""), (1L, "a  b a"), (2L, "x y z x y x"),
