@@ -335,6 +335,12 @@ object TextOps {
     * The unigram table feeds three consumers (token total + both
     * joins), so it materializes once through `mat` — without it each
     * consumer re-scans the corpus for its own unigram aggregate.
+    *
+    * Exactness bound: the integer products N·c_xy and c_x·c_y must stay
+    * under 2^63 (long) — N·c_xy ≤ N² caps N at ~3·10⁹ tokens per
+    * invocation. Beyond that (trillion-token corpora), shard the corpus
+    * or move the products to double first: ordering then loses only
+    * last-ulp ties, which the bigram tie-break already absorbs.
     */
   def collocations(df: DataFrame, idCol: String, text: String,
       minCount: Int = 5, topN: Int = 50,
