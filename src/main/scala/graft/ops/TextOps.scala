@@ -342,7 +342,7 @@ object TextOps {
     * or move the products to double first: ordering then loses only
     * last-ulp ties, which the bigram tie-break already absorbs.
     */
-  def collocations(df: DataFrame, idCol: String, text: String,
+  def collocations(df: DataFrame, text: String,
       minCount: Int = 5, topN: Int = 50,
       mat: graft.ops.Materializer = graft.ops.Materializer.LocalLazy): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")

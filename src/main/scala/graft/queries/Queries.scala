@@ -863,7 +863,7 @@ object Queries {
       "lang", col("doc_id"), col("n_chars") + 1, k = 20)
 
   private def collocationsQ(s: SparkSession, dir: String): DataFrame =
-    TextOps.collocations(t(s, dir, "documents"), "doc_id", "text",
+    TextOps.collocations(t(s, dir, "documents"), "text",
       minCount = 5, topN = 50)
 
   private val collocationsSql =

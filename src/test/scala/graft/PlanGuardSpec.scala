@@ -99,6 +99,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("collocations full lineage (Inline mat) has no unpartitioned Window either") {
+    // same blind-spot closure as numericProfile: the default mat hides
+    // the unigram-aggregate subtree from the global sweep
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.ops.TextOps.collocations(docs, "text",
+        minCount = 5, topN = 50, mat = graft.ops.Materializer.Inline)
+      .queryExecution.optimizedPlan
+    val bad = plan.collectWithSubqueries {
+      case w: LWindow if w.partitionSpec.isEmpty => w.simpleString(120)
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("similarity top-k queries rank via the bounded aggregate, never a window") {
     for (q <- Seq("q_embed_cosine_topk", "q_ivf_topk")) {
       val plan = planOf(q)

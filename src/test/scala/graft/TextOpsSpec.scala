@@ -149,11 +149,10 @@ class TextOpsSpec extends SparkSpec {
 
   test("collocations ranks adjacent pairs by exact lift; distributed top-N plan") {
     import spark.implicits._
-    // "a b" appears 3x, "b c" 2x, "c a" 1x; tokens: a=4 b=3 c=3, N=10
     val fixture = Seq(
       (0L, "a b c a b"),
       (1L, "a b c a")).toDF("doc_id", "text")
-    val got = TextOps.collocations(fixture, "doc_id", "text", minCount = 2, topN = 10)
+    val got = TextOps.collocations(fixture, "text", minCount = 2, topN = 10)
     val rows = got.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     // pairs: doc0 -> ab bc ca ab, doc1 -> ab bc ca; so "a b"=3,
@@ -169,7 +168,7 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
     assert(!plan.contains("Window"), plan.take(2000))
     // the minCount cut prunes before the joins: raising it empties
-    assert(TextOps.collocations(fixture, "doc_id", "text", minCount = 4, topN = 10).isEmpty)
+    assert(TextOps.collocations(fixture, "text", minCount = 4, topN = 10).isEmpty)
   }
 
   test("one-pass repetition/topTerms kernels == composed forms; map-only plans") {
