@@ -83,6 +83,12 @@ class SampleOpsSpec extends SparkSpec {
     // k >= group size keeps everything
     assert(SampleOps.prioritySample(df, "g", col("id"), col("w"), k = 500)
       .count() == 200L)
+    // membership is a pure row function + total order: identical
+    // selection under any input partitioning
+    val repart = SampleOps.prioritySample(df.repartition(7, col("w")),
+        "g", col("id"), col("w"), k = 25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(repart == gotIds)
     // rank filter compiles to a partial per-partition top-k, so only
     // ~k rows per group per partition reach the exchange
     val plan = got.queryExecution.executedPlan.toString

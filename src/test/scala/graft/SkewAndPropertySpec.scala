@@ -240,6 +240,31 @@ class SkewAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: collocations equals brute force on random corpora") {
+    val rnd = new scala.util.Random(31)
+    for (c <- 0 until 5) {
+      val docs = (0 until 15).map { i =>
+        (i.toLong, Seq.fill(2 + rnd.nextInt(12))(s"w${rnd.nextInt(6)}").mkString(" "))
+      }
+      val minCount = 1 + rnd.nextInt(3)
+      val got = graft.ops.TextOps.collocations(
+          docs.toDF("doc_id", "text"), "text", minCount, topN = 1000)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      // brute force: same counts, same single-division lift
+      val toks = docs.flatMap(_._2.split(" ", -1))
+      val uni = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toLong
+      val bi = docs.flatMap { case (_, t) =>
+        val ws = t.split(" ", -1); ws.zip(ws.drop(1))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expect = bi.toSeq.collect { case ((x, y), cxy) if cxy >= minCount =>
+        (s"$x $y", cxy, uni(x), uni(y), (n * cxy).toDouble / (uni(x) * uni(y)).toDouble)
+      }.sortBy { case (bg, _, _, _, lift) => (-lift, bg) }
+      assert(got == expect, s"case $c minCount=$minCount")
+    }
+  }
+
   test("property: delta rows always win; other rows survive") {
     for ((a, b) <- cases(seed = 5, n = 10).zip(cases(seed = 6, n = 10))
          if a.nonEmpty) {
