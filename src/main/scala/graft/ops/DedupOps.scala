@@ -209,16 +209,22 @@ object DedupOps {
     * maxDf). Per-doc sizes ride along the surviving rows (one window by
     * doc id — groups bounded by a doc's shingle count) and the edge
     * list materializes once (per `mat`) so the self-join reads it
-    * instead of recomputing per side. See [[ngramJaccardPairsPrefix]]
-    * for the AllPairs prefix-filtered alternative and the measured
-    * trade between the two.
+    * instead of recomputing per side. With `matPostings` (default on)
+    * the RAW postings also materialize once, so the df-cut aggregate
+    * and the anti-join probe share one shingle pass — re-measured at
+    * round 6 (best-of-2, sf0.1): 3.0s vs 3.4s, and 2× better cold; the
+    * earlier recompute-wins measurement predated the one-pass shingle
+    * kernel. See [[ngramJaccardPairsPrefix]] for the AllPairs
+    * prefix-filtered alternative and the measured trade between the two.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minJaccard: Double = 0.5, maxDf: Int = 1000,
       mat: Materializer = Materializer.Local,
-      broadcastHotSet: Boolean = true): DataFrame = {
+      broadcastHotSet: Boolean = true,
+      matPostings: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val postings = shingleHashes(df, idCol, textCol, k)
+    val raw = shingleHashes(df, idCol, textCol, k)
+    val postings = if (matPostings) mat(raw) else raw
     val hot = postings.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") > maxDf).select("sh")
     val hotSide = if (broadcastHotSet) broadcast(hot) else hot
