@@ -96,6 +96,60 @@ object DedupOps {
         sum(col("n_tokens")).as("n_tokens_kept"))
   }
 
+  /** Duplicated-passage detection — the exact-substring half of the
+    * Lee et al. pipeline ("Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022, suffix-array ExactSubstr), re-expressed
+    * at word-window granularity: every `winTokens`-word window starting
+    * at a stride-multiple offset is a candidate passage; a passage that
+    * occurs in at least `minDocs` distinct documents is a duplicated
+    * passage (cross-document boilerplate, licence blocks, templated
+    * spans). `stride = 1` (the default) is exhaustive at word
+    * granularity — a cross-doc repeat of >= winTokens words is always
+    * caught because EVERY window inside it is shared; `stride > 1`
+    * trades recall at the window-alignment boundary for a 1/stride
+    * cheaper explode (the usual approximation when the corpus side is
+    * huge — note a repeat is then found only when its occurrences start
+    * at offsets congruent mod stride).
+    *
+    * Output: (passage, n_docs, n_occurrences, first_doc = min id).
+    *
+    * Shape: window build is map-only (`concat_ws` over `slice` per
+    * offset — the lambda touches only its arguments, so the token array
+    * is not re-evaluated per element); then a TWO-LEVEL hash aggregate,
+    * (key, doc) then key — per-doc repeats collapse map-side and
+    * `n_docs` is a plain count, never a `countDistinct` expand. By
+    * default the aggregate key is `xxhash64(passage)` (8-byte shuffle
+    * key; the passage text rides along as a `min` that partial-combines
+    * to one string per distinct key per partition) with the same
+    * collision bound as [[exactDupGroups]]; `hashKey = false` keys by
+    * the passage bytes (the oracle form). No windows, no joins.
+    */
+  def duplicatedPassages(df: DataFrame, idCol: String, textCol: String,
+      winTokens: Int, stride: Int = 1, minDocs: Int = 2,
+      hashKey: Boolean = true): DataFrame = {
+    require(winTokens >= 1, s"winTokens must be >= 1, got $winTokens")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val ws = TextOps.tokens(col(textCol))
+    val passages = when(size(ws) >= winTokens,
+      transform(sequence(lit(1), size(ws) - (winTokens - 1), lit(stride)),
+        i => concat_ws(" ", slice(ws, i, lit(winTokens)))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__sid"), explode(passages).as("passage"))
+    val key = if (hashKey) xxhash64(col("passage")) else col("passage")
+    exploded
+      .groupBy(key.as("__key"), col("__sid"))
+      .agg(min(col("passage")).as("passage"), count(lit(1)).as("__n"))
+      .groupBy(col("__key"))
+      .agg(min(col("passage")).as("passage"),
+        count(lit(1)).as("n_docs"), sum(col("__n")).as("n_occurrences"),
+        min(col("__sid")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("passage"), col("n_docs"), col("n_occurrences"),
+        col("first_doc"))
+  }
+
   /** Distinct (id, shingle-hash) pairs — the inverted-index edge list
     * that every near-dup operator below shares. Per-doc dedup happens in
     * the array (`array_distinct`) BEFORE the explode, so building the

@@ -880,6 +880,23 @@ object Queries {
       |JOIN uni cy ON cy.w = bc.y
       |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin
 
+  /** win=6, stride=1, minDocs=2 over documents; the Spark side groups by
+    * `xxhash64(passage)` (8-byte shuffle key, same collision bound the
+    * `q_dedup_exact` oracle accepts) while the oracle groups by the
+    * passage bytes. */
+  private def dupPassagesQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.duplicatedPassages(t(s, dir, "documents"), "doc_id", "text",
+      winTokens = 6)
+
+  private val dupPassagesSql =
+    """WITH ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE text IS NOT NULL),
+      |p AS (SELECT doc_id, array_to_string(ws[i:i+5],' ') AS passage
+      |      FROM ws, UNNEST(range(1, len(ws)-4, 1)) t(i)),
+      |pd AS (SELECT passage, doc_id, count(*)::BIGINT AS n_i FROM p GROUP BY 1,2)
+      |SELECT passage, count(*)::BIGINT AS n_docs, CAST(sum(n_i) AS BIGINT) AS n_occurrences,
+      |  min(doc_id) AS first_doc
+      |FROM pd GROUP BY passage HAVING count(*) >= 2""".stripMargin
+
   private def prioritySampleSql =
     s"""WITH p AS (SELECT doc_id, lang, n_chars,
        |  CAST(n_chars + 1 AS DOUBLE) /
@@ -1420,7 +1437,8 @@ object Queries {
     "q_vocabulary" -> (vocabularyQ _),
     "q_bloom_contamination" -> (bloomContaminationQ _),
     "q_priority_sample" -> (prioritySampleQ _),
-    "q_collocations" -> (collocationsQ _))
+    "q_collocations" -> (collocationsQ _),
+    "q_dup_passages" -> (dupPassagesQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1496,5 +1514,6 @@ object Queries {
     "q_vocabulary" -> vocabularySql,
     "q_bloom_contamination" -> bloomContaminationSql,
     "q_priority_sample" -> prioritySampleSql,
-    "q_collocations" -> collocationsSql)
+    "q_collocations" -> collocationsSql,
+    "q_dup_passages" -> dupPassagesSql)
 }

@@ -49,6 +49,47 @@ class DedupOpsSpec extends SparkSpec {
       (2L, "x y z w", 1L, 4L)))
   }
 
+  test("duplicatedPassages finds cross-document repeated windows") {
+    val d = Seq(
+      (0L, "p q r s t"),
+      (1L, "x p q r s"),
+      (2L, "z z z"),
+      (3L, "z z z z"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.duplicatedPassages(d, "doc_id", "text", winTokens = 3)
+      .orderBy("passage").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("p q r", 2L, 2L, 0L),
+      ("q r s", 2L, 2L, 0L),
+      ("z z z", 2L, 3L, 2L)))
+    // stride=2 samples offsets 1,3,…: only the z-run repeat still has an
+    // occurrence on a sampled offset in BOTH docs (doc 3's offset-2 copy
+    // is skipped, so its occurrence count drops to one per doc)
+    val strided = DedupOps.duplicatedPassages(d, "doc_id", "text",
+      winTokens = 3, stride = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(strided.toSeq == Seq(("z z z", 2L, 2L, 2L)))
+    // docs shorter than the window contribute nothing
+    assert(DedupOps.duplicatedPassages(d, "doc_id", "text", winTokens = 6)
+      .count() == 0L)
+  }
+
+  test("duplicatedPassages hashed key matches text key on the real corpus; two-level agg plan") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("passage").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val hashed = DedupOps.duplicatedPassages(corpus, "doc_id", "text", winTokens = 6)
+    assert(norm(hashed).nonEmpty)
+    assert(norm(hashed) ==
+      norm(DedupOps.duplicatedPassages(corpus, "doc_id", "text", winTokens = 6,
+        hashKey = false)))
+    val plan = hashed.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"))
+  }
+
   test("chunkDedup hashed key matches text key on the real corpus; no sort exchange") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def norm(df: org.apache.spark.sql.DataFrame) =
