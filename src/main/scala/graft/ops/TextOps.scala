@@ -369,6 +369,44 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Shallow linear classifier scoring — the fastText-style quality /
+    * domain classifier pass of a curation pipeline (Joulin et al., "Bag
+    * of Tricks for Efficient Text Classification", EACL 2017): score =
+    * `bias` + Σ_tokens weight(token) against a supplied `(term, weight)`
+    * model table, `keep` = score ≥ `threshold`. Weights are INTEGER
+    * (fixed-point — the caller scales float model weights, e.g. ×10⁶),
+    * so the per-doc sum is exact long arithmetic: bit-reproducible
+    * across partitionings, engines, and the DuckDB oracle, with no
+    * float-add-order drift at any cluster size.
+    *
+    * Output: (id, n_tokens, n_hits, score, keep); `n_hits` counts
+    * tokens found in the model (multiplicity included).
+    *
+    * Shape: one map-only explode, a BROADCAST left join against the
+    * model (a fastText-sized vocabulary — a few million terms / tens of
+    * MB — broadcasts; the corpus side is never shuffled by term), then
+    * one per-doc hash aggregate that partial-combines map-side. For a
+    * model too large to broadcast, drop the hint and the same plan
+    * becomes a shuffle join keyed by term — still explode-sized, never
+    * corpus×model.
+    */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, termCol: String = "term",
+      weightCol: String = "weight", bias: Long = 0L,
+      threshold: Long = 0L): DataFrame = {
+    val w = broadcast(weights.select(col(termCol).as("__term"),
+      col(weightCol).cast("long").as("__w")))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .join(w, col("__tok") === col("__term"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(col("__w")).as("n_hits"),
+        (coalesce(sum(col("__w")), lit(0L)) + bias).as("score"))
+      .withColumn("keep", col("score") >= threshold)
+  }
+
   /** Document fingerprint: whole-text rolling hash plus a shingle-sketch
     * summary (count + min shingle hash). The min-hash of the shingle set
     * is the 1-permutation MinHash — a compact near-dup signal; DedupOps

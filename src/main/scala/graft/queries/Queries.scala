@@ -897,6 +897,34 @@ object Queries {
       |  min(doc_id) AS first_doc
       |FROM pd GROUP BY passage HAVING count(*) >= 2""".stripMargin
 
+  /** Model table derived deterministically from the corpus itself: the
+    * terms whose charHash ≡ 0 (mod 3) carry weight (charHash mod 21) − 10
+    * ∈ [−10, 10]; other tokens exercise the left-join miss path. */
+  private def classifierScoreQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val weights = docs.filter(col("text").isNotNull)
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .distinct()
+      .withColumn("h", TextOps.charHash(col("term")))
+      .filter(pmod(col("h"), lit(3)) === 0)
+      .select(col("term"), (pmod(col("h"), lit(21)) - 10).as("weight"))
+    TextOps.classifierScore(docs, "doc_id", "text", weights)
+  }
+
+  private def classifierScoreSql =
+    s"""WITH toks AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok
+       |             FROM documents WHERE text IS NOT NULL),
+       |terms AS (SELECT DISTINCT tok AS term FROM toks),
+       |w AS (SELECT term, (h % 21) - 10 AS weight
+       |      FROM (SELECT term, ${sqlHash("term")} AS h FROM terms)
+       |      WHERE h % 3 = 0)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  count(w.weight)::BIGINT AS n_hits,
+       |  CAST(coalesce(sum(w.weight), 0) AS BIGINT) AS score,
+       |  coalesce(sum(w.weight), 0) >= 0 AS keep
+       |FROM toks LEFT JOIN w ON w.term = toks.tok
+       |GROUP BY doc_id""".stripMargin
+
   private def prioritySampleSql =
     s"""WITH p AS (SELECT doc_id, lang, n_chars,
        |  CAST(n_chars + 1 AS DOUBLE) /
@@ -1438,7 +1466,8 @@ object Queries {
     "q_bloom_contamination" -> (bloomContaminationQ _),
     "q_priority_sample" -> (prioritySampleQ _),
     "q_collocations" -> (collocationsQ _),
-    "q_dup_passages" -> (dupPassagesQ _))
+    "q_dup_passages" -> (dupPassagesQ _),
+    "q_classifier_score" -> (classifierScoreQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1515,5 +1544,6 @@ object Queries {
     "q_bloom_contamination" -> bloomContaminationSql,
     "q_priority_sample" -> prioritySampleSql,
     "q_collocations" -> collocationsSql,
-    "q_dup_passages" -> dupPassagesSql)
+    "q_dup_passages" -> dupPassagesSql,
+    "q_classifier_score" -> classifierScoreSql)
 }

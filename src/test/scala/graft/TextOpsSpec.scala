@@ -257,6 +257,48 @@ class TextOpsSpec extends SparkSpec {
     assert(got.map(_.getLong(3)).toSeq == Seq(3L, 2L))
   }
 
+  test("classifierScore sums integer weights per doc with bias and threshold") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "good good bad"),   // 2*5 - 7 = 3
+      (1L, "bad bad"),         // -14
+      (2L, "unknown words"),   // no hits -> score = bias
+      (3L, "good"))            // 5
+      .toDF("doc_id", "text")
+    val w = Seq(("good", 5L), ("bad", -7L)).toDF("term", "weight")
+    val got = TextOps.classifierScore(d, "doc_id", "text", w,
+        bias = 1L, threshold = 4L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 3L, 4L, true),
+      (1L, 2L, 2L, -13L, false),
+      (2L, 2L, 0L, 1L, false),
+      (3L, 1L, 1L, 6L, true)))
+  }
+
+  test("classifierScore plan broadcasts the model; corpus never shuffled by term") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = Seq(("the", 2L), ("value", 1L), ("slow", -3L)).toDF("term", "weight")
+    val scored = TextOps.classifierScore(corpus, "doc_id", "text", w)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // exactly one exchange: the per-doc aggregate (keyed by doc_id);
+    // no shuffle keyed by the exploded token
+    assert(!plan.contains("hashpartitioning(__tok") &&
+      !plan.contains("hashpartitioning(__term"))
+    // spot-check against a per-row recompute
+    val byHand = corpus.limit(20).collect().map { r =>
+      val toks = r.getString(1).split(" ")
+      (r.getLong(0), toks.map(t => Map("the" -> 2L, "value" -> 1L, "slow" -> -3L)
+        .getOrElse(t, 0L)).sum)
+    }.toMap
+    scored.filter(col("doc_id") < 20).collect().foreach { r =>
+      byHand.get(r.getLong(0)).foreach(exp => assert(r.getLong(3) == exp))
+    }
+  }
+
   test("fingerprint emits doc hash plus shingle sketch") {
     val r = TextOps.fingerprint(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(r.length == 5)
