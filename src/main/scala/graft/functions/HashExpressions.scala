@@ -334,6 +334,36 @@ object HashKernels {
     while (i < n) { out(i) = math.round(a.getDouble(i) * scale); i += 1 }
     ArrayData.toArrayData(out)
   }
+
+  /** Unicode text normalization in one pass: NFC compose (UAX #15 —
+    * same algorithm DuckDB's utf8proc `nfc_normalize` implements),
+    * codepoint-wise SIMPLE lower-casing (`Character.toLowerCase` — the
+    * UnicodeData 1:1 mapping, matching utf8proc's `lower`; Java's
+    * String.toLowerCase FULL mapping would diverge on e.g. U+0130), and
+    * trim + collapse of ASCII whitespace runs `[ \t\n\r]+` to a single
+    * space. */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    val n = nfc.length
+    while (i < n) {
+      val cp = nfc.codePointAt(i)
+      if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r') {
+        pendingSpace = true
+      } else {
+        if (pendingSpace && started) sb.append(' ')
+        sb.appendCodePoint(Character.toLowerCase(cp))
+        started = true
+        pendingSpace = false
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** Codegen'd TextOps.charHash (custom Catalyst Expression — the brief's
@@ -583,6 +613,24 @@ case class QuantizeVector(child: Expression, scale: Long)
     copy(child = newChild)
 }
 
+/** Codegen'd Unicode normalizer (see HashKernels.normalizeText): NFC +
+  * simple lowercase + whitespace collapse, one pass per row. */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"normalize_text needs string, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.normalizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.normalizeText($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom expressions. */
 object exprs {
   import org.apache.spark.sql.Column
@@ -610,6 +658,8 @@ object exprs {
     shims.column(BloomHitCount(shims.expression(grams), shims.expression(bitmap), probes, m))
   def bitmapFromEntries(entries: Column, n: Int): Column =
     shims.column(BitmapFromEntries(shims.expression(entries), n))
+  def normalizeText(c: Column): Column =
+    shims.column(NormalizeText(shims.expression(c)))
 
   /** Top-k (ord, value) pairs per group as an aggregate column —
     * `array<struct<ord, value>>` ranked (ord desc, value asc); the

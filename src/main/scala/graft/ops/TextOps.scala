@@ -369,6 +369,17 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Unicode canonicalization — the normalization pass a pipeline runs
+    * BEFORE hashing/dedup/tokenizing, so byte-different but
+    * visually-identical texts collide: NFC composition (UAX #15),
+    * codepoint-wise simple lower-casing, and trim + collapse of
+    * whitespace runs to one space. Runs as the codegen expression
+    * [[graft.functions.NormalizeText]] — map-only, one pass per row, no
+    * shuffle; the DuckDB oracle reproduces it as
+    * `regexp_replace(trim(lower(nfc_normalize(text))), '[ \t\n\r]+', ' ', 'g')`.
+    */
+  def normalizeText(c: Column): Column = graft.functions.exprs.normalizeText(c)
+
   /** Shallow linear classifier scoring — the fastText-style quality /
     * domain classifier pass of a curation pipeline (Joulin et al., "Bag
     * of Tricks for Efficient Text Classification", EACL 2017): score =

@@ -925,6 +925,26 @@ object Queries {
        |FROM toks LEFT JOIN w ON w.term = toks.tok
        |GROUP BY doc_id""".stripMargin
 
+  /** Normalize-then-fingerprint: the canonicalization a dedup pipeline
+    * hashes (the corpus is already canonical, so the normalizer must act
+    * as identity here — non-trivial inputs are spec-pinned in
+    * SqlFunctionsSpec/TextOpsSpec). */
+  private def normalizeTextQ(s: SparkSession, dir: String): DataFrame = {
+    val norm = TextOps.normalizeText(col("text"))
+    t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), norm.as("norm_text"),
+        length(norm).cast("long").as("n_norm_chars"),
+        TextOps.charHash(norm).as("norm_fp"))
+  }
+
+  private def normalizeTextSql = {
+    val norm = "regexp_replace(trim(lower(nfc_normalize(text)), ' \t\n\r'), '[ \t\n\r]+', ' ', 'g')"
+    s"""SELECT doc_id, $norm AS norm_text,
+       |  strlen($norm)::BIGINT AS n_norm_chars,
+       |  ${sqlHash(norm)} AS norm_fp
+       |FROM documents WHERE text IS NOT NULL""".stripMargin
+  }
+
   private def prioritySampleSql =
     s"""WITH p AS (SELECT doc_id, lang, n_chars,
        |  CAST(n_chars + 1 AS DOUBLE) /
@@ -1467,7 +1487,8 @@ object Queries {
     "q_priority_sample" -> (prioritySampleQ _),
     "q_collocations" -> (collocationsQ _),
     "q_dup_passages" -> (dupPassagesQ _),
-    "q_classifier_score" -> (classifierScoreQ _))
+    "q_classifier_score" -> (classifierScoreQ _),
+    "q_normalize_text" -> (normalizeTextQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1545,5 +1566,6 @@ object Queries {
     "q_priority_sample" -> prioritySampleSql,
     "q_collocations" -> collocationsSql,
     "q_dup_passages" -> dupPassagesSql,
-    "q_classifier_score" -> classifierScoreSql)
+    "q_classifier_score" -> classifierScoreSql,
+    "q_normalize_text" -> normalizeTextSql)
 }

@@ -299,6 +299,33 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("normalizeText composes NFC, lower-cases, and collapses whitespace") {
+    import spark.implicits._
+    val cases = Seq(
+      (0L, "Hello  World"),            // case + double space
+      (1L, "  lead and trail\t"),      // trim + tab
+      (2L, "a\nb\r\nc"),               // newline runs
+      (3L, "café"),              // NFC: e + combining acute -> é
+      (4L, "ÉCOLE"),              // precomposed É upper
+      (5L, "already normal"),
+      (6L, ""))
+      .toDF("doc_id", "text")
+    val got = cases.select(col("doc_id"), TextOps.normalizeText(col("text")))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(got.toSeq == Seq(
+      "hello world",
+      "lead and trail",
+      "a b c",
+      "café",
+      "école",
+      "already normal",
+      ""))
+    // null flows through
+    val n = Seq((0L, null: String)).toDF("doc_id", "text")
+      .select(TextOps.normalizeText(col("text"))).collect()
+    assert(n(0).isNullAt(0))
+  }
+
   test("fingerprint emits doc hash plus shingle sketch") {
     val r = TextOps.fingerprint(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(r.length == 5)
