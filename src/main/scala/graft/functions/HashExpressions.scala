@@ -335,6 +335,40 @@ object HashKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Feature-hashing bag-of-words embedding (the "hashing trick" —
+    * Weinberger et al., ICML 2009): each whitespace token t contributes
+    * sign(t) at bucket(t), with bucket = charHash(t) mod dim and sign =
+    * ±1 from the next hash bit ((charHash(t) / dim) mod 2) — the signed
+    * variant keeps the inner product unbiased. One pass, no token array
+    * materialized; exact integer counts, so the oracle reproduces the
+    * vector bit-for-bit from the same charHash formula. */
+  def hashEmbedding(s: UTF8String, dim: Int): ArrayData = {
+    val str = s.toString
+    val acc = new Array[Long](dim)
+    var start = 0
+    val n = str.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ' ') {
+        // token = str[start, i): stream its charHash without substring
+        var h = 0L
+        var pos = 1L
+        var ci = start
+        while (ci < i) {
+          val cp = str.codePointAt(ci)
+          h = (h + cp * ((pos * A) % P) % P) % P
+          ci += Character.charCount(cp)
+          pos += 1
+        }
+        val bucket = (h % dim).toInt
+        acc(bucket) += (if ((h / dim) % 2 == 0) 1L else -1L)
+        start = i + 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(acc)
+  }
+
   /** Unicode text normalization in one pass: NFC compose (UAX #15 —
     * same algorithm DuckDB's utf8proc `nfc_normalize` implements),
     * codepoint-wise SIMPLE lower-casing (`Character.toLowerCase` — the
@@ -613,6 +647,25 @@ case class QuantizeVector(child: Expression, scale: Long)
     copy(child = newChild)
 }
 
+/** Codegen'd feature-hashing embedding (see HashKernels.hashEmbedding):
+  * string -> array<bigint> of length `dim`, exact signed bucket counts. */
+case class HashEmbedding(child: Expression, dim: Int)
+    extends UnaryExpression {
+  require(dim >= 2, s"dim must be >= 2, got $dim")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hash_embedding needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.hashEmbedding(input.asInstanceOf[UTF8String], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.hashEmbedding($c, $dim)")
+  override protected def withNewChildInternal(newChild: Expression): HashEmbedding =
+    copy(child = newChild)
+}
+
 /** Codegen'd Unicode normalizer (see HashKernels.normalizeText): NFC +
   * simple lowercase + whitespace collapse, one pass per row. */
 case class NormalizeText(child: Expression)
@@ -660,6 +713,8 @@ object exprs {
     shims.column(BitmapFromEntries(shims.expression(entries), n))
   def normalizeText(c: Column): Column =
     shims.column(NormalizeText(shims.expression(c)))
+  def hashEmbedding(c: Column, dim: Int): Column =
+    shims.column(HashEmbedding(shims.expression(c), dim))
 
   /** Top-k (ord, value) pairs per group as an aggregate column —
     * `array<struct<ord, value>>` ranked (ord desc, value asc); the

@@ -418,6 +418,21 @@ object TextOps {
       .withColumn("keep", col("score") >= threshold)
   }
 
+  /** Feature-hashing bag-of-words embedding (the signed hashing trick —
+    * Weinberger et al., "Feature Hashing for Large Scale Multitask
+    * Learning", ICML 2009): a `dim`-length exact-integer vector with
+    * each token adding ±1 at `charHash(token) mod dim`. The model-free
+    * text→vector bridge: its cosine approximates bag-of-words cosine,
+    * so documents flow into the embedding ops (brute-force /IVF/RP-LSH
+    * top-k and near-dup in [[SimilarityOps]], after a
+    * `cast("array<double>")` or `exprs.quantizeVec`) with NO trained
+    * model. Runs as the codegen expression
+    * [[graft.functions.HashEmbedding]] — map-only, one text pass per
+    * row; exact counts make the vector bit-reproducible in the oracle.
+    */
+  def hashEmbed(c: Column, dim: Int): Column =
+    graft.functions.exprs.hashEmbedding(c, dim)
+
   /** Document fingerprint: whole-text rolling hash plus a shingle-sketch
     * summary (count + min shingle hash). The min-hash of the shingle set
     * is the 1-permutation MinHash — a compact near-dup signal; DedupOps

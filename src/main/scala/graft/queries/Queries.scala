@@ -945,6 +945,26 @@ object Queries {
        |FROM documents WHERE text IS NOT NULL""".stripMargin
   }
 
+  private val HashEmbedDim = 16
+
+  private def hashEmbedQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        TextOps.hashEmbed(col("text"), HashEmbedDim).as("embedding"))
+
+  private def hashEmbedSql =
+    s"""WITH toks AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok
+       |             FROM documents WHERE text IS NOT NULL),
+       |h AS (SELECT doc_id, ${sqlHash("tok")} AS h FROM toks),
+       |g AS (SELECT doc_id, h % $HashEmbedDim AS bucket,
+       |        CAST(sum(CASE WHEN (h // $HashEmbedDim) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+       |      FROM h GROUP BY 1, 2),
+       |grid AS (SELECT doc_id, UNNEST(range(0, $HashEmbedDim)) AS bucket
+       |         FROM (SELECT DISTINCT doc_id FROM h)),
+       |d AS (SELECT grid.doc_id, grid.bucket, coalesce(g.v, 0) AS v
+       |      FROM grid LEFT JOIN g ON g.doc_id = grid.doc_id AND g.bucket = grid.bucket)
+       |SELECT doc_id, list(v ORDER BY bucket) AS embedding FROM d GROUP BY doc_id""".stripMargin
+
   private def prioritySampleSql =
     s"""WITH p AS (SELECT doc_id, lang, n_chars,
        |  CAST(n_chars + 1 AS DOUBLE) /
@@ -1488,7 +1508,8 @@ object Queries {
     "q_collocations" -> (collocationsQ _),
     "q_dup_passages" -> (dupPassagesQ _),
     "q_classifier_score" -> (classifierScoreQ _),
-    "q_normalize_text" -> (normalizeTextQ _))
+    "q_normalize_text" -> (normalizeTextQ _),
+    "q_hash_embed" -> (hashEmbedQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1567,5 +1588,6 @@ object Queries {
     "q_collocations" -> collocationsSql,
     "q_dup_passages" -> dupPassagesSql,
     "q_classifier_score" -> classifierScoreSql,
-    "q_normalize_text" -> normalizeTextSql)
+    "q_normalize_text" -> normalizeTextSql,
+    "q_hash_embed" -> hashEmbedSql)
 }

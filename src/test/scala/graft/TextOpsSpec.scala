@@ -326,6 +326,45 @@ class TextOpsSpec extends SparkSpec {
     assert(n(0).isNullAt(0))
   }
 
+  test("hashEmbed accumulates signed token buckets (vs by-hand kernel recompute)") {
+    import spark.implicits._
+    val dim = 8
+    val texts = Seq((0L, "the quick fox"), (1L, "the the the"), (2L, ""), (3L, "the quick fox"))
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.hashEmbed(col("text"), dim))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq)
+    val expected = texts.map { case (_, t) =>
+      val acc = new Array[Long](dim)
+      t.split(" ", -1).foreach { tok =>
+        val h = graft.functions.HashKernels.weightedCharHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(tok))
+        acc((h % dim).toInt) += (if ((h / dim) % 2 == 0) 1L else -1L)
+      }
+      acc.toSeq
+    }
+    assert(got.toSeq == expected)
+    assert(got(0) == got(3)) // identical texts -> identical vectors
+  }
+
+  test("hashEmbed vectors feed the embedding near-dup ops (model-free text ANN)") {
+    import graft.ops.SimilarityOps
+    // plant 10 exact copies under shifted ids: every (orig, copy) pair
+    // must surface from the embedding near-dup op at cosine ~ 1
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+    val corpus = planted.select(col("doc_id"),
+      TextOps.hashEmbed(col("text"), 32).cast("array<double>").as("vec"))
+    val pairs = SimilarityOps.embeddingNearDupPairs(corpus, "doc_id", "vec",
+        minCos = 0.999)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { id =>
+      assert(pairs.contains((id, id + 100000L)), s"missing planted pair $id")
+    }
+  }
+
   test("fingerprint emits doc hash plus shingle sketch") {
     val r = TextOps.fingerprint(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(r.length == 5)
