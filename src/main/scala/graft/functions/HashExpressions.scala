@@ -335,6 +335,26 @@ object HashKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Morton/Z-order interleave of two non-negative ints: bit i of `a`
+    * lands at output bit 2i, bit i of `b` at 2i+1, for the low `bits`
+    * bits of each (values are clamped into [0, 2^bits) first — the
+    * curve needs a bounded domain; callers pre-scale). Adjacent
+    * z-values are 2-D-local, which is what makes min/max row-group
+    * stats selective on BOTH dimensions after a z-sort. */
+  def zInterleave(a: Long, b: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    val x = math.min(math.max(a, 0L), mask)
+    val y = math.min(math.max(b, 0L), mask)
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   /** Feature-hashing bag-of-words embedding (the "hashing trick" —
     * Weinberger et al., ICML 2009): each whitespace token t contributes
     * sign(t) at bucket(t), with bucket = charHash(t) mod dim and sign =
@@ -647,6 +667,26 @@ case class QuantizeVector(child: Expression, scale: Long)
     copy(child = newChild)
 }
 
+/** Codegen'd Morton/Z-order interleave (see HashKernels.zInterleave):
+  * (bigint, bigint) -> bigint z-value over the low `bits` bits each. */
+case class ZInterleave(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"z_interleave needs (bigint, bigint), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.zInterleave(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.zInterleave($a, $b, $bits)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ZInterleave = copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd feature-hashing embedding (see HashKernels.hashEmbedding):
   * string -> array<bigint> of length `dim`, exact signed bucket counts. */
 case class HashEmbedding(child: Expression, dim: Int)
@@ -715,6 +755,8 @@ object exprs {
     shims.column(NormalizeText(shims.expression(c)))
   def hashEmbedding(c: Column, dim: Int): Column =
     shims.column(HashEmbedding(shims.expression(c), dim))
+  def zInterleave(a: Column, b: Column, bits: Int): Column =
+    shims.column(ZInterleave(shims.expression(a), shims.expression(b), bits))
 
   /** Top-k (ord, value) pairs per group as an aggregate column —
     * `array<struct<ord, value>>` ranked (ord desc, value asc); the

@@ -45,6 +45,47 @@ object BucketOps {
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), Seq(key))
 
+  /** Z-ordered (Morton-curve) parquet layout — multi-dimensional
+    * row-group/file pruning for tables queried by MORE than one
+    * predicate column (a single-column sort makes min/max stats
+    * selective on that column only; the z-sort makes them selective on
+    * BOTH). Each dimension is scaled into [0, 2^bits), the two scaled
+    * values interleave into a z-value via the codegen
+    * [[graft.functions.ZInterleave]], and the table is
+    * range-partitioned + sorted by that z-value — the standard layout
+    * idiom (Delta/Iceberg `OPTIMIZE ZORDER BY`) re-expressed in plain
+    * open-source Spark.
+    *
+    * Each dimension is min/max-scaled by scalar subqueries (one tiny
+    * stats aggregate; the scaling itself is MAP-ONLY — no global rank
+    * window, keeping the library's no-partition-less-WindowExec
+    * invariant), so the only shuffle is the final z range partition —
+    * the same exchange a plain `orderBy` write pays; it runs once at
+    * LAYOUT time and is amortized over every pruned read after.
+    * Linear scaling leaves heavily-skewed dimensions unevenly spread
+    * along the curve (the classic trade vs a rank scale); pre-transform
+    * such a column (log-bucket, hash) before layout. Output: `files`
+    * parquet files, each covering a z-contiguous block.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+      files: Int, bits: Int = 15): Unit = {
+    import org.apache.spark.sql.functions._
+    require(files >= 1, s"files must be >= 1, got $files")
+    val scale = (1L << bits) - 1
+    def scaled(c: String) = {
+      val mn = df.agg(min(col(c)).cast("double")).scalar()
+      val mx = df.agg(max(col(c)).cast("double")).scalar()
+      ((col(c).cast("double") - mn) / greatest(mx - mn, lit(1e-300)) * scale)
+        .cast("long")
+    }
+    val z = graft.functions.exprs.zInterleave(scaled(colA), scaled(colB), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").option("compression", "zstd").parquet(path)
+  }
+
   /** True when the physical plan contains no SHUFFLE exchange — the
     * property bucketing exists to buy. (A BroadcastExchange doesn't
     * count: broadcasting a small side is free of the repartitioning cost
