@@ -217,6 +217,35 @@ class SkewAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: duplicatedPassages equals brute force on random corpora at any partitioning") {
+    val rnd = new scala.util.Random(23)
+    for ((parts, c) <- Seq(1, 3, 7).zipWithIndex) {
+      // tiny vocabulary + short windows force cross-doc repeats
+      val docs = (0 until 14).map { i =>
+        val words = Seq.fill(1 + rnd.nextInt(10))(s"w${rnd.nextInt(4)}")
+        (i.toLong, words.mkString(" "))
+      }
+      val win = 2
+      val minDocs = 2
+      val got = graft.ops.DedupOps.duplicatedPassages(
+          docs.toDF("doc_id", "text").repartition(parts),
+          "doc_id", "text", winTokens = win, minDocs = minDocs)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // reference: every window of every doc, grouped by passage text
+      val windows = docs.flatMap { case (id, text) =>
+        val ws = text.split(" ", -1)
+        (0 to ws.length - win).map(i => (id, ws.slice(i, i + win).mkString(" ")))
+      }
+      val want = windows.groupBy(_._2).collect {
+        case (p, occ) if occ.map(_._1).distinct.size >= minDocs =>
+          (p, occ.map(_._1).distinct.size.toLong, occ.size.toLong, occ.map(_._1).min)
+      }.toSet
+      assert(got == want, s"case $c parts=$parts docs=$docs")
+    }
+  }
+
   test("property: bloomDecontaminate ⊇ exact contamination on random corpora") {
     // The bloom op's contract is one-sided: NEVER a false negative, for
     // any corpus, gram size, probe count, or bitmap size — exercised
