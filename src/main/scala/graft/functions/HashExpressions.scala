@@ -335,6 +335,35 @@ object HashKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** All `win`-word windows of a single-space-tokenized text whose start
+    * offset is a multiple of `stride`, as space-joined strings. Splits
+    * ONCE per row — the composed `transform(sequence, i =>
+    * concat_ws(slice(ws, i, win)))` form re-evaluates the split per
+    * window (the interpreted-HOF trap: arrays referenced inside lambda
+    * bodies are recomputed per element), O(words²) per document. */
+  def windowPassages(s: UTF8String, win: Int, stride: Int): ArrayData = {
+    val words = s.toString.split(" ", -1)
+    val n = words.length
+    if (n < win) return ArrayData.toArrayData(Array.empty[UTF8String])
+    val count = (n - win) / stride + 1
+    val out = new Array[UTF8String](count)
+    var o = 0
+    var i = 0
+    while (o < count) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < win) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(o) = UTF8String.fromString(sb.toString)
+      i += stride
+      o += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Morton/Z-order interleave of two non-negative ints: bit i of `a`
     * lands at output bit 2i, bit i of `b` at 2i+1, for the low `bits`
     * bits of each (values are clamped into [0, 2^bits) first — the
@@ -667,6 +696,27 @@ case class QuantizeVector(child: Expression, scale: Long)
     copy(child = newChild)
 }
 
+/** Codegen'd word-window extractor (see HashKernels.windowPassages):
+  * string -> array<string> of stride-sampled `win`-word windows. */
+case class WindowPassages(child: Expression, win: Int, stride: Int)
+    extends UnaryExpression {
+  require(win >= 1, s"win must be >= 1, got $win")
+  require(stride >= 1, s"stride must be >= 1, got $stride")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"window_passages needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.windowPassages(input.asInstanceOf[UTF8String], win, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.windowPassages($c, $win, $stride)")
+  override protected def withNewChildInternal(newChild: Expression): WindowPassages =
+    copy(child = newChild)
+}
+
 /** Codegen'd Morton/Z-order interleave (see HashKernels.zInterleave):
   * (bigint, bigint) -> bigint z-value over the low `bits` bits each. */
 case class ZInterleave(left: Expression, right: Expression, bits: Int)
@@ -757,6 +807,8 @@ object exprs {
     shims.column(HashEmbedding(shims.expression(c), dim))
   def zInterleave(a: Column, b: Column, bits: Int): Column =
     shims.column(ZInterleave(shims.expression(a), shims.expression(b), bits))
+  def windowPassages(c: Column, win: Int, stride: Int): Column =
+    shims.column(WindowPassages(shims.expression(c), win, stride))
 
   /** Top-k (ord, value) pairs per group as an aggregate column —
     * `array<struct<ord, value>>` ranked (ord desc, value asc); the
