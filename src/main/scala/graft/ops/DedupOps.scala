@@ -294,6 +294,52 @@ object DedupOps {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: directed (id_a → id_b) rows
+    * where containment(a→b) = |S(a) ∩ S(b)| / |S(a)| ≥ `minContainment`
+    * over the word-k-shingle sets — the detector for documents EMBEDDED
+    * in others (quote expansions, templated supersets, article-plus-
+    * boilerplate wrappers) that symmetric Jaccard structurally misses:
+    * a 100-word doc inside a 10 000-word doc has Jaccard ≈ 0.01 but
+    * containment 1.0 (Broder's resemblance-vs-containment distinction,
+    * SEQUENCES 1997).
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] (shared shingle
+    * pass, df-cut via broadcast anti-join, postings equi-join on the
+    * gram hash, per-pair intersection count): each UNORDERED candidate
+    * is counted once and then evaluated in BOTH directions from that
+    * one count, so the asymmetry costs nothing extra. The df-cut drops
+    * ultra-hot shingles from numerator and denominator alike — the same
+    * bounded-recall trade the Jaccard op documents.
+    *
+    * Output: (id_a, id_b, n_common, n_a, n_b, containment), one row per
+    * DIRECTION that clears the threshold (id_a is the contained side).
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minContainment: Double = 0.8, maxDf: Int = 1000,
+      mat: Materializer = Materializer.Local,
+      broadcastHotSet: Boolean = true,
+      matPostings: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = shingleHashes(df, idCol, textCol, k)
+    val postings = if (matPostings) mat(raw) else raw
+    val hot = postings.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") > maxDf).select("sh")
+    val hotSide = if (broadcastHotSet) broadcast(hot) else hot
+    val filtered = mat(postings.join(hotSide, Seq("sh"), "left_anti")
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("sid"))))
+    val a = filtered.select(col("sid").as("id_x"), col("n_sh").as("n_x"), col("sh"))
+    val b = filtered.select(col("sid").as("id_y"), col("n_sh").as("n_y"), col("sh"))
+    val unordered = a.join(b, Seq("sh")).filter(col("id_x") < col("id_y"))
+      .groupBy("id_x", "id_y", "n_x", "n_y").agg(count(lit(1)).as("n_common"))
+    val fwd = unordered.select(col("id_x").as("id_a"), col("id_y").as("id_b"),
+      col("n_common"), col("n_x").as("n_a"), col("n_y").as("n_b"))
+    val rev = unordered.select(col("id_y").as("id_a"), col("id_x").as("id_b"),
+      col("n_common"), col("n_y").as("n_a"), col("n_x").as("n_b"))
+    fwd.unionByName(rev)
+      .withColumn("containment", col("n_common").cast("double") / col("n_a"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least one
     * word k-gram with any benchmark/eval text — the n-gram overlap test
     * used to scrub training corpora against evaluation sets (13-gram in

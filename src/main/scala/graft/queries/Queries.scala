@@ -965,6 +965,27 @@ object Queries {
        |      FROM grid LEFT JOIN g ON g.doc_id = grid.doc_id AND g.bucket = grid.bucket)
        |SELECT doc_id, list(v ORDER BY bucket) AS embedding FROM d GROUP BY doc_id""".stripMargin
 
+  private def containmentQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.ngramContainmentPairs(t(s, dir, "documents"), "doc_id", "text",
+      k = 3, minContainment = 0.5, maxDf = 1000)
+
+  private val containmentPairsSql =
+    s"""WITH sh AS ($sqlShingleHashes),
+       |ok AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 1000),
+       |f AS (SELECT sh.doc_id, sh.h FROM sh JOIN ok ON ok.h = sh.h),
+       |sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM f GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS id_x, b.doc_id AS id_y, count(*)::BIGINT AS n_common
+       |          FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |directed AS (
+       |  SELECT id_x AS id_a, id_y AS id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b
+       |  FROM pairs JOIN sizes sa ON sa.doc_id = id_x JOIN sizes sb ON sb.doc_id = id_y
+       |  UNION ALL
+       |  SELECT id_y, id_x, n_common, sb.n_sh, sa.n_sh
+       |  FROM pairs JOIN sizes sa ON sa.doc_id = id_x JOIN sizes sb ON sb.doc_id = id_y)
+       |SELECT id_a, id_b, n_common, n_a, n_b,
+       |  CAST(n_common AS DOUBLE) / n_a AS containment
+       |FROM directed WHERE CAST(n_common AS DOUBLE) / n_a >= 0.5""".stripMargin
+
   private def prioritySampleSql =
     s"""WITH p AS (SELECT doc_id, lang, n_chars,
        |  CAST(n_chars + 1 AS DOUBLE) /
@@ -1509,7 +1530,8 @@ object Queries {
     "q_dup_passages" -> (dupPassagesQ _),
     "q_classifier_score" -> (classifierScoreQ _),
     "q_normalize_text" -> (normalizeTextQ _),
-    "q_hash_embed" -> (hashEmbedQ _))
+    "q_hash_embed" -> (hashEmbedQ _),
+    "q_containment_pairs" -> (containmentQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1589,5 +1611,6 @@ object Queries {
     "q_dup_passages" -> dupPassagesSql,
     "q_classifier_score" -> classifierScoreSql,
     "q_normalize_text" -> normalizeTextSql,
-    "q_hash_embed" -> hashEmbedSql)
+    "q_hash_embed" -> hashEmbedSql,
+    "q_containment_pairs" -> containmentPairsSql)
 }

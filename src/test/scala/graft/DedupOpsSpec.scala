@@ -90,6 +90,37 @@ class DedupOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("Window"))
   }
 
+  test("ngramContainmentPairs finds embedded documents Jaccard misses") {
+    // doc 1 is doc 0's first third: containment(1 -> 0) = 1.0 while
+    // Jaccard(0, 1) is far below any useful threshold
+    val big = (1 to 30).map(i => s"t$i").mkString(" ")
+    val small = (1 to 10).map(i => s"t$i").mkString(" ")
+    val d = Seq((0L, big), (1L, small), (2L, "x1 x2 x3 x4 x5"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.ngramContainmentPairs(d, "doc_id", "text",
+        k = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(got.toSeq == Seq((1L, 0L, 1.0)))
+    // the symmetric op at the same bar sees nothing
+    assert(DedupOps.ngramJaccardPairs(d, "doc_id", "text",
+      k = 3, minJaccard = 0.5).count() == 0L)
+    // both directions emit when sets are identical
+    val dup = Seq((0L, small), (1L, small)).toDF("doc_id", "text")
+    val both = DedupOps.ngramContainmentPairs(dup, "doc_id", "text",
+        k = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(both == Set((0L, 1L), (1L, 0L)))
+  }
+
+  test("ngramContainmentPairs plan: no cartesian, candidates from the posting join") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = DedupOps.ngramContainmentPairs(corpus, "doc_id", "text",
+      k = 3, minContainment = 0.5)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(pairs.collect().forall(r => r.getDouble(5) >= 0.5 && r.getDouble(5) <= 1.0))
+  }
+
   test("chunkDedup hashed key matches text key on the real corpus; no sort exchange") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def norm(df: org.apache.spark.sql.DataFrame) =
