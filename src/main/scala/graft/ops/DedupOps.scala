@@ -294,6 +294,64 @@ object DedupOps {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** The REMOVAL half of ExactSubstr dedup (Lee et al., ACL 2022 cut
+    * the duplicated substrings out of the corpus; [[duplicatedPassages]]
+    * only reports them): every word position covered by a non-canonical
+    * occurrence of a duplicated window (the window's text occurs ≥ 2
+    * times corpus-wide, counting intra-document repeats; the canonical
+    * occurrence = the globally first by (id, offset)) is cut, and each
+    * document is rebuilt from its surviving words. Exactly one copy of
+    * every duplicated span survives, in its first host document; a doc
+    * whose every word is covered disappears (nothing left — same
+    * convention as [[chunkDedup]]).
+    *
+    * Output: (id, clean_text, n_words_kept, n_words_cut).
+    *
+    * Shape: windows explode via the one-pass codegen kernel (stride is
+    * fixed at 1 — masking needs every offset); duplicate detection is
+    * ONE hash aggregate keyed by `xxhash64(window)` carrying (count,
+    * min packed ordinal); covered positions explode only from DUPLICATE
+    * occurrences (bounded by win × dup-occurrences, not the corpus);
+    * reassembly is a per-doc sort-pinned collect, as in [[chunkDedup]].
+    * No windows, no cartesian. The packed ordinal `id·2^20 + offset`
+    * requires non-negative integral ids and docs under 2^20 words —
+    * same contract as [[chunkDedup]].
+    */
+  def cutDuplicatedPassages(df: DataFrame, idCol: String, textCol: String,
+      winTokens: Int, hashKey: Boolean = true): DataFrame = {
+    require(winTokens >= 1, s"winTokens must be >= 1, got $winTokens")
+    val ws = TextOps.tokens(col(textCol))
+    val base = df.filter(col(textCol).isNotNull)
+    val occ = base.select(col(idCol).as("__sid"),
+        posexplode(graft.functions.exprs.windowPassages(col(textCol), winTokens, 1))
+          .as(Seq("__off", "__p")))
+    val key = if (hashKey) xxhash64(col("__p")) else col("__p")
+    val ord = col("__sid").cast("long") * (1L << 20) + col("__off")
+    val tagged = occ.withColumn("__key", key).withColumn("__ord", ord)
+    val groups = tagged.groupBy(col("__key"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__ord")).as("__w"))
+    val dupOcc = tagged.join(groups, Seq("__key"))
+      .filter(col("__cnt") >= 2 && col("__ord") =!= col("__w"))
+      .select(col("__sid"), col("__off"))
+    val covered = dupOcc
+      .select(col("__sid"), explode(
+        sequence(col("__off"), col("__off") + (winTokens - 1))).as("__pos"))
+      .distinct()
+    val toks = base.select(col(idCol).as("__sid"),
+      posexplode(ws).as(Seq("__pos", "__w")))
+    toks.join(covered, Seq("__sid", "__pos"), "left_anti")
+      .groupBy(col("__sid"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          c => c.getField("__w")), " ").as("clean_text"),
+        count(lit(1)).as("n_words_kept"))
+      .join(base.select(col(idCol).as("__sid"),
+        size(ws).cast("long").as("__n")), Seq("__sid"))
+      .select(col("__sid").as(idCol), col("clean_text"), col("n_words_kept"),
+        (col("__n") - col("n_words_kept")).as("n_words_cut"))
+  }
+
   /** Asymmetric CONTAINMENT near-dup pairs: directed (id_a → id_b) rows
     * where containment(a→b) = |S(a) ∩ S(b)| / |S(a)| ≥ `minContainment`
     * over the word-k-shingle sets — the detector for documents EMBEDDED

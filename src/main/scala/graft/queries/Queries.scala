@@ -986,6 +986,28 @@ object Queries {
        |  CAST(n_common AS DOUBLE) / n_a AS containment
        |FROM directed WHERE CAST(n_common AS DOUBLE) / n_a >= 0.5""".stripMargin
 
+  private def cutPassagesQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.cutDuplicatedPassages(t(s, dir, "documents"), "doc_id", "text",
+      winTokens = 6)
+
+  private val cutPassagesSql =
+    """WITH ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE text IS NOT NULL),
+      |occ AS (SELECT doc_id, i-1 AS off, array_to_string(ws[i:i+5],' ') AS p
+      |        FROM ws, UNNEST(range(1, len(ws)-4, 1)) t(i)),
+      |k AS (SELECT p, count(*) AS c, min(doc_id*1048576 + off) AS mo FROM occ GROUP BY p),
+      |dup AS (SELECT o.doc_id, o.off FROM occ o JOIN k ON k.p = o.p
+      |        WHERE k.c >= 2 AND o.doc_id*1048576 + o.off <> k.mo),
+      |cov AS (SELECT DISTINCT doc_id, off + j AS pos FROM dup, UNNEST(range(0, 6)) u(j)),
+      |toks AS (SELECT doc_id, i-1 AS pos, ws[i] AS w FROM ws, UNNEST(range(1, len(ws)+1)) t(i)),
+      |kept AS (SELECT t.doc_id, t.pos, t.w FROM toks t
+      |         LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+      |         WHERE c.doc_id IS NULL)
+      |SELECT k.doc_id, array_to_string(list(k.w ORDER BY k.pos), ' ') AS clean_text,
+      |  count(*)::BIGINT AS n_words_kept,
+      |  CAST(any_value(len(w2.ws)) - count(*) AS BIGINT) AS n_words_cut
+      |FROM kept k JOIN ws w2 ON w2.doc_id = k.doc_id
+      |GROUP BY k.doc_id""".stripMargin
+
   private def prioritySampleSql =
     s"""WITH p AS (SELECT doc_id, lang, n_chars,
        |  CAST(n_chars + 1 AS DOUBLE) /
@@ -1531,7 +1553,8 @@ object Queries {
     "q_classifier_score" -> (classifierScoreQ _),
     "q_normalize_text" -> (normalizeTextQ _),
     "q_hash_embed" -> (hashEmbedQ _),
-    "q_containment_pairs" -> (containmentQ _))
+    "q_containment_pairs" -> (containmentQ _),
+    "q_cut_passages" -> (cutPassagesQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1612,5 +1635,6 @@ object Queries {
     "q_classifier_score" -> classifierScoreSql,
     "q_normalize_text" -> normalizeTextSql,
     "q_hash_embed" -> hashEmbedSql,
-    "q_containment_pairs" -> containmentPairsSql)
+    "q_containment_pairs" -> containmentPairsSql,
+    "q_cut_passages" -> cutPassagesSql)
 }

@@ -90,6 +90,82 @@ class DedupOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("Window"))
   }
 
+  test("cutDuplicatedPassages removes repeats, keeps the canonical copy") {
+    // "b1..b4" is boilerplate shared by docs 0 and 1 (and repeated twice
+    // inside doc 2); win=4 covers it exactly
+    val d = Seq(
+      (0L, "b1 b2 b3 b4 u1 u2 u3 u4"),
+      (1L, "v1 v2 v3 b1 b2 b3 b4"),
+      (2L, "b1 b2 b3 b4 b1 b2 b3 b4"),
+      (3L, "w1 w2 w3 w4 w5"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.cutDuplicatedPassages(d, "doc_id", "text", winTokens = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "b1 b2 b3 b4 u1 u2 u3 u4", 8L, 0L), // canonical host keeps it
+      (1L, "v1 v2 v3", 3L, 4L),                // later copy cut
+      (3L, "w1 w2 w3 w4 w5", 5L, 0L)))         // untouched
+    // doc 2: offsets 1-4 are dup windows too (overlapping coverage) and
+    // its offset-0 window loses to doc 0's canonical -> fully cut, vanishes
+    assert(!got.map(_._1).contains(2L))
+  }
+
+  test("cutDuplicatedPassages on the real corpus: total volume conserved, no cartesian") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cut = DedupOps.cutDuplicatedPassages(corpus, "doc_id", "text", winTokens = 6)
+    val plan = cut.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"))
+    val Array(kept, cutN) = cut.agg(sum("n_words_kept"), sum("n_words_cut"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).flatMap(t => Array(t._1, t._2))
+    val total = corpus.filter(col("text").isNotNull)
+      .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    // vanished docs' words are all in n_words_cut of... no — vanished docs
+    // emit no row, so kept + cut only covers surviving docs. Conservation:
+    // kept + cut == total words of surviving docs
+    val survivors = cut.select("doc_id")
+    val survivorWords = corpus.join(survivors, "doc_id")
+      .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    assert(kept + cutN == survivorWords)
+    assert(kept <= total)
+    // hashed key equals byte-exact key end-to-end
+    val exact = DedupOps.cutDuplicatedPassages(corpus, "doc_id", "text",
+      winTokens = 6, hashKey = false)
+    assert(cut.orderBy("doc_id").collect().toSeq ==
+      exact.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("property: cutDuplicatedPassages equals brute force on random corpora") {
+    val rnd = new scala.util.Random(31)
+    for (c <- 0 until 4) {
+      val docs = (0 until 10).map { i =>
+        val words = Seq.fill(2 + rnd.nextInt(8))(s"w${rnd.nextInt(3)}")
+        (i.toLong, words.mkString(" "))
+      }
+      val win = 2
+      val got = DedupOps.cutDuplicatedPassages(docs.toDF("doc_id", "text"),
+          "doc_id", "text", winTokens = win)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      // brute force: all window occurrences, canonical = min (id, off),
+      // cover positions of non-canonical occurrences of repeated windows
+      val occ = docs.flatMap { case (id, text) =>
+        val ws = text.split(" ", -1)
+        (0 to ws.length - win).map(off => (id, off, ws.slice(off, off + win).mkString(" ")))
+      }
+      val byKey = occ.groupBy(_._3)
+      val covered = occ.filter { case (id, off, p) =>
+        val os = byKey(p)
+        os.size >= 2 && os.minBy(o => (o._1, o._2)) != ((id, off, p))
+      }.flatMap { case (id, off, _) => (off until off + win).map(pos => (id, pos)) }.toSet
+      val want = docs.map { case (id, text) =>
+        val ws = text.split(" ", -1)
+        id -> ws.zipWithIndex.collect {
+          case (w, pos) if !covered((id, pos)) => w }.mkString(" ")
+      }.filter(_._2.nonEmpty).toMap
+      assert(got == want, s"case $c docs=$docs")
+    }
+  }
+
   test("ngramContainmentPairs finds embedded documents Jaccard misses") {
     // doc 1 is doc 0's first third: containment(1 -> 0) = 1.0 while
     // Jaccard(0, 1) is far below any useful threshold
