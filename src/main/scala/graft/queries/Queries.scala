@@ -1008,6 +1008,44 @@ object Queries {
       |FROM kept k JOIN ws w2 ON w2.doc_id = k.doc_id
       |GROUP BY k.doc_id""".stripMargin
 
+  private val CmsDepth = 3
+  private val CmsLog2w = 5 // 32 cells: small enough to force collisions
+
+  private def cmsTermsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cells = SketchOps.cmsCells(docs, "text", CmsDepth, CmsLog2w)
+    val tc = docs.filter(col("text").isNotNull)
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_true"))
+    tc.join(
+      SketchOps.cmsEstimates(tc.select("term"), "term", cells, CmsDepth, CmsLog2w),
+      Seq("term"))
+  }
+
+  private def cmsTermsSql = {
+    val w = 1L << CmsLog2w
+    val ps = DedupOps.minhashParams(CmsDepth)
+    def pos(j: Int, h: String): String = {
+      val (a, b) = ps(j); s"(($h * $a + $b) % $HashP) % $w"
+    }
+    val cellBranches = (0 until CmsDepth)
+      .map(j => s"SELECT $j AS j, ${pos(j, "h")} AS pos, CAST(sum(n_true) AS BIGINT) AS cell FROM th GROUP BY 2")
+      .mkString(" UNION ALL ")
+    val probeBranches = (0 until CmsDepth)
+      .map(j => s"SELECT term, $j AS j, ${pos(j, "h")} AS pos FROM th")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT UNNEST(string_split(text,' ')) AS term
+       |              FROM documents WHERE text IS NOT NULL),
+       |tc AS (SELECT term, count(*)::BIGINT AS n_true FROM toks GROUP BY term),
+       |th AS (SELECT term, n_true, ${sqlHash("term")} AS h FROM tc),
+       |cells AS ($cellBranches),
+       |probes AS ($probeBranches),
+       |est AS (SELECT term, min(cells.cell) AS n_est
+       |        FROM probes JOIN cells ON cells.j = probes.j AND cells.pos = probes.pos
+       |        GROUP BY term)
+       |SELECT tc.term, tc.n_true, est.n_est FROM tc JOIN est ON est.term = tc.term""".stripMargin
+  }
+
   private def prioritySampleSql =
     s"""WITH p AS (SELECT doc_id, lang, n_chars,
        |  CAST(n_chars + 1 AS DOUBLE) /
@@ -1554,7 +1592,8 @@ object Queries {
     "q_normalize_text" -> (normalizeTextQ _),
     "q_hash_embed" -> (hashEmbedQ _),
     "q_containment_pairs" -> (containmentQ _),
-    "q_cut_passages" -> (cutPassagesQ _))
+    "q_cut_passages" -> (cutPassagesQ _),
+    "q_cms_terms" -> (cmsTermsQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1636,5 +1675,6 @@ object Queries {
     "q_normalize_text" -> normalizeTextSql,
     "q_hash_embed" -> hashEmbedSql,
     "q_containment_pairs" -> containmentPairsSql,
-    "q_cut_passages" -> cutPassagesSql)
+    "q_cut_passages" -> cutPassagesSql,
+    "q_cms_terms" -> cmsTermsSql)
 }

@@ -82,6 +82,49 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
+  test("CMS estimates are one-sided and exact when no collision") {
+    import spark.implicits._
+    import graft.ops.SketchOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cells = SketchOps.cmsCells(docs, "text", depth = 3, log2w = 5)
+    val tc = docs.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_true"))
+    val est = tc.join(
+      SketchOps.cmsEstimates(tc.select("term"), "term", cells, depth = 3, log2w = 5),
+      Seq("term")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty)
+    est.foreach { case (t, nt, ne) =>
+      assert(ne >= nt, s"CMS under-counted $t: $ne < $nt")
+    }
+    // a wide sketch (no collisions at this vocabulary) is exact
+    val wide = SketchOps.cmsCells(docs, "text", depth = 3, log2w = 14)
+    tc.join(SketchOps.cmsEstimates(tc.select("term"), "term", wide,
+        depth = 3, log2w = 14), Seq("term"))
+      .collect().foreach(r => assert(r.getLong(1) == r.getLong(2), r.getString(0)))
+    // an unseen term reads 0 from the wide sketch (its cells are empty
+    // there; in the 32-cell sketch occupied cells over-count it — the
+    // standard CMS one-sided error, also asserted above)
+    val unseen = SketchOps.cmsEstimates(Seq("never-seen-term-xyz").toDF("term"),
+      "term", wide, depth = 3, log2w = 14).collect()
+    assert(unseen.head.getLong(1) == 0L)
+  }
+
+  test("CMS cells merge by union+re-sum == whole-corpus build, any partitioning") {
+    import graft.ops.SketchOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def cellMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.collect().map(r => ((r.getInt(0).toLong, r.getLong(1)), r.getLong(2))).toMap
+    val whole = cellMap(SketchOps.cmsCells(docs, "text", 3, 6))
+    val merged = cellMap(SketchOps.cmsMerge(Seq(
+      SketchOps.cmsCells(docs.filter(col("doc_id") < 250), "text", 3, 6),
+      SketchOps.cmsCells(docs.filter(col("doc_id") >= 250), "text", 3, 6))))
+    assert(whole == merged)
+    val repart = cellMap(SketchOps.cmsCells(docs.repartition(7), "text", 3, 6))
+    assert(whole == repart)
+  }
+
   test("empty input yields an empty sketch table; estimate of union with empty is unchanged") {
     val empty = SketchOps.distinctSketches(docs.filter(lit(false)), "doc_id",
       groupCols = Seq("lang"))
