@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation funnel — the library's training-data stages
+  * composed in the canonical order a pretraining pipeline runs them
+  * (each stage consumes the previous stage's survivors):
+  *
+  *  1. `normalize`  — Unicode canonicalization (NFC, casefold,
+  *     whitespace collapse) so every later stage keys on canonical text;
+  *  2. `quality`    — the composite heuristic gate
+  *     ([[TextOps.qualityFilter]]: length, stopword density, word shape);
+  *  3. `dedup`      — exact dedup on the canonical text, keep-first by id
+  *     ([[IndexOps.dedupKeepFirst]]);
+  *  4. `classifier` — fastText-style linear score ≥ threshold
+  *     ([[TextOps.classifierScore]] against a broadcast model);
+  *  5. `sample`     — deterministic hash downsampling to the target rate
+  *     ([[SampleOps.hashSample]] — partitioning/engine independent).
+  *
+  * [[curate]] returns the surviving documents; [[funnel]] the per-stage
+  * count table `(stage_ord, stage, n_docs)` — the funnel report a
+  * pipeline publishes per snapshot (every count is derived from exact
+  * integer/deterministic stages, so the whole funnel hash-matches the
+  * DuckDB oracle).
+  *
+  * Scale shape: every stage is itself scale-shaped (map-only filters,
+  * one keyed window for dedup, broadcast model join, pure-row sample);
+  * `mat` materializes each stage once so the funnel's five counts don't
+  * recompute the chain (Inline recompute is fine at test scale — the
+  * default mirrors the dedup ops' local-measured trade).
+  */
+object Curation {
+  /** The staged frames, in order, each filtered through all previous
+    * stages. Exposed so callers can report ([[funnel]]), checkpoint, or
+    * fork the chain at any stage. */
+  def stages(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, minWords: Long = 20, maxStopRatio: Double = 0.5,
+      minAvgLen: Double = 2.0, maxAvgLen: Double = 12.0,
+      bias: Long = 0L, threshold: Long = 0L,
+      sampleNum: Int = 800, sampleDen: Int = 1000,
+      mat: Materializer = Materializer.Inline): Seq[(String, DataFrame)] = {
+    val raw = df.filter(col(textCol).isNotNull)
+    val normalized = mat(raw.withColumn(textCol,
+      TextOps.normalizeText(col(textCol))))
+    val quality = mat(TextOps.qualityFilter(normalized, textCol, minWords,
+        maxStopRatio, minAvgLen, maxAvgLen)
+      .select(raw.columns.map(col): _*))
+    val deduped = mat(IndexOps.dedupKeepFirst(quality, textCol, col(idCol)))
+    val kept = TextOps.classifierScore(deduped, idCol, textCol, weights,
+        bias = bias, threshold = threshold)
+      .filter(col("keep")).select(idCol)
+    val classified = mat(deduped.join(kept, Seq(idCol)))
+    val sampled = SampleOps.hashSample(classified, col(idCol),
+      sampleNum, sampleDen)
+    Seq("raw" -> raw, "quality" -> quality, "dedup" -> deduped,
+      "classifier" -> classified, "sample" -> sampled)
+  }
+
+  /** The funnel's surviving documents (all stages applied). */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, mat: Materializer = Materializer.Inline): DataFrame =
+    stages(df, idCol, textCol, weights, mat = mat).last._2
+
+  /** Per-stage survivor counts: `(stage_ord, stage, n_docs)` — ordinal
+    * first so the report sorts stably. */
+  def funnel(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, mat: Materializer = Materializer.Inline): DataFrame =
+    stages(df, idCol, textCol, weights, mat = mat).zipWithIndex.map {
+      case ((name, frame), i) =>
+        frame.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i + 1).cast("long").as("stage_ord"),
+            lit(name).as("stage"), col("n_docs"))
+    }.reduce(_ unionByName _)
+}

@@ -1046,6 +1046,53 @@ object Queries {
        |SELECT tc.term, tc.n_true, est.n_est FROM tc JOIN est ON est.term = tc.term""".stripMargin
   }
 
+  /** The flagship composition for the extension layer (as q_process_e2e
+    * is for reference parity): five curation stages chained, counts per
+    * stage, one CTE oracle. Model weights derive from the raw corpus
+    * exactly as in q_classifier_score. */
+  private def curationFunnelQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val weights = docs.filter(col("text").isNotNull)
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .distinct()
+      .withColumn("h", TextOps.charHash(col("term")))
+      .filter(pmod(col("h"), lit(3)) === 0)
+      .select(col("term"), (pmod(col("h"), lit(21)) - 10).as("weight"))
+    Curation.funnel(docs, "doc_id", "text", weights)
+  }
+
+  private def curationFunnelSql = {
+    val norm = "regexp_replace(trim(lower(nfc_normalize(text)), ' \t\n\r'), '[ \t\n\r]+', ' ', 'g')"
+    val stops = TextOps.Stopwords
+      .map(w => s"len(list_filter(string_split(text,' '), x -> x = '$w'))")
+      .mkString(" + ")
+    s"""WITH nrm AS (SELECT doc_id, $norm AS text FROM documents WHERE text IS NOT NULL),
+       |qf AS (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text, len(string_split(text,' '))::BIGINT AS n_words,
+       |    length(text)::BIGINT AS n_chars2, ($stops)::BIGINT AS n_stop FROM nrm)
+       |  WHERE n_words >= 20
+       |    AND CAST(n_stop AS DOUBLE) / NULLIF(n_words, 0) <= 0.5
+       |    AND CAST(n_chars2 - (n_words - 1) AS DOUBLE) / NULLIF(n_words, 0) BETWEEN 2.0 AND 12.0),
+       |dd AS (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM qf)
+       |  WHERE rn = 1),
+       |rawtoks AS (SELECT UNNEST(string_split(text,' ')) AS term FROM documents WHERE text IS NOT NULL),
+       |terms AS (SELECT DISTINCT term FROM rawtoks),
+       |w AS (SELECT term, (h % 21) - 10 AS weight
+       |      FROM (SELECT term, ${sqlHash("term")} AS h FROM terms) WHERE h % 3 = 0),
+       |dtoks AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok FROM dd),
+       |cl AS (SELECT dd.doc_id, dd.text FROM dd JOIN (
+       |  SELECT doc_id, coalesce(sum(w.weight), 0) AS s
+       |  FROM dtoks LEFT JOIN w ON w.term = dtoks.tok GROUP BY doc_id) sc
+       |  ON sc.doc_id = dd.doc_id WHERE sc.s >= 0),
+       |sm AS (SELECT * FROM cl WHERE ${sqlHash("CAST(doc_id AS VARCHAR)")} % 1000 < 800)
+       |SELECT 1::BIGINT AS stage_ord, 'raw' AS stage, count(*)::BIGINT AS n_docs FROM nrm
+       |UNION ALL SELECT 2, 'quality', count(*) FROM qf
+       |UNION ALL SELECT 3, 'dedup', count(*) FROM dd
+       |UNION ALL SELECT 4, 'classifier', count(*) FROM cl
+       |UNION ALL SELECT 5, 'sample', count(*) FROM sm""".stripMargin
+  }
+
   private def prioritySampleSql =
     s"""WITH p AS (SELECT doc_id, lang, n_chars,
        |  CAST(n_chars + 1 AS DOUBLE) /
@@ -1593,7 +1640,8 @@ object Queries {
     "q_hash_embed" -> (hashEmbedQ _),
     "q_containment_pairs" -> (containmentQ _),
     "q_cut_passages" -> (cutPassagesQ _),
-    "q_cms_terms" -> (cmsTermsQ _))
+    "q_cms_terms" -> (cmsTermsQ _),
+    "q_curation_funnel" -> (curationFunnelQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1676,5 +1724,6 @@ object Queries {
     "q_hash_embed" -> hashEmbedSql,
     "q_containment_pairs" -> containmentPairsSql,
     "q_cut_passages" -> cutPassagesSql,
-    "q_cms_terms" -> cmsTermsSql)
+    "q_cms_terms" -> cmsTermsSql,
+    "q_curation_funnel" -> curationFunnelSql)
 }
