@@ -1058,7 +1058,11 @@ object Queries {
       .withColumn("h", TextOps.charHash(col("term")))
       .filter(pmod(col("h"), lit(3)) === 0)
       .select(col("term"), (pmod(col("h"), lit(21)) - 10).as("weight"))
-    Curation.funnel(docs, "doc_id", "text", weights)
+    // LocalLazy: each stage materializes once for the five counts
+    // instead of re-deriving the chain per count (the collocations
+    // precedent; Inline recompute costs ~2x here)
+    Curation.funnel(docs, "doc_id", "text", weights,
+      mat = Materializer.LocalLazy)
   }
 
   private def curationFunnelSql = {
