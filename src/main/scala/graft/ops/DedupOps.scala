@@ -161,6 +161,24 @@ object DedupOps {
     df.select(col(idCol).as("sid"),
         explode(array_distinct(graft.functions.exprs.shingleHashes(col(textCol), k))).as("sh"))
 
+  /** The df-cut inverted index both n-gram pair generators share:
+    * shingle postings (one pass), ultra-hot shingles dropped by a
+    * broadcast anti-join against the > maxDf set, and each doc's
+    * POST-CUT set size attached as `n_sh` (one per-doc window). Output
+    * columns: (sid, sh, n_sh), materialized per `mat`. */
+  private def dfCutPostingsWithSizes(df: DataFrame, idCol: String,
+      textCol: String, k: Int, maxDf: Int, mat: Materializer,
+      broadcastHotSet: Boolean, matPostings: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = shingleHashes(df, idCol, textCol, k)
+    val postings = if (matPostings) mat(raw) else raw
+    val hot = postings.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") > maxDf).select("sh")
+    val hotSide = if (broadcastHotSet) broadcast(hot) else hot
+    mat(postings.join(hotSide, Seq("sh"), "left_anti")
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("sid"))))
+  }
+
   /** Persist an intermediate when asked. The postings/signatures below
     * feed 3-4 consumers each; measured on local[32] at test scale,
     * recomputing them (codegen'd hashing over a hot page cache) beats the
@@ -276,14 +294,8 @@ object DedupOps {
       mat: Materializer = Materializer.Local,
       broadcastHotSet: Boolean = true,
       matPostings: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val raw = shingleHashes(df, idCol, textCol, k)
-    val postings = if (matPostings) mat(raw) else raw
-    val hot = postings.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
-      .filter(col("df_cnt") > maxDf).select("sh")
-    val hotSide = if (broadcastHotSet) broadcast(hot) else hot
-    val filtered = mat(postings.join(hotSide, Seq("sh"), "left_anti")
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("sid"))))
+    val filtered = dfCutPostingsWithSizes(df, idCol, textCol, k, maxDf,
+      mat, broadcastHotSet, matPostings)
     val a = filtered.select(col("sid").as("id_a"), col("n_sh").as("n_a"), col("sh"))
     val b = filtered.select(col("sid").as("id_b"), col("n_sh").as("n_b"), col("sh"))
     a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
@@ -318,7 +330,8 @@ object DedupOps {
     * same contract as [[chunkDedup]].
     */
   def cutDuplicatedPassages(df: DataFrame, idCol: String, textCol: String,
-      winTokens: Int, hashKey: Boolean = true): DataFrame = {
+      winTokens: Int, hashKey: Boolean = true,
+      mat: Materializer = Materializer.Local): DataFrame = {
     require(winTokens >= 1, s"winTokens must be >= 1, got $winTokens")
     val ws = TextOps.tokens(col(textCol))
     val base = df.filter(col(textCol).isNotNull)
@@ -327,7 +340,10 @@ object DedupOps {
           .as(Seq("__off", "__p")))
     val key = if (hashKey) xxhash64(col("__p")) else col("__p")
     val ord = col("__sid").cast("long") * (1L << 20) + col("__off")
-    val tagged = occ.withColumn("__key", key).withColumn("__ord", ord)
+    // the window explode feeds BOTH the duplicate-group aggregate and
+    // the join-back probe — materialize it once (the heaviest stream in
+    // the op; Catalyst would otherwise recompute the explode per branch)
+    val tagged = mat(occ.withColumn("__key", key).withColumn("__ord", ord))
     val groups = tagged.groupBy(col("__key"))
       .agg(count(lit(1)).as("__cnt"), min(col("__ord")).as("__w"))
     val dupOcc = tagged.join(groups, Seq("__key"))
@@ -377,14 +393,8 @@ object DedupOps {
       mat: Materializer = Materializer.Local,
       broadcastHotSet: Boolean = true,
       matPostings: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val raw = shingleHashes(df, idCol, textCol, k)
-    val postings = if (matPostings) mat(raw) else raw
-    val hot = postings.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
-      .filter(col("df_cnt") > maxDf).select("sh")
-    val hotSide = if (broadcastHotSet) broadcast(hot) else hot
-    val filtered = mat(postings.join(hotSide, Seq("sh"), "left_anti")
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("sid"))))
+    val filtered = dfCutPostingsWithSizes(df, idCol, textCol, k, maxDf,
+      mat, broadcastHotSet, matPostings)
     val a = filtered.select(col("sid").as("id_x"), col("n_sh").as("n_x"), col("sh"))
     val b = filtered.select(col("sid").as("id_y"), col("n_sh").as("n_y"), col("sh"))
     val unordered = a.join(b, Seq("sh")).filter(col("id_x") < col("id_y"))

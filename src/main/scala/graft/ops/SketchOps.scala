@@ -53,10 +53,10 @@ object SketchOps {
     * sketched at different precisions still merge (result downgrades to
     * the coarsest input). */
   def mergeSketches(sketches: DataFrame, sketchCol: String = "sketch",
-      groupCols: Seq[String] = Nil): DataFrame =
+      groupCols: Seq[String] = Nil, countCol: String = "n_rows"): DataFrame =
     sketches.groupBy(groupCols.map(col): _*)
-      .agg(coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"),
-        hll_union_agg(col(sketchCol), true).as("sketch"))
+      .agg(coalesce(sum(col(countCol)), lit(0L)).as(countCol),
+        hll_union_agg(col(sketchCol), true).as(sketchCol))
 
   /** The distinct-count estimate of a sketch column. */
   def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)

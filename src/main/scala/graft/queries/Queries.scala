@@ -899,16 +899,20 @@ object Queries {
 
   /** Model table derived deterministically from the corpus itself: the
     * terms whose charHash ≡ 0 (mod 3) carry weight (charHash mod 21) − 10
-    * ∈ [−10, 10]; other tokens exercise the left-join miss path. */
-  private def classifierScoreQ(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val weights = docs.filter(col("text").isNotNull)
+    * ∈ [−10, 10]; other tokens exercise the left-join miss path. Shared
+    * by q_classifier_score and q_curation_funnel (the funnel's oracle
+    * depends on both queries deriving the model identically). */
+  private def corpusWeights(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
       .select(explode(TextOps.tokens(col("text"))).as("term"))
       .distinct()
       .withColumn("h", TextOps.charHash(col("term")))
       .filter(pmod(col("h"), lit(3)) === 0)
       .select(col("term"), (pmod(col("h"), lit(21)) - 10).as("weight"))
-    TextOps.classifierScore(docs, "doc_id", "text", weights)
+
+  private def classifierScoreQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextOps.classifierScore(docs, "doc_id", "text", corpusWeights(docs))
   }
 
   private def classifierScoreSql =
@@ -940,7 +944,7 @@ object Queries {
   private def normalizeTextSql = {
     val norm = "regexp_replace(trim(lower(nfc_normalize(text)), ' \t\n\r'), '[ \t\n\r]+', ' ', 'g')"
     s"""SELECT doc_id, $norm AS norm_text,
-       |  strlen($norm)::BIGINT AS n_norm_chars,
+       |  length($norm)::BIGINT AS n_norm_chars,
        |  ${sqlHash(norm)} AS norm_fp
        |FROM documents WHERE text IS NOT NULL""".stripMargin
   }
@@ -1052,12 +1056,7 @@ object Queries {
     * exactly as in q_classifier_score. */
   private def curationFunnelQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val weights = docs.filter(col("text").isNotNull)
-      .select(explode(TextOps.tokens(col("text"))).as("term"))
-      .distinct()
-      .withColumn("h", TextOps.charHash(col("term")))
-      .filter(pmod(col("h"), lit(3)) === 0)
-      .select(col("term"), (pmod(col("h"), lit(21)) - 10).as("weight"))
+    val weights = corpusWeights(docs)
     // LocalLazy: each stage materializes once for the five counts
     // instead of re-deriving the chain per count (the collocations
     // precedent; Inline recompute costs ~2x here)

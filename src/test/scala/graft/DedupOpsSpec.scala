@@ -63,8 +63,8 @@ class DedupOpsSpec extends SparkSpec {
       ("p q r", 2L, 2L, 0L),
       ("q r s", 2L, 2L, 0L),
       ("z z z", 2L, 3L, 2L)))
-    // stride=2 samples offsets 1,3,…: only the z-run repeat still has an
-    // occurrence on a sampled offset in BOTH docs (doc 3's offset-2 copy
+    // stride=2 samples offsets 0,2,…: only the z-run repeat still has an
+    // occurrence on a sampled offset in BOTH docs (doc 3's offset-1 copy
     // is skipped, so its occurrence count drops to one per doc)
     val strided = DedupOps.duplicatedPassages(d, "doc_id", "text",
       winTokens = 3, stride = 2)
