@@ -246,6 +246,34 @@ class SkewAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: ngramContainmentPairs equals brute-force containment on random corpora") {
+    val rnd = new scala.util.Random(41)
+    for (c <- 0 until 4) {
+      val docs = (0 until 10).map { i =>
+        val words = Seq.fill(3 + rnd.nextInt(10))(s"w${rnd.nextInt(4)}")
+        (i.toLong, words.mkString(" "))
+      }
+      val k = 2
+      val minC = 0.5
+      val got = graft.ops.DedupOps.ngramContainmentPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          k = k, minContainment = minC, maxDf = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+      val sets = docs.map { case (id, text) =>
+        val ws = text.split(" ", -1)
+        id -> (0 to ws.length - k).map(i => ws.slice(i, i + k).mkString(" ")).toSet
+      }.toMap
+      val want = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty
+        inter = (sa intersect sb).size
+        cont = inter.toDouble / sa.size
+        if cont >= minC && inter > 0
+      } yield (a, b, cont)).toSet
+      assert(got == want, s"case $c docs=$docs")
+    }
+  }
+
   test("property: bloomDecontaminate ⊇ exact contamination on random corpora") {
     // The bloom op's contract is one-sided: NEVER a false negative, for
     // any corpus, gram size, probe count, or bitmap size — exercised
