@@ -53,5 +53,13 @@ object GraftExtensions {
         v.toString.split(",").toSeq
       case other => throw new IllegalArgumentException(
         s"word list must be a string literal, got $other")
-    })))
+    })),
+    "graft_normalize" -> (args => NormalizeText(args.head)),
+    "graft_hash_embed" -> (args =>
+      HashEmbedding(args.head, intArg(args(1), "dim").toInt)),
+    "graft_z_interleave" -> (args =>
+      ZInterleave(args(0), args(1), intArg(args(2), "bits").toInt)),
+    "graft_window_passages" -> (args => WindowPassages(args.head,
+      intArg(args(1), "win").toInt,
+      if (args.length > 2) intArg(args(2), "stride").toInt else 1)))
 }

@@ -71,6 +71,25 @@ class SqlFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("round-6 functions (normalize, hash_embed, z_interleave, window_passages) from SQL") {
+    exprs.registerSql(spark)
+    Seq(("Hello  WORLD", "a b c d"))
+      .toDF("t", "u").createOrReplaceTempView("sqlfn_r6")
+    val got = spark.sql(
+      """SELECT graft_normalize(t) AS n, graft_hash_embed(t, 8) AS e,
+        |  graft_z_interleave(3L, 1L, 8) AS z,
+        |  graft_window_passages(u, 2) AS w2,
+        |  graft_window_passages(u, 2, 2) AS w2s
+        |FROM sqlfn_r6""".stripMargin).head()
+    assert(got.getString(0) == "hello world")
+    val viaCol = Seq(("Hello  WORLD", "a b c d")).toDF("t", "u")
+      .select(exprs.hashEmbedding(col("t"), 8)).head().getSeq[Long](0)
+    assert(got.getSeq[Long](1) == viaCol)
+    assert(got.getLong(2) == 7L) // x=3 (bits 0,1 -> out 0,2), y=1 (bit 0 -> out 1)
+    assert(got.getSeq[String](3) == Seq("a b", "b c", "c d"))
+    assert(got.getSeq[String](4) == Seq("a b", "c d"))
+  }
+
   test("graft_word_counts takes its word list as a CSV string literal") {
     exprs.registerSql(spark)
     Seq(Tuple1("a b a c")).toDF("t").createOrReplaceTempView("sqlfn_wc")
