@@ -96,4 +96,42 @@ object ProfileOps {
         col("__q").getField("median").as("median"),
         col("__q").getField("p90").as("p90"))
   }
+
+  /** Per-group profile: one [[numericProfile]] row per group (language,
+    * source, day …) — the per-slice QA table a curation pipeline
+    * publishes. Identical cell semantics (exact discrete k-th-smallest
+    * quantiles from the per-group value histogram, integer-cent sums).
+    *
+    * The GLOBAL op needs its distributed prefix-sum machinery because a
+    * corpus-wide running count has no partition key; per group the
+    * running count is simply a window PARTITIONED by the group — the
+    * standard sessionize shape, one hash exchange on the group key, skew
+    * bounded by a single group's DISTINCT values. Groups whose values
+    * are all null profile with null min/max/quantiles (left join from
+    * the base stats). */
+  def numericProfileByGroup(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    val counts = df.filter(v.isNotNull)
+      .groupBy(col(groupCol), v.as("val")).agg(count(lit(1)).as("c"))
+    val wRun = Window.partitionBy(groupCol).orderBy("val")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(groupCol)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(wRun))
+      .withColumn("tot", sum(col("c")).over(wAll))
+    val k50 = floor((col("tot").cast("double") + 1.0) / 2.0)
+    val k90 = floor((col("tot").cast("double") * 9.0 + 9.0) / 10.0)
+    val quantiles = cum.groupBy(col(groupCol)).agg(
+      min(when(col("cum") >= k50, col("val"))).as("median"),
+      min(when(col("cum") >= k90, col("val"))).as("p90"))
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(v)).as("n_null"),
+        min(v).as("min_v"),
+        max(v).as("max_v"),
+        sum(round(v * 100).cast("long")).as("sum_cents"))
+      .join(quantiles, Seq(groupCol), "left")
+  }
 }

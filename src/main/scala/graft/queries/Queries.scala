@@ -1096,6 +1096,27 @@ object Queries {
        |UNION ALL SELECT 5, 'sample', count(*) FROM sm""".stripMargin
   }
 
+  private def profileByGroupQ(s: SparkSession, dir: String): DataFrame =
+    ProfileOps.numericProfileByGroup(t(s, dir, "documents"), "lang", "n_chars")
+
+  private val profileByGroupSql =
+    """WITH c AS (SELECT lang, n_chars AS val, count(*)::BIGINT AS c
+      |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+      |cum AS (SELECT lang, val, c,
+      |  sum(c) OVER (PARTITION BY lang ORDER BY val) AS cum,
+      |  sum(c) OVER (PARTITION BY lang) AS tot FROM c),
+      |q AS (SELECT lang,
+      |  min(CASE WHEN cum >= floor((tot + 1.0) / 2.0) THEN val END) AS median,
+      |  min(CASE WHEN cum >= floor((tot * 9.0 + 9.0) / 10.0) THEN val END) AS p90
+      |  FROM cum GROUP BY lang),
+      |b AS (SELECT lang, count(*)::BIGINT AS n_rows,
+      |  (count(*) - count(n_chars))::BIGINT AS n_null,
+      |  min(n_chars) AS min_v, max(n_chars) AS max_v,
+      |  CAST(sum(round(n_chars * 100)) AS BIGINT) AS sum_cents
+      |  FROM documents GROUP BY lang)
+      |SELECT b.lang, n_rows, n_null, min_v, max_v, sum_cents, q.median, q.p90
+      |FROM b LEFT JOIN q ON q.lang = b.lang""".stripMargin
+
   private def prioritySampleSql =
     s"""WITH p AS (SELECT doc_id, lang, n_chars,
        |  CAST(n_chars + 1 AS DOUBLE) /
@@ -1644,7 +1665,8 @@ object Queries {
     "q_containment_pairs" -> (containmentQ _),
     "q_cut_passages" -> (cutPassagesQ _),
     "q_cms_terms" -> (cmsTermsQ _),
-    "q_curation_funnel" -> (curationFunnelQ _))
+    "q_curation_funnel" -> (curationFunnelQ _),
+    "q_profile_by_group" -> (profileByGroupQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1728,5 +1750,6 @@ object Queries {
     "q_containment_pairs" -> containmentPairsSql,
     "q_cut_passages" -> cutPassagesSql,
     "q_cms_terms" -> cmsTermsSql,
-    "q_curation_funnel" -> curationFunnelSql)
+    "q_curation_funnel" -> curationFunnelSql,
+    "q_profile_by_group" -> profileByGroupSql)
 }

@@ -43,6 +43,31 @@ class SampleOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("p90") == 100.0)
   }
 
+  test("numericProfileByGroup equals the global profile applied per group") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val perGroup = ProfileOps.numericProfileByGroup(docs, "lang", "n_chars")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    assert(perGroup.keySet == langs.toSet && langs.nonEmpty)
+    langs.foreach { lang =>
+      val whole = ProfileOps.numericProfile(
+        docs.filter(col("lang") === lang), "n_chars").head().toSeq
+      assert(perGroup(lang) == whole, s"group $lang")
+    }
+    // all-null group: base stats present, quantiles null
+    import spark.implicits._
+    val withNullGroup = Seq(("g1", Some(5L)), ("g2", None), ("g2", None))
+      .toDF("g", "v")
+    val r = ProfileOps.numericProfileByGroup(withNullGroup, "g", "v")
+      .filter(col("g") === "g2").head()
+    assert(r.getAs[Long]("n_rows") == 2L && r.getAs[Long]("n_null") == 2L)
+    assert(r.isNullAt(r.fieldIndex("median")) && r.isNullAt(r.fieldIndex("p90")))
+    // every window in the plan is partitioned by the group key
+    val plan = ProfileOps.numericProfileByGroup(docs, "lang", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(val"))
+  }
+
   test("numericProfile: prefix sum is distributed — no unpartitioned window") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val qe = ProfileOps.numericProfile(df, "l_quantity").queryExecution
