@@ -47,6 +47,18 @@ import org.apache.spark.sql.functions._
   * [[Materializer.LocalLazy]]).
   */
 object ProfileOps {
+  /** The shared quantile contract of both profile ops: k-th-smallest
+    * positions k50 = ⌊(n+1)/2⌋ and k90 = ⌊(9n+9)/10⌋ (the ceil-position
+    * formulas in integer-valued double arithmetic, exact below 2^53),
+    * looked up as the first histogram value whose running count reaches
+    * k. One definition so the global and per-group ops cannot drift. */
+  private def k50(tot: Column): Column =
+    floor((tot.cast("double") + 1.0) / 2.0)
+  private def k90(tot: Column): Column =
+    floor((tot.cast("double") * 9.0 + 9.0) / 10.0)
+  private def kth(cum: Column, k: Column, value: Column): Column =
+    min(when(cum >= k, value))
+
   def numericProfile(df: DataFrame, valueCol: String,
       mat: Materializer = Materializer.LocalLazy): DataFrame = {
     val v = col(valueCol)
@@ -76,14 +88,9 @@ object ProfileOps {
       .withColumn("pcum", sum(col("c")).over(wpid))
       .join(broadcast(offs), "pid")
       .withColumn("cum", col("off") + col("pcum"))
-    // k-th smallest = first value whose running count reaches k;
-    // k = floor((n+1)/2) and floor((9n+9)/10) = the ceil-position
-    // formulas in integer-valued double arithmetic (exact below 2^53)
-    def kth(k: Column): Column = min(when(col("cum") >= k, col("val")))
-    val k50 = floor((col("tot").cast("double") + 1.0) / 2.0)
-    val k90 = floor((col("tot").cast("double") * 9.0 + 9.0) / 10.0)
     val quantiles = cum.agg(
-      struct(kth(k50).as("median"), kth(k90).as("p90")).as("q"))
+      struct(kth(col("cum"), k50(col("tot")), col("val")).as("median"),
+        kth(col("cum"), k90(col("tot")), col("val")).as("p90")).as("q"))
     df.agg(
       count(lit(1)).as("n_rows"),
       (count(lit(1)) - count(v)).as("n_null"),
@@ -120,11 +127,12 @@ object ProfileOps {
     val cum = counts
       .withColumn("cum", sum(col("c")).over(wRun))
       .withColumn("tot", sum(col("c")).over(wAll))
-    val k50 = floor((col("tot").cast("double") + 1.0) / 2.0)
-    val k90 = floor((col("tot").cast("double") * 9.0 + 9.0) / 10.0)
-    val quantiles = cum.groupBy(col(groupCol)).agg(
-      min(when(col("cum") >= k50, col("val"))).as("median"),
-      min(when(col("cum") >= k90, col("val"))).as("p90"))
+    val quantiles = cum.groupBy(col(groupCol).as("__g")).agg(
+      kth(col("cum"), k50(col("tot")), col("val")).as("median"),
+      kth(col("cum"), k90(col("tot")), col("val")).as("p90"))
+    // null-safe group join: groupBy treats a NULL key as a real group,
+    // so the quantile row for it must attach too (plain equality would
+    // silently null that group's quantiles)
     df.groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -132,6 +140,7 @@ object ProfileOps {
         min(v).as("min_v"),
         max(v).as("max_v"),
         sum(round(v * 100).cast("long")).as("sum_cents"))
-      .join(quantiles, Seq(groupCol), "left")
+      .join(quantiles, col(groupCol) <=> col("__g"), "left")
+      .drop("__g")
   }
 }

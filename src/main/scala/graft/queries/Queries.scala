@@ -1115,7 +1115,7 @@ object Queries {
       |  CAST(sum(round(n_chars * 100)) AS BIGINT) AS sum_cents
       |  FROM documents GROUP BY lang)
       |SELECT b.lang, n_rows, n_null, min_v, max_v, sum_cents, q.median, q.p90
-      |FROM b LEFT JOIN q ON q.lang = b.lang""".stripMargin
+      |FROM b LEFT JOIN q ON q.lang IS NOT DISTINCT FROM b.lang""".stripMargin
 
   private def prioritySampleSql =
     s"""WITH p AS (SELECT doc_id, lang, n_chars,

@@ -62,6 +62,15 @@ class SampleOpsSpec extends SparkSpec {
       .filter(col("g") === "g2").head()
     assert(r.getAs[Long]("n_rows") == 2L && r.getAs[Long]("n_null") == 2L)
     assert(r.isNullAt(r.fieldIndex("median")) && r.isNullAt(r.fieldIndex("p90")))
+    // NULL group KEY with real values: groupBy keeps it as a group, and
+    // the null-safe join must attach its quantiles (plain equality
+    // would silently null them)
+    val nullKey = Seq((Option.empty[String], 5L), (None, 7L), (Some("g1"), 9L))
+      .toDF("g", "v")
+    val nk = ProfileOps.numericProfileByGroup(nullKey, "g", "v")
+      .filter(col("g").isNull).head()
+    assert(nk.getAs[Long]("n_rows") == 2L)
+    assert(nk.getAs[Long]("median") == 5L && nk.getAs[Long]("p90") == 7L)
     // every window in the plan is partitioned by the group key
     val plan = ProfileOps.numericProfileByGroup(docs, "lang", "n_chars")
       .queryExecution.executedPlan.toString
