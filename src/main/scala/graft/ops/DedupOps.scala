@@ -397,8 +397,12 @@ object DedupOps {
       mat, broadcastHotSet, matPostings)
     val a = filtered.select(col("sid").as("id_x"), col("n_sh").as("n_x"), col("sh"))
     val b = filtered.select(col("sid").as("id_y"), col("n_sh").as("n_y"), col("sh"))
-    val unordered = a.join(b, Seq("sh")).filter(col("id_x") < col("id_y"))
-      .groupBy("id_x", "id_y", "n_x", "n_y").agg(count(lit(1)).as("n_common"))
+    // both direction branches of the union read this frame — materialize
+    // the candidate-pair-sized result once or the posting self-join (the
+    // op's dominant stage) executes twice
+    val unordered = mat(
+      a.join(b, Seq("sh")).filter(col("id_x") < col("id_y"))
+        .groupBy("id_x", "id_y", "n_x", "n_y").agg(count(lit(1)).as("n_common")))
     val fwd = unordered.select(col("id_x").as("id_a"), col("id_y").as("id_b"),
       col("n_common"), col("n_x").as("n_a"), col("n_y").as("n_b"))
     val rev = unordered.select(col("id_y").as("id_a"), col("id_x").as("id_b"),
