@@ -83,6 +83,51 @@ object StreamOps {
         graft.ops.Pipeline.publishStaged(tmp, indexPath)
       }
 
+  /** Fold per-micro-batch HLL distinct sketches into a stored per-group
+    * sketch table — rolling distinct counts over an unbounded stream
+    * with NO raw history retained: each batch contributes one
+    * kilobyte-sketch row per group ([[graft.ops.SketchOps]]), folded
+    * onto the stored table by register-max union. Because the sketch is
+    * order/partitioning invariant, the folded result equals the
+    * one-shot batch sketch of everything ever streamed (spec-pinned).
+    * Publishes with the same crash-safe staged-swap discipline as
+    * [[indexSink]]; an interrupted swap recovers on the next batch.
+    */
+  def sketchIndexSink(docs: DataFrame, sketchPath: String, keyCol: String,
+      groupCols: Seq[String],
+      lgK: Int = graft.ops.SketchOps.DefaultLgK)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.ops.SketchOps.distinctSketches(batch, keyCol, lgK, groupCols)
+        val next = readRecovered(spark, sketchPath)
+          .map(stored => graft.ops.SketchOps.updateSketchIndex(stored, delta, groupCols))
+          .getOrElse(delta)
+        val tmp = sketchPath + "__staging"
+        next.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+        graft.ops.Pipeline.publishStaged(tmp, sketchPath)
+      }
+
+  /** Read a staged-swap-published table, recovering an interrupted swap
+    * first (same discipline as `Pipeline.readOrInit`, minus the
+    * index-specific empty-schema bootstrap). None = never published. */
+  private def readRecovered(spark: SparkSession, path: String): Option[DataFrame] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) {
+      val staging = new java.io.File(path + "__staging")
+      val aside = new java.io.File(path + "__old")
+      if (staging.exists() && new java.io.File(staging, "_SUCCESS").exists()) {
+        if (!staging.renameTo(f)) sys.error(s"failed to recover $staging -> $path")
+        org.apache.commons.io.FileUtils.deleteQuietly(aside)
+      } else if (aside.exists()) {
+        if (!aside.renameTo(f)) sys.error(s"failed to recover $aside -> $path")
+      }
+    }
+    if (f.exists()) Some(spark.read.parquet(path)) else None
+  }
+
   /** A keyed record for stateful streaming ops (payload = whatever the
     * caller packs; typed so `flatMapGroupsWithState` gets encoders). */
   case class Keyed(key: Long, ord: Long, payload: String)

@@ -57,6 +57,43 @@ class StreamOpsSpec extends SparkSpec {
     assert(got(2).getString(1) == "c")
   }
 
+  test("sketchIndexSink: streamed fold equals the one-shot batch sketch") {
+    val in = tmpDir("graft_stream_sk_in")
+    val sk = tmpDir("graft_stream_sk") + "/sketches.parquet"
+    val ckpt = tmpDir("graft_stream_sk_ckpt")
+    // three micro-batches with overlapping doc_ids per lang: the fold
+    // must count each distinct id once, like the one-shot sketch
+    Seq((0L, "en"), (1L, "en"), (2L, "de"))
+      .toDF("doc_id", "lang").coalesce(1).write.parquet(s"$in/b1")
+    Thread.sleep(50)
+    Seq((1L, "en"), (3L, "en"), (2L, "de"))
+      .toDF("doc_id", "lang").coalesce(1).write.parquet(s"$in/b2")
+    Thread.sleep(50)
+    Seq((4L, "de"), (0L, "en"))
+      .toDF("doc_id", "lang").coalesce(1).write.parquet(s"$in/b3")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = StreamOps.sketchIndexSink(stream, sk, "doc_id", Seq("lang"))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def est(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang"), col("n_rows"),
+          graft.ops.SketchOps.estimate(col("sketch")).as("d"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val streamed = est(spark.read.parquet(sk))
+    val oneShot = est(graft.ops.SketchOps.distinctSketches(
+      spark.read.parquet(s"$in/*"), "doc_id", groupCols = Seq("lang")))
+    assert(streamed == oneShot)
+    // exact at this tiny cardinality: en {0,1,3}, de {2,4}
+    assert(streamed("en")._2 == 3L && streamed("de")._2 == 2L)
+    assert(streamed("en")._1 == 5L && streamed("de")._1 == 3L) // raw rows
+  }
+
   test("sessionizeStream: gap-closed sessions emit in-batch, open ones on watermark timeout") {
     val in = tmpDir("graft_stream_sess_in")
     // batch 1 (user 1): 00:00 + 00:10 form one session (gap 30m);
