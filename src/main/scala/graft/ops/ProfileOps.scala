@@ -59,11 +59,11 @@ object ProfileOps {
   private def kth(cum: Column, k: Column, value: Column): Column =
     min(when(cum >= k, value))
 
-  def numericProfile(df: DataFrame, valueCol: String,
-      mat: Materializer = Materializer.LocalLazy): DataFrame = {
-    val v = col(valueCol)
-    val counts = df.filter(v.isNotNull)
-      .groupBy(v.as("val")).agg(count(lit(1)).as("c"))
+  /** The struct-valued (median, p90) scalar plan over a (val, c) value
+    * histogram — the distributed prefix-sum machinery both the direct
+    * and the incremental profile share. */
+  private def quantilesFromHistogram(counts: DataFrame,
+      mat: Materializer): DataFrame = {
     // ascending pid == ascending value range; pids are deterministic
     // (RangePartitioner seeds its reservoir sample per partition index)
     // and correctness never depends on where the boundaries land —
@@ -88,16 +88,66 @@ object ProfileOps {
       .withColumn("pcum", sum(col("c")).over(wpid))
       .join(broadcast(offs), "pid")
       .withColumn("cum", col("off") + col("pcum"))
-    val quantiles = cum.agg(
+    cum.agg(
       struct(kth(col("cum"), k50(col("tot")), col("val")).as("median"),
         kth(col("cum"), k90(col("tot")), col("val")).as("p90")).as("q"))
+  }
+
+  def numericProfile(df: DataFrame, valueCol: String,
+      mat: Materializer = Materializer.LocalLazy): DataFrame = {
+    val v = col(valueCol)
+    val counts = df.filter(v.isNotNull)
+      .groupBy(v.as("val")).agg(count(lit(1)).as("c"))
     df.agg(
       count(lit(1)).as("n_rows"),
       (count(lit(1)) - count(v)).as("n_null"),
       min(v).as("min_v"),
       max(v).as("max_v"),
       sum(round(v * 100).cast("long")).as("sum_cents"))
-      .withColumn("__q", quantiles.scalar())
+      .withColumn("__q", quantilesFromHistogram(counts, mat).scalar())
+      .select(col("n_rows"), col("n_null"), col("min_v"), col("max_v"),
+        col("sum_cents"),
+        col("__q").getField("median").as("median"),
+        col("__q").getField("p90").as("p90"))
+  }
+
+  /** The INCREMENTAL form of [[numericProfile]]: each slice (day, shard,
+    * source…) publishes its sufficient statistics once —
+    * [[profileParts]] = one base-stat row (counts, min/max, cent sum;
+    * all mergeable aggregates) plus the value histogram (mergeable by
+    * union + re-sum, exactly like the CMS cells) — and
+    * [[profileFromParts]] reconstructs the EXACT whole-corpus profile
+    * from any union of slice parts without re-reading a single raw row
+    * (spec-pinned == the direct profile; `q_profile_incremental`
+    * hash-matches the direct oracle). This is how the profile row stays
+    * maintainable when history can no longer be re-scanned: the daily
+    * fold appends one parts pair and re-derives.
+    */
+  def profileParts(df: DataFrame, valueCol: String): (DataFrame, DataFrame) = {
+    val v = col(valueCol)
+    val stats = df.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(v)).as("n_null"),
+      min(v).as("min_v"),
+      max(v).as("max_v"),
+      sum(round(v * 100).cast("long")).as("sum_cents"))
+    val hist = df.filter(v.isNotNull)
+      .groupBy(v.as("val")).agg(count(lit(1)).as("c"))
+    (stats, hist)
+  }
+
+  /** Rebuild the exact profile row from UNIONED slice parts (any number
+    * of slices, any grouping of the folds). */
+  def profileFromParts(stats: DataFrame, hist: DataFrame,
+      mat: Materializer = Materializer.LocalLazy): DataFrame = {
+    val merged = hist.groupBy(col("val")).agg(sum(col("c")).as("c"))
+    stats.agg(
+      coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"),
+      coalesce(sum(col("n_null")), lit(0L)).as("n_null"),
+      min(col("min_v")).as("min_v"),
+      max(col("max_v")).as("max_v"),
+      sum(col("sum_cents")).as("sum_cents"))
+      .withColumn("__q", quantilesFromHistogram(merged, mat).scalar())
       .select(col("n_rows"), col("n_null"), col("min_v"), col("max_v"),
         col("sum_cents"),
         col("__q").getField("median").as("median"),

@@ -1117,6 +1117,21 @@ object Queries {
       |SELECT b.lang, n_rows, n_null, min_v, max_v, sum_cents, q.median, q.p90
       |FROM b LEFT JOIN q ON q.lang IS NOT DISTINCT FROM b.lang""".stripMargin
 
+  /** The incremental profile reconstructed from three disjoint slices'
+    * published parts must equal the direct whole-table profile — so it
+    * shares `q_numeric_profile`'s oracle verbatim. */
+  private def profileIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val slices = Seq(
+      li.filter(col("l_orderkey") % 3 === 0),
+      li.filter(col("l_orderkey") % 3 === 1),
+      li.filter(col("l_orderkey") % 3 === 2))
+      .map(ProfileOps.profileParts(_, "l_quantity"))
+    ProfileOps.profileFromParts(
+      slices.map(_._1).reduce(_ unionByName _),
+      slices.map(_._2).reduce(_ unionByName _))
+  }
+
   private def prioritySampleSql =
     s"""WITH p AS (SELECT doc_id, lang, n_chars,
        |  CAST(n_chars + 1 AS DOUBLE) /
@@ -1666,7 +1681,8 @@ object Queries {
     "q_cut_passages" -> (cutPassagesQ _),
     "q_cms_terms" -> (cmsTermsQ _),
     "q_curation_funnel" -> (curationFunnelQ _),
-    "q_profile_by_group" -> (profileByGroupQ _))
+    "q_profile_by_group" -> (profileByGroupQ _),
+    "q_profile_incremental" -> (profileIncrementalQ _))
 
   val oracle: Map[String, String] = Map(
     "q_align_id_col" -> alignIdColSql,
@@ -1751,5 +1767,6 @@ object Queries {
     "q_cut_passages" -> cutPassagesSql,
     "q_cms_terms" -> cmsTermsSql,
     "q_curation_funnel" -> curationFunnelSql,
-    "q_profile_by_group" -> profileByGroupSql)
+    "q_profile_by_group" -> profileByGroupSql,
+    "q_profile_incremental" -> numericProfileSql)
 }

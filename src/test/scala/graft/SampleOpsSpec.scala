@@ -77,6 +77,35 @@ class SampleOpsSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition(val"))
   }
 
+  test("profileFromParts reconstructs the direct profile from slice parts") {
+    import spark.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val direct = ProfileOps.numericProfile(li, "l_quantity").head().toSeq
+    // three disjoint slices + an EMPTY slice + an all-null-value slice:
+    // the fold must absorb both degenerate publishers
+    val empty = li.filter(lit(false))
+    val allNull = Seq(Tuple1(Option.empty[Double])).toDF("l_quantity")
+    val slices = Seq(
+      li.filter(col("l_orderkey") % 3 === 0),
+      li.filter(col("l_orderkey") % 3 === 1),
+      li.filter(col("l_orderkey") % 3 === 2),
+      empty).map(ProfileOps.profileParts(_, "l_quantity"))
+    val nullParts = ProfileOps.profileParts(
+      allNull.select(col("l_quantity").cast("double")), "l_quantity")
+    val rebuilt = ProfileOps.profileFromParts(
+      (slices.map(_._1) :+ nullParts._1).reduce(_ unionByName _),
+      (slices.map(_._2) :+ nullParts._2).reduce(_ unionByName _)).head().toSeq
+    // the extra all-null row shifts n_rows/n_null by one; the rest is equal
+    assert(rebuilt(0) == direct(0).asInstanceOf[Long] + 1)
+    assert(rebuilt(1) == direct(1).asInstanceOf[Long] + 1)
+    assert(rebuilt.drop(2) == direct.drop(2))
+    // without the degenerate slices: exact equality
+    val exact = ProfileOps.profileFromParts(
+      slices.map(_._1).reduce(_ unionByName _),
+      slices.map(_._2).reduce(_ unionByName _)).head().toSeq
+    assert(exact == direct)
+  }
+
   test("numericProfile: prefix sum is distributed — no unpartitioned window") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val qe = ProfileOps.numericProfile(df, "l_quantity").queryExecution
