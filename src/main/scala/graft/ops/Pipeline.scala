@@ -395,7 +395,12 @@ object Pipeline {
     * the standing enrichment state — and then PASS `heightGuard`, which
     * compares against whatever `before` frame this function returns.
     */
-  def readOrInit(spark: SparkSession, path: String): DataFrame = {
+  /** Recover an interrupted [[publishStaged]] swap at `path`: a fully
+    * staged dir (_SUCCESS present) that never landed renames in; else an
+    * orphaned aside copy renames back. Shared by every staged-swap
+    * reader (the index and the streaming sketch table) so the recovery
+    * protocol cannot drift from the publish protocol. */
+  def recoverStaged(path: String): Unit = {
     val f = new java.io.File(path)
     if (!f.exists()) {
       val staging = new java.io.File(path + "__staging")
@@ -407,7 +412,11 @@ object Pipeline {
         if (!aside.renameTo(f)) sys.error(s"failed to recover $aside -> $path")
       }
     }
-    if (f.exists()) spark.read.parquet(path)
+  }
+
+  def readOrInit(spark: SparkSession, path: String): DataFrame = {
+    recoverStaged(path)
+    if (new java.io.File(path).exists()) spark.read.parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(Seq(StructField(ID, LongType))))
   }

@@ -93,22 +93,21 @@ object ProfileOps {
         kth(col("cum"), k90(col("tot")), col("val")).as("p90")).as("q"))
   }
 
-  def numericProfile(df: DataFrame, valueCol: String,
-      mat: Materializer = Materializer.LocalLazy): DataFrame = {
-    val v = col(valueCol)
-    val counts = df.filter(v.isNotNull)
-      .groupBy(v.as("val")).agg(count(lit(1)).as("c"))
-    df.agg(
-      count(lit(1)).as("n_rows"),
-      (count(lit(1)) - count(v)).as("n_null"),
-      min(v).as("min_v"),
-      max(v).as("max_v"),
-      sum(round(v * 100).cast("long")).as("sum_cents"))
-      .withColumn("__q", quantilesFromHistogram(counts, mat).scalar())
+  /** Attach the histogram-derived quantiles to a one-row stats frame —
+    * the shared back half of the direct and incremental profiles. */
+  private def withQuantiles(stats: DataFrame, hist: DataFrame,
+      mat: Materializer): DataFrame =
+    stats
+      .withColumn("__q", quantilesFromHistogram(hist, mat).scalar())
       .select(col("n_rows"), col("n_null"), col("min_v"), col("max_v"),
         col("sum_cents"),
         col("__q").getField("median").as("median"),
         col("__q").getField("p90").as("p90"))
+
+  def numericProfile(df: DataFrame, valueCol: String,
+      mat: Materializer = Materializer.LocalLazy): DataFrame = {
+    val (stats, hist) = profileParts(df, valueCol)
+    withQuantiles(stats, hist, mat)
   }
 
   /** The INCREMENTAL form of [[numericProfile]]: each slice (day, shard,
@@ -141,17 +140,13 @@ object ProfileOps {
   def profileFromParts(stats: DataFrame, hist: DataFrame,
       mat: Materializer = Materializer.LocalLazy): DataFrame = {
     val merged = hist.groupBy(col("val")).agg(sum(col("c")).as("c"))
-    stats.agg(
+    val mergedStats = stats.agg(
       coalesce(sum(col("n_rows")), lit(0L)).as("n_rows"),
       coalesce(sum(col("n_null")), lit(0L)).as("n_null"),
       min(col("min_v")).as("min_v"),
       max(col("max_v")).as("max_v"),
       sum(col("sum_cents")).as("sum_cents"))
-      .withColumn("__q", quantilesFromHistogram(merged, mat).scalar())
-      .select(col("n_rows"), col("n_null"), col("min_v"), col("max_v"),
-        col("sum_cents"),
-        col("__q").getField("median").as("median"),
-        col("__q").getField("p90").as("p90"))
+    withQuantiles(mergedStats, merged, mat)
   }
 
   /** Per-group profile: one [[numericProfile]] row per group (language,

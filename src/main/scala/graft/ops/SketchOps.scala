@@ -135,14 +135,22 @@ object SketchOps {
   /** Incremental maintenance of a stored per-group sketch table: sketch
     * only the DELTA rows, then full-outer merge onto the stored table by
     * group key — the daily fold that never re-reads history. Both sides
-    * are (groupCols…, n_rows, sketch); group keys must be non-null. */
+    * are (groupCols…, n_rows, sketch). The join is NULL-SAFE per key
+    * (`<=>`), so a NULL group value stays ONE group across folds, as it
+    * is in `groupBy`; with no group keys the two global rows merge
+    * directly. */
   def updateSketchIndex(stored: DataFrame, delta: DataFrame,
       groupCols: Seq[String]): DataFrame = {
-    require(groupCols.nonEmpty, "updateSketchIndex needs group keys")
+    if (groupCols.isEmpty)
+      return mergeSketches(
+        stored.select("n_rows", "sketch")
+          .unionByName(delta.select("n_rows", "sketch")))
     val d = delta.select(
-      groupCols.map(col) ++ Seq(col("n_rows").as("__d_n"), col("sketch").as("__d_s")): _*)
-    stored.join(d, groupCols, "full_outer")
-      .select(groupCols.map(col) ++ Seq(
+      groupCols.map(c => col(c).as(s"__d_$c")) ++
+        Seq(col("n_rows").as("__d_n"), col("sketch").as("__d_s")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__d_$c")).reduce(_ && _)
+    stored.join(d, cond, "full_outer")
+      .select(groupCols.map(c => coalesce(col(c), col(s"__d_$c")).as(c)) ++ Seq(
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__d_n"), lit(0L))).as("n_rows"),
         when(col("sketch").isNull, col("__d_s"))
           .when(col("__d_s").isNull, col("sketch"))

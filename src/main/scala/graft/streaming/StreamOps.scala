@@ -99,33 +99,36 @@ object StreamOps {
       : DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val delta = graft.ops.SketchOps.distinctSketches(batch, keyCol, lgK, groupCols)
-        val next = readRecovered(spark, sketchPath)
-          .map(stored => graft.ops.SketchOps.updateSketchIndex(stored, delta, groupCols))
-          .getOrElse(delta)
-        val tmp = sketchPath + "__staging"
-        next.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
-        graft.ops.Pipeline.publishStaged(tmp, sketchPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldSketchBatch(batch, sketchPath, keyCol, groupCols, lgK, batchId)
       }
 
-  /** Read a staged-swap-published table, recovering an interrupted swap
-    * first (same discipline as `Pipeline.readOrInit`, minus the
-    * index-specific empty-schema bootstrap). None = never published. */
-  private def readRecovered(spark: SparkSession, path: String): Option[DataFrame] = {
-    val f = new java.io.File(path)
-    if (!f.exists()) {
-      val staging = new java.io.File(path + "__staging")
-      val aside = new java.io.File(path + "__old")
-      if (staging.exists() && new java.io.File(staging, "_SUCCESS").exists()) {
-        if (!staging.renameTo(f)) sys.error(s"failed to recover $staging -> $path")
-        org.apache.commons.io.FileUtils.deleteQuietly(aside)
-      } else if (aside.exists()) {
-        if (!aside.renameTo(f)) sys.error(s"failed to recover $aside -> $path")
-      }
-    }
-    if (f.exists()) Some(spark.read.parquet(path)) else None
+  /** One micro-batch of the sketch fold — REPLAY-SAFE: `foreachBatch` is
+    * at-least-once (a batch whose epoch never committed to the
+    * checkpoint is re-delivered after restart), and the n_rows sum is
+    * not idempotent under replay (the HLL union half is), so the
+    * published table carries the last folded batch id in a
+    * `__last_batch` column and a re-delivered batch is skipped. */
+  private[graft] def foldSketchBatch(batch: DataFrame, sketchPath: String,
+      keyCol: String, groupCols: Seq[String], lgK: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.ops.Pipeline.recoverStaged(sketchPath)
+    val stored =
+      if (new java.io.File(sketchPath).exists())
+        Some(spark.read.parquet(sketchPath))
+      else None
+    if (stored.exists(s =>
+        !s.head(1).isEmpty && s.head().getAs[Long]("__last_batch") >= batchId))
+      return // replayed epoch: already folded and published
+    val delta = graft.ops.SketchOps.distinctSketches(batch, keyCol, lgK, groupCols)
+    val next = stored
+      .map(s => graft.ops.SketchOps.updateSketchIndex(
+        s.drop("__last_batch"), delta, groupCols))
+      .getOrElse(delta)
+    val tmp = sketchPath + "__staging"
+    next.withColumn("__last_batch", lit(batchId))
+      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    graft.ops.Pipeline.publishStaged(tmp, sketchPath)
   }
 
   /** A keyed record for stateful streaming ops (payload = whatever the

@@ -82,6 +82,31 @@ class SketchOpsSpec extends SparkSpec {
     }
   }
 
+  test("updateSketchIndex: null group keys stay one group; no group keys fold globally") {
+    import spark.implicits._
+    import graft.ops.SketchOps
+    // null lang on BOTH sides must merge into a single row (null-safe join)
+    val a = SketchOps.distinctSketches(
+      Seq((0L, Option.empty[String]), (1L, Some("en"))).toDF("id", "lang"),
+      "id", groupCols = Seq("lang"))
+    val b = SketchOps.distinctSketches(
+      Seq((2L, Option.empty[String]), (3L, Some("en"))).toDF("id", "lang"),
+      "id", groupCols = Seq("lang"))
+    val folded = SketchOps.updateSketchIndex(a, b, Seq("lang"))
+      .select(col("lang"), col("n_rows"),
+        SketchOps.estimate(col("sketch")).as("d")).collect()
+    assert(folded.length == 2)
+    val byKey = folded.map(r =>
+      Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byKey(None) == (2L, 2L) && byKey(Some("en")) == (2L, 2L))
+    // no group keys: the two global rows merge instead of require-failing
+    val ga = SketchOps.distinctSketches(Seq(0L, 1L).toDF("id"), "id")
+    val gb = SketchOps.distinctSketches(Seq(1L, 2L).toDF("id"), "id")
+    val g = SketchOps.updateSketchIndex(ga, gb, Nil)
+      .select(col("n_rows"), SketchOps.estimate(col("sketch"))).head()
+    assert(g.getLong(0) == 4L && g.getLong(1) == 3L)
+  }
+
   test("CMS estimates are one-sided and exact when no collision") {
     import spark.implicits._
     import graft.ops.SketchOps

@@ -92,6 +92,17 @@ class StreamOpsSpec extends SparkSpec {
     // exact at this tiny cardinality: en {0,1,3}, de {2,4}
     assert(streamed("en")._2 == 3L && streamed("de")._2 == 2L)
     assert(streamed("en")._1 == 5L && streamed("de")._1 == 3L) // raw rows
+
+    // at-least-once replay: re-delivering the LAST folded epoch must be
+    // a no-op (the published table pins __last_batch), not a double count
+    val replay = Seq((0L, "en")).toDF("doc_id", "lang")
+    StreamOps.foldSketchBatch(replay, sk, "doc_id", Seq("lang"),
+      graft.ops.SketchOps.DefaultLgK, batchId = 2L)
+    assert(est(spark.read.parquet(sk)) == streamed)
+    // a genuinely new epoch folds
+    StreamOps.foldSketchBatch(replay, sk, "doc_id", Seq("lang"),
+      graft.ops.SketchOps.DefaultLgK, batchId = 3L)
+    assert(est(spark.read.parquet(sk))("en") == (6L, 3L))
   }
 
   test("sessionizeStream: gap-closed sessions emit in-batch, open ones on watermark timeout") {
