@@ -56,10 +56,15 @@ object BucketOps {
     * idiom (Delta/Iceberg `OPTIMIZE ZORDER BY`) re-expressed in plain
     * open-source Spark.
     *
-    * Each dimension is min/max-scaled by scalar subqueries (one tiny
-    * stats aggregate; the scaling itself is MAP-ONLY — no global rank
-    * window, keeping the library's no-partition-less-WindowExec
-    * invariant), so the only shuffle is the final z range partition —
+    * Both dimensions are min/max-scaled from ONE stats aggregate: a
+    * single four-column min/max job collected eagerly at layout time,
+    * embedded as literals in the z expression (four independent scalar
+    * subqueries would re-scan the input four times — and per-reference
+    * subquery cloning makes even a shared struct subquery multiply in
+    * the optimized plan). The scaling itself is MAP-ONLY — no global
+    * rank window, keeping the library's
+    * no-partition-less-WindowExec invariant — so the only
+    * shuffle is the final z range partition —
     * the same exchange a plain `orderBy` write pays; it runs once at
     * LAYOUT time and is amortized over every pruned read after.
     * Linear scaling leaves heavily-skewed dimensions unevenly spread
@@ -68,22 +73,37 @@ object BucketOps {
     * parquet files, each covering a z-contiguous block.
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-      files: Int, bits: Int = 15): Unit = {
+      files: Int, bits: Int = 15): Unit =
+    zOrdered(df, colA, colB, files, bits)
+      .write.mode("overwrite").option("compression", "zstd").parquet(path)
+
+  /** The pre-write z-layout plan (exposed so the one-stats-scan shape is
+    * spec-pinnable): scale both dims by bounds collected from ONE
+    * eager min/max aggregate, interleave, range-partition + sort by the
+    * z-value. NOTE: building this frame runs the stats job (one small
+    * collect) — writeZOrdered is an action anyway. */
+  def zOrdered(df: DataFrame, colA: String, colB: String,
+      files: Int, bits: Int = 15): DataFrame = {
     import org.apache.spark.sql.functions._
     require(files >= 1, s"files must be >= 1, got $files")
     val scale = (1L << bits) - 1
-    def scaled(c: String) = {
-      val mn = df.agg(min(col(c)).cast("double")).scalar()
-      val mx = df.agg(max(col(c)).cast("double")).scalar()
-      ((col(c).cast("double") - mn) / greatest(mx - mn, lit(1e-300)) * scale)
+    // ONE stats scan for all four bounds, folded into the plan as
+    // literals (scalar subqueries clone per reference — the optimized
+    // plan would carry 4-6 copies of the same aggregate).
+    val row = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    // empty input / all-null dim: degenerate bounds, every value scales to 0
+    def b(i: Int) = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+    def scaled(c: String, mn: Double, mx: Double) =
+      ((col(c).cast("double") - mn) / math.max(mx - mn, 1e-300) * scale)
         .cast("long")
-    }
-    val z = graft.functions.exprs.zInterleave(scaled(colA), scaled(colB), bits)
+    val z = graft.functions.exprs.zInterleave(
+      scaled(colA, b(0), b(1)), scaled(colB, b(2), b(3)), bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").option("compression", "zstd").parquet(path)
   }
 
   /** True when the physical plan contains no SHUFFLE exchange — the

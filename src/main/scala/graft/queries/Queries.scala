@@ -951,23 +951,28 @@ object Queries {
 
   private val HashEmbedDim = 16
 
-  private def hashEmbedQ(s: SparkSession, dir: String): DataFrame =
+  /** Registered flattened to scalar columns e0..e{dim-1} (the
+    * q_minhash_signatures pattern) — the driver's pandas comparator
+    * cannot sort array cells. Library callers get the array from
+    * [[TextOps.hashEmbed]] directly. */
+  private def hashEmbedQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = TextOps.hashEmbed(col("text"), HashEmbedDim)
+    val dims = (0 until HashEmbedDim).map(i => emb(i).as(s"e$i"))
     t(s, dir, "documents").filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        TextOps.hashEmbed(col("text"), HashEmbedDim).as("embedding"))
+      .select(col("doc_id") +: dims: _*)
+  }
 
-  private def hashEmbedSql =
+  private def hashEmbedSql = {
+    val dims = (0 until HashEmbedDim).map { i =>
+      s"coalesce(sum(CASE WHEN h % $HashEmbedDim = $i THEN CASE WHEN (h // $HashEmbedDim) % 2 = 0 THEN 1 ELSE -1 END END), 0)::BIGINT AS e$i"
+    }.mkString(",\n  ")
     s"""WITH toks AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok
        |             FROM documents WHERE text IS NOT NULL),
-       |h AS (SELECT doc_id, ${sqlHash("tok")} AS h FROM toks),
-       |g AS (SELECT doc_id, h % $HashEmbedDim AS bucket,
-       |        CAST(sum(CASE WHEN (h // $HashEmbedDim) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
-       |      FROM h GROUP BY 1, 2),
-       |grid AS (SELECT doc_id, UNNEST(range(0, $HashEmbedDim)) AS bucket
-       |         FROM (SELECT DISTINCT doc_id FROM h)),
-       |d AS (SELECT grid.doc_id, grid.bucket, coalesce(g.v, 0) AS v
-       |      FROM grid LEFT JOIN g ON g.doc_id = grid.doc_id AND g.bucket = grid.bucket)
-       |SELECT doc_id, list(v ORDER BY bucket) AS embedding FROM d GROUP BY doc_id""".stripMargin
+       |h AS (SELECT doc_id, ${sqlHash("tok")} AS h FROM toks)
+       |SELECT doc_id,
+       |  $dims
+       |FROM h GROUP BY doc_id""".stripMargin
+  }
 
   private def containmentQ(s: SparkSession, dir: String): DataFrame =
     DedupOps.ngramContainmentPairs(t(s, dir, "documents"), "doc_id", "text",

@@ -85,4 +85,25 @@ class BucketOpsSpec extends SparkSpec {
     assert(zx < 600 && zy < 600, s"z-sort spreads: $zx / $zy")
     assert(zy < sy / 2, s"z-sort y-spread $zy should at least halve $sy")
   }
+
+  test("z-order layout pays exactly ONE stats scan (literal bounds, no per-reference subqueries)") {
+    // All four scaling bounds (min/max of both dims) come from one eager
+    // min/max aggregate and are folded into the plan as LITERALS. The
+    // previous shape — a scalar subquery per bound — re-scanned the
+    // whole input four(+) times at layout time, because subquery
+    // expressions clone per reference.
+    // parquet-backed input (a local relation would constant-fold the
+    // whole projection away, hiding the shape under test)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val zdf = BucketOps.zOrdered(df, "doc_id", "n_chars", files = 4)
+    val plan = zdf.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("scalar-subquery") && !plan.contains("Aggregate"),
+      "stats bounds must be pre-collected literals, not in-plan aggregates:\n" +
+        plan.take(3000))
+    // the literal max(doc_id) bound really is in the plan
+    val maxId = df.agg(max("doc_id")).head().getLong(0).toDouble
+    assert(plan.contains(maxId.toString), s"expected literal $maxId in:\n" +
+      plan.take(3000))
+  }
 }

@@ -113,6 +113,27 @@ class PlanGuardSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("every registered query emits only atomic sortable columns (driver comparator contract)") {
+    // The driver's oracle comparator sorts result rows with pandas, which
+    // cannot sort array/map/struct cells (round-6 q_hash_embed failure:
+    // "TypeError: unhashable type: 'numpy.ndarray'"). Vector-valued ops
+    // must register FLATTENED projections (e0..eN / mh0..mhN); the
+    // array-returning Column stays available to library callers.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType, BinaryType}
+    val offenders = Queries.all.keys.toSeq.sorted.flatMap { q =>
+      Queries.all(q)(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] ||
+                  f.dataType == BinaryType =>
+          s"$q.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      "non-atomic registered output column(s) — the driver comparator cannot sort these:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("similarity top-k queries rank via the bounded aggregate, never a window") {
     for (q <- Seq("q_embed_cosine_topk", "q_ivf_topk")) {
       val plan = planOf(q)
