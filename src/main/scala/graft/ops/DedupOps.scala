@@ -368,6 +368,29 @@ object DedupOps {
         (col("__n") - col("n_words_kept")).as("n_words_cut"))
   }
 
+  /** The full ExactSubstr production recipe (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022): detect
+    * duplicated passages, cut every non-canonical occurrence
+    * ([[cutDuplicatedPassages]]), then EXACT-dedup the cleaned
+    * documents — cutting collapses documents that differed only in
+    * their duplicated spans into byte-identical residues (two articles
+    * wrapping different boilerplate around the same body), which only
+    * a post-cut exact pass can remove. Docs cut to nothing vanish in
+    * the cut stage; ties keep the min id.
+    *
+    * Scale shape = the two composed stages' shapes back to back: the
+    * cut's two-level hash aggregate + bounded covered-position explode,
+    * then one keep-first window partitioned by the cleaned text (never
+    * partition-less). Output: (id, clean_text, n_words_kept,
+    * n_words_cut), one canonical row per distinct cleaned text.
+    */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      winTokens: Int, hashKey: Boolean = true,
+      mat: Materializer = Materializer.Local): DataFrame = {
+    val cut = cutDuplicatedPassages(df, idCol, textCol, winTokens, hashKey, mat)
+    IndexOps.dedupKeepFirst(cut, "clean_text", col(idCol))
+  }
+
   /** Asymmetric CONTAINMENT near-dup pairs: directed (id_a → id_b) rows
     * where containment(a→b) = |S(a) ∩ S(b)| / |S(a)| ≥ `minContainment`
     * over the word-k-shingle sets — the detector for documents EMBEDDED

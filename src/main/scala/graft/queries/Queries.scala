@@ -999,8 +999,10 @@ object Queries {
     DedupOps.cutDuplicatedPassages(t(s, dir, "documents"), "doc_id", "text",
       winTokens = 6)
 
-  private val cutPassagesSql =
-    """WITH ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE text IS NOT NULL),
+  // CTE chain + final select split out so the passage-pipeline
+  // composition below can reuse the cut as a subquery
+  private val cutPassagesCtes =
+    """ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE text IS NOT NULL),
       |occ AS (SELECT doc_id, i-1 AS off, array_to_string(ws[i:i+5],' ') AS p
       |        FROM ws, UNNEST(range(1, len(ws)-4, 1)) t(i)),
       |k AS (SELECT p, count(*) AS c, min(doc_id*1048576 + off) AS mo FROM occ GROUP BY p),
@@ -1010,12 +1012,32 @@ object Queries {
       |toks AS (SELECT doc_id, i-1 AS pos, ws[i] AS w FROM ws, UNNEST(range(1, len(ws)+1)) t(i)),
       |kept AS (SELECT t.doc_id, t.pos, t.w FROM toks t
       |         LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
-      |         WHERE c.doc_id IS NULL)
-      |SELECT k.doc_id, array_to_string(list(k.w ORDER BY k.pos), ' ') AS clean_text,
+      |         WHERE c.doc_id IS NULL)""".stripMargin
+
+  private val cutPassagesSelect =
+    """SELECT k.doc_id, array_to_string(list(k.w ORDER BY k.pos), ' ') AS clean_text,
       |  count(*)::BIGINT AS n_words_kept,
       |  CAST(any_value(len(w2.ws)) - count(*) AS BIGINT) AS n_words_cut
       |FROM kept k JOIN ws w2 ON w2.doc_id = k.doc_id
       |GROUP BY k.doc_id""".stripMargin
+
+  private val cutPassagesSql = s"WITH $cutPassagesCtes\n$cutPassagesSelect"
+
+  /** ExactSubstr production recipe end-to-end: detect duplicated
+    * passages → cut non-canonical occurrences → exact-dedup the cleaned
+    * residues (Lee et al. ACL 2022) — pins the passage ops flowing INTO
+    * the dedup spine, not just standalone. */
+  private def passagePipelineQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.exactSubstrDedup(t(s, dir, "documents"), "doc_id", "text",
+      winTokens = 6)
+
+  private val passagePipelineSql =
+    s"""WITH $cutPassagesCtes,
+       |cut AS ($cutPassagesSelect),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY clean_text ORDER BY doc_id) AS rn
+       |      FROM cut)
+       |SELECT doc_id, clean_text, n_words_kept, n_words_cut
+       |FROM r WHERE rn = 1""".stripMargin
 
   private val CmsDepth = 3
   private val CmsLog2w = 5 // 32 cells: small enough to force collisions
@@ -1684,6 +1706,7 @@ object Queries {
     "q_hash_embed" -> (hashEmbedQ _),
     "q_containment_pairs" -> (containmentQ _),
     "q_cut_passages" -> (cutPassagesQ _),
+    "q_passage_pipeline" -> (passagePipelineQ _),
     "q_cms_terms" -> (cmsTermsQ _),
     "q_curation_funnel" -> (curationFunnelQ _),
     "q_profile_by_group" -> (profileByGroupQ _),
@@ -1770,6 +1793,7 @@ object Queries {
     "q_hash_embed" -> hashEmbedSql,
     "q_containment_pairs" -> containmentPairsSql,
     "q_cut_passages" -> cutPassagesSql,
+    "q_passage_pipeline" -> passagePipelineSql,
     "q_cms_terms" -> cmsTermsSql,
     "q_curation_funnel" -> curationFunnelSql,
     "q_profile_by_group" -> profileByGroupSql,

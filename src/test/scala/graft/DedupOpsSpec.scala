@@ -135,6 +135,30 @@ class DedupOpsSpec extends SparkSpec {
       exact.orderBy("doc_id").collect().toSeq)
   }
 
+  test("exactSubstrDedup: cutting exposes residue dups only the exact pass can collapse") {
+    // docs 10/11 share residue "r1 r2 r3" but wrap DIFFERENT duplicated
+    // passages (P hosted canonically by doc 0, Q by doc 1) — before the
+    // cut they are not exact dups; after it they are byte-identical, so
+    // the composed pipeline (detect -> cut -> exact dedup, Lee et al.
+    // ACL 2022) keeps only the min-id residue
+    val d = Seq(
+      (0L, "p1 p2 p3 p4 x1 x2 x3"),
+      (1L, "q1 q2 q3 q4 y1 y2 y3"),
+      (10L, "r1 r2 r3 p1 p2 p3 p4"),
+      (11L, "r1 r2 r3 q1 q2 q3 q4"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.exactSubstrDedup(d, "doc_id", "text", winTokens = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "p1 p2 p3 p4 x1 x2 x3", 7L, 0L),
+      (1L, "q1 q2 q3 q4 y1 y2 y3", 7L, 0L),
+      (10L, "r1 r2 r3", 3L, 4L))) // doc 11's identical residue collapsed
+    // the cut alone would NOT have collapsed 10/11
+    assert(DedupOps.cutDuplicatedPassages(d, "doc_id", "text", winTokens = 4)
+      .count() == 4L)
+  }
+
   test("property: cutDuplicatedPassages equals brute force on random corpora") {
     val rnd = new scala.util.Random(31)
     for (c <- 0 until 4) {

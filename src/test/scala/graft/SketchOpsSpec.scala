@@ -107,6 +107,38 @@ class SketchOpsSpec extends SparkSpec {
     assert(g.getLong(0) == 4L && g.getLong(1) == 3L)
   }
 
+  test("HLL sketch index round-trips through parquet: rolling 7-of-30-day distinct users") {
+    // The consumer path end-to-end: per-day slices sketched ONCE,
+    // PERSISTED as a parquet sketch index, read back cold, the last 7
+    // day-slices merged, and the rolling-window distinct answered from
+    // ~2 KB buffers — no re-scan of the raw events. (Bytes survive the
+    // parquet binary round-trip byte-for-byte or the union would
+    // reject/garble them.)
+    val events = graft.ops.EventOps.loadEvents(spark, "/root/testdata/sf0.001")
+      .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+    val path = "/tmp/graft_sketch_index_rt"
+    SketchOps.distinctSketches(events, "user_id", groupCols = Seq("day"))
+      .write.mode("overwrite").parquet(path)
+
+    val stored = spark.read.parquet(path)
+    val days = stored.select("day").distinct().orderBy(col("day").desc)
+      .collect().map(_.getDate(0))
+    assert(days.length == 30, s"expected 30 day slices, got ${days.length}")
+    val window = days.take(7).toSeq
+
+    val merged = SketchOps.mergeSketches(stored.filter(col("day").isin(window: _*)))
+    val (nRows, estD) = merged
+      .select(col("n_rows"), SketchOps.estimate(col("sketch")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+
+    val (exactRows, exactD) = events.filter(col("day").isin(window: _*))
+      .agg(count(lit(1)), countDistinct(col("user_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(nRows == exactRows, s"n_rows fold $nRows vs exact $exactRows")
+    assert(math.abs(estD - exactD).toDouble <= math.max(1.0, 0.05 * exactD),
+      s"rolling estimate $estD vs exact $exactD")
+  }
+
   test("CMS estimates are one-sided and exact when no collision") {
     import spark.implicits._
     import graft.ops.SketchOps
