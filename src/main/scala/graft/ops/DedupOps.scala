@@ -96,6 +96,42 @@ object DedupOps {
         sum(col("n_tokens")).as("n_tokens_kept"))
   }
 
+  /** WITHIN-document repeated-chunk removal — the per-doc half of
+    * CCNet-style chunk dedup: split each document into non-overlapping
+    * `chunkTokens`-token chunks and keep only the FIRST occurrence of
+    * each distinct chunk inside that document (navigation blocks, menu
+    * repeats, copy-pasted paragraphs). Unlike [[chunkDedup]] (global
+    * first occurrence — one corpus-wide aggregate), this op needs no
+    * cross-row state at all: chunking, `array_distinct` (order-
+    * preserving, first occurrence wins), and re-join all happen inside
+    * one row — MAP-ONLY, zero shuffle, scan-bandwidth-bound at 100 TB.
+    * Run it BEFORE the global pass: it shrinks what the corpus-wide
+    * aggregate must shuffle.
+    *
+    * Output: (id, clean_text, n_chunks, n_chunks_kept).
+    */
+  def dedupChunksWithinDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      .withColumn("__nc", when(col("__n") <= chunkTokens, lit(1))
+        .otherwise(((col("__n") - 1) / chunkTokens).cast("int") + 1))
+    // chunks built from ATTRIBUTE references (materialized columns), so
+    // the interpreted HOF evaluates the token array once per row, not
+    // once per chunk (the round-6 interpreted-HOF trap)
+    base
+      .withColumn("__chunks", transform(sequence(lit(0), col("__nc") - 1),
+        i => concat_ws(" ",
+          slice(col("__ws"), i * chunkTokens + 1, lit(chunkTokens)))))
+      .withColumn("__kept", array_distinct(col("__chunks")))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        col("__nc").cast("long").as("n_chunks"),
+        size(col("__kept")).cast("long").as("n_chunks_kept"))
+  }
+
   /** Duplicated-passage detection — the exact-substring half of the
     * Lee et al. pipeline ("Deduplicating Training Data Makes Language
     * Models Better", ACL 2022, suffix-array ExactSubstr), re-expressed

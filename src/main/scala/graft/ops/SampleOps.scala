@@ -169,6 +169,33 @@ object SampleOps {
     * per group reach the shuffle — the same shape as a per-group
     * TakeOrdered. Null weights/keys cannot be sampled and are dropped.
     */
+  /** Generic top-k rows per group WITHOUT a ranking window: the bounded
+    * [[graft.functions.TopKByOrdPairs]] aggregate partial-combines
+    * map-side into O(k) buffers, so the exchange carries |groups| × k
+    * pairs — the ANSWER — where the `row_number().over(partitionBy(g))`
+    * idiom sort-shuffles every candidate row (and WindowGroupLimit,
+    * Spark's own mitigation, still shuffles ~k·partitions rows per
+    * group plus pays the per-partition sort). Ranking order is
+    * (ord DESC, id ASC) — ties break by id for a total order.
+    *
+    * Contract: `ord` casts losslessly to double (exact for integrals
+    * < 2^53 — require'd by the aggregate's double buffer), `idCol` is
+    * integral. Output: (groupCols…, rank 1..k, id, ord).
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], ord: Column,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.exprs.topKByOrd(ord.cast("double"),
+        col(idCol).cast("long"), k).as("__topk"))
+      .select(groupCols.map(col) :+
+        posexplode(col("__topk")).as(Seq("__pos", "__p")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        (col("__pos") + 1).cast("long").as("rank"),
+        col("__p.value").as(idCol),
+        col("__p.ord").as("ord")): _*)
+  }
+
   def prioritySample(df: DataFrame, groupCol: String, key: Column,
       weight: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -380,6 +380,45 @@ object TextOps {
     */
   def normalizeText(c: Column): Column = graft.functions.exprs.normalizeText(c)
 
+  /** PII patterns for [[redactPii]], applied in this order. Chosen to
+    * parse identically under Java regex (Spark) and RE2 (the DuckDB
+    * oracle): character classes + bounded/greedy quantifiers only — no
+    * backreferences, no lookaround, no alternation ambiguity. Email
+    * must run before the digit rules (its local part may contain digit
+    * runs the later rules would shred). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("\\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"))
+
+  /** PII redaction — the standard pre-training scrub (emails, IPv4s,
+    * phone-style digit runs → typed placeholder tokens), the compliance
+    * pass every large-scale corpus gets before training. Each category
+    * is COUNTED on the text state it actually matched against, then
+    * replaced, so counts and replacements agree even when categories
+    * overlap (an email is redacted as one `<EMAIL>`, not an email plus
+    * a phone). Output: (id, clean_text, n_emails, n_ips, n_phones,
+    * n_redactions).
+    *
+    * Shape: map-only — `regexp_count`/`regexp_replace` are codegen'd
+    * builtins evaluated once per row; no join, no aggregate, no
+    * shuffle, so the op scales with scan bandwidth alone at 100 TB.
+    * Redaction is idempotent: placeholders contain no pattern-matchable
+    * characters (spec-pinned).
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val names = Seq("n_emails", "n_ips", "n_phones")
+    val (cleaned, counts) =
+      PiiPatterns.zip(names).foldLeft((col(textCol), Seq.empty[Column])) {
+        case ((t, cs), ((re, repl), n)) =>
+          (regexp_replace(t, re, repl), cs :+ regexp_count(t, lit(re)).cast("long").as(n))
+      }
+    df.filter(col(textCol).isNotNull)
+      .select(Seq(col(idCol), cleaned.as("clean_text")) ++ counts: _*)
+      .withColumn("n_redactions",
+        names.map(col).reduce(_ + _).as("n_redactions"))
+  }
+
   /** Shallow linear classifier scoring — the fastText-style quality /
     * domain classifier pass of a curation pipeline (Joulin et al., "Bag
     * of Tricks for Efficient Text Classification", EACL 2017): score =

@@ -654,6 +654,30 @@ object Queries {
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  /** SimHash pairs flowing INTO the cluster spine — the pigeonhole
+    * near-pair generator feeding the same edge-induced-subgraph CC the
+    * MinHash path uses (near-dup clustering is signature-agnostic). */
+  private def simhashClustersQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = DedupOps.simhashNearPairs(docs, "doc_id", "text",
+      SimhashBits, maxHamming = 3)
+    DedupOps.nearDupClusters(pairs, docs.select(col("doc_id")), "doc_id")
+  }
+
+  private def simhashClustersSql =
+    s"""WITH RECURSIVE sh AS ($simhashInnerSql),
+       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |walk(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst)
+       |SELECT node AS doc_id, min(label)::BIGINT AS cluster_id
+       |FROM walk GROUP BY node""".stripMargin
+
   private def qualityFilterQ(s: SparkSession, dir: String): DataFrame =
     TextOps.qualityFilter(t(s, dir, "documents"), "text")
       .select("doc_id", "n_words", "avg_word_len", "stopword_ratio")
@@ -947,6 +971,78 @@ object Queries {
        |  length($norm)::BIGINT AS n_norm_chars,
        |  ${sqlHash(norm)} AS norm_fp
        |FROM documents WHERE text IS NOT NULL""".stripMargin
+  }
+
+  /** Windowless per-group top-k: longest 3 docs per language ranked by
+    * the bounded aggregate — the exchange carries the answer (|langs|×3
+    * pairs), not the candidate rows. */
+  private def topkPerGroupQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.topKPerGroup(t(s, dir, "documents"), Seq("lang"),
+        col("n_chars"), "doc_id", k = 3)
+      .select(col("lang"), col("rank"), col("doc_id"),
+        col("ord").cast("long").as("n_chars"))
+
+  private val topkPerGroupSql =
+    """SELECT lang, rank, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY n_chars DESC, doc_id) AS rank
+      |  FROM documents)
+      |WHERE rank <= 3""".stripMargin
+
+  private val WithinDocChunk = 4
+
+  /** Map-only within-doc repeated-chunk removal (the per-doc half of
+    * CCNet chunk dedup). */
+  private def withinDocDedupQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.dedupChunksWithinDocs(t(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = WithinDocChunk)
+
+  private val withinDocDedupSql = {
+    val ct = WithinDocChunk
+    s"""WITH ws AS (SELECT doc_id, string_split(text,' ') AS ws
+       |            FROM documents WHERE text IS NOT NULL),
+       |nn AS (SELECT doc_id, ws,
+       |         CASE WHEN len(ws) <= $ct THEN 1
+       |              ELSE CAST((len(ws)-1)//$ct AS INT) + 1 END AS nc
+       |       FROM ws),
+       |ch AS (SELECT doc_id, i AS idx,
+       |         array_to_string(ws[i*$ct+1:i*$ct+$ct], ' ') AS chunk
+       |       FROM nn, UNNEST(range(0, nc)) t(i)),
+       |k AS (SELECT doc_id, chunk, min(idx) AS fi FROM ch GROUP BY 1, 2),
+       |agg AS (SELECT doc_id,
+       |          array_to_string(list(chunk ORDER BY fi), ' ') AS clean_text,
+       |          count(*)::BIGINT AS n_chunks_kept
+       |        FROM k GROUP BY doc_id)
+       |SELECT a.doc_id, a.clean_text, CAST(n.nc AS BIGINT) AS n_chunks,
+       |  a.n_chunks_kept
+       |FROM agg a JOIN nn n ON n.doc_id = a.doc_id""".stripMargin
+  }
+
+  /** PII scrub over the corpus (identity on this synthetic corpus —
+    * planted-PII behavior is spec-pinned in TextOpsSpec, the
+    * `q_normalize_text` precedent). */
+  private def redactPiiQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.redactPii(t(s, dir, "documents"), "doc_id", "text")
+
+  private val redactPiiSql = {
+    // generated from TextOps.PiiPatterns so Spark and oracle can never
+    // drift; each step counts on the PRE-replacement state, like the op
+    val names = Seq("n_emails", "n_ips", "n_phones")
+    val steps = TextOps.PiiPatterns.zip(names).zipWithIndex.map {
+      case (((re, repl), n), i) =>
+        val carried = names.take(i).map(c => s"$c, ").mkString
+        val outText = if (i == TextOps.PiiPatterns.size - 1) "clean_text" else s"t${i + 1}"
+        s"""s${i + 1} AS (SELECT doc_id, $carried
+           |  CAST(len(regexp_extract_all(t$i, '$re')) AS BIGINT) AS $n,
+           |  regexp_replace(t$i, '$re', '$repl', 'g') AS $outText
+           |FROM s$i)""".stripMargin
+    }
+    s"""WITH s0 AS (SELECT doc_id, text AS t0 FROM documents WHERE text IS NOT NULL),
+       |${steps.mkString(",\n")}
+       |SELECT doc_id, clean_text, ${names.mkString(", ")},
+       |  ${names.mkString(" + ")} AS n_redactions
+       |FROM s${TextOps.PiiPatterns.size}""".stripMargin
   }
 
   private val HashEmbedDim = 16
@@ -1358,6 +1454,32 @@ object Queries {
       |  (SELECT min(val) FROM cum WHERE cum >= (SELECT (9 * n + 9) // 10 FROM base)) AS p90
       |FROM base""".stripMargin
 
+  /** Sequence-length profile: the numeric-profile spine applied to the
+    * corpus' per-doc token counts — the distribution (median/p90/max
+    * tokens) that sizes packing bins and context windows. Pins TextOps
+    * flowing INTO ProfileOps. */
+  private def tokenProfileQ(s: SparkSession, dir: String): DataFrame =
+    ProfileOps.numericProfile(
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+      "n_tokens")
+
+  private val tokenProfileSql =
+    """WITH v AS (SELECT CAST(len(string_split(text,' ')) AS BIGINT) AS v
+      |           FROM documents WHERE text IS NOT NULL),
+      |base AS (SELECT count(*)::BIGINT AS n_rows,
+      |    CAST(count(*) - count(v) AS BIGINT) AS n_null,
+      |    count(v)::BIGINT AS n, min(v) AS min_v, max(v) AS max_v,
+      |    CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM v),
+      |c AS (SELECT v AS val, count(*)::BIGINT AS c FROM v
+      |      WHERE v IS NOT NULL GROUP BY v),
+      |cum AS (SELECT val, sum(c) OVER (ORDER BY val) AS cum FROM c)
+      |SELECT n_rows, n_null, min_v, max_v, sum_cents,
+      |  (SELECT min(val) FROM cum WHERE cum >= (SELECT (n + 1) // 2 FROM base)) AS median,
+      |  (SELECT min(val) FROM cum WHERE cum >= (SELECT (9 * n + 9) // 10 FROM base)) AS p90
+      |FROM base""".stripMargin
+
   private def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
     val ev = EventOps.loadEvents(s, dir)
     EventOps.asofJoin(
@@ -1666,6 +1788,7 @@ object Queries {
     "q_semi_join" -> (semiJoinQ _),
     "q_rollup_revenue" -> (rollupRevenueQ _),
     "q_simhash_near_pairs" -> (simhashNearQ _),
+    "q_simhash_clusters" -> (simhashClustersQ _),
     "q_quality_filter" -> (qualityFilterQ _),
     "q_ivf_topk" -> (ivfTopkQ _),
     "q_events_props" -> (eventsPropsQ _),
@@ -1707,6 +1830,10 @@ object Queries {
     "q_containment_pairs" -> (containmentQ _),
     "q_cut_passages" -> (cutPassagesQ _),
     "q_passage_pipeline" -> (passagePipelineQ _),
+    "q_redact_pii" -> (redactPiiQ _),
+    "q_within_doc_dedup" -> (withinDocDedupQ _),
+    "q_topk_per_group" -> (topkPerGroupQ _),
+    "q_token_profile" -> (tokenProfileQ _),
     "q_cms_terms" -> (cmsTermsQ _),
     "q_curation_funnel" -> (curationFunnelQ _),
     "q_profile_by_group" -> (profileByGroupQ _),
@@ -1753,6 +1880,7 @@ object Queries {
     "q_semi_join" -> semiJoinSql,
     "q_rollup_revenue" -> rollupRevenueSql,
     "q_simhash_near_pairs" -> simhashNearSql,
+    "q_simhash_clusters" -> simhashClustersSql,
     "q_quality_filter" -> qualityFilterSql,
     "q_ivf_topk" -> ivfTopkSql,
     "q_events_props" -> eventsPropsSql,
@@ -1794,6 +1922,10 @@ object Queries {
     "q_containment_pairs" -> containmentPairsSql,
     "q_cut_passages" -> cutPassagesSql,
     "q_passage_pipeline" -> passagePipelineSql,
+    "q_redact_pii" -> redactPiiSql,
+    "q_within_doc_dedup" -> withinDocDedupSql,
+    "q_topk_per_group" -> topkPerGroupSql,
+    "q_token_profile" -> tokenProfileSql,
     "q_cms_terms" -> cmsTermsSql,
     "q_curation_funnel" -> curationFunnelSql,
     "q_profile_by_group" -> profileByGroupSql,

@@ -135,6 +135,31 @@ class DedupOpsSpec extends SparkSpec {
       exact.orderBy("doc_id").collect().toSeq)
   }
 
+  test("dedupChunksWithinDocs keeps first chunk occurrence per doc, map-only") {
+    val d = Seq(
+      (0L, "a b c d a b c d e f"),   // chunk "a b c d" repeats; tail "e f"
+      (1L, "x y x y"),               // one 4-token chunk, nothing to cut
+      (2L, "p q p q p q p q"),       // two identical chunks -> one kept
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.dedupChunksWithinDocs(d, "doc_id", "text", chunkTokens = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "a b c d e f", 3L, 2L),
+      (1L, "x y x y", 1L, 1L),
+      (2L, "p q p q", 2L, 1L),
+      (3L, "solo", 1L, 1L)))
+    // cross-doc repeats are NOT touched (that's chunkDedup's job):
+    // docs 1 and 2 share no fate here despite repeating content
+    // map-only: zero exchanges on a real scan
+    val plan = DedupOps.dedupChunksWithinDocs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text", chunkTokens = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("exactSubstrDedup: cutting exposes residue dups only the exact pass can collapse") {
     // docs 10/11 share residue "r1 r2 r3" but wrap DIFFERENT duplicated
     // passages (P hosted canonically by doc 0, Q by doc 1) — before the

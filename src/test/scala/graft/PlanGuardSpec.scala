@@ -135,7 +135,7 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("similarity top-k queries rank via the bounded aggregate, never a window") {
-    for (q <- Seq("q_embed_cosine_topk", "q_ivf_topk")) {
+    for (q <- Seq("q_embed_cosine_topk", "q_ivf_topk", "q_topk_per_group")) {
       val plan = planOf(q)
       assert(!plan.contains("Window"), s"$q: ${plan.take(2000)}")
       assert(plan.contains("graft_top_k_by_ord"), s"$q: ${plan.take(2000)}")

@@ -118,6 +118,24 @@ class SampleOpsSpec extends SparkSpec {
       "global unpartitioned window reappeared:\n" + plan.take(3000))
   }
 
+  test("topKPerGroup equals the ranking-window form; no window in the plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = SampleOps.topKPerGroup(docs, Seq("lang"), col("n_chars"), "doc_id", 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id").asc)
+    val expected = docs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("lang"), col("rank"), col("doc_id"),
+        col("n_chars").cast("double").as("ord"))
+    assert(got.collect().toSet == expected.collect().toSet)
+    assert(got.count() == 15) // 5 langs x 3
+    // the whole point: the plan ranks via the bounded aggregate
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_top_k_by_ord") && !plan.contains("Window"),
+      plan.take(2000))
+  }
+
   test("prioritySample: brute-force equal, weight-sensitive, partial top-k plan") {
     import graft.functions.HashKernels
     import org.apache.spark.unsafe.types.UTF8String

@@ -326,6 +326,39 @@ class TextOpsSpec extends SparkSpec {
     assert(n(0).isNullAt(0))
   }
 
+  test("redactPii scrubs planted emails/IPs/phones with per-category counts; idempotent; map-only") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "contact bob.smith+spam@example.co.uk for details"),
+      (1L, "server at 192.168.0.1 and 10.0.0.255 responded"),
+      (2L, "call +1 (555) 123-4567 now"),
+      (3L, "mixed: a@b.io from 8.8.8.8 dial 5551234567890"),
+      (4L, "nothing to redact here"),
+      (5L, "digits 123 and 45.6 stay"))
+      .toDF("doc_id", "text")
+    val got = TextOps.redactPii(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("contact <EMAIL> for details", 1L, 0L, 0L, 1L),
+      ("server at <IP> and <IP> responded", 0L, 2L, 0L, 2L),
+      ("call <PHONE> now", 0L, 0L, 1L, 1L),
+      ("mixed: <EMAIL> from <IP> dial <PHONE>", 1L, 1L, 1L, 3L),
+      ("nothing to redact here", 0L, 0L, 0L, 0L),
+      ("digits 123 and 45.6 stay", 0L, 0L, 0L, 0L)))
+    // idempotent: placeholders contain nothing the patterns can re-match
+    val once = TextOps.redactPii(d, "doc_id", "text")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = TextOps.redactPii(once, "doc_id", "text")
+    assert(twice.agg(sum("n_redactions")).head().getLong(0) == 0L)
+    // map-only: no exchange anywhere in the plan
+    val plan = TextOps.redactPii(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("hashEmbed accumulates signed token buckets (vs by-hand kernel recompute)") {
     import spark.implicits._
     val dim = 8
