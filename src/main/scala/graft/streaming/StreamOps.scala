@@ -131,6 +131,82 @@ object StreamOps {
     graft.ops.Pipeline.publishStaged(tmp, sketchPath)
   }
 
+  /** Streaming NEAR-dup ingest gate — the incremental-dedup path
+    * ([[graft.ops.DedupOps.dedupAgainstIndex]]) driven by the stream
+    * engine: each micro-batch of documents is (1) self-deduped within
+    * the batch (LSH → CC → canonical min id, the full
+    * [[graft.ops.DedupOps.dedupByMinhash]] chain), (2) anti-joined
+    * against near-dups of the STANDING MinHash signature index — the
+    * corpus ever ingested, never re-shingled — and (3) the survivors'
+    * signatures fold into the index. Survivor documents land in
+    * `survivorsPath/batch=<id>/`.
+    *
+    * Crash/replay safety (foreachBatch is at-least-once): the gate is a
+    * deterministic function of (batch, stored index), survivors write
+    * to a PER-BATCH directory with overwrite (idempotent re-write), and
+    * the index publishes via the staged swap carrying `__last_batch` —
+    * a re-delivered epoch is skipped entirely, exactly the
+    * [[sketchIndexSink]] discipline.
+    *
+    * Defaults mirror `dedupByMinhash` (16 hashes / k=3 shingles /
+    * 8 bands). At 100 TB the per-batch cost is batch-sized: the index
+    * side joins BANDS of the stored signature table (maxBucket-capped),
+    * never the raw corpus.
+    */
+  def nearDupGateSink(docs: DataFrame, sigPath: String, survivorsPath: String,
+      idCol: String, textCol: String, numHashes: Int = 16, k: Int = 3,
+      bands: Int = 8, minJaccard: Double = 0.5, maxBucket: Int = 1000)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateNearDupBatch(batch, sigPath, survivorsPath, idCol, textCol,
+          numHashes, k, bands, minJaccard, maxBucket, batchId)
+      }
+
+  /** One micro-batch of the near-dup gate (see [[nearDupGateSink]]). */
+  private[graft] def gateNearDupBatch(batch: DataFrame, sigPath: String,
+      survivorsPath: String, idCol: String, textCol: String, numHashes: Int,
+      k: Int, bands: Int, minJaccard: Double, maxBucket: Int,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.ops.Pipeline.recoverStaged(sigPath)
+    val stored =
+      if (new java.io.File(sigPath).exists())
+        Some(spark.read.parquet(sigPath))
+      else None
+    if (stored.exists(s =>
+        !s.head(1).isEmpty && s.head().getAs[Long]("__last_batch") >= batchId))
+      return // replayed epoch: already gated and published
+    val selfDeduped = graft.ops.DedupOps.dedupByMinhash(
+      batch, idCol, textCol, minJaccard)
+    val survivors = stored match {
+      case Some(s) =>
+        val hits = graft.ops.DedupOps.dedupAgainstIndex(selfDeduped,
+            s.drop("__last_batch"), idCol, textCol, numHashes, k, bands,
+            minJaccard, maxBucket)
+          .select(col("id_new").as(idCol)).distinct()
+        selfDeduped.join(hits, Seq(idCol), "left_anti")
+      case None => selfDeduped
+    }
+    // per-batch overwrite BEFORE the index publish: a crash between the
+    // two re-runs the batch, which recomputes the same survivor set
+    // (deterministic) and overwrites the same directory
+    survivors.write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$survivorsPath/batch=$batchId")
+    // signatures from the JUST-WRITTEN parquet: `survivors` carries the
+    // whole LSH→CC lineage, which a second reference would re-run
+    val newSigs = graft.ops.DedupOps.minhashSignatures(
+      spark.read.parquet(s"$survivorsPath/batch=$batchId"),
+      idCol, textCol, numHashes, k)
+    val next = stored.map(_.drop("__last_batch").unionByName(newSigs))
+      .getOrElse(newSigs)
+    val tmp = sigPath + "__staging"
+    next.withColumn("__last_batch", lit(batchId))
+      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    graft.ops.Pipeline.publishStaged(tmp, sigPath)
+  }
+
   /** A keyed record for stateful streaming ops (payload = whatever the
     * caller packs; typed so `flatMapGroupsWithState` gets encoders). */
   case class Keyed(key: Long, ord: Long, payload: String)

@@ -105,6 +105,55 @@ class StreamOpsSpec extends SparkSpec {
     assert(est(spark.read.parquet(sk))("en") == (6L, 3L))
   }
 
+  test("nearDupGateSink: streamed batches dedup within-batch AND against the standing index") {
+    val in = tmpDir("graft_stream_gate_in")
+    val sig = tmpDir("graft_stream_gate_sig") + "/sigs.parquet"
+    val out = tmpDir("graft_stream_gate_out") + "/survivors"
+    val ckpt = tmpDir("graft_stream_gate_ckpt")
+    val tA = "the quick brown fox jumps over the lazy dog tonight"
+    val tB = "completely different words appear inside this other document here now"
+    // batch 1: 0 and its exact copy 1 -> within-batch dedup keeps 0
+    Seq((0L, tA), (1L, tA)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/b1")
+    Thread.sleep(50)
+    // batch 2: 2 is a copy of the ALREADY-INGESTED 0 (index hit), 3 is new
+    Seq((2L, tA), (3L, tB)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$in/b2")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = StreamOps.nearDupGateSink(stream, sig, out, "doc_id", "text")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val survivors = spark.read.parquet(out)
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 3L))
+    // the index holds exactly the survivors' signatures
+    val idx = spark.read.parquet(sig)
+    assert(idx.select("doc_id").collect().map(_.getLong(0)).toSet == Set(0L, 3L))
+    assert(idx.columns.contains("mh0") && idx.columns.contains("__last_batch"))
+
+    // at-least-once replay of the last epoch is a no-op (no double-fold,
+    // no survivor rewrite with a now-different standing index)
+    StreamOps.gateNearDupBatch(Seq((2L, tA), (3L, tB)).toDF("doc_id", "text"),
+      sig, out, "doc_id", "text", 16, 3, 8, 0.5, 1000, batchId = 1L)
+    assert(spark.read.parquet(sig).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 3L))
+    // a genuinely new epoch gates against everything ingested so far:
+    // a copy of tB is now dropped, a fresh doc survives
+    val tC = "yet another corpus entry with its own unrepeated vocabulary words"
+    StreamOps.gateNearDupBatch(Seq((4L, tB), (5L, tC)).toDF("doc_id", "text"),
+      sig, out, "doc_id", "text", 16, 3, 8, 0.5, 1000, batchId = 2L)
+    assert(spark.read.parquet(sig).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 3L, 5L))
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 3L, 5L))
+  }
+
   test("sessionizeStream: gap-closed sessions emit in-batch, open ones on watermark timeout") {
     val in = tmpDir("graft_stream_sess_in")
     // batch 1 (user 1): 00:00 + 00:10 form one session (gap 30m);
