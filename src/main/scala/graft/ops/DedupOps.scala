@@ -962,6 +962,13 @@ object DedupOps {
     * bounds the quadratic term on boilerplate-heavy corpora; recall on
     * pairs whose ONLY agreeing chunk is hot is sacrificed, documented
     * trade, same shape as [[lshCandidatePairs]]).
+    *
+    * Duplicate-heavy corpora: the OUTPUT itself is quadratic in exact
+    * copies (every pair of identical docs is a near-dup pair — a lower
+    * bound for any exact pair enumerator, measured 100× pairs at a 10×
+    * replicated stress). Collapse exact copies with [[exactDedup]]
+    * FIRST; the distinct texts' pair count returns to corpus scale
+    * (BASELINE.md round-7 stress).
     */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 24, maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
