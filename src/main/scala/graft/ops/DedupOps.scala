@@ -885,6 +885,26 @@ object DedupOps {
       .select("id_new", "id_old", "est_jaccard")
   }
 
+  /** Recall/volume scorecard of an approximate pair generator against an
+    * exact one — the measurement harness behind every LSH dial in this
+    * file (bands, maxBucket, maxDf, bits): one full-outer join on the
+    * pair key, one aggregate row (n_exact, n_approx, n_both, recall).
+    * Run it when retuning a dial at a new corpus scale (BASELINE.md's
+    * 10× RP-LSH retuning is exactly this measurement); both inputs are
+    * pair-sized, never corpus-sized. `recall` is one IEEE division of
+    * exact counts — oracle-reproducible.
+    */
+  def pairRecall(exactPairs: DataFrame, approxPairs: DataFrame): DataFrame = {
+    val e = exactPairs.select(col("id_a"), col("id_b"), lit(true).as("__e"))
+    val a = approxPairs.select(col("id_a"), col("id_b"), lit(true).as("__a"))
+    e.join(a, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        count(col("__e")).as("n_exact"),
+        count(col("__a")).as("n_approx"),
+        count(when(col("__e").isNotNull && col("__a").isNotNull, 1)).as("n_both"))
+      .withColumn("recall", col("n_both").cast("double") / col("n_exact"))
+  }
+
   /** Keep the best-scoring document per near-dup cluster — canonical
     * selection by QUALITY instead of minimum id (dedup pipelines keep
     * the longest / highest-quality copy, not an arbitrary one). `score`

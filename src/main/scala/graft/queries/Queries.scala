@@ -581,6 +581,30 @@ object Queries {
 
   private val SimhashBits = 24
 
+  /** LSH recall scorecard: banded MinHash pairs measured against the
+    * exact inverted-index pairs — the dial-tuning evidence row
+    * (BASELINE.md's 10× retunings are this measurement at scale).
+    * Deltas near the threshold are real: the exact side computes
+    * Jaccard on DF-CUT postings, the LSH verify on raw shingle sets. */
+  private def lshRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    DedupOps.pairRecall(
+      DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, minJaccard = 0.5, maxDf = 1000),
+      DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+        numHashes = MinhashN, k = 3, bands = MinhashBands, minJaccard = 0.5))
+  }
+
+  private def lshRecallSql =
+    s"""SELECT count(e.id_a)::BIGINT AS n_exact,
+       |  count(l.id_a)::BIGINT AS n_approx,
+       |  count(CASE WHEN e.id_a IS NOT NULL AND l.id_a IS NOT NULL THEN 1 END)::BIGINT AS n_both,
+       |  CAST(count(CASE WHEN e.id_a IS NOT NULL AND l.id_a IS NOT NULL THEN 1 END) AS DOUBLE)
+       |    / count(e.id_a) AS recall
+       |FROM ($ngramJaccardSql) e
+       |FULL OUTER JOIN ($minhashLshPairsSql) l
+       |  ON e.id_a = l.id_a AND e.id_b = l.id_b""".stripMargin
+
   private def simhashQ(s: SparkSession, dir: String): DataFrame =
     DedupOps.simhash(t(s, dir, "documents"), "doc_id", "text", SimhashBits)
 
@@ -1789,6 +1813,7 @@ object Queries {
     "q_rollup_revenue" -> (rollupRevenueQ _),
     "q_simhash_near_pairs" -> (simhashNearQ _),
     "q_simhash_clusters" -> (simhashClustersQ _),
+    "q_lsh_recall" -> (lshRecallQ _),
     "q_quality_filter" -> (qualityFilterQ _),
     "q_ivf_topk" -> (ivfTopkQ _),
     "q_events_props" -> (eventsPropsQ _),
@@ -1881,6 +1906,7 @@ object Queries {
     "q_rollup_revenue" -> rollupRevenueSql,
     "q_simhash_near_pairs" -> simhashNearSql,
     "q_simhash_clusters" -> simhashClustersSql,
+    "q_lsh_recall" -> lshRecallSql,
     "q_quality_filter" -> qualityFilterSql,
     "q_ivf_topk" -> ivfTopkSql,
     "q_events_props" -> eventsPropsSql,

