@@ -131,6 +131,47 @@ object StreamOps {
     graft.ops.Pipeline.publishStaged(tmp, sketchPath)
   }
 
+  /** Fold per-micro-batch count-min cell tables into a stored CMS —
+    * rolling approximate TERM FREQUENCIES over an unbounded stream, the
+    * frequency complement of [[sketchIndexSink]]'s distinct counts. Each
+    * batch contributes a ≤ depth·2^log2w cell table
+    * ([[graft.ops.SketchOps.cmsCells]]) merged by union + re-sum
+    * ([[graft.ops.SketchOps.cmsMerge]] — exactly equals the one-shot
+    * build, spec-pinned); same `__last_batch` replay guard and staged
+    * publish as the HLL sink. Cell sums are NOT replay-idempotent, so
+    * the guard is load-bearing.
+    */
+  def cmsIndexSink(docs: DataFrame, cmsPath: String, textCol: String,
+      depth: Int = 4, log2w: Int = 14)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldCmsBatch(batch, cmsPath, textCol, depth, log2w, batchId)
+      }
+
+  /** One micro-batch of the CMS fold (see [[cmsIndexSink]]). */
+  private[graft] def foldCmsBatch(batch: DataFrame, cmsPath: String,
+      textCol: String, depth: Int, log2w: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.ops.Pipeline.recoverStaged(cmsPath)
+    val stored =
+      if (new java.io.File(cmsPath).exists())
+        Some(spark.read.parquet(cmsPath))
+      else None
+    if (stored.exists(s =>
+        !s.head(1).isEmpty && s.head().getAs[Long]("__last_batch") >= batchId))
+      return // replayed epoch: already folded and published
+    val delta = graft.ops.SketchOps.cmsCells(batch, textCol, depth, log2w)
+    val next = stored
+      .map(s => graft.ops.SketchOps.cmsMerge(Seq(s.drop("__last_batch"), delta)))
+      .getOrElse(delta)
+    val tmp = cmsPath + "__staging"
+    next.withColumn("__last_batch", lit(batchId))
+      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    graft.ops.Pipeline.publishStaged(tmp, cmsPath)
+  }
+
   /** Streaming NEAR-dup ingest gate — the incremental-dedup path
     * ([[graft.ops.DedupOps.dedupAgainstIndex]]) driven by the stream
     * engine: each micro-batch of documents is (1) self-deduped within

@@ -180,6 +180,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("property: dedupChunksWithinDocs equals an in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(43)
+    for (_ <- 0 until 4) {
+      val ct = 1 + rnd.nextInt(3)
+      val docs = (0 until 12).map { i =>
+        val words = Seq.fill(1 + rnd.nextInt(10))(s"w${rnd.nextInt(3)}")
+        (i.toLong, words.mkString(" "))
+      }
+      val got = DedupOps.dedupChunksWithinDocs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", chunkTokens = ct)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val expected = docs.map { case (id, text) =>
+        val chunks = text.split(" ", -1).grouped(ct).map(_.mkString(" ")).toSeq
+        val kept = chunks.distinct
+        (id, kept.mkString(" "), chunks.size.toLong, kept.size.toLong)
+      }.toSet
+      assert(got == expected, s"chunkTokens=$ct")
+    }
+  }
+
   test("exactSubstrDedup: cutting exposes residue dups only the exact pass can collapse") {
     // docs 10/11 share residue "r1 r2 r3" but wrap DIFFERENT duplicated
     // passages (P hosted canonically by doc 0, Q by doc 1) — before the

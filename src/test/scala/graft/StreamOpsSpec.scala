@@ -105,6 +105,46 @@ class StreamOpsSpec extends SparkSpec {
     assert(est(spark.read.parquet(sk))("en") == (6L, 3L))
   }
 
+  test("cmsIndexSink: streamed CMS fold equals the one-shot build; replay is a no-op") {
+    val in = tmpDir("graft_stream_cms_in")
+    val cms = tmpDir("graft_stream_cms") + "/cms.parquet"
+    val ckpt = tmpDir("graft_stream_cms_ckpt")
+    Seq((0L, "alpha beta alpha"), (1L, "beta gamma"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b1")
+    Thread.sleep(50)
+    Seq((2L, "alpha delta"), (3L, "gamma gamma beta"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b2")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = StreamOps.cmsIndexSink(stream, cms, "text", depth = 3, log2w = 8)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("j", "pos", "cell").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = cells(spark.read.parquet(cms).drop("__last_batch"))
+    val oneShot = cells(graft.ops.SketchOps.cmsCells(
+      spark.read.parquet(s"$in/*"), "text", depth = 3, log2w = 8))
+    assert(streamed == oneShot)
+    // estimates answered from the folded table: exact at this width
+    val terms = Seq("alpha", "beta", "gamma", "delta").toDF("term")
+    val est = graft.ops.SketchOps.cmsEstimates(terms, "term",
+        spark.read.parquet(cms).drop("__last_batch"), depth = 3, log2w = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") >= 3 && est("beta") >= 3 && est("gamma") >= 3 &&
+      est("delta") >= 1) // one-sided: never an undercount
+    // replaying the last epoch must not double the cells
+    StreamOps.foldCmsBatch(
+      Seq((3L, "gamma gamma beta")).toDF("doc_id", "text"),
+      cms, "text", 3, 8, batchId = 1L)
+    assert(cells(spark.read.parquet(cms).drop("__last_batch")) == streamed)
+  }
+
   test("nearDupGateSink: streamed batches dedup within-batch AND against the standing index") {
     val in = tmpDir("graft_stream_gate_in")
     val sig = tmpDir("graft_stream_gate_sig") + "/sigs.parquet"
