@@ -579,6 +579,19 @@ object Queries {
        |SELECT node AS doc_id, min(label)::BIGINT AS cluster_id FROM walk GROUP BY node""".stripMargin
   }
 
+  /** The one-call user-facing dedup API: full LSH→CC chain, keep the
+    * canonical (minimum-id) doc per near-dup cluster. Pieces are each
+    * oracle-gated; this pins the composition the README advertises. */
+  private def dedupByMinhashQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.dedupByMinhash(t(s, dir, "documents"), "doc_id", "text",
+      minJaccard = 0.5)
+
+  private def dedupByMinhashSql =
+    s"""WITH clusters AS ($dedupClustersSql)
+       |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       |FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+       |WHERE c.doc_id = c.cluster_id""".stripMargin
+
   private val SimhashBits = 24
 
   /** LSH recall scorecard: banded MinHash pairs measured against the
@@ -1814,6 +1827,7 @@ object Queries {
     "q_simhash_near_pairs" -> (simhashNearQ _),
     "q_simhash_clusters" -> (simhashClustersQ _),
     "q_lsh_recall" -> (lshRecallQ _),
+    "q_dedup_by_minhash" -> (dedupByMinhashQ _),
     "q_quality_filter" -> (qualityFilterQ _),
     "q_ivf_topk" -> (ivfTopkQ _),
     "q_events_props" -> (eventsPropsQ _),
@@ -1907,6 +1921,7 @@ object Queries {
     "q_simhash_near_pairs" -> simhashNearSql,
     "q_simhash_clusters" -> simhashClustersSql,
     "q_lsh_recall" -> lshRecallSql,
+    "q_dedup_by_minhash" -> dedupByMinhashSql,
     "q_quality_filter" -> qualityFilterSql,
     "q_ivf_topk" -> ivfTopkSql,
     "q_events_props" -> eventsPropsSql,
