@@ -113,6 +113,12 @@ class PlanGuardSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("flagship entry() returns rows (the driver's smoke contract)") {
+    // the driver smoke-checks rows > 0 on SparkEntry.entry at sf0.001;
+    // break it here first, not in the round gate
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every registered query emits only atomic sortable columns (driver comparator contract)") {
     // The driver's oracle comparator sorts result rows with pandas, which
     // cannot sort array/map/struct cells (round-6 q_hash_embed failure:
