@@ -54,6 +54,27 @@ object EventOps {
       .withColumn("session_seq", sum(col("new_session")).over(w))
   }
 
+  /** Per-user inter-event gap statistics — the cadence signal behind
+    * session-gap and churn thresholds: for each user, the count / exact
+    * µs sum / max of consecutive-event gaps, ordered by (ts_us,
+    * event_id) for a total order under timestamp ties. One lag window
+    * PARTITIONED by user (the sessionize exchange exactly) and one
+    * per-user aggregate — all exact integers, no date arithmetic.
+    * Single-event users have no gaps and drop out.
+    */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    events
+      .withColumn("__prev", lag(col("ts_us"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("user_id"), (col("ts_us") - col("__prev")).as("__gap"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__gap")).as("sum_gap_us"),
+        max(col("__gap")).as("max_gap_us"))
+  }
+
   /** Cohort retention: users bucketed by first-seen day (integer
     * day-of-epoch from exact µs — no timezone/date arithmetic), counted
     * per (cohort day, activity day). Two hash aggregates + one join on

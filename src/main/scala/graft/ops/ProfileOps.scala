@@ -149,6 +149,44 @@ object ProfileOps {
     withQuantiles(mergedStats, merged, mat)
   }
 
+  /** Equi-width histogram of an INTEGRAL column: `bins` buckets over
+    * [min, max], bin index = (v − min)·bins div (max − min + 1) — exact
+    * long arithmetic end-to-end, so bucket membership (and the oracle
+    * hash) cannot drift with float rounding. Emits observed per-bin
+    * bounds rather than computed edges (exact, and more useful for
+    * skew-reading). Output: (bin, n_rows, lo, hi), only non-empty bins.
+    *
+    * Shape: ONE eager min/max stats job folded in as literals (the
+    * [[BucketOps.zOrdered]] discipline — scalar subqueries clone per
+    * reference and would re-scan per bound), then one map-only bin
+    * projection + one hash aggregate on the bin key (≤ `bins`
+    * post-aggregate rows regardless of corpus size — partial combine
+    * does the work map-side).
+    */
+  def equiWidthHistogram(df: DataFrame, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val v = col(valueCol)
+    val row = df.filter(v.isNotNull)
+      .agg(min(v).cast("long"), max(v).cast("long")).head()
+    if (row.isNullAt(0))
+      return df.sparkSession.emptyDataFrame
+        .withColumn("bin", lit(0L)).withColumn("n_rows", lit(0L))
+        .withColumn("lo", lit(0L)).withColumn("hi", lit(0L))
+        .limit(0)
+    val (mn, mx) = (row.getLong(0), row.getLong(1))
+    val width = mx - mn + 1
+    // `div` = exact integral division (Column./ is double division, and
+    // floor(double) drifts above 2^53 — the exactness contract forbids it)
+    val bin = expr(
+      s"CAST(((CAST(`$valueCol` AS BIGINT) - ${mn}L) * $bins) DIV ${width}L AS BIGINT)")
+    df.filter(v.isNotNull)
+      .select(bin.as("bin"), v.cast("long").as("__v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+  }
+
   /** Per-group profile: one [[numericProfile]] row per group (language,
     * source, day …) — the per-slice QA table a curation pipeline
     * publishes. Identical cell semantics (exact discrete k-th-smallest

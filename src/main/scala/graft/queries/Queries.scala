@@ -1517,6 +1517,35 @@ object Queries {
       |  (SELECT min(val) FROM cum WHERE cum >= (SELECT (9 * n + 9) // 10 FROM base)) AS p90
       |FROM base""".stripMargin
 
+  /** Equi-width histogram of lineitem quantities: exact long-arithmetic
+    * bin assignment (bin = (v−min)·bins div (max−min+1)). */
+  private def histogramQ(s: SparkSession, dir: String): DataFrame =
+    ProfileOps.equiWidthHistogram(t(s, dir, "lineitem"), "l_quantity", bins = 10)
+
+  private val histogramSql =
+    """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS v FROM lineitem
+      |           WHERE l_quantity IS NOT NULL),
+      |b AS (SELECT (SELECT min(v) FROM v) AS mn,
+      |             (SELECT max(v) FROM v) - (SELECT min(v) FROM v) + 1 AS w)
+      |SELECT ((v - mn) * 10) // w AS bin, count(*)::BIGINT AS n_rows,
+      |  min(v) AS lo, max(v) AS hi
+      |FROM v, b GROUP BY 1""".stripMargin
+
+  /** Per-user event cadence: exact inter-event gap stats from one
+    * user-partitioned lag window. */
+  private def eventGapsQ(s: SparkSession, dir: String): DataFrame =
+    EventOps.interEventGaps(EventOps.loadEvents(s, dir))
+
+  private val eventGapsSql =
+    """WITH g AS (SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events)
+      |SELECT user_id, count(*)::BIGINT AS n_gaps,
+      |  CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+      |  CAST(max(gap) AS BIGINT) AS max_gap_us
+      |FROM g WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin
+
   private def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
     val ev = EventOps.loadEvents(s, dir)
     EventOps.asofJoin(
@@ -1873,6 +1902,8 @@ object Queries {
     "q_within_doc_dedup" -> (withinDocDedupQ _),
     "q_topk_per_group" -> (topkPerGroupQ _),
     "q_token_profile" -> (tokenProfileQ _),
+    "q_histogram" -> (histogramQ _),
+    "q_event_gaps" -> (eventGapsQ _),
     "q_cms_terms" -> (cmsTermsQ _),
     "q_curation_funnel" -> (curationFunnelQ _),
     "q_profile_by_group" -> (profileByGroupQ _),
@@ -1967,6 +1998,8 @@ object Queries {
     "q_within_doc_dedup" -> withinDocDedupSql,
     "q_topk_per_group" -> topkPerGroupSql,
     "q_token_profile" -> tokenProfileSql,
+    "q_histogram" -> histogramSql,
+    "q_event_gaps" -> eventGapsSql,
     "q_cms_terms" -> cmsTermsSql,
     "q_curation_funnel" -> curationFunnelSql,
     "q_profile_by_group" -> profileByGroupSql,

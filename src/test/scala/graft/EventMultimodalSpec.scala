@@ -28,6 +28,13 @@ class EventMultimodalSpec extends SparkSpec {
     assert(s1.getAs[Long]("value_cents") == 300L)
   }
 
+  test("interEventGaps: exact per-user gap stats; single-event users drop") {
+    val got = EventOps.interEventGaps(events).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // user 10: gaps 10min and 40min; user 20: one event, no gaps
+    assert(got.toSeq == Seq((10L, 2L, minUs(50), minUs(40))))
+  }
+
   test("hourlyAgg buckets into exact epoch-hour windows") {
     val got = EventOps.hourlyAgg(events).orderBy("hour_us", "event_type").collect()
     assert(got.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==

@@ -118,6 +118,26 @@ class SampleOpsSpec extends SparkSpec {
       "global unpartitioned window reappeared:\n" + plan.take(3000))
   }
 
+  test("equiWidthHistogram: exact integral binning, conservation, empty edge") {
+    // values 0..9 into 5 bins of width 2: bin = v*5 div 10
+    val d = (0L until 10L).flatMap(v => Seq.fill(v.toInt + 1)(v)).toDF("v")
+    val got = ProfileOps.equiWidthHistogram(d, "v", bins = 5)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 0L, 1L), (1L, 7L, 2L, 3L), (2L, 11L, 4L, 5L),
+      (3L, 15L, 6L, 7L), (4L, 19L, 8L, 9L)))
+    assert(got.map(_._2).sum == d.count()) // every row lands in a bin
+    // single-value column: one bin, observed bounds equal
+    val one = Seq(7L, 7L, 7L).toDF("v")
+    val g1 = ProfileOps.equiWidthHistogram(one, "v", bins = 4).collect()
+    assert(g1.length == 1 && g1(0).getLong(1) == 3L &&
+      g1(0).getLong(2) == 7L && g1(0).getLong(3) == 7L)
+    // all-null / empty input: empty result, not a crash
+    assert(ProfileOps.equiWidthHistogram(
+      Seq.empty[Long].toDF("v"), "v", bins = 3).count() == 0L)
+  }
+
   test("topKPerGroup equals the ranking-window form; no window in the plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = SampleOps.topKPerGroup(docs, Seq("lang"), col("n_chars"), "doc_id", 3)
