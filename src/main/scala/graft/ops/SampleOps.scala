@@ -169,6 +169,38 @@ object SampleOps {
     * per group reach the shuffle — the same shape as a per-group
     * TakeOrdered. Null weights/keys cannot be sampled and are dropped.
     */
+  /** Deterministic weighted UPSAMPLING — the data-mixing complement of
+    * the samplers above: each row emits `floor(w)` copies plus one more
+    * with probability frac(w), the fractional part decided by the row's
+    * content hash (stochastic rounding, so an epoch's EXPECTED copy
+    * count equals the prescribed mixture weight while every run emits
+    * the identical concrete rows). `maxRepeat` caps runaway weights.
+    * Output adds a 0-based `copy` ordinal so downstream exact-dedup and
+    * packing can tell copies apart; rows with w < 1 survive only via
+    * the stochastic unit (w <= 0 always drops).
+    *
+    * Shape: a pure row-function repeat count + one `explode(sequence)`
+    * — map-only, no shuffle; output size = Σ copies, known in advance
+    * from the weight column. All decisions are hash-of-content, so the
+    * upsample is stable across runs, partitionings, and engines
+    * (oracle-reproducible like every sampler here).
+    */
+  def upsampleByWeight(df: DataFrame, key: Column, weight: Column,
+      maxRepeat: Int = 100): DataFrame = {
+    require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")
+    val w = weight.cast("double")
+    val base = floor(w).cast("long")
+    val extra = when(
+      pmod(keyHash(key), lit(1000L)).cast("double") < (w - floor(w)) * 1000d,
+      1L).otherwise(0L)
+    val n = least(greatest(base + extra, lit(0L)), lit(maxRepeat.toLong))
+    df.filter(weight.isNotNull)
+      .withColumn("__n", n)
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Generic top-k rows per group WITHOUT a ranking window: the bounded
     * [[graft.functions.TopKByOrdPairs]] aggregate partial-combines
     * map-side into O(k) buffers, so the exchange carries |groups| × k

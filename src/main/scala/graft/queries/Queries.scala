@@ -1330,6 +1330,25 @@ object Queries {
     s"""SELECT doc_id, lang, source FROM documents
        |WHERE ${sqlHash("CAST(doc_id AS VARCHAR)")} % 1000 < 100""".stripMargin
 
+  /** Deterministic weighted upsampling by a length-derived mixture
+    * weight (n_chars/256): expected copies == weight, concrete copies a
+    * pure row function. */
+  private def upsampleQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.upsampleByWeight(t(s, dir, "documents"), col("doc_id"),
+        col("n_chars") / lit(256.0), maxRepeat = 5)
+      .select("doc_id", "lang", "n_chars", "copy")
+
+  private def upsampleSql =
+    s"""WITH t AS (SELECT doc_id, lang, n_chars, n_chars / 256.0 AS w,
+       |    ${sqlHash("CAST(doc_id AS VARCHAR)")} % 1000 AS h
+       |  FROM documents),
+       |c AS (SELECT doc_id, lang, n_chars,
+       |    least(greatest(CAST(floor(w) AS BIGINT) +
+       |      CASE WHEN h < (w - floor(w)) * 1000 THEN 1 ELSE 0 END, 0), 5) AS n
+       |  FROM t)
+       |SELECT doc_id, lang, n_chars, CAST(u.copy AS BIGINT) AS copy
+       |FROM c, UNNEST(range(0, n)) u(copy)""".stripMargin
+
   private def mixtureSampleQ(s: SparkSession, dir: String): DataFrame =
     SampleOps.temperatureSample(t(s, dir, "documents"), "lang", col("doc_id"),
       budget = 200)
@@ -1904,6 +1923,7 @@ object Queries {
     "q_token_profile" -> (tokenProfileQ _),
     "q_histogram" -> (histogramQ _),
     "q_event_gaps" -> (eventGapsQ _),
+    "q_upsample" -> (upsampleQ _),
     "q_cms_terms" -> (cmsTermsQ _),
     "q_curation_funnel" -> (curationFunnelQ _),
     "q_profile_by_group" -> (profileByGroupQ _),
@@ -2000,6 +2020,7 @@ object Queries {
     "q_token_profile" -> tokenProfileSql,
     "q_histogram" -> histogramSql,
     "q_event_gaps" -> eventGapsSql,
+    "q_upsample" -> upsampleSql,
     "q_cms_terms" -> cmsTermsSql,
     "q_curation_funnel" -> curationFunnelSql,
     "q_profile_by_group" -> profileByGroupSql,

@@ -118,6 +118,35 @@ class SampleOpsSpec extends SparkSpec {
       "global unpartitioned window reappeared:\n" + plan.take(3000))
   }
 
+  test("upsampleByWeight: floor copies + hash-decided stochastic unit, partitioning-stable") {
+    val d = Seq(
+      (0L, 2.0),   // exactly 2 copies, no stochastic unit
+      (1L, 0.0),   // always drops
+      (2L, 3.7),   // 3 or 4 copies, hash-decided
+      (3L, 0.9),   // 0 or 1 copies
+      (4L, 50.0))  // capped at maxRepeat
+      .toDF("id", "w")
+    val got = SampleOps.upsampleByWeight(d, col("id"), col("w"), maxRepeat = 10)
+      .groupBy("id").agg(count(lit(1)).as("n"), max("copy").as("maxc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == (2L, 1L))
+    assert(!got.contains(1L))
+    assert(Set(3L, 4L).contains(got(2L)._1))
+    assert(got.get(3L).forall(_._1 == 1L))
+    assert(got(4L) == (10L, 9L)) // maxRepeat cap, copy 0-based
+    // expected-copies property on the real corpus: total within the
+    // stochastic envelope of sum(w), and stable across partitionings
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def sample(p: Int) = SampleOps.upsampleByWeight(docs.repartition(p),
+        col("doc_id"), col("n_chars") / lit(256.0), maxRepeat = 5)
+      .select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = sample(3)
+    assert(a == sample(11)) // pure row function
+    val expected = docs.agg(sum(col("n_chars") / lit(256.0))).head().getDouble(0)
+    assert(math.abs(a.size - expected) < 0.2 * expected,
+      s"copies ${a.size} vs expected ~$expected")
+  }
+
   test("equiWidthHistogram: exact integral binning, conservation, empty edge") {
     // values 0..9 into 5 bins of width 2: bin = v*5 div 10
     val d = (0L until 10L).flatMap(v => Seq.fill(v.toInt + 1)(v)).toDF("v")
