@@ -32,7 +32,9 @@ object Bench {
     // the tiny events rollup). These run >= 3 times and record the
     // MEDIAN — the min hides bimodal GC timing, the mean chases it.
     val watch = Set("q_events_props", "q_dedup_clusters", "q_dedup_keep_best",
-      "q_cluster_split")
+      "q_cluster_split",
+      // round-7 CC-family additions inherit the trio's GC-sensitivity
+      "q_simhash_clusters", "q_dedup_by_minhash")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val n = if (watch(name)) math.max(runs, 3) else runs
       val times = (1 to n).map { _ =>

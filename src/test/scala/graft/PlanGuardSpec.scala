@@ -113,6 +113,32 @@ class PlanGuardSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
+  test("no query plans an UNCONDITIONED join except the declared exactness baselines") {
+    // A condition-less Join (cross product) is the other plan shape that
+    // cannot survive a scale-up. Sweep every registered query, allowing
+    // only the queries built on DECLARED brute-force baselines.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val declared = Set(
+      "q_embed_cosine_topk", // bruteForceTopK: exactness baseline (IVF is the scale path)
+      "q_embed_near_dup",    // embeddingNearDupPairs: exactness baseline (IVF/RP-LSH scale paths)
+      // the numeric-profile family carries the P×P broadcast triangular
+      // offsets join — P = shuffle partition COUNT (a config constant,
+      // not data) on both sides, broadcast-hinted; cleared by the
+      // round-6 plan audit (ProfileOps.scala quantilesFromHistogram)
+      "q_numeric_profile", "q_profile_incremental", "q_token_profile")
+    val offenders = Queries.all.keys.toSeq.sorted
+      .filterNot(declared.contains).flatMap { q =>
+        val plan = Queries.all(q)(spark, dir).queryExecution.optimizedPlan
+        plan.collectWithSubqueries {
+          case j: Join if j.condition.isEmpty =>
+            s"$q: ${j.simpleString(120)}"
+        }
+      }
+    assert(offenders.isEmpty,
+      "unconditioned join found outside the declared baselines:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("flagship entry() returns rows (the driver's smoke contract)") {
     // the driver smoke-checks rows > 0 on SparkEntry.entry at sf0.001;
     // break it here first, not in the round gate
