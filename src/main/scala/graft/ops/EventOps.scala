@@ -75,6 +75,38 @@ object EventOps {
         max(col("__gap")).as("max_gap_us"))
   }
 
+  /** Bucketed INTERVAL join — the open-source-Spark shape for
+    * `left.ts BETWEEN right.start AND right.end`: the raw inequality
+    * join has no equi-key, so Catalyst plans a nested loop
+    * (BroadcastNestedLoopJoin or cartesian) — the plan shape this
+    * library bans. Discretizing time into `bucketUs` buckets
+    * MANUFACTURES the equi-key: each right interval explodes into the
+    * buckets it covers, each left row keys by its single bucket, and
+    * the join becomes a plain hash equi-join on (keyCols…, bucket)
+    * plus the exact residual `BETWEEN` filter. Emits one row per
+    * (left row, overlapping interval) — exactly the inequality join's
+    * semantics (inclusive bounds).
+    *
+    * Cost: Σ(span/bucketUs + 1) explode rows on the interval side —
+    * pick `bucketUs` near the median interval length so each interval
+    * explodes into O(1) buckets; the join is hash-partitioned, skew
+    * bounded by rows per (key, bucket). Column names must be disjoint
+    * across the two inputs (standard join hygiene).
+    */
+  def intervalJoin(left: DataFrame, tsCol: String, right: DataFrame,
+      startCol: String, endCol: String, keyCols: Seq[String] = Nil,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be > 0, got $bucketUs")
+    val rb = right.withColumn("__bucket", explode(sequence(
+      expr(s"CAST(`$startCol` DIV ${bucketUs}L AS BIGINT)"),
+      expr(s"CAST(`$endCol` DIV ${bucketUs}L AS BIGINT)"))))
+    val lb = left.withColumn("__bucket",
+      expr(s"CAST(`$tsCol` DIV ${bucketUs}L AS BIGINT)"))
+    lb.join(rb, keyCols :+ "__bucket")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bucket")
+  }
+
   /** Cohort retention: users bucketed by first-seen day (integer
     * day-of-epoch from exact µs — no timezone/date arithmetic), counted
     * per (cohort day, activity day). Two hash aggregates + one join on

@@ -1550,6 +1550,33 @@ object Queries {
       |  min(v) AS lo, max(v) AS hi
       |FROM v, b GROUP BY 1""".stripMargin
 
+  /** Event→interval attribution via the bucketed interval join (the
+    * equi-key manufactured from time buckets — no nested-loop join):
+    * every event lands in exactly its own session's [start, end]. */
+  private def sessionAttributionQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventOps.loadEvents(s, dir)
+    val sessions = EventOps.sessionStats(ev, gapMinutes = 30)
+      .select(col("user_id"), col("session_seq"), col("start_us"), col("end_us"))
+    EventOps.intervalJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts_us")),
+        "ts_us", sessions, "start_us", "end_us", keyCols = Seq("user_id"))
+      .select("event_id", "user_id", "ts_us", "session_seq", "start_us", "end_us")
+  }
+
+  private val sessionAttributionSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |s AS (SELECT *, CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+      |         OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+      |       THEN 1 ELSE 0 END AS ns FROM e),
+      |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_seq FROM s),
+      |sess AS (SELECT user_id, session_seq::BIGINT AS session_seq,
+      |           min(ts_us)::BIGINT AS start_us, max(ts_us)::BIGINT AS end_us
+      |         FROM g GROUP BY user_id, session_seq)
+      |SELECT e.event_id, e.user_id, e.ts_us::BIGINT AS ts_us,
+      |  sess.session_seq, sess.start_us, sess.end_us
+      |FROM e JOIN sess ON sess.user_id = e.user_id
+      |  AND e.ts_us BETWEEN sess.start_us AND sess.end_us""".stripMargin
+
   /** Per-user event cadence: exact inter-event gap stats from one
     * user-partitioned lag window. */
   private def eventGapsQ(s: SparkSession, dir: String): DataFrame =
@@ -1924,6 +1951,7 @@ object Queries {
     "q_histogram" -> (histogramQ _),
     "q_event_gaps" -> (eventGapsQ _),
     "q_upsample" -> (upsampleQ _),
+    "q_session_attribution" -> (sessionAttributionQ _),
     "q_cms_terms" -> (cmsTermsQ _),
     "q_curation_funnel" -> (curationFunnelQ _),
     "q_profile_by_group" -> (profileByGroupQ _),
@@ -2021,6 +2049,7 @@ object Queries {
     "q_histogram" -> histogramSql,
     "q_event_gaps" -> eventGapsSql,
     "q_upsample" -> upsampleSql,
+    "q_session_attribution" -> sessionAttributionSql,
     "q_cms_terms" -> cmsTermsSql,
     "q_curation_funnel" -> curationFunnelSql,
     "q_profile_by_group" -> profileByGroupSql,

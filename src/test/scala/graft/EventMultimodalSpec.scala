@@ -28,6 +28,40 @@ class EventMultimodalSpec extends SparkSpec {
     assert(s1.getAs[Long]("value_cents") == 300L)
   }
 
+  test("intervalJoin matches the inequality join, spanning buckets, no nested loop") {
+    // intervals spanning multiple buckets, overlapping intervals, and
+    // inclusive boundaries — all against a brute-force inequality join
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 100L), (5L, 30L))
+      .toDF("pid", "t")
+    val intervals = Seq((100L, 0L, 10L), (200L, 8L, 29L), (300L, 30L, 55L))
+      .toDF("iid", "lo", "hi")
+    val got = EventOps.intervalJoin(points, "t", intervals, "lo", "hi",
+        bucketUs = 7L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = points.join(intervals,
+        col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // overlap region 8..10 matches BOTH intervals; bounds inclusive both
+    // ends (t=10 in [0,10] and [8,29]; t=30 in [30,55]); t=100 matches none
+    assert(got == Set((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L), (5L, 300L)))
+    // the whole point: a hash equi-join on the manufactured bucket key,
+    // never a nested loop
+    val plan = EventOps.intervalJoin(points, "t", intervals, "lo", "hi",
+        bucketUs = 7L).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan.take(2000))
+    // keyed variant on the real events: every event attributes to exactly
+    // its own session interval
+    val ev = EventOps.loadEvents(spark, "/root/testdata/sf0.001")
+    val sessions = EventOps.sessionStats(ev, gapMinutes = 30)
+      .select(col("user_id"), col("session_seq"), col("start_us"), col("end_us"))
+    val attributed = EventOps.intervalJoin(
+      ev.select(col("event_id"), col("user_id"), col("ts_us")),
+      "ts_us", sessions, "start_us", "end_us", keyCols = Seq("user_id"))
+    assert(attributed.count() == ev.count())
+  }
+
   test("interEventGaps: exact per-user gap stats; single-event users drop") {
     val got = EventOps.interEventGaps(events).orderBy("user_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
