@@ -62,6 +62,26 @@ class EventMultimodalSpec extends SparkSpec {
     assert(attributed.count() == ev.count())
   }
 
+  test("property: intervalJoin equals the inequality join on random inputs") {
+    val rnd = new scala.util.Random(17)
+    for (round <- 0 until 3) {
+      val points = (0 until 40).map(i => (i.toLong, rnd.nextInt(100).toLong))
+        .toDF("pid", "t")
+      val intervals = (0 until 15).map { i =>
+        val lo = rnd.nextInt(90).toLong
+        (100L + i, lo, lo + rnd.nextInt(30).toLong)
+      }.toDF("iid", "lo", "hi")
+      val bucket = 1L + rnd.nextInt(20)
+      val got = EventOps.intervalJoin(points, "t", intervals, "lo", "hi",
+          bucketUs = bucket)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = points.join(intervals,
+          col("t") >= col("lo") && col("t") <= col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"round $round bucketUs=$bucket")
+    }
+  }
+
   test("interEventGaps: exact per-user gap stats; single-event users drop") {
     val got = EventOps.interEventGaps(events).orderBy("user_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
