@@ -902,7 +902,12 @@ object DedupOps {
         count(col("__e")).as("n_exact"),
         count(col("__a")).as("n_approx"),
         count(when(col("__e").isNotNull && col("__a").isNotNull, 1)).as("n_both"))
-      .withColumn("recall", col("n_both").cast("double") / col("n_exact"))
+      // NULL recall when the exact side is empty — its stated use case
+      // (retuning a dial at a new scale) can legitimately hit zero exact
+      // pairs, and ANSI-mode Divide would kill the measurement job there
+      .withColumn("recall",
+        when(col("n_exact") === 0, lit(null).cast("double"))
+          .otherwise(col("n_both").cast("double") / col("n_exact")))
   }
 
   /** Keep the best-scoring document per near-dup cluster — canonical

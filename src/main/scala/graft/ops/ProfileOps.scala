@@ -175,6 +175,14 @@ object ProfileOps {
         .withColumn("lo", lit(0L)).withColumn("hi", lit(0L))
         .limit(0)
     val (mn, mx) = (row.getLong(0), row.getLong(1))
+    // the exact-arithmetic contract needs (v − mn) · bins to fit a long
+    // (and the width itself not to wrap) — require loudly instead of
+    // overflowing (ANSI crash) or wrapping to negative bins; ultra-wide
+    // columns (raw 63-bit hashes) should pre-transform, as the z-order
+    // scaladoc prescribes for skewed dims
+    require(BigInt(mx) - BigInt(mn) + 1 <= BigInt(Long.MaxValue) / bins,
+      s"value range [$mn, $mx] * $bins bins overflows exact long binning — " +
+        "pre-transform the column (hash-bucket / clamp) first")
     val width = mx - mn + 1
     // `div` = exact integral division (Column./ is double division, and
     // floor(double) drifts above 2^53 — the exactness contract forbids it)

@@ -188,12 +188,19 @@ object SampleOps {
   def upsampleByWeight(df: DataFrame, key: Column, weight: Column,
       maxRepeat: Int = 100): DataFrame = {
     require(maxRepeat >= 1, s"maxRepeat must be >= 1, got $maxRepeat")
-    val w = weight.cast("double")
+    // clamp the DOUBLE before any long cast: floor(runaway).cast("long")
+    // on w >= 2^63, Infinity, or NaN throws under Spark 4's default ANSI
+    // mode — the cap must fire first. NaN maps to 0 copies (garbage
+    // weight != max weight; Spark orders NaN greatest, so least() alone
+    // would send NaN to maxRepeat).
+    val w0 = weight.cast("double")
+    val w = when(isnan(w0), lit(0d))
+      .otherwise(least(greatest(w0, lit(0d)), lit(maxRepeat.toDouble)))
     val base = floor(w).cast("long")
     val extra = when(
       pmod(keyHash(key), lit(1000L)).cast("double") < (w - floor(w)) * 1000d,
       1L).otherwise(0L)
-    val n = least(greatest(base + extra, lit(0L)), lit(maxRepeat.toLong))
+    val n = least(base + extra, lit(maxRepeat.toLong))
     df.filter(weight.isNotNull)
       .withColumn("__n", n)
       .filter(col("__n") > 0)

@@ -383,13 +383,18 @@ object TextOps {
   /** PII patterns for [[redactPii]], applied in this order. Chosen to
     * parse identically under Java regex (Spark) and RE2 (the DuckDB
     * oracle): character classes + bounded/greedy quantifiers only — no
-    * backreferences, no lookaround, no alternation ambiguity. Email
-    * must run before the digit rules (its local part may contain digit
-    * runs the later rules would shred). */
+    * backreferences, no lookaround (RE2 has none), no alternation
+    * ambiguity. Email must run before the digit rules (its local part
+    * may contain digit runs the later rules would shred). The phone
+    * pattern counts DIGITS by construction — each repeat unit is
+    * (≤2 separators + one digit), so a match needs ≥9 digits: ISO dates
+    * (8 digits) and grouped thousands like "1 200 000" (7) survive,
+    * which a bare "9+ phone characters" class got wrong (it ate any
+    * digit/space/dash run). */
   val PiiPatterns: Seq[(String, String)] = Seq(
     ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
-    ("\\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>"))
+    ("\\+?[0-9]([ ()-]{0,2}[0-9]){8,}", "<PHONE>"))
 
   /** PII redaction — the standard pre-training scrub (emails, IPv4s,
     * phone-style digit runs → typed placeholder tokens), the compliance

@@ -612,8 +612,9 @@ object Queries {
     s"""SELECT count(e.id_a)::BIGINT AS n_exact,
        |  count(l.id_a)::BIGINT AS n_approx,
        |  count(CASE WHEN e.id_a IS NOT NULL AND l.id_a IS NOT NULL THEN 1 END)::BIGINT AS n_both,
-       |  CAST(count(CASE WHEN e.id_a IS NOT NULL AND l.id_a IS NOT NULL THEN 1 END) AS DOUBLE)
-       |    / count(e.id_a) AS recall
+       |  CASE WHEN count(e.id_a) = 0 THEN NULL
+       |       ELSE CAST(count(CASE WHEN e.id_a IS NOT NULL AND l.id_a IS NOT NULL THEN 1 END) AS DOUBLE)
+       |              / count(e.id_a) END AS recall
        |FROM ($ngramJaccardSql) e
        |FULL OUTER JOIN ($minhashLshPairsSql) l
        |  ON e.id_a = l.id_a AND e.id_b = l.id_b""".stripMargin

@@ -219,8 +219,16 @@ object StreamOps {
     if (stored.exists(s =>
         !s.head(1).isEmpty && s.head().getAs[Long]("__last_batch") >= batchId))
       return // replayed epoch: already gated and published
-    val selfDeduped = graft.ops.DedupOps.dedupByMinhash(
-      batch, idCol, textCol, minJaccard)
+    // within-batch self-dedup runs with the CALLER'S dials (dedupByMinhash
+    // would silently fall back to its 16/3/8 defaults — a pair co-arriving
+    // in one batch must be judged by the same detector as the index gate)
+    val selfPairs = graft.ops.DedupOps.minhashDedupPairs(
+      batch, idCol, textCol, numHashes, k, bands, minJaccard)
+    val selfClusters = graft.ops.DedupOps.nearDupClusters(
+      selfPairs, batch.select(col(idCol)), idCol)
+    val selfDeduped = batch.join(selfClusters, Seq(idCol))
+      .filter(col(idCol) === col("cluster_id"))
+      .drop("cluster_id")
     val survivors = stored match {
       case Some(s) =>
         val hits = graft.ops.DedupOps.dedupAgainstIndex(selfDeduped,

@@ -153,6 +153,10 @@ class DedupOpsSpec extends SparkSpec {
         k = 3, bands = 8, minJaccard = 0.5)).collect()(0)
     assert(score.getLong(0) > 0)
     assert(score.getLong(2) <= score.getLong(0))
+    // empty exact side: recall is NULL, never an ANSI divide-by-zero
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val z = DedupOps.pairRecall(none, approx).collect()(0)
+    assert(z.getLong(0) == 0L && z.getLong(1) == 3L && z.isNullAt(3))
   }
 
   test("dedupChunksWithinDocs keeps first chunk occurrence per doc, map-only") {

@@ -134,6 +134,14 @@ class SampleOpsSpec extends SparkSpec {
     assert(Set(3L, 4L).contains(got(2L)._1))
     assert(got.get(3L).forall(_._1 == 1L))
     assert(got(4L) == (10L, 9L)) // maxRepeat cap, copy 0-based
+    // runaway/garbage weights: clamped BEFORE the long cast (ANSI mode
+    // would otherwise throw on floor(inf/2^63).cast(long)); NaN drops
+    val bad = Seq((10L, Double.PositiveInfinity), (11L, Double.NaN),
+      (12L, -3.0), (13L, 1e19)).toDF("id", "w")
+    val gotBad = SampleOps.upsampleByWeight(bad, col("id"), col("w"), maxRepeat = 10)
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotBad == Map(10L -> 10L, 13L -> 10L)) // inf/1e19 capped; NaN + negative drop
     // expected-copies property on the real corpus: total within the
     // stochastic envelope of sum(w), and stable across partitionings
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -165,6 +173,12 @@ class SampleOpsSpec extends SparkSpec {
     // all-null / empty input: empty result, not a crash
     assert(ProfileOps.equiWidthHistogram(
       Seq.empty[Long].toDF("v"), "v", bins = 3).count() == 0L)
+    // ultra-wide range: loud require, not an ANSI overflow / wrapped bins
+    val wide = Seq(Long.MinValue / 2, Long.MaxValue / 2).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      ProfileOps.equiWidthHistogram(wide, "v", bins = 10)
+    }
+    assert(e.getMessage.contains("overflows"))
   }
 
   test("topKPerGroup equals the ranking-window form; no window in the plan") {

@@ -334,7 +334,8 @@ class TextOpsSpec extends SparkSpec {
       (2L, "call +1 (555) 123-4567 now"),
       (3L, "mixed: a@b.io from 8.8.8.8 dial 5551234567890"),
       (4L, "nothing to redact here"),
-      (5L, "digits 123 and 45.6 stay"))
+      (5L, "digits 123 and 45.6 stay"),
+      (6L, "dated 2024-08-13 revenue grew 1 200 000 units"))
       .toDF("doc_id", "text")
     val got = TextOps.redactPii(d, "doc_id", "text")
       .orderBy("doc_id").collect()
@@ -345,7 +346,10 @@ class TextOpsSpec extends SparkSpec {
       ("call <PHONE> now", 0L, 0L, 1L, 1L),
       ("mixed: <EMAIL> from <IP> dial <PHONE>", 1L, 1L, 1L, 3L),
       ("nothing to redact here", 0L, 0L, 0L, 0L),
-      ("digits 123 and 45.6 stay", 0L, 0L, 0L, 0L)))
+      ("digits 123 and 45.6 stay", 0L, 0L, 0L, 0L),
+      // 8-digit dates and 7-digit grouped numbers are NOT phones (the
+      // pattern requires >= 9 digits, counted by construction)
+      ("dated 2024-08-13 revenue grew 1 200 000 units", 0L, 0L, 0L, 0L)))
     // idempotent: placeholders contain nothing the patterns can re-match
     val once = TextOps.redactPii(d, "doc_id", "text")
       .select(col("doc_id"), col("clean_text").as("text"))
