@@ -51,7 +51,13 @@ object Bench {
         System.gc() // settle between queries: attribute GC to no one
         dt
       }
-      val t = if (watch(name)) times.sorted.apply(times.length / 2) else times.min
+      // true median: average the two middle elements when the run count
+      // is even (upper-middle alone systematically overstates)
+      val t = if (watch(name)) {
+        val s = times.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      } else times.min
       name -> t
     }
     // Tail-capture robustness (round-3 BENCH had parsed:null — the

@@ -893,10 +893,17 @@ object DedupOps {
     * 10× RP-LSH retuning is exactly this measurement); both inputs are
     * pair-sized, never corpus-sized. `recall` is one IEEE division of
     * exact counts — oracle-reproducible.
+    *
+    * Both inputs are `.distinct()`-ed internally (pair-sized, cheap):
+    * this is a generic measurement harness, and a generator that emits
+    * a (id_a, id_b) row twice would otherwise fan the full-outer join
+    * out and silently inflate every count. Pair ORDER is still the
+    * caller's contract — both sides must emit the same canonical
+    * orientation (every generator in this file emits id_a < id_b).
     */
   def pairRecall(exactPairs: DataFrame, approxPairs: DataFrame): DataFrame = {
-    val e = exactPairs.select(col("id_a"), col("id_b"), lit(true).as("__e"))
-    val a = approxPairs.select(col("id_a"), col("id_b"), lit(true).as("__a"))
+    val e = exactPairs.select(col("id_a"), col("id_b"), lit(true).as("__e")).distinct()
+    val a = approxPairs.select(col("id_a"), col("id_b"), lit(true).as("__a")).distinct()
     e.join(a, Seq("id_a", "id_b"), "full_outer")
       .agg(
         count(col("__e")).as("n_exact"),

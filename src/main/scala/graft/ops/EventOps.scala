@@ -92,14 +92,39 @@ object EventOps {
     * explodes into O(1) buckets; the join is hash-partitioned, skew
     * bounded by rows per (key, bucket). Column names must be disjoint
     * across the two inputs (standard join hygiene).
+    *
+    * Degenerate intervals fail LOUDLY (the [[ProfileOps.equiWidthHistogram]]
+    * guard discipline): an interval spanning more than
+    * `maxBucketsPerInterval` buckets — a sentinel open end
+    * (`Long.MaxValue`) or a mis-sized `bucketUs` — would silently
+    * explode 10⁵⁺ rows for one bad row (and past ~10⁸ dies in Spark's
+    * opaque "too long sequence" error); instead the job raises with the
+    * offending span and the dial to fix. Empty intervals (end < start)
+    * match nothing under BETWEEN and are dropped before the explode —
+    * Spark's `sequence(hi, lo)` would otherwise count DOWN and emit
+    * phantom buckets.
     */
   def intervalJoin(left: DataFrame, tsCol: String, right: DataFrame,
       startCol: String, endCol: String, keyCols: Seq[String] = Nil,
-      bucketUs: Long = 3600000000L): DataFrame = {
+      bucketUs: Long = 3600000000L,
+      maxBucketsPerInterval: Long = 100000L): DataFrame = {
     require(bucketUs > 0, s"bucketUs must be > 0, got $bucketUs")
-    val rb = right.withColumn("__bucket", explode(sequence(
-      expr(s"CAST(`$startCol` DIV ${bucketUs}L AS BIGINT)"),
-      expr(s"CAST(`$endCol` DIV ${bucketUs}L AS BIGINT)"))))
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be > 0, got $maxBucketsPerInterval")
+    val nb = expr(s"CAST(`$endCol` DIV ${bucketUs}L AS BIGINT) - " +
+      s"CAST(`$startCol` DIV ${bucketUs}L AS BIGINT) + 1L")
+    val rb = right
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("__bucket", explode(sequence(
+        when(nb > maxBucketsPerInterval, raise_error(concat(
+          lit(s"intervalJoin: interval [`$startCol`, `$endCol`] = ["),
+          col(startCol).cast("string"), lit(", "), col(endCol).cast("string"),
+          lit("] spans "), nb.cast("string"),
+          lit(s" buckets > maxBucketsPerInterval=$maxBucketsPerInterval — " +
+            s"raise bucketUs (now ${bucketUs}µs) or filter/clamp " +
+            "degenerate intervals first"))))
+          .otherwise(expr(s"CAST(`$startCol` DIV ${bucketUs}L AS BIGINT)")),
+        expr(s"CAST(`$endCol` DIV ${bucketUs}L AS BIGINT)"))))
     val lb = left.withColumn("__bucket",
       expr(s"CAST(`$tsCol` DIV ${bucketUs}L AS BIGINT)"))
     lb.join(rb, keyCols :+ "__bucket")

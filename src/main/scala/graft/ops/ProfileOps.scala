@@ -169,12 +169,12 @@ object ProfileOps {
     val v = col(valueCol)
     val row = df.filter(v.isNotNull)
       .agg(min(v).cast("long"), max(v).cast("long")).head()
-    if (row.isNullAt(0))
-      return df.sparkSession.emptyDataFrame
-        .withColumn("bin", lit(0L)).withColumn("n_rows", lit(0L))
-        .withColumn("lo", lit(0L)).withColumn("hi", lit(0L))
-        .limit(0)
-    val (mn, mx) = (row.getLong(0), row.getLong(1))
+    // empty / all-null input: degenerate [0, 0] bounds and fall through
+    // to the SAME aggregate plan (zero rows in, zero rows out) — a
+    // separately-constructed empty frame would carry different column
+    // nullability and surprise a caller unioning histograms across slices
+    val (mn, mx) =
+      if (row.isNullAt(0)) (0L, 0L) else (row.getLong(0), row.getLong(1))
     // the exact-arithmetic contract needs (v − mn) · bins to fit a long
     // (and the width itself not to wrap) — require loudly instead of
     // overflowing (ANSI crash) or wrapping to negative bins; ultra-wide

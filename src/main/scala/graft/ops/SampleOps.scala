@@ -39,12 +39,24 @@ object SampleOps {
     * per bin, the standard batch-packing trade. Output adds
     * (pack_bucket, bin_seq); one shuffle on the bucket key, windows
     * partitioned per bucket.
+    *
+    * `buckets` CAPS the parallelism: the per-bucket running-sum window
+    * is one task per bucket holding N/buckets rows, so at corpus scale
+    * it must track the cluster — the default (`buckets <= 0`) resolves
+    * to `spark.sql.shuffle.partitions` at call time, which a correctly
+    * tuned job already sizes to the cluster. Pass an explicit count only
+    * when downstream layout wants a specific stream count, and keep it
+    * ≥ the cluster's parallelism. More buckets = more (slightly less
+    * full) bins; membership stays deterministic per (key, buckets).
     */
   def packBins(df: DataFrame, key: Column, tokenCol: String, capacity: Int,
-      buckets: Int = 64): DataFrame = {
-    require(capacity > 0 && buckets > 0, s"need positive capacity/buckets")
+      buckets: Int = 0): DataFrame = {
+    require(capacity > 0, s"need positive capacity, got $capacity")
+    val nb = if (buckets > 0) buckets
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    require(nb > 0, s"resolved bucket count must be > 0, got $nb")
     val h = keyHash(key)
-    val bucket = pmod(h, lit(buckets.toLong))
+    val bucket = pmod(h, lit(nb.toLong))
     val w = Window.partitionBy(bucket).orderBy(h.asc, key.asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("pack_bucket", bucket)

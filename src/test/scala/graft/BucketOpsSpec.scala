@@ -101,9 +101,12 @@ class BucketOpsSpec extends SparkSpec {
     assert(!plan.contains("scalar-subquery") && !plan.contains("Aggregate"),
       "stats bounds must be pre-collected literals, not in-plan aggregates:\n" +
         plan.take(3000))
-    // the literal max(doc_id) bound really is in the plan
-    val maxId = df.agg(max("doc_id")).head().getLong(0).toDouble
-    assert(plan.contains(maxId.toString), s"expected literal $maxId in:\n" +
+    // the literal scaling divisor really is in the plan — computed the
+    // same way the op does (max(mx - mn, 1e-300)); asserting on max()
+    // alone only worked because min(doc_id) == 0 in this corpus
+    val r = df.agg(min("doc_id").cast("double"), max("doc_id").cast("double")).head()
+    val divisor = math.max(r.getDouble(1) - r.getDouble(0), 1e-300)
+    assert(plan.contains(divisor.toString), s"expected literal divisor $divisor in:\n" +
       plan.take(3000))
   }
 }

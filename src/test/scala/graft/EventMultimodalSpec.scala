@@ -62,6 +62,30 @@ class EventMultimodalSpec extends SparkSpec {
     assert(attributed.count() == ev.count())
   }
 
+  test("intervalJoin: oversized intervals fail loudly; empty intervals drop") {
+    val points = Seq((1L, 5L)).toDF("pid", "t")
+    // sentinel open-ended interval: would explode ~Long.MaxValue/7 buckets
+    val openEnded = Seq((100L, 0L, Long.MaxValue)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      EventOps.intervalJoin(points, "t", openEnded, "lo", "hi", bucketUs = 7L)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxBucketsPerInterval") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxBucketsPerInterval")),
+      s"expected the loud guard, got: ${e.getMessage}")
+    // a healthy interval alongside an EMPTY one (hi < lo): the empty one
+    // matches nothing and must not explode a descending sequence
+    val mixed = Seq((100L, 0L, 10L), (200L, 50L, 20L)).toDF("iid", "lo", "hi")
+    val got = EventOps.intervalJoin(points, "t", mixed, "lo", "hi", bucketUs = 7L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L)))
+    // guard sits below the cap: spanning-but-sane intervals still pass
+    val sane = EventOps.intervalJoin(points, "t",
+      Seq((300L, 0L, 70L)).toDF("iid", "lo", "hi"),
+      "lo", "hi", bucketUs = 7L, maxBucketsPerInterval = 11L)
+    assert(sane.count() == 1L)
+  }
+
   test("property: intervalJoin equals the inequality join on random inputs") {
     val rnd = new scala.util.Random(17)
     for (round <- 0 until 3) {

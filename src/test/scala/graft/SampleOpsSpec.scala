@@ -170,9 +170,12 @@ class SampleOpsSpec extends SparkSpec {
     val g1 = ProfileOps.equiWidthHistogram(one, "v", bins = 4).collect()
     assert(g1.length == 1 && g1(0).getLong(1) == 3L &&
       g1(0).getLong(2) == 7L && g1(0).getLong(3) == 7L)
-    // all-null / empty input: empty result, not a crash
-    assert(ProfileOps.equiWidthHistogram(
-      Seq.empty[Long].toDF("v"), "v", bins = 3).count() == 0L)
+    // all-null / empty input: empty result, not a crash — and the SAME
+    // schema (incl. nullability) as the populated path, so slice unions
+    // can't hit a schema-merge surprise
+    val empty = ProfileOps.equiWidthHistogram(Seq.empty[Long].toDF("v"), "v", bins = 3)
+    assert(empty.count() == 0L)
+    assert(empty.schema == ProfileOps.equiWidthHistogram(one, "v", bins = 3).schema)
     // ultra-wide range: loud require, not an ANSI overflow / wrapped bins
     val wide = Seq(Long.MinValue / 2, Long.MaxValue / 2).toDF("v")
     val e = intercept[IllegalArgumentException] {
@@ -343,6 +346,25 @@ class SampleOpsSpec extends SparkSpec {
       chunks.repartition(11), col("doc_id"), "n_tokens", 256, 8)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
     assert(again == packed.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet)
+  }
+
+  test("packBins: default bucket count tracks the configured parallelism") {
+    val chunks = corpus
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // default (buckets <= 0) resolves to spark.sql.shuffle.partitions at
+    // call time — the window's parallelism cap follows the cluster dial
+    val conf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val auto = SampleOps.packBins(chunks, col("doc_id"), "n_tokens", capacity = 256)
+      .select("pack_bucket").distinct().collect().map(_.getLong(0)).toSet
+    assert(auto.subsetOf((0L until conf.toLong).toSet) && auto.size > 1,
+      s"expected buckets in [0, $conf), got $auto")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try {
+      val narrow = SampleOps.packBins(chunks, col("doc_id"), "n_tokens", capacity = 256)
+        .select("pack_bucket").distinct().collect().map(_.getLong(0)).toSet
+      assert(narrow.subsetOf((0L until 5L).toSet),
+        s"expected buckets in [0, 5), got $narrow")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", conf.toString)
   }
 
   test("materializePacked concatenates bin members in deterministic hash order") {
