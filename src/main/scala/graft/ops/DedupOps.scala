@@ -1003,7 +1003,21 @@ object DedupOps {
     * (BASELINE.md round-7 stress).
     */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 24, maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+      bits: Int = 24, maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame =
+    hammingNearPairs(simhash(df, idCol, textCol, bits), idCol, "simhash",
+      bits, maxHamming, maxBucket)
+
+  /** Pigeonhole hamming near-pairs over ANY precomputed `bits`-wide
+    * signature column — the signature-agnostic spine behind
+    * [[simhashNearPairs]] (text SimHash) and
+    * [[MultimodalOps.mediaNearDupPairs]] (perceptual image dHash):
+    * chunk the signature into `maxHamming + 1` bit-ranges, equi-join on
+    * (chunk index, chunk value) — recall-lossless by pigeonhole — then
+    * verify exact hamming on candidates only. One row per `idCol`
+    * expected; output (id_a, id_b, hamming), canonical id_a < id_b.
+    */
+  def hammingNearPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
     // bits > 63 would overflow the signed-long chunk mask (1L << 64 == 0,
     // collapsing every signature into one bucket — silent zero recall
     // once maxBucket drops it); fewer than maxHamming+1 bits cannot give
@@ -1011,7 +1025,7 @@ object DedupOps {
     // maxHamming+1 non-empty chunks)
     require(bits >= maxHamming + 1 && bits <= 63,
       s"bits must be in [maxHamming+1, 63] = [${maxHamming + 1}, 63], got $bits")
-    val s = simhash(df, idCol, textCol, bits)
+    val s = sigs.select(col(idCol), col(sigCol).as("__sig"))
     val nChunks = maxHamming + 1
     // chunk i covers bits [lo, hi): even spread, first chunks get the
     // remainder — boundaries i*bits/nChunks for i = 0..nChunks
@@ -1019,9 +1033,9 @@ object DedupOps {
     val chunkCols = (0 until nChunks).map { i =>
       val lo = bounds(i)
       val width = bounds(i + 1) - lo
-      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1))
+      shiftright(col("__sig"), lo).bitwiseAND(lit((1L << width) - 1))
     }
-    val banded = s.select(col(idCol).as("sid"), col("simhash"),
+    val banded = s.select(col(idCol).as("sid"), col("__sig").as("simhash"),
       posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
     val small = banded.join(
       banded.groupBy("chunk", "ckey").agg(count(lit(1)).as("bc"))

@@ -54,6 +54,61 @@ object MultimodalOps {
       .filter(col("n_copies") > 1)
       .select("digest", "canonical_id", "n_copies")
 
+  /** Perceptual signature (1-D dHash) of each media payload — the
+    * difference hash that survives re-encoding and resizing, where
+    * [[mediaDupGroups]]'s exact sha-256 digest is defeated by a single
+    * changed byte.
+    *
+    * Classic dHash: resample the image to a tiny fixed grid, set bit i
+    * when cell i is brighter than cell i+1. The STUB decode here reads
+    * the payload as a UTF-8 "luminance sequence" (one char = one
+    * sample); a production build decodes real pixels first and hashes
+    * the downsampled grayscale row — everything after the decode
+    * (relative-position resampling, difference bits, the hamming spine)
+    * is exactly this code. Because sampling is RELATIVE (`i/bits` of the
+    * way through), a k×-upscaled copy of a smooth payload samples
+    * near-identical luminance → hamming ≈ 0, and a few perturbed bytes
+    * touch at most 2 bits each — both invisible to digest equality.
+    *
+    * Map-only codegen (one projection: length + `bits`+1 substrings +
+    * the bit assembly); positions are exact integer `DIV` so the oracle
+    * can't drift. Empty payloads have no perceptual content and drop.
+    * Output: (doc_id, phash).
+    */
+  def perceptualHash(media: DataFrame, bits: Int = 48): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    val sampled = media
+      .select(col("doc_id"), decode(col("media"), "UTF-8").as("__s"))
+      .filter(length(col("__s")) >= 1)
+      .withColumn("__n", length(col("__s")).cast("long"))
+      // bits+1 evenly spaced samples: char at 1 + (i·(n−1)) div bits
+      // (1-based); exact long arithmetic — double division could round a
+      // just-below-integer quotient up and shift a sample
+      .withColumn("__c", array((0 to bits).map { i =>
+        ascii(col("__s").substr(
+          expr(s"CAST((${i}L * (__n - 1)) DIV ${bits}L AS INT) + 1"), lit(1)))
+      }: _*))
+    val assemble = (0 until bits).map { i =>
+      when(element_at(col("__c"), i + 1) > element_at(col("__c"), i + 2),
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sampled.select(col("doc_id"), assemble.cast("long").as("phash"))
+  }
+
+  /** Perceptual near-duplicate media pairs: [[perceptualHash]] fed
+    * through the signature-agnostic pigeonhole hamming spine
+    * ([[DedupOps.hammingNearPairs]] — the same chunk-bucketed equi-join
+    * + candidate-only verify the text SimHash path uses; no all-pairs
+    * join anywhere). This is the near-dup that catches re-encoded /
+    * resized / slightly-corrupted copies of the same image that
+    * [[mediaDupGroups]]'s byte-exact digest provably misses.
+    * Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def mediaNearDupPairs(media: DataFrame, bits: Int = 48, maxHamming: Int = 3,
+      maxBucket: Int = 100000): DataFrame =
+    DedupOps.hammingNearPairs(perceptualHash(media, bits), "doc_id", "phash",
+      bits, maxHamming, maxBucket)
+
   /** STUB decode: deterministic fake dimensions/features from the bytes.
     * A real implementation decodes the codec here — per partition, so
     * the (expensive, native) decoder state is reused across the batch

@@ -1727,6 +1727,50 @@ object Queries {
       |  count(*)::BIGINT AS n_copies
       |FROM documents GROUP BY sha256(text) HAVING count(*) > 1""".stripMargin
 
+  private val PhashBits = 48
+
+  /** Perceptual dHash near-dup over the media payloads — the stub decode
+    * reads the UTF-8 payload back as the luminance sequence, so the
+    * oracle reproduces the sampled-difference hash directly on the text
+    * (exact integer positions, `//` = Spark `DIV`). The corpus has no
+    * byte-identical payloads at sf≥0.01, so the query PLANTS a
+    * one-byte-corrupted copy of every document (id + 1 000 000, char 11
+    * replaced — length-preserving, so ≤ 2 of the 48 difference bits can
+    * move): exact digest dedup (`q_media_dup_groups`) provably misses
+    * every planted copy; the perceptual pairs recover all 500. */
+  private def mediaNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val perturbed = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(substring(col("text"), 1, 10), lit("#"),
+        expr("substring(text, 12)")).as("text"))
+    MultimodalOps.mediaNearDupPairs(
+      MultimodalOps.attachFakeMedia(docs.unionByName(perturbed), "doc_id", "text"),
+      bits = PhashBits, maxHamming = 3)
+  }
+
+  private def phashInnerSql(table: String): String = {
+    def c(i: Int) =
+      s"ascii(substr(text, CAST(($i * (length(text) - 1)) // $PhashBits AS INT) + 1, 1))"
+    val assemble = (0 until PhashBits).map { i =>
+      s"CASE WHEN ${c(i)} > ${c(i + 1)} THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT doc_id, CAST($assemble AS BIGINT) AS phash
+       |FROM $table WHERE length(text) >= 1""".stripMargin
+  }
+
+  private def mediaNearDupSql =
+    s"""WITH m AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substr(text, 1, 10) || '#' || substr(text, 12)
+       |  FROM documents),
+       |ph AS (${phashInnerSql("m")})
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin
+
   private def hybridNearDupQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val em = t(s, dir, "embeddings")
@@ -1923,6 +1967,7 @@ object Queries {
     "q_hybrid_near_dup" -> (hybridNearDupQ _),
     "q_top_terms" -> (topTermsQ _),
     "q_media_dup_groups" -> (mediaDupGroupsQ _),
+    "q_media_near_dup" -> (mediaNearDupQ _),
     "q_repetition" -> (repetitionQ _),
     "q_hash_sample" -> (hashSampleQ _),
     "q_stratified_sample" -> (stratifiedSampleQ _),
@@ -2021,6 +2066,7 @@ object Queries {
     "q_hybrid_near_dup" -> hybridNearDupSql,
     "q_top_terms" -> topTermsSql,
     "q_media_dup_groups" -> mediaDupGroupsSql,
+    "q_media_near_dup" -> mediaNearDupSql,
     "q_repetition" -> repetitionSql,
     "q_hash_sample" -> hashSampleSql,
     "q_stratified_sample" -> stratifiedSampleSql,

@@ -236,6 +236,71 @@ class EventMultimodalSpec extends SparkSpec {
     assert(got(0).getLong(1) == 0L && got(0).getLong(2) == 2L)
   }
 
+  test("perceptualHash: near-dup media pairs catch what exact digest provably misses") {
+    // a smooth "image": luminance ramps up then down over 481 samples
+    // (one broad peak — the shape real downscaled photos have; text is
+    // NOT smooth, which is why this spine keys on the decoded payload)
+    def wave(n: Int): String =
+      (0 until n).map { j =>
+        val pos = j.toDouble / (n - 1)              // relative position
+        val lum = 40 + (86 * (1 - math.abs(2 * pos - 1))).toInt
+        lum.toChar
+      }.mkString
+    val orig = wave(481)
+    // "re-encoded at 2x resolution": every sample duplicated — byte
+    // content entirely different, perceptual content identical
+    val resized = orig.flatMap(c => s"$c$c")
+    // "corrupted in transit": three bytes flipped at scattered offsets
+    val perturbed = {
+      val b = orig.toCharArray
+      Seq(60, 200, 400).foreach(i => b(i) = (b(i) + 5).toChar)
+      new String(b)
+    }
+    // genuinely different image: high-frequency sawtooth (NOT a shifted/
+    // mirrored copy of the peak — dHash is invariant to uniform
+    // brightness shifts, and the symmetric peak is its own mirror)
+    val unrelated = (0 until 481).map(j => (40 + (j * 37) % 87).toChar).mkString
+    val media = MultimodalOps.attachFakeMedia(
+      Seq((0L, orig), (1L, resized), (2L, perturbed), (3L, unrelated))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    // exact digest dedup finds NOTHING — no two payloads byte-identical
+    assert(MultimodalOps.mediaDupGroups(media).count() == 0L)
+    // the perceptual spine pairs the original with BOTH copies
+    val pairs = MultimodalOps.mediaNearDupPairs(media, bits = 48, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 1L)), s"resized copy missed: $pairs")
+    assert(pairs.contains((0L, 2L)), s"perturbed copy missed: $pairs")
+    // ... and does NOT pair the unrelated image with anything
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated image spuriously paired: $pairs")
+    // scattered byte flips touch at most 2 bits each
+    assert(pairs((0L, 2L)) <= 6L)
+    // hamming to the unrelated image is large (the signatures separate)
+    val ph = MultimodalOps.perceptualHash(media, bits = 48)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(ph(0L) ^ ph(3L)) > 6,
+      s"expected separation, got ${java.lang.Long.bitCount(ph(0L) ^ ph(3L))}")
+    // map-only signature: no exchange in the phash plan
+    val plan = MultimodalOps.perceptualHash(media, bits = 48)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("hammingNearPairs: generic spine equals brute-force on any signature column") {
+    val sigs = Seq((1L, 0L), (2L, 3L), (3L, 0xF0L), (4L, 0xF1L), (5L, 0x7FFFL))
+      .toDF("id", "sig")
+    val got = graft.ops.DedupOps.hammingNearPairs(sigs, "id", "sig",
+        bits = 16, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = for {
+      Seq(a, b) <- Seq(1L -> 0L, 2L -> 3L, 3L -> 0xF0L, 4L -> 0xF1L, 5L -> 0x7FFFL)
+        .combinations(2).toSeq
+      h = java.lang.Long.bitCount(a._2 ^ b._2)
+      if h <= 2
+    } yield (math.min(a._1, b._1), math.max(a._1, b._1), h.toLong)
+    assert(got == brute.toSet)
+  }
+
   test("loadEvents reads ns timestamps as exact integer micros") {
     val ev = EventOps.loadEvents(spark, "/root/testdata/sf0.001")
     val r = ev.select(col("ts"), col("ts_us")).head()
