@@ -447,6 +447,81 @@ object HashKernels {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  /** Byte-BPE token statistics in one text pass: [n_words, n_bpe_tokens]
+    * under a rank-ordered merges table (flat [a0,b0,a1,b1,…]).
+    *
+    * Encoding is canonical Sennrich BPE (subword-nmt): each word starts
+    * as its codepoint sequence; each merge rule, in rank order, replaces
+    * ALL adjacent (a,b) occurrences (leftmost-first passes to fixpoint).
+    * Every rule must have a ≠ b — equal-sided rules make leftmost
+    * tie-breaking order-sensitive across implementations (the oracle's
+    * string-replace form would diverge on runs like "aaaa"); with a ≠ b
+    * occurrences are disjoint and the fixpoint is unique, so the SQL
+    * `replace`-to-fixpoint oracle reproduces these counts exactly.
+    *
+    * Words are single-space-separated substrings; empty words (leading/
+    * double/trailing spaces) contribute nothing. Multi-pass cost is
+    * bounded: with a ≠ b the second pass only sweeps up occurrences
+    * whose shared-boundary neighbor was consumed, so each rule is O(word
+    * length) amortized; whole kernel O(rules × length) per row, map-only.
+    */
+  def bpeTokenStats(s: UTF8String, merges: Array[String]): ArrayData = {
+    val text = s.toString
+    var nWords = 0L
+    var nTok = 0L
+    val n = text.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          nWords += 1
+          nTok += bpeWordTokenCount(text, start, i, merges)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(Array(nWords, nTok))
+  }
+
+  private def bpeWordTokenCount(text: String, from: Int, to: Int,
+      merges: Array[String]): Long = {
+    var toks = new java.util.ArrayList[String](to - from)
+    var j = from
+    while (j < to) {
+      val cp = text.codePointAt(j)
+      val w = Character.charCount(cp)
+      toks.add(text.substring(j, j + w))
+      j += w
+    }
+    var r = 0
+    while (r + 1 < merges.length) {
+      val a = merges(r)
+      val b = merges(r + 1)
+      var changed = true
+      while (changed && toks.size > 1) {
+        changed = false
+        val out = new java.util.ArrayList[String](toks.size)
+        var t = 0
+        val sz = toks.size
+        while (t < sz) {
+          if (t + 1 < sz && toks.get(t) == a && toks.get(t + 1) == b) {
+            out.add(a + b)
+            t += 2
+            changed = true
+          } else {
+            out.add(toks.get(t))
+            t += 1
+          }
+        }
+        toks = out
+      }
+      r += 2
+    }
+    toks.size.toLong
+  }
 }
 
 /** Codegen'd TextOps.charHash (custom Catalyst Expression — the brief's
@@ -508,6 +583,38 @@ case class WordOccurrenceCounts(child: Expression, words: Seq[String])
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.wordCounts($c, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): WordOccurrenceCounts =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass byte-BPE token statistics (see
+  * HashKernels.bpeTokenStats): [n_words, n_bpe_tokens] under a
+  * rank-ordered merges table. The merges table ships into generated code
+  * as a reference object — the same broadcast-small-model shape as
+  * [[WordOccurrenceCounts]] (and TextOps.classifierScore); a production
+  * 50k-rule vocabulary rides the same mechanism unchanged. */
+case class BpeTokenStats(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+  require(merges.nonEmpty && merges.length % 2 == 0,
+    "merges must be a non-empty flat [a0,b0,a1,b1,…] pair list")
+  require(merges.forall(m => m.nonEmpty && !m.contains(' ')),
+    "merge tokens must be non-empty and space-free")
+  require(merges.grouped(2).forall(p => p(0) != p(1)),
+    "merge rules need a != b (equal sides make leftmost merge order " +
+      "implementation-dependent — the oracle could not reproduce counts)")
+  private lazy val mergesArr: Array[String] = merges.toArray
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_stats needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bpeTokenStats(input.asInstanceOf[UTF8String], mergesArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBpeMerges", mergesArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bpeTokenStats($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenStats =
     copy(child = newChild)
 }
 
@@ -803,6 +910,9 @@ object exprs {
     shims.column(BitmapFromEntries(shims.expression(entries), n))
   def normalizeText(c: Column): Column =
     shims.column(NormalizeText(shims.expression(c)))
+  def bpeTokenStats(c: Column, merges: Seq[(String, String)]): Column =
+    shims.column(BpeTokenStats(shims.expression(c),
+      merges.flatMap(p => Seq(p._1, p._2))))
   def hashEmbedding(c: Column, dim: Int): Column =
     shims.column(HashEmbedding(shims.expression(c), dim))
   def zInterleave(a: Column, b: Column, bits: Int): Column =

@@ -152,6 +152,44 @@ object TextOps {
     df.withColumn("n_ws_tokens", size(tokens(col(text))).cast("long"))
       .withColumn("n_bpeish_tokens", regexp_count(col(text), lit(BpeishPattern)).cast("long"))
 
+  /** Demo byte-BPE merges table: rank-ordered common-English pairs
+    * (later rules consume earlier rules' outputs — `th`+`e`, `a`+`t`
+    * then `th`+`at`). Deterministic and tiny by design so the oracle can
+    * replay it; a real trainer's 50k-rule table drops in unchanged (the
+    * kernel ships it as a broadcast-style reference object). Every rule
+    * has a ≠ b — the [[graft.functions.BpeTokenStats]] requirement that
+    * keeps merge order implementation-independent. */
+  val DefaultBpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "o" -> "n",
+    "e" -> "r", "r" -> "e", "o" -> "r", "e" -> "n", "a" -> "t",
+    "e" -> "s", "o" -> "u", "an" -> "d", "in" -> "g", "t" -> "o",
+    "e" -> "d", "i" -> "s", "i" -> "t", "a" -> "l", "a" -> "r",
+    "s" -> "t", "l" -> "e", "o" -> "f", "c" -> "h", "u" -> "r",
+    "w" -> "h", "c" -> "e", "m" -> "e", "d" -> "e", "b" -> "e",
+    "th" -> "at", "o" -> "w")
+
+  /** Tokenizer-faithful token counting: canonical byte-BPE (Sennrich et
+    * al., "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL 2016) under a rank-ordered merges table — the budget a trainer
+    * actually sees, where [[tokenCounts]]'s whitespace/regex counts are
+    * pre-tokenizer approximations. One map-only codegen pass per row
+    * ([[graft.functions.HashKernels.bpeTokenStats]]); the merges table
+    * rides into generated code as a reference object (the
+    * [[classifierScore]] broadcast-model shape). Output: (id, n_words,
+    * n_bpe_tokens). Feed `n_bpe_tokens` straight into
+    * [[SampleOps.packBins]] / [[ProfileOps.numericProfile]] for
+    * BPE-budgeted packing and token-length profiles (spec-pinned).
+    */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)] = DefaultBpeMerges): DataFrame = {
+    val stats = graft.functions.exprs.bpeTokenStats(col(textCol), merges)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), stats.as("__s"))
+      .select(col(idCol),
+        element_at(col("__s"), 1).as("n_words"),
+        element_at(col("__s"), 2).as("n_bpe_tokens"))
+  }
+
   /** Per-group corpus profile (group = language, source, domain …): doc
     * count, token/char volume, and length extremes — the reporting table
     * a curation pipeline publishes per snapshot. One partial-aggregated

@@ -423,6 +423,42 @@ object Queries {
        |  len(regexp_extract_all(text, '${TextOps.BpeishPattern}'))::BIGINT AS n_bpeish_tokens
        |FROM documents""".stripMargin
 
+  /** Canonical byte-BPE token counts under the library's demo merges
+    * table. The oracle replays the SAME rank-ordered table with a
+    * recursive CTE: per distinct word, space-join the characters, then
+    * `replace(' a b ', ' ab ')` to fixpoint per rule before advancing to
+    * the next rule — exactly Sennrich's replace-all-occurrences encoding
+    * (rules all have a ≠ b, so the fixpoint is order-independent and
+    * matches the kernel's token-pass form). */
+  private def bpeTokensQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTokenCounts(t(s, dir, "documents"), "doc_id", "text")
+
+  private def bpeTokensSql: String = {
+    val rules = TextOps.DefaultBpeMerges.zipWithIndex.map { case ((a, b), r) =>
+      s"($r, ' $a $b ', ' $a$b ')"
+    }.mkString(", ")
+    val nRules = TextOps.DefaultBpeMerges.size
+    s"""WITH RECURSIVE rules(r, p, q) AS (VALUES $rules),
+       |words AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |dw AS (SELECT DISTINCT w FROM words),
+       |bpe(w, s, r) AS (
+       |  SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ', 0 FROM dw
+       |  UNION ALL
+       |  SELECT w,
+       |    CASE WHEN replace(s, p, q) <> s THEN replace(s, p, q) ELSE s END,
+       |    CASE WHEN replace(s, p, q) <> s THEN bpe.r ELSE bpe.r + 1 END
+       |  FROM bpe JOIN rules ON rules.r = bpe.r),
+       |counts AS (
+       |  SELECT w, len(string_split(trim(s), ' '))::BIGINT AS n
+       |  FROM bpe WHERE r = $nRules)
+       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       |  CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+       |FROM words JOIN counts USING (w) GROUP BY doc_id""".stripMargin
+  }
+
   private def langIdQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextOps.languageId(col("text")).as("pred_lang"),
@@ -1927,6 +1963,7 @@ object Queries {
     "q_events_sessions" -> (eventsSessionsQ _),
     "q_text_quality" -> (textQualityQ _),
     "q_token_count" -> (tokenCountQ _),
+    "q_bpe_tokens" -> (bpeTokensQ _),
     "q_lang_id" -> (langIdQ _),
     "q_doc_fingerprint" -> (docFingerprintQ _),
     "q_dedup_exact" -> (dedupExactQ _),
@@ -2026,6 +2063,7 @@ object Queries {
     "q_events_sessions" -> eventsSessionsSql,
     "q_text_quality" -> textQualitySql,
     "q_token_count" -> tokenCountSql,
+    "q_bpe_tokens" -> bpeTokensSql,
     "q_lang_id" -> langIdSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_dedup_exact" -> dedupExactSql,
