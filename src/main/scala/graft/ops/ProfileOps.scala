@@ -149,6 +149,73 @@ object ProfileOps {
     withQuantiles(mergedStats, merged, mat)
   }
 
+  /** Mergeable quantile SKETCH parts — the third profile part, closing
+    * the incremental-profile gap for NEAR-UNIQUE CONTINUOUS columns
+    * where [[profileParts]]' exact value histogram is corpus-sized (its
+    * documented `approx_percentile` substitute is accurate but NOT
+    * mergeable across slices the way the HLL/CMS sinks are).
+    *
+    * The sketch is a deterministic KLL-lite
+    * ([[graft.functions.KllAggregator]]): ≤ k·⌈log₂(N/k)⌉ (level, value)
+    * rows per slice — KILOBYTES regardless of N — where a level-i row
+    * stands for 2^i original rows and total weight is conserved exactly.
+    * The contract mirrors the CMS cells: each slice publishes its part
+    * rows once; any UNION of parts is itself a valid sketch
+    * ([[quantilesFromSketchParts]] reads it directly); the daily fold
+    * re-compacts a grown union back to one bounded part with
+    * [[sketchFromParts]] — no raw-history re-scan, ever. Parquet
+    * round-trip is trivial (two primitive columns; spec-pinned).
+    *
+    * Rank error ≈ H·N/(2k) for H occupied levels (≤ 3% at k=256,
+    * spec-pinned); exact when a slice has ≤ k rows. Build cost: one
+    * partial-aggregate pass (object buffers per partition, merge in the
+    * combine stage — the plan shape of any built-in aggregate).
+    */
+  def quantileSketchParts(df: DataFrame, valueCol: String,
+      k: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("_1"), lit(0).as("_2"))
+      .as[(Double, Int)]
+    sketchToRows(items, k)
+  }
+
+  /** Re-compact a (possibly unioned, possibly parquet-round-tripped)
+    * part table back to one bounded sketch — the fold step. Rides the
+    * same aggregator: a stored (level, value) row re-enters at its own
+    * level, so weights are preserved and error composes additively. */
+  def sketchFromParts(parts: DataFrame, k: Int = 256): DataFrame = {
+    val spark = parts.sparkSession
+    import spark.implicits._
+    val items = parts
+      .select(col("value").cast("double").as("_1"), col("level").cast("int").as("_2"))
+      .as[(Double, Int)]
+    sketchToRows(items, k)
+  }
+
+  private def sketchToRows(items: org.apache.spark.sql.Dataset[(Double, Int)],
+      k: Int): DataFrame = {
+    val agg = new graft.functions.KllAggregator(k)
+    items.select(agg.toColumn.name("sketch"))
+      .select(explode(col("sketch")).as("e"))
+      .select(col("e._1").as("level"), col("e._2").as("value"))
+  }
+
+  /** Quantile estimates from any union of sketch parts: weights 2^level
+    * re-sum per distinct value into a (val, c) histogram, which then
+    * flows through the SAME distributed prefix-sum machinery the exact
+    * profile uses — one shared quantile definition, no new shuffle
+    * shape. Output: one row (median_est, p90_est). */
+  def quantilesFromSketchParts(parts: DataFrame,
+      mat: Materializer = Materializer.LocalLazy): DataFrame = {
+    val hist = parts.groupBy(col("value").as("val"))
+      .agg(sum(expr("CAST(round(pow(2, level)) AS BIGINT)")).as("c"))
+    quantilesFromHistogram(hist, mat)
+      .select(col("q").getField("median").as("median_est"),
+        col("q").getField("p90").as("p90_est"))
+  }
+
   /** Equi-width histogram of an INTEGRAL column: `bins` buckets over
     * [min, max], bin index = (v − min)·bins div (max − min + 1) — exact
     * long arithmetic end-to-end, so bucket membership (and the oracle

@@ -106,6 +106,66 @@ class SampleOpsSpec extends SparkSpec {
     assert(exact == direct)
   }
 
+  test("quantileSketchParts: bounded size, conserved weight, pinned rank error, merge + fold + parquet round-trip") {
+    import spark.implicits._
+    // a NEAR-UNIQUE continuous column — the case the exact value
+    // histogram cannot profile incrementally (10 000 distinct doubles)
+    val n = 10000
+    val values = (0 until n).map(i => ((i * 7919) % n) + 0.25) // shuffled, unique
+    val df = values.toDF("x").repartition(8)
+    val k = 256
+    val parts = ProfileOps.quantileSketchParts(df, "x", k).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    // KB-sized: ≤ k·⌈log2(n/k)⌉ + slack, never corpus-sized
+    val maxLevels = (math.log(n.toDouble / k) / math.log(2)).ceil.toInt + 2
+    assert(parts.length <= k * maxLevels,
+      s"sketch has ${parts.length} rows; bound ${k * maxLevels}")
+    // total weight is conserved exactly: sum of 2^level == N
+    assert(parts.map { case (lvl, _) => 1L << lvl }.sum == n.toLong)
+    // rank error of median/p90 estimates ≤ 3% of N (stated bound)
+    val sorted = values.sorted
+    def rankErr(est: Double, target: Int): Int = {
+      val lo = sorted.count(_ < est)
+      val hi = sorted.count(_ <= est)
+      if (target < lo) lo - target else if (target > hi) target - hi else 0
+    }
+    val partsDf = ProfileOps.quantileSketchParts(df, "x", k)
+    val est = ProfileOps.quantilesFromSketchParts(partsDf).head()
+    assert(rankErr(est.getDouble(0), (n + 1) / 2) <= n * 3 / 100,
+      s"median est ${est.getDouble(0)} off by ${rankErr(est.getDouble(0), (n + 1) / 2)}")
+    assert(rankErr(est.getDouble(1), (9 * n + 9) / 10) <= n * 3 / 100,
+      s"p90 est ${est.getDouble(1)} off by ${rankErr(est.getDouble(1), (9 * n + 9) / 10)}")
+    // MERGE contract: four slices sketched independently, parts unioned
+    // (the incremental publish path) — still within the bound
+    val sliceParts = (0 until 4).map { s =>
+      ProfileOps.quantileSketchParts(
+        df.filter(pmod(col("x").cast("long"), lit(4)) === s), "x", k)
+    }.reduce(_ unionByName _)
+    val merged = ProfileOps.quantilesFromSketchParts(sliceParts).head()
+    assert(rankErr(merged.getDouble(0), (n + 1) / 2) <= n * 3 / 100)
+    assert(rankErr(merged.getDouble(1), (9 * n + 9) / 10) <= n * 3 / 100)
+    // FOLD: re-compact the union back to one bounded part table; weight
+    // still N, estimates still in bound (error composes, stays small)
+    val folded = ProfileOps.sketchFromParts(sliceParts, k)
+    val foldedRows = folded.collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(foldedRows.length <= k * (maxLevels + 2))
+    assert(foldedRows.map { case (lvl, _) => 1L << lvl }.sum == n.toLong)
+    val foldedEst = ProfileOps.quantilesFromSketchParts(folded).head()
+    assert(rankErr(foldedEst.getDouble(0), (n + 1) / 2) <= n * 3 / 100)
+    // PARQUET round-trip: two primitive columns, estimates identical
+    val dir = java.nio.file.Files.createTempDirectory("kll").toString
+    partsDf.write.mode("overwrite").parquet(s"$dir/parts")
+    val back = ProfileOps.quantilesFromSketchParts(
+      spark.read.parquet(s"$dir/parts")).head()
+    assert(back.getDouble(0) == est.getDouble(0) &&
+      back.getDouble(1) == est.getDouble(1))
+    // EXACTNESS when N <= k: nothing compacts, the sketch IS the data
+    val tiny = (1 to 100).map(_.toDouble).toDF("x").repartition(5)
+    val tinyEst = ProfileOps.quantilesFromSketchParts(
+      ProfileOps.quantileSketchParts(tiny, "x", k)).head()
+    assert(tinyEst.getDouble(0) == 50.0 && tinyEst.getDouble(1) == 90.0)
+  }
+
   test("numericProfile: prefix sum is distributed — no unpartitioned window") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val qe = ProfileOps.numericProfile(df, "l_quantity").queryExecution
