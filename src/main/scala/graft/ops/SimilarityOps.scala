@@ -306,6 +306,44 @@ object SimilarityOps {
       .select("id_a", "id_b", "cos")
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): semantic ε-dedup
+    * WITHIN k-means clusters. Embeddings are assigned to their nearest
+    * centroid; pairs with cosine ≥ `minCos` inside a cluster form
+    * semantic-duplicate sets (connected components); each set keeps ONE
+    * representative — per the paper, the example with the LOWEST cosine
+    * to its centroid (the farthest / most atypical one, preserving
+    * diversity), ties by id.
+    *
+    * Pure composition of the proven spine: pair generation is
+    * [[embeddingNearDupPairsIVF]] (cluster-bucketed, never all-pairs;
+    * `probes` > 1 recovers cluster-boundary pairs beyond the paper's
+    * strict within-cluster formulation), components are
+    * [[DedupOps.nearDupClusters]] (edge-induced iteration), and
+    * selection is [[DedupOps.dedupKeepBest]] with score = −cent_cos
+    * (cluster-bounded window). Two map-only assignment passes (one for
+    * pairs, one for the centroid score) — both embarrassingly parallel.
+    * `centroids` is any small (id, vec) codebook ([[trainCentroids]] or
+    * a deterministic sample). Output: the surviving rows of `df` plus
+    * their `cent_cos` diversity score.
+    */
+  def semDedup(df: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, minCos: Double, probes: Int = 1,
+      mat: Materializer = Materializer.Local): DataFrame = {
+    val cents = withQ(centroids, idCol, vecCol, "cent")
+    val scoreSide = assignClusters(cents, withQ(df, idCol, vecCol, "q"), "q", 1)
+      .join(broadcast(cents), col("q_cluster") === col("cent_id"))
+      .withColumn("cent_cos", cosineFromQ(dotQ(col("q_q"), col("cent_q")),
+        col("q_n2"), col("cent_n2")))
+      .select(col("q_id").as(idCol), col("cent_cos"))
+    val pairs = embeddingNearDupPairsIVF(df, centroids, idCol, vecCol,
+      minCos, probes)
+    val clusters = DedupOps.nearDupClusters(
+      pairs.select("id_a", "id_b"), df.select(col(idCol)), idCol, mat = mat)
+    DedupOps.dedupKeepBest(df.join(scoreSide, Seq(idCol)), clusters, idCol,
+      negate(col("cent_cos")))
+  }
+
   /** Corpus-vs-corpus near-duplicate pairs bucketed by IVF cluster: every
     * vector is assigned to its `probes` nearest centroids, and pairs are
     * generated only WITHIN a shared cluster — the join is

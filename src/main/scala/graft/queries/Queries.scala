@@ -854,6 +854,48 @@ object Queries {
        |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
        |WHERE cos >= 0.45""".stripMargin
 
+  /** SemDeDup on the embeddings table: within-cluster semantic sets at
+    * cos ≥ 0.45 (this corpus's near-dup band), keep the
+    * farthest-from-centroid member. Codebook = the deterministic sampled
+    * centroids the other IVF oracles use (KMeans training is spec-gated
+    * — not SQL-reproducible). */
+  private def semDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings")
+    SimilarityOps.semDedup(em, em.filter(col("vec_id") < 8),
+        "vec_id", "embedding", minCos = 0.45)
+      .select("vec_id", "cent_cos")
+  }
+
+  private def semDedupSql =
+    s"""WITH RECURSIVE q0 AS ($sqlQuantized),
+       |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM q0),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 8),
+       |asg AS (SELECT vec_id, v, n2, cent_id, cent_cos FROM (
+       |  SELECT a.vec_id, a.v, a.n2, c.cent_id,
+       |    CAST(list_sum(list_transform(a.v, (x,i) -> x * c.cv[i])) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cent_cos,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      CAST(list_sum(list_transform(a.v, (x,i) -> x * c.cv[i])) AS DOUBLE)
+       |        / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC,
+       |      c.cent_id) AS crk
+       |  FROM n a CROSS JOIN cents c) WHERE crk = 1),
+       |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       |  WHERE CAST(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.45),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |walk(node, label) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+       |cc AS (SELECT node AS vec_id, min(label) AS cluster_id FROM walk GROUP BY node)
+       |SELECT vec_id, cent_cos FROM (
+       |  SELECT asg.vec_id, asg.cent_cos,
+       |    row_number() OVER (PARTITION BY cc.cluster_id
+       |      ORDER BY asg.cent_cos ASC, asg.vec_id) AS rn
+       |  FROM asg JOIN cc ON cc.vec_id = asg.vec_id) WHERE rn = 1""".stripMargin
+
   private def embedRpLshQ(s: SparkSession, dir: String): DataFrame =
     // 16 bands × 4 bits: the low-threshold parameterization — this
     // corpus's near-dup band sits at cos ≈ 0.45-0.5 (recall ≈ 0.95
@@ -1974,6 +2016,7 @@ object Queries {
     "q_embed_cosine_topk" -> (embedTopkQ _),
     "q_embed_near_dup" -> (embedNearDupQ _),
     "q_embed_near_dup_ivf" -> (embedNearDupIvfQ _),
+    "q_semdedup" -> (semDedupQ _),
     "q_multimodal_meta" -> (multimodalMetaQ _),
     "q_frame_sample" -> (frameSampleQ _),
     "q_external_ids" -> (externalIdsQ _),
@@ -2074,6 +2117,7 @@ object Queries {
     "q_embed_cosine_topk" -> embedTopkSql,
     "q_embed_near_dup" -> embedNearDupSql,
     "q_embed_near_dup_ivf" -> embedNearDupIvfSql,
+    "q_semdedup" -> semDedupSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_frame_sample" -> frameSampleSql,
     "q_external_ids" -> externalIdsSql,

@@ -233,4 +233,67 @@ class SimilarityOpsSpec extends SparkSpec {
     // c0 = {0, 1, 3}; self excluded -> neighbors ranked by cos: 0, 3.
     assert(got.map(_.getLong(1)).toSeq == Seq(0L, 3L))
   }
+
+  test("semDedup removes planted semantic duplicates, keeps the farthest-from-centroid one") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n = em.count()
+    // plant a slightly-perturbed semantic copy of vectors 0..9 (re-keyed
+    // +100000): tiny deterministic rotation of one coordinate — near-cos-1
+    // to the original, so each (orig, copy) is one semantic-duplicate set
+    val planted = em.filter(col("vec_id") < 10).select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(CASE WHEN i = 0 THEN x * CAST(1.02 AS FLOAT) ELSE x END AS FLOAT))")
+        .as("embedding"))
+    val corpus = em.unionByName(planted)
+    val cents = SimilarityOps.trainCentroids(em, "vec_id", "embedding", k = 4)
+    // recall check on the planted fixture: the IVF pair spine semDedup
+    // composes must see every planted (orig, copy) pair — a near-exact
+    // copy lands in its original's cluster by construction
+    val plantedPairs = (0L until 10L).map(i => (i, i + 100000L)).toSet
+    val ivfPairs = SimilarityOps.embeddingNearDupPairsIVF(
+      corpus, cents, "vec_id", "embedding", minCos = 0.995)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = SimilarityOps.embeddingNearDupPairs(
+      corpus, "vec_id", "embedding", minCos = 0.995)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plantedPairs.subsetOf(exactPairs), "fixture: copies must be near-dups")
+    assert(plantedPairs.subsetOf(ivfPairs),
+      s"IVF spine missed planted pairs: ${plantedPairs -- ivfPairs}")
+    // semDedup: exactly one survivor per planted set; everything
+    // non-duplicated survives untouched
+    val kept = SimilarityOps.semDedup(corpus, cents, "vec_id", "embedding",
+      minCos = 0.995).select("vec_id", "cent_cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // expected survivors = total - (duplicate-set members - sets), from
+    // a reference union-find over the exact pair graph (sets can chain)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    exactPairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val members = exactPairs.flatMap(p => Seq(p._1, p._2))
+    val nSets = members.map(find).size
+    assert(kept.size == n + 10 - (members.size - nSets),
+      s"expected one survivor per duplicate set, kept ${kept.size} of ${n + 10}")
+    plantedPairs.foreach { case (a, b) =>
+      assert(kept.contains(a) ^ kept.contains(b),
+        s"exactly one of ($a, $b) must survive")
+    }
+    // the survivor is the set member FARTHEST from its centroid (the
+    // SemDeDup diversity rule): its cent_cos is the pair's minimum
+    val centCos = SimilarityOps.semDedup(corpus, cents, "vec_id", "embedding",
+        minCos = 2.0) // no pairs at cos > 1 -> everything survives, scores intact
+      .select("vec_id", "cent_cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    plantedPairs.foreach { case (a, b) =>
+      val survivor = if (kept.contains(a)) a else b
+      val other = if (survivor == a) b else a
+      assert(centCos(survivor) <= centCos(other) ||
+        math.abs(centCos(survivor) - centCos(other)) < 1e-12,
+        s"survivor $survivor (cos ${centCos(survivor)}) should be no closer " +
+          s"to the centroid than $other (cos ${centCos(other)})")
+    }
+  }
 }
