@@ -35,29 +35,38 @@ object Bench {
       "q_cluster_split",
       // round-7 CC-family additions inherit the trio's GC-sensitivity
       "q_simhash_clusters", "q_dedup_by_minhash")
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release this query's persisted/localCheckpointed blocks so later
+      // queries aren't measured under accumulated storage-memory pressure
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+      System.gc() // settle between queries: attribute GC to no one
+      dt
+    }
+    // true median: average the two middle elements when the run count is
+    // even (upper-middle alone systematically overstates)
+    def median(times: Seq[Double]): Double = {
+      val s = times.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val n = if (watch(name)) math.max(runs, 3) else runs
-      val times = (1 to n).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // release this query's persisted/localCheckpointed blocks so later
-        // queries aren't measured under accumulated storage-memory pressure
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        spark.sharedState.cacheManager.clearCache()
-        System.gc() // settle between queries: attribute GC to no one
-        dt
-      }
-      // true median: average the two middle elements when the run count
-      // is even (upper-middle alone systematically overstates)
-      val t = if (watch(name)) {
-        val s = times.sorted
-        if (s.length % 2 == 1) s(s.length / 2)
-        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-      } else times.min
+      var times = (1 to n).map(_ => runOnce(name, fn))
+      // round-8 protocol: ANY query whose fastest run is >= 1s gets the
+      // median-of->=3 treatment, not just the named watch list — the
+      // single-run totals of heavy queries drift ±10% with GC/JIT state
+      // (BASELINE.md's 62→56→65→59 cross-round drift), and the min of 2
+      // still chases lucky GC windows on multi-second queries
+      if (!watch(name) && times.min >= 1.0 && times.length < 3)
+        times = times ++ (times.length until 3).map(_ => runOnce(name, fn))
+      val t = if (watch(name) || times.min >= 1.0) median(times) else times.min
       name -> t
     }
     // Tail-capture robustness (round-3 BENCH had parsed:null — the

@@ -448,6 +448,41 @@ object HashKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** 1-D difference hash (dHash) in one pass: sample `bits`+1 evenly
+    * spaced codepoints (index i·(n−1) div bits — exact integer
+    * positions), set bit i when sample i > sample i+1. The codepoint
+    * array is collected ONCE per row — the composed builtin form
+    * (array of 49 `ascii(substr(...))` + 48 `element_at` comparisons)
+    * re-inlines the array construction into every reference under
+    * project collapse, turning 49 substring scans into ~4700. Empty
+    * strings hash to 0 (callers filter them — no perceptual content).
+    */
+  def dhashBits(s: UTF8String, bits: Int): Long = {
+    val str = s.toString
+    val len = str.length
+    val cps = new Array[Int](str.codePointCount(0, len))
+    var i = 0
+    var j = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      cps(j) = cp
+      j += 1
+      i += Character.charCount(cp)
+    }
+    val n = cps.length
+    if (n == 0) return 0L
+    var out = 0L
+    var b = 0
+    var prev = cps(0)
+    while (b < bits) {
+      val next = cps((((b + 1).toLong * (n - 1)) / bits).toInt)
+      if (prev > next) out |= 1L << b
+      prev = next
+      b += 1
+    }
+    out
+  }
+
   /** Byte-BPE token statistics in one text pass: [n_words, n_bpe_tokens]
     * under a rank-ordered merges table (flat [a0,b0,a1,b1,…]).
     *
@@ -615,6 +650,24 @@ case class BpeTokenStats(child: Expression, merges: Seq[String])
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bpeTokenStats($c, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeTokenStats =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass 1-D dHash (see HashKernels.dhashBits). */
+case class DhashBits(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dhash_bits needs string, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.dhashBits(input.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.dhashBits($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): DhashBits =
     copy(child = newChild)
 }
 
@@ -913,6 +966,8 @@ object exprs {
   def bpeTokenStats(c: Column, merges: Seq[(String, String)]): Column =
     shims.column(BpeTokenStats(shims.expression(c),
       merges.flatMap(p => Seq(p._1, p._2))))
+  def dhashBits(c: Column, bits: Int): Column =
+    shims.column(DhashBits(shims.expression(c), bits))
   def hashEmbedding(c: Column, dim: Int): Column =
     shims.column(HashEmbedding(shims.expression(c), dim))
   def zInterleave(a: Column, b: Column, bits: Int): Column =

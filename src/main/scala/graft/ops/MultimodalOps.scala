@@ -70,29 +70,21 @@ object MultimodalOps {
     * near-identical luminance → hamming ≈ 0, and a few perturbed bytes
     * touch at most 2 bits each — both invisible to digest equality.
     *
-    * Map-only codegen (one projection: length + `bits`+1 substrings +
-    * the bit assembly); positions are exact integer `DIV` so the oracle
-    * can't drift. Empty payloads have no perceptual content and drop.
-    * Output: (doc_id, phash).
+    * Map-only via the one-pass codegen kernel
+    * [[graft.functions.HashKernels.dhashBits]] (sample positions are
+    * exact integer division — i·(n−1) div bits — so the oracle can't
+    * drift; the round-8 composed-builtin form re-inlined its sample
+    * array under project collapse, ~100× the substring work). Empty
+    * payloads have no perceptual content and drop. Output:
+    * (doc_id, phash).
     */
   def perceptualHash(media: DataFrame, bits: Int = 48): DataFrame = {
     require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
-    val sampled = media
+    media
       .select(col("doc_id"), decode(col("media"), "UTF-8").as("__s"))
       .filter(length(col("__s")) >= 1)
-      .withColumn("__n", length(col("__s")).cast("long"))
-      // bits+1 evenly spaced samples: char at 1 + (i·(n−1)) div bits
-      // (1-based); exact long arithmetic — double division could round a
-      // just-below-integer quotient up and shift a sample
-      .withColumn("__c", array((0 to bits).map { i =>
-        ascii(col("__s").substr(
-          expr(s"CAST((${i}L * (__n - 1)) DIV ${bits}L AS INT) + 1"), lit(1)))
-      }: _*))
-    val assemble = (0 until bits).map { i =>
-      when(element_at(col("__c"), i + 1) > element_at(col("__c"), i + 2),
-        lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sampled.select(col("doc_id"), assemble.cast("long").as("phash"))
+      .select(col("doc_id"),
+        graft.functions.exprs.dhashBits(col("__s"), bits).as("phash"))
   }
 
   /** Perceptual near-duplicate media pairs: [[perceptualHash]] fed
