@@ -101,6 +101,25 @@ object MultimodalOps {
     DedupOps.hammingNearPairs(perceptualHash(media, bits), "doc_id", "phash",
       bits, maxHamming, maxBucket)
 
+  /** Full perceptual media dedup chain: [[mediaNearDupPairs]] →
+    * connected components → keep the canonical (minimum-id) payload per
+    * perceptual-duplicate set — [[graft.ops.DedupOps.dedupByMinhash]]'s
+    * shape on the media column. This is what replaces digest-exact
+    * [[mediaDupGroups]] as the production media dedup: one re-encode or
+    * a single corrupted byte no longer splits a duplicate set. Output:
+    * the surviving rows of `media`, original columns intact.
+    */
+  def mediaDedup(media: DataFrame, bits: Int = 48, maxHamming: Int = 3,
+      maxBucket: Int = 100000,
+      mat: Materializer = Materializer.Local): DataFrame = {
+    val pairs = mediaNearDupPairs(media, bits, maxHamming, maxBucket)
+    val clusters = DedupOps.nearDupClusters(pairs.select("id_a", "id_b"),
+      media.select(col("doc_id")), "doc_id", mat = mat)
+    media.join(clusters, Seq("doc_id"))
+      .filter(col("doc_id") === col("cluster_id"))
+      .drop("cluster_id")
+  }
+
   /** STUB decode: deterministic fake dimensions/features from the bytes.
     * A real implementation decodes the codec here — per partition, so
     * the (expensive, native) decoder state is reused across the batch

@@ -190,6 +190,49 @@ object TextOps {
         element_at(col("__s"), 2).as("n_bpe_tokens"))
   }
 
+  /** BPE-BUDGETED document chunking: split each document into word-run
+    * chunks whose byte-BPE token load fits `budgetTokens` — the
+    * tokenizer-faithful version of [[chunkDocuments]], whose budgets are
+    * whitespace words (a trainer's context window is BPE tokens, and
+    * word/token ratios vary 2-4× across languages and formats, so a
+    * word-budgeted chunk over- or under-fills the window).
+    *
+    * Shape: one map-only word explode with the per-word
+    * [[graft.functions.HashKernels.bpeTokenStats]] kernel count, one
+    * running-sum window PARTITIONED BY document (the sessionize
+    * exchange; skew bounded by a single document's words), one grouped
+    * reassembly in explicit position order (`collect_list` is
+    * partitioning-ordered — never rely on collection order). Chunk
+    * assignment is the [[SampleOps.packBins]] exclusive-prefix rule: a
+    * word crossing the boundary charges its overflow to the current
+    * chunk — bounded overrun of one word per chunk, same trade.
+    * Output: (id, chunk_idx, chunk_text, n_bpe_tokens).
+    */
+  def chunkDocumentsByBudget(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int,
+      merges: Seq[(String, String)] = DefaultBpeMerges): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    val words = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+      .filter(col("__w") =!= "")
+      .withColumn("__n",
+        element_at(graft.functions.exprs.bpeTokenStats(col("__w"), merges), 2))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("__pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    words
+      .withColumn("__cum", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("chunk_idx", expr(s"__cum div ${budgetTokens}L"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        array_sort(collect_list(struct(col("__pos"), col("__w")))).as("__ws"),
+        sum(col("__n")).as("n_bpe_tokens"))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", transform(col("__ws"), x => x.getField("__w")))
+          .as("chunk_text"),
+        col("n_bpe_tokens"))
+  }
+
   /** Per-group corpus profile (group = language, source, domain …): doc
     * count, token/char volume, and length extremes — the reporting table
     * a curation pipeline publishes per snapshot. One partial-aggregated

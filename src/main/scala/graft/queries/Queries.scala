@@ -433,15 +433,20 @@ object Queries {
   private def bpeTokensQ(s: SparkSession, dir: String): DataFrame =
     TextOps.bpeTokenCounts(t(s, dir, "documents"), "doc_id", "text")
 
-  private def bpeTokensSql: String = {
+  /** The shared BPE oracle CTE body: rank-ordered rules, positioned
+    * word rows, and the per-distinct-word recursive encode — used by
+    * both the count and the budget-chunking oracles. */
+  private def bpeCtesSql: String = {
     val rules = TextOps.DefaultBpeMerges.zipWithIndex.map { case ((a, b), r) =>
       s"($r, ' $a $b ', ' $a$b ')"
     }.mkString(", ")
     val nRules = TextOps.DefaultBpeMerges.size
-    s"""WITH RECURSIVE rules(r, p, q) AS (VALUES $rules),
+    s"""rules(r, p, q) AS (VALUES $rules),
        |words AS (
-       |  SELECT doc_id, w FROM (
-       |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  SELECT doc_id, w, pos FROM (
+       |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
+       |           UNNEST(range(len(string_split(text, ' ')))) AS pos
+       |    FROM documents)
        |  WHERE w <> ''),
        |dw AS (SELECT DISTINCT w FROM words),
        |bpe(w, s, r) AS (
@@ -453,11 +458,34 @@ object Queries {
        |  FROM bpe JOIN rules ON rules.r = bpe.r),
        |counts AS (
        |  SELECT w, len(string_split(trim(s), ' '))::BIGINT AS n
-       |  FROM bpe WHERE r = $nRules)
+       |  FROM bpe WHERE r = $nRules)""".stripMargin
+  }
+
+  private def bpeTokensSql: String =
+    s"""WITH RECURSIVE $bpeCtesSql
        |SELECT doc_id, count(*)::BIGINT AS n_words,
        |  CAST(sum(n) AS BIGINT) AS n_bpe_tokens
        |FROM words JOIN counts USING (w) GROUP BY doc_id""".stripMargin
-  }
+
+  private val BpeChunkBudget = 64
+
+  /** BPE-budgeted chunking: the exclusive-prefix chunk rule over
+    * per-word BPE counts, reassembled in position order. */
+  private def bpeChunksQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocumentsByBudget(t(s, dir, "documents"), "doc_id", "text",
+      budgetTokens = BpeChunkBudget)
+
+  private def bpeChunksSql: String =
+    s"""WITH RECURSIVE $bpeCtesSql,
+       |cum AS (
+       |  SELECT doc_id, w, pos, n,
+       |    COALESCE(CAST(sum(n) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS c
+       |  FROM words JOIN counts USING (w))
+       |SELECT doc_id, c // $BpeChunkBudget AS chunk_idx,
+       |  string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+       |  CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+       |FROM cum GROUP BY doc_id, c // $BpeChunkBudget""".stripMargin
 
   private def langIdQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
@@ -1849,6 +1877,43 @@ object Queries {
        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin
 
+  /** End-to-end perceptual media dedup on the same planted corpus:
+    * pairs → CC → canonical (min-id) survivor per perceptual set. Every
+    * planted corrupted copy collapses onto its original. */
+  private def mediaDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val perturbed = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(substring(col("text"), 1, 10), lit("#"),
+        expr("substring(text, 12)")).as("text"))
+    MultimodalOps.mediaDedup(
+      MultimodalOps.attachFakeMedia(docs.unionByName(perturbed), "doc_id", "text"),
+      bits = PhashBits, maxHamming = 3)
+      .select(col("doc_id"), col("n_bytes"))
+  }
+
+  private def mediaDedupSql =
+    s"""WITH RECURSIVE m AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substr(text, 1, 10) || '#' || substr(text, 12)
+       |  FROM documents),
+       |ph AS (${phashInnerSql("m")}),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |walk(node, label) AS (
+       |  SELECT doc_id, doc_id FROM m
+       |  UNION
+       |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst),
+       |cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node)
+       |SELECT m.doc_id, strlen(m.text)::BIGINT AS n_bytes
+       |FROM m JOIN cc ON cc.doc_id = m.doc_id
+       |WHERE cc.cluster_id = m.doc_id""".stripMargin
+
   private def hybridNearDupQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val em = t(s, dir, "embeddings")
@@ -2006,6 +2071,7 @@ object Queries {
     "q_text_quality" -> (textQualityQ _),
     "q_token_count" -> (tokenCountQ _),
     "q_bpe_tokens" -> (bpeTokensQ _),
+    "q_bpe_chunks" -> (bpeChunksQ _),
     "q_lang_id" -> (langIdQ _),
     "q_doc_fingerprint" -> (docFingerprintQ _),
     "q_dedup_exact" -> (dedupExactQ _),
@@ -2048,6 +2114,7 @@ object Queries {
     "q_top_terms" -> (topTermsQ _),
     "q_media_dup_groups" -> (mediaDupGroupsQ _),
     "q_media_near_dup" -> (mediaNearDupQ _),
+    "q_media_dedup" -> (mediaDedupQ _),
     "q_repetition" -> (repetitionQ _),
     "q_hash_sample" -> (hashSampleQ _),
     "q_stratified_sample" -> (stratifiedSampleQ _),
@@ -2107,6 +2174,7 @@ object Queries {
     "q_text_quality" -> textQualitySql,
     "q_token_count" -> tokenCountSql,
     "q_bpe_tokens" -> bpeTokensSql,
+    "q_bpe_chunks" -> bpeChunksSql,
     "q_lang_id" -> langIdSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_dedup_exact" -> dedupExactSql,
@@ -2149,6 +2217,7 @@ object Queries {
     "q_top_terms" -> topTermsSql,
     "q_media_dup_groups" -> mediaDupGroupsSql,
     "q_media_near_dup" -> mediaNearDupSql,
+    "q_media_dedup" -> mediaDedupSql,
     "q_repetition" -> repetitionSql,
     "q_hash_sample" -> hashSampleSql,
     "q_stratified_sample" -> stratifiedSampleSql,

@@ -286,6 +286,29 @@ class EventMultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("mediaDedup collapses perceptual duplicate sets onto the canonical payload") {
+    def wave(n: Int): String =
+      (0 until n).map { j =>
+        val pos = j.toDouble / (n - 1)
+        (40 + (86 * (1 - math.abs(2 * pos - 1))).toInt).toChar
+      }.mkString
+    val orig = wave(481)
+    val resized = orig.flatMap(c => s"$c$c")
+    val perturbed = {
+      val b = orig.toCharArray
+      Seq(60, 200, 400).foreach(i => b(i) = (b(i) + 5).toChar)
+      new String(b)
+    }
+    val unrelated = (0 until 481).map(j => (40 + (j * 37) % 87).toChar).mkString
+    val media = MultimodalOps.attachFakeMedia(
+      Seq((0L, orig), (1L, resized), (2L, perturbed), (3L, unrelated))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val kept = MultimodalOps.mediaDedup(media, bits = 48, maxHamming = 6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // {0,1,2} is one perceptual set -> canonical 0 survives; 3 untouched
+    assert(kept == Set(0L, 3L), s"got $kept")
+  }
+
   test("hammingNearPairs: generic spine equals brute-force on any signature column") {
     val sigs = Seq((1L, 0L), (2L, 3L), (3L, 0xF0L), (4L, 0xF1L), (5L, 0x7FFFL))
       .toDF("id", "sig")

@@ -470,6 +470,40 @@ class TextOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("a != b"))
   }
 
+  test("chunkDocumentsByBudget: BPE budget respected, order-preserving, lossless reassembly") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val budget = 32
+    val chunks = TextOps.chunkDocumentsByBudget(corpus, "doc_id", "text", budget)
+    val rows = chunks.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // exclusive-prefix rule: every chunk's load minus its LAST word's
+    // overflow stays under budget => load < budget + max word cost; and
+    // all non-final chunks are at least at the budget boundary
+    val perWord = TextOps.bpeTokenCounts(
+      corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("text"))
+        .filter(col("text") =!= "").distinct(), "text", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val maxWord = perWord.values.max
+    rows.foreach { case (id, idx, _, n) =>
+      assert(n < budget + maxWord, s"doc $id chunk $idx load $n >= $budget + $maxWord")
+    }
+    // chunks reassemble the document losslessly in order (single-space
+    // words; split drops nothing but empties)
+    val texts = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val rebuilt = rs.sortBy(_._2).map(_._3).mkString(" ")
+      val expected = texts(id).split(" ").filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == expected, s"doc $id reassembly mismatch")
+    }
+    // deterministic across physical layout
+    val again = TextOps.chunkDocumentsByBudget(
+      corpus.repartition(7), "doc_id", "text", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(again == rows.map(t => (t._1, t._2, t._3)).toSet)
+  }
+
   test("BPE budgets thread into packing: packBins bins respect the real token budget") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val withBudget = corpus.join(
