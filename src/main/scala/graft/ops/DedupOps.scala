@@ -1052,6 +1052,47 @@ object DedupOps {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Incremental hamming near-dup check of a NEW batch of signatures
+    * against a STORED signature index — [[dedupAgainstIndex]]'s daily
+    * no-rescan path for the hamming family (SimHash text signatures,
+    * perceptual media dHashes): pigeonhole-chunk BOTH sides, equi-join
+    * new chunks against stored chunks (recall-lossless for hamming ≤
+    * `maxHamming`, same guarantee as [[hammingNearPairs]]), verify exact
+    * hamming on candidates only. The standing corpus is never
+    * re-hashed — the index side is the stored (id, signature) table read
+    * back as-is. `maxBucket` caps hot chunk values on the INDEX side
+    * (the unbounded one). Output: (id_new, id_old, hamming).
+    */
+  def hammingAgainstIndex(newSigs: DataFrame, indexSigs: DataFrame,
+      idCol: String, sigCol: String, bits: Int, maxHamming: Int = 3,
+      maxBucket: Int = 100000): DataFrame = {
+    require(bits >= maxHamming + 1 && bits <= 63,
+      s"bits must be in [maxHamming+1, 63] = [${maxHamming + 1}, 63], got $bits")
+    val nChunks = maxHamming + 1
+    val bounds = (0 to nChunks).map(i => i * bits / nChunks)
+    def banded(sigs: DataFrame, p: String): DataFrame = {
+      val chunkCols = (0 until nChunks).map { i =>
+        val lo = bounds(i)
+        val width = bounds(i + 1) - lo
+        shiftright(col(s"${p}_sig"), lo).bitwiseAND(lit((1L << width) - 1))
+      }
+      sigs.select(col(idCol).as(s"${p}_id"), col(sigCol).as(s"${p}_sig"))
+        .select(col(s"${p}_id"), col(s"${p}_sig"),
+          posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
+    }
+    val idx = banded(indexSigs, "old")
+    val ok = idx.groupBy("chunk", "ckey").agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") <= maxBucket).select("chunk", "ckey")
+    banded(newSigs, "new")
+      .join(idx.join(ok, Seq("chunk", "ckey")), Seq("chunk", "ckey"))
+      .select(col("new_id").as("id_new"), col("old_id").as("id_old"),
+        col("new_sig"), col("old_sig")).distinct()
+      .withColumn("hamming",
+        bit_count(col("new_sig").bitwiseXOR(col("old_sig"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_new", "id_old", "hamming")
+  }
+
   /** SimHash: `bits`-wide signature from the doc's token-hash bit votes,
     * computed per row by the one-pass codegen kernel
     * [[graft.functions.SimhashBits]] — MAP-ONLY. The round-3 form

@@ -120,6 +120,20 @@ object MultimodalOps {
       .drop("cluster_id")
   }
 
+  /** Incremental perceptual dedup of a NEW media batch against a STORED
+    * phash index ((doc_id, phash) parquet — the output of
+    * [[perceptualHash]] persisted once): the daily ingest path that
+    * never re-decodes or re-hashes the standing corpus, mirroring the
+    * MinHash [[graft.ops.DedupOps.dedupAgainstIndex]]. Output:
+    * (id_new, id_old, hamming) — new payloads perceptually matching an
+    * already-indexed one.
+    */
+  def mediaDedupAgainstIndex(newMedia: DataFrame, indexPhash: DataFrame,
+      bits: Int = 48, maxHamming: Int = 3,
+      maxBucket: Int = 100000): DataFrame =
+    DedupOps.hammingAgainstIndex(perceptualHash(newMedia, bits), indexPhash,
+      "doc_id", "phash", bits, maxHamming, maxBucket)
+
   /** STUB decode: deterministic fake dimensions/features from the bytes.
     * A real implementation decodes the codec here — per partition, so
     * the (expensive, native) decoder state is reused across the batch

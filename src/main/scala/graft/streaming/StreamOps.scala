@@ -172,6 +172,54 @@ object StreamOps {
     graft.ops.Pipeline.publishStaged(tmp, cmsPath)
   }
 
+  /** Fold per-micro-batch QUANTILE-SKETCH parts into a stored sketch —
+    * rolling median/p90 over an unbounded continuous column with no raw
+    * history, completing the mergeable-summary sink family (HLL =
+    * distincts, CMS = frequencies, KLL-lite = quantiles). Each batch
+    * contributes its KB-sized (level, value) part rows
+    * ([[graft.ops.ProfileOps.quantileSketchParts]]); the fold UNIONS the
+    * stored parts with the delta and re-compacts
+    * ([[graft.ops.ProfileOps.sketchFromParts]]) so the published table
+    * stays ≤ k·log₂(N/k) rows forever. Unlike the HLL register-max, the
+    * fold is NOT byte-idempotent — weight would literally double under
+    * replay — so the `__last_batch` guard is load-bearing; with it,
+    * total weight is conserved exactly (== rows ever streamed,
+    * spec-pinned) and estimates stay within the sketch's rank-error
+    * bound of the one-shot exact quantiles. Same crash-safe staged-swap
+    * publish as every sink here.
+    */
+  def quantileSketchSink(rows: DataFrame, sketchPath: String,
+      valueCol: String, k: Int = 256)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldQuantileBatch(batch, sketchPath, valueCol, k, batchId)
+      }
+
+  /** One micro-batch of the quantile fold (see [[quantileSketchSink]]). */
+  private[graft] def foldQuantileBatch(batch: DataFrame, sketchPath: String,
+      valueCol: String, k: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.ops.Pipeline.recoverStaged(sketchPath)
+    val stored =
+      if (new java.io.File(sketchPath).exists())
+        Some(spark.read.parquet(sketchPath))
+      else None
+    if (stored.exists(s =>
+        !s.head(1).isEmpty && s.head().getAs[Long]("__last_batch") >= batchId))
+      return // replayed epoch: folding again would double the weights
+    val delta = graft.ops.ProfileOps.quantileSketchParts(batch, valueCol, k)
+    val next = stored
+      .map(s => graft.ops.ProfileOps.sketchFromParts(
+        s.drop("__last_batch").unionByName(delta), k))
+      .getOrElse(delta)
+    val tmp = sketchPath + "__staging"
+    next.withColumn("__last_batch", lit(batchId))
+      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    graft.ops.Pipeline.publishStaged(tmp, sketchPath)
+  }
+
   /** Streaming NEAR-dup ingest gate — the incremental-dedup path
     * ([[graft.ops.DedupOps.dedupAgainstIndex]]) driven by the stream
     * engine: each micro-batch of documents is (1) self-deduped within

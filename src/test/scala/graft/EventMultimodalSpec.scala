@@ -309,6 +309,36 @@ class EventMultimodalSpec extends SparkSpec {
     assert(kept == Set(0L, 3L), s"got $kept")
   }
 
+  test("mediaDedupAgainstIndex flags new payloads matching the stored phash index only") {
+    def wave(n: Int): String =
+      (0 until n).map { j =>
+        val pos = j.toDouble / (n - 1)
+        (40 + (86 * (1 - math.abs(2 * pos - 1))).toInt).toChar
+      }.mkString
+    val orig = wave(481)
+    val indexed = MultimodalOps.perceptualHash(MultimodalOps.attachFakeMedia(
+      Seq((0L, orig)).toDF("doc_id", "text"), "doc_id", "text"))
+    // new batch: a corrupted copy of the indexed payload + an unrelated one
+    val perturbed = {
+      val b = orig.toCharArray
+      Seq(60, 200).foreach(i => b(i) = (b(i) + 5).toChar)
+      new String(b)
+    }
+    val unrelated = (0 until 481).map(j => (40 + (j * 37) % 87).toChar).mkString
+    val batch = MultimodalOps.attachFakeMedia(
+      Seq((10L, perturbed), (11L, unrelated)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val hits = MultimodalOps.mediaDedupAgainstIndex(batch, indexed, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSeq == Seq((10L, 0L)), s"got ${hits.toSeq}")
+    // the standing corpus is never re-hashed: the index side of the plan
+    // reads the signature frame as-is (no decode/substring over it)
+    val plan = MultimodalOps.mediaDedupAgainstIndex(batch, indexed)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("decode") || plan.indexOf("decode") == plan.lastIndexOf("decode"),
+      "index side must not re-decode payloads:\n" + plan.take(2000))
+  }
+
   test("hammingNearPairs: generic spine equals brute-force on any signature column") {
     val sigs = Seq((1L, 0L), (2L, 3L), (3L, 0xF0L), (4L, 0xF1L), (5L, 0x7FFFL))
       .toDF("id", "sig")

@@ -145,6 +145,53 @@ class StreamOpsSpec extends SparkSpec {
     assert(cells(spark.read.parquet(cms).drop("__last_batch")) == streamed)
   }
 
+  test("quantileSketchSink: streamed fold tracks exact quantiles; replay is a no-op") {
+    val in = tmpDir("graft_stream_kll_in")
+    val sk = tmpDir("graft_stream_kll") + "/qsketch.parquet"
+    val ckpt = tmpDir("graft_stream_kll_ckpt")
+    // three batches of a near-unique continuous column (3 x 1000 values)
+    val all = (0 until 3000).map(i => ((i * 7919) % 3000) + 0.5)
+    all.grouped(1000).zipWithIndex.foreach { case (vals, b) =>
+      vals.toDF("x").coalesce(1).write.parquet(s"$in/b$b")
+      Thread.sleep(50)
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b0").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = StreamOps.quantileSketchSink(stream, sk, "x", k = 256)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stored = spark.read.parquet(sk)
+    // bounded size + exactly-conserved weight (== rows ever streamed)
+    val parts = stored.drop("__last_batch").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(parts.length <= 256 * 8, s"sketch grew to ${parts.length} rows")
+    assert(parts.map { case (lvl, _) => 1L << lvl }.sum == 3000L)
+    // rolling quantiles stay within the sketch's rank-error bound
+    val est = graft.ops.ProfileOps.quantilesFromSketchParts(
+      stored.drop("__last_batch")).head()
+    val sorted = all.sorted
+    def rankErr(v: Double, target: Int): Int = {
+      val lo = sorted.count(_ < v); val hi = sorted.count(_ <= v)
+      if (target < lo) lo - target else if (target > hi) target - hi else 0
+    }
+    assert(rankErr(est.getDouble(0), 1500) <= 3000 * 5 / 100,
+      s"median ${est.getDouble(0)} off by ${rankErr(est.getDouble(0), 1500)}")
+    assert(rankErr(est.getDouble(1), 2700) <= 3000 * 5 / 100)
+    // replaying the LAST epoch must NOT double the weights
+    val lastBatch = stored.head().getAs[Long]("__last_batch")
+    StreamOps.foldQuantileBatch(all.take(1000).toDF("x"), sk, "x", 256, lastBatch)
+    val replayed = spark.read.parquet(sk).drop("__last_batch").collect()
+      .map(r => 1L << r.getInt(0))
+    assert(replayed.sum == 3000L, s"replay doubled weight: ${replayed.sum}")
+    // a genuinely new epoch folds (weight grows by the batch size)
+    StreamOps.foldQuantileBatch(all.take(500).toDF("x"), sk, "x", 256, lastBatch + 1)
+    assert(spark.read.parquet(sk).drop("__last_batch").collect()
+      .map(r => 1L << r.getInt(0)).sum == 3500L)
+  }
+
   test("nearDupGateSink: streamed batches dedup within-batch AND against the standing index") {
     val in = tmpDir("graft_stream_gate_in")
     val sig = tmpDir("graft_stream_gate_sig") + "/sigs.parquet"
