@@ -63,10 +63,13 @@ object Bench {
       // median-of->=3 treatment, not just the named watch list — the
       // single-run totals of heavy queries drift ±10% with GC/JIT state
       // (BASELINE.md's 62→56→65→59 cross-round drift), and the min of 2
-      // still chases lucky GC windows on multi-second queries
-      if (!watch(name) && times.min >= 1.0 && times.length < 3)
+      // still chases lucky GC windows on multi-second queries. The
+      // heavy decision is LATCHED on the initial runs: a lucky third
+      // run dipping under 1s must not flip the stat back to min
+      val heavy = watch(name) || times.min >= 1.0
+      if (heavy && times.length < 3)
         times = times ++ (times.length until 3).map(_ => runOnce(name, fn))
-      val t = if (watch(name) || times.min >= 1.0) median(times) else times.min
+      val t = if (heavy) median(times) else times.min
       name -> t
     }
     // Tail-capture robustness (round-3 BENCH had parsed:null — the

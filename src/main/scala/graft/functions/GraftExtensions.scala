@@ -61,5 +61,24 @@ object GraftExtensions {
       ZInterleave(args(0), args(1), intArg(args(2), "bits").toInt)),
     "graft_window_passages" -> (args => WindowPassages(args.head,
       intArg(args(1), "win").toInt,
-      if (args.length > 2) intArg(args(2), "stride").toInt else 1)))
+      if (args.length > 2) intArg(args(2), "stride").toInt else 1)),
+    "graft_simhash" -> (args =>
+      SimhashBits(args.head,
+        if (args.length > 1) intArg(args(1), "bits").toInt else 24)),
+    "graft_dhash" -> (args =>
+      DhashBits(args.head,
+        if (args.length > 1) intArg(args(1), "bits").toInt else 48)),
+    // merges table as a comma-separated "a b" pair list literal, e.g.
+    // 't h,th e' (SQL has no Seq arg; same convention as word_counts)
+    "graft_bpe_token_stats" -> (args => BpeTokenStats(args.head, args(1) match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        v.toString.split(",").toSeq.flatMap { pair =>
+          val halves = pair.split(" ")
+          require(halves.length == 2,
+            s"each merge must be 'a b', got '$pair'")
+          halves.toSeq
+        }
+      case other => throw new IllegalArgumentException(
+        s"merges must be a string literal, got $other")
+    })))
 }

@@ -1025,18 +1025,8 @@ object DedupOps {
     // maxHamming+1 non-empty chunks)
     require(bits >= maxHamming + 1 && bits <= 63,
       s"bits must be in [maxHamming+1, 63] = [${maxHamming + 1}, 63], got $bits")
-    val s = sigs.select(col(idCol), col(sigCol).as("__sig"))
-    val nChunks = maxHamming + 1
-    // chunk i covers bits [lo, hi): even spread, first chunks get the
-    // remainder — boundaries i*bits/nChunks for i = 0..nChunks
-    val bounds = (0 to nChunks).map(i => i * bits / nChunks)
-    val chunkCols = (0 until nChunks).map { i =>
-      val lo = bounds(i)
-      val width = bounds(i + 1) - lo
-      shiftright(col("__sig"), lo).bitwiseAND(lit((1L << width) - 1))
-    }
-    val banded = s.select(col(idCol).as("sid"), col("__sig").as("simhash"),
-      posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
+    val banded = chunkBanded(sigs, idCol, sigCol, bits, maxHamming + 1,
+      "sid", "simhash")
     val small = banded.join(
       banded.groupBy("chunk", "ckey").agg(count(lit(1)).as("bc"))
         .filter(col("bc") <= maxBucket).select("chunk", "ckey"),
@@ -1069,17 +1059,8 @@ object DedupOps {
     require(bits >= maxHamming + 1 && bits <= 63,
       s"bits must be in [maxHamming+1, 63] = [${maxHamming + 1}, 63], got $bits")
     val nChunks = maxHamming + 1
-    val bounds = (0 to nChunks).map(i => i * bits / nChunks)
-    def banded(sigs: DataFrame, p: String): DataFrame = {
-      val chunkCols = (0 until nChunks).map { i =>
-        val lo = bounds(i)
-        val width = bounds(i + 1) - lo
-        shiftright(col(s"${p}_sig"), lo).bitwiseAND(lit((1L << width) - 1))
-      }
-      sigs.select(col(idCol).as(s"${p}_id"), col(sigCol).as(s"${p}_sig"))
-        .select(col(s"${p}_id"), col(s"${p}_sig"),
-          posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
-    }
+    def banded(sigs: DataFrame, p: String): DataFrame =
+      chunkBanded(sigs, idCol, sigCol, bits, nChunks, s"${p}_id", s"${p}_sig")
     val idx = banded(indexSigs, "old")
     val ok = idx.groupBy("chunk", "ckey").agg(count(lit(1)).as("__bc"))
       .filter(col("__bc") <= maxBucket).select("chunk", "ckey")
@@ -1091,6 +1072,25 @@ object DedupOps {
         bit_count(col("new_sig").bitwiseXOR(col("old_sig"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_new", "id_old", "hamming")
+  }
+
+  /** The ONE pigeonhole chunk projection both hamming paths share
+    * ([[hammingNearPairs]] self-join, [[hammingAgainstIndex]] band
+    * join): chunk i covers bits [i·bits/nChunks, (i+1)·bits/nChunks) —
+    * even spread, first chunks absorb the remainder — exploded to one
+    * (id, sig, chunk, ckey) row per chunk. A single definition so the
+    * recall guarantee cannot drift between the self and index paths. */
+  private def chunkBanded(sigs: DataFrame, idCol: String, sigCol: String,
+      bits: Int, nChunks: Int, idAs: String, sigAs: String): DataFrame = {
+    val bounds = (0 to nChunks).map(i => i * bits / nChunks)
+    val chunkCols = (0 until nChunks).map { i =>
+      val lo = bounds(i)
+      val width = bounds(i + 1) - lo
+      shiftright(col(sigAs), lo).bitwiseAND(lit((1L << width) - 1))
+    }
+    sigs.select(col(idCol).as(idAs), col(sigCol).as(sigAs))
+      .select(col(idAs), col(sigAs),
+        posexplode(array(chunkCols: _*)).as(Seq("chunk", "ckey")))
   }
 
   /** SimHash: `bits`-wide signature from the doc's token-hash bit votes,

@@ -111,12 +111,18 @@ object EventOps {
     require(bucketUs > 0, s"bucketUs must be > 0, got $bucketUs")
     require(maxBucketsPerInterval > 0,
       s"maxBucketsPerInterval must be > 0, got $maxBucketsPerInterval")
-    val nb = expr(s"CAST(`$endCol` DIV ${bucketUs}L AS BIGINT) - " +
-      s"CAST(`$startCol` DIV ${bucketUs}L AS BIGINT) + 1L")
+    // the guard comparison runs in DOUBLE: the long form
+    // `end DIV b - start DIV b + 1` overflows for the exact sentinel it
+    // exists to catch (endCol = Long.MaxValue, bucketUs = 1 → MaxValue+1
+    // — an ANSI crash or a silent wrap to MinValue depending on mode).
+    // Doubles are exact to 2^53 and the threshold is ~10^5, so the
+    // comparison cannot misfire within any sane dial range.
+    val nb = expr(s"CAST(CAST(`$endCol` DIV ${bucketUs}L AS DOUBLE) - " +
+      s"CAST(`$startCol` DIV ${bucketUs}L AS DOUBLE) + 1.0D AS DOUBLE)")
     val rb = right
       .filter(col(endCol) >= col(startCol))
       .withColumn("__bucket", explode(sequence(
-        when(nb > maxBucketsPerInterval, raise_error(concat(
+        when(nb > maxBucketsPerInterval.toDouble, raise_error(concat(
           lit(s"intervalJoin: interval [`$startCol`, `$endCol`] = ["),
           col(startCol).cast("string"), lit(", "), col(endCol).cast("string"),
           lit("] spans "), nb.cast("string"),

@@ -210,7 +210,10 @@ object ProfileOps {
   def quantilesFromSketchParts(parts: DataFrame,
       mat: Materializer = Materializer.LocalLazy): DataFrame = {
     val hist = parts.groupBy(col("value").as("val"))
-      .agg(sum(expr("CAST(round(pow(2, level)) AS BIGINT)")).as("c"))
+      // exact integer weight 1L << level — the kernel's own formula;
+      // pow(2, level) would route the conserved weight through floating
+      // point for no reason
+      .agg(sum(expr("shiftleft(1L, level)")).as("c"))
     quantilesFromHistogram(hist, mat)
       .select(col("q").getField("median").as("median_est"),
         col("q").getField("p90").as("p90_est"))

@@ -47,7 +47,10 @@ object SampleOps {
     * tuned job already sizes to the cluster. Pass an explicit count only
     * when downstream layout wants a specific stream count, and keep it
     * ≥ the cluster's parallelism. More buckets = more (slightly less
-    * full) bins; membership stays deterministic per (key, buckets).
+    * full) bins; membership stays deterministic per (key, buckets) —
+    * which means the AUTO default is deterministic per session conf,
+    * not per data: any packing that is PERSISTED (or must reproduce
+    * across environments) must pass `buckets` explicitly.
     */
   def packBins(df: DataFrame, key: Column, tokenCol: String, capacity: Int,
       buckets: Int = 0): DataFrame = {

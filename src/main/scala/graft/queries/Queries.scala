@@ -431,7 +431,11 @@ object Queries {
     * (rules all have a ≠ b, so the fixpoint is order-independent and
     * matches the kernel's token-pass form). */
   private def bpeTokensQ(s: SparkSession, dir: String): DataFrame =
+    // word-bearing docs only: the op emits (id, 0, 0) for empty/blank
+    // text, the oracle's UNNEST+JOIN emits no row — align on the oracle
+    // (a blank doc has no token budget to report)
     TextOps.bpeTokenCounts(t(s, dir, "documents"), "doc_id", "text")
+      .filter(col("n_words") > 0)
 
   /** The shared BPE oracle CTE body: rank-ordered rules, positioned
     * word rows, and the per-distinct-word recursive encode — used by
@@ -1844,16 +1848,27 @@ object Queries {
     * replaced — length-preserving, so ≤ 2 of the 48 difference bits can
     * move): exact digest dedup (`q_media_dup_groups`) provably misses
     * every planted copy; the perceptual pairs recover all 500. */
-  private def mediaNearDupQ(s: SparkSession, dir: String): DataFrame = {
+  /** ONE definition of the planted corpus (Spark + SQL) shared by both
+    * media queries — the plant parameters (id offset, char-11 '#'
+    * replacement) must never desynchronize between near-dup and dedup. */
+  private def plantedMediaDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val perturbed = docs.select(
+    docs.unionByName(docs.select(
       (col("doc_id") + 1000000L).as("doc_id"),
       concat(substring(col("text"), 1, 10), lit("#"),
-        expr("substring(text, 12)")).as("text"))
-    MultimodalOps.mediaNearDupPairs(
-      MultimodalOps.attachFakeMedia(docs.unionByName(perturbed), "doc_id", "text"),
-      bits = PhashBits, maxHamming = 3)
+        expr("substring(text, 12)")).as("text")))
   }
+
+  private val plantedMediaSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substr(text, 1, 10) || '#' || substr(text, 12)
+      |  FROM documents""".stripMargin
+
+  private def mediaNearDupQ(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.mediaNearDupPairs(
+      MultimodalOps.attachFakeMedia(plantedMediaDocs(s, dir), "doc_id", "text"),
+      bits = PhashBits, maxHamming = 3)
 
   private def phashInnerSql(table: String): String = {
     def c(i: Int) =
@@ -1867,10 +1882,7 @@ object Queries {
 
   private def mediaNearDupSql =
     s"""WITH m AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000, substr(text, 1, 10) || '#' || substr(text, 12)
-       |  FROM documents),
+       |  $plantedMediaSql),
        |ph AS (${phashInnerSql("m")})
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
@@ -1880,24 +1892,15 @@ object Queries {
   /** End-to-end perceptual media dedup on the same planted corpus:
     * pairs → CC → canonical (min-id) survivor per perceptual set. Every
     * planted corrupted copy collapses onto its original. */
-  private def mediaDedupQ(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val perturbed = docs.select(
-      (col("doc_id") + 1000000L).as("doc_id"),
-      concat(substring(col("text"), 1, 10), lit("#"),
-        expr("substring(text, 12)")).as("text"))
+  private def mediaDedupQ(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaDedup(
-      MultimodalOps.attachFakeMedia(docs.unionByName(perturbed), "doc_id", "text"),
+      MultimodalOps.attachFakeMedia(plantedMediaDocs(s, dir), "doc_id", "text"),
       bits = PhashBits, maxHamming = 3)
       .select(col("doc_id"), col("n_bytes"))
-  }
 
   private def mediaDedupSql =
     s"""WITH RECURSIVE m AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000, substr(text, 1, 10) || '#' || substr(text, 12)
-       |  FROM documents),
+       |  $plantedMediaSql),
        |ph AS (${phashInnerSql("m")}),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b

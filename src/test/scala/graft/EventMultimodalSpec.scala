@@ -73,6 +73,15 @@ class EventMultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("maxBucketsPerInterval") ||
       Option(e.getCause).exists(_.getMessage.contains("maxBucketsPerInterval")),
       s"expected the loud guard, got: ${e.getMessage}")
+    // the WORST sentinel: bucketUs = 1 makes the naive long bucket count
+    // Long.MaxValue + 1 — the guard must still fire loudly, not overflow
+    val e1 = intercept[Exception] {
+      EventOps.intervalJoin(points, "t", openEnded, "lo", "hi", bucketUs = 1L)
+        .collect()
+    }
+    assert(e1.getMessage.contains("maxBucketsPerInterval") ||
+      Option(e1.getCause).exists(_.getMessage.contains("maxBucketsPerInterval")),
+      s"expected the loud guard at bucketUs=1, got: ${e1.getMessage}")
     // a healthy interval alongside an EMPTY one (hi < lo): the empty one
     // matches nothing and must not explode a descending sequence
     val mixed = Seq((100L, 0L, 10L), (200L, 50L, 20L)).toDF("iid", "lo", "hi")

@@ -97,4 +97,26 @@ class SqlFunctionsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(got == Seq(2L, 1L, 0L))
   }
+
+  test("graft_simhash / graft_dhash / graft_bpe_token_stats register for pure SQL") {
+    exprs.registerSql(spark)
+    Seq(Tuple1("the that")).toDF("t").createOrReplaceTempView("sqlfn_r8")
+    // simhash equals the Column-API kernel
+    val sim = spark.sql("SELECT graft_simhash(t, 24) AS s FROM sqlfn_r8")
+      .head().getLong(0)
+    val simCol = Seq(Tuple1("the that")).toDF("t")
+      .select(exprs.simhashBits(col("t"), 24)).head().getLong(0)
+    assert(sim == simCol)
+    // dhash equals the Column-API kernel (default 48 bits)
+    val dh = spark.sql("SELECT graft_dhash(t) AS d FROM sqlfn_r8").head().getLong(0)
+    val dhCol = Seq(Tuple1("the that")).toDF("t")
+      .select(exprs.dhashBits(col("t"), 48)).head().getLong(0)
+    assert(dh == dhCol)
+    // bpe stats take the merges as an 'a b' CSV literal; 'the'+'that'
+    // chain to one token each under these four rules
+    val bpe = spark.sql(
+      "SELECT graft_bpe_token_stats(t, 't h,th e,a t,th at') AS b FROM sqlfn_r8")
+      .head().getSeq[Long](0)
+    assert(bpe == Seq(2L, 2L), s"got $bpe")
+  }
 }
