@@ -219,6 +219,49 @@ object ProfileOps {
         col("q").getField("p90").as("p90_est"))
   }
 
+  /** PER-GROUP quantile sketch parts: one bounded sketch per group
+    * (language, source, day …) — the per-slice QA shape
+    * [[numericProfileByGroup]] has for exact profiles and
+    * [[SketchOps.distinctSketches]] has for distincts, for continuous
+    * columns where the per-group value histogram is group-sized. One
+    * hash aggregate keyed by the group (the KLL aggregator rides
+    * `functions.udaf`, partial-combining per partition like any
+    * built-in); output (groupCol, level, value) rows — each group's
+    * slice is independently union-mergeable and foldable with the
+    * global ops above. */
+  def quantileSketchPartsByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, k: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sketchUdaf = udaf(new graft.functions.KllAggregator(k))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sketchUdaf(col(valueCol).cast("double"), lit(0)).as("__sketch"))
+      .select(col(groupCol), explode(col("__sketch")).as("e"))
+      .select(col(groupCol), col("e._1").as("level"), col("e._2").as("value"))
+  }
+
+  /** Per-group quantile read over (groupCol, level, value) parts: the
+    * weighted running count is a window PARTITIONED by the group (the
+    * [[numericProfileByGroup]] shape — skew bounded by one group's
+    * sketch rows, which are ≤ k·log₂(N/k) by construction, so the
+    * window is bounded even when a group holds half the corpus).
+    * Output: one row per group (groupCol, median_est, p90_est). */
+  def quantilesFromSketchPartsByGroup(parts: DataFrame,
+      groupCol: String): DataFrame = {
+    val hist = parts.groupBy(col(groupCol), col("value").as("val"))
+      .agg(sum(expr("shiftleft(1L, level)")).as("c"))
+    val wRun = Window.partitionBy(groupCol).orderBy("val")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(groupCol)
+    hist
+      .withColumn("cum", sum(col("c")).over(wRun))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .groupBy(col(groupCol))
+      .agg(kth(col("cum"), k50(col("tot")), col("val")).as("median_est"),
+        kth(col("cum"), k90(col("tot")), col("val")).as("p90_est"))
+  }
+
   /** Equi-width histogram of an INTEGRAL column: `bins` buckets over
     * [min, max], bin index = (v − min)·bins div (max − min + 1) — exact
     * long arithmetic end-to-end, so bucket membership (and the oracle

@@ -166,6 +166,39 @@ class SampleOpsSpec extends SparkSpec {
     assert(tinyEst.getDouble(0) == 50.0 && tinyEst.getDouble(1) == 90.0)
   }
 
+  test("quantileSketchPartsByGroup: exact when groups fit k; bounded error beyond; group-partitioned read") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // every lang group has < k values -> nothing compacts -> the sketch
+    // read must EQUAL the exact per-group profile's discrete quantiles
+    val est = ProfileOps.quantilesFromSketchPartsByGroup(
+      ProfileOps.quantileSketchPartsByGroup(docs, "lang", "n_chars", k = 256),
+      "lang").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = ProfileOps.numericProfileByGroup(docs, "lang", "n_chars")
+      .select(col("lang"), col("median").cast("double"), col("p90").cast("double"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(est == exact, s"small-group sketch must be exact:\n$est\nvs\n$exact")
+    // one group far beyond k: error bounded like the global sketch
+    val n = 8000
+    val big = (0 until n).map(i => ("g", ((i * 7919) % n) + 0.5)).toDF("g", "x")
+      .repartition(8)
+    val bigEst = ProfileOps.quantilesFromSketchPartsByGroup(
+      ProfileOps.quantileSketchPartsByGroup(big, "g", "x", k = 256), "g")
+      .head().getDouble(1)
+    val sorted = (0 until n).map(i => ((i * 7919) % n) + 0.5).sorted
+    val target = (n + 1) / 2
+    val lo = sorted.count(_ < bigEst); val hi = sorted.count(_ <= bigEst)
+    val err = if (target < lo) lo - target else if (target > hi) target - hi else 0
+    assert(err <= n * 3 / 100, s"median est $bigEst rank error $err")
+    // the read is group-partitioned (no unpartitioned window)
+    val plan = ProfileOps.quantilesFromSketchPartsByGroup(
+      ProfileOps.quantileSketchPartsByGroup(docs, "lang", "n_chars"), "lang")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(lang") ||
+      !plan.contains("windowspecdefinition"), plan.take(2000))
+  }
+
   test("numericProfile: prefix sum is distributed — no unpartitioned window") {
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val qe = ProfileOps.numericProfile(df, "l_quantity").queryExecution
