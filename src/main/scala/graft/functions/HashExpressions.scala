@@ -521,8 +521,27 @@ object HashKernels {
     ArrayData.toArrayData(Array(nWords, nTok))
   }
 
+  /** BPE token SEQUENCE of one word (no spaces expected) under the
+    * merges table — the training loop's re-tokenizer ([[bpeTokenStats]]
+    * only needs counts; pair counting needs the tokens themselves). */
+  def bpeWordTokens(s: UTF8String, merges: Array[String]): ArrayData = {
+    val str = s.toString
+    val toks = bpeWordTokenList(str, 0, str.length, merges)
+    val out = new Array[AnyRef](toks.size)
+    var i = 0
+    while (i < toks.size) {
+      out(i) = UTF8String.fromString(toks.get(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private def bpeWordTokenCount(text: String, from: Int, to: Int,
-      merges: Array[String]): Long = {
+      merges: Array[String]): Long =
+    bpeWordTokenList(text, from, to, merges).size.toLong
+
+  private def bpeWordTokenList(text: String, from: Int, to: Int,
+      merges: Array[String]): java.util.ArrayList[String] = {
     var toks = new java.util.ArrayList[String](to - from)
     var j = from
     while (j < to) {
@@ -555,7 +574,7 @@ object HashKernels {
       }
       r += 2
     }
-    toks.size.toLong
+    toks
   }
 }
 
@@ -650,6 +669,34 @@ case class BpeTokenStats(child: Expression, merges: Seq[String])
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bpeTokenStats($c, $ref)")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeTokenStats =
+    copy(child = newChild)
+}
+
+/** Codegen'd per-word BPE token sequence (see HashKernels.bpeWordTokens)
+  * — the training loop's re-tokenizer; same merges-as-reference-object
+  * mechanism and a ≠ b constraint as [[BpeTokenStats]]. */
+case class BpeWordTokens(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+  require(merges.length % 2 == 0,
+    "merges must be a flat [a0,b0,a1,b1,…] pair list (possibly empty)")
+  require(merges.forall(m => m.nonEmpty && !m.contains(' ')),
+    "merge tokens must be non-empty and space-free")
+  require(merges.grouped(2).forall(p => p.length < 2 || p(0) != p(1)),
+    "merge rules need a != b")
+  private lazy val mergesArr: Array[String] = merges.toArray
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_word_tokens needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bpeWordTokens(input.asInstanceOf[UTF8String], mergesArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBpeMerges", mergesArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bpeWordTokens($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeWordTokens =
     copy(child = newChild)
 }
 
@@ -968,6 +1015,9 @@ object exprs {
       merges.flatMap(p => Seq(p._1, p._2))))
   def dhashBits(c: Column, bits: Int): Column =
     shims.column(DhashBits(shims.expression(c), bits))
+  def bpeWordTokens(c: Column, merges: Seq[(String, String)]): Column =
+    shims.column(BpeWordTokens(shims.expression(c),
+      merges.flatMap(p => Seq(p._1, p._2))))
   def hashEmbedding(c: Column, dim: Int): Column =
     shims.column(HashEmbedding(shims.expression(c), dim))
   def zInterleave(a: Column, b: Column, bits: Int): Column =

@@ -190,6 +190,57 @@ object TextOps {
         element_at(col("__s"), 2).as("n_bpe_tokens"))
   }
 
+  /** TRAIN a byte-BPE merges table from the corpus (Sennrich et al.
+    * 2016): iteratively pick the highest-frequency adjacent token pair
+    * over the word-frequency table and add it as the next merge rule.
+    * The corpus is scanned ONCE into a (word, freq) vocabulary (the
+    * classical training input — persisted, vocabulary-sized not
+    * corpus-sized); each of the `nMerges` iterations re-tokenizes the
+    * vocabulary under the rules so far (map-only kernel pass), counts
+    * adjacent pairs weighted by word frequency (one hash aggregate),
+    * and takes a deterministic argmax (count desc, then pair
+    * lexicographic — no arbitrary tie). A driver loop of `nMerges`
+    * small jobs — the [[SimilarityOps.trainCentroids]] pattern; the
+    * loop is training, run once, not a query path.
+    *
+    * Equal-sided candidates (a == b, e.g. `l`+`l`) are SKIPPED: the
+    * counting kernels require a ≠ b so encoded counts are
+    * merge-order-independent (and oracle-reproducible); the cost is a
+    * marginal compression loss on doubled-letter runs. Output feeds
+    * [[bpeTokenCounts]] / [[chunkDocumentsByBudget]] directly.
+    */
+  def trainBpeMerges(df: DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val vocab = df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .persist()
+    try {
+      var merges = Vector.empty[(String, String)]
+      var exhausted = false
+      while (merges.size < nMerges && !exhausted) {
+        // attribute-reference the token array before the pair transform
+        // so the interpreted HOF evaluates the kernel once per row
+        val toks = vocab.select(col("freq"),
+          graft.functions.exprs.bpeWordTokens(col("w"), merges).as("t"))
+        val top = toks
+          .select(col("freq"), explode(expr(
+            "transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS a, t[i + 1] AS b))"))
+            .as("p"))
+          .select(col("freq"), col("p.a").as("a"), col("p.b").as("b"))
+          .filter(col("a") =!= col("b"))
+          .groupBy("a", "b").agg(sum("freq").as("c"))
+          .orderBy(col("c").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else merges :+= ((top(0).getString(0), top(0).getString(1)))
+      }
+      merges
+    } finally vocab.unpersist()
+  }
+
   /** BPE-BUDGETED document chunking: split each document into word-run
     * chunks whose byte-BPE token load fits `budgetTokens` — the
     * tokenizer-faithful version of [[chunkDocuments]], whose budgets are

@@ -304,6 +304,67 @@ object StreamOps {
     graft.ops.Pipeline.publishStaged(tmp, sigPath)
   }
 
+  /** Streaming PERCEPTUAL media ingest gate — [[nearDupGateSink]]'s
+    * shape for the binary media column: each micro-batch is (1)
+    * self-deduped perceptually within the batch
+    * ([[graft.ops.MultimodalOps.mediaDedup]] — pairs → CC → canonical),
+    * (2) anti-joined against hamming near-dups of the STANDING phash
+    * index ([[graft.ops.MultimodalOps.mediaDedupAgainstIndex]] — the
+    * corpus ever ingested is never re-decoded or re-hashed), and (3)
+    * the survivors' phashes fold into the index. A re-encoded or
+    * corrupted re-upload of yesterday's image never reaches
+    * `survivorsPath`. Same determinism/replay discipline as the text
+    * gate: per-batch overwrite, staged `__last_batch` publish, replayed
+    * epochs skipped.
+    */
+  def mediaGateSink(media: DataFrame, phashPath: String,
+      survivorsPath: String, bits: Int = 48, maxHamming: Int = 3,
+      maxBucket: Int = 100000)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateMediaBatch(batch, phashPath, survivorsPath, bits, maxHamming,
+          maxBucket, batchId)
+      }
+
+  /** One micro-batch of the media gate (see [[mediaGateSink]]). */
+  private[graft] def gateMediaBatch(batch: DataFrame, phashPath: String,
+      survivorsPath: String, bits: Int, maxHamming: Int, maxBucket: Int,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.ops.Pipeline.recoverStaged(phashPath)
+    val stored =
+      if (new java.io.File(phashPath).exists())
+        Some(spark.read.parquet(phashPath))
+      else None
+    if (stored.exists(s =>
+        !s.head(1).isEmpty && s.head().getAs[Long]("__last_batch") >= batchId))
+      return // replayed epoch: already gated and published
+    val selfDeduped = graft.ops.MultimodalOps.mediaDedup(
+      batch, bits, maxHamming, maxBucket)
+    val survivors = stored match {
+      case Some(s) =>
+        val hits = graft.ops.MultimodalOps.mediaDedupAgainstIndex(
+            selfDeduped, s.drop("__last_batch"), bits, maxHamming, maxBucket)
+          .select(col("id_new").as("doc_id")).distinct()
+        selfDeduped.join(hits, Seq("doc_id"), "left_anti")
+      case None => selfDeduped
+    }
+    survivors.write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$survivorsPath/batch=$batchId")
+    // phashes from the JUST-WRITTEN parquet: `survivors` carries the
+    // pairs→CC lineage, which a second reference would re-run
+    val newSigs = graft.ops.MultimodalOps.perceptualHash(
+      spark.read.parquet(s"$survivorsPath/batch=$batchId"), bits)
+    val next = stored.map(_.drop("__last_batch").unionByName(newSigs))
+      .getOrElse(newSigs)
+    val tmp = phashPath + "__staging"
+    next.withColumn("__last_batch", lit(batchId))
+      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    graft.ops.Pipeline.publishStaged(tmp, phashPath)
+  }
+
   /** A keyed record for stateful streaming ops (payload = whatever the
     * caller packs; typed so `flatMapGroupsWithState` gets encoders). */
   case class Keyed(key: Long, ord: Long, payload: String)

@@ -192,6 +192,57 @@ class StreamOpsSpec extends SparkSpec {
       .map(r => 1L << r.getInt(0)).sum == 3500L)
   }
 
+  test("mediaGateSink: perceptual gate blocks re-encoded/corrupted re-uploads across batches") {
+    import graft.ops.MultimodalOps
+    def wave(n: Int): String =
+      (0 until n).map { j =>
+        val pos = j.toDouble / (n - 1)
+        (40 + (86 * (1 - math.abs(2 * pos - 1))).toInt).toChar
+      }.mkString
+    val orig = wave(481)
+    val unrelated = (0 until 481).map(j => (40 + (j * 37) % 87).toChar).mkString
+    val perturbed = {
+      val b = orig.toCharArray
+      Seq(60, 200).foreach(i => b(i) = (b(i) + 5).toChar)
+      new String(b)
+    }
+    val resizedUnrelated = unrelated.flatMap(c => s"$c$c")
+    val fresh = (0 until 481).map(j => (40 + (j * 53 + 11) % 87).toChar).mkString
+    val in = tmpDir("graft_stream_media_in")
+    val ph = tmpDir("graft_stream_media_ph") + "/phash.parquet"
+    val out = tmpDir("graft_stream_media_out")
+    val ckpt = tmpDir("graft_stream_media_ckpt")
+    def mediaOf(rows: Seq[(Long, String)]) =
+      MultimodalOps.attachFakeMedia(rows.toDF("doc_id", "text"), "doc_id", "text")
+    mediaOf(Seq(0L -> orig, 3L -> unrelated)).coalesce(1).write.parquet(s"$in/b1")
+    Thread.sleep(50)
+    mediaOf(Seq(10L -> perturbed, 11L -> resizedUnrelated, 12L -> fresh))
+      .coalesce(1).write.parquet(s"$in/b2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = StreamOps.mediaGateSink(stream, ph, out, maxHamming = 6)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val survivors = spark.read.parquet(s"$out/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch 1 both pass; batch 2: corrupted re-upload of 0 and resized
+    // re-upload of 3 are BLOCKED by the standing index, only 12 lands
+    assert(survivors == Set(0L, 3L, 12L), s"got $survivors")
+    // the folded index holds exactly the survivors' phashes
+    val indexed = spark.read.parquet(ph).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(0L, 3L, 12L))
+    // replaying the last epoch is a no-op (deterministic gate + skip)
+    val lastBatch = spark.read.parquet(ph).head().getAs[Long]("__last_batch")
+    StreamOps.gateMediaBatch(
+      mediaOf(Seq(10L -> perturbed)), ph, out, 48, 6, 100000, lastBatch)
+    assert(spark.read.parquet(ph).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 3L, 12L))
+  }
+
   test("nearDupGateSink: streamed batches dedup within-batch AND against the standing index") {
     val in = tmpDir("graft_stream_gate_in")
     val sig = tmpDir("graft_stream_gate_sig") + "/sigs.parquet"

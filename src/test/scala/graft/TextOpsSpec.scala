@@ -470,6 +470,39 @@ class TextOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("a != b"))
   }
 
+  test("trainBpeMerges: deterministic greedy pair training; trained rules monotonically compress") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    val trained = TextOps.trainBpeMerges(corpus, "text", nMerges = 10)
+    assert(trained.size == 10)
+    assert(trained.forall { case (a, b) => a != b })
+    // deterministic: a second run returns the identical table
+    assert(TextOps.trainBpeMerges(corpus, "text", nMerges = 10) == trained)
+    // the first rule is the corpus's true most frequent adjacent char
+    // pair (a != b), verified against an independent in-memory count
+    val words = corpus.select("text").collect().flatMap(
+      _.getString(0).split(" ").filter(_.nonEmpty))
+    val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+    words.foreach { w =>
+      w.sliding(2).filter(p => p.length == 2 && p(0) != p(1)).foreach { p =>
+        val k = (p(0).toString, p(1).toString)
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val best = pairCounts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+    assert(trained.head == best, s"expected $best first, got ${trained.head}")
+    // monotone compression: more trained rules never increase the count
+    val c10 = TextOps.bpeTokenCounts(corpus, "doc_id", "text", trained)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    val c5 = TextOps.bpeTokenCounts(corpus, "doc_id", "text", trained.take(5))
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    val chars = corpus.select(sum(length(regexp_replace(col("text"), " ", ""))))
+      .head().getLong(0)
+    assert(c10 <= c5 && c5 < chars, s"expected $c10 <= $c5 < $chars")
+    // trained rules drop straight into the counting kernel
+    assert(c10 > 0)
+  }
+
   test("chunkDocumentsByBudget: BPE budget respected, order-preserving, lossless reassembly") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(100)
