@@ -648,11 +648,13 @@ case class WordOccurrenceCounts(child: Expression, words: Seq[String])
   * 50k-rule vocabulary rides the same mechanism unchanged. */
 case class BpeTokenStats(child: Expression, merges: Seq[String])
     extends UnaryExpression {
-  require(merges.nonEmpty && merges.length % 2 == 0,
-    "merges must be a non-empty flat [a0,b0,a1,b1,…] pair list")
+  // empty allowed: zero rules = codepoint-level tokenization — what an
+  // exhausted [[graft.ops.TextOps.trainBpeMerges]] legitimately returns
+  require(merges.length % 2 == 0,
+    "merges must be a flat [a0,b0,a1,b1,…] pair list (possibly empty)")
   require(merges.forall(m => m.nonEmpty && !m.contains(' ')),
     "merge tokens must be non-empty and space-free")
-  require(merges.grouped(2).forall(p => p(0) != p(1)),
+  require(merges.grouped(2).forall(p => p.length < 2 || p(0) != p(1)),
     "merge rules need a != b (equal sides make leftmost merge order " +
       "implementation-dependent — the oracle could not reproduce counts)")
   private lazy val mergesArr: Array[String] = merges.toArray

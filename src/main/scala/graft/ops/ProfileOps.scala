@@ -228,7 +228,14 @@ object ProfileOps {
     * `functions.udaf`, partial-combining per partition like any
     * built-in); output (groupCol, level, value) rows — each group's
     * slice is independently union-mergeable and foldable with the
-    * global ops above. */
+    * global ops above.
+    *
+    * Groups whose values are ALL NULL contribute no parts and therefore
+    * no estimate row (unlike [[numericProfileByGroup]], which emits the
+    * group with null quantiles) — deliberate: an empty sketch is no
+    * rows, so union-merging parts from a later slice where the group
+    * HAS values just works. Consumers joining estimates back onto a
+    * per-group profile should left-join from the profile side. */
   def quantileSketchPartsByGroup(df: DataFrame, groupCol: String,
       valueCol: String, k: Int = 256): DataFrame = {
     val spark = df.sparkSession
@@ -248,19 +255,11 @@ object ProfileOps {
     * window is bounded even when a group holds half the corpus).
     * Output: one row per group (groupCol, median_est, p90_est). */
   def quantilesFromSketchPartsByGroup(parts: DataFrame,
-      groupCol: String): DataFrame = {
-    val hist = parts.groupBy(col(groupCol), col("value").as("val"))
-      .agg(sum(expr("shiftleft(1L, level)")).as("c"))
-    val wRun = Window.partitionBy(groupCol).orderBy("val")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy(groupCol)
-    hist
-      .withColumn("cum", sum(col("c")).over(wRun))
-      .withColumn("tot", sum(col("c")).over(wAll))
-      .groupBy(col(groupCol))
-      .agg(kth(col("cum"), k50(col("tot")), col("val")).as("median_est"),
-        kth(col("cum"), k90(col("tot")), col("val")).as("p90_est"))
-  }
+      groupCol: String): DataFrame =
+    groupQuantileAgg(
+      parts.groupBy(col(groupCol), col("value").as("val"))
+        .agg(sum(expr("shiftleft(1L, level)")).as("c")),
+      groupCol, "median_est", "p90_est")
 
   /** Equi-width histogram of an INTEGRAL column: `bins` buckets over
     * [min, max], bin index = (v − min)·bins div (max − min + 1) — exact
@@ -325,15 +324,8 @@ object ProfileOps {
     val v = col(valueCol)
     val counts = df.filter(v.isNotNull)
       .groupBy(col(groupCol), v.as("val")).agg(count(lit(1)).as("c"))
-    val wRun = Window.partitionBy(groupCol).orderBy("val")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy(groupCol)
-    val cum = counts
-      .withColumn("cum", sum(col("c")).over(wRun))
-      .withColumn("tot", sum(col("c")).over(wAll))
-    val quantiles = cum.groupBy(col(groupCol).as("__g")).agg(
-      kth(col("cum"), k50(col("tot")), col("val")).as("median"),
-      kth(col("cum"), k90(col("tot")), col("val")).as("p90"))
+    val quantiles = groupQuantileAgg(counts, groupCol, "median", "p90")
+      .withColumnRenamed(groupCol, "__g")
     // null-safe group join: groupBy treats a NULL key as a real group,
     // so the quantile row for it must attach too (plain equality would
     // silently null that group's quantiles)
@@ -346,5 +338,24 @@ object ProfileOps {
         sum(round(v * 100).cast("long")).as("sum_cents"))
       .join(quantiles, col(groupCol) <=> col("__g"), "left")
       .drop("__g")
+  }
+
+  /** The ONE per-group discrete-quantile read over a (group, val, c)
+    * histogram — group-partitioned running count + k-th lookup, shared
+    * by [[numericProfileByGroup]] (exact counts) and
+    * [[quantilesFromSketchPartsByGroup]] (sketch weights) so the
+    * per-group quantile definition cannot drift from the global k50/k90
+    * contract. */
+  private def groupQuantileAgg(counts: DataFrame, groupCol: String,
+      medianAs: String, p90As: String): DataFrame = {
+    val wRun = Window.partitionBy(groupCol).orderBy("val")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(groupCol)
+    counts
+      .withColumn("cum", sum(col("c")).over(wRun))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .groupBy(col(groupCol))
+      .agg(kth(col("cum"), k50(col("tot")), col("val")).as(medianAs),
+        kth(col("cum"), k90(col("tot")), col("val")).as(p90As))
   }
 }

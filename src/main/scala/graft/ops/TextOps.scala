@@ -201,7 +201,14 @@ object TextOps {
     * and takes a deterministic argmax (count desc, then pair
     * lexicographic — no arbitrary tie). A driver loop of `nMerges`
     * small jobs — the [[SimilarityOps.trainCentroids]] pattern; the
-    * loop is training, run once, not a query path.
+    * loop is training, run once, not a query path. Cost is
+    * O(nMerges² × vocab × word length) — iteration i re-tokenizes under
+    * all i rules — which is fine at the tens-of-rules scale this demo
+    * table targets; a production 50k-rule trainer maintains incremental
+    * pair counts (update only the counts the last merge touched) and is
+    * near-linear. May return FEWER than `nMerges` rules (possibly zero)
+    * when the vocabulary has no a ≠ b adjacent pair left; the counting
+    * kernels accept an empty table (codepoint-level tokenization).
     *
     * Equal-sided candidates (a == b, e.g. `l`+`l`) are SKIPPED: the
     * counting kernels require a ≠ b so encoded counts are

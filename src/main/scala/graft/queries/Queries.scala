@@ -1606,20 +1606,27 @@ object Queries {
   private def numericProfileQ(s: SparkSession, dir: String): DataFrame =
     ProfileOps.numericProfile(t(s, dir, "lineitem"), "l_quantity")
 
+  /** ONE statement of the numeric-profile oracle spine (base stats +
+    * value histogram + running count + discrete k-th quantiles) — the
+    * three profile oracles differ only in their `v` CTE, and the
+    * quantile-position / cents formulas must never drift between them. */
+  private def profileSpineSql(vCte: String, recursive: Boolean = false): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}$vCte,
+       |base AS (SELECT count(*)::BIGINT AS n_rows,
+       |    CAST(count(*) - count(v) AS BIGINT) AS n_null,
+       |    count(v)::BIGINT AS n, min(v) AS min_v, max(v) AS max_v,
+       |    CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+       |  FROM v),
+       |c AS (SELECT v AS val, count(*)::BIGINT AS c FROM v
+       |      WHERE v IS NOT NULL GROUP BY v),
+       |cum AS (SELECT val, sum(c) OVER (ORDER BY val) AS cum FROM c)
+       |SELECT n_rows, n_null, min_v, max_v, sum_cents,
+       |  (SELECT min(val) FROM cum WHERE cum >= (SELECT (n + 1) // 2 FROM base)) AS median,
+       |  (SELECT min(val) FROM cum WHERE cum >= (SELECT (9 * n + 9) // 10 FROM base)) AS p90
+       |FROM base""".stripMargin
+
   private val numericProfileSql =
-    """WITH v AS (SELECT l_quantity AS v FROM lineitem),
-      |base AS (SELECT count(*)::BIGINT AS n_rows,
-      |    CAST(count(*) - count(v) AS BIGINT) AS n_null,
-      |    count(v)::BIGINT AS n, min(v) AS min_v, max(v) AS max_v,
-      |    CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |  FROM v),
-      |c AS (SELECT v AS val, count(*)::BIGINT AS c FROM v
-      |      WHERE v IS NOT NULL GROUP BY v),
-      |cum AS (SELECT val, sum(c) OVER (ORDER BY val) AS cum FROM c)
-      |SELECT n_rows, n_null, min_v, max_v, sum_cents,
-      |  (SELECT min(val) FROM cum WHERE cum >= (SELECT (n + 1) // 2 FROM base)) AS median,
-      |  (SELECT min(val) FROM cum WHERE cum >= (SELECT (9 * n + 9) // 10 FROM base)) AS p90
-      |FROM base""".stripMargin
+    profileSpineSql("v AS (SELECT l_quantity AS v FROM lineitem)")
 
   /** Sequence-length profile: the numeric-profile spine applied to the
     * corpus' per-doc token counts — the distribution (median/p90/max
@@ -1631,21 +1638,25 @@ object Queries {
         .select(size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
       "n_tokens")
 
-  private val tokenProfileSql =
-    """WITH v AS (SELECT CAST(len(string_split(text,' ')) AS BIGINT) AS v
-      |           FROM documents WHERE text IS NOT NULL),
-      |base AS (SELECT count(*)::BIGINT AS n_rows,
-      |    CAST(count(*) - count(v) AS BIGINT) AS n_null,
-      |    count(v)::BIGINT AS n, min(v) AS min_v, max(v) AS max_v,
-      |    CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-      |  FROM v),
-      |c AS (SELECT v AS val, count(*)::BIGINT AS c FROM v
-      |      WHERE v IS NOT NULL GROUP BY v),
-      |cum AS (SELECT val, sum(c) OVER (ORDER BY val) AS cum FROM c)
-      |SELECT n_rows, n_null, min_v, max_v, sum_cents,
-      |  (SELECT min(val) FROM cum WHERE cum >= (SELECT (n + 1) // 2 FROM base)) AS median,
-      |  (SELECT min(val) FROM cum WHERE cum >= (SELECT (9 * n + 9) // 10 FROM base)) AS p90
-      |FROM base""".stripMargin
+  private val tokenProfileSql = profileSpineSql(
+    """v AS (SELECT CAST(len(string_split(text,' ')) AS BIGINT) AS v
+      |           FROM documents WHERE text IS NOT NULL)""".stripMargin)
+
+  /** TOKENIZER-FAITHFUL sequence-length profile: the numeric-profile
+    * spine over per-doc BYTE-BPE counts — the distribution a trainer's
+    * context budget actually sees ([[tokenProfileQ]]'s whitespace twin;
+    * BPE kernel → ProfileOps composition). */
+  private def bpeTokenProfileQ(s: SparkSession, dir: String): DataFrame =
+    // built ON bpeTokensQ (not re-derived): the word-bearing-docs
+    // alignment rule lives in exactly one place
+    ProfileOps.numericProfile(
+      bpeTokensQ(s, dir).select(col("n_bpe_tokens")), "n_bpe_tokens")
+
+  private def bpeTokenProfileSql = profileSpineSql(
+    s"""$bpeCtesSql,
+       |v AS (SELECT CAST(sum(n) AS BIGINT) AS v
+       |      FROM words JOIN counts USING (w) GROUP BY doc_id)""".stripMargin,
+    recursive = true)
 
   /** Equi-width histogram of lineitem quantities: exact long-arithmetic
     * bin assignment (bin = (v−min)·bins div (max−min+1)). */
@@ -2144,6 +2155,7 @@ object Queries {
     "q_within_doc_dedup" -> (withinDocDedupQ _),
     "q_topk_per_group" -> (topkPerGroupQ _),
     "q_token_profile" -> (tokenProfileQ _),
+    "q_bpe_token_profile" -> (bpeTokenProfileQ _),
     "q_histogram" -> (histogramQ _),
     "q_event_gaps" -> (eventGapsQ _),
     "q_upsample" -> (upsampleQ _),
@@ -2247,6 +2259,7 @@ object Queries {
     "q_within_doc_dedup" -> withinDocDedupSql,
     "q_topk_per_group" -> topkPerGroupSql,
     "q_token_profile" -> tokenProfileSql,
+    "q_bpe_token_profile" -> bpeTokenProfileSql,
     "q_histogram" -> histogramSql,
     "q_event_gaps" -> eventGapsSql,
     "q_upsample" -> upsampleSql,

@@ -103,33 +103,42 @@ object StreamOps {
         foldSketchBatch(batch, sketchPath, keyCol, groupCols, lgK, batchId)
       }
 
-  /** One micro-batch of the sketch fold — REPLAY-SAFE: `foreachBatch` is
-    * at-least-once (a batch whose epoch never committed to the
-    * checkpoint is re-delivered after restart), and the n_rows sum is
-    * not idempotent under replay (the HLL union half is), so the
-    * published table carries the last folded batch id in a
-    * `__last_batch` column and a re-delivered batch is skipped. */
-  private[graft] def foldSketchBatch(batch: DataFrame, sketchPath: String,
-      keyCol: String, groupCols: Seq[String], lgK: Int, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    graft.ops.Pipeline.recoverStaged(sketchPath)
+  /** The crash/replay skeleton EVERY fold/gate sink shares (stated
+    * once so the discipline cannot drift between the five sinks):
+    * recover a half-published swap, SKIP re-delivered epochs via the
+    * stored `__last_batch` marker (`foreachBatch` is at-least-once and
+    * none of the folds are idempotent), compute the next table from the
+    * stored one (marker already stripped), and publish via the staged
+    * swap. `body` may perform its own idempotent side writes (per-batch
+    * survivor dirs) — it re-runs only when the epoch never published. */
+  private def foldStaged(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchId: Long)
+      (body: Option[DataFrame] => DataFrame): Unit = {
+    graft.ops.Pipeline.recoverStaged(path)
     val stored =
-      if (new java.io.File(sketchPath).exists())
-        Some(spark.read.parquet(sketchPath))
+      if (new java.io.File(path).exists()) Some(spark.read.parquet(path))
       else None
     if (stored.exists(s =>
         !s.head(1).isEmpty && s.head().getAs[Long]("__last_batch") >= batchId))
       return // replayed epoch: already folded and published
-    val delta = graft.ops.SketchOps.distinctSketches(batch, keyCol, lgK, groupCols)
-    val next = stored
-      .map(s => graft.ops.SketchOps.updateSketchIndex(
-        s.drop("__last_batch"), delta, groupCols))
-      .getOrElse(delta)
-    val tmp = sketchPath + "__staging"
+    val next = body(stored.map(_.drop("__last_batch")))
+    val tmp = path + "__staging"
     next.withColumn("__last_batch", lit(batchId))
       .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
-    graft.ops.Pipeline.publishStaged(tmp, sketchPath)
+    graft.ops.Pipeline.publishStaged(tmp, path)
   }
+
+  /** One micro-batch of the sketch fold — replay-safe via [[foldStaged]]
+    * (the n_rows sum is not idempotent under replay; the HLL union half
+    * is). */
+  private[graft] def foldSketchBatch(batch: DataFrame, sketchPath: String,
+      keyCol: String, groupCols: Seq[String], lgK: Int, batchId: Long): Unit =
+    foldStaged(batch.sparkSession, sketchPath, batchId) { stored =>
+      val delta = graft.ops.SketchOps.distinctSketches(batch, keyCol, lgK, groupCols)
+      stored
+        .map(s => graft.ops.SketchOps.updateSketchIndex(s, delta, groupCols))
+        .getOrElse(delta)
+    }
 
   /** Fold per-micro-batch count-min cell tables into a stored CMS —
     * rolling approximate TERM FREQUENCIES over an unbounded stream, the
@@ -152,25 +161,13 @@ object StreamOps {
 
   /** One micro-batch of the CMS fold (see [[cmsIndexSink]]). */
   private[graft] def foldCmsBatch(batch: DataFrame, cmsPath: String,
-      textCol: String, depth: Int, log2w: Int, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    graft.ops.Pipeline.recoverStaged(cmsPath)
-    val stored =
-      if (new java.io.File(cmsPath).exists())
-        Some(spark.read.parquet(cmsPath))
-      else None
-    if (stored.exists(s =>
-        !s.head(1).isEmpty && s.head().getAs[Long]("__last_batch") >= batchId))
-      return // replayed epoch: already folded and published
-    val delta = graft.ops.SketchOps.cmsCells(batch, textCol, depth, log2w)
-    val next = stored
-      .map(s => graft.ops.SketchOps.cmsMerge(Seq(s.drop("__last_batch"), delta)))
-      .getOrElse(delta)
-    val tmp = cmsPath + "__staging"
-    next.withColumn("__last_batch", lit(batchId))
-      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
-    graft.ops.Pipeline.publishStaged(tmp, cmsPath)
-  }
+      textCol: String, depth: Int, log2w: Int, batchId: Long): Unit =
+    foldStaged(batch.sparkSession, cmsPath, batchId) { stored =>
+      val delta = graft.ops.SketchOps.cmsCells(batch, textCol, depth, log2w)
+      stored
+        .map(s => graft.ops.SketchOps.cmsMerge(Seq(s, delta)))
+        .getOrElse(delta)
+    }
 
   /** Fold per-micro-batch QUANTILE-SKETCH parts into a stored sketch —
     * rolling median/p90 over an unbounded continuous column with no raw
@@ -197,28 +194,17 @@ object StreamOps {
         foldQuantileBatch(batch, sketchPath, valueCol, k, batchId)
       }
 
-  /** One micro-batch of the quantile fold (see [[quantileSketchSink]]). */
+  /** One micro-batch of the quantile fold (see [[quantileSketchSink]];
+    * replaying would literally double the weights — the guard in
+    * [[foldStaged]] is load-bearing). */
   private[graft] def foldQuantileBatch(batch: DataFrame, sketchPath: String,
-      valueCol: String, k: Int, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    graft.ops.Pipeline.recoverStaged(sketchPath)
-    val stored =
-      if (new java.io.File(sketchPath).exists())
-        Some(spark.read.parquet(sketchPath))
-      else None
-    if (stored.exists(s =>
-        !s.head(1).isEmpty && s.head().getAs[Long]("__last_batch") >= batchId))
-      return // replayed epoch: folding again would double the weights
-    val delta = graft.ops.ProfileOps.quantileSketchParts(batch, valueCol, k)
-    val next = stored
-      .map(s => graft.ops.ProfileOps.sketchFromParts(
-        s.drop("__last_batch").unionByName(delta), k))
-      .getOrElse(delta)
-    val tmp = sketchPath + "__staging"
-    next.withColumn("__last_batch", lit(batchId))
-      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
-    graft.ops.Pipeline.publishStaged(tmp, sketchPath)
-  }
+      valueCol: String, k: Int, batchId: Long): Unit =
+    foldStaged(batch.sparkSession, sketchPath, batchId) { stored =>
+      val delta = graft.ops.ProfileOps.quantileSketchParts(batch, valueCol, k)
+      stored
+        .map(s => graft.ops.ProfileOps.sketchFromParts(s.unionByName(delta), k))
+        .getOrElse(delta)
+    }
 
   /** Streaming NEAR-dup ingest gate — the incremental-dedup path
     * ([[graft.ops.DedupOps.dedupAgainstIndex]]) driven by the stream
@@ -259,49 +245,37 @@ object StreamOps {
       k: Int, bands: Int, minJaccard: Double, maxBucket: Int,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
-    graft.ops.Pipeline.recoverStaged(sigPath)
-    val stored =
-      if (new java.io.File(sigPath).exists())
-        Some(spark.read.parquet(sigPath))
-      else None
-    if (stored.exists(s =>
-        !s.head(1).isEmpty && s.head().getAs[Long]("__last_batch") >= batchId))
-      return // replayed epoch: already gated and published
-    // within-batch self-dedup runs with the CALLER'S dials (dedupByMinhash
-    // would silently fall back to its 16/3/8 defaults — a pair co-arriving
-    // in one batch must be judged by the same detector as the index gate)
-    val selfPairs = graft.ops.DedupOps.minhashDedupPairs(
-      batch, idCol, textCol, numHashes, k, bands, minJaccard)
-    val selfClusters = graft.ops.DedupOps.nearDupClusters(
-      selfPairs, batch.select(col(idCol)), idCol)
-    val selfDeduped = batch.join(selfClusters, Seq(idCol))
-      .filter(col(idCol) === col("cluster_id"))
-      .drop("cluster_id")
-    val survivors = stored match {
-      case Some(s) =>
-        val hits = graft.ops.DedupOps.dedupAgainstIndex(selfDeduped,
-            s.drop("__last_batch"), idCol, textCol, numHashes, k, bands,
-            minJaccard, maxBucket)
-          .select(col("id_new").as(idCol)).distinct()
-        selfDeduped.join(hits, Seq(idCol), "left_anti")
-      case None => selfDeduped
+    foldStaged(spark, sigPath, batchId) { stored =>
+      // within-batch self-dedup runs with the CALLER'S dials (dedupByMinhash
+      // would silently fall back to its 16/3/8 defaults — a pair co-arriving
+      // in one batch must be judged by the same detector as the index gate)
+      val selfPairs = graft.ops.DedupOps.minhashDedupPairs(
+        batch, idCol, textCol, numHashes, k, bands, minJaccard)
+      val selfClusters = graft.ops.DedupOps.nearDupClusters(
+        selfPairs, batch.select(col(idCol)), idCol)
+      val selfDeduped = batch.join(selfClusters, Seq(idCol))
+        .filter(col(idCol) === col("cluster_id"))
+        .drop("cluster_id")
+      val survivors = stored match {
+        case Some(s) =>
+          val hits = graft.ops.DedupOps.dedupAgainstIndex(selfDeduped,
+              s, idCol, textCol, numHashes, k, bands, minJaccard, maxBucket)
+            .select(col("id_new").as(idCol)).distinct()
+          selfDeduped.join(hits, Seq(idCol), "left_anti")
+        case None => selfDeduped
+      }
+      // per-batch overwrite BEFORE the index publish: a crash between the
+      // two re-runs the batch, which recomputes the same survivor set
+      // (deterministic) and overwrites the same directory
+      survivors.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$survivorsPath/batch=$batchId")
+      // signatures from the JUST-WRITTEN parquet: `survivors` carries the
+      // whole LSH→CC lineage, which a second reference would re-run
+      val newSigs = graft.ops.DedupOps.minhashSignatures(
+        spark.read.parquet(s"$survivorsPath/batch=$batchId"),
+        idCol, textCol, numHashes, k)
+      stored.map(_.unionByName(newSigs)).getOrElse(newSigs)
     }
-    // per-batch overwrite BEFORE the index publish: a crash between the
-    // two re-runs the batch, which recomputes the same survivor set
-    // (deterministic) and overwrites the same directory
-    survivors.write.mode("overwrite").option("compression", "zstd")
-      .parquet(s"$survivorsPath/batch=$batchId")
-    // signatures from the JUST-WRITTEN parquet: `survivors` carries the
-    // whole LSH→CC lineage, which a second reference would re-run
-    val newSigs = graft.ops.DedupOps.minhashSignatures(
-      spark.read.parquet(s"$survivorsPath/batch=$batchId"),
-      idCol, textCol, numHashes, k)
-    val next = stored.map(_.drop("__last_batch").unionByName(newSigs))
-      .getOrElse(newSigs)
-    val tmp = sigPath + "__staging"
-    next.withColumn("__last_batch", lit(batchId))
-      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
-    graft.ops.Pipeline.publishStaged(tmp, sigPath)
   }
 
   /** Streaming PERCEPTUAL media ingest gate — [[nearDupGateSink]]'s
@@ -316,6 +290,12 @@ object StreamOps {
     * `survivorsPath`. Same determinism/replay discipline as the text
     * gate: per-batch overwrite, staged `__last_batch` publish, replayed
     * epochs skipped.
+    *
+    * ZERO-BYTE payloads are dropped at the gate entrance (stated
+    * policy, not a leak): they have no perceptual content, so they can
+    * neither pair nor index — without the drop, identical empty
+    * payloads would re-survive every batch forever. Filter or route
+    * empties upstream if they must be retained.
     */
   def mediaGateSink(media: DataFrame, phashPath: String,
       survivorsPath: String, bits: Int = 48, maxHamming: Int = 3,
@@ -333,36 +313,28 @@ object StreamOps {
       survivorsPath: String, bits: Int, maxHamming: Int, maxBucket: Int,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
-    graft.ops.Pipeline.recoverStaged(phashPath)
-    val stored =
-      if (new java.io.File(phashPath).exists())
-        Some(spark.read.parquet(phashPath))
-      else None
-    if (stored.exists(s =>
-        !s.head(1).isEmpty && s.head().getAs[Long]("__last_batch") >= batchId))
-      return // replayed epoch: already gated and published
-    val selfDeduped = graft.ops.MultimodalOps.mediaDedup(
-      batch, bits, maxHamming, maxBucket)
-    val survivors = stored match {
-      case Some(s) =>
-        val hits = graft.ops.MultimodalOps.mediaDedupAgainstIndex(
-            selfDeduped, s.drop("__last_batch"), bits, maxHamming, maxBucket)
-          .select(col("id_new").as("doc_id")).distinct()
-        selfDeduped.join(hits, Seq("doc_id"), "left_anti")
-      case None => selfDeduped
+    foldStaged(spark, phashPath, batchId) { stored =>
+      // zero-byte payloads: no perceptual content, can neither pair nor
+      // index — dropped per the documented gate policy
+      val gated = batch.filter(length(col("media")) >= 1)
+      val selfDeduped = graft.ops.MultimodalOps.mediaDedup(
+        gated, bits, maxHamming, maxBucket)
+      val survivors = stored match {
+        case Some(s) =>
+          val hits = graft.ops.MultimodalOps.mediaDedupAgainstIndex(
+              selfDeduped, s, bits, maxHamming, maxBucket)
+            .select(col("id_new").as("doc_id")).distinct()
+          selfDeduped.join(hits, Seq("doc_id"), "left_anti")
+        case None => selfDeduped
+      }
+      survivors.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$survivorsPath/batch=$batchId")
+      // phashes from the JUST-WRITTEN parquet: `survivors` carries the
+      // pairs→CC lineage, which a second reference would re-run
+      val newSigs = graft.ops.MultimodalOps.perceptualHash(
+        spark.read.parquet(s"$survivorsPath/batch=$batchId"), bits)
+      stored.map(_.unionByName(newSigs)).getOrElse(newSigs)
     }
-    survivors.write.mode("overwrite").option("compression", "zstd")
-      .parquet(s"$survivorsPath/batch=$batchId")
-    // phashes from the JUST-WRITTEN parquet: `survivors` carries the
-    // pairs→CC lineage, which a second reference would re-run
-    val newSigs = graft.ops.MultimodalOps.perceptualHash(
-      spark.read.parquet(s"$survivorsPath/batch=$batchId"), bits)
-    val next = stored.map(_.drop("__last_batch").unionByName(newSigs))
-      .getOrElse(newSigs)
-    val tmp = phashPath + "__staging"
-    next.withColumn("__last_batch", lit(batchId))
-      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
-    graft.ops.Pipeline.publishStaged(tmp, phashPath)
   }
 
   /** A keyed record for stateful streaming ops (payload = whatever the

@@ -125,7 +125,8 @@ class PlanGuardSpec extends SparkSpec {
       // offsets join — P = shuffle partition COUNT (a config constant,
       // not data) on both sides, broadcast-hinted; cleared by the
       // round-6 plan audit (ProfileOps.scala quantilesFromHistogram)
-      "q_numeric_profile", "q_profile_incremental", "q_token_profile")
+      "q_numeric_profile", "q_profile_incremental", "q_token_profile",
+      "q_bpe_token_profile")
     val offenders = Queries.all.keys.toSeq.sorted
       .filterNot(declared.contains).flatMap { q =>
         val plan = Queries.all(q)(spark, dir).queryExecution.optimizedPlan

@@ -195,8 +195,9 @@ class SampleOpsSpec extends SparkSpec {
     val plan = ProfileOps.quantilesFromSketchPartsByGroup(
       ProfileOps.quantileSketchPartsByGroup(docs, "lang", "n_chars"), "lang")
       .queryExecution.optimizedPlan.toString
-    assert(plan.contains("windowspecdefinition(lang") ||
-      !plan.contains("windowspecdefinition"), plan.take(2000))
+    assert(plan.contains("windowspecdefinition(lang"), plan.take(2000))
+    assert(!plan.contains("windowspecdefinition(val"),
+      "unpartitioned window over the histogram reappeared:\n" + plan.take(2000))
   }
 
   test("numericProfile: prefix sum is distributed — no unpartitioned window") {

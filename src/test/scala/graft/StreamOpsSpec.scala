@@ -214,7 +214,10 @@ class StreamOpsSpec extends SparkSpec {
     val ckpt = tmpDir("graft_stream_media_ckpt")
     def mediaOf(rows: Seq[(Long, String)]) =
       MultimodalOps.attachFakeMedia(rows.toDF("doc_id", "text"), "doc_id", "text")
-    mediaOf(Seq(0L -> orig, 3L -> unrelated)).coalesce(1).write.parquet(s"$in/b1")
+    // batch 1 includes a ZERO-BYTE payload (99): dropped per the gate's
+    // documented policy — no perceptual content, never survives/indexes
+    mediaOf(Seq(0L -> orig, 3L -> unrelated, 99L -> ""))
+      .coalesce(1).write.parquet(s"$in/b1")
     Thread.sleep(50)
     mediaOf(Seq(10L -> perturbed, 11L -> resizedUnrelated, 12L -> fresh))
       .coalesce(1).write.parquet(s"$in/b2")

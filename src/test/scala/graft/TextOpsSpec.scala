@@ -501,6 +501,11 @@ class TextOpsSpec extends SparkSpec {
     assert(c10 <= c5 && c5 < chars, s"expected $c10 <= $c5 < $chars")
     // trained rules drop straight into the counting kernel
     assert(c10 > 0)
+    // an EXHAUSTED training run (empty table) is accepted by the kernel:
+    // zero rules = codepoint-level tokenization
+    val c0 = TextOps.bpeTokenCounts(corpus, "doc_id", "text", Seq.empty)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(c0 == chars, s"empty merges must count codepoints: $c0 vs $chars")
   }
 
   test("chunkDocumentsByBudget: BPE budget respected, order-preserving, lossless reassembly") {
