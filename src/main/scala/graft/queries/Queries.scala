@@ -1648,9 +1648,13 @@ object Queries {
     * BPE kernel → ProfileOps composition). */
   private def bpeTokenProfileQ(s: SparkSession, dir: String): DataFrame =
     // built ON bpeTokensQ (not re-derived): the word-bearing-docs
-    // alignment rule lives in exactly one place
+    // alignment rule lives in exactly one place. The counts frame is
+    // materialized ONCE — the profile consumes its input twice (base
+    // stats + value histogram), and the input here is a full BPE kernel
+    // pass, not a cheap projection
     ProfileOps.numericProfile(
-      bpeTokensQ(s, dir).select(col("n_bpe_tokens")), "n_bpe_tokens")
+      Materializer.LocalLazy(bpeTokensQ(s, dir).select(col("n_bpe_tokens"))),
+      "n_bpe_tokens")
 
   private def bpeTokenProfileSql = profileSpineSql(
     s"""$bpeCtesSql,
