@@ -35,19 +35,27 @@ object Bench {
       "q_cluster_split",
       // round-7 CC-family additions inherit the trio's GC-sensitivity
       "q_simhash_clusters", "q_dedup_by_minhash")
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed run must NOT masquerade as a fast one: its elapsed time is
+    // excluded from the stat (a fast crash would otherwise read as a
+    // legitimate sub-second result) and the failure is counted into the
+    // emitted JSON, so bench.json cannot look green over broken queries.
+    val failCounts = scala.collection.mutable.Map.empty[String, Int]
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failCounts(name) = failCounts.getOrElse(name, 0) + 1
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // release this query's persisted/localCheckpointed blocks so later
       // queries aren't measured under accumulated storage-memory pressure
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.sharedState.cacheManager.clearCache()
       System.gc() // settle between queries: attribute GC to no one
-      dt
+      if (ok) Some(dt) else None
     }
     // true median: average the two middle elements when the run count is
     // even (upper-middle alone systematically overstates)
@@ -56,9 +64,9 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = if (watch(name)) math.max(runs, 3) else runs
-      var times = (1 to n).map(_ => runOnce(name, fn))
+      var times = (1 to n).flatMap(_ => runOnce(name, fn))
       // round-8 protocol: ANY query whose fastest run is >= 1s gets the
       // median-of->=3 treatment, not just the named watch list — the
       // single-run totals of heavy queries drift ±10% with GC/JIT state
@@ -66,11 +74,13 @@ object Bench {
       // still chases lucky GC windows on multi-second queries. The
       // heavy decision is LATCHED on the initial runs: a lucky third
       // run dipping under 1s must not flip the stat back to min
-      val heavy = watch(name) || times.min >= 1.0
+      val heavy = watch(name) || times.nonEmpty && times.min >= 1.0
       if (heavy && times.length < 3)
-        times = times ++ (times.length until 3).map(_ => runOnce(name, fn))
-      val t = if (heavy) median(times) else times.min
-      name -> t
+        times = times ++ (times.length until 3).flatMap(_ => runOnce(name, fn))
+      // a query with zero successful runs has no honest time at all: it
+      // is omitted from "queries"/the total and shows only under "failures"
+      if (times.isEmpty) None
+      else Some(name -> (if (heavy) median(times) else times.min))
     }
     // Tail-capture robustness (round-3 BENCH had parsed:null — the
     // driver's tail window cut the head of the 2.6 KB line): per-query
@@ -82,8 +92,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val fails = failCounts.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${r3(total)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failures":$fails,"sf":"$sfDir","total_sec":${r3(total)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: ${e.getMessage}") }

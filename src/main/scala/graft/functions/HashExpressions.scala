@@ -652,8 +652,11 @@ case class BpeTokenStats(child: Expression, merges: Seq[String])
   // exhausted [[graft.ops.TextOps.trainBpeMerges]] legitimately returns
   require(merges.length % 2 == 0,
     "merges must be a flat [a0,b0,a1,b1,…] pair list (possibly empty)")
-  require(merges.forall(m => m.nonEmpty && !m.contains(' ')),
-    "merge tokens must be non-empty and space-free")
+  require(merges.forall(BpeTokenStats.legalToken),
+    "merge tokens must be non-empty and free of ' '/',' and control " +
+      "characters (the graft_bpe_token_stats SQL registration parses the " +
+      "table from a ','/' '-delimited literal — a token carrying a " +
+      "delimiter could never round-trip through it)")
   require(merges.grouped(2).forall(p => p.length < 2 || p(0) != p(1)),
     "merge rules need a != b (equal sides make leftmost merge order " +
       "implementation-dependent — the oracle could not reproduce counts)")
@@ -674,6 +677,15 @@ case class BpeTokenStats(child: Expression, merges: Seq[String])
     copy(child = newChild)
 }
 
+object BpeTokenStats {
+  /** The merge-token alphabet contract shared by every BPE kernel AND
+    * the trainer: non-empty, no ' ' (the within-pair delimiter), no ','
+    * (the between-pair delimiter), no control characters — exactly the
+    * tokens the SQL string-literal registration can represent. */
+  def legalToken(m: String): Boolean =
+    m.nonEmpty && m.forall(c => c > ' ' && c != ',')
+}
+
 /** Codegen'd per-word BPE token sequence (see HashKernels.bpeWordTokens)
   * — the training loop's re-tokenizer; same merges-as-reference-object
   * mechanism and a ≠ b constraint as [[BpeTokenStats]]. */
@@ -681,8 +693,9 @@ case class BpeWordTokens(child: Expression, merges: Seq[String])
     extends UnaryExpression {
   require(merges.length % 2 == 0,
     "merges must be a flat [a0,b0,a1,b1,…] pair list (possibly empty)")
-  require(merges.forall(m => m.nonEmpty && !m.contains(' ')),
-    "merge tokens must be non-empty and space-free")
+  require(merges.forall(BpeTokenStats.legalToken),
+    "merge tokens must be non-empty and free of ' '/',' and control " +
+      "characters (see BpeTokenStats.legalToken)")
   require(merges.grouped(2).forall(p => p.length < 2 || p(0) != p(1)),
     "merge rules need a != b")
   private lazy val mergesArr: Array[String] = merges.toArray

@@ -325,7 +325,11 @@ object SimilarityOps {
     * pairs, one for the centroid score) — both embarrassingly parallel.
     * `centroids` is any small (id, vec) codebook ([[trainCentroids]] or
     * a deterministic sample). Output: the surviving rows of `df` plus
-    * their `cent_cos` diversity score.
+    * their `cent_cos` diversity score. Rows that receive NO cluster
+    * assignment (possible only under a degenerate/empty codebook, where
+    * the pair side is empty too) survive as singletons with the
+    * sentinel score `cent_cos = 1.0` — an empty codebook degrades to
+    * the identity, never to a silently empty frame.
     */
   def semDedup(df: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, minCos: Double, probes: Int = 1,
@@ -340,8 +344,12 @@ object SimilarityOps {
       minCos, probes)
     val clusters = DedupOps.nearDupClusters(
       pairs.select("id_a", "id_b"), df.select(col(idCol)), idCol, mat = mat)
-    DedupOps.dedupKeepBest(df.join(scoreSide, Seq(idCol)), clusters, idCol,
-      negate(col("cent_cos")))
+    // LEFT join: an unassigned row (empty codebook) must not vanish —
+    // it is a singleton in `clusters` and keeps itself regardless of
+    // score; coalesce keeps the output score column well-defined
+    val scored = df.join(scoreSide, Seq(idCol), "left")
+      .withColumn("cent_cos", coalesce(col("cent_cos"), lit(1.0)))
+    DedupOps.dedupKeepBest(scored, clusters, idCol, negate(col("cent_cos")))
   }
 
   /** Corpus-vs-corpus near-duplicate pairs bucketed by IVF cluster: every

@@ -213,8 +213,14 @@ object TextOps {
     * Equal-sided candidates (a == b, e.g. `l`+`l`) are SKIPPED: the
     * counting kernels require a ≠ b so encoded counts are
     * merge-order-independent (and oracle-reproducible); the cost is a
-    * marginal compression loss on doubled-letter runs. Output feeds
-    * [[bpeTokenCounts]] / [[chunkDocumentsByBudget]] directly.
+    * marginal compression loss on doubled-letter runs. Candidates whose
+    * tokens violate [[graft.functions.BpeTokenStats.legalToken]] (',' or
+    * control characters, reachable via vocab words carrying them — the
+    * single-space `tokens()` split keeps tabs/newlines inside words) are
+    * skipped too: every trained table must round-trip byte-identically
+    * through the `graft_bpe_token_stats` SQL string-literal registration.
+    * Output feeds [[bpeTokenCounts]] / [[chunkDocumentsByBudget]]
+    * directly.
     */
   def trainBpeMerges(df: DataFrame, textCol: String,
       nMerges: Int): Seq[(String, String)] = {
@@ -238,6 +244,11 @@ object TextOps {
             .as("p"))
           .select(col("freq"), col("p.a").as("a"), col("p.b").as("b"))
           .filter(col("a") =!= col("b"))
+          // kernel/SQL-literal alphabet contract (BpeTokenStats.legalToken):
+          // a rule carrying ',' or a control character could never ride
+          // the graft_bpe_token_stats registration — skip the candidate
+          .filter(!col("a").rlike("[\\x00-\\x20,]") &&
+            !col("b").rlike("[\\x00-\\x20,]"))
           .groupBy("a", "b").agg(sum("freq").as("c"))
           .orderBy(col("c").desc, col("a").asc, col("b").asc)
           .limit(1).collect()

@@ -1865,11 +1865,19 @@ object Queries {
     * every planted copy; the perceptual pairs recover all 500. */
   /** ONE definition of the planted corpus (Spark + SQL) shared by both
     * media queries — the plant parameters (id offset, char-11 '#'
-    * replacement) must never desynchronize between near-dup and dedup. */
+    * replacement) must never desynchronize between near-dup and dedup.
+    * Only docs with >= 12 chars are planted (a shorter text would get
+    * '#' APPENDED, shifting every dHash sample position and voiding the
+    * "<= 2 of 48 bits move" property), and the id offset is guarded: a
+    * genuine doc_id >= 1e6 would collide with a planted id, so it fails
+    * loudly instead of silently corrupting the recall claim. */
   private def plantedMediaDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    docs.unionByName(docs.select(
-      (col("doc_id") + 1000000L).as("doc_id"),
+    docs.unionByName(docs.filter(length(col("text")) >= 12).select(
+      when(col("doc_id") < 1000000L, col("doc_id") + 1000000L)
+        .otherwise(raise_error(concat(lit("plantedMediaDocs: doc_id "),
+          col("doc_id"), lit(" collides with the planted-id space"))).cast("long"))
+        .as("doc_id"),
       concat(substring(col("text"), 1, 10), lit("#"),
         expr("substring(text, 12)")).as("text")))
   }
@@ -1877,8 +1885,10 @@ object Queries {
   private val plantedMediaSql =
     """SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000, substr(text, 1, 10) || '#' || substr(text, 12)
-      |  FROM documents""".stripMargin
+      |  SELECT CASE WHEN doc_id < 1000000 THEN doc_id + 1000000
+      |              ELSE error('planted-id collision') END,
+      |    substr(text, 1, 10) || '#' || substr(text, 12)
+      |  FROM documents WHERE length(text) >= 12""".stripMargin
 
   private def mediaNearDupQ(s: SparkSession, dir: String): DataFrame =
     MultimodalOps.mediaNearDupPairs(

@@ -118,14 +118,35 @@ object StreamOps {
     val stored =
       if (new java.io.File(path).exists()) Some(spark.read.parquet(path))
       else None
-    if (stored.exists(s =>
-        !s.head(1).isEmpty && s.head().getAs[Long]("__last_batch") >= batchId))
+    // The epoch marker lives in a sidecar file INSIDE the published dir
+    // (underscore-prefixed, so parquet readers skip it, and the staged
+    // swap moves it atomically with the data). A row-carried marker
+    // alone would vanish on a ZERO-row publish (e.g. a gate batch with
+    // no survivors ever indexed) and let a replayed epoch re-fold; the
+    // row copy is kept only as the fallback for tables published by
+    // older code.
+    val lastBatch = readBatchMarker(path).orElse(stored.flatMap(s =>
+      s.head(1).headOption.map(_.getAs[Long]("__last_batch"))))
+    if (lastBatch.exists(_ >= batchId))
       return // replayed epoch: already folded and published
     val next = body(stored.map(_.drop("__last_batch")))
     val tmp = path + "__staging"
     next.withColumn("__last_batch", lit(batchId))
       .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, BatchMarkerFile), batchId.toString)
     graft.ops.Pipeline.publishStaged(tmp, path)
+  }
+
+  /** Sidecar epoch-marker filename (see [[foldStaged]]). */
+  private[graft] val BatchMarkerFile = "_graft_last_batch"
+
+  /** Read the sidecar epoch marker, if the table has one. */
+  private[graft] def readBatchMarker(path: String): Option[Long] = {
+    val f = new java.io.File(path, BatchMarkerFile)
+    if (!f.exists()) None
+    else scala.util.Try(
+      java.nio.file.Files.readString(f.toPath).trim.toLong).toOption
   }
 
   /** One micro-batch of the sketch fold — replay-safe via [[foldStaged]]

@@ -296,4 +296,16 @@ class SimilarityOpsSpec extends SparkSpec {
           s"to the centroid than $other (cos ${centCos(other)})")
     }
   }
+
+  test("semDedup: empty codebook degrades to the identity, never an empty frame") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val noCents = em.filter(col("vec_id") < 0)
+    val kept = SimilarityOps.semDedup(em, noCents, "vec_id", "embedding",
+      minCos = 0.995).select("vec_id", "cent_cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every row survives as a singleton with the sentinel diversity score
+    assert(kept.size == em.count(), s"empty codebook dropped rows: ${kept.size}")
+    assert(kept.values.forall(_ == 1.0))
+  }
 }

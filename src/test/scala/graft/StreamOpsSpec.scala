@@ -192,6 +192,25 @@ class StreamOpsSpec extends SparkSpec {
       .map(r => 1L << r.getInt(0)).sum == 3500L)
   }
 
+  test("foldStaged: a ZERO-row publish keeps the epoch marker — replay stays a no-op") {
+    // a row-carried marker alone dies with an empty table (e.g. a gate
+    // batch with no survivors); the sidecar file must keep the guard
+    val sk = tmpDir("graft_stream_marker") + "/qsketch.parquet"
+    StreamOps.foldQuantileBatch(Seq.empty[Double].toDF("x"), sk, "x", 256,
+      batchId = 0L)
+    assert(spark.read.parquet(sk).isEmpty, "empty batch must publish 0 rows")
+    assert(StreamOps.readBatchMarker(sk).contains(0L),
+      "sidecar marker must survive a zero-row publish")
+    // at-least-once redelivery of epoch 0 (now with rows) must be skipped
+    StreamOps.foldQuantileBatch(Seq(1.5, 2.5).toDF("x"), sk, "x", 256, 0L)
+    assert(spark.read.parquet(sk).isEmpty, "replayed epoch re-folded")
+    // a genuinely new epoch folds on top of the empty table
+    StreamOps.foldQuantileBatch(Seq(1.5, 2.5).toDF("x"), sk, "x", 256, 1L)
+    assert(spark.read.parquet(sk).drop("__last_batch").collect()
+      .map(r => 1L << r.getInt(0)).sum == 2L)
+    assert(StreamOps.readBatchMarker(sk).contains(1L))
+  }
+
   test("mediaGateSink: perceptual gate blocks re-encoded/corrupted re-uploads across batches") {
     import graft.ops.MultimodalOps
     def wave(n: Int): String =

@@ -508,6 +508,38 @@ class TextOpsSpec extends SparkSpec {
     assert(c0 == chars, s"empty merges must count codepoints: $c0 vs $chars")
   }
 
+  test("BPE merge-token alphabet: kernels reject SQL-literal-unrepresentable rules; trainer never emits them") {
+    // a rule carrying ',' (the between-pair literal delimiter) or a
+    // control character would be silently misparsed by the
+    // graft_bpe_token_stats string registration — the kernel refuses it
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    for (bad <- Seq("a" -> ",", "\t" -> "a", "a" -> "b\n")) {
+      val e = intercept[IllegalArgumentException] {
+        TextOps.bpeTokenCounts(docs, "doc_id", "text", merges = Seq(bad)).collect()
+      }
+      assert(e.getMessage.contains("round-trip"), s"$bad: ${e.getMessage}")
+    }
+    // a corpus where ','/tab-adjacent pairs dominate: the trainer must
+    // skip them (tokens() splits on single space only, so ','/'\t' stay
+    // inside words) and still produce a table its own kernels accept —
+    // the trained rules round-trip through the SQL literal registration
+    val dirty = Seq.tabulate(50)(i => (i.toLong, "x,y x,y a\tb ab ab")).toDF("doc_id", "text")
+    val trained = TextOps.trainBpeMerges(dirty, "text", nMerges = 3)
+    assert(trained.nonEmpty)
+    assert(trained.forall { case (a, b) =>
+      graft.functions.BpeTokenStats.legalToken(a) &&
+        graft.functions.BpeTokenStats.legalToken(b) },
+      s"trainer emitted an illegal rule: $trained")
+    graft.functions.exprs.registerSql(spark)
+    val viaSql = trained.map { case (a, b) => s"$a $b" }.mkString(",")
+    val sqlCount = dirty.selectExpr(
+      s"graft_bpe_token_stats(text, '$viaSql')[1] AS n")
+      .agg(sum("n")).head().getLong(0)
+    val kernelCount = TextOps.bpeTokenCounts(dirty, "doc_id", "text", trained)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(sqlCount == kernelCount, "trained table failed to round-trip")
+  }
+
   test("chunkDocumentsByBudget: BPE budget respected, order-preserving, lossless reassembly") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(100)
