@@ -1,0 +1,160 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Production-time observability for every CAPPED candidate generator
+  * (LSH bands, pigeonhole hamming chunks, RP-LSH sign buckets, the
+  * n-gram df-cut): the skew caps deliberately trade recall for a
+  * bounded quadratic term, and without telemetry that trade is SILENT —
+  * the round-6 10× stress measured 76% of true pairs dropped when a cap
+  * bound with nothing to show for it but missing output.
+  *
+  * Mechanism: [[observeCap]] attaches `Dataset.observe` metrics to the
+  * bucket-count frame each generator already computes. The metrics ride
+  * the NORMAL execution of whatever query consumes the generator — no
+  * extra job, no extra pass, no change to results — and surface through
+  * Spark's standard observed-metrics channel (visible to any
+  * `QueryExecutionListener` / `StreamingQueryListener` a user already
+  * runs, e.g. in the Spark UI's SQL metrics). On top of that, a
+  * session-registered listener here mirrors the numbers into
+  * [[lastStats]] and logs a WARN the moment `dropped_buckets > 0`, so a
+  * binding cap is visible in plain logs BEFORE anyone notices recall
+  * loss downstream.
+  *
+  * Per-op metric names are suffixed with a sequence number
+  * (`graft_cap_<op>_<n>`) because observation names must be unique
+  * within a query — composing two capped generators in one plan (e.g.
+  * [[DedupOps.pairRecall]] over two LSH variants) must not collide.
+  */
+object CapTelemetry {
+  /** One generator execution's cap report: how many buckets the cap
+    * dropped, how many banded rows they carried, out of how many
+    * buckets total. droppedRows is the better recall proxy — a dropped
+    * bucket of b rows forfeits up to b·(b−1)/2 candidate pairs. */
+  case class CapStats(droppedBuckets: Long, droppedRows: Long,
+      totalBuckets: Long)
+
+  private[graft] val Prefix = "graft_cap_"
+  private val seq = new AtomicLong()
+  private val sessions =
+    java.util.Collections.newSetFromMap(new ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  private val last = new ConcurrentHashMap[String, CapStats]()
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Attach cap metrics to a generator's bucket-count frame: rows with
+    * `countCol > cap` are the buckets the caller is about to drop.
+    * Returns the same frame with the observation node attached — the
+    * caller filters on it exactly as before. */
+  def observeCap(bucketCounts: DataFrame, op: String, countCol: Column,
+      cap: Long): DataFrame = {
+    ensureListener(bucketCounts.sparkSession)
+    bucketCounts.observe(s"$Prefix${op}_${seq.incrementAndGet()}",
+      coalesce(sum(when(countCol > cap, 1L).otherwise(0L)), lit(0L))
+        .as("dropped_buckets"),
+      coalesce(sum(when(countCol > cap, countCol).otherwise(0L)), lit(0L))
+        .as("dropped_rows"),
+      count(lit(1)).as("total_buckets"))
+  }
+
+  /** The most recent execution's stats for a generator (`op` as passed
+    * to [[observeCap]]), None until one has executed in this session.
+    * Listener delivery is asynchronous — tests poll. */
+  def lastStats(op: String): Option[CapStats] = Option(last.get(op))
+
+  /** All generators observed so far → their latest stats. */
+  def snapshot: Map[String, CapStats] = {
+    import scala.jdk.CollectionConverters._
+    last.asScala.toMap
+  }
+
+  private[graft] def clear(): Unit = last.clear()
+
+  /** `qe.observedMetrics` misses CollectMetrics nodes that AQE hid
+    * inside materialized query-stage LEAVES (a broadcast build side is
+    * the common case — exactly where a capped generator's small
+    * bucket-count frame lands), and nodes whose whole subtree AQE's
+    * empty-relation propagation ERASED from the final plan (a fully
+    * binding cap: every bucket dropped → downstream join empty — the
+    * very worst case, which must not also be the silent one). Recurse
+    * through stage boundaries AND the pre-AQE initial plan — stage
+    * fragments reuse the initial plan's node instances, so an erased
+    * node's accumulator still carries the values from the stage that
+    * materialized before the erasure. Tree traversal only, no job; a
+    * duplicate/stale copy is resolved by taking the row that saw more
+    * buckets (a never-run accumulator reads as all-zero). */
+  private def deepMetrics(plan: org.apache.spark.sql.execution.SparkPlan,
+      seen: java.util.IdentityHashMap[org.apache.spark.sql.execution.SparkPlan, java.lang.Boolean])
+      : Seq[(String, org.apache.spark.sql.Row)] =
+    // reused subqueries/exchanges make the "tree" a DAG: without the
+    // identity memo the same subtree is re-walked once per reference
+    // path — exponential on reuse-heavy plans (measured as a listener
+    // StackOverflowError that killed the shared bus)
+    if (seen.put(plan, java.lang.Boolean.TRUE) != null) Nil
+    else plan.collectWithSubqueries {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        deepMetrics(a.executedPlan, seen) ++ deepMetrics(a.initialPlan, seen) ++
+          stageCachedPlans(a).flatMap(deepMetrics(_, seen))
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        deepMetrics(q.plan, seen)
+      case c: org.apache.spark.sql.execution.CollectMetricsExec =>
+        Seq(c.name -> c.collectedMetrics)
+    }.flatten
+
+  /** The materialized-stage plans AQE keeps in its per-query stage
+    * cache — the only place an erased-but-executed node instance (and
+    * its filled accumulator) survives when re-optimization replanned
+    * between stages. Reflective because the context is
+    * `private[adaptive]`; fail-safe: any access problem degrades to
+    * "no extra plans", never to an error. */
+  private def stageCachedPlans(a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    try {
+      val ctx = a.getClass.getMethod("context").invoke(a)
+      ctx.getClass.getMethod("stageCache").invoke(ctx)
+        .asInstanceOf[scala.collection.concurrent.TrieMap[
+          org.apache.spark.sql.execution.SparkPlan, _]]
+        .values.toSeq.collect {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+        }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  private def ensureListener(spark: SparkSession): Unit =
+    if (sessions.add(spark))
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit = try {
+          (qe.observedMetrics.toSeq ++ deepMetrics(qe.executedPlan,
+              new java.util.IdentityHashMap()))
+            .filter { case (n, r) => n.startsWith(Prefix) && r != null }
+            .groupMapReduce(_._1)(_._2)((a, b) =>
+              if (a.getAs[Long]("total_buckets") >= b.getAs[Long]("total_buckets")) a else b)
+            .foreach { case (name, row) =>
+              val op = name.stripPrefix(Prefix).replaceAll("_\\d+$", "")
+              val st = CapStats(row.getAs[Long]("dropped_buckets"),
+                row.getAs[Long]("dropped_rows"),
+                row.getAs[Long]("total_buckets"))
+              last.put(op, st)
+              if (st.droppedBuckets > 0)
+                log.warn(s"[graft-cap] $op dropped ${st.droppedBuckets} of " +
+                  s"${st.totalBuckets} buckets (${st.droppedRows} rows) at the " +
+                  "bucket cap: pairs agreeing ONLY in a dropped bucket are " +
+                  "lost. Raise the cap, or collapse exact duplicates first " +
+                  "(exactDedup) if the hot buckets are literal copies.")
+            }
+        } catch {
+          // telemetry must NEVER hurt the query path: the listener runs
+          // on the SHARED bus, where an escaped error (even a
+          // StackOverflowError from a pathological plan) kills every
+          // listener in the session
+          case _: Throwable => ()
+        }
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = ()
+      })
+}

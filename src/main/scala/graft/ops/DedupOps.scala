@@ -208,7 +208,9 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     val raw = shingleHashes(df, idCol, textCol, k)
     val postings = if (matPostings) mat(raw) else raw
-    val hot = postings.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+    val hot = CapTelemetry.observeCap(
+        postings.groupBy("sh").agg(count(lit(1)).as("df_cnt")),
+        "ngram_df_cut", col("df_cnt"), maxDf)
       .filter(col("df_cnt") > maxDf).select("sh")
     val hotSide = if (broadcastHotSet) broadcast(hot) else hot
     mat(postings.join(hotSide, Seq("sh"), "left_anti")
@@ -255,7 +257,9 @@ object DedupOps {
       mat: Materializer = Materializer.Local,
       broadcastHotSet: Boolean = true): DataFrame = {
     val postings = shingleHashes(df, idCol, textCol, k)
-    val hot = postings.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+    val hot = CapTelemetry.observeCap(
+        postings.groupBy("sh").agg(count(lit(1)).as("df_cnt")),
+        "ngram_df_cut", col("df_cnt"), maxDf)
       .filter(col("df_cnt") > maxDf)
     // `broadcastHotSet = false` escape hatch: a corpus where a tiny
     // maxDf makes the over-the-cut set too big to ship as one array
@@ -653,7 +657,9 @@ object DedupOps {
     * (bands × rowsPerBand = numHashes), bucket-join on (band, band-key).
     * Emits distinct candidate pairs (id_a < id_b). Hot buckets capped at
     * maxBucket docs (skew guard — at 100 TB a single boilerplate bucket
-    * would otherwise produce a quadratic blowup).
+    * would otherwise produce a quadratic blowup). The drop is observed,
+    * never silent: [[CapTelemetry.observeCap]] rides the bucket-count
+    * frame ("lsh_candidate_pairs") and WARNs when the cap binds.
     */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int, maxBucket: Int = 1000,
@@ -664,7 +670,9 @@ object DedupOps {
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
       }: _*)).as(Seq("band", "key"))), persistIntermediates)
     val small = banded.join(
-      banded.groupBy("band", "key").agg(count(lit(1)).as("bc"))
+      CapTelemetry.observeCap(
+          banded.groupBy("band", "key").agg(count(lit(1)).as("bc")),
+          "lsh_candidate_pairs", col("bc"), maxBucket)
         .filter(col("bc") <= maxBucket).select("band", "key"),
       Seq("band", "key"))
     val a = small.select(col("band"), col("key"), col("sid").as("id_a"))
@@ -1015,6 +1023,9 @@ object DedupOps {
     * (chunk index, chunk value) — recall-lossless by pigeonhole — then
     * verify exact hamming on candidates only. One row per `idCol`
     * expected; output (id_a, id_b, hamming), canonical id_a < id_b.
+    * A binding `maxBucket` is reported, never silent
+    * ([[CapTelemetry]], op "hamming_near_pairs"); [[hammingAllPairs]]
+    * is the declared exactness baseline for recall measurement.
     */
   def hammingNearPairs(sigs: DataFrame, idCol: String, sigCol: String,
       bits: Int, maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
@@ -1028,7 +1039,9 @@ object DedupOps {
     val banded = chunkBanded(sigs, idCol, sigCol, bits, maxHamming + 1,
       "sid", "simhash")
     val small = banded.join(
-      banded.groupBy("chunk", "ckey").agg(count(lit(1)).as("bc"))
+      CapTelemetry.observeCap(
+          banded.groupBy("chunk", "ckey").agg(count(lit(1)).as("bc")),
+          "hamming_near_pairs", col("bc"), maxBucket)
         .filter(col("bc") <= maxBucket).select("chunk", "ckey"),
       Seq("chunk", "ckey"))
     val a = small.select(col("chunk"), col("ckey"),
@@ -1038,6 +1051,23 @@ object DedupOps {
     a.join(b, Seq("chunk", "ckey")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "h_a", "h_b").distinct()
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Brute-force hamming near-pairs — the DECLARED all-pairs exactness
+    * baseline for the pigeonhole spine ([[hammingNearPairs]]), the
+    * hamming analog of [[SimilarityOps.embeddingNearDupPairs]]: feed
+    * both into [[pairRecall]] to score a `maxBucket` dial (the media
+    * recall scorecard). Test/measurement scale ONLY — the cross join is
+    * quadratic by construction.
+    */
+  def hammingAllPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val a = sigs.select(col(idCol).as("id_a"), col(sigCol).as("__ha"))
+    val b = sigs.select(col(idCol).as("id_b"), col(sigCol).as("__hb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
@@ -1062,7 +1092,9 @@ object DedupOps {
     def banded(sigs: DataFrame, p: String): DataFrame =
       chunkBanded(sigs, idCol, sigCol, bits, nChunks, s"${p}_id", s"${p}_sig")
     val idx = banded(indexSigs, "old")
-    val ok = idx.groupBy("chunk", "ckey").agg(count(lit(1)).as("__bc"))
+    val ok = CapTelemetry.observeCap(
+        idx.groupBy("chunk", "ckey").agg(count(lit(1)).as("__bc")),
+        "hamming_against_index", col("__bc"), maxBucket)
       .filter(col("__bc") <= maxBucket).select("chunk", "ckey")
     banded(newSigs, "new")
       .join(idx.join(ok, Seq("chunk", "ckey")), Seq("chunk", "ckey"))

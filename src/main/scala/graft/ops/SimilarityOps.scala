@@ -245,8 +245,9 @@ object SimilarityOps {
       }.reduce(_ + _)
     }: _*)
     val banded = v.select(col("q_id"), posexplode(bandKeys).as(Seq("band", "key")))
-    val ok = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("__n"))
+    val ok = CapTelemetry.observeCap(
+        banded.groupBy(col("band"), col("key")).agg(count(lit(1)).as("__n")),
+        "embedding_rplsh", col("__n"), maxBucket)
       .filter(col("__n") <= maxBucket)
       .select("band", "key")
     val inOk = banded.join(ok, Seq("band", "key"))

@@ -1942,6 +1942,36 @@ object Queries {
        |FROM m JOIN cc ON cc.doc_id = m.doc_id
        |WHERE cc.cluster_id = m.doc_id""".stripMargin
 
+  /** Media recall scorecard: [[DedupOps.pairRecall]] over the pigeonhole
+    * media path vs the declared brute-force hamming baseline on the same
+    * planted corpus — the production-time measurement of the
+    * `maxBucket` dial (pigeonhole is recall-lossless and no cap binds at
+    * test SFs, so recall must be exactly 1.0; the oracle pins all four
+    * counters to the brute-force pair set). */
+  private def mediaRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val media = MultimodalOps.attachFakeMedia(
+      plantedMediaDocs(s, dir), "doc_id", "text")
+    DedupOps.pairRecall(
+      DedupOps.hammingAllPairs(
+        MultimodalOps.perceptualHash(media, bits = PhashBits),
+        "doc_id", "phash", maxHamming = 3),
+      MultimodalOps.mediaNearDupPairs(media, bits = PhashBits, maxHamming = 3))
+  }
+
+  private def mediaRecallSql =
+    s"""WITH m AS (
+       |  $plantedMediaSql),
+       |ph AS (${phashInnerSql("m")}),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= 3)
+       |SELECT count(*)::BIGINT AS n_exact, count(*)::BIGINT AS n_approx,
+       |  count(*)::BIGINT AS n_both,
+       |  CASE WHEN count(*) = 0 THEN NULL
+       |       ELSE CAST(count(*) AS DOUBLE) / count(*) END AS recall
+       |FROM p""".stripMargin
+
   private def hybridNearDupQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val em = t(s, dir, "embeddings")
@@ -2142,6 +2172,7 @@ object Queries {
     "q_top_terms" -> (topTermsQ _),
     "q_media_dup_groups" -> (mediaDupGroupsQ _),
     "q_media_near_dup" -> (mediaNearDupQ _),
+    "q_media_recall" -> (mediaRecallQ _),
     "q_media_dedup" -> (mediaDedupQ _),
     "q_repetition" -> (repetitionQ _),
     "q_hash_sample" -> (hashSampleQ _),
@@ -2246,6 +2277,7 @@ object Queries {
     "q_top_terms" -> topTermsSql,
     "q_media_dup_groups" -> mediaDupGroupsSql,
     "q_media_near_dup" -> mediaNearDupSql,
+    "q_media_recall" -> mediaRecallSql,
     "q_media_dedup" -> mediaDedupSql,
     "q_repetition" -> repetitionSql,
     "q_hash_sample" -> hashSampleSql,

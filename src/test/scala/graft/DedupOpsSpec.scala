@@ -732,4 +732,49 @@ class DedupOpsSpec extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(got(0), got(1)) < ham(got(0), got(2)))
   }
+
+  test("cap telemetry: a binding bucket cap is REPORTED, never silent") {
+    import graft.ops.CapTelemetry
+    // listener delivery is asynchronous — poll for the op's stats
+    def awaitStats(op: String): CapTelemetry.CapStats = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var st = CapTelemetry.lastStats(op)
+      while (st.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(50); st = CapTelemetry.lastStats(op)
+      }
+      st.getOrElse(fail(s"no cap stats reported for $op"))
+    }
+    // 40 identical signatures: every pigeonhole chunk bucket holds all
+    // 40 rows; cap at 10 -> every bucket drops, recall goes to ZERO —
+    // exactly the silent-loss shape the r6 stress measured (76% pair
+    // loss with nothing to show for it). Now it must be reported.
+    CapTelemetry.clear()
+    val sigs = Seq.tabulate(40)(i => (i.toLong, 0x0F0FL)).toDF("doc_id", "phash")
+    val capped = DedupOps.hammingNearPairs(sigs, "doc_id", "phash",
+      bits = 48, maxHamming = 3, maxBucket = 10)
+    assert(capped.count() == 0, "fixture: the cap must fully bind")
+    val st = awaitStats("hamming_near_pairs")
+    assert(st.droppedBuckets == 4 && st.droppedRows == 160 &&
+      st.totalBuckets == 4, s"wrong report: $st")
+    // the declared brute-force baseline quantifies what was sacrificed
+    assert(DedupOps.hammingAllPairs(sigs, "doc_id", "phash").count() == 40L * 39 / 2)
+    // a non-binding cap reports zero dropped (and loses nothing)
+    CapTelemetry.clear()
+    val free = DedupOps.hammingNearPairs(sigs, "doc_id", "phash",
+      bits = 48, maxHamming = 3, maxBucket = 1000)
+    assert(free.count() == 40L * 39 / 2)
+    val st2 = awaitStats("hamming_near_pairs")
+    assert(st2.droppedBuckets == 0 && st2.droppedRows == 0)
+    // the LSH band family reports through the same channel: 30 exact
+    // copies of one text -> every band bucket holds all 30 signatures
+    CapTelemetry.clear()
+    val copies = Seq.tabulate(30)(i =>
+      (i.toLong, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val lsh = DedupOps.lshCandidatePairs(
+      DedupOps.minhashSignatures(copies, "doc_id", "text", 16, 3),
+      "doc_id", bands = 8, rowsPerBand = 2, maxBucket = 10)
+    assert(lsh.count() == 0)
+    val st3 = awaitStats("lsh_candidate_pairs")
+    assert(st3.droppedBuckets == 8 && st3.droppedRows == 240, s"$st3")
+  }
 }
