@@ -204,9 +204,13 @@ object TextOps {
     * loop is training, run once, not a query path. Cost is
     * O(nMerges² × vocab × word length) — iteration i re-tokenizes under
     * all i rules — which is fine at the tens-of-rules scale this demo
-    * table targets; a production 50k-rule trainer maintains incremental
-    * pair counts (update only the counts the last merge touched) and is
-    * near-linear. May return FEWER than `nMerges` rules (possibly zero)
+    * table targets; [[trainBpeMergesIncremental]] is the production
+    * trainer (identical rule sequence, spec-pinned; maintained pair
+    * counts, near-linear — ≥1000 merges in seconds). This quadratic
+    * form stays as the independent equivalence REFERENCE the spec pins
+    * the incremental trainer against, exactly the
+    * simhash/minhashComposed pattern.
+    * May return FEWER than `nMerges` rules (possibly zero)
     * when the vocabulary has no a ≠ b adjacent pair left; the counting
     * kernels accept an empty table (codepoint-level tokenization).
     *
@@ -222,6 +226,143 @@ object TextOps {
     * Output feeds [[bpeTokenCounts]] / [[chunkDocumentsByBudget]]
     * directly.
     */
+  /** Production BPE trainer: identical greedy argmax sequence as
+    * [[trainBpeMerges]] (spec-pinned prefix-equality) at near-linear
+    * cost — the incremental pair-count maintenance the quadratic
+    * trainer's scaladoc names. The CORPUS-sized work (building the
+    * (word, freq) vocabulary) stays distributed — one shuffle, one
+    * pass; the merge loop then runs on the DRIVER over the
+    * vocabulary-sized table (the [[SimilarityOps.trainCentroids]]
+    * collect-the-model shape: a tokenizer's training input IS the word
+    * frequency table, KBs–MBs at any corpus scale, and is capped
+    * deterministically at `maxVocab` most-frequent words regardless).
+    *
+    * Algorithm (Sennrich et al. 2016, the subword-nmt implementation
+    * shape): words start as codepoint sequences; maintain (pair →
+    * weighted count) and (pair → words containing it); each iteration
+    * pops the argmax pair — count desc, then UTF-8-byte-order (a, b),
+    * the exact tie-break the quadratic trainer's `orderBy` applies —
+    * from a lazy max-heap (stale entries discarded on pop; every count
+    * change pushes a fresh one), re-merges ONLY the words containing
+    * the pair (the kernel's leftmost pass), and updates just the
+    * counts those words touched. Equal-sided and
+    * [[graft.functions.BpeTokenStats.legalToken]]-violating candidates
+    * are skipped at push time, exactly as the quadratic trainer skips
+    * them. Cost: one pass per touched word per merge —
+    * O(nMerges × hot-word length) total vs the quadratic trainer's
+    * O(nMerges² × vocab × word length).
+    */
+  def trainBpeMergesIncremental(df: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = 1 << 22): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val vocab = df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect()
+
+    import scala.collection.mutable
+    // UTF-8 byte order == Spark's UTF8String string ordering, so the
+    // tie-break matches the quadratic trainer's orderBy bit-for-bit
+    // (String.compareTo would diverge on supplementary codepoints)
+    def cmpStr(x: String, y: String): Int =
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    final case class Cand(c: Long, a: String, b: String)
+    val heap = new java.util.PriorityQueue[Cand](new java.util.Comparator[Cand] {
+      def compare(p: Cand, q: Cand): Int =
+        if (p.c != q.c) java.lang.Long.compare(q.c, p.c)
+        else { val ca = cmpStr(p.a, q.a); if (ca != 0) ca else cmpStr(p.b, q.b) }
+    })
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    val words = new Array[mutable.ArrayBuffer[String]](vocab.length)
+    val freqs = new Array[Long](vocab.length)
+
+    def push(p: (String, String), c: Long): Unit =
+      if (c > 0 && p._1 != p._2 &&
+          graft.functions.BpeTokenStats.legalToken(p._1) &&
+          graft.functions.BpeTokenStats.legalToken(p._2))
+        heap.add(Cand(c, p._1, p._2))
+    // add (sign +1) or retract (sign −1) one word's full adjacent-pair
+    // contribution; rebuilding the whole word per touch is O(word
+    // length) — same class as a neighbor-delta update, with no
+    // boundary-case bookkeeping to get wrong
+    def addWordPairs(wi: Int, sign: Long): Unit = {
+      val t = words(wi); val f = freqs(wi) * sign
+      var i = 0
+      while (i + 1 < t.length) {
+        val p = (t(i), t(i + 1))
+        val nc = counts.getOrElse(p, 0L) + f
+        if (nc == 0L) counts.remove(p) else counts(p) = nc
+        if (sign > 0) where.getOrElseUpdate(p, mutable.Set.empty) += wi
+        else where.get(p).foreach { s => s -= wi; if (s.isEmpty) where.remove(p) }
+        push(p, nc)
+        i += 1
+      }
+    }
+    // the kernel's per-rule replacement, verbatim (leftmost pass to
+    // fixpoint; with a ≠ b one pass already suffices)
+    def mergePass(t: mutable.ArrayBuffer[String], a: String, b: String)
+        : mutable.ArrayBuffer[String] = {
+      var toks = t
+      var changed = true
+      while (changed && toks.length > 1) {
+        changed = false
+        val out = new mutable.ArrayBuffer[String](toks.length)
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2; changed = true
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out
+      }
+      toks
+    }
+
+    var wi = 0
+    while (wi < vocab.length) {
+      val w = vocab(wi).getString(0)
+      val buf = new mutable.ArrayBuffer[String](w.length)
+      var j = 0
+      while (j < w.length) { // codepoint segmentation, as the kernel
+        val width = Character.charCount(w.codePointAt(j))
+        buf += w.substring(j, j + width)
+        j += width
+      }
+      words(wi) = buf
+      freqs(wi) = vocab(wi).getLong(1)
+      addWordPairs(wi, 1L)
+      wi += 1
+    }
+
+    val merges = Vector.newBuilder[(String, String)]
+    var got = 0
+    while (got < nMerges && !heap.isEmpty) {
+      val cand = heap.poll()
+      if (counts.get((cand.a, cand.b)).contains(cand.c)) { // else: stale
+        val touched = where.get((cand.a, cand.b))
+          .map(_.toArray).getOrElse(Array.emptyIntArray)
+        var k = 0
+        while (k < touched.length) {
+          val t = touched(k)
+          addWordPairs(t, -1L)
+          words(t) = mergePass(words(t), cand.a, cand.b)
+          addWordPairs(t, 1L)
+          k += 1
+        }
+        merges += ((cand.a, cand.b))
+        got += 1
+      }
+    }
+    merges.result()
+  }
+
   def trainBpeMerges(df: DataFrame, textCol: String,
       nMerges: Int): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")

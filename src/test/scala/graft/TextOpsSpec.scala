@@ -508,6 +508,33 @@ class TextOpsSpec extends SparkSpec {
     assert(c0 == chars, s"empty merges must count codepoints: $c0 vs $chars")
   }
 
+  test("trainBpeMergesIncremental: identical rule sequence as the quadratic reference, near-linear depth") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+    // bit-identical to the quadratic trainer at its scale (same greedy
+    // argmax, same UTF-8-order tie-break, same skip rules)...
+    val quad = TextOps.trainBpeMerges(corpus, "text", nMerges = 10)
+    val inc10 = TextOps.trainBpeMergesIncremental(corpus, "text", nMerges = 10)
+    assert(inc10 == quad, s"diverged:\n  quad=$quad\n  inc =$inc10")
+    // ...and the greedy sequence is PREFIX-STABLE: more merges only
+    // extend it (the property that makes the two interchangeable)
+    val inc300 = TextOps.trainBpeMergesIncremental(corpus, "text", nMerges = 300)
+    assert(inc300.take(10) == inc10)
+    // the 200-doc vocabulary legitimately exhausts (~89 legal rules);
+    // depth just needs to be well past the quadratic demo scale
+    assert(inc300.length > 50, s"exhausted early: ${inc300.length}")
+    assert(inc300.forall { case (a, b) => a != b &&
+      graft.functions.BpeTokenStats.legalToken(a) &&
+      graft.functions.BpeTokenStats.legalToken(b) })
+    // deep tables drop straight into the counting kernel and compress
+    // monotonically past the demo scale
+    val c300 = TextOps.bpeTokenCounts(corpus, "doc_id", "text", inc300)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    val c10 = TextOps.bpeTokenCounts(corpus, "doc_id", "text", inc10)
+      .agg(sum("n_bpe_tokens")).head().getLong(0)
+    assert(c300 < c10, s"expected $c300 < $c10")
+  }
+
   test("BPE merge-token alphabet: kernels reject SQL-literal-unrepresentable rules; trainer never emits them") {
     // a rule carrying ',' (the between-pair literal delimiter) or a
     // control character would be silently misparsed by the
@@ -526,6 +553,8 @@ class TextOpsSpec extends SparkSpec {
     val dirty = Seq.tabulate(50)(i => (i.toLong, "x,y x,y a\tb ab ab")).toDF("doc_id", "text")
     val trained = TextOps.trainBpeMerges(dirty, "text", nMerges = 3)
     assert(trained.nonEmpty)
+    // the incremental trainer applies the identical skip rules
+    assert(TextOps.trainBpeMergesIncremental(dirty, "text", 3) == trained)
     assert(trained.forall { case (a, b) =>
       graft.functions.BpeTokenStats.legalToken(a) &&
         graft.functions.BpeTokenStats.legalToken(b) },
