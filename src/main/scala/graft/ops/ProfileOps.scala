@@ -219,6 +219,42 @@ object ProfileOps {
         col("q").getField("p90").as("p90_est"))
   }
 
+  /** CANONICAL sketch build: the byte-stable form of
+    * [[quantileSketchParts]] for oracle replay and golden files. The
+    * distributed build is deterministic only up to Spark's
+    * partial-merge order (two runs give different, equally bounded
+    * sketches — correctly spec-gated, not hash-gated); here the input
+    * is sorted ascending into ONE partition and folded through the
+    * SAME [[graft.functions.KllAggregator]] one value at a time, so
+    * the insertion order — and therefore every compaction and the
+    * final (level, value) multiset — is a pure function of the value
+    * multiset. Equal values are interchangeable through compaction
+    * (buffers re-sort), so the row_number tie is immaterial.
+    *
+    * Deliberately fold via `mapPartitions`, NOT the aggregator plan:
+    * Catalyst's EliminateSorts would strip a sort under an aggregate
+    * (order-agnostic semantics) and silently restore nondeterminism;
+    * an opaque mapPartitions pins the sorted order. Sketch-sized and
+    * single-partition by design — this is the canonical READ/replay
+    * path, not the distributed build. */
+  def canonicalQuantileSketch(df: DataFrame, valueCol: String,
+      k: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"))
+      .coalesce(1)
+      .sortWithinPartitions("v")
+      .as[Double]
+      .mapPartitions { it =>
+        val agg = new graft.functions.KllAggregator(k)
+        var st = agg.zero
+        it.foreach(v => st = agg.reduce(st, (v, 0)))
+        agg.finish(st).iterator.map { case (lvl, v) => (lvl.toLong, v) }
+      }
+      .toDF("level", "value")
+  }
+
   /** PER-GROUP quantile sketch parts: one bounded sketch per group
     * (language, source, day …) — the per-slice QA shape
     * [[numericProfileByGroup]] has for exact profiles and

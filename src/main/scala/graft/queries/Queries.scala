@@ -1606,6 +1606,86 @@ object Queries {
   private def numericProfileQ(s: SparkSession, dir: String): DataFrame =
     ProfileOps.numericProfile(t(s, dir, "lineitem"), "l_quantity")
 
+  private val SketchK = 16
+
+  /** Canonical KLL-lite sketch build over the documents length column —
+    * the byte-stable fold ([[ProfileOps.canonicalQuantileSketch]]:
+    * values sorted ascending, inserted one at a time), which the oracle
+    * replays move-for-move with a recursive CTE: one recursion step per
+    * (item, sweep-level) pair carrying the 13 level buffers + flip
+    * parities as LIST state, reproducing insert → bottom-up compaction
+    * (sort, odd-max holdout, alternating-parity promotion) exactly as
+    * [[graft.functions.KllAggregator]] defines it. k = 16 so the
+    * sf0.01 corpus (500 rows) genuinely exercises multi-level
+    * compaction cascades. */
+  private def quantileSketchQ(s: SparkSession, dir: String): DataFrame =
+    ProfileOps.canonicalQuantileSketch(
+      t(s, dir, "documents")
+        .withColumn("__len", length(col("text")).cast("double")),
+      "__len", k = SketchK)
+
+  private def quantileSketchSql = {
+    // list index j (1-based) = KLL level j-1; 13 levels covers
+    // N <= 17 * 2^11 rows at k=16 (compactions stop where
+    // 2^(j-1) * (k+1) > N), ample for every driver SF.
+    // One recursion step per INSERT or per ACTUAL compaction — a no-op
+    // sweep level is skipped by deciding the successor (i, li) from the
+    // pre-state (post-insert length / promoted count are closed-form),
+    // which cuts steps from 13N to N + #compactions (~10x, the whole
+    // sf0.1 replay in ~1 min instead of ~10). Invariant: at (i, li>0)
+    // level li overflows; levels below li are settled.
+    val L = 13
+    val K = SketchK
+    s"""WITH RECURSIVE vals AS (
+       |  SELECT row_number() OVER (ORDER BY v) AS i, v
+       |  FROM (SELECT CAST(length(text) AS DOUBLE) AS v FROM documents
+       |        WHERE text IS NOT NULL)),
+       |nn AS (SELECT count(*) AS n FROM vals),
+       |walk(i, li, levels, flips) AS (
+       |  SELECT 1::BIGINT, 0,
+       |    [${Seq.fill(L)("CAST([] AS DOUBLE[])").mkString(", ")}],
+       |    [${Seq.fill(L)("0").mkString(", ")}]
+       |  UNION ALL
+       |  SELECT
+       |    CASE WHEN (w.li = 0 AND len(w.levels[1]) + 1 > $K)
+       |           OR (w.li >= 1 AND len(w.levels[w.li + 1])
+       |               + (len(w.levels[w.li]) - len(w.levels[w.li]) % 2) // 2 > $K)
+       |         THEN w.i ELSE w.i + 1 END,
+       |    CASE WHEN w.li = 0 AND len(w.levels[1]) + 1 > $K THEN 1
+       |         WHEN w.li >= 1 AND len(w.levels[w.li + 1])
+       |              + (len(w.levels[w.li]) - len(w.levels[w.li]) % 2) // 2 > $K
+       |         THEN w.li + 1 ELSE 0 END,
+       |    CASE
+       |      WHEN w.li = 0 THEN
+       |        list_transform(w.levels, (lv, j) ->
+       |          CASE WHEN j = 1 THEN list_append(lv, v.v) ELSE lv END)
+       |      ELSE
+       |        list_transform(w.levels, (lv, j) ->
+       |          CASE WHEN j = w.li THEN
+       |                 CASE WHEN len(w.levels[w.li]) % 2 = 1
+       |                      THEN [list_sort(w.levels[w.li])[len(w.levels[w.li])]]
+       |                      ELSE CAST([] AS DOUBLE[]) END
+       |               WHEN j = w.li + 1 THEN
+       |                 lv || list_filter(
+       |                   list_slice(list_sort(w.levels[w.li]), 1,
+       |                     len(w.levels[w.li]) - (len(w.levels[w.li]) % 2)),
+       |                   (x, ii) -> ii % 2 =
+       |                     CASE WHEN w.flips[w.li] % 2 = 0 THEN 1 ELSE 0 END)
+       |               ELSE lv END) END,
+       |    CASE WHEN w.li >= 1 THEN
+       |        list_transform(w.flips, (f, j) ->
+       |          CASE WHEN j = w.li THEN f + 1 ELSE f END)
+       |      ELSE w.flips END
+       |  FROM walk w CROSS JOIN nn
+       |       LEFT JOIN vals v ON w.li = 0 AND v.i = w.i
+       |  WHERE w.i <= nn.n),
+       |final AS (
+       |  SELECT levels FROM walk, nn WHERE i = nn.n + 1 AND li = 0),
+       |lvl AS (SELECT UNNEST(levels) AS buf, UNNEST(range(1, ${L + 1})) AS j
+       |        FROM final)
+       |SELECT CAST(j - 1 AS BIGINT) AS level, UNNEST(buf) AS value FROM lvl""".stripMargin
+  }
+
   /** ONE statement of the numeric-profile oracle spine (base stats +
     * value histogram + running count + discrete k-th quantiles) — the
     * three profile oracles differ only in their `v` CTE, and the
@@ -2184,6 +2264,7 @@ object Queries {
     "q_mixture_sample" -> (mixtureSampleQ _),
     "q_embed_rplsh_pairs" -> (embedRpLshQ _),
     "q_numeric_profile" -> (numericProfileQ _),
+    "q_quantile_sketch" -> (quantileSketchQ _),
     "q_embed_cross_corpus" -> (embedCrossCorpusQ _),
     "q_vocabulary" -> (vocabularyQ _),
     "q_bloom_contamination" -> (bloomContaminationQ _),
@@ -2289,6 +2370,7 @@ object Queries {
     "q_mixture_sample" -> mixtureSampleSql,
     "q_embed_rplsh_pairs" -> embedRpLshSql,
     "q_numeric_profile" -> numericProfileSql,
+    "q_quantile_sketch" -> quantileSketchSql,
     "q_embed_cross_corpus" -> embedCrossCorpusSql,
     "q_vocabulary" -> vocabularySql,
     "q_bloom_contamination" -> bloomContaminationSql,

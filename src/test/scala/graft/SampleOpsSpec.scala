@@ -166,6 +166,39 @@ class SampleOpsSpec extends SparkSpec {
     assert(tinyEst.getDouble(0) == 50.0 && tinyEst.getDouble(1) == 90.0)
   }
 
+  test("canonicalQuantileSketch: byte-stable across runs, weight-conserving, same estimator family") {
+    import spark.implicits._
+    val n = 3000
+    val values = (0 until n).map(i => ((i * 7919) % n) + 0.25)
+    val df = values.toDF("x").repartition(8) // scrambled partitioning
+    val k = 16 // small k: multi-level cascades at this n
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    val a = rows(ProfileOps.canonicalQuantileSketch(df, "x", k))
+    // BYTE-stable: identical multiset on re-execution and under a
+    // different input partitioning (the distributed build is only
+    // bounded, not stable — this is the oracle/golden-file form)
+    val b = rows(ProfileOps.canonicalQuantileSketch(df, "x", k))
+    val c = rows(ProfileOps.canonicalQuantileSketch(
+      values.reverse.toDF("x").repartition(3), "x", k))
+    assert(a == b && a == c)
+    // weight conserved exactly; size bounded
+    assert(a.map { case (lvl, _) => 1L << lvl.toInt }.sum == n.toLong)
+    val maxLevels = (math.log(n.toDouble / k) / math.log(2)).ceil.toInt + 2
+    assert(a.length <= k * maxLevels)
+    // reads through the same estimator with the same bound contract
+    val est = ProfileOps.quantilesFromSketchParts(
+      a.toDF("level", "value").selectExpr("CAST(level AS INT) AS level", "value"))
+      .head()
+    val sorted = values.sorted
+    def rankErr(e: Double, target: Int): Int = {
+      val lo = sorted.count(_ < e); val hi = sorted.count(_ <= e)
+      if (target < lo) lo - target else if (target > hi) target - hi else 0
+    }
+    assert(rankErr(est.getDouble(0), (n + 1) / 2) <= n * 5 / 100)
+    assert(rankErr(est.getDouble(1), (9 * n + 9) / 10) <= n * 5 / 100)
+  }
+
   test("quantileSketchPartsByGroup: exact when groups fit k; bounded error beyond; group-partitioned read") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
