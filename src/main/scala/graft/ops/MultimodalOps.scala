@@ -153,27 +153,143 @@ object MultimodalOps {
     StructField("height", IntegerType),
     StructField("feature", ArrayType(FloatType))))
 
-  /** Partition-wise decode + feature extraction (mapPartitions — the
-    * batch shape a Pandas-UDF/Arrow pipeline would use; swap fakeDecode
-    * for the real library call). */
+  /** Partition-wise decode + feature extraction — Dataset-native
+    * `mapPartitions` (the batch shape a Pandas-UDF/Arrow pipeline would
+    * use; swap fakeDecode for the real library call). Deliberately NOT
+    * the `.rdd` round-trip: staying a Dataset transform keeps the
+    * decode inside ONE plan tree, so the upstream scan's pushdown/
+    * pruning, AQE, and downstream codegen all survive around the opaque
+    * stage (the old LogicalRDD form severed the plan). */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val out = media.select("doc_id", "media").rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val (w, h, f) = fakeDecode(r.getAs[Array[Byte]]("media"))
-        Row(r.getLong(0), w, h, f)
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, f) = fakeDecode(bytes)
+          (id, w, h, f)
+        }
       }
-    }
-    spark.createDataFrame(out, decodedSchema)
+      .toDF("doc_id", "width", "height", "feature")
   }
+
+  /** STUB raster geometry: payload bytes as a row-major luminance
+    * raster, width ⌈√n⌉ (deterministic; a real decoder reads true
+    * dimensions from the codec header instead). */
+  private[graft] def fakeRaster(n: Int): (Int, Int) = {
+    val w = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    (w, math.max(1, (n + w - 1) / w))
+  }
+
+  /** Partition-wise decode → `grid`×`grid` block-mean luminance
+    * downsample — the real 2-D perceptual-hash front end, with only the
+    * pixel source stubbed (payload bytes as the raster via
+    * [[fakeRaster]]; a production decoder emits its grayscale raster
+    * into the SAME block-mean loop). Exact integer arithmetic (block
+    * sum div count) so results are engine-reproducible. Empty payloads
+    * have no pixels and drop. Output: (doc_id, lum: array of grid²
+    * row-major cell means).
+    */
+  def decodeLuminanceGrid(media: DataFrame, grid: Int = 5): DataFrame = {
+    require(grid >= 2 && grid <= 8, s"grid must be in [2, 8], got $grid")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (bytes == null || bytes.isEmpty) Iterator.empty
+          else {
+            val (w, h) = fakeRaster(bytes.length)
+            val cells = new Array[Int](grid * grid)
+            var r = 0
+            while (r < grid) {
+              val r0 = r * h / grid
+              val r1 = math.max(r0 + 1, (r + 1) * h / grid)
+              var c = 0
+              while (c < grid) {
+                val c0 = c * w / grid
+                val c1 = math.max(c0 + 1, (c + 1) * w / grid)
+                var sum = 0L
+                var cnt = 0L
+                var rr = r0
+                while (rr < r1) {
+                  var cc = c0
+                  while (cc < c1) {
+                    val idx = rr * w + cc
+                    if (idx < bytes.length) { sum += bytes(idx) & 0xFF; cnt += 1 }
+                    cc += 1
+                  }
+                  rr += 1
+                }
+                cells(r * grid + c) = if (cnt == 0) 0 else (sum / cnt).toInt
+                c += 1
+              }
+              r += 1
+            }
+            Iterator.single((id, cells.toSeq))
+          }
+        }
+      }
+      .toDF("doc_id", "lum")
+  }
+
+  /** Bit width of [[perceptualHash2D]] at a grid size: grid·(grid−1)
+    * row-gradient + (grid−1)·grid column-gradient bits (40 at the
+    * default 5×5 — under the hamming spine's 63-bit signature cap). */
+  def bits2D(grid: Int): Int = 2 * grid * (grid - 1)
+
+  /** 2-D perceptual hash: [[decodeLuminanceGrid]] → row AND column
+    * gradient bits — the production dHash shape (row gradients alone
+    * are blind to vertical structure; the column half catches it).
+    * Bit layout (documented for index math): bit r·(grid−1)+c compares
+    * cell (r,c) > (r,c+1); the column half starts at grid·(grid−1)
+    * with bit r·grid+c comparing cell (r,c) > (r+1,c).
+    *
+    * Against [[perceptualHash]] (1-D over the flattened sequence): a
+    * ONE-ROW shift of the raster relocates every flattened sample, so
+    * the 1-D bits scramble; the 2-D block means move by one row out of
+    * h/grid per cell, so the hash barely moves — spec-pinned. The
+    * gradient assembly references the `lum` ATTRIBUTE from the decode
+    * stage (not a composed expression), so project collapse cannot
+    * re-inline the grid into its 40 comparisons. Output:
+    * (doc_id, phash2d) — feed [[DedupOps.hammingNearPairs]] with
+    * bits = [[bits2D]].
+    */
+  def perceptualHash2D(media: DataFrame, grid: Int = 5): DataFrame = {
+    val g = grid
+    val lum = decodeLuminanceGrid(media, g)
+    def cell(r: Int, c: Int) = element_at(col("lum"), r * g + c + 1)
+    val rowBits = for (r <- 0 until g; c <- 0 until g - 1)
+      yield when(cell(r, c) > cell(r, c + 1),
+        lit(1L << (r * (g - 1) + c))).otherwise(lit(0L))
+    val colBase = g * (g - 1)
+    val colBits = for (r <- 0 until g - 1; c <- 0 until g)
+      yield when(cell(r, c) > cell(r + 1, c),
+        lit(1L << (colBase + r * g + c))).otherwise(lit(0L))
+    lum.select(col("doc_id"),
+      (rowBits ++ colBits).reduce(_ + _).as("phash2d"))
+  }
+
+  /** Perceptual near-duplicate pairs on the 2-D hash —
+    * [[mediaNearDupPairs]] with [[perceptualHash2D]] signatures through
+    * the same pigeonhole hamming spine. */
+  def mediaNearDupPairs2D(media: DataFrame, grid: Int = 5,
+      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame =
+    DedupOps.hammingNearPairs(perceptualHash2D(media, grid), "doc_id",
+      "phash2d", bits2D(grid), maxHamming, maxBucket)
 
   /** Deterministic frame sampling plumbing for video-shaped payloads:
     * every `stride`-th byte window as a "frame" — demonstrates the
-    * explode-to-frames schema without a real container parser. */
+    * explode-to-frames schema without a real container parser. Frame
+    * count is exact integer `div` (a double division for an index
+    * invites float drift at extreme payload sizes). */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
     media.select(
         col("doc_id"),
-        posexplode(sequence(lit(0L), greatest(lit(0L), col("n_bytes") - 1).divide(stride).cast("long"))))
+        posexplode(sequence(lit(0L),
+          expr(s"greatest(0L, n_bytes - 1) div $stride"))))
       .select(
         col("doc_id"),
         col("pos").cast("long").as("frame_idx"),

@@ -399,4 +399,50 @@ class EventMultimodalSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
       Seq((0L, 0L), (1L, 64L), (2L, 128L)))
   }
+
+  test("decodeFeatures stays one plan tree (no LogicalRDD severing the lineage)") {
+    val media = MultimodalOps.attachFakeMedia(
+      Seq((1L, "abc")).toDF("doc_id", "text"), "doc_id", "text")
+    val plan = MultimodalOps.decodeFeatures(media)
+      .queryExecution.executedPlan.toString
+    // the old .rdd round-trip planned as `Scan ExistingRDD` — an opaque
+    // leaf that severed pushdown/AQE/codegen from the upstream scan; the
+    // Dataset-native form keeps the decode an object stage INSIDE the plan
+    assert(!plan.contains("ExistingRDD"), plan.take(1500))
+    assert(plan.contains("SerializeFromObject"), plan.take(1500))
+    assert(plan.contains("LocalTableScan") || plan.contains("Scan"), plan.take(1500))
+  }
+
+  test("2-D dHash catches a one-row-shifted raster the 1-D hash misses") {
+    // synthetic 40x40 raster, ASCII-range luminance: a vertical ramp
+    // (block structure the 2-D column gradients see) + row stripes
+    // (high-frequency content that scrambles the flattened 1-D samples
+    // when everything moves by one row)
+    val w = 40; val h = 40
+    def lum(r: Int): Int = 60 + (r / 8) * 10 + (if (r % 2 == 0) 15 else -15)
+    def raster(shift: Int): Array[Byte] =
+      Array.tabulate(w * h) { i => lum(i / w + shift).toByte }
+    val media = Seq(
+      (1L, raster(0)), (2L, raster(1))).toDF("doc_id", "media")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // 2-D: block means move one row out of eight -> hash barely moves
+    val h2 = MultimodalOps.perceptualHash2D(media, grid = 5)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val d2 = ham(h2(0), h2(1))
+    assert(d2 <= 3, s"2-D hamming $d2 should be <= 3")
+    // 1-D over the flattened sequence: every sample lands one stripe
+    // off -> comparisons scramble far past any near-dup threshold
+    val h1 = MultimodalOps.perceptualHash(media, bits = 48)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val d1 = ham(h1(0), h1(1))
+    assert(d1 > 10, s"1-D hamming $d1 should scramble (> 10)")
+    // and the full 2-D pair path finds the pair
+    val pairs = MultimodalOps.mediaNearDupPairs2D(media, grid = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // determinism: the decode->downsample->bits chain is pure
+    val again = MultimodalOps.perceptualHash2D(media, grid = 5)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(again.toSeq == h2.toSeq)
+  }
 }
