@@ -353,6 +353,64 @@ object SimilarityOps {
     DedupOps.dedupKeepBest(scored, clusters, idCol, negate(col("cent_cos")))
   }
 
+  /** Flat RP-LSH signature table — the STORABLE index shape for the
+    * streaming embedding gate ([[graft.streaming.StreamOps.embeddingGateSink]]):
+    * one row per vector carrying its `bands` sign-bucket keys
+    * (b0..b{bands−1}, the [[embeddingNearDupPairsRP]] band keys,
+    * computed once) plus the quantized vector and squared norm the
+    * cosine verify needs. The standing corpus is never re-projected:
+    * the index side of the gate reads these rows back as-is — the
+    * [[graft.ops.DedupOps.minhashSignatures]] flat layout, RP-flavored.
+    */
+  def rpSignatures(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 62,
+      s"need 0 < bitsPerBand <= 62, got bands=$bands bits=$bitsPerBand")
+    val planes = rpHyperplanes(dim, bands * bitsPerBand, seed)
+    val v = withQ(df, idCol, vecCol, "q")
+    val keyCols = (0 until bands).map { b =>
+      (0 until bitsPerBand).map { j =>
+        when(dotQ(col("q_q"), typedlit(planes(b * bitsPerBand + j).toSeq)) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"b$b")
+    }
+    v.select(col("q_id").as(idCol) +: keyCols
+      :+ col("q_q").as("qvec") :+ col("q_n2").as("qnorm2"): _*)
+  }
+
+  /** Incremental RP-LSH near-dup check of a NEW batch of vectors against
+    * a STORED [[rpSignatures]] index — [[graft.ops.DedupOps.hammingAgainstIndex]]'s
+    * shape on RP bands: band both sides (the index by exploding its
+    * stored keys — reshaping, not re-hashing), equi-join on (band, key)
+    * with the hot-bucket cap on the unbounded INDEX side (observed via
+    * [[CapTelemetry]], op "embedding_against_index"), then verify exact
+    * quantized cosine on candidates only. Output:
+    * (id_new, id_old, cos) — new vectors semantically matching an
+    * already-indexed one. */
+  def embeddingNearDupAgainstIndex(newVecs: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, minCos: Double, dim: Int,
+      bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
+    val newSigs = rpSignatures(newVecs, idCol, vecCol, dim, bands, bitsPerBand, seed)
+    def banded(sigs: DataFrame, p: String): DataFrame =
+      sigs.select(col(idCol).as(s"${p}_id"), col("qvec").as(s"${p}_q"),
+        col("qnorm2").as(s"${p}_n2"),
+        posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
+          .as(Seq("band", "key")))
+    val idx = banded(index, "old")
+    val ok = CapTelemetry.observeCap(
+        idx.groupBy("band", "key").agg(count(lit(1)).as("__bc")),
+        "embedding_against_index", col("__bc"), maxBucket)
+      .filter(col("__bc") <= maxBucket).select("band", "key")
+    banded(newSigs, "new")
+      .join(idx.join(ok, Seq("band", "key")), Seq("band", "key"))
+      .withColumn("cos", cosineFromQ(dotQ(col("new_q"), col("old_q")),
+        col("new_n2"), col("old_n2")))
+      .filter(col("cos") >= minCos)
+      .select(col("new_id").as("id_new"), col("old_id").as("id_old"), col("cos"))
+      .distinct() // multi-band duplicates dropped post-verify, where rows are narrowest
+  }
+
   /** Corpus-vs-corpus near-duplicate pairs bucketed by IVF cluster: every
     * vector is assigned to its `probes` nearest centroids, and pairs are
     * generated only WITHIN a shared cluster — the join is

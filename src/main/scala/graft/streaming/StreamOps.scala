@@ -358,6 +358,68 @@ object StreamOps {
     }
   }
 
+  /** Streaming EMBEDDING ingest gate — the semantic third of the gate
+    * family ([[nearDupGateSink]] = lexical MinHash, [[mediaGateSink]] =
+    * perceptual phash, this = embedding RP-LSH): each micro-batch of
+    * (id, vector) rows is (1) self-deduped semantically within the
+    * batch ([[graft.ops.SimilarityOps.embeddingNearDupPairsRP]] → CC →
+    * canonical min id), (2) anti-joined against RP-band near-dups of
+    * the STANDING signature index
+    * ([[graft.ops.SimilarityOps.embeddingNearDupAgainstIndex]] — the
+    * corpus ever ingested is never re-projected; stored band keys are
+    * re-exploded, not re-hashed), and (3) the survivors'
+    * [[graft.ops.SimilarityOps.rpSignatures]] fold into the index. A
+    * paraphrase/re-embedding of yesterday's document (cos ≥ `minCos`)
+    * never reaches `survivorsPath`. Same determinism/replay discipline
+    * as the other gates: per-batch overwrite, staged sidecar-marker
+    * publish, replayed epochs skipped.
+    */
+  def embeddingGateSink(vecs: DataFrame, sigPath: String,
+      survivorsPath: String, idCol: String, vecCol: String, dim: Int,
+      minCos: Double = 0.95, bands: Int = 8, bitsPerBand: Int = 8,
+      seed: Long = 42L, maxBucket: Int = 1000)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateEmbeddingBatch(batch, sigPath, survivorsPath, idCol, vecCol,
+          dim, minCos, bands, bitsPerBand, seed, maxBucket, batchId)
+      }
+
+  /** One micro-batch of the embedding gate (see [[embeddingGateSink]]). */
+  private[graft] def gateEmbeddingBatch(batch: DataFrame, sigPath: String,
+      survivorsPath: String, idCol: String, vecCol: String, dim: Int,
+      minCos: Double, bands: Int, bitsPerBand: Int, seed: Long,
+      maxBucket: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    foldStaged(spark, sigPath, batchId) { stored =>
+      val selfPairs = graft.ops.SimilarityOps.embeddingNearDupPairsRP(
+        batch, idCol, vecCol, minCos, dim, bands, bitsPerBand, seed, maxBucket)
+      val selfClusters = graft.ops.DedupOps.nearDupClusters(
+        selfPairs.select("id_a", "id_b"), batch.select(col(idCol)), idCol)
+      val selfDeduped = batch.join(selfClusters, Seq(idCol))
+        .filter(col(idCol) === col("cluster_id"))
+        .drop("cluster_id")
+      val survivors = stored match {
+        case Some(s) =>
+          val hits = graft.ops.SimilarityOps.embeddingNearDupAgainstIndex(
+              selfDeduped, s, idCol, vecCol, minCos, dim, bands,
+              bitsPerBand, seed, maxBucket)
+            .select(col("id_new").as(idCol)).distinct()
+          selfDeduped.join(hits, Seq(idCol), "left_anti")
+        case None => selfDeduped
+      }
+      survivors.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$survivorsPath/batch=$batchId")
+      // signatures from the JUST-WRITTEN parquet: `survivors` carries
+      // the RP→CC lineage, which a second reference would re-run
+      val newSigs = graft.ops.SimilarityOps.rpSignatures(
+        spark.read.parquet(s"$survivorsPath/batch=$batchId"),
+        idCol, vecCol, dim, bands, bitsPerBand, seed)
+      stored.map(_.unionByName(newSigs)).getOrElse(newSigs)
+    }
+  }
+
   /** A keyed record for stateful streaming ops (payload = whatever the
     * caller packs; typed so `flatMapGroupsWithState` gets encoders). */
   case class Keyed(key: Long, ord: Long, payload: String)

@@ -265,6 +265,60 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(0L, 3L, 12L))
   }
 
+  test("embeddingGateSink: semantic gate blocks re-embedded near-dups across batches") {
+    val in = tmpDir("graft_stream_embed_in")
+    val sig = tmpDir("graft_stream_embed_sig") + "/rpsigs.parquet"
+    val out = tmpDir("graft_stream_embed_out")
+    val ckpt = tmpDir("graft_stream_embed_ckpt")
+    val dim = 8
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val vA = vec(1, 0, 0, 0, 0, 0, 0, 0)
+    val vA2 = vec(1, 0.03, 0, 0, 0, 0, 0, 0) // cos(vA, vA2) ≈ 0.9996
+    val vB = vec(0, 1, 0, 0, 0, 0, 0, 0)
+    val vC = vec(0, 0, 1, 0, 0, 0, 0, 0)
+    // batch 1: 0 and its exact re-embedding 1 -> within-batch dedup
+    // keeps 0; 3 is semantically unrelated
+    Seq((0L, vA), (1L, vA), (3L, vB)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$in/b1")
+    Thread.sleep(50)
+    // batch 2: 10 is a PERTURBED re-embedding of the already-ingested 0
+    // (index hit across batches), 12 is new
+    Seq((10L, vA2), (12L, vC)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$in/b2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = StreamOps.embeddingGateSink(stream, sig, out, "vec_id",
+        "embedding", dim, minCos = 0.95)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val survivors = spark.read.parquet(s"$out/batch=*").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 3L, 12L), s"got $survivors")
+    // the folded index holds exactly the survivors' flat RP signatures
+    val idx = spark.read.parquet(sig)
+    assert(idx.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 3L, 12L))
+    assert(idx.columns.contains("b0") && idx.columns.contains("qvec") &&
+      idx.columns.contains("qnorm2"))
+    // at-least-once replay of the last epoch is a no-op
+    val lastBatch = StreamOps.readBatchMarker(sig).get
+    StreamOps.gateEmbeddingBatch(Seq((10L, vA2)).toDF("vec_id", "embedding"),
+      sig, out, "vec_id", "embedding", dim, 0.95, 8, 8, 42L, 1000, lastBatch)
+    assert(spark.read.parquet(sig).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 3L, 12L))
+    // a new epoch whose whole batch is blocked folds to an unchanged
+    // index (zero survivors — the sidecar marker still advances)
+    StreamOps.gateEmbeddingBatch(
+      Seq((20L, vec(1, -0.02, 0, 0, 0, 0, 0, 0))).toDF("vec_id", "embedding"),
+      sig, out, "vec_id", "embedding", dim, 0.95, 8, 8, 42L, 1000, lastBatch + 1)
+    assert(spark.read.parquet(sig).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 3L, 12L))
+    assert(StreamOps.readBatchMarker(sig).contains(lastBatch + 1))
+  }
+
   test("nearDupGateSink: streamed batches dedup within-batch AND against the standing index") {
     val in = tmpDir("graft_stream_gate_in")
     val sig = tmpDir("graft_stream_gate_sig") + "/sigs.parquet"
