@@ -35,6 +35,13 @@ object Bench {
       "q_cluster_split",
       // round-7 CC-family additions inherit the trio's GC-sensitivity
       "q_simhash_clusters", "q_dedup_by_minhash")
+    // Watch-list inheritance rule (round-9, per the r8 verdict): the
+    // round-7 addendum queries (q_session_attribution, the pack family
+    // q_pack_bins/q_pack_materialize) and any future interval/pack
+    // query are covered by the general >= 1s LATCH below — the moment
+    // one crosses 1s at a future SF it records median-of->=3
+    // automatically; add it to `watch` by NAME only if it shows the CC
+    // family's ±40% drift while still under 1s.
     // A failed run must NOT masquerade as a fast one: its elapsed time is
     // excluded from the stat (a fast crash would otherwise read as a
     // legitimate sub-second result) and the failure is counted into the

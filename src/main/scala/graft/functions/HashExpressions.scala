@@ -680,10 +680,13 @@ case class BpeTokenStats(child: Expression, merges: Seq[String])
 object BpeTokenStats {
   /** The merge-token alphabet contract shared by every BPE kernel AND
     * the trainer: non-empty, no ' ' (the within-pair delimiter), no ','
-    * (the between-pair delimiter), no control characters — exactly the
-    * tokens the SQL string-literal registration can represent. */
+    * (the between-pair delimiter), no single quote (the in-repo
+    * interpolation pattern feeds trained tables into
+    * `graft_bpe_token_stats(text, '<table>')` verbatim — a quoted rule
+    * would malform the literal), no control characters — exactly the
+    * tokens the SQL string-literal registration can round-trip. */
   def legalToken(m: String): Boolean =
-    m.nonEmpty && m.forall(c => c > ' ' && c != ',')
+    m.nonEmpty && m.forall(c => c > ' ' && c != ',' && c != '\'')
 }
 
 /** Codegen'd per-word BPE token sequence (see HashKernels.bpeWordTokens)

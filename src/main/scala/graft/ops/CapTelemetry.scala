@@ -41,9 +41,18 @@ object CapTelemetry {
       totalBuckets: Long)
 
   private[graft] val Prefix = "graft_cap_"
+  /** Prefix for ROUTINE trims (the ngram df-cut): removing over-cap
+    * buckets is those ops' designed steady-state — report the numbers,
+    * but at info and in trim wording, so the genuinely exceptional
+    * skew-cap WARNs aren't buried in expected noise. */
+  private[graft] val TrimPrefix = "graft_trim_"
   private val seq = new AtomicLong()
-  private val sessions =
-    java.util.Collections.newSetFromMap(new ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // WEAK keys: a strong session set would pin every stopped session
+  // (and its listener) in memory forever in a process that cycles
+  // sessions; synchronized because WeakHashMap is not thread-safe
+  private val sessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   private val last = new ConcurrentHashMap[String, CapStats]()
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -52,9 +61,10 @@ object CapTelemetry {
     * Returns the same frame with the observation node attached — the
     * caller filters on it exactly as before. */
   def observeCap(bucketCounts: DataFrame, op: String, countCol: Column,
-      cap: Long): DataFrame = {
+      cap: Long, routine: Boolean = false): DataFrame = {
     ensureListener(bucketCounts.sparkSession)
-    bucketCounts.observe(s"$Prefix${op}_${seq.incrementAndGet()}",
+    val prefix = if (routine) TrimPrefix else Prefix
+    bucketCounts.observe(s"$prefix${op}_${seq.incrementAndGet()}",
       coalesce(sum(when(countCol > cap, 1L).otherwise(0L)), lit(0L))
         .as("dropped_buckets"),
       coalesce(sum(when(countCol > cap, countCol).otherwise(0L)), lit(0L))
@@ -129,23 +139,57 @@ object CapTelemetry {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit = try {
+          // cheap pre-filter: the ANALYZED logical plan always retains
+          // CollectMetrics (AQE erasure is physical-only) — skip the
+          // recursive physical walk entirely for the vast majority of
+          // queries that observe nothing of ours
+          val ours = qe.analyzed.collectWithSubqueries {
+            case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+                if c.name.startsWith(Prefix) || c.name.startsWith(TrimPrefix) => ()
+          }
+          if (ours.nonEmpty)
           (qe.observedMetrics.toSeq ++ deepMetrics(qe.executedPlan,
               new java.util.IdentityHashMap()))
-            .filter { case (n, r) => n.startsWith(Prefix) && r != null }
+            .filter { case (n, r) =>
+              (n.startsWith(Prefix) || n.startsWith(TrimPrefix)) && r != null }
+            // two traversals can see the SAME observation (executed +
+            // initial plan): resolve per NAME by the copy that ran
             .groupMapReduce(_._1)(_._2)((a, b) =>
               if (a.getAs[Long]("total_buckets") >= b.getAs[Long]("total_buckets")) a else b)
-            .foreach { case (name, row) =>
-              val op = name.stripPrefix(Prefix).replaceAll("_\\d+$", "")
-              val st = CapStats(row.getAs[Long]("dropped_buckets"),
-                row.getAs[Long]("dropped_rows"),
-                row.getAs[Long]("total_buckets"))
+            .toSeq
+            // a query composing the same generator twice (pairRecall
+            // over two LSH variants, the two df-cut call sites) yields
+            // DISTINCT observation names mapping to one op — SUM them,
+            // else last-put-wins could report a clean cap while the
+            // other instance dropped buckets
+            .map { case (name, row) =>
+              val routine = name.startsWith(TrimPrefix)
+              val op = name.stripPrefix(TrimPrefix).stripPrefix(Prefix)
+                .replaceAll("_\\d+$", "")
+              ((op, routine),
+                CapStats(row.getAs[Long]("dropped_buckets"),
+                  row.getAs[Long]("dropped_rows"),
+                  row.getAs[Long]("total_buckets")))
+            }
+            .groupMapReduce(_._1)(_._2)((a, b) => CapStats(
+              a.droppedBuckets + b.droppedBuckets,
+              a.droppedRows + b.droppedRows,
+              a.totalBuckets + b.totalBuckets))
+            .foreach { case ((op, routine), st) =>
               last.put(op, st)
-              if (st.droppedBuckets > 0)
-                log.warn(s"[graft-cap] $op dropped ${st.droppedBuckets} of " +
-                  s"${st.totalBuckets} buckets (${st.droppedRows} rows) at the " +
-                  "bucket cap: pairs agreeing ONLY in a dropped bucket are " +
-                  "lost. Raise the cap, or collapse exact duplicates first " +
-                  "(exactDedup) if the hot buckets are literal copies.")
+              if (st.droppedBuckets > 0) {
+                if (routine)
+                  log.info(s"[graft-trim] $op removed ${st.droppedBuckets} " +
+                    s"over-cap buckets of ${st.totalBuckets} " +
+                    s"(${st.droppedRows} rows) — the op's designed trim " +
+                    "(stop-shingle removal), reported for observability")
+                else
+                  log.warn(s"[graft-cap] $op dropped ${st.droppedBuckets} of " +
+                    s"${st.totalBuckets} buckets (${st.droppedRows} rows) at the " +
+                    "bucket cap: pairs agreeing ONLY in a dropped bucket are " +
+                    "lost. Raise the cap, or collapse exact duplicates first " +
+                    "(exactDedup) if the hot buckets are literal copies.")
+              }
             }
         } catch {
           // telemetry must NEVER hurt the query path: the listener runs

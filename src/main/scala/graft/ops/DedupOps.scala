@@ -210,7 +210,7 @@ object DedupOps {
     val postings = if (matPostings) mat(raw) else raw
     val hot = CapTelemetry.observeCap(
         postings.groupBy("sh").agg(count(lit(1)).as("df_cnt")),
-        "ngram_df_cut", col("df_cnt"), maxDf)
+        "ngram_df_cut", col("df_cnt"), maxDf, routine = true)
       .filter(col("df_cnt") > maxDf).select("sh")
     val hotSide = if (broadcastHotSet) broadcast(hot) else hot
     mat(postings.join(hotSide, Seq("sh"), "left_anti")
@@ -259,7 +259,7 @@ object DedupOps {
     val postings = shingleHashes(df, idCol, textCol, k)
     val hot = CapTelemetry.observeCap(
         postings.groupBy("sh").agg(count(lit(1)).as("df_cnt")),
-        "ngram_df_cut", col("df_cnt"), maxDf)
+        "ngram_df_cut", col("df_cnt"), maxDf, routine = true)
       .filter(col("df_cnt") > maxDf)
     // `broadcastHotSet = false` escape hatch: a corpus where a tiny
     // maxDf makes the over-the-cut set too big to ship as one array

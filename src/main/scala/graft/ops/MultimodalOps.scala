@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -147,12 +147,6 @@ object MultimodalOps {
     (w, h, feat)
   }
 
-  val decodedSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("feature", ArrayType(FloatType))))
-
   /** Partition-wise decode + feature extraction — Dataset-native
     * `mapPartitions` (the batch shape a Pandas-UDF/Arrow pipeline would
     * use; swap fakeDecode for the real library call). Deliberately NOT
@@ -258,6 +252,11 @@ object MultimodalOps {
     * bits = [[bits2D]].
     */
   def perceptualHash2D(media: DataFrame, grid: Int = 5): DataFrame = {
+    // the long-packed signature caps the grid at 6 (bits2D(6) = 60):
+    // grid 7 would shift past bit 63 and SILENTLY alias gradient bits
+    // (1L << 84 wraps to 1L << 20), corrupting every hash
+    require(grid >= 2 && bits2D(grid) <= 63,
+      s"grid must be in [2, 6] (bits2D(grid) <= 63), got $grid")
     val g = grid
     val lum = decodeLuminanceGrid(media, g)
     def cell(r: Int, c: Int) = element_at(col("lum"), r * g + c + 1)

@@ -386,10 +386,10 @@ object TextOps {
           .select(col("freq"), col("p.a").as("a"), col("p.b").as("b"))
           .filter(col("a") =!= col("b"))
           // kernel/SQL-literal alphabet contract (BpeTokenStats.legalToken):
-          // a rule carrying ',' or a control character could never ride
-          // the graft_bpe_token_stats registration — skip the candidate
-          .filter(!col("a").rlike("[\\x00-\\x20,]") &&
-            !col("b").rlike("[\\x00-\\x20,]"))
+          // a rule carrying ',', ''' or a control character could never
+          // ride the graft_bpe_token_stats registration — skip it
+          .filter(!col("a").rlike("[\\x00-\\x20,']") &&
+            !col("b").rlike("[\\x00-\\x20,']"))
           .groupBy("a", "b").agg(sum("freq").as("c"))
           .orderBy(col("c").desc, col("a").asc, col("b").asc)
           .limit(1).collect()

@@ -1625,16 +1625,22 @@ object Queries {
       "__len", k = SketchK)
 
   private def quantileSketchSql = {
-    // list index j (1-based) = KLL level j-1; 13 levels covers
-    // N <= 17 * 2^11 rows at k=16 (compactions stop where
-    // 2^(j-1) * (k+1) > N), ample for every driver SF.
+    // list index j (1-based) = KLL level j-1. The level budget must
+    // cover the deepest compaction: level j can overflow while
+    // N > k * 2^(j-1), so promotions reach j+1 while 2^(j-1) <= N/k —
+    // L = 20 keeps the replay faithful to ~4M rows (16 * 2^18; the
+    // documents table is 5k at sf0.1), and extra levels cost nothing:
+    // the skip-no-op successor never visits a level that cannot
+    // overflow. An overflow PAST the budget would silently drop
+    // promoted values and break weight conservation — budget
+    // generously, not tightly.
     // One recursion step per INSERT or per ACTUAL compaction — a no-op
     // sweep level is skipped by deciding the successor (i, li) from the
     // pre-state (post-insert length / promoted count are closed-form),
     // which cuts steps from 13N to N + #compactions (~10x, the whole
     // sf0.1 replay in ~1 min instead of ~10). Invariant: at (i, li>0)
     // level li overflows; levels below li are settled.
-    val L = 13
+    val L = 20
     val K = SketchK
     s"""WITH RECURSIVE vals AS (
        |  SELECT row_number() OVER (ORDER BY v) AS i, v
@@ -1952,18 +1958,26 @@ object Queries {
     * genuine doc_id >= 1e6 would collide with a planted id, so it fails
     * loudly instead of silently corrupting the recall claim. */
   private def plantedMediaDocs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    docs.unionByName(docs.filter(length(col("text")) >= 12).select(
-      when(col("doc_id") < 1000000L, col("doc_id") + 1000000L)
+    // the guard sits on the BASE branch so EVERY genuine doc_id is
+    // checked — guarding only the planted branch would let a short
+    // (< 12 chars, never planted) doc with doc_id >= 1e6 silently
+    // collide with another doc's planted id
+    val docs = t(s, dir, "documents").select(
+      when(col("doc_id") < 1000000L, col("doc_id"))
         .otherwise(raise_error(concat(lit("plantedMediaDocs: doc_id "),
           col("doc_id"), lit(" collides with the planted-id space"))).cast("long"))
         .as("doc_id"),
+      col("text"))
+    docs.unionByName(docs.filter(length(col("text")) >= 12).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
       concat(substring(col("text"), 1, 10), lit("#"),
         expr("substring(text, 12)")).as("text")))
   }
 
   private val plantedMediaSql =
-    """SELECT doc_id, text FROM documents
+    """SELECT CASE WHEN doc_id < 1000000 THEN doc_id
+      |            ELSE error('planted-id collision') END AS doc_id, text
+      |  FROM documents
       |  UNION ALL
       |  SELECT CASE WHEN doc_id < 1000000 THEN doc_id + 1000000
       |              ELSE error('planted-id collision') END,

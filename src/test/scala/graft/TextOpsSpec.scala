@@ -540,7 +540,7 @@ class TextOpsSpec extends SparkSpec {
     // control character would be silently misparsed by the
     // graft_bpe_token_stats string registration — the kernel refuses it
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
-    for (bad <- Seq("a" -> ",", "\t" -> "a", "a" -> "b\n")) {
+    for (bad <- Seq("a" -> ",", "\t" -> "a", "a" -> "b\n", "a" -> "'")) {
       val e = intercept[IllegalArgumentException] {
         TextOps.bpeTokenCounts(docs, "doc_id", "text", merges = Seq(bad)).collect()
       }
