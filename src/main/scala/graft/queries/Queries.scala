@@ -963,6 +963,50 @@ object Queries {
        |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.45""".stripMargin
   }
 
+  /** Incremental embedding-index path — the batch form of the streaming
+    * embedding gate's index check: vectors ≥ 350 (the "new batch")
+    * against the stored [[SimilarityOps.rpSignatures]] of vectors < 350
+    * (the "standing corpus", band keys stored flat and re-exploded,
+    * never re-projected). Same 16×4 low-threshold dials as the RP pair
+    * query; the oracle re-derives the band keys from the same seeded
+    * hyperplane literals and joins new-side bands against capped
+    * index-side bands. */
+  private def embedIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val index = SimilarityOps.rpSignatures(
+      em.filter(col("vec_id") < 350), "vec_id", "embedding",
+      dim = 64, bands = 16, bitsPerBand = 4)
+    SimilarityOps.embeddingNearDupAgainstIndex(
+      em.filter(col("vec_id") >= 350), index, "vec_id", "embedding",
+      minCos = 0.45, dim = 64, bands = 16, bitsPerBand = 4)
+  }
+
+  private def embedIncrementalSql = {
+    val planes = SimilarityOps.rpHyperplanes(dim = 64, nPlanes = 64, seed = 42L)
+    val bandSelects = (0 until 16).map { b =>
+      val key = (0 until 4).map { j =>
+        val h = planes(b * 4 + j).mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(v, (x,i) -> x * ($h)[i])) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $key AS key FROM n"
+    }.mkString(" UNION ALL ")
+    s"""WITH q0 AS ($sqlQuantized),
+       |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM q0),
+       |banded AS ($bandSelects),
+       |idx AS (SELECT * FROM banded WHERE vec_id < 350),
+       |nw AS (SELECT * FROM banded WHERE vec_id >= 350),
+       |ok AS (SELECT band, key FROM idx GROUP BY band, key HAVING count(*) <= 1000),
+       |cands AS (SELECT DISTINCT nw.vec_id AS id_new, idx.vec_id AS id_old
+       |          FROM nw JOIN idx ON nw.band = idx.band AND nw.key = idx.key
+       |          JOIN ok ON ok.band = idx.band AND ok.key = idx.key)
+       |SELECT id_new, id_old,
+       |  CAST(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) AS DOUBLE)
+       |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
+       |FROM cands JOIN n a ON a.vec_id = id_new JOIN n b ON b.vec_id = id_old
+       |WHERE CAST(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) AS DOUBLE)
+       |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.45""".stripMargin
+  }
+
   private def embedCrossCorpusQ(s: SparkSession, dir: String): DataFrame = {
     val em = t(s, dir, "embeddings")
     // eval set = vec_id < 50, training corpus = the rest; the union the
@@ -2066,6 +2110,58 @@ object Queries {
        |       ELSE CAST(count(*) AS DOUBLE) / count(*) END AS recall
        |FROM p""".stripMargin
 
+  /** 2-D perceptual hash end-to-end over the documents-as-media corpus:
+    * decode → ⌈√n⌉-wide raster → 5×5 block-mean grid (exact integer
+    * means) → row+column gradient bits. The oracle replays the whole
+    * chain in SQL: pixels exploded per byte, assigned to cells by the
+    * SAME floor-division block bounds (a range join on the per-doc
+    * 25-cell spec — cells can in principle overlap under the
+    * min-1-pixel guard, and the join reproduces that too), integer-div
+    * means, then the documented bit layout. Corpus is ASCII (checked:
+    * strlen == length at every SF), so DuckDB's char positions equal
+    * the kernel's byte positions. */
+  private def mediaPhash2dQ(s: SparkSession, dir: String): DataFrame =
+    MultimodalOps.perceptualHash2D(
+      MultimodalOps.attachFakeMedia(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text"),
+      grid = 5)
+
+  private def mediaPhash2dSql = {
+    val g = 5
+    // 1-based list index of cell (r, c) in the ORDER BY r, c list
+    def cell(r: Int, c: Int) = s"cells[${r * g + c + 1}]"
+    val rowBits = for (r <- 0 until g; c <- 0 until g - 1)
+      yield s"(CASE WHEN ${cell(r, c)} > ${cell(r, c + 1)} THEN ${1L << (r * (g - 1) + c)} ELSE 0 END)"
+    val colBase = g * (g - 1)
+    val colBits = for (r <- 0 until g - 1; c <- 0 until g)
+      yield s"(CASE WHEN ${cell(r, c)} > ${cell(r + 1, c)} THEN ${1L << (colBase + r * g + c)} ELSE 0 END)"
+    val assemble = (rowBits ++ colBits).mkString(" + ")
+    s"""WITH geo AS (
+       |  SELECT doc_id, text, strlen(text) AS n,
+       |    CAST(ceil(sqrt(strlen(text))) AS BIGINT) AS w
+       |  FROM documents WHERE strlen(text) >= 1),
+       |geo2 AS (SELECT *, (n + w - 1) // w AS h FROM geo),
+       |px AS (
+       |  SELECT doc_id, idx // w AS rr, idx % w AS cc,
+       |    ascii(substr(text, CAST(idx AS INT) + 1, 1)) AS lum
+       |  FROM (SELECT doc_id, text, w, UNNEST(range(n)) AS idx FROM geo2)),
+       |spec AS (
+       |  SELECT doc_id, r, c,
+       |    r * h // $g AS r0, greatest(r * h // $g + 1, (r + 1) * h // $g) AS r1,
+       |    c * w // $g AS c0, greatest(c * w // $g + 1, (c + 1) * w // $g) AS c1
+       |  FROM geo2,
+       |    (SELECT UNNEST(range($g)) AS r), (SELECT UNNEST(range($g)) AS c)),
+       |cellmeans AS (
+       |  SELECT s.doc_id, s.r, s.c, sum(p.lum) // count(*) AS m
+       |  FROM spec s JOIN px p ON p.doc_id = s.doc_id
+       |    AND p.rr >= s.r0 AND p.rr < s.r1 AND p.cc >= s.c0 AND p.cc < s.c1
+       |  GROUP BY s.doc_id, s.r, s.c),
+       |grids AS (
+       |  SELECT doc_id, list(m ORDER BY r, c) AS cells
+       |  FROM cellmeans GROUP BY doc_id)
+       |SELECT doc_id, CAST($assemble AS BIGINT) AS phash2d FROM grids""".stripMargin
+  }
+
   private def hybridNearDupQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val em = t(s, dir, "embeddings")
@@ -2267,6 +2363,7 @@ object Queries {
     "q_media_dup_groups" -> (mediaDupGroupsQ _),
     "q_media_near_dup" -> (mediaNearDupQ _),
     "q_media_recall" -> (mediaRecallQ _),
+    "q_media_phash2d" -> (mediaPhash2dQ _),
     "q_media_dedup" -> (mediaDedupQ _),
     "q_repetition" -> (repetitionQ _),
     "q_hash_sample" -> (hashSampleQ _),
@@ -2277,6 +2374,7 @@ object Queries {
     "q_chunk_dedup" -> (chunkDedupQ _),
     "q_mixture_sample" -> (mixtureSampleQ _),
     "q_embed_rplsh_pairs" -> (embedRpLshQ _),
+    "q_embed_incremental" -> (embedIncrementalQ _),
     "q_numeric_profile" -> (numericProfileQ _),
     "q_quantile_sketch" -> (quantileSketchQ _),
     "q_embed_cross_corpus" -> (embedCrossCorpusQ _),
@@ -2373,6 +2471,7 @@ object Queries {
     "q_media_dup_groups" -> mediaDupGroupsSql,
     "q_media_near_dup" -> mediaNearDupSql,
     "q_media_recall" -> mediaRecallSql,
+    "q_media_phash2d" -> mediaPhash2dSql,
     "q_media_dedup" -> mediaDedupSql,
     "q_repetition" -> repetitionSql,
     "q_hash_sample" -> hashSampleSql,
@@ -2383,6 +2482,7 @@ object Queries {
     "q_chunk_dedup" -> chunkDedupSql,
     "q_mixture_sample" -> mixtureSampleSql,
     "q_embed_rplsh_pairs" -> embedRpLshSql,
+    "q_embed_incremental" -> embedIncrementalSql,
     "q_numeric_profile" -> numericProfileSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_embed_cross_corpus" -> embedCrossCorpusSql,
