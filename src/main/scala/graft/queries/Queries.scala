@@ -963,6 +963,33 @@ object Queries {
        |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.45""".stripMargin
   }
 
+  /** Embedding recall scorecard — completes the scorecard family
+    * (text `q_lsh_recall`, media `q_media_recall`): pairRecall of the
+    * RP-LSH path (16×4, this corpus's low-threshold dials) against the
+    * declared brute-force cosine baseline. RP is fully deterministic
+    * (seeded ±1 hyperplanes, exact integer signatures), so the measured
+    * sub-1.0 recall is itself oracle-reproducible — the production
+    * number a user retunes bands/bits against. */
+  private def embedRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings")
+    DedupOps.pairRecall(
+      SimilarityOps.embeddingNearDupPairs(em, "vec_id", "embedding",
+        minCos = 0.45),
+      SimilarityOps.embeddingNearDupPairsRP(em, "vec_id", "embedding",
+        minCos = 0.45, dim = 64, bands = 16, bitsPerBand = 4))
+  }
+
+  private def embedRecallSql =
+    s"""SELECT count(e.id_a)::BIGINT AS n_exact,
+       |  count(l.id_a)::BIGINT AS n_approx,
+       |  count(CASE WHEN e.id_a IS NOT NULL AND l.id_a IS NOT NULL THEN 1 END)::BIGINT AS n_both,
+       |  CASE WHEN count(e.id_a) = 0 THEN NULL
+       |       ELSE CAST(count(CASE WHEN e.id_a IS NOT NULL AND l.id_a IS NOT NULL THEN 1 END) AS DOUBLE)
+       |              / count(e.id_a) END AS recall
+       |FROM ($embedNearDupSql) e
+       |FULL OUTER JOIN ($embedRpLshSql) l
+       |  ON e.id_a = l.id_a AND e.id_b = l.id_b""".stripMargin
+
   /** Incremental embedding-index path — the batch form of the streaming
     * embedding gate's index check: vectors ≥ 350 (the "new batch")
     * against the stored [[SimilarityOps.rpSignatures]] of vectors < 350
@@ -2375,6 +2402,7 @@ object Queries {
     "q_mixture_sample" -> (mixtureSampleQ _),
     "q_embed_rplsh_pairs" -> (embedRpLshQ _),
     "q_embed_incremental" -> (embedIncrementalQ _),
+    "q_embed_recall" -> (embedRecallQ _),
     "q_numeric_profile" -> (numericProfileQ _),
     "q_quantile_sketch" -> (quantileSketchQ _),
     "q_embed_cross_corpus" -> (embedCrossCorpusQ _),
@@ -2483,6 +2511,7 @@ object Queries {
     "q_mixture_sample" -> mixtureSampleSql,
     "q_embed_rplsh_pairs" -> embedRpLshSql,
     "q_embed_incremental" -> embedIncrementalSql,
+    "q_embed_recall" -> embedRecallSql,
     "q_numeric_profile" -> numericProfileSql,
     "q_quantile_sketch" -> quantileSketchSql,
     "q_embed_cross_corpus" -> embedCrossCorpusSql,
