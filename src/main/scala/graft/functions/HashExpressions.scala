@@ -686,7 +686,8 @@ object BpeTokenStats {
     * would malform the literal), no control characters — exactly the
     * tokens the SQL string-literal registration can round-trip. */
   def legalToken(m: String): Boolean =
-    m.nonEmpty && m.forall(c => c > ' ' && c != ',' && c != '\'')
+    m.nonEmpty && m.forall(c =>
+      c > ' ' && (c < '\u007f' || c > '\u009f') && c != ',' && c != '\'')
 }
 
 /** Codegen'd per-word BPE token sequence (see HashKernels.bpeWordTokens)

@@ -388,8 +388,8 @@ object TextOps {
           // kernel/SQL-literal alphabet contract (BpeTokenStats.legalToken):
           // a rule carrying ',', ''' or a control character could never
           // ride the graft_bpe_token_stats registration — skip it
-          .filter(!col("a").rlike("[\\x00-\\x20,']") &&
-            !col("b").rlike("[\\x00-\\x20,']"))
+          .filter(!col("a").rlike("[\\x00-\\x20\\x7f-\\x9f,']") &&
+            !col("b").rlike("[\\x00-\\x20\\x7f-\\x9f,']"))
           .groupBy("a", "b").agg(sum("freq").as("c"))
           .orderBy(col("c").desc, col("a").asc, col("b").asc)
           .limit(1).collect()

@@ -2179,8 +2179,9 @@ object Queries {
        |  FROM geo2,
        |    (SELECT UNNEST(range($g)) AS r), (SELECT UNNEST(range($g)) AS c)),
        |cellmeans AS (
-       |  SELECT s.doc_id, s.r, s.c, sum(p.lum) // count(*) AS m
-       |  FROM spec s JOIN px p ON p.doc_id = s.doc_id
+       |  SELECT s.doc_id, s.r, s.c,
+       |    coalesce(sum(p.lum) // nullif(count(p.lum), 0), 0) AS m
+       |  FROM spec s LEFT JOIN px p ON p.doc_id = s.doc_id
        |    AND p.rr >= s.r0 AND p.rr < s.r1 AND p.cc >= s.c0 AND p.cc < s.c1
        |  GROUP BY s.doc_id, s.r, s.c),
        |grids AS (
