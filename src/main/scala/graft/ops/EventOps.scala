@@ -3,20 +3,28 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Event-stream operators over the `events` table (nanosecond timestamps).
+/** Event-stream operators over the `events` table.
   *
-  * Spark's parquet reader rejects INT64 TIMESTAMP(NANOS) outright
-  * (PARQUET_TYPE_ILLEGAL); `spark.sql.legacy.parquet.nanosAsLong` reads
-  * them as raw nanosecond longs instead. We keep event time as exact
-  * integer microseconds (`ts_us`) end-to-end: timestamp arithmetic on
-  * exact integers is deterministic and matches engines (like the DuckDB
-  * oracle) that themselves truncate nanos to micros.
+  * The fixture has shipped `ts` under two physical encodings: INT64
+  * TIMESTAMP(NANOS) — which Spark's parquet reader rejects outright
+  * (PARQUET_TYPE_ILLEGAL) unless `spark.sql.legacy.parquet.nanosAsLong`
+  * surfaces it as a raw nanosecond long — and native `timestamp[us]`
+  * (TIMESTAMP_NTZ to Spark). `loadEvents` adapts to whichever encoding
+  * the file carries and normalizes to exact integer microseconds
+  * (`ts_us`) end-to-end: timestamp arithmetic on exact integers is
+  * deterministic and matches engines (like the DuckDB oracle, whose
+  * `epoch_us(ts)` this reproduces byte-for-byte under the UTC session)
+  * regardless of the on-disk representation.
   */
 object EventOps {
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    val tsUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    df.withColumn("ts_us", tsUs)
   }
 
   /** Tumbling-window aggregate: events per (hour-of-epoch, event_type)

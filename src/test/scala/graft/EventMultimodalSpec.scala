@@ -363,11 +363,34 @@ class EventMultimodalSpec extends SparkSpec {
     assert(got == brute.toSet)
   }
 
-  test("loadEvents reads ns timestamps as exact integer micros") {
+  test("loadEvents adapts to both ts encodings (timestamp[us] and int64 nanos)") {
+    // fixture encoding (whatever the driver shipped): ts_us must agree
+    // with unix_micros/epoch semantics of the ts column itself
     val ev = EventOps.loadEvents(spark, "/root/testdata/sf0.001")
-    val r = ev.select(col("ts"), col("ts_us")).head()
-    assert(r.getLong(0) / 1000L == r.getLong(1))
     assert(ev.columns.contains("event_id"))
+    val mismatch = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.filter(expr("ts div 1000") =!= col("ts_us")).count()
+      case _ =>
+        ev.filter(unix_micros(col("ts").cast("timestamp")) =!= col("ts_us")).count()
+    }
+    assert(mismatch == 0L)
+
+    // synthetic int64-nanos encoding: the legacy branch must still work
+    val dir = java.nio.file.Files.createTempDirectory("evlong").toString
+    Seq((1L, 1700000000123456789L, 10L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val evLong = EventOps.loadEvents(spark, dir)
+    assert(evLong.select("ts_us").head().getLong(0) == 1700000000123456L)
+
+    // synthetic timestamp encoding: the unix_micros branch, exact micros
+    val dir2 = java.nio.file.Files.createTempDirectory("evts").toString
+    Seq((2L, new java.sql.Timestamp(1700000000123L), 11L, "view", 2.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val evTs = EventOps.loadEvents(spark, dir2)
+    assert(evTs.select("ts_us").head().getLong(0) == 1700000000123000L)
   }
 
   test("multimodal meta digests payload bytes without decoding") {
