@@ -150,6 +150,27 @@ object Queries {
       |  CASE WHEN o_orderkey * 100000 BETWEEN 0 AND 4294967295 THEN o_orderkey * 100000 ELSE NULL END AS clamped
       |FROM orders""".stripMargin
 
+  /** Morton/Z-order interleave kernel ([[graft.functions.ZInterleave]],
+    * the codegen'd core of BucketOps.zOrdered layout): per-part z-value
+    * over (p_partkey - 1000, p_size) at 15 bits — the shifted partkey
+    * goes negative over half the table, exercising the kernel's
+    * clamp-to-[0, 2^bits) on real data. DuckDB replays the interleave
+    * with exact bit ops (shift/mask per bit position). */
+  private def zInterleaveQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey").as("id"),
+      graft.functions.exprs.zInterleave(
+        (col("p_partkey") - 1000L).cast("long"),
+        col("p_size").cast("long"), 15).as("z"))
+
+  private val zInterleaveSql =
+    """SELECT p_partkey AS id,
+      |  CAST(list_sum(list_transform(range(0, 15), i ->
+      |    ((GREATEST(LEAST(p_partkey - 1000, 32767), 0) >> i) & 1) * (1::BIGINT << (2*i))
+      |    + ((GREATEST(LEAST(p_size, 32767), 0) >> i) & 1) * (1::BIGINT << (2*i + 1))
+      |  )) AS BIGINT) AS z
+      |FROM part""".stripMargin
+
   private def computeStatsQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val old = docs.filter(col("doc_id") < 300).select(
@@ -2333,6 +2354,7 @@ object Queries {
     "q_fetch_queue" -> (fetchQueueQ _),
     "q_round_to_day" -> (roundToDayQ _),
     "q_clamp_uint32" -> (clampUint32Q _),
+    "q_z_interleave" -> (zInterleaveQ _),
     "q_compute_stats" -> (computeStatsQ _),
     "q_union_keep_first" -> (unionKeepFirstQ _),
     "q_dedup_keep_last" -> (dedupKeepLastQ _),
@@ -2442,6 +2464,7 @@ object Queries {
     "q_fetch_queue" -> fetchQueueSql,
     "q_round_to_day" -> roundToDaySql,
     "q_clamp_uint32" -> clampUint32Sql,
+    "q_z_interleave" -> zInterleaveSql,
     "q_compute_stats" -> computeStatsSql,
     "q_union_keep_first" -> unionKeepFirstSql,
     "q_dedup_keep_last" -> dedupKeepLastSql,
