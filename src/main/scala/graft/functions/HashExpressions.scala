@@ -384,6 +384,33 @@ object HashKernels {
     z
   }
 
+  /** Fixed-point base-2 log of a rational: floor-approx of
+    * 2^fracBits * log2(num/den) for longs num >= den >= 1, computed
+    * with ONLY exactly-rounded IEEE double ops so the result is
+    * bit-reproducible across engines (the DuckDB oracle replays the
+    * identical op sequence):
+    *  - integer exponent e = floor(log2(num/den)) via the exact
+    *    identity floor(log2(n/d)) = bitlength(n div d) - 1;
+    *  - mantissa m = (num/den as ONE rounded IEEE division) / 2^e
+    *    (power-of-two scaling is exact), m in [1, 2];
+    *  - fracBits rounds of the classic square-and-compare digit
+    *    recurrence (x*x exactly rounded; conditional x/2 exact).
+    * The n-gram LM surprisal kernel: -log2 p = log2q(den_p, num_p).
+    */
+  def log2q(num: Long, den: Long, fracBits: Int): Long = {
+    val q = num / den
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(q)
+    var x = (num.toDouble / den.toDouble) / (1L << e).toDouble
+    var y = 0L
+    var i = 0
+    while (i < fracBits) {
+      x = x * x
+      if (x >= 2.0) { x = x / 2.0; y = y * 2 + 1 } else y = y * 2
+      i += 1
+    }
+    (e.toLong << fracBits) + y
+  }
+
   /** Feature-hashing bag-of-words embedding (the "hashing trick" —
     * Weinberger et al., ICML 2009): each whitespace token t contributes
     * sign(t) at bucket(t), with bucket = charHash(t) mod dim and sign =
@@ -963,6 +990,27 @@ case class ZInterleave(left: Expression, right: Expression, bits: Int)
       newRight: Expression): ZInterleave = copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd fixed-point log2 of a rational (see HashKernels.log2q):
+  * (bigint num, bigint den) -> bigint ~ 2^fracBits * log2(num/den),
+  * bit-reproducible (exact-IEEE op sequence only). */
+case class Log2Fixed(left: Expression, right: Expression, fracBits: Int)
+    extends BinaryExpression {
+  require(fracBits >= 1 && fracBits <= 30, s"fracBits must be in [1, 30], got $fracBits")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"log2_fixed needs (bigint, bigint), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.log2q(a.asInstanceOf[Long], b.asInstanceOf[Long], fracBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.log2q($a, $b, $fracBits)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Log2Fixed = copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd feature-hashing embedding (see HashKernels.hashEmbedding):
   * string -> array<bigint> of length `dim`, exact signed bucket counts. */
 case class HashEmbedding(child: Expression, dim: Int)
@@ -1041,6 +1089,8 @@ object exprs {
     shims.column(HashEmbedding(shims.expression(c), dim))
   def zInterleave(a: Column, b: Column, bits: Int): Column =
     shims.column(ZInterleave(shims.expression(a), shims.expression(b), bits))
+  def log2Fixed(num: Column, den: Column, fracBits: Int): Column =
+    shims.column(Log2Fixed(shims.expression(num), shims.expression(den), fracBits))
   def windowPassages(c: Column, win: Int, stride: Int): Column =
     shims.column(WindowPassages(shims.expression(c), win, stride))
 

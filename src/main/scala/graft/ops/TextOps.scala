@@ -753,6 +753,72 @@ object TextOps {
       .withColumn("keep", col("score") >= threshold)
   }
 
+  /** N-gram (bigram) count-LM perplexity scoring — the CCNet/Gopher
+    * quality signal next to [[classifierScore]] (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * LREC 2020): train an add-one-smoothed bigram LM on `train`, then
+    * score every document by its total and per-token surprisal under
+    * that model. Low average surprisal = text the model finds natural;
+    * curation filters threshold on it exactly like a perplexity cut
+    * (perplexity = 2^(avg_bits_q / 2^fracBits)).
+    *
+    * Determinism: p(w|c) = (c(c,w)+1)/(c(c)+V) stays an exact integer
+    * rational; per-token surprisal -log2 p is the fixed-point Q-format
+    * kernel [[graft.functions.HashKernels.log2q]] (exactly-rounded IEEE
+    * op sequence only), so the per-doc sums are exact long arithmetic —
+    * bit-reproducible across partitionings and engines; the DuckDB
+    * oracle replays the identical recurrence with a recursive CTE.
+    *
+    * Shape: the TRAIN pass is one explode + two model-sized hash
+    * aggregates (bigram counts, then context counts derived from the
+    * bigram table — never a second corpus pass) plus one scalar
+    * vocabulary count collected at plan-build time and embedded as a
+    * literal (the [[BucketOps.zOrdered]] one-stats-scan idiom). The
+    * SCORE pass is map-only bigram expansion, two BROADCAST left joins
+    * against the model tables (an n-gram LM is fastText-sized — tens of
+    * MB; the corpus side is never shuffled by term), and one per-doc
+    * hash aggregate with map-side combine. At 100 TB: corpus scan
+    * bandwidth + one small-key aggregate — same posture as
+    * [[classifierScore]]; for a model too big to broadcast the same
+    * plan degrades to a shuffle join keyed by (ctx, tok), still
+    * explode-sized, never corpus x model.
+    *
+    * Output: (id, n_tokens, sum_bits_q, avg_bits_q) with both surprisal
+    * columns in Q`fracBits` fixed point (bits x 2^fracBits).
+    */
+  def lmPerplexity(df: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String,
+      fracBits: Int = 16): DataFrame = {
+    def pairs(d: DataFrame, id: Seq[Column], text: String): DataFrame = {
+      // "<s>"-anchored bigram expansion, map-only (no per-doc window):
+      // positions are 1-based for element_at
+      val arr = concat(array(lit("<s>")), tokens(col(text)))
+      val ps = transform(sequence(lit(1), size(arr) - 1),
+        i => struct(element_at(arr, i).as("ctx"), element_at(arr, i + 1).as("tok")))
+      d.filter(col(text).isNotNull)
+        .select(id :+ explode(ps).as("__p"): _*)
+        .select(id :+ col("__p.ctx").as("__ctx") :+ col("__p.tok").as("__tok"): _*)
+    }
+    val trainPairs = pairs(train, Seq.empty, trainTextCol)
+    val pairCnt = trainPairs.groupBy(col("__ctx"), col("__tok"))
+      .agg(count(lit(1)).as("__c_pair"))
+    // context totals derived from the bigram model table, not a second
+    // corpus pass
+    val ctxCnt = pairCnt.groupBy(col("__ctx").as("__ctx2"))
+      .agg(sum(col("__c_pair")).as("__c_ctx"))
+    val vocab = trainPairs.agg(countDistinct(col("__tok"))).head().getLong(0)
+    pairs(df, Seq(col(idCol)), textCol)
+      .join(broadcast(pairCnt), Seq("__ctx", "__tok"), "left")
+      .join(broadcast(ctxCnt), col("__ctx") === col("__ctx2"), "left")
+      .select(col(idCol),
+        graft.functions.exprs.log2Fixed(
+          coalesce(col("__c_ctx"), lit(0L)) + lit(math.max(vocab, 1L)),
+          coalesce(col("__c_pair"), lit(0L)) + lit(1L), fracBits).as("__bits"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__bits")).as("sum_bits_q"))
+      .withColumn("avg_bits_q", expr("sum_bits_q div n_tokens"))
+  }
+
   /** Feature-hashing bag-of-words embedding (the signed hashing trick —
     * Weinberger et al., "Feature Hashing for Large Scale Multitask
     * Learning", ICML 2009): a `dim`-length exact-integer vector with

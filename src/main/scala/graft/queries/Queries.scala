@@ -1193,6 +1193,54 @@ object Queries {
        |FROM toks LEFT JOIN w ON w.term = toks.tok
        |GROUP BY doc_id""".stripMargin
 
+  /** Bigram count-LM perplexity scoring (TextOps.lmPerplexity): train an
+    * add-one-smoothed LM on the 90% split (doc_id % 10 != 0), score ALL
+    * docs by exact fixed-point Q16 surprisal. DuckDB replays the
+    * log2q square-and-compare recurrence with a recursive CTE — the
+    * identical exactly-rounded IEEE op sequence, so the sums hash-match
+    * bit-for-bit. */
+  private def lmPerplexityQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextOps.lmPerplexity(docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 10 =!= 0), "text")
+  }
+
+  private val lmPerplexitySql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, ['<s>'] || string_split(text, ' ') AS arr
+      |  FROM documents WHERE text IS NOT NULL),
+      |idx AS (SELECT doc_id, arr, UNNEST(range(1, len(arr))) AS i FROM toks),
+      |pairs AS (SELECT doc_id, arr[i] AS ctx, arr[i + 1] AS tok FROM idx),
+      |tp AS (SELECT ctx, tok FROM pairs WHERE doc_id % 10 != 0),
+      |pc AS (SELECT ctx, tok, count(*)::BIGINT AS c_pair FROM tp GROUP BY 1, 2),
+      |cc AS (SELECT ctx, CAST(sum(c_pair) AS BIGINT) AS c_ctx FROM pc GROUP BY 1),
+      |v AS (SELECT CAST(GREATEST(count(DISTINCT tok), 1) AS BIGINT) AS v FROM tp),
+      |base AS (
+      |  SELECT p.doc_id,
+      |    coalesce(cc.c_ctx, 0) + v.v AS num,
+      |    coalesce(pc.c_pair, 0) + 1 AS den
+      |  FROM pairs p
+      |  LEFT JOIN pc ON pc.ctx = p.ctx AND pc.tok = p.tok
+      |  LEFT JOIN cc ON cc.ctx = p.ctx
+      |  CROSS JOIN v),
+      |rec AS (
+      |  SELECT doc_id, length(bin(num // den)) - 1 AS e,
+      |    (num::DOUBLE / den::DOUBLE)
+      |      / CAST(1::BIGINT << (length(bin(num // den)) - 1) AS DOUBLE) AS x,
+      |    0::BIGINT AS y, 0 AS step
+      |  FROM base
+      |  UNION ALL
+      |  SELECT doc_id, e,
+      |    CASE WHEN x * x >= 2 THEN x * x / 2 ELSE x * x END,
+      |    CASE WHEN x * x >= 2 THEN y * 2 + 1 ELSE y * 2 END,
+      |    step + 1
+      |  FROM rec WHERE step < 16)
+      |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |  CAST(sum((CAST(e AS BIGINT) << 16) + y) AS BIGINT) AS sum_bits_q,
+      |  CAST(sum((CAST(e AS BIGINT) << 16) + y) // count(*) AS BIGINT) AS avg_bits_q
+      |FROM rec WHERE step = 16
+      |GROUP BY doc_id""".stripMargin
+
   /** Normalize-then-fingerprint: the canonicalization a dedup pipeline
     * hashes (the corpus is already canonical, so the normalizer must act
     * as identity here — non-trivial inputs are spec-pinned in
@@ -2435,6 +2483,7 @@ object Queries {
     "q_collocations" -> (collocationsQ _),
     "q_dup_passages" -> (dupPassagesQ _),
     "q_classifier_score" -> (classifierScoreQ _),
+    "q_lm_perplexity" -> (lmPerplexityQ _),
     "q_normalize_text" -> (normalizeTextQ _),
     "q_hash_embed" -> (hashEmbedQ _),
     "q_containment_pairs" -> (containmentQ _),
@@ -2545,6 +2594,7 @@ object Queries {
     "q_collocations" -> collocationsSql,
     "q_dup_passages" -> dupPassagesSql,
     "q_classifier_score" -> classifierScoreSql,
+    "q_lm_perplexity" -> lmPerplexitySql,
     "q_normalize_text" -> normalizeTextSql,
     "q_hash_embed" -> hashEmbedSql,
     "q_containment_pairs" -> containmentPairsSql,

@@ -625,4 +625,35 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(byWords != byBpe, "BPE budget should change bin assignment")
   }
+
+  test("log2q kernel: exact on powers of two, truncating fixed point, deterministic") {
+    import graft.functions.HashKernels.log2q
+    assert(log2q(1L, 1L, 16) == 0L)
+    assert(log2q(2L, 1L, 16) == 65536L)
+    assert(log2q(1024L, 1L, 16) == 10L * 65536L)
+    assert(log2q(4L, 3L, 16) ==
+      math.floor(math.log(4.0 / 3.0) / math.log(2.0) * 65536.0).toLong)
+    // truncation, never overshoot: y/2^16 <= log2(num/den)
+    for ((n, d) <- Seq((7L, 3L), (1000003L, 17L), (5L, 4L), (123456789L, 1000L))) {
+      val got = log2q(n, d, 16) / 65536.0
+      val exact = math.log(n.toDouble / d) / math.log(2.0)
+      assert(got <= exact + 1e-9, s"($n,$d): $got > $exact")
+      assert(exact - got < 1e-3, s"($n,$d): $got too far below $exact")
+    }
+  }
+
+  test("lmPerplexity matches a by-hand add-one bigram LM") {
+    import graft.functions.HashKernels.log2q
+    val train = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b"), (11L, "c")).toDF("doc_id", "text")
+    // pair counts: (<s>,a)=2 (a,b)=2 (b,a)=1; ctx: <s>=2 a=2 b=1; V=|{a,b}|=2
+    val got = TextOps.lmPerplexity(score, "doc_id", "text", train, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 10 "a b": p(a|<s>)=(2+1)/(2+2), p(b|a)=(2+1)/(2+2) -> 2x log2q(4,3)
+    val s43 = log2q(4L, 3L, 16)
+    assert(got(0) == ((10L, 2L, 2 * s43, s43)))
+    // doc 11 "c": unseen pair under seen ctx <s>: p=(0+1)/(2+2) -> log2(4)=2 bits
+    assert(got(1) == ((11L, 1L, 2L << 16, 2L << 16)))
+  }
 }
