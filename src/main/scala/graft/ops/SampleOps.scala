@@ -85,6 +85,103 @@ object SampleOps {
         size(col("__items")).cast("long").as("n_items"))
   }
 
+  /** Deterministic size-targeted shard assignment — the last mile after
+    * [[packBins]]/[[materializePacked]]: lay sequences into consecutive
+    * shards of ~`targetTokens` tokens each, with an assignment that is a
+    * pure function of row content (stable across runs, partitionings,
+    * and engines — re-running the build after adding a machine cannot
+    * reshuffle yesterday's shards' neighbors arbitrarily).
+    *
+    * Order is the same two-level deterministic hash order [[packBins]]
+    * uses — `buckets` independent content-hash streams, (hash, key)
+    * within a stream — made GLOBAL by the classic distributed
+    * exclusive-prefix-sum: per-bucket running sums (one window per
+    * bucket partition, never an unpartitioned window), plus per-bucket
+    * exclusive offsets computed from the B-row bucket-total aggregate
+    * (collected at plan-build time — B = buckets, cluster-sized, tiny)
+    * and broadcast back. `shard_id = (offset + within_bucket_cum) div
+    * targetTokens`: shards are globally consecutive, ~targetTokens
+    * each, with the usual one-item bounded overrun at boundaries.
+    *
+    * At 100 TB: one corpus shuffle on the bucket key (the window), one
+    * tiny aggregate, one broadcast join — no global sort, no driver
+    * data path beyond B longs.
+    */
+  def assignShards(df: DataFrame, key: Column, tokenCol: String,
+      targetTokens: Long, buckets: Int = 0): DataFrame = {
+    require(targetTokens > 0, s"need positive targetTokens, got $targetTokens")
+    val nb = if (buckets > 0) buckets
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    require(nb > 0, s"resolved bucket count must be > 0, got $nb")
+    val h = keyHash(key)
+    val bucket = pmod(h, lit(nb.toLong))
+    // B-row totals -> exclusive global offsets (driver-side prefix sum
+    // over the bucket ids, the zOrdered one-stats-scan idiom)
+    val totals = df.select(bucket.as("__b"), col(tokenCol).cast("long").as("__t"))
+      .groupBy("__b").agg(sum(col("__t")).as("__t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
+    val offDf = df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(offsets.toSeq.map {
+        case (b, o) => org.apache.spark.sql.Row(b, o) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__ob",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = Window.partitionBy(col("__sb")).orderBy(col("__h").asc, key.asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__h", h).withColumn("__sb", bucket)
+      .withColumn("__cum",
+        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      .join(broadcast(offDf), col("__sb") === col("__ob"))
+      .withColumn("shard_id", expr(s"(__off + __cum) div $targetTokens"))
+      .drop("__h", "__sb", "__cum", "__ob", "__off")
+  }
+
+  /** Materialize [[assignShards]] into a training-ready sharded corpus:
+    * parquet partitioned by `shard_id` (each shard hash-clustered into
+    * its own directory/file) plus a byte-stable `_graft_manifest.json`
+    * sidecar — `[{path, n_seqs, n_tokens}]` sorted by shard — written
+    * INSIDE the staged directory and published with the library's
+    * staged swap ([[Pipeline.publishStaged]]): readers never observe a
+    * shard dir without its manifest or vice versa. The manifest is
+    * driver-built from the per-shard aggregate (shard count =
+    * total/target — bounded and small at any corpus size), and is a
+    * pure function of (content, targetTokens, buckets): re-building on
+    * a different partitioning yields identical bytes (spec-pinned).
+    * Returns the manifest as a DataFrame (shard_id, path, n_seqs,
+    * n_tokens).
+    */
+  def writeSharded(df: DataFrame, key: Column, tokenCol: String,
+      textCol: String, path: String, targetTokens: Long,
+      buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    val assigned = assignShards(df, key, tokenCol, targetTokens, buckets)
+      .select(col("shard_id"), key.as("seq_key"),
+        col(tokenCol).cast("long").as("n_tokens"), col(textCol).as("text"))
+    val tmp = path + "__staging"
+    assigned
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("seq_key"))
+      .write.partitionBy("shard_id").mode("overwrite")
+      .option("compression", "zstd").parquet(tmp)
+    val manifest = assigned.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_seqs"), sum(col("n_tokens")).as("n_tokens"))
+      .select(col("shard_id"), concat(lit("shard_id="), col("shard_id")).as("path"),
+        col("n_seqs"), col("n_tokens"))
+    val lines = manifest.orderBy("shard_id").collect().map { r =>
+      s"""{"shard_id":${r.getLong(0)},"path":"${r.getString(1)}"""" +
+        s""","n_seqs":${r.getLong(2)},"n_tokens":${r.getLong(3)}}"""
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "_graft_manifest.json"),
+      lines.mkString("[", ",\n", "]"))
+    graft.ops.Pipeline.publishStaged(tmp, path)
+    manifest
+  }
+
   /** Stratified deterministic sampling: a per-group keep-rate (per
     * mille), with groups absent from the map keeping the `default`. The
     * C4/multilingual rebalancing shape — downsample the over-represented

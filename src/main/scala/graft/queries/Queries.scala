@@ -2040,6 +2040,32 @@ object Queries {
        |FROM (SELECT doc_id, len(string_split(text,' '))::BIGINT AS n_tokens,
        |        ${sqlHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents)""".stripMargin
 
+  /** Size-targeted global shard assignment (SampleOps.assignShards): the
+    * two-level deterministic order (8 hash-bucket streams, (hash, id)
+    * within each) made global by per-bucket exclusive prefix offsets;
+    * shard = global exclusive token cum div target. DuckDB replays the
+    * same two-level prefix sum directly. */
+  private def shardAssignQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.assignShards(t(s, dir, "documents"), col("doc_id"),
+        "n_chars", targetTokens = 50000L, buckets = 8)
+      .select(col("doc_id"), col("shard_id"))
+
+  private def shardAssignSql =
+    s"""WITH c AS (SELECT doc_id, n_chars,
+       |    ${sqlHash("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+       |b AS (SELECT doc_id, n_chars, h, h % 8 AS bucket FROM c),
+       |cum AS (SELECT doc_id, bucket,
+       |  CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+       |  FROM b),
+       |tot AS (SELECT bucket, CAST(SUM(n_chars) AS BIGINT) AS t FROM b GROUP BY bucket),
+       |off AS (SELECT bucket,
+       |  CAST(COALESCE(SUM(t) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+       |  FROM tot)
+       |SELECT cum.doc_id, CAST((off.o + cum.cum) // 50000 AS BIGINT) AS shard_id
+       |FROM cum JOIN off ON off.bucket = cum.bucket""".stripMargin
+
   private def funnelQ(s: SparkSession, dir: String): DataFrame =
     EventOps.funnelCounts(EventOps.loadEvents(s, dir),
       Seq("signup", "view", "purchase"), withinUs = 7L * 86400000000L)
@@ -2454,6 +2480,7 @@ object Queries {
     "q_dedup_incremental" -> (dedupIncrementalQ _),
     "q_dedup_keep_best" -> (dedupKeepBestQ _),
     "q_pack_bins" -> (packBinsQ _),
+    "q_shard_assignment" -> (shardAssignQ _),
     "q_pack_materialize" -> (packMaterializeQ _),
     "q_funnel" -> (funnelQ _),
     "q_hybrid_near_dup" -> (hybridNearDupQ _),
@@ -2565,6 +2592,7 @@ object Queries {
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_pack_bins" -> packBinsSql,
+    "q_shard_assignment" -> shardAssignSql,
     "q_pack_materialize" -> packMaterializeSql,
     "q_funnel" -> funnelSql,
     "q_hybrid_near_dup" -> hybridNearDupSql,

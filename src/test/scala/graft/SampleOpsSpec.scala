@@ -545,4 +545,58 @@ class SampleOpsSpec extends SparkSpec {
     assert(SampleOps.capPerGroup(df, "g", col("id"), 10).count() == 3)
     assert(SampleOps.capPerGroup(df, "g", col("id"), 0).isEmpty)
   }
+
+  test("assignShards: globally consecutive size-targeted shards, stable across partitionings") {
+    val target = 20000L
+    val a = SampleOps.assignShards(corpus, col("doc_id"), "n_chars", target, 8)
+      .select("doc_id", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = SampleOps.assignShards(corpus.repartition(17, col("lang")),
+        col("doc_id"), "n_chars", target, 8)
+      .select("doc_id", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b, "assignment must be partitioning-independent")
+    // shard ids are consecutive from 0 and each shard's pre-overrun
+    // load fits the bounded-overrun envelope: < target + max item
+    val total = corpus.agg(sum(col("n_chars"))).head().getLong(0)
+    val maxItem = corpus.agg(max(col("n_chars"))).head().getLong(0)
+    val ids = a.values.toSet
+    assert(ids == (0L until (total / target + 1)).toSet.intersect(ids) &&
+      ids.contains(0L) && ids.max == ids.size - 1L, s"non-consecutive: $ids")
+    val loads = corpus.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (a(r.getLong(0)), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    // every shard except possibly the last is filled to >= target - maxItem
+    loads.filter(_._1 < ids.max).values.foreach { l =>
+      assert(l < target + maxItem && l + maxItem >= target, s"bad shard load $l")
+    }
+  }
+
+  test("writeSharded manifest is byte-stable across partitionings and atomically published") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val p1 = s"$dir/corpus1"
+    val p2 = s"$dir/corpus2"
+    SampleOps.writeSharded(corpus, col("doc_id"), "n_chars", "text",
+      p1, targetTokens = 20000L, buckets = 8)
+    SampleOps.writeSharded(corpus.repartition(13, col("source")),
+      col("doc_id"), "n_chars", "text", p2, targetTokens = 20000L, buckets = 8)
+    val m1 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(p1, "_graft_manifest.json"))
+    val m2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(p2, "_graft_manifest.json"))
+    assert(m1 == m2, "manifest must be a pure function of content")
+    // the published dir reads back whole: every sequence present once,
+    // shard dirs agree with the manifest
+    val back = spark.read.parquet(p1)
+    assert(back.count() == corpus.count())
+    assert(back.select("seq_key").distinct().count() == corpus.count())
+    val manifestShards = """"shard_id":(\d+)""".r
+      .findAllMatchIn(m1).map(_.group(1).toLong).toSet
+    val dirShards = back.select(col("shard_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(manifestShards == dirShards)
+    // no staging residue after publish
+    assert(!new java.io.File(p1 + "__staging").exists())
+    assert(!new java.io.File(p1 + "__old").exists())
+  }
 }
