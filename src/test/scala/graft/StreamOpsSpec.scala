@@ -483,4 +483,97 @@ class StreamOpsSpec extends SparkSpec {
       r.getStruct(2).getAs[String]("v"))).toSeq ==
       Seq((1L, 20L, "new"), (2L, 5L, "only")))
   }
+
+  test("composed gate family: lexical -> perceptual -> semantic over one mixed corpus, two batches") {
+    // One multimodal ingest pipeline: a doc must be lexically novel
+    // (MinHash gate), perceptually novel (phash gate on its media
+    // payload), AND semantically novel (RP-LSH gate on its embedding)
+    // to be admitted. Gates CHAIN — each stage's survivors feed the
+    // next — and every stage keeps its own foldStaged index of what IT
+    // admitted, so a doc rejected downstream still guards its passed
+    // modalities against future re-uploads of the same content.
+    import graft.ops.MultimodalOps
+    val dim = 8
+    // seeded-random payloads: structured waves share adjacent-difference
+    // patterns that dHash keeps — pseudo-random bytes give uniform,
+    // decorrelated phashes (the round-9 stress fixture lesson)
+    def wave(phase: Int): String = {
+      val rnd = new scala.util.Random(7919L * (phase + 1))
+      (0 until 512).map(_ => (40 + rnd.nextInt(87)).toChar).mkString
+    }
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    def doc(id: Long, text: String, mediaText: String, emb: Seq[Float]) =
+      (id, text, mediaText.getBytes("UTF-8"), emb)
+
+    val tA = "the quick brown fox jumps over the lazy dog in the misty morning light"
+    val tB = "completely different words appear inside this other document here right now today"
+    val tC = "a third distinct passage about streaming gates and their replay discipline at scale"
+    val tFresh1 = "yet another unrelated body of text mentioning clusters shuffles and partitions everywhere"
+    val tFresh2 = "final genuinely novel sentence with vocabulary shared by no earlier document batch"
+    val tFresh3 = "one more wholly original paragraph covering manifests shards and deterministic hashing"
+    // near-dup of tA: one word changed -> shingle overlap far above 0.5
+    val tAdup = tA.replace("misty", "foggy")
+    val mA = wave(1); val mB = wave(2); val mC = wave(3)
+    val mBdup = { val b = mB.toCharArray; Seq(60, 200).foreach(i => b(i) = (b(i) + 5).toChar); new String(b) }
+    val vA = vec(1, 0, 0, 0, 0, 0, 0, 0)
+    val vB = vec(0, 1, 0, 0, 0, 0, 0, 0)
+    val vC = vec(0, 0, 1, 0, 0, 0, 0, 0)
+    val vCdup = vec(0, 0.03, 1, 0, 0, 0, 0, 0) // cos ≈ 0.9996
+    val vF1 = vec(0, 0, 0, 1, 0, 0, 0, 0)
+    val vF2 = vec(0, 0, 0, 0, 1, 0, 0, 0)
+    val vF3 = vec(0, 0, 0, 0, 0, 1, 0, 0)
+
+    val root = tmpDir("graft_gate_family")
+    val (lexSig, phIdx, embSig) =
+      (s"$root/lex.parquet", s"$root/phash.parquet", s"$root/rpsigs.parquet")
+    val (sLex, sMed, sEmb) = (s"$root/s_lex", s"$root/s_med", s"$root/s_emb")
+
+    def runChain(rows: Seq[(Long, String, Array[Byte], Seq[Float])], batchId: Long): Unit = {
+      val batch = rows.toDF("doc_id", "text", "media", "embedding")
+      StreamOps.gateNearDupBatch(batch, lexSig, sLex, "doc_id", "text",
+        16, 3, 8, 0.5, 1000, batchId)
+      StreamOps.gateMediaBatch(spark.read.parquet(s"$sLex/batch=$batchId"),
+        phIdx, sMed, 48, 6, 100000, batchId)
+      StreamOps.gateEmbeddingBatch(spark.read.parquet(s"$sMed/batch=$batchId"),
+        embSig, sEmb, "doc_id", "embedding", dim, 0.95, 8, 8, 42L, 1000, batchId)
+    }
+    def ids(path: String): Set[Long] =
+      spark.read.parquet(path).select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // batch 1: three docs distinct in every modality -> all admitted
+    runChain(Seq(doc(1L, tA, mA, vA), doc(2L, tB, mB, vB), doc(3L, tC, mC, vC)), 0L)
+    assert(ids(s"$sEmb/batch=0") == Set(1L, 2L, 3L))
+
+    // batch 2: one doc per rejection modality + one genuinely fresh
+    runChain(Seq(
+      doc(10L, tAdup, wave(4), vF1),  // lexical re-upload of 1
+      doc(11L, tFresh1, mBdup, vF2),  // corrupted media copy of 2
+      doc(12L, tFresh2, wave(5), vCdup), // re-embedding of 3
+      doc(13L, tFresh3, wave(6), vF3)), 1L) // novel in all three
+    assert(ids(s"$sLex/batch=1") == Set(11L, 12L, 13L),
+      "lexical gate must catch exactly the text near-dup")
+    assert(ids(s"$sMed/batch=1") == Set(12L, 13L),
+      "media gate must catch exactly the corrupted media copy")
+    assert(ids(s"$sEmb/batch=1") == Set(13L),
+      "embedding gate must catch exactly the re-embedding")
+    // per-stage indexes: each holds what ITS stage admitted
+    assert(ids(lexSig) == Set(1L, 2L, 3L, 11L, 12L, 13L))
+    assert(ids(phIdx) == Set(1L, 2L, 3L, 12L, 13L))
+    assert(ids(embSig) == Set(1L, 2L, 3L, 13L))
+    // survivors keep the full multimodal row through all three stages
+    val surv = spark.read.parquet(s"$sEmb/batch=1")
+    assert(surv.columns.toSet == Set("doc_id", "text", "media", "embedding"))
+
+    // at-least-once replay of the whole chained epoch is a no-op at
+    // every stage (shared foldStaged discipline)
+    runChain(Seq(doc(10L, tAdup, wave(4), vF1)), 1L)
+    assert(ids(lexSig) == Set(1L, 2L, 3L, 11L, 12L, 13L))
+    assert(ids(phIdx) == Set(1L, 2L, 3L, 12L, 13L))
+    assert(ids(embSig) == Set(1L, 2L, 3L, 13L))
+    // no staged-swap residue at any index
+    for (p <- Seq(lexSig, phIdx, embSig)) {
+      assert(!new java.io.File(p + "__staging").exists(), p)
+      assert(!new java.io.File(p + "__old").exists(), p)
+    }
+  }
 }
