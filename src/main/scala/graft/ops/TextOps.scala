@@ -769,44 +769,52 @@ object TextOps {
     * bit-reproducible across partitionings and engines; the DuckDB
     * oracle replays the identical recurrence with a recursive CTE.
     *
-    * Shape: the TRAIN pass is one explode + two model-sized hash
-    * aggregates (bigram counts, then context counts derived from the
-    * bigram table — never a second corpus pass) plus one scalar
-    * vocabulary count collected at plan-build time and embedded as a
-    * literal (the [[BucketOps.zOrdered]] one-stats-scan idiom). The
-    * SCORE pass is map-only bigram expansion, two BROADCAST left joins
-    * against the model tables (an n-gram LM is fastText-sized — tens of
-    * MB; the corpus side is never shuffled by term), and one per-doc
-    * hash aggregate with map-side combine. At 100 TB: corpus scan
-    * bandwidth + one small-key aggregate — same posture as
-    * [[classifierScore]]; for a model too big to broadcast the same
-    * plan degrades to a shuffle join keyed by (ctx, tok), still
-    * explode-sized, never corpus x model.
+    * Shape: the TRAIN pass runs the corpus explode + bigram hash
+    * aggregate ONCE and materializes the model (`mat`, default
+    * localCheckpoint — everything downstream, context counts, the
+    * vocabulary scalar, and both score-side joins, derives from the
+    * model table, so the corpus is never re-exploded). The SCORE pass
+    * is map-only bigram expansion, two BROADCAST left joins against
+    * the model tables (an n-gram LM is fastText-sized — tens of MB;
+    * the corpus side is never shuffled by term), and one per-doc hash
+    * aggregate with map-side combine. At 100 TB: one train-corpus scan
+    * + one score-corpus scan — same posture as [[classifierScore]];
+    * for a model too big to broadcast the same plan degrades to a
+    * shuffle join keyed by (ctx, tok), still explode-sized, never
+    * corpus x model.
     *
     * Output: (id, n_tokens, sum_bits_q, avg_bits_q) with both surprisal
     * columns in Q`fracBits` fixed point (bits x 2^fracBits).
     */
   def lmPerplexity(df: DataFrame, idCol: String, textCol: String,
       train: DataFrame, trainTextCol: String,
-      fracBits: Int = 16): DataFrame = {
+      fracBits: Int = 16, mat: Materializer = Materializer.Local): DataFrame = {
     def pairs(d: DataFrame, id: Seq[Column], text: String): DataFrame = {
       // "<s>"-anchored bigram expansion, map-only (no per-doc window):
-      // positions are 1-based for element_at
+      // positions are 1-based for element_at. The token array is
+      // PROJECTED to a bound column before the transform lambda touches
+      // it — a composite expression referenced inside an interpreted
+      // higher-order lambda is re-evaluated per element (O(L²) per doc,
+      // the classic transform trap); an attribute reference is O(1).
       val arr = concat(array(lit("<s>")), tokens(col(text)))
-      val ps = transform(sequence(lit(1), size(arr) - 1),
-        i => struct(element_at(arr, i).as("ctx"), element_at(arr, i + 1).as("tok")))
+      val ps = transform(sequence(lit(1), size(col("__arr")) - 1),
+        i => struct(element_at(col("__arr"), i).as("ctx"),
+          element_at(col("__arr"), i + 1).as("tok")))
       d.filter(col(text).isNotNull)
+        .select(id :+ arr.as("__arr"): _*)
         .select(id :+ explode(ps).as("__p"): _*)
         .select(id :+ col("__p.ctx").as("__ctx") :+ col("__p.tok").as("__tok"): _*)
     }
-    val trainPairs = pairs(train, Seq.empty, trainTextCol)
-    val pairCnt = trainPairs.groupBy(col("__ctx"), col("__tok"))
-      .agg(count(lit(1)).as("__c_pair"))
-    // context totals derived from the bigram model table, not a second
-    // corpus pass
+    // the ONE train-corpus pass, materialized: ctxCnt, vocab, and both
+    // broadcast sides below all read this table, not the corpus
+    val pairCnt = mat(pairs(train, Seq.empty, trainTextCol)
+      .groupBy(col("__ctx"), col("__tok"))
+      .agg(count(lit(1)).as("__c_pair")))
     val ctxCnt = pairCnt.groupBy(col("__ctx").as("__ctx2"))
       .agg(sum(col("__c_pair")).as("__c_ctx"))
-    val vocab = trainPairs.agg(countDistinct(col("__tok"))).head().getLong(0)
+    // (ctx, tok) rows are distinct in the model, so the vocabulary is a
+    // distinct-count over the model table — model-sized, not corpus-sized
+    val vocab = pairCnt.agg(countDistinct(col("__tok"))).head().getLong(0)
     pairs(df, Seq(col(idCol)), textCol)
       .join(broadcast(pairCnt), Seq("__ctx", "__tok"), "left")
       .join(broadcast(ctxCnt), col("__ctx") === col("__ctx2"), "left")
