@@ -143,6 +143,85 @@ object SimilarityOps {
         col("pick").getField("cent_id").as(s"${p}_cluster"))
   }
 
+  /** Two-level (coarse-quantizer) centroid assignment — the flat
+    * [[assignClusters]] argmax costs N·K dot products per probe set,
+    * which the round-11 100x stress measured as the SemDeDup scale
+    * wall under the k ∝ N dial (407 s at 200k vectors, k = 800: the
+    * assignment term, not the pair generation, dominates). The classic
+    * IVF-IMI fix: group the codebook under `nCoarse` coarse centroids
+    * (a deterministic stride sample of the codebook itself, driver-
+    * selected from the sorted centroid ids — model-sized); each row
+    * ranks the coarse array (nCoarse dots), keeps its `coarseProbes`
+    * nearest groups, and ranks only THOSE groups' members —
+    * N·(nCoarse + coarseProbes·K/nCoarse) dots, minimized at
+    * nCoarse ≈ sqrt(coarseProbes·K) for a ~sqrt(K)-fold cut.
+    *
+    * Assignment stays MAP-ONLY (the [[assignClusters]] discipline):
+    * both codebook levels fold into scalar-subquery literals BOUND TO
+    * COLUMNS before any lambda touches them (a composite expression
+    * inside an interpreted higher-order lambda re-evaluates per
+    * element). Approximation contract: a row whose true nearest
+    * centroid lives outside its probed coarse groups mis-assigns — the
+    * canopy trade, bounded by `coarseProbes`; at nCoarse = 1 the
+    * probed set is the whole codebook and assignment is EXACTLY the
+    * flat one (spec-pinned bit-identical), so correctness degrades
+    * continuously from an exact baseline.
+    */
+  private[graft] def assignClustersTwoLevel(cents: DataFrame, side: DataFrame,
+      p: String, probes: Int, nCoarse: Int, coarseProbes: Int): DataFrame = {
+    require(nCoarse >= 1 && coarseProbes >= 1,
+      s"need nCoarse >= 1 and coarseProbes >= 1, got $nCoarse / $coarseProbes")
+    // deterministic stride sample of the sorted centroid ids -> coarse
+    // codebook (driver-side: K ids, model-sized — the zOrdered idiom)
+    val ids = cents.select(col("cent_id")).orderBy(col("cent_id"))
+      .collect().map(_.get(0))
+    val stride = math.max(1, ids.length / nCoarse)
+    val coarseIds = ids.zipWithIndex.collect {
+      case (id, i) if i % stride == 0 => id
+    }.take(nCoarse).toSeq
+    val coarse = cents.filter(col("cent_id").isInCollection(coarseIds))
+      .select(col("cent_id").as("g_id"), col("cent_q").as("g_q"),
+        col("cent_n2").as("g_n2"))
+    // member table: every centroid under its nearest coarse group
+    val members = assignClusters(
+      coarse.select(col("g_id").as("cent_id"), col("g_q").as("cent_q"),
+        col("g_n2").as("cent_n2")),
+      cents.select(col("cent_id").as("m_id"), col("cent_q").as("m_q"),
+        col("cent_n2").as("m_n2")),
+      "m", 1)
+    val groupedArr = members
+      .groupBy(col("m_cluster").as("gid"))
+      .agg(collect_list(struct(col("m_id").as("cent_id"),
+        col("m_q").as("cent_q"), col("m_n2").as("cent_n2"))).as("members"))
+      .agg(collect_list(struct(col("gid"), col("members"))).as("groups"))
+    val coarseArr = coarse.agg(
+      collect_list(struct(col("g_id"), col("g_q"), col("g_n2"))).as("coarse"))
+    val rankCoarse = transform(col("__coarse"), g =>
+      struct(
+        negate(cosineFromQ(dotQ(col(s"${p}_q"), g.getField("g_q")),
+          col(s"${p}_n2"), g.getField("g_n2"))).as("neg_cos"),
+        g.getField("g_id").as("g_id")))
+    val rankMembers = transform(col("__members"), c =>
+      struct(
+        negate(cosineFromQ(dotQ(col(s"${p}_q"), c.getField("cent_q")),
+          col(s"${p}_n2"), c.getField("cent_n2"))).as("neg_cos"),
+        c.getField("cent_id").as("cent_id")))
+    side
+      .withColumn("__coarse", coarseArr.scalar())
+      .withColumn("__groups", groupedArr.scalar())
+      .withColumn("__ctop", slice(array_sort(rankCoarse), 1, coarseProbes))
+      .withColumn("__members",
+        flatten(transform(col("__ctop"), g =>
+          flatten(transform(
+            filter(col("__groups"), e => e.getField("gid") === g.getField("g_id")),
+            e => e.getField("members"))))))
+      .withColumn("top", slice(array_sort(rankMembers), 1, probes))
+      .select(col(s"${p}_id"), col(s"${p}_q"), col(s"${p}_n2"),
+        explode_outer(col("top")).as("pick"))
+      .select(col(s"${p}_id"), col(s"${p}_q"), col(s"${p}_n2"),
+        col("pick").getField("cent_id").as(s"${p}_cluster"))
+  }
+
   /** IVF-style ANN: assign every corpus vector to its nearest centroid
     * (by cosine, ties to the lowest centroid id), then answer queries by
     * searching only the query's `nprobe` nearest clusters. `centroids` is
@@ -334,15 +413,19 @@ object SimilarityOps {
     */
   def semDedup(df: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, minCos: Double, probes: Int = 1,
-      mat: Materializer = Materializer.Local): DataFrame = {
+      mat: Materializer = Materializer.Local,
+      nCoarse: Int = 0, coarseProbes: Int = 2): DataFrame = {
     val cents = withQ(centroids, idCol, vecCol, "cent")
-    val scoreSide = assignClusters(cents, withQ(df, idCol, vecCol, "q"), "q", 1)
+    def assign(s: DataFrame, p: String, pr: Int): DataFrame =
+      if (nCoarse > 0) assignClustersTwoLevel(cents, s, p, pr, nCoarse, coarseProbes)
+      else assignClusters(cents, s, p, pr)
+    val scoreSide = assign(withQ(df, idCol, vecCol, "q"), "q", 1)
       .join(broadcast(cents), col("q_cluster") === col("cent_id"))
       .withColumn("cent_cos", cosineFromQ(dotQ(col("q_q"), col("cent_q")),
         col("q_n2"), col("cent_n2")))
       .select(col("q_id").as(idCol), col("cent_cos"))
     val pairs = embeddingNearDupPairsIVF(df, centroids, idCol, vecCol,
-      minCos, probes)
+      minCos, probes, nCoarse, coarseProbes)
     val clusters = DedupOps.nearDupClusters(
       pairs.select("id_a", "id_b"), df.select(col(idCol)), idCol, mat = mat)
     // LEFT join: an unassigned row (empty codebook) must not vanish —
@@ -424,11 +507,15 @@ object SimilarityOps {
     * the exact baseline on the real embedding fixture.
     */
   def embeddingNearDupPairsIVF(df: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, minCos: Double, probes: Int = 2): DataFrame = {
+      idCol: String, vecCol: String, minCos: Double, probes: Int = 2,
+      nCoarse: Int = 0, coarseProbes: Int = 2): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     val cents = withQ(centroids, idCol, vecCol, "cent")
-    val a = assignClusters(cents, withQ(df, idCol, vecCol, "q"), "q", probes)
-    val b = assignClusters(cents, withQ(df, idCol, vecCol, "c"), "c", probes)
+    def assign(s: DataFrame, p: String): DataFrame =
+      if (nCoarse > 0) assignClustersTwoLevel(cents, s, p, probes, nCoarse, coarseProbes)
+      else assignClusters(cents, s, p, probes)
+    val a = assign(withQ(df, idCol, vecCol, "q"), "q")
+    val b = assign(withQ(df, idCol, vecCol, "c"), "c")
     a.join(b, col("q_cluster") === col("c_cluster"))
       .filter(col("q_id") < col("c_id"))
       .withColumn("cos", cosineFromQ(dotQ(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")))
