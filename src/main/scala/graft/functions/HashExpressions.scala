@@ -398,6 +398,12 @@ object HashKernels {
     * The n-gram LM surprisal kernel: -log2 p = log2q(den_p, num_p).
     */
   def log2q(num: Long, den: Long, fracBits: Int): Long = {
+    // loud precondition, not silent garbage: den=0 would be an opaque
+    // codegen '/ by zero', num < den would alias every sub-1 ratio to
+    // the same wrong constant via the negative-exponent shift mask
+    if (den < 1 || num < den)
+      throw new IllegalArgumentException(
+        s"log2q needs num >= den >= 1, got num=$num den=$den")
     val q = num / den
     val e = 63 - java.lang.Long.numberOfLeadingZeros(q)
     var x = (num.toDouble / den.toDouble) / (1L << e).toDouble

@@ -22,6 +22,11 @@ object EventOps {
     val df = spark.read.parquet(s"$dir/events.parquet")
     val tsUs = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall-clock taken AS UTC via an NTZ-only diff — casting
+        // NTZ->TIMESTAMP instead would reinterpret the wall-clock in the
+        // SESSION timezone and silently shift ts_us in non-UTC sessions
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
       case _ => unix_micros(col("ts").cast("timestamp"))
     }
     df.withColumn("ts_us", tsUs)

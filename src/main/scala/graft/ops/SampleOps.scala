@@ -18,6 +18,20 @@ object SampleOps {
   private def keyHash(key: Column): Column =
     TextOps.charHash(key.cast("string"))
 
+  /** Shared bucket-count resolution for the packed/sharded layouts:
+    * positive = caller-fixed; otherwise `spark.sql.shuffle.partitions`
+    * at call time. The AUTO default is deterministic per session CONF,
+    * not per data — any layout that is PERSISTED or must reproduce
+    * across environments must pass `buckets` explicitly (resizing a
+    * cluster typically changes the conf and with it every bucket
+    * stream). */
+  private def resolveBuckets(df: DataFrame, buckets: Int): Int = {
+    val nb = if (buckets > 0) buckets
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    require(nb > 0, s"resolved bucket count must be > 0, got $nb")
+    nb
+  }
+
   /** Deterministic Bernoulli sample at rate num/den: keeps rows whose
     * key-hash lands in the first `num` of `den` residue classes. A row's
     * membership never changes, so downstream incremental jobs see a
@@ -55,9 +69,7 @@ object SampleOps {
   def packBins(df: DataFrame, key: Column, tokenCol: String, capacity: Int,
       buckets: Int = 0): DataFrame = {
     require(capacity > 0, s"need positive capacity, got $capacity")
-    val nb = if (buckets > 0) buckets
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    require(nb > 0, s"resolved bucket count must be > 0, got $nb")
+    val nb = resolveBuckets(df, buckets)
     val h = keyHash(key)
     val bucket = pmod(h, lit(nb.toLong))
     val w = Window.partitionBy(bucket).orderBy(h.asc, key.asc)
@@ -88,9 +100,11 @@ object SampleOps {
   /** Deterministic size-targeted shard assignment — the last mile after
     * [[packBins]]/[[materializePacked]]: lay sequences into consecutive
     * shards of ~`targetTokens` tokens each, with an assignment that is a
-    * pure function of row content (stable across runs, partitionings,
-    * and engines — re-running the build after adding a machine cannot
-    * reshuffle yesterday's shards' neighbors arbitrarily).
+    * pure function of (row content, targetTokens, buckets) — stable
+    * across runs, partitionings, and engines. As with [[packBins]], the
+    * AUTO bucket default tracks the session conf, so a PERSISTED shard
+    * layout must pass `buckets` explicitly or a cluster resize would
+    * reshuffle it; null `tokenCol` values weigh 0.
     *
     * Order is the same two-level deterministic hash order [[packBins]]
     * uses — `buckets` independent content-hash streams, (hash, key)
@@ -110,15 +124,14 @@ object SampleOps {
   def assignShards(df: DataFrame, key: Column, tokenCol: String,
       targetTokens: Long, buckets: Int = 0): DataFrame = {
     require(targetTokens > 0, s"need positive targetTokens, got $targetTokens")
-    val nb = if (buckets > 0) buckets
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    require(nb > 0, s"resolved bucket count must be > 0, got $nb")
+    val nb = resolveBuckets(df, buckets)
     val h = keyHash(key)
     val bucket = pmod(h, lit(nb.toLong))
     // B-row totals -> exclusive global offsets (driver-side prefix sum
-    // over the bucket ids, the zOrdered one-stats-scan idiom)
+    // over the bucket ids, the zOrdered one-stats-scan idiom); an
+    // all-null bucket sums to NULL -> 0, matching the window side
     val totals = df.select(bucket.as("__b"), col(tokenCol).cast("long").as("__t"))
-      .groupBy("__b").agg(sum(col("__t")).as("__t"))
+      .groupBy("__b").agg(coalesce(sum(col("__t")), lit(0L)).as("__t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
@@ -167,7 +180,12 @@ object SampleOps {
       .sortWithinPartitions(col("shard_id"), col("seq_key"))
       .write.partitionBy("shard_id").mode("overwrite")
       .option("compression", "zstd").parquet(tmp)
-    val manifest = assigned.groupBy("shard_id")
+    // manifest from the JUST-WRITTEN staged parquet (the gate sinks'
+    // idiom): one corpus materialization instead of two, and the
+    // manifest provably describes the files being published even if the
+    // input lineage were nondeterministic
+    val manifest = spark.read.parquet(tmp)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_seqs"), sum(col("n_tokens")).as("n_tokens"))
       .select(col("shard_id"), concat(lit("shard_id="), col("shard_id")).as("path"),
         col("n_seqs"), col("n_tokens"))

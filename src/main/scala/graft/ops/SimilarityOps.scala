@@ -167,10 +167,16 @@ object SimilarityOps {
     * flat one (spec-pinned bit-identical), so correctness degrades
     * continuously from an exact baseline.
     */
-  private[graft] def assignClustersTwoLevel(cents: DataFrame, side: DataFrame,
-      p: String, probes: Int, nCoarse: Int, coarseProbes: Int): DataFrame = {
-    require(nCoarse >= 1 && coarseProbes >= 1,
-      s"need nCoarse >= 1 and coarseProbes >= 1, got $nCoarse / $coarseProbes")
+  /** The two codebook levels of [[assignClustersTwoLevel]], built ONCE
+    * per op call and shared across every assignment side — the coarse
+    * stride selection is a driver action and the member table a
+    * model-sized job; rebuilding them per side would triple both. */
+  private[graft] final case class TwoLevelCodebook(coarse: DataFrame,
+      grouped: DataFrame)
+
+  private[graft] def twoLevelCodebook(cents: DataFrame,
+      nCoarse: Int): TwoLevelCodebook = {
+    require(nCoarse >= 1, s"need nCoarse >= 1, got $nCoarse")
     // deterministic stride sample of the sorted centroid ids -> coarse
     // codebook (driver-side: K ids, model-sized — the zOrdered idiom)
     val ids = cents.select(col("cent_id")).orderBy(col("cent_id"))
@@ -189,12 +195,19 @@ object SimilarityOps {
       cents.select(col("cent_id").as("m_id"), col("cent_q").as("m_q"),
         col("cent_n2").as("m_n2")),
       "m", 1)
-    val groupedArr = members
+    val grouped = members
       .groupBy(col("m_cluster").as("gid"))
       .agg(collect_list(struct(col("m_id").as("cent_id"),
         col("m_q").as("cent_q"), col("m_n2").as("cent_n2"))).as("members"))
+    TwoLevelCodebook(coarse, grouped)
+  }
+
+  private[graft] def assignClustersTwoLevel(codebook: TwoLevelCodebook,
+      side: DataFrame, p: String, probes: Int, coarseProbes: Int): DataFrame = {
+    require(coarseProbes >= 1, s"need coarseProbes >= 1, got $coarseProbes")
+    val groupedArr = codebook.grouped
       .agg(collect_list(struct(col("gid"), col("members"))).as("groups"))
-    val coarseArr = coarse.agg(
+    val coarseArr = codebook.coarse.agg(
       collect_list(struct(col("g_id"), col("g_q"), col("g_n2"))).as("coarse"))
     val rankCoarse = transform(col("__coarse"), g =>
       struct(
@@ -416,16 +429,19 @@ object SimilarityOps {
       mat: Materializer = Materializer.Local,
       nCoarse: Int = 0, coarseProbes: Int = 2): DataFrame = {
     val cents = withQ(centroids, idCol, vecCol, "cent")
+    lazy val codebook = twoLevelCodebook(cents, nCoarse)
     def assign(s: DataFrame, p: String, pr: Int): DataFrame =
-      if (nCoarse > 0) assignClustersTwoLevel(cents, s, p, pr, nCoarse, coarseProbes)
+      if (nCoarse > 0) assignClustersTwoLevel(codebook, s, p, pr, coarseProbes)
       else assignClusters(cents, s, p, pr)
     val scoreSide = assign(withQ(df, idCol, vecCol, "q"), "q", 1)
       .join(broadcast(cents), col("q_cluster") === col("cent_id"))
       .withColumn("cent_cos", cosineFromQ(dotQ(col("q_q"), col("cent_q")),
         col("q_n2"), col("cent_n2")))
       .select(col("q_id").as(idCol), col("cent_cos"))
-    val pairs = embeddingNearDupPairsIVF(df, centroids, idCol, vecCol,
-      minCos, probes, nCoarse, coarseProbes)
+    // the pair spine shares THIS call's codebook/assign — one coarse
+    // selection and one member table per semDedup, not one per consumer
+    val pairs = ivfPairsWith(df, idCol, vecCol, minCos,
+      (s, p) => assign(s, p, probes))
     val clusters = DedupOps.nearDupClusters(
       pairs.select("id_a", "id_b"), df.select(col(idCol)), idCol, mat = mat)
     // LEFT join: an unassigned row (empty codebook) must not vanish —
@@ -511,9 +527,17 @@ object SimilarityOps {
       nCoarse: Int = 0, coarseProbes: Int = 2): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     val cents = withQ(centroids, idCol, vecCol, "cent")
-    def assign(s: DataFrame, p: String): DataFrame =
-      if (nCoarse > 0) assignClustersTwoLevel(cents, s, p, probes, nCoarse, coarseProbes)
-      else assignClusters(cents, s, p, probes)
+    lazy val codebook = twoLevelCodebook(cents, nCoarse)
+    ivfPairsWith(df, idCol, vecCol, minCos, (s, p) =>
+      if (nCoarse > 0) assignClustersTwoLevel(codebook, s, p, probes, coarseProbes)
+      else assignClusters(cents, s, p, probes))
+  }
+
+  /** The IVF pair join over a caller-supplied assignment function — so
+    * [[semDedup]] shares ONE codebook build between its diversity-score
+    * side and the pair spine instead of re-deriving it per consumer. */
+  private def ivfPairsWith(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, assign: (DataFrame, String) => DataFrame): DataFrame = {
     val a = assign(withQ(df, idCol, vecCol, "q"), "q")
     val b = assign(withQ(df, idCol, vecCol, "c"), "c")
     a.join(b, col("q_cluster") === col("c_cluster"))
