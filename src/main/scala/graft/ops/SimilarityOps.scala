@@ -247,11 +247,16 @@ object SimilarityOps {
     * needed), multiplying search cost by p.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1,
+      nCoarse: Int = 0, coarseProbes: Int = 2): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = withQ(centroids, idCol, vecCol, "cent")
-    val q = assignClusters(cents, withQ(queries, idCol, vecCol, "q"), "q", nprobe)
-    val c = assignClusters(cents, withQ(corpus, idCol, vecCol, "c"), "c", 1)
+    lazy val codebook = twoLevelCodebook(cents, nCoarse)
+    def assign(s: DataFrame, p: String, pr: Int): DataFrame =
+      if (nCoarse > 0) assignClustersTwoLevel(codebook, s, p, pr, coarseProbes)
+      else assignClusters(cents, s, p, pr)
+    val q = assign(withQ(queries, idCol, vecCol, "q"), "q", nprobe)
+    val c = assign(withQ(corpus, idCol, vecCol, "c"), "c", 1)
     val scored = q.join(c, col("q_cluster") === col("c_cluster"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos", cosineFromQ(dotQ(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")))
