@@ -183,13 +183,17 @@ object SampleOps {
     // manifest from the JUST-WRITTEN staged parquet (the gate sinks'
     // idiom): one corpus materialization instead of two, and the
     // manifest provably describes the files being published even if the
-    // input lineage were nondeterministic
-    val manifest = spark.read.parquet(tmp)
-      .groupBy(col("shard_id").cast("long").as("shard_id"))
+    // input lineage were nondeterministic. Read back with the KNOWN
+    // schema — inference would crash on a zero-row dynamic-partition
+    // write (no schema-bearing part file) and would type the shard_id
+    // partition column as int.
+    val rows = spark.read.schema(assigned.schema).parquet(tmp)
+      .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_seqs"), sum(col("n_tokens")).as("n_tokens"))
       .select(col("shard_id"), concat(lit("shard_id="), col("shard_id")).as("path"),
         col("n_seqs"), col("n_tokens"))
-    val lines = manifest.orderBy("shard_id").collect().map { r =>
+      .orderBy("shard_id").collect()
+    val lines = rows.map { r =>
       s"""{"shard_id":${r.getLong(0)},"path":"${r.getString(1)}"""" +
         s""","n_seqs":${r.getLong(2)},"n_tokens":${r.getLong(3)}}"""
     }
@@ -197,7 +201,19 @@ object SampleOps {
       java.nio.file.Paths.get(tmp, "_graft_manifest.json"),
       lines.mkString("[", ",\n", "]"))
     graft.ops.Pipeline.publishStaged(tmp, path)
-    manifest
+    // the returned frame is built from the COLLECTED rows — a lazy plan
+    // over the staging dir would dangle once the swap renames it away
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shard_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_seqs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Stratified deterministic sampling: a per-group keep-rate (per

@@ -169,22 +169,26 @@ object SimilarityOps {
     */
   /** The two codebook levels of [[assignClustersTwoLevel]], built ONCE
     * per op call and shared across every assignment side — the coarse
-    * stride selection is a driver action and the member table a
-    * model-sized job; rebuilding them per side would triple both. */
+    * selection is a driver action, and both level tables are
+    * MATERIALIZED (localCheckpoint, model-sized) so the member
+    * assignment is not re-executed as a fresh scalar subquery per
+    * consuming side. */
   private[graft] final case class TwoLevelCodebook(coarse: DataFrame,
       grouped: DataFrame)
 
-  private[graft] def twoLevelCodebook(cents: DataFrame,
-      nCoarse: Int): TwoLevelCodebook = {
+  private[graft] def twoLevelCodebook(cents: DataFrame, nCoarse: Int,
+      mat: Materializer = Materializer.Local): TwoLevelCodebook = {
     require(nCoarse >= 1, s"need nCoarse >= 1, got $nCoarse")
-    // deterministic stride sample of the sorted centroid ids -> coarse
-    // codebook (driver-side: K ids, model-sized — the zOrdered idiom)
+    // deterministic EVEN-SPREAD sample of the sorted centroid ids ->
+    // coarse codebook (driver-side: K ids, model-sized — the zOrdered
+    // idiom). Index interpolation, not a truncating stride: K=100 /
+    // nCoarse=40 with stride 2 would pick ids 0,2,..,78 and leave the
+    // whole top fifth of the id range unrepresented at the coarse level
     val ids = cents.select(col("cent_id")).orderBy(col("cent_id"))
       .collect().map(_.get(0))
-    val stride = math.max(1, ids.length / nCoarse)
-    val coarseIds = ids.zipWithIndex.collect {
-      case (id, i) if i % stride == 0 => id
-    }.take(nCoarse).toSeq
+    val n = math.min(nCoarse, ids.length)
+    val coarseIds = (0 until n)
+      .map(i => ids(((i.toLong * ids.length) / n).toInt)).distinct
     val coarse = cents.filter(col("cent_id").isInCollection(coarseIds))
       .select(col("cent_id").as("g_id"), col("cent_q").as("g_q"),
         col("cent_n2").as("g_n2"))
@@ -199,11 +203,12 @@ object SimilarityOps {
       .groupBy(col("m_cluster").as("gid"))
       .agg(collect_list(struct(col("m_id").as("cent_id"),
         col("m_q").as("cent_q"), col("m_n2").as("cent_n2"))).as("members"))
-    TwoLevelCodebook(coarse, grouped)
+    TwoLevelCodebook(mat(coarse), mat(grouped))
   }
 
   private[graft] def assignClustersTwoLevel(codebook: TwoLevelCodebook,
       side: DataFrame, p: String, probes: Int, coarseProbes: Int): DataFrame = {
+    require(probes >= 1, s"need probes >= 1, got $probes")
     require(coarseProbes >= 1, s"need coarseProbes >= 1, got $coarseProbes")
     val groupedArr = codebook.grouped
       .agg(collect_list(struct(col("gid"), col("members"))).as("groups"))
@@ -433,6 +438,7 @@ object SimilarityOps {
       vecCol: String, minCos: Double, probes: Int = 1,
       mat: Materializer = Materializer.Local,
       nCoarse: Int = 0, coarseProbes: Int = 2): DataFrame = {
+    require(probes >= 1, s"probes must be >= 1, got $probes")
     val cents = withQ(centroids, idCol, vecCol, "cent")
     lazy val codebook = twoLevelCodebook(cents, nCoarse)
     def assign(s: DataFrame, p: String, pr: Int): DataFrame =

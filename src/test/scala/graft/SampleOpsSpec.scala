@@ -599,4 +599,23 @@ class SampleOpsSpec extends SparkSpec {
     assert(!new java.io.File(p1 + "__staging").exists())
     assert(!new java.io.File(p1 + "__old").exists())
   }
+
+  test("writeSharded: returned manifest survives the publish; empty input publishes cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("shards_edge").toString
+    // the returned DataFrame must be actionable AFTER the staged swap
+    // renamed the staging dir away (a lazy plan over staging would dangle)
+    val m = SampleOps.writeSharded(corpus, col("doc_id"), "n_chars", "text",
+      s"$dir/c", targetTokens = 50000L, buckets = 4)
+    val got = m.orderBy("shard_id").collect()
+    assert(got.nonEmpty && got.map(_.getLong(2)).sum == corpus.count())
+    // empty input: an empty corpus + "[]" manifest publish, no crash,
+    // no staging residue
+    val m0 = SampleOps.writeSharded(corpus.filter(col("doc_id") < 0),
+      col("doc_id"), "n_chars", "text", s"$dir/e", targetTokens = 1000L,
+      buckets = 4)
+    assert(m0.isEmpty)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/e", "_graft_manifest.json")) == "[]")
+    assert(!new java.io.File(s"$dir/e__staging").exists())
+  }
 }
