@@ -307,6 +307,68 @@ object SimilarityOps {
     Array.fill(nPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1L else -1L))
   }
 
+  /** Sentinel for `bitsPerBand` meaning "derive from the corpus size at
+    * build time" — see [[autoBitsPerBand]]. */
+  val AutoBits: Int = 0
+
+  /** Corpus-size-safe band-key width: the smallest `bitsPerBand` whose
+    * expected bucket occupancy `N·bands / 2^bits` stays at or under
+    * `targetBucket`, floored at the historical 8-bit default and capped
+    * at the 62-bit long-key limit:
+    * `clamp(ceil(log2(N·bands / targetBucket)), 8, 62)`.
+    *
+    * The dial is analytic, not empirical — round-11's 1M stress
+    * (BASELINE.md round-11 stress rows) measured both sides: at the
+    * fixed 8-bit default the key space saturates (expected bucket 3,900
+    * ≫ the 1000-row cap; 2,042/2,048 buckets dropped; 4/1000 recall),
+    * and the formula's answer at N=1M, bands=8 — 16 bits — restores
+    * 1000/1000 recall at +15% wall. `targetBucket` defaults to 125
+    * (= the standard 1000-row hot-bucket cap / 8): real-embedding sign
+    * keys concentrate well above the uniform expectation, so the mean
+    * is sized an order under the cap to keep the tail inside it. Exact
+    * duplicates always collide regardless of width (p = 1), so wider
+    * keys never lose the pairs incremental dedup exists to catch.
+    */
+  def autoBitsPerBand(n: Long, bands: Int, targetBucket: Int = 125): Int = {
+    require(bands > 0, s"need bands > 0, got $bands")
+    require(targetBucket > 0, s"need targetBucket > 0, got $targetBucket")
+    val needed = math.ceil(
+      math.log(math.max(1L, n).toDouble * bands / targetBucket) / math.log(2.0)).toInt
+    math.min(62, math.max(8, needed))
+  }
+
+  /** Resolve a caller-supplied `bitsPerBand` dial: [[AutoBits]] (the
+    * default) derives the width from the corpus row count via
+    * [[autoBitsPerBand]] — one cheap count at plan-build time, the
+    * price of a default that survives a 1000× corpus without re-reading
+    * BASELINE.md; an explicit positive value is used as-is. */
+  private def resolveBits(bitsPerBand: Int, bands: Int, n: => Long): Int =
+    if (bitsPerBand == AutoBits) autoBitsPerBand(n, bands) else bitsPerBand
+
+  /** Column-metadata keys stamping RP-LSH dials onto a [[rpSignatures]]
+    * index (on the `b0` field — survives the parquet round trip via the
+    * Catalyst schema Spark persists in the footer), so later batches
+    * re-derive the SAME band keys the stored corpus carries. */
+  private[graft] object RpMeta {
+    val Bands = "graft_rp_bands"
+    val Bits = "graft_rp_bits"
+    val Seed = "graft_rp_seed"
+    val Dim = "graft_rp_dim"
+  }
+
+  /** The dials a [[rpSignatures]] index was built with. */
+  final case class RpParams(bands: Int, bitsPerBand: Int, seed: Long, dim: Int)
+
+  /** Read the stamped dials back from a stored index, if present (an
+    * index written by pre-round-12 code has none — callers fall back to
+    * their own dials there). */
+  def rpParamsOf(index: DataFrame): Option[RpParams] =
+    index.schema.fields.find(_.name == "b0").map(_.metadata)
+      .filter(m => m.contains(RpMeta.Bits))
+      .map(m => RpParams(m.getLong(RpMeta.Bands).toInt,
+        m.getLong(RpMeta.Bits).toInt, m.getLong(RpMeta.Seed),
+        m.getLong(RpMeta.Dim).toInt))
+
   /** Random-hyperplane LSH near-dup pairs (SimHash for cosine): each
     * vector gets `bands` keys of `bitsPerBand` sign bits
     * (bit j = [v · h_j ≥ 0]); two vectors are candidates when ANY band
@@ -326,23 +388,29 @@ object SimilarityOps {
     * verification is candidate-sized. Never all-pairs.
     *
     * Tuning (recall at threshold τ = 1 − (1 − p^bits)^bands with
-    * p = 1 − arccos(τ)/π): the 8×8 default is the HIGH-similarity
-    * regime — recall ≈ 0.94 at τ = 0.9, ≈ 0.75 at τ = 0.8 — with strong
-    * bucket pruning. For low thresholds (τ ≈ 0.45, p ≈ 0.65) flip to
-    * many short bands (bands = 16, bitsPerBand = 4: recall ≈ 0.95);
-    * the price is weaker pruning, intrinsic to hyperplane LSH when the
-    * target similarity sits close to the background distribution.
+    * p = 1 − arccos(τ)/π): `bitsPerBand` defaults to [[AutoBits]] —
+    * derived from the corpus row count via [[autoBitsPerBand]], which
+    * keeps the historical 8-bit width at test scale and widens as
+    * N·bands outgrows the bucket cap (the round-11 1M stress measured
+    * the fixed 8-bit dial losing 996/1000 pairs to cap drops). The 8×8
+    * regime is HIGH-similarity — recall ≈ 0.94 at τ = 0.9, ≈ 0.75 at
+    * τ = 0.8 — with strong bucket pruning. For low thresholds (τ ≈
+    * 0.45, p ≈ 0.65) flip to many short bands (bands = 16,
+    * bitsPerBand = 4: recall ≈ 0.95); the price is weaker pruning,
+    * intrinsic to hyperplane LSH when the target similarity sits close
+    * to the background distribution.
     */
   def embeddingNearDupPairsRP(df: DataFrame, idCol: String, vecCol: String,
-      minCos: Double, dim: Int, bands: Int = 8, bitsPerBand: Int = 8,
+      minCos: Double, dim: Int, bands: Int = 8, bitsPerBand: Int = AutoBits,
       seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
-    require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 62,
-      s"need 0 < bitsPerBand <= 62, got bands=$bands bits=$bitsPerBand")
-    val planes = rpHyperplanes(dim, bands * bitsPerBand, seed)
+    val bits = resolveBits(bitsPerBand, bands, df.count())
+    require(bands > 0 && bits > 0 && bits <= 62,
+      s"need 0 < bitsPerBand <= 62, got bands=$bands bits=$bits")
+    val planes = rpHyperplanes(dim, bands * bits, seed)
     val v = withQ(df, idCol, vecCol, "q")
     val bandKeys = array((0 until bands).map { b =>
-      (0 until bitsPerBand).map { j =>
-        when(dotQ(col("q_q"), typedlit(planes(b * bitsPerBand + j).toSeq)) >= 0,
+      (0 until bits).map { j =>
+        when(dotQ(col("q_q"), typedlit(planes(b * bits + j).toSeq)) >= 0,
           lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
@@ -390,7 +458,7 @@ object SimilarityOps {
     */
   def crossCorpusEmbeddingNearDups(a: DataFrame, b: DataFrame,
       idCol: String, vecCol: String, minCos: Double, dim: Int,
-      bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L,
+      bands: Int = 8, bitsPerBand: Int = AutoBits, seed: Long = 42L,
       maxBucket: Int = 1000): DataFrame = {
     val union = a.select(col(idCol), col(vecCol))
       .unionByName(b.select(col(idCol), col(vecCol)))
@@ -471,18 +539,31 @@ object SimilarityOps {
     * cosine verify needs. The standing corpus is never re-projected:
     * the index side of the gate reads these rows back as-is — the
     * [[graft.ops.DedupOps.minhashSignatures]] flat layout, RP-flavored.
+    *
+    * `bitsPerBand` defaults to [[AutoBits]]: the width is derived from
+    * THIS corpus's row count ([[autoBitsPerBand]]) and the chosen dials
+    * are stamped into column metadata on `b0` ([[RpMeta]]) — persisted
+    * through the parquet round trip — so [[embeddingNearDupAgainstIndex]]
+    * and the streaming gate re-derive the SAME keys for every later
+    * batch regardless of session defaults. An index sized once at build
+    * time stays self-describing for its whole life.
     */
   def rpSignatures(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
-    require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 62,
-      s"need 0 < bitsPerBand <= 62, got bands=$bands bits=$bitsPerBand")
-    val planes = rpHyperplanes(dim, bands * bitsPerBand, seed)
+      bands: Int = 8, bitsPerBand: Int = AutoBits, seed: Long = 42L): DataFrame = {
+    val bits = resolveBits(bitsPerBand, bands, df.count())
+    require(bands > 0 && bits > 0 && bits <= 62,
+      s"need 0 < bitsPerBand <= 62, got bands=$bands bits=$bits")
+    val planes = rpHyperplanes(dim, bands * bits, seed)
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(RpMeta.Bands, bands.toLong).putLong(RpMeta.Bits, bits.toLong)
+      .putLong(RpMeta.Seed, seed).putLong(RpMeta.Dim, dim.toLong).build()
     val v = withQ(df, idCol, vecCol, "q")
     val keyCols = (0 until bands).map { b =>
-      (0 until bitsPerBand).map { j =>
-        when(dotQ(col("q_q"), typedlit(planes(b * bitsPerBand + j).toSeq)) >= 0,
+      val key = (0 until bits).map { j =>
+        when(dotQ(col("q_q"), typedlit(planes(b * bits + j).toSeq)) >= 0,
           lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"b$b")
+      }.reduce(_ + _)
+      if (b == 0) key.as("b0", meta) else key.as(s"b$b")
     }
     v.select(col("q_id").as(idCol) +: keyCols
       :+ col("q_q").as("qvec") :+ col("q_n2").as("qnorm2"): _*)
@@ -496,16 +577,34 @@ object SimilarityOps {
     * [[CapTelemetry]], op "embedding_against_index"), then verify exact
     * quantized cosine on candidates only. Output:
     * (id_new, id_old, cos) — new vectors semantically matching an
-    * already-indexed one. */
+    * already-indexed one.
+    *
+    * Dial resolution (the round-11 saturation footgun, closed): if the
+    * index carries stamped [[RpMeta]] dials (any [[rpSignatures]] index
+    * built by round-12+ code does), those WIN — bands, bits, seed and
+    * dim all come from the index, because band keys are only comparable
+    * when both sides hash identically; a session default or explicit
+    * argument that disagrees with the stored corpus would silently
+    * compare keys from different hash families. Unstamped (legacy,
+    * pre-round-12) indexes fall back to the caller's dials; there
+    * [[AutoBits]] resolves to the historical fixed 8 — the width every
+    * unstamped index was actually hashed at — because deriving a wider
+    * key against an 8-bit store would produce keys that NEVER collide
+    * (silent zero hits), strictly worse than the legacy store's own
+    * loudly-observed cap saturation. Rebuild the index through
+    * round-12 [[rpSignatures]] to get the corpus-sized width. */
   def embeddingNearDupAgainstIndex(newVecs: DataFrame, index: DataFrame,
       idCol: String, vecCol: String, minCos: Double, dim: Int,
-      bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L,
+      bands: Int = 8, bitsPerBand: Int = AutoBits, seed: Long = 42L,
       maxBucket: Int = 1000): DataFrame = {
-    val newSigs = rpSignatures(newVecs, idCol, vecCol, dim, bands, bitsPerBand, seed)
-    def banded(sigs: DataFrame, p: String): DataFrame =
-      sigs.select(col(idCol).as(s"${p}_id"), col("qvec").as(s"${p}_q"),
-        col("qnorm2").as(s"${p}_n2"),
-        posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
+    val p = rpParamsOf(index).getOrElse(RpParams(bands,
+      if (bitsPerBand == AutoBits) 8 else bitsPerBand, seed, dim))
+    val newSigs = rpSignatures(newVecs, idCol, vecCol, p.dim, p.bands,
+      p.bitsPerBand, p.seed)
+    def banded(sigs: DataFrame, pre: String): DataFrame =
+      sigs.select(col(idCol).as(s"${pre}_id"), col("qvec").as(s"${pre}_q"),
+        col("qnorm2").as(s"${pre}_n2"),
+        posexplode(array((0 until p.bands).map(b => col(s"b$b")): _*))
           .as(Seq("band", "key")))
     val idx = banded(index, "old")
     val ok = CapTelemetry.observeCap(

@@ -373,28 +373,60 @@ object StreamOps {
     * never reaches `survivorsPath`. Same determinism/replay discipline
     * as the other gates: per-batch overwrite, staged sidecar-marker
     * publish, replayed epochs skipped.
+    *
+    * Dial resolution (the round-11 band-key saturation footgun, closed):
+    * once a signature index exists, its stamped
+    * [[graft.ops.SimilarityOps.RpMeta]] dials govern EVERY later batch —
+    * bands/bits/seed/dim are read back from the store, so a restarted
+    * query with different session defaults cannot fork the hash family.
+    * On the FIRST batch (no index yet), `bitsPerBand =`
+    * [[graft.ops.SimilarityOps.AutoBits]] sizes the key width from
+    * `expectedCorpus` — the EVENTUAL corpus scale the index must carry,
+    * which only the caller knows (BASELINE round-11: "a gate config at
+    * corpus scale N must size bitsPerBand for N, not for the batch") —
+    * falling back to the first batch's count when unset (right only for
+    * corpora that stay within ~100× of it; pass `expectedCorpus` for a
+    * long-lived gate).
     */
   def embeddingGateSink(vecs: DataFrame, sigPath: String,
       survivorsPath: String, idCol: String, vecCol: String, dim: Int,
-      minCos: Double = 0.95, bands: Int = 8, bitsPerBand: Int = 8,
-      seed: Long = 42L, maxBucket: Int = 1000)
+      minCos: Double = 0.95, bands: Int = 8,
+      bitsPerBand: Int = graft.ops.SimilarityOps.AutoBits,
+      seed: Long = 42L, maxBucket: Int = 1000, expectedCorpus: Long = 0L)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gateEmbeddingBatch(batch, sigPath, survivorsPath, idCol, vecCol,
-          dim, minCos, bands, bitsPerBand, seed, maxBucket, batchId)
+          dim, minCos, bands, bitsPerBand, seed, maxBucket, batchId,
+          expectedCorpus)
       }
 
   /** One micro-batch of the embedding gate (see [[embeddingGateSink]]). */
   private[graft] def gateEmbeddingBatch(batch: DataFrame, sigPath: String,
       survivorsPath: String, idCol: String, vecCol: String, dim: Int,
       minCos: Double, bands: Int, bitsPerBand: Int, seed: Long,
-      maxBucket: Int, batchId: Long): Unit = {
+      maxBucket: Int, batchId: Long, expectedCorpus: Long = 0L): Unit = {
     val spark = batch.sparkSession
     foldStaged(spark, sigPath, batchId) { stored =>
-      val selfPairs = graft.ops.SimilarityOps.embeddingNearDupPairsRP(
-        batch, idCol, vecCol, minCos, dim, bands, bitsPerBand, seed, maxBucket)
+      import graft.ops.SimilarityOps
+      // stored dials win; else size the NEW index for the corpus the
+      // gate is expected to accumulate, not for this batch. A stored
+      // but UNSTAMPED index (pre-round-12) was built with the then-fixed
+      // 8-bit default: auto-sizing against it would fork the hash
+      // family mid-store, so AutoBits resolves to the legacy 8 there
+      // (explicit dials pass through for callers who built with them).
+      val p = stored.flatMap(SimilarityOps.rpParamsOf).getOrElse {
+        val bits =
+          if (bitsPerBand != SimilarityOps.AutoBits) bitsPerBand
+          else if (stored.isDefined) 8
+          else SimilarityOps.autoBitsPerBand(
+            if (expectedCorpus > 0L) expectedCorpus else batch.count(), bands)
+        SimilarityOps.RpParams(bands, bits, seed, dim)
+      }
+      val selfPairs = SimilarityOps.embeddingNearDupPairsRP(
+        batch, idCol, vecCol, minCos, p.dim, p.bands, p.bitsPerBand,
+        p.seed, maxBucket)
       val selfClusters = graft.ops.DedupOps.nearDupClusters(
         selfPairs.select("id_a", "id_b"), batch.select(col(idCol)), idCol)
       val selfDeduped = batch.join(selfClusters, Seq(idCol))
@@ -402,9 +434,12 @@ object StreamOps {
         .drop("cluster_id")
       val survivors = stored match {
         case Some(s) =>
-          val hits = graft.ops.SimilarityOps.embeddingNearDupAgainstIndex(
-              selfDeduped, s, idCol, vecCol, minCos, dim, bands,
-              bitsPerBand, seed, maxBucket)
+          // againstIndex re-resolves from s's stamp itself; passing the
+          // resolved dials keeps the legacy-index (unstamped) fallback
+          // on this batch's choice instead of a second count
+          val hits = SimilarityOps.embeddingNearDupAgainstIndex(
+              selfDeduped, s, idCol, vecCol, minCos, p.dim, p.bands,
+              p.bitsPerBand, p.seed, maxBucket)
             .select(col("id_new").as(idCol)).distinct()
           selfDeduped.join(hits, Seq(idCol), "left_anti")
         case None => selfDeduped
@@ -413,9 +448,9 @@ object StreamOps {
         .parquet(s"$survivorsPath/batch=$batchId")
       // signatures from the JUST-WRITTEN parquet: `survivors` carries
       // the RP→CC lineage, which a second reference would re-run
-      val newSigs = graft.ops.SimilarityOps.rpSignatures(
+      val newSigs = SimilarityOps.rpSignatures(
         spark.read.parquet(s"$survivorsPath/batch=$batchId"),
-        idCol, vecCol, dim, bands, bitsPerBand, seed)
+        idCol, vecCol, p.dim, p.bands, p.bitsPerBand, p.seed)
       stored.map(_.unionByName(newSigs)).getOrElse(newSigs)
     }
   }

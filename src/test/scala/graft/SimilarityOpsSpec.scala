@@ -344,4 +344,65 @@ class SimilarityOpsSpec extends SparkSpec {
       math.max(keptFlat.size, 1)
     assert(agree >= 0.9, s"two-level semDedup survivor agreement fell to $agree")
   }
+
+  test("autoBitsPerBand: analytic corpus-sized width, floored at 8, capped at 62") {
+    import SimilarityOps.autoBitsPerBand
+    // the round-11 1M stress point: the formula lands on the
+    // measured-good 16-bit retune (BASELINE.md round-11 stress rows)
+    assert(autoBitsPerBand(1000000L, 8) == 16)
+    // test-scale corpora keep the historical 8-bit width — every
+    // pre-round-12 small-scale result is byte-identical under AutoBits
+    assert(autoBitsPerBand(600L, 8) == 8)
+    assert(autoBitsPerBand(0L, 8) == 8)
+    // monotone in N, and in bands at fixed N
+    val widths = Seq(1L, 1000L, 100000L, 1000000L, 100000000L)
+      .map(autoBitsPerBand(_, 8))
+    assert(widths == widths.sorted, widths.toString)
+    assert(autoBitsPerBand(1000000L, 16) >= autoBitsPerBand(1000000L, 8))
+    // capped at the 62-bit long-key limit
+    assert(autoBitsPerBand(Long.MaxValue, 8, targetBucket = 1) == 62)
+  }
+
+  test("AutoBits default resolves to the historical width at test scale — keys unchanged") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 100).select("vec_id", "embedding")
+    val auto = SimilarityOps.rpSignatures(em, "vec_id", "embedding", dim = 64)
+    assert(SimilarityOps.rpParamsOf(auto).contains(
+      SimilarityOps.RpParams(8, 8, 42L, 64)))
+    val legacy = SimilarityOps.rpSignatures(em, "vec_id", "embedding",
+      dim = 64, bands = 8, bitsPerBand = 8)
+    assert(auto.orderBy("vec_id").collect().map(_.toString).toSeq ==
+      legacy.orderBy("vec_id").collect().map(_.toString).toSeq)
+  }
+
+  test("rpSignatures stamps its dials; they survive parquet; stored dials beat conflicting arguments") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200).select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_rpmeta")
+      .toString + "/rpsigs.parquet"
+    SimilarityOps.rpSignatures(em, "vec_id", "embedding", dim = 64,
+        bands = 16, bitsPerBand = 4)
+      .write.parquet(path)
+    val idx = spark.read.parquet(path)
+    // the dials round-trip through the parquet footer schema
+    assert(SimilarityOps.rpParamsOf(idx).contains(
+      SimilarityOps.RpParams(16, 4, 42L, 64)))
+    // new batch: exact-direction copies of indexed vectors (every sign
+    // bit agrees -> every band collides regardless of dial width)
+    val planted = em.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    def hits(bands: Int, bits: Int) = SimilarityOps.embeddingNearDupAgainstIndex(
+        planted, idx, "vec_id", "embedding", minCos = 0.99, dim = 64,
+        bands = bands, bitsPerBand = bits)
+      .select("id_new", "id_old").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val matched = hits(16, 4)
+    val want = (0L until 20L).map(i => (i + 100000L, i)).toSet
+    assert(want.subsetOf(matched), s"missing ${(want -- matched).size} planted hits")
+    // conflicting session dials (the old fixed 8x8 default) are
+    // OVERRIDDEN by the index stamp: bit-identical result — the two
+    // sides can never hash under different families
+    assert(hits(8, 8) == matched)
+  }
 }
