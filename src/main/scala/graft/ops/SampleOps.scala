@@ -124,6 +124,13 @@ object SampleOps {
   def assignShards(df: DataFrame, key: Column, tokenCol: String,
       targetTokens: Long, buckets: Int = 0): DataFrame = {
     require(targetTokens > 0, s"need positive targetTokens, got $targetTokens")
+    // the working columns installed below would silently overwrite (and
+    // then drop) an input column of the same name — refuse loudly
+    val reserved = Seq("__h", "__sb", "__cum", "__ob", "__off")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"assignShards reserves working column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before assigning")
     val nb = resolveBuckets(df, buckets)
     val h = keyHash(key)
     val bucket = pmod(h, lit(nb.toLong))
@@ -166,10 +173,24 @@ object SampleOps {
     * a different partitioning yields identical bytes (spec-pinned).
     * Returns the manifest as a DataFrame (shard_id, path, n_seqs,
     * n_tokens).
+    *
+    * LOCAL-FILESYSTEM CONTRACT: the staged publish
+    * ([[Pipeline.publishStaged]]) and the manifest sidecar use
+    * local-file renames/writes — atomic on a POSIX filesystem, the
+    * contract of the whole staged-swap family. A remote path
+    * (`s3://`, `hdfs://`) would write the parquet data through the
+    * Hadoop FS but misplace the manifest and the swap, so it is
+    * rejected up front; for object stores, write shards with plain
+    * Spark and publish via the store's own conditional-put/manifest
+    * primitive instead of a rename protocol it cannot honor.
     */
   def writeSharded(df: DataFrame, key: Column, tokenCol: String,
       textCol: String, path: String, targetTokens: Long,
       buckets: Int): DataFrame = {
+    val scheme = java.net.URI.create(path).getScheme
+    require(scheme == null || scheme == "file",
+      s"writeSharded publishes via local-FS renames; got scheme '$scheme' " +
+        s"in '$path' — see the local-filesystem contract in the scaladoc")
     val spark = df.sparkSession
     val assigned = assignShards(df, key, tokenCol, targetTokens, buckets)
       .select(col("shard_id"), key.as("seq_key"),
@@ -189,7 +210,11 @@ object SampleOps {
     // partition column as int.
     val rows = spark.read.schema(assigned.schema).parquet(tmp)
       .groupBy(col("shard_id"))
-      .agg(count(lit(1)).as("n_seqs"), sum(col("n_tokens")).as("n_tokens"))
+      // coalesce mirrors assignShards' totals: a shard whose rows all
+      // carry NULL token counts (weight 0 by contract) sums to NULL,
+      // and getLong below would NPE on the driver
+      .agg(count(lit(1)).as("n_seqs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
       .select(col("shard_id"), concat(lit("shard_id="), col("shard_id")).as("path"),
         col("n_seqs"), col("n_tokens"))
       .orderBy("shard_id").collect()

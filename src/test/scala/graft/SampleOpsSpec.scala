@@ -618,4 +618,30 @@ class SampleOpsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/e", "_graft_manifest.json")) == "[]")
     assert(!new java.io.File(s"$dir/e__staging").exists())
   }
+
+  test("writeSharded: all-NULL token shard gets n_tokens 0 in the manifest, not an NPE") {
+    val dir = java.nio.file.Files.createTempDirectory("shards_null").toString
+    // every row's token count NULL (weight 0 by the assignShards
+    // contract): one shard, sum(NULL) must manifest as 0
+    val nulls = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .withColumn("n_chars", lit(null).cast("long"))
+    val m = SampleOps.writeSharded(nulls, col("doc_id"), "n_chars", "text",
+      s"$dir/n", targetTokens = 1000L, buckets = 2)
+    val got = m.collect()
+    assert(got.map(_.getLong(3)).toSeq == Seq(0L))
+    assert(got.map(_.getLong(2)).sum == 3L)
+  }
+
+  test("assignShards refuses reserved working column names; writeSharded refuses remote schemes") {
+    val clash = corpus.withColumn("__cum", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      SampleOps.assignShards(clash, col("doc_id"), "n_chars", 1000L, 4)
+    }
+    assert(e.getMessage.contains("__cum"))
+    val r = intercept[IllegalArgumentException] {
+      SampleOps.writeSharded(corpus, col("doc_id"), "n_chars", "text",
+        "s3://bucket/corpus", targetTokens = 1000L, buckets = 4)
+    }
+    assert(r.getMessage.contains("local-filesystem"))
+  }
 }
