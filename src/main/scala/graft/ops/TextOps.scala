@@ -253,9 +253,12 @@ object TextOps {
     * O(nMerges² × vocab × word length).
     */
   def trainBpeMergesIncremental(df: DataFrame, textCol: String, nMerges: Int,
-      maxVocab: Int = 1 << 22): Seq[(String, String)] = {
+      maxVocab: Int = 1 << 22,
+      maxPairIndexEntries: Long = 64L << 20): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    require(maxPairIndexEntries >= 1,
+      s"maxPairIndexEntries must be >= 1, got $maxPairIndexEntries")
     val vocab = df.filter(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
@@ -263,6 +266,34 @@ object TextOps {
       .orderBy(col("freq").desc, col("w").asc)
       .limit(maxVocab)
       .collect()
+    // DEGENERATE-VOCABULARY GUARD (BASELINE round-11 stress): the
+    // trainer's maintained state — the pair→words index and pair counts
+    // — is Θ(Σ word codepoints) over the vocabulary. Natural-text
+    // vocabularies are short-worded (4M words ≈ 36M entries, measured
+    // safe at the default 8g driver); an adversarial/non-linguistic
+    // vocabulary (millions of LONG near-random words, e.g. 33-char hex
+    // strings, where merges never compress) blows the index past the
+    // heap minutes into the run. Fail FAST instead, naming the dials:
+    // the check costs one pass over the already-collected vocab.
+    val pairIndexEntries = {
+      var s = 0L; var i = 0
+      while (i < vocab.length) {
+        s += vocab(i).getString(0).codePointCount(0, vocab(i).getString(0).length)
+        i += 1
+      }
+      s
+    }
+    if (pairIndexEntries > maxPairIndexEntries)
+      throw new IllegalArgumentException(
+        s"trainBpeMergesIncremental: vocabulary pair-index footprint " +
+          s"($pairIndexEntries entries = sum of word lengths over " +
+          s"${vocab.length} words) exceeds maxPairIndexEntries " +
+          s"($maxPairIndexEntries). This vocabulary shape (many long " +
+          s"words, low compressibility) is non-linguistic and would " +
+          s"exhaust the driver heap mid-training. Lower maxVocab, " +
+          s"pre-filter tokens (e.g. drop words over a length cap or " +
+          s"outside the target script), or raise maxPairIndexEntries " +
+          s"with a driver heap sized ~100 bytes/entry.")
 
     import scala.collection.mutable
     // UTF-8 byte order == Spark's UTF8String string ordering, so the
@@ -344,8 +375,20 @@ object TextOps {
     val merges = Vector.newBuilder[(String, String)]
     var got = 0
     while (got < nMerges && !heap.isEmpty) {
+      // stale entries are normally discarded on pop, but a hot pair
+      // touching most of the vocabulary pushes O(touched × word length)
+      // fresh candidates per merge and the stale backlog compounds —
+      // the round-11 adversarial OOM's second ingredient. When the heap
+      // outgrows the live pair set by a wide factor, rebuild it from
+      // `counts` (one push per LIVE pair — the same legality filter):
+      // bounded churn, identical pop order for live candidates.
+      if (heap.size > math.max(1 << 20, 16 * counts.size)) {
+        heap.clear()
+        counts.foreach { case (p, c) => push(p, c) }
+      }
       val cand = heap.poll()
-      if (counts.get((cand.a, cand.b)).contains(cand.c)) { // else: stale
+      if (cand != null && // compaction can empty the heap: training done
+          counts.get((cand.a, cand.b)).contains(cand.c)) { // else: stale
         val touched = where.get((cand.a, cand.b))
           .map(_.toArray).getOrElse(Array.emptyIntArray)
         var k = 0

@@ -535,6 +535,36 @@ class TextOpsSpec extends SparkSpec {
     assert(c300 < c10, s"expected $c300 < $c10")
   }
 
+  test("trainBpeMergesIncremental: degenerate vocabulary fails fast naming the dial; compaction keeps equivalence") {
+    // adversarial shape (BASELINE round-11 stress): many LONG
+    // near-random words over a tiny alphabet — merges never compress,
+    // the pair index is Θ(Σ word length), and pre-guard the trainer
+    // OOMed minutes in. The guard must reject it up front, naming
+    // maxPairIndexEntries, before any merge work happens.
+    val rnd = new scala.util.Random(7)
+    def hexWord(len: Int): String =
+      Seq.fill(len)("0123456789abcdef"(rnd.nextInt(16))).mkString
+    val adversarial = Seq.tabulate(100)(i => (i.toLong, hexWord(33)))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.trainBpeMergesIncremental(adversarial, "text", nMerges = 5,
+        maxPairIndexEntries = 1000L)
+    }
+    assert(e.getMessage.contains("maxPairIndexEntries") &&
+      e.getMessage.contains("maxVocab"), e.getMessage)
+    // heap-compaction path: long two-letter words make every merge
+    // touch nearly every word, so candidate churn crosses the 1<<20
+    // compaction threshold within a few merges — the compacted heap
+    // must still replay the quadratic trainer's exact greedy sequence
+    def abWord(len: Int): String =
+      Seq.fill(len)("ab"(rnd.nextInt(2))).mkString
+    val churny = Seq.tabulate(2000)(i => (i.toLong, abWord(100)))
+      .toDF("doc_id", "text")
+    val inc = TextOps.trainBpeMergesIncremental(churny, "text", nMerges = 6)
+    val quad = TextOps.trainBpeMerges(churny, "text", nMerges = 6)
+    assert(inc == quad, s"diverged under compaction:\n  quad=$quad\n  inc =$inc")
+  }
+
   test("BPE merge-token alphabet: kernels reject SQL-literal-unrepresentable rules; trainer never emits them") {
     // a rule carrying ',' (the between-pair literal delimiter) or a
     // control character would be silently misparsed by the
