@@ -176,22 +176,83 @@ object SimilarityOps {
   private[graft] final case class TwoLevelCodebook(coarse: DataFrame,
       grouped: DataFrame)
 
+  /** Sentinel for `nCoarse` meaning "pick the assignment strategy from
+    * the codebook size" — see [[resolveNCoarse]]. */
+  val AutoCoarse: Int = -1
+
+  /** Flat argmax stays the right call while N·K dot products are cheap;
+    * past a few hundred centroids the assignment term dominates the
+    * whole pipeline (round-11 100× stress: 407 s at 200k rows, K=800,
+    * flat — the SemDeDup scale wall) and two-level cuts it ~√K-fold. */
+  private[graft] val TwoLevelAutoThreshold = 256
+
+  /** Resolve the `nCoarse` dial: [[AutoCoarse]] (the default) selects
+    * flat assignment below [[TwoLevelAutoThreshold]] centroids — small
+    * codebooks keep the exact argmax, so fixture-scale results are
+    * byte-identical to the flat era — and two-level at
+    * `nCoarse = ceil(sqrt(2K))` above it (the cost minimum of
+    * N·(nCoarse + coarseProbes·K/nCoarse) at the default 2 coarse
+    * probes). Explicit 0 = flat opt-out at any K; explicit positive =
+    * that many coarse groups. */
+  private[graft] def resolveNCoarse(nCoarse: Int, k: => Long): Int = {
+    require(nCoarse >= AutoCoarse,
+      s"nCoarse must be $AutoCoarse (auto), 0 (flat), or positive; got $nCoarse")
+    if (nCoarse >= 0) nCoarse
+    else {
+      val kk = k
+      if (kk < TwoLevelAutoThreshold) 0
+      else math.ceil(math.sqrt(2.0 * kk)).toInt
+    }
+  }
+
   private[graft] def twoLevelCodebook(cents: DataFrame, nCoarse: Int,
-      mat: Materializer = Materializer.Local): TwoLevelCodebook = {
+      mat: Materializer = Materializer.Local, seed: Long = 42L): TwoLevelCodebook = {
     require(nCoarse >= 1, s"need nCoarse >= 1, got $nCoarse")
-    // deterministic EVEN-SPREAD sample of the sorted centroid ids ->
-    // coarse codebook (driver-side: K ids, model-sized — the zOrdered
-    // idiom). Index interpolation, not a truncating stride: K=100 /
-    // nCoarse=40 with stride 2 would pick ids 0,2,..,78 and leave the
-    // whole top fifth of the id range unrepresented at the coarse level
-    val ids = cents.select(col("cent_id")).orderBy(col("cent_id"))
-      .collect().map(_.get(0))
-    val n = math.min(nCoarse, ids.length)
-    val coarseIds = (0 until n)
-      .map(i => ids(((i.toLong * ids.length) / n).toInt)).distinct
-    val coarse = cents.filter(col("cent_id").isInCollection(coarseIds))
-      .select(col("cent_id").as("g_id"), col("cent_q").as("g_q"),
-        col("cent_n2").as("g_n2"))
+    // TRAINED coarse level (round-12; replaces the round-11 stride
+    // sample): seeded KMeans over the fine centroids themselves — the
+    // [[trainCentroids]] machinery on a model-sized input (K rows), so
+    // the coarse centers track the fine codebook's actual cluster
+    // structure instead of its id ordering. A stride over sorted ids
+    // ignored fine-centroid geometry entirely: two adjacent ids can sit
+    // anywhere in the space, so coarse cells were arbitrary unions and
+    // the canopy miss rate paid for it (0.857 tiny-fixture pair recall;
+    // the KMeans coarse level is spec-pinned >= that). Determinism:
+    // fixed seed + deterministic input -> same centers every run.
+    // Degenerate shapes keep the round-11 contract: empty codebook ->
+    // empty levels; nCoarse >= K -> every fine centroid is its own
+    // coarse group (no training); nCoarse = 1 -> one group holding the
+    // whole codebook, bit-identical to flat assignment (spec anchor).
+    val k = cents.count()
+    val n = math.min(nCoarse.toLong, k).toInt
+    val coarse =
+      if (n.toLong >= k)
+        cents.select(col("cent_id").as("g_id"), col("cent_q").as("g_q"),
+          col("cent_n2").as("g_n2"))
+      else if (n == 1)
+        // spark.ml KMeans needs k >= 2, and the single-group anchor is
+        // center-independent (every member folds into the one group, so
+        // the probed set is the whole codebook): lowest-id centroid
+        cents.select(col("cent_id").as("g_id"), col("cent_q").as("g_q"),
+            col("cent_n2").as("g_n2"))
+          .orderBy(col("g_id")).limit(1)
+      else {
+        // train on UNIT vectors: members and rows rank the coarse level
+        // by COSINE, and Euclidean KMeans on the unit sphere is monotone
+        // in cosine — training on raw magnitudes would cluster by norm,
+        // a dimension cosine ranking never sees. Dequantization is
+        // exact-enough (KMeans is approximate; the 1e-4 grid sits far
+        // below centroid-separation scale); the trained centers are
+        // re-quantized so coarse ranking stays exact integer math.
+        // Zero-norm centroids map to the origin (cosine NaN ranks them
+        // last everywhere, same as flat assignment treats them).
+        val floats = cents.select(col("cent_id"),
+          transform(col("cent_q"), x =>
+            when(col("cent_n2") > 0L,
+              x.cast("double") / sqrt(col("cent_n2").cast("double")))
+              .otherwise(lit(0.0)).cast("float")).as("__v"))
+        withQ(trainCentroids(floats, "cent_id", "__v", n, seed = seed),
+          "cent_id", "__v", "g")
+      }
     // member table: every centroid under its nearest coarse group
     val members = assignClusters(
       coarse.select(col("g_id").as("cent_id"), col("g_q").as("cent_q"),
@@ -253,12 +314,13 @@ object SimilarityOps {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 1,
-      nCoarse: Int = 0, coarseProbes: Int = 2): DataFrame = {
+      nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = withQ(centroids, idCol, vecCol, "cent")
-    lazy val codebook = twoLevelCodebook(cents, nCoarse)
+    val nc = resolveNCoarse(nCoarse, cents.count())
+    lazy val codebook = twoLevelCodebook(cents, nc)
     def assign(s: DataFrame, p: String, pr: Int): DataFrame =
-      if (nCoarse > 0) assignClustersTwoLevel(codebook, s, p, pr, coarseProbes)
+      if (nc > 0) assignClustersTwoLevel(codebook, s, p, pr, coarseProbes)
       else assignClusters(cents, s, p, pr)
     val q = assign(withQ(queries, idCol, vecCol, "q"), "q", nprobe)
     val c = assign(withQ(corpus, idCol, vecCol, "c"), "c", 1)
@@ -505,12 +567,13 @@ object SimilarityOps {
   def semDedup(df: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, minCos: Double, probes: Int = 1,
       mat: Materializer = Materializer.Local,
-      nCoarse: Int = 0, coarseProbes: Int = 2): DataFrame = {
+      nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     val cents = withQ(centroids, idCol, vecCol, "cent")
-    lazy val codebook = twoLevelCodebook(cents, nCoarse)
+    val nc = resolveNCoarse(nCoarse, cents.count())
+    lazy val codebook = twoLevelCodebook(cents, nc)
     def assign(s: DataFrame, p: String, pr: Int): DataFrame =
-      if (nCoarse > 0) assignClustersTwoLevel(codebook, s, p, pr, coarseProbes)
+      if (nc > 0) assignClustersTwoLevel(codebook, s, p, pr, coarseProbes)
       else assignClusters(cents, s, p, pr)
     val scoreSide = assign(withQ(df, idCol, vecCol, "q"), "q", 1)
       .join(broadcast(cents), col("q_cluster") === col("cent_id"))
@@ -634,12 +697,13 @@ object SimilarityOps {
     */
   def embeddingNearDupPairsIVF(df: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, minCos: Double, probes: Int = 2,
-      nCoarse: Int = 0, coarseProbes: Int = 2): DataFrame = {
+      nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     val cents = withQ(centroids, idCol, vecCol, "cent")
-    lazy val codebook = twoLevelCodebook(cents, nCoarse)
+    val nc = resolveNCoarse(nCoarse, cents.count())
+    lazy val codebook = twoLevelCodebook(cents, nc)
     ivfPairsWith(df, idCol, vecCol, minCos, (s, p) =>
-      if (nCoarse > 0) assignClustersTwoLevel(codebook, s, p, probes, coarseProbes)
+      if (nc > 0) assignClustersTwoLevel(codebook, s, p, probes, coarseProbes)
       else assignClusters(cents, s, p, probes))
   }
 

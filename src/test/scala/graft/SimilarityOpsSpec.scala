@@ -331,9 +331,13 @@ class SimilarityOpsSpec extends SparkSpec {
     // k=8 under 3 coarse groups probing 2 covers ~2/3 of the codebook —
     // the tiny fixture is the PESSIMISTIC end of the canopy trade (at
     // production shape, k=800/nCoarse=28, the coarse and fine argmax
-    // correlate and measured recall is higher; BASELINE round-11)
+    // correlate and measured recall is higher; BASELINE round-11).
+    // 0.857 was the round-11 STRIDE-sampled coarse level's recall here;
+    // the trained (unit-sphere KMeans) coarse level must never fall
+    // below the untrained baseline it replaced
     val recall = two.size.toDouble / math.max(flat.size, 1)
-    assert(recall >= 0.8, s"two-level recall vs flat spine fell to $recall")
+    assert(recall >= 0.857, s"two-level recall vs flat spine fell to $recall " +
+      "(round-11 stride baseline: 0.857)")
     // semDedup through the two-level path keeps the planted-dup contract
     val keptFlat = SimilarityOps.semDedup(em, cents, "vec_id", "embedding", 0.45)
       .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -343,6 +347,31 @@ class SimilarityOpsSpec extends SparkSpec {
     val agree = keptFlat.intersect(keptTwo).size.toDouble /
       math.max(keptFlat.size, 1)
     assert(agree >= 0.9, s"two-level semDedup survivor agreement fell to $agree")
+  }
+
+  test("nCoarse auto-selection: flat below the threshold, ceil(sqrt(2K)) above, explicit wins") {
+    import SimilarityOps.{resolveNCoarse, AutoCoarse, TwoLevelAutoThreshold}
+    // the selection rule, pinned: small codebooks keep the EXACT flat
+    // argmax (fixture-scale results byte-identical to the flat era);
+    // past the threshold the cost minimum nCoarse = ceil(sqrt(2K))
+    assert(TwoLevelAutoThreshold == 256)
+    assert(resolveNCoarse(AutoCoarse, 255L) == 0)
+    assert(resolveNCoarse(AutoCoarse, 256L) == 23) // ceil(sqrt(512))
+    assert(resolveNCoarse(AutoCoarse, 800L) == 40) // the 200k/k=800 stress point
+    assert(resolveNCoarse(0, 100000L) == 0)  // flat opt-out at any K
+    assert(resolveNCoarse(7, 100000L) == 7)  // explicit two-level wins
+    intercept[IllegalArgumentException](resolveNCoarse(-2, 10L))
+    // behavioral anchor: the auto default IS flat at fixture scale
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = SimilarityOps.trainCentroids(em, "vec_id", "embedding", k = 8)
+    val auto = SimilarityOps.embeddingNearDupPairsIVF(
+        em, cents, "vec_id", "embedding", minCos = 0.45)
+      .collect().map(_.toString).sorted.toSeq
+    val flat = SimilarityOps.embeddingNearDupPairsIVF(
+        em, cents, "vec_id", "embedding", minCos = 0.45, nCoarse = 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(auto == flat)
   }
 
   test("autoBitsPerBand: analytic corpus-sized width, floored at 8, capped at 62") {
