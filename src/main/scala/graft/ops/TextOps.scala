@@ -822,16 +822,22 @@ object TextOps {
     * the corpus side is never shuffled by term), and one per-doc hash
     * aggregate with map-side combine. At 100 TB: one train-corpus scan
     * + one score-corpus scan — same posture as [[classifierScore]];
-    * for a model too big to broadcast the same plan degrades to a
+    * for a model too big to broadcast the same plan DEGRADES to a
     * shuffle join keyed by (ctx, tok), still explode-sized, never
-    * corpus x model.
+    * corpus x model. The degradation is automatic, not aspirational:
+    * the broadcast hint is applied only while the materialized model
+    * stays under `maxBroadcastModelRows` bigrams (the hint FORCES a
+    * broadcast — on an over-sized model it would error out at the
+    * broadcast limit instead of degrading); past the threshold both
+    * model joins go hint-less and plan as shuffle equi-joins.
     *
     * Output: (id, n_tokens, sum_bits_q, avg_bits_q) with both surprisal
     * columns in Q`fracBits` fixed point (bits x 2^fracBits).
     */
   def lmPerplexity(df: DataFrame, idCol: String, textCol: String,
       train: DataFrame, trainTextCol: String,
-      fracBits: Int = 16, mat: Materializer = Materializer.Local): DataFrame = {
+      fracBits: Int = 16, mat: Materializer = Materializer.Local,
+      maxBroadcastModelRows: Long = 4L << 20): DataFrame = {
     def pairs(d: DataFrame, id: Seq[Column], text: String): DataFrame = {
       // "<s>"-anchored bigram expansion, map-only (no per-doc window):
       // positions are 1-based for element_at. The token array is
@@ -858,9 +864,13 @@ object TextOps {
     // (ctx, tok) rows are distinct in the model, so the vocabulary is a
     // distinct-count over the model table — model-sized, not corpus-sized
     val vocab = pairCnt.agg(countDistinct(col("__tok"))).head().getLong(0)
+    // model-sized count over the materialized table (cheap): the
+    // broadcast-or-shuffle decision documented above
+    val small = pairCnt.count() <= maxBroadcastModelRows
+    def hint(m: DataFrame): DataFrame = if (small) broadcast(m) else m
     pairs(df, Seq(col(idCol)), textCol)
-      .join(broadcast(pairCnt), Seq("__ctx", "__tok"), "left")
-      .join(broadcast(ctxCnt), col("__ctx") === col("__ctx2"), "left")
+      .join(hint(pairCnt), Seq("__ctx", "__tok"), "left")
+      .join(hint(ctxCnt), col("__ctx") === col("__ctx2"), "left")
       .select(col(idCol),
         graft.functions.exprs.log2Fixed(
           coalesce(col("__c_ctx"), lit(0L)) + lit(math.max(vocab, 1L)),

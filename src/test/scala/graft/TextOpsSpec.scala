@@ -686,4 +686,28 @@ class TextOpsSpec extends SparkSpec {
     // doc 11 "c": unseen pair under seen ctx <s>: p=(0+1)/(2+2) -> log2(4)=2 bits
     assert(got(1) == ((11L, 1L, 2L << 16, 2L << 16)))
   }
+
+  test("lmPerplexity: over-sized model degrades to a shuffle join, bit-identical results") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val reference = TextOps.lmPerplexity(corpus, "doc_id", "text", corpus, "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    // with auto-broadcast off, only the FORCED hint can broadcast: the
+    // under-threshold call must still plan broadcast joins (hint
+    // present), the over-threshold call must fall to shuffle joins
+    // (hint genuinely absent — this is the degradation, not AQE luck)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hinted = TextOps.lmPerplexity(corpus, "doc_id", "text", corpus, "text")
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val shuffled = TextOps.lmPerplexity(corpus, "doc_id", "text", corpus, "text",
+        maxBroadcastModelRows = 0L)
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(2000))
+      // exact fixed-point arithmetic: the join strategy cannot move a bit
+      assert(shuffled.orderBy("doc_id").collect().map(_.toString).toSeq ==
+        reference)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
