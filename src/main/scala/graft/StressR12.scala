@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.ops.{SampleOps, TextOps, SimilarityOps}
+
+/** Round-12 scale-stress harness (BASELINE.md protocol: same-JVM
+  * timings, DISK_ONLY-persisted inputs, local[32], default 8g heap).
+  * Subcommands:
+  *
+  *  - `shards [reps]` — assignShards + writeSharded on replicated sf0.1
+  *    documents (reps=100 → 500k rows): wall at 1×/10×/reps×, shard
+  *    size/contiguity/total invariants verified distributedly, manifest
+  *    vs data cross-check, and a partitioning-independence check at the
+  *    top scale (same assignment from a different input partitioning).
+  *  - `lm [reps]` — lmPerplexity train+score on replicated documents
+  *    (model is replica-invariant, so this isolates CORPUS-side scaling)
+  *    at 1×/10×/reps×, plus the forced shuffle-join strategy at reps×
+  *    with a bit-equality checksum against the broadcast path.
+  *  - `semkm [groups] [members] [singles]` — semDedup kept-rate on a
+  *    PLANTED-cluster fixture (known ground truth: `groups` near-dup
+  *    sets of `members` mutual near-dups each + `singles` decorrelated
+  *    vectors) with KMeans-trained centroids — the round-11 verdict's
+  *    "separate operator truth from sign-mask fixture noise" item.
+  *
+  * Timings print as `[stress] <label>: <sec> s`; results as
+  * `[stress] <label> = <value>`. Not part of the oracle surface — a
+  * measurement tool like Bench, kept in-repo so the BASELINE.md rows it
+  * produces stay reproducible.
+  */
+object StressR12 {
+  private def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+  private def report(label: String, v: Any): Unit =
+    println(s"[stress] $label = $v")
+
+  private def session(): SparkSession = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Replicate each document `reps` times with a distinct key per
+    * replica — map-only (explode over a sequence; no join), text
+    * unchanged, so token-weight distributions are scale-invariant. */
+  private def replicatedDocs(spark: SparkSession, sfDir: String, reps: Int): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+      .select(concat(col("doc_id"), lit("#"), col("__rep")).as("key"),
+        col("doc_id"), col("__rep"), col("n_chars").cast("long").as("n_tok"),
+        col("text"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    args.headOption.getOrElse("all") match {
+      case "shards" => shards(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
+      case "lm"     => lm(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
+      case "semkm"  => semkm(spark,
+        args.lift(1).map(_.toInt).getOrElse(5000),
+        args.lift(2).map(_.toInt).getOrElse(10),
+        args.lift(3).map(_.toInt).getOrElse(50000),
+        args.lift(4).map(_.toInt).getOrElse(2))
+      case other => sys.error(s"unknown subcommand '$other' (shards|lm|semkm)")
+    }
+    spark.stop()
+  }
+
+  // ---------------------------------------------------------------- shards
+
+  private def shards(spark: SparkSession, sfDir: String, maxReps: Int): Unit = {
+    val target = 500000L // ~ 131 shards at 100x (sf0.1 total n_chars ~ 655k per 1x)
+    for (reps <- Seq(1, 10, maxReps)) {
+      val rep = replicatedDocs(spark, sfDir, reps)
+        .select("key", "n_tok").persist(StorageLevel.DISK_ONLY)
+      val n = rep.count()
+      val assigned = SampleOps.assignShards(rep, col("key"), "n_tok",
+        targetTokens = target, buckets = 64)
+      time(s"assignShards ${reps}x ($n rows)") {
+        assigned.write.format("noop").mode("overwrite").save()
+      }
+      // invariants, verified distributedly (shard totals are S rows —
+      // bounded by total/target — so the driver only sees aggregates):
+      // contiguous ids 0..max, every shard total within one max-item of
+      // target (except the last, which is only bounded above), totals
+      // sum to the corpus total.
+      val tot = rep.agg(sum("n_tok")).head().getLong(0)
+      val maxItem = rep.agg(max("n_tok")).head().getLong(0)
+      val st = assigned.groupBy("shard_id").agg(sum("n_tok").as("t"))
+      val maxShard = st.agg(max("shard_id")).head().getLong(0)
+      val nShards = st.count()
+      val sumT = st.agg(sum("t")).head().getLong(0)
+      val offenders = st.filter(col("shard_id") < maxShard &&
+        (col("t") < target - maxItem + 1 || col("t") > target + maxItem - 1)).count()
+      val lastOver = st.filter(col("shard_id") === maxShard &&
+        col("t") > target + maxItem - 1).count()
+      report(s"shards ${reps}x", s"n_shards=$nShards contiguous=${nShards == maxShard + 1} " +
+        s"sum_ok=${sumT == tot} size_offenders=$offenders last_over=$lastOver " +
+        s"(target=$target maxItem=$maxItem total=$tot)")
+      if (reps == maxReps) {
+        // partitioning independence at scale: same (key, shard_id) set
+        // from a different physical partitioning of the same input
+        val again = SampleOps.assignShards(rep.repartition(13), col("key"), "n_tok",
+          targetTokens = target, buckets = 64)
+        // bit_xor, not sum: an xxhash64 sum overflows long under ANSI
+        val h1 = assigned.agg(bit_xor(xxhash64(col("key"), col("shard_id")))).head().getLong(0)
+        val h2 = again.agg(bit_xor(xxhash64(col("key"), col("shard_id")))).head().getLong(0)
+        report(s"shards ${reps}x partitioning-independent", h1 == h2)
+
+        // writeSharded end-to-end at the top scale: wall + manifest
+        // cross-check against the published parquet
+        val out = s"/root/repo/target/stress/sharded_${reps}x"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+        val textRep = replicatedDocs(spark, sfDir, reps).persist(StorageLevel.DISK_ONLY)
+        textRep.count()
+        val manifest = time(s"writeSharded ${reps}x") {
+          SampleOps.writeSharded(textRep, col("key"), "n_tok", "text",
+            out, targetTokens = target, buckets = 64)
+        }
+        val m = manifest.agg(count(lit(1)), sum("n_seqs"), sum("n_tokens")).head()
+        val back = spark.read.parquet(out)
+        report(s"writeSharded ${reps}x manifest",
+          s"shards=${m.getLong(0)} seqs=${m.getLong(1)} tokens=${m.getLong(2)} " +
+            s"readback_rows=${back.count()} readback_tokens=${
+              back.agg(sum("n_tokens")).head().getLong(0)} (expect seqs=$n tokens=$tot)")
+        textRep.unpersist()
+      }
+      rep.unpersist()
+    }
+  }
+
+  // ------------------------------------------------------------------- lm
+
+  private def lm(spark: SparkSession, sfDir: String, maxReps: Int): Unit = {
+    for (reps <- Seq(1, 10, maxReps)) {
+      val rep = replicatedDocs(spark, sfDir, reps)
+        .select("key", "doc_id", "text").persist(StorageLevel.DISK_ONLY)
+      val n = rep.count()
+      val train = rep.filter(col("doc_id") % 10 =!= 0)
+      def run(label: String, maxBroadcast: Long): Long = {
+        val scored = TextOps.lmPerplexity(rep, "key", "text", train, "text",
+          maxBroadcastModelRows = maxBroadcast)
+        time(s"lmPerplexity $label ${reps}x ($n docs)") {
+          scored.write.format("noop").mode("overwrite").save()
+        }
+        // strategy-independence checksum: exact Q16 values make this a
+        // bit-equality check; bit_xor over a row hash cannot overflow
+        scored.agg(bit_xor(xxhash64(col("key"), col("n_tokens"),
+          col("sum_bits_q"), col("avg_bits_q")))).head().getLong(0)
+      }
+      val hb = run("broadcast", 4L << 20)
+      if (reps == maxReps) {
+        val hs = run("forced-shuffle", 0L)
+        report(s"lm ${reps}x broadcast==shuffle checksum", hb == hs)
+      }
+      rep.unpersist()
+    }
+  }
+
+  // ---------------------------------------------------------------- semkm
+
+  /** Planted-cluster fixture: `groups` ground-truth near-dup sets of
+    * `members` vectors each (member = unit(center + σ·gauss), σ=0.25 →
+    * within-group cosine ≈ 1/(1+σ²) ≈ 0.94) plus `singles` independent
+    * unit vectors (cross cosines concentrate around 0 at dim 64, far
+    * below the 0.85 threshold). Ground truth for semDedup at
+    * minCos=0.85: keep exactly one per group + every single. */
+  private def semkm(spark: SparkSession, groups: Int, members: Int,
+      singles: Int, probes: Int): Unit = {
+    val dim = 64
+    val sigma = 0.25
+    val rnd = new scala.util.Random(12L)
+    def gauss(): Array[Double] = Array.fill(dim)(rnd.nextGaussian())
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Array[Float])]()
+    var id = 0L
+    for (g <- 0 until groups) {
+      val c = gauss()
+      for (_ <- 0 until members) {
+        val noise = gauss()
+        rows += ((id, g.toLong, unit(c.zip(noise).map { case (a, b) => a + sigma * b })))
+        id += 1
+      }
+    }
+    for (_ <- 0 until singles) { rows += ((id, -1L, unit(gauss()))); id += 1 }
+    import spark.implicits._
+    val df = rows.toSeq.toDF("vid", "gid", "vec")
+      .repartition(32).persist(StorageLevel.DISK_ONLY)
+    val n = df.count()
+    report("semkm fixture", s"n=$n groups=$groups members=$members singles=$singles")
+
+    val k = math.max(2, (n / 250).toInt) // k ∝ N, the r11 protocol's rate
+    val cents = time(s"trainCentroids k=$k") {
+      SimilarityOps.trainCentroids(df, "vid", "vec", k, maxIter = 10)
+        .persist(StorageLevel.MEMORY_ONLY)
+    }
+    cents.count()
+    val kept = time(s"semDedup n=$n k=$k minCos=0.85 probes=$probes") {
+      SimilarityOps.semDedup(df, cents, "vid", "vec", minCos = 0.85, probes = probes)
+        .persist(StorageLevel.DISK_ONLY)
+    }
+    val nKept = kept.count()
+    // ground-truth scoring: survivors per planted group (want exactly
+    // 1); singles kept (want all — none are near-dups of anything)
+    val perGroup = kept.filter(col("gid") >= 0).groupBy("gid").agg(count(lit(1)).as("s"))
+    val collapsed = perGroup.filter(col("s") === 1).count()
+    val under = groups - perGroup.count() // groups with zero survivors (impossible by construction)
+    val over = perGroup.filter(col("s") > 1).count() // groups where recall missed pairs
+    val singlesKept = kept.filter(col("gid") === -1L).count()
+    report("semkm kept", s"$nKept/$n (expected ${groups + singles}) " +
+      s"groups_collapsed_to_1=$collapsed/$groups groups_overkept=$over " +
+      s"groups_lost=$under singles_kept=$singlesKept/$singles")
+  }
+}
