@@ -297,6 +297,79 @@ object SampleOps {
       .select(df.columns.map(col): _*)
   }
 
+  /** Token-share-targeted mixture rates — the rate table behind
+    * [[rebalanceToShares]], exposed for inspection and for reuse across
+    * incremental builds. Given relative target weights per group (the
+    * Pile/LLaMA-style mixture table: en 50%, zh 30%, de 20% ⇒
+    * `Map("en"→500, "zh"→300, "de"→200)`; any positive scale works —
+    * weights are normalized by their sum in exact integer arithmetic),
+    * compute the per-group keep-threshold (parts per million of the key
+    * hash space) of the LARGEST downsample-only corpus realizing those
+    * token shares: output total T_out = min_g ⌊T_g·Σw / w_g⌋ (the group
+    * that binds keeps everything; every other group downsamples to its
+    * share of T_out). Groups absent from `targetWeights` — including a
+    * null group, which no string key can name — get no rate and are
+    * dropped by the rebalance; groups named in the map but absent from
+    * the data constrain nothing.
+    *
+    * All integer divisions — T_out, per-group target tokens, and the
+    * ppm threshold are exact — so the DuckDB oracle reproduces the
+    * table bit-for-bit. Bounds: T_g·Σw and per-group target·10⁶ must
+    * stay under 2⁶³ — safe for per-group token counts ≤ 9·10¹² at
+    * Σw ≤ 10⁶. Null token values weigh 0 ([[assignShards]]'s
+    * convention). Shape: one group-sized aggregate; the corpus is
+    * touched once and never shuffled.
+    *
+    * The RATES are exact; the REALIZED token share of a hash-sampled
+    * subset converges to the target as rows per group grow (membership
+    * is decided per row while mass is priced per token — the same
+    * law-of-large-numbers contract every deterministic hash sampler
+    * here carries).
+    */
+  def mixtureRates(df: DataFrame, groupCol: String, tokenCol: String,
+      targetWeights: Map[String, Long]): DataFrame = {
+    require(targetWeights.nonEmpty, "need at least one target group")
+    require(targetWeights.values.forall(_ > 0),
+      s"target weights must be positive: $targetWeights")
+    val sumW = targetWeights.values.sum
+    require(sumW <= 1000000L, s"sum of target weights must be <= 10^6, got $sumW")
+    val Scale = 1000000L
+    val wExpr = targetWeights.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, w)) => when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(groupCol))
+      .agg(coalesce(sum(col(tokenCol).cast("long")), lit(0L)).as("n_tokens"))
+      .withColumn("__w", wExpr)
+      .filter(col("__w").isNotNull && col("n_tokens") > 0L)
+    counts
+      .withColumn("__tout",
+        counts.agg(min(expr(s"(n_tokens * ${sumW}L) div __w"))).scalar())
+      .withColumn("thr_ppm", least(lit(Scale),
+        expr(s"((__tout * __w) div ${sumW}L) * ${Scale}L div n_tokens")))
+      .select(col(groupCol), col("n_tokens"), col("thr_ppm"))
+  }
+
+  /** Rebalance a corpus to prescribed per-group TOKEN shares by
+    * deterministic downsampling — [[temperatureSample]]'s machinery
+    * pointed at an explicit mixture table instead of a temperature:
+    * keep rows whose key hash lands under the group's
+    * [[mixtureRates]] threshold. Membership is a pure row function
+    * (stable across runs, partitionings, engines, incremental
+    * rebuilds); groups outside the mixture — null included — are
+    * dropped. Two corpus passes (one tiny rate aggregate + one codegen
+    * filter at the scan via a broadcast rate join); no shuffle of the
+    * corpus.
+    */
+  def rebalanceToShares(df: DataFrame, groupCol: String, key: Column,
+      tokenCol: String, targetWeights: Map[String, Long]): DataFrame = {
+    val Scale = 1000000L
+    val rates = mixtureRates(df, groupCol, tokenCol, targetWeights)
+      .select(col(groupCol).as("__g"), col("thr_ppm"))
+    df.join(broadcast(rates), col(groupCol) === col("__g"))
+      .filter(pmod(keyHash(key), lit(Scale)) < col("thr_ppm"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Cap every group (domain, source, language …) at `maxRows`, keeping
     * the deterministic hash-order prefix — the C4-style per-domain cap
     * that stops a handful of giant domains from dominating the corpus,

@@ -1614,6 +1614,45 @@ object Queries {
        |SELECT doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
        |WHERE ${sqlHash("CAST(doc_id AS VARCHAR)")} % 1000000 < t""".stripMargin
 
+  /** Token-share mixture rate table (SampleOps.mixtureRates): the ppm
+    * keep-thresholds realizing an en/zh/de 50/30/20 token mixture as
+    * the largest downsample-only subset; all integer divisions, so the
+    * oracle replays the table exactly. */
+  private def mixtureRatesQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.mixtureRates(t(s, dir, "documents"), "lang", "n_chars",
+      Map("en" -> 500L, "zh" -> 300L, "de" -> 200L))
+
+  private def mixtureRatesSql =
+    s"""WITH n AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+       |    FROM documents GROUP BY lang),
+       |w AS (SELECT lang, n_tokens,
+       |    CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 WHEN 'de' THEN 200 END AS w
+       |  FROM n WHERE lang IN ('en','zh','de') AND n_tokens > 0),
+       |o AS (SELECT min((n_tokens * 1000) // w) AS tout FROM w)
+       |SELECT lang, n_tokens,
+       |  CAST(least(1000000, ((o.tout * w) // 1000) * 1000000 // n_tokens) AS BIGINT) AS thr_ppm
+       |FROM w, o""".stripMargin
+
+  /** Mixture rebalance applied (SampleOps.rebalanceToShares): keep rows
+    * under the group threshold; unlisted groups (es, fr) drop. */
+  private def rebalanceSharesQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.rebalanceToShares(t(s, dir, "documents"), "lang", col("doc_id"),
+      "n_chars", Map("en" -> 500L, "zh" -> 300L, "de" -> 200L))
+      .select("doc_id", "lang", "n_chars")
+
+  private def rebalanceSharesSql =
+    s"""WITH n AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+       |    FROM documents GROUP BY lang),
+       |w AS (SELECT lang, n_tokens,
+       |    CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 WHEN 'de' THEN 200 END AS w
+       |  FROM n WHERE lang IN ('en','zh','de') AND n_tokens > 0),
+       |o AS (SELECT min((n_tokens * 1000) // w) AS tout FROM w),
+       |thr AS (SELECT lang,
+       |    least(1000000, ((o.tout * w) // 1000) * 1000000 // n_tokens) AS t
+       |  FROM w, o)
+       |SELECT doc_id, d.lang, n_chars FROM documents d JOIN thr ON d.lang = thr.lang
+       |WHERE ${sqlHash("CAST(doc_id AS VARCHAR)")} % 1000000 < t""".stripMargin
+
   private def capPerSourceQ(s: SparkSession, dir: String): DataFrame =
     SampleOps.capPerGroup(t(s, dir, "documents"), "source", col("doc_id"), 50)
       .select("doc_id", "source")
@@ -2498,6 +2537,8 @@ object Queries {
     "q_asof_join" -> (asofJoinQ _),
     "q_chunk_dedup" -> (chunkDedupQ _),
     "q_mixture_sample" -> (mixtureSampleQ _),
+    "q_mixture_rates" -> (mixtureRatesQ _),
+    "q_rebalance_shares" -> (rebalanceSharesQ _),
     "q_embed_rplsh_pairs" -> (embedRpLshQ _),
     "q_embed_incremental" -> (embedIncrementalQ _),
     "q_embed_recall" -> (embedRecallQ _),
@@ -2610,6 +2651,8 @@ object Queries {
     "q_asof_join" -> asofJoinSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_mixture_sample" -> mixtureSampleSql,
+    "q_mixture_rates" -> mixtureRatesSql,
+    "q_rebalance_shares" -> rebalanceSharesSql,
     "q_embed_rplsh_pairs" -> embedRpLshSql,
     "q_embed_incremental" -> embedIncrementalSql,
     "q_embed_recall" -> embedRecallSql,

@@ -439,6 +439,62 @@ class SampleOpsSpec extends SparkSpec {
       .count() == 526L)
   }
 
+  test("mixtureRates: exact thresholds, binding group keeps all, scale-invariant weights") {
+    // tokens per group: a=2000 (4x500), b=600 (3x200), c=400 (2x200),
+    // d unlisted, plus a null group. Weights 5/3/2 (sum 10):
+    // T_out = min(2000*10/5, 600*10/3, 400*10/2) = 2000
+    // -> a targets 1000 of 2000 tokens (thr 500000 ppm); b and c bind
+    // (thr 10^6); d and null get no rate at all.
+    val rows = Seq(
+      (0L, Some("a"), 500L), (1L, Some("a"), 500L), (2L, Some("a"), 500L), (3L, Some("a"), 500L),
+      (4L, Some("b"), 200L), (5L, Some("b"), 200L), (6L, Some("b"), 200L),
+      (7L, Some("c"), 200L), (8L, Some("c"), 200L),
+      (9L, Some("d"), 999L), (10L, None, 123L))
+    val df = rows.toDF("id", "g", "tok")
+    val w = Map("a" -> 5L, "b" -> 3L, "c" -> 2L)
+    val rates = SampleOps.mixtureRates(df, "g", "tok", w)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rates == Map("a" -> ((2000L, 500000L)), "b" -> ((600L, 1000000L)),
+      "c" -> ((400L, 1000000L))))
+    // weights are RELATIVE: any positive rescaling yields the same table
+    val scaled = SampleOps.mixtureRates(df, "g", "tok",
+        w.map { case (k, v) => (k, v * 100) })
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(scaled == rates)
+
+    val kept = SampleOps.rebalanceToShares(df, "g", col("id"), "tok", w)
+    // groups with thr 10^6 keep every row; unlisted/null groups drop
+    val keptIds = kept.select("id").collect().map(_.getLong(0)).toSet
+    assert(Set(4L, 5L, 6L, 7L, 8L).subsetOf(keptIds))
+    assert(!keptIds.contains(9L) && !keptIds.contains(10L))
+    // membership is a pure row function: partitioning-independent
+    val again = SampleOps.rebalanceToShares(df.repartition(13, col("g")), "g",
+      col("id"), "tok", w).select("id").collect().map(_.getLong(0)).toSet
+    assert(again == keptIds)
+    // schema passes through unchanged
+    assert(kept.columns.toSeq == df.columns.toSeq)
+  }
+
+  test("rebalanceToShares realizes the target token mixture on the real corpus") {
+    val target = Map("en" -> 500L, "zh" -> 300L, "de" -> 200L)
+    val kept = SampleOps.rebalanceToShares(corpus, "lang", col("doc_id"),
+      "n_chars", target)
+    val byLang = kept.groupBy("lang").agg(sum("n_chars").as("t")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byLang.keySet == Set("en", "zh", "de"))
+    val total = byLang.values.sum.toDouble
+    // hash realization over a few dozen rows per group: generous band
+    assert(math.abs(byLang("en") / total - 0.5) < 0.15, byLang.toString)
+    assert(math.abs(byLang("zh") / total - 0.3) < 0.15, byLang.toString)
+    // the binding group's rate sits at (or within double-integer-floor
+    // slack of) full keep — T_out = ⌊T·Σw/w⌋ re-floored through the
+    // ppm division can land a hair under 10^6, never over
+    val rates = SampleOps.mixtureRates(corpus, "lang", "n_chars", target)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rates.values.map(_._2).max >= 999000L, rates.toString)
+    assert(rates.values.map(_._2).forall(_ <= 1000000L), rates.toString)
+  }
+
   test("capPerGroup bounds every group and picks a stable subset") {
     val capped = SampleOps.capPerGroup(corpus, "source", col("doc_id"), 30)
     val perGroup = capped.groupBy("source").count().collect()
