@@ -73,7 +73,8 @@ object StressR12 {
         args.lift(2).map(_.toInt).getOrElse(10),
         args.lift(3).map(_.toInt).getOrElse(50000),
         args.lift(4).map(_.toInt).getOrElse(2))
-      case other => sys.error(s"unknown subcommand '$other' (shards|lm|semkm)")
+      case "embed"  => embed(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(500))
+      case other => sys.error(s"unknown subcommand '$other' (shards|lm|semkm|embed)")
     }
     spark.stop()
   }
@@ -166,6 +167,76 @@ object StressR12 {
         report(s"lm ${reps}x broadcast==shuffle checksum", hb == hs)
       }
       rep.unpersist()
+    }
+  }
+
+  // ---------------------------------------------------------------- embed
+
+  /** The round-11 against-index protocol re-run at PURE defaults — the
+    * round-12 verdict item 1 done-criterion. Corpus = sf0.1 embeddings
+    * (2,000 × dim 64) replicated under per-replica seeded ±1 sign masks
+    * (replica 0 = identity: intra-replica cosines preserved exactly,
+    * cross-replica destroyed). The index is built by [[SimilarityOps
+    * .rpSignatures]] with EVERY dial left at its default (AutoBits →
+    * corpus-derived width) and round-tripped through parquet so the
+    * stamped [[SimilarityOps.RpMeta]] dials — not session defaults —
+    * drive the batch side. Batch = 1,000 planted exact copies of
+    * indexed replica-0 vectors + 1,000 fresh decorrelated unit vectors.
+    * Want at every scale: 1000/1000 planted hits, 0 fresh hits, caps
+    * silent (dropped_buckets = 0). */
+  private def embed(spark: SparkSession, sfDir: String, maxReps: Int): Unit = {
+    import spark.implicits._
+    val dim = 64
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val baseN = base.count() // 2,000 at sf0.1
+    // fresh decorrelated batch half: driver-built (1,000 rows), ids
+    // disjoint from every replica id space
+    val rnd = new scala.util.Random(7L)
+    val fresh = Seq.fill(1000) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }.zipWithIndex.map { case (v, i) => (1000000000L + i, v) }
+      .toDF("vid", "vec")
+    for (reps <- Seq(5, 50, maxReps)) {
+      // sign flip per (replica, dimension): xxhash64 parity — map-only,
+      // deterministic, replica 0 untouched
+      val corpus = base
+        .withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+        .select((col("vec_id") + col("__rep").cast("long") * lit(baseN)).as("vid"),
+          when(col("__rep") === 0, col("embedding")).otherwise(
+            zip_with(col("embedding"),
+              transform(sequence(lit(0), lit(dim - 1)),
+                j => when(pmod(xxhash64(col("__rep"), j), lit(2)) === 0, lit(1.0f))
+                  .otherwise(lit(-1.0f))),
+              (x, s) => x * s)).as("vec"))
+        .persist(StorageLevel.DISK_ONLY)
+      val n = corpus.count()
+      val idxPath = s"/root/repo/target/stress/rp_index_${reps}x"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+      time(s"rpSignatures ${reps}x ($n vectors, pure defaults)") {
+        SimilarityOps.rpSignatures(corpus, "vid", "vec", dim).write.parquet(idxPath)
+      }
+      val index = spark.read.parquet(idxPath)
+      report(s"embed ${reps}x stamped dials", SimilarityOps.rpParamsOf(index).get)
+      // batch: 1,000 exact copies of replica-0 vectors, re-keyed into a
+      // disjoint id space, plus the 1,000 decorrelated fresh vectors
+      val planted = base.filter(col("vec_id") < 1000)
+        .select((col("vec_id") + 2000000000L).as("vid"), col("embedding").as("vec"))
+      val batch = planted.unionByName(fresh).persist(StorageLevel.DISK_ONLY)
+      batch.count()
+      val hits = SimilarityOps.embeddingNearDupAgainstIndex(
+          batch, index, "vid", "vec", minCos = 0.9, dim = dim)
+        .persist(StorageLevel.DISK_ONLY)
+      time(s"embeddingNearDupAgainstIndex ${reps}x (pure defaults)") { hits.count() }
+      val plantedHit = hits.filter(col("id_new") >= 2000000000L &&
+        col("id_new") - 2000000000L === col("id_old")).select("id_new").distinct().count()
+      val freshHit = hits.filter(col("id_new") < 2000000000L)
+        .select("id_new").distinct().count()
+      val cap = graft.ops.CapTelemetry.lastStats("embedding_against_index")
+      report(s"embed ${reps}x recall", s"planted=$plantedHit/1000 fresh_hits=$freshHit " +
+        s"cap=${cap.map(c => s"${c.droppedBuckets}/${c.totalBuckets} buckets, ${c.droppedRows} rows dropped").getOrElse("none")}")
+      hits.unpersist(); batch.unpersist(); corpus.unpersist()
     }
   }
 
