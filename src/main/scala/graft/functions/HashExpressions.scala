@@ -609,6 +609,43 @@ object HashKernels {
     }
     toks
   }
+
+  /** Whole-document BPE token-ID sequence (see [[graft.functions.BpeTokenIds]]
+    * for the id scheme): words exactly as in [[bpeTokenStats]], per-word
+    * canonical Sennrich encode, each token mapped to its id — a
+    * single-codepoint token to its codepoint value, a merged token
+    * through the rank-derived id map the Expression precomputes. */
+  def bpeDocTokenIds(s: UTF8String, merges: Array[String],
+      ids: java.util.HashMap[String, java.lang.Long]): ArrayData = {
+    val text = s.toString
+    val out = new java.util.ArrayList[String]()
+    val n = text.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) out.addAll(bpeWordTokenList(text, start, i, merges))
+        start = i + 1
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    var j = 0
+    while (j < arr.length) {
+      val tok = out.get(j)
+      arr(j) =
+        if (tok.codePointCount(0, tok.length) == 1) tok.codePointAt(0).toLong
+        else {
+          val v = ids.get(tok)
+          if (v == null) throw new IllegalStateException(
+            s"BPE token '$tok' missing from the merge-derived vocabulary — " +
+              "impossible under a consistent merges table")
+          v.longValue()
+        }
+      j += 1
+    }
+    ArrayData.toArrayData(arr)
+  }
 }
 
 /** Codegen'd TextOps.charHash (custom Catalyst Expression — the brief's
@@ -750,6 +787,64 @@ case class BpeWordTokens(child: Expression, merges: Seq[String])
   }
   override protected def withNewChildInternal(newChild: Expression): BpeWordTokens =
     copy(child = newChild)
+}
+
+/** Codegen'd whole-document BPE token-ID sequence (see
+  * HashKernels.bpeDocTokenIds): tokenizes exactly like [[BpeTokenStats]]
+  * and maps every token to a STABLE integer id — a single-codepoint
+  * token to its codepoint value (0 … 0x10FFFF), a merged token to
+  * `VocabBase + r` where r is the lowest rank of a rule producing that
+  * string (two rules CAN produce the same string, e.g. a+bc and ab+c;
+  * min-rank makes the map single-valued on both sides of the oracle).
+  * Ids are a pure function of the merges table — appending rules never
+  * renumbers existing ids, so sequences encoded under a vocabulary
+  * prefix stay valid — and the map is replayable in SQL from the same
+  * rules literal, which is what makes packed training sequences
+  * hash-comparable. Merges and the precomputed id map ship into
+  * generated code as reference objects. */
+case class BpeTokenIds(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+  require(merges.length % 2 == 0,
+    "merges must be a flat [a0,b0,a1,b1,…] pair list (possibly empty)")
+  require(merges.forall(BpeTokenStats.legalToken),
+    "merge tokens must be non-empty and free of ' '/',' and control " +
+      "characters (see BpeTokenStats.legalToken)")
+  require(merges.grouped(2).forall(p => p.length < 2 || p(0) != p(1)),
+    "merge rules need a != b")
+  private lazy val mergesArr: Array[String] = merges.toArray
+  private lazy val idMap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    var r = 0
+    while (r + 1 < merges.length) {
+      // putIfAbsent = min rank wins when two rules emit the same string
+      m.putIfAbsent(merges(r) + merges(r + 1),
+        java.lang.Long.valueOf(BpeTokenIds.VocabBase + r / 2))
+      r += 2
+    }
+    m
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bpe_token_ids needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bpeDocTokenIds(input.asInstanceOf[UTF8String], mergesArr, idMap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mref = ctx.addReferenceObj("graftBpeMerges", mergesArr, "java.lang.String[]")
+    val iref = ctx.addReferenceObj("graftBpeIds", idMap, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bpeDocTokenIds($c, $mref, $iref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenIds =
+    copy(child = newChild)
+}
+
+object BpeTokenIds {
+  /** First id past the Unicode codepoint space (0x110000 = 1,114,112):
+    * merged-token ids start here — rule rank r maps to VocabBase + r —
+    * so they can never collide with a codepoint id. */
+  val VocabBase: Long = 0x110000L
 }
 
 /** Codegen'd one-pass 1-D dHash (see HashKernels.dhashBits). */
@@ -1090,6 +1185,9 @@ object exprs {
     shims.column(DhashBits(shims.expression(c), bits))
   def bpeWordTokens(c: Column, merges: Seq[(String, String)]): Column =
     shims.column(BpeWordTokens(shims.expression(c),
+      merges.flatMap(p => Seq(p._1, p._2))))
+  def bpeTokenIds(c: Column, merges: Seq[(String, String)]): Column =
+    shims.column(BpeTokenIds(shims.expression(c),
       merges.flatMap(p => Seq(p._1, p._2))))
   def hashEmbedding(c: Column, dim: Int): Column =
     shims.column(HashEmbedding(shims.expression(c), dim))

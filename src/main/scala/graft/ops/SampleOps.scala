@@ -124,9 +124,25 @@ object SampleOps {
   def assignShards(df: DataFrame, key: Column, tokenCol: String,
       targetTokens: Long, buckets: Int = 0): DataFrame = {
     require(targetTokens > 0, s"need positive targetTokens, got $targetTokens")
+    withGlobalStart(df, key, col(tokenCol).cast("long"), buckets)
+      .withColumn("shard_id", expr(s"__start div $targetTokens"))
+      .drop("__start")
+  }
+
+  /** The distributed exclusive-prefix-sum shared by [[assignShards]]
+    * and [[packSequences]]: every row's EXCLUSIVE global weight offset
+    * (`__start`) in the deterministic two-level content-hash order
+    * ([[packBins]]' order made global) — per-bucket running-sum windows
+    * (never unpartitioned) plus per-bucket exclusive offsets from the
+    * B-row bucket-total aggregate, collected once and broadcast back.
+    * Null weights count 0. One corpus shuffle on the bucket key, one
+    * tiny aggregate, one broadcast join — no global sort, no driver
+    * data path beyond B longs. */
+  private def withGlobalStart(df: DataFrame, key: Column, weight: Column,
+      buckets: Int): DataFrame = {
     // the working columns installed below would silently overwrite (and
     // then drop) an input column of the same name — refuse loudly
-    val reserved = Seq("__h", "__sb", "__cum", "__ob", "__off")
+    val reserved = Seq("__h", "__sb", "__w", "__cum", "__ob", "__off", "__start")
     val clash = df.columns.filter(reserved.contains)
     require(clash.isEmpty,
       s"assignShards reserves working column names ${reserved.mkString(", ")}; " +
@@ -137,7 +153,7 @@ object SampleOps {
     // B-row totals -> exclusive global offsets (driver-side prefix sum
     // over the bucket ids, the zOrdered one-stats-scan idiom); an
     // all-null bucket sums to NULL -> 0, matching the window side
-    val totals = df.select(bucket.as("__b"), col(tokenCol).cast("long").as("__t"))
+    val totals = df.select(bucket.as("__b"), weight.as("__t"))
       .groupBy("__b").agg(coalesce(sum(col("__t")), lit(0L)).as("__t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -152,13 +168,56 @@ object SampleOps {
           org.apache.spark.sql.types.LongType, nullable = false))))
     val w = Window.partitionBy(col("__sb")).orderBy(col("__h").asc, key.asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__h", h).withColumn("__sb", bucket)
-      .withColumn("__cum",
-        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+    df.withColumn("__h", h).withColumn("__sb", bucket).withColumn("__w", weight)
+      .withColumn("__cum", coalesce(sum(col("__w")).over(w), lit(0L)))
       .join(broadcast(offDf), col("__sb") === col("__ob"))
-      .withColumn("shard_id", expr(s"(__off + __cum) div $targetTokens"))
-      .drop("__h", "__sb", "__cum", "__ob", "__off")
+      .withColumn("__start", col("__off") + col("__cum"))
+      .drop("__h", "__sb", "__w", "__cum", "__ob", "__off")
   }
+
+  /** Pack per-row id arrays into fixed-length training sequences —
+    * GPT-style example packing over [[graft.ops.TextOps.encodeBpe]]
+    * output (or any `array<long>` column): rows are laid out in the
+    * SAME deterministic global order as [[assignShards]], each row's
+    * ids followed by one `sepId` (the document separator; see
+    * [[graft.ops.TextOps.bpeEosId]]), and the global token stream cut
+    * into consecutive sequences of exactly `seqLen` ids (only the last
+    * may run short). The assignment is a pure function of (content,
+    * seqLen, sepId, buckets) — stable across runs, partitionings, and
+    * engines, so an incremental rebuild reproduces identical examples.
+    * Null arrays pack as the bare separator.
+    *
+    * Output is the EXPLODED oracle/inspection shape
+    * (seq_id, seq_pos, token_id, src_key); [[materializeSequences]]
+    * assembles the per-sequence arrays for the trainer. Scale: one
+    * bucket-keyed window exchange over the DOC-sized frame + a
+    * broadcast offsets join; token-sized rows exist only downstream of
+    * the map-only explode (and in materializeSequences' seq_id
+    * exchange, whose per-group size is bounded by seqLen). */
+  def packSequences(df: DataFrame, key: Column, idsCol: String, seqLen: Int,
+      sepId: Long, buckets: Int = 0): DataFrame = {
+    require(seqLen > 0, s"need positive seqLen, got $seqLen")
+    val ids = concat(
+      coalesce(col(idsCol), array().cast("array<long>")), array(lit(sepId)))
+    val withIds = df.withColumn("__ids", ids)
+    withGlobalStart(withIds, key, size(col("__ids")).cast("long"), buckets)
+      .select(key.as("src_key"), col("__start"),
+        posexplode(col("__ids")).as(Seq("__p", "token_id")))
+      .withColumn("__g", col("__start") + col("__p"))
+      .select(expr(s"__g div $seqLen").as("seq_id"),
+        expr(s"__g % $seqLen").as("seq_pos"),
+        col("token_id"), col("src_key"))
+  }
+
+  /** Assemble [[packSequences]]' exploded rows into one array per
+    * training sequence: (seq_id, token_ids, n_tokens), token ids in
+    * sequence order. One seq_id-keyed hash aggregate; per-group volume
+    * is bounded by seqLen, so there is no skew dimension. */
+  def materializeSequences(packed: DataFrame): DataFrame =
+    packed.groupBy("seq_id")
+      .agg(transform(array_sort(collect_list(struct(col("seq_pos"), col("token_id")))),
+          x => x.getField("token_id")).as("token_ids"),
+        count(lit(1)).as("n_tokens"))
 
   /** Materialize [[assignShards]] into a training-ready sharded corpus:
     * parquet partitioned by `shard_id` (each shard hash-clustered into

@@ -190,6 +190,33 @@ object TextOps {
         element_at(col("__s"), 2).as("n_bpe_tokens"))
   }
 
+  /** Tokenizer MATERIALIZATION: the per-document BPE token-ID sequence
+    * itself — not just the counts — under a rank-ordered merges table;
+    * what a training pipeline actually ships to the trainer, and the
+    * input [[graft.ops.SampleOps.packSequences]] cuts into fixed-length
+    * training examples. Ids are a pure function of the merges table
+    * (single-codepoint token → codepoint value; merged token →
+    * 0x110000 + rule rank — stable under vocabulary extension, SQL-
+    * replayable; see [[graft.functions.BpeTokenIds]]). One map-only
+    * codegen pass per row; null-text rows are dropped like
+    * [[bpeTokenCounts]]; blank text encodes as the empty sequence.
+    * Output: (idCol, token_ids array<long>, n_tokens). */
+  def encodeBpe(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)] = DefaultBpeMerges): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.exprs.bpeTokenIds(col(textCol), merges).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+
+  /** The id one past the last merge rule's — the conventional
+    * end-of-document separator for [[encodeBpe]] output fed to
+    * [[graft.ops.SampleOps.packSequences]]. Appending rules to the
+    * table moves it, exactly like a real tokenizer's specials-after-
+    * vocab convention; pin the table (or pass an explicit id) for a
+    * persisted corpus. */
+  def bpeEosId(merges: Seq[(String, String)] = DefaultBpeMerges): Long =
+    graft.functions.BpeTokenIds.VocabBase + merges.size
+
   /** TRAIN a byte-BPE merges table from the corpus (Sennrich et al.
     * 2016): iteratively pick the highest-frequency adjacent token pair
     * over the word-frequency table and add it as the next merge rule.

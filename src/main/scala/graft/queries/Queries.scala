@@ -512,6 +512,84 @@ object Queries {
        |  CAST(sum(n) AS BIGINT) AS n_bpe_tokens
        |FROM cum GROUP BY doc_id, c // $BpeChunkBudget""".stripMargin
 
+  /** Token-ID materialization (TextOps.encodeBpe): the exploded
+    * per-document BPE token-id sequence. The oracle replays the id map
+    * from the SAME rules table — codepoint value for single-codepoint
+    * tokens, 1114112 + min rule rank for merged tokens — on top of the
+    * shared BPE fixpoint CTEs. */
+  private def bpeTokenIdsQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.encodeBpe(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"),
+        posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token_id"))
+
+  /** The shared token-id CTE body on top of [[bpeCtesSql]]: the
+    * min-rank vocabulary id map, per-word token lists, and the per-doc
+    * positioned id stream. */
+  private def bpeIdCtesSql: String = {
+    val nRules = TextOps.DefaultBpeMerges.size
+    s"""vocab AS (SELECT trim(q) AS tok, CAST(1114112 + min(r) AS BIGINT) AS id
+       |  FROM rules GROUP BY trim(q)),
+       |toks AS (SELECT w, string_split(trim(s), ' ') AS ts FROM bpe WHERE r = $nRules),
+       |doctok AS (
+       |  SELECT doc_id, pos AS wpos, UNNEST(ts) AS tok, UNNEST(range(len(ts))) AS tpos
+       |  FROM words JOIN toks USING (w)),
+       |ids AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS BIGINT) AS pos,
+       |    CAST(CASE WHEN len(tok) = 1 THEN unicode(tok) ELSE v.id END AS BIGINT) AS token_id
+       |  FROM doctok LEFT JOIN vocab v USING (tok))""".stripMargin
+  }
+
+  private def bpeTokenIdsSql: String =
+    s"""WITH RECURSIVE $bpeCtesSql, $bpeIdCtesSql
+       |SELECT doc_id, pos, token_id FROM ids""".stripMargin
+
+  private val PackSeqLen = 128
+
+  /** Fixed-length training-sequence packing (SampleOps.packSequences
+    * over encodeBpe): the global token stream — docs in the
+    * deterministic two-level hash order, one EOS after each — cut into
+    * 128-id examples. The oracle replays the id stream AND the
+    * distributed exclusive-prefix-sum layout (the q_shard_assignment
+    * pattern with weight = n_tokens + 1). */
+  private def packTokenIdsQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.packSequences(
+        TextOps.encodeBpe(t(s, dir, "documents"), "doc_id", "text"),
+        col("doc_id"), "token_ids", seqLen = PackSeqLen,
+        sepId = TextOps.bpeEosId(), buckets = 8)
+      .select(col("seq_id"), col("seq_pos"), col("token_id"),
+        col("src_key").as("doc_id"))
+
+  private def packTokenIdsSql: String =
+    s"""WITH RECURSIVE $bpeCtesSql, $bpeIdCtesSql,
+       |dtok AS (
+       |  SELECT d.doc_id, COALESCE(tc.n, 0) + 1 AS wgt, COALESCE(tc.n, 0) AS nt
+       |  FROM documents d LEFT JOIN (
+       |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ids GROUP BY doc_id) tc
+       |    USING (doc_id)
+       |  WHERE d.text IS NOT NULL),
+       |hsh AS (SELECT doc_id, wgt, nt, ${sqlHash("CAST(doc_id AS VARCHAR)")} AS h FROM dtok),
+       |bkt AS (SELECT doc_id, wgt, nt, h, h % 8 AS bucket FROM hsh),
+       |cum AS (SELECT doc_id, nt, bucket,
+       |  CAST(COALESCE(SUM(wgt) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+       |  FROM bkt),
+       |tot AS (SELECT bucket, CAST(SUM(wgt) AS BIGINT) AS t FROM bkt GROUP BY bucket),
+       |off AS (SELECT bucket,
+       |  CAST(COALESCE(SUM(t) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+       |  FROM tot),
+       |starts AS (SELECT cum.doc_id, cum.nt, off.o + cum.c AS st FROM cum JOIN off USING (bucket)),
+       |stream AS (
+       |  SELECT doc_id, pos, token_id FROM ids
+       |  UNION ALL
+       |  SELECT doc_id, nt, CAST(${TextOps.bpeEosId()} AS BIGINT) FROM starts)
+       |SELECT CAST((s.st + t.pos) // $PackSeqLen AS BIGINT) AS seq_id,
+       |  CAST((s.st + t.pos) % $PackSeqLen AS BIGINT) AS seq_pos,
+       |  t.token_id, t.doc_id
+       |FROM stream t JOIN starts s USING (doc_id)""".stripMargin
+
   private def langIdQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextOps.languageId(col("text")).as("pred_lang"),
@@ -2483,6 +2561,8 @@ object Queries {
     "q_token_count" -> (tokenCountQ _),
     "q_bpe_tokens" -> (bpeTokensQ _),
     "q_bpe_chunks" -> (bpeChunksQ _),
+    "q_bpe_token_ids" -> (bpeTokenIdsQ _),
+    "q_pack_token_ids" -> (packTokenIdsQ _),
     "q_lang_id" -> (langIdQ _),
     "q_doc_fingerprint" -> (docFingerprintQ _),
     "q_dedup_exact" -> (dedupExactQ _),
@@ -2597,6 +2677,8 @@ object Queries {
     "q_token_count" -> tokenCountSql,
     "q_bpe_tokens" -> bpeTokensSql,
     "q_bpe_chunks" -> bpeChunksSql,
+    "q_bpe_token_ids" -> bpeTokenIdsSql,
+    "q_pack_token_ids" -> packTokenIdsSql,
     "q_lang_id" -> langIdSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_dedup_exact" -> dedupExactSql,

@@ -688,6 +688,55 @@ class SampleOpsSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).sum == 3L)
   }
 
+  test("packSequences cuts the global id stream into fixed-length examples; lossless, stable") {
+    val enc = TextOps.encodeBpe(corpus, "doc_id", "text")
+    val eos = TextOps.bpeEosId()
+    val seqLen = 64
+    val packed = SampleOps.packSequences(enc, col("doc_id"), "token_ids",
+      seqLen, eos, buckets = 8)
+    val rows = packed.collect()
+    val nDocs = enc.count()
+    val nTok = enc.agg(sum("n_tokens")).head().getLong(0)
+    // volume: every token plus exactly one EOS per doc
+    assert(rows.length.toLong == nTok + nDocs)
+    assert(rows.count(_.getLong(2) == eos).toLong == nDocs)
+    // every sequence is dense 0..len-1; all but the last exactly seqLen
+    val bySeq = rows.groupBy(_.getLong(0))
+    val maxSeq = bySeq.keys.max
+    bySeq.foreach { case (sid, rs) =>
+      val poss = rs.map(_.getLong(1)).sorted
+      assert(poss.head == 0L && poss.last == poss.length - 1L &&
+        poss.distinct.length == poss.length, s"seq $sid positions not dense")
+      if (sid < maxSeq) assert(rs.length == seqLen, s"seq $sid not full")
+    }
+    // per-doc slice of the global stream == the doc's own ids + EOS,
+    // contiguous in stream order (docs never interleave)
+    val encMap = enc.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.groupBy(_.getLong(3)).foreach { case (id, rs) =>
+      val ids = rs.sortBy(r => (r.getLong(0), r.getLong(1))).map(_.getLong(2)).toSeq
+      assert(ids == encMap(id) :+ eos, s"doc $id stream slice mismatch")
+    }
+    // pure content function: identical under a different partitioning
+    val again = SampleOps.packSequences(enc.repartition(7), col("doc_id"),
+      "token_ids", seqLen, eos, buckets = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // materializeSequences assembles ids in sequence order
+    val mat = SampleOps.materializeSequences(packed).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    bySeq.foreach { case (sid, rs) =>
+      assert(mat(sid) == rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq)
+    }
+  }
+
+  test("packSequences: null arrays pack as the bare separator") {
+    val df = Seq((1L, Seq(7L, 8L)), (2L, null.asInstanceOf[Seq[Long]]))
+      .toDF("id", "ids")
+    val p = SampleOps.packSequences(df, col("id"), "ids", 4, 99L, 2).collect()
+    assert(p.length == 4) // 7, 8, sep | bare sep
+    assert(p.filter(_.getLong(3) == 2L).map(_.getLong(2)).toSeq == Seq(99L))
+  }
+
   test("assignShards refuses reserved working column names; writeSharded refuses remote schemes") {
     val clash = corpus.withColumn("__cum", lit(1L))
     val e = intercept[IllegalArgumentException] {

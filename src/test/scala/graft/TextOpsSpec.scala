@@ -449,6 +449,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("encodeBpe emits stable token ids: codepoints, min-rank merges, astral-safe") {
+    val merges = Seq("a" -> "b", "ab" -> "c")
+    val base = graft.functions.BpeTokenIds.VocabBase
+    val df = Seq((1L, "abc ab x 😀"), (2L, ""), (3L, "cab"))
+      .toDF("doc_id", "text")
+    val enc = TextOps.encodeBpe(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    // "abc": a b c -> ab c -> abc (rule 1); "ab" -> rule 0; "x" -> 'x';
+    // the emoji is one astral codepoint (0x1F600), not two surrogates
+    assert(enc(1L)._1 == Seq(base + 1, base + 0, 'x'.toLong, 0x1F600L))
+    assert(enc(1L)._2 == 4L)
+    assert(enc(2L)._1.isEmpty && enc(2L)._2 == 0L)
+    // "cab": c a b -> c ab; rule 1 needs (ab, c) adjacency, absent here
+    assert(enc(3L)._1 == Seq('c'.toLong, base + 0))
+    // n_tokens agrees with the count kernel across the real corpus
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n1 = TextOps.encodeBpe(corpus, "doc_id", "text")
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n2 = TextOps.bpeTokenCounts(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(n1 == n2)
+  }
+
   test("bpe counts: real compression, bounded below by words; merges with a==b rejected") {
     val r = TextOps.bpeTokenCounts(
       Seq((1L, "the weather in northern england that month")).toDF("doc_id", "text"),
