@@ -74,7 +74,8 @@ object StressR12 {
         args.lift(3).map(_.toInt).getOrElse(50000),
         args.lift(4).map(_.toInt).getOrElse(2))
       case "embed"  => embed(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(500))
-      case other => sys.error(s"unknown subcommand '$other' (shards|lm|semkm|embed)")
+      case "pack"   => pack(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
+      case other => sys.error(s"unknown subcommand '$other' (shards|lm|semkm|embed|pack)")
     }
     spark.stop()
   }
@@ -167,6 +168,57 @@ object StressR12 {
         report(s"lm ${reps}x broadcast==shuffle checksum", hb == hs)
       }
       rep.unpersist()
+    }
+  }
+
+  // ----------------------------------------------------------------- pack
+
+  /** encodeBpe → packSequences at 1×/10×/reps×: wall for the encode
+    * pass and the pack (prefix-sum + explode), with the packing
+    * invariants verified DISTRIBUTEDLY at every scale — token+EOS
+    * volume conservation, one EOS per doc, every sequence but the last
+    * dense and exactly seqLen — and the partitioning-independence hash
+    * at the top scale. */
+  private def pack(spark: SparkSession, sfDir: String, maxReps: Int): Unit = {
+    val seqLen = 1024
+    val eos = graft.ops.TextOps.bpeEosId()
+    for (reps <- Seq(1, 10, maxReps)) {
+      val rep = replicatedDocs(spark, sfDir, reps)
+        .select("key", "text").persist(StorageLevel.DISK_ONLY)
+      val nDocs = rep.count()
+      val enc = time(s"encodeBpe ${reps}x ($nDocs docs)") {
+        val e = graft.ops.TextOps.encodeBpe(rep, "key", "text")
+          .persist(StorageLevel.DISK_ONLY)
+        e.count(); e
+      }
+      val nTok = enc.agg(sum("n_tokens")).head().getLong(0)
+      val packed = graft.ops.SampleOps.packSequences(enc, col("key"),
+        "token_ids", seqLen, eos, buckets = 64)
+      time(s"packSequences ${reps}x ($nTok tokens, seqLen=$seqLen)") {
+        packed.write.format("noop").mode("overwrite").save()
+      }
+      val p = packed.persist(StorageLevel.DISK_ONLY)
+      val total = p.count()
+      val nEos = p.filter(col("token_id") === eos).count()
+      val maxSeq = p.agg(max("seq_id")).head().getLong(0)
+      val lens = p.groupBy("seq_id").agg(count(lit(1)).as("n"),
+        min("seq_pos").as("lo"), max("seq_pos").as("hi"))
+      val badFull = lens.filter(col("seq_id") < maxSeq &&
+        (col("n") =!= seqLen || col("lo") =!= 0 || col("hi") =!= seqLen - 1)).count()
+      val badLast = lens.filter(col("seq_id") === maxSeq &&
+        (col("lo") =!= 0 || col("hi") =!= col("n") - 1)).count()
+      report(s"pack ${reps}x", s"rows=$total (expect ${nTok + nDocs}) " +
+        s"eos=$nEos/$nDocs seqs=${maxSeq + 1} bad_full=$badFull bad_last=$badLast")
+      if (reps == maxReps) {
+        val again = graft.ops.SampleOps.packSequences(enc.repartition(13),
+          col("key"), "token_ids", seqLen, eos, buckets = 64)
+        val h1 = p.agg(bit_xor(xxhash64(col("seq_id"), col("seq_pos"),
+          col("token_id")))).head().getLong(0)
+        val h2 = again.agg(bit_xor(xxhash64(col("seq_id"), col("seq_pos"),
+          col("token_id")))).head().getLong(0)
+        report(s"pack ${reps}x partitioning-independent", h1 == h2)
+      }
+      p.unpersist(); enc.unpersist(); rep.unpersist()
     }
   }
 

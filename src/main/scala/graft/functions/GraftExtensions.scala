@@ -70,15 +70,18 @@ object GraftExtensions {
         if (args.length > 1) intArg(args(1), "bits").toInt else 48)),
     // merges table as a comma-separated "a b" pair list literal, e.g.
     // 't h,th e' (SQL has no Seq arg; same convention as word_counts)
-    "graft_bpe_token_stats" -> (args => BpeTokenStats(args.head, args(1) match {
-      case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
-        v.toString.split(",").toSeq.flatMap { pair =>
-          val halves = pair.split(" ")
-          require(halves.length == 2,
-            s"each merge must be 'a b', got '$pair'")
-          halves.toSeq
-        }
-      case other => throw new IllegalArgumentException(
-        s"merges must be a string literal, got $other")
-    })))
+    "graft_bpe_token_stats" -> (args => BpeTokenStats(args.head, mergesArg(args(1)))),
+    "graft_bpe_token_ids" -> (args => BpeTokenIds(args.head, mergesArg(args(1)))))
+
+  private def mergesArg(e: Expression): Seq[String] = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      v.toString.split(",").toSeq.flatMap { pair =>
+        val halves = pair.split(" ")
+        require(halves.length == 2,
+          s"each merge must be 'a b', got '$pair'")
+        halves.toSeq
+      }
+    case other => throw new IllegalArgumentException(
+      s"merges must be a string literal, got $other")
+  }
 }

@@ -300,6 +300,103 @@ object SampleOps {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** Incremental day-append for a published [[writeSharded]] corpus:
+    * shard a NEW batch into shards numbered AFTER the standing corpus's
+    * last shard and publish atomically — the standing shard files are
+    * never rewritten, re-read, or re-hashed; only the manifest is
+    * re-written to cover old + new. The batch lays out by the SAME
+    * deterministic assignment as a fresh [[assignShards]] of the batch
+    * plus a constant shard offset, so an append is a pure function of
+    * (standing manifest, batch content, dials). The standing corpus's
+    * last shard may sit under target; appends never top it up — topping
+    * up would rewrite a published file — so the bounded waste is one
+    * partial shard per append (the log-structured trade; re-shard with
+    * [[writeSharded]] when fragmentation matters).
+    *
+    * Publish discipline: new shard dirs write into an append-staging
+    * dir (stale staging from a crashed append is cleared first), then
+    * move INTO the live dir one rename per shard (each atomic; ids
+    * disjoint from the standing set by construction), and the combined
+    * manifest swaps in LAST via rename. A reader holding the old
+    * manifest never references a missing shard; a crash mid-append
+    * leaves the old manifest valid and at worst some orphan shard dirs
+    * the next manifest swap supersedes. Same local-filesystem contract
+    * as [[writeSharded]]. Returns the combined manifest. */
+  def appendSharded(df: DataFrame, key: Column, tokenCol: String,
+      textCol: String, path: String, targetTokens: Long,
+      buckets: Int): DataFrame = {
+    val scheme = java.net.URI.create(path).getScheme
+    require(scheme == null || scheme == "file",
+      s"appendSharded publishes via local-FS renames; got scheme '$scheme' " +
+        s"in '$path' — see the local-filesystem contract in the scaladoc")
+    val spark = df.sparkSession
+    val mf = java.nio.file.Paths.get(path, "_graft_manifest.json")
+    require(java.nio.file.Files.exists(mf),
+      s"no _graft_manifest.json under $path — appendSharded extends a " +
+        "writeSharded corpus; run writeSharded for the first build")
+    val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_seqs",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    // strict driver-side parse of the sidecar we wrote (manifest size =
+    // shard count, bounded): a silent partial parse here would zero the
+    // offset and overwrite standing shards — fail loudly instead
+    val mfText = java.nio.file.Files.readString(mf)
+    val entry =
+      """\{"shard_id":(\d+),"path":"([^"]*)","n_seqs":(\d+),"n_tokens":(\d+)\}""".r
+    val standing = entry.findAllMatchIn(mfText).map(m =>
+      org.apache.spark.sql.Row(m.group(1).toLong, m.group(2),
+        m.group(3).toLong, m.group(4).toLong)).toArray.sortBy(_.getLong(0))
+    require(standing.nonEmpty || mfText.trim == "[]",
+      s"unparseable manifest at $mf — refusing to append against it")
+    val offset = standing.lastOption.map(_.getLong(0) + 1).getOrElse(0L)
+    val staging = path + "__append_staging"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    val assigned = assignShards(df, key, tokenCol, targetTokens, buckets)
+      .select((col("shard_id") + offset).as("shard_id"), key.as("seq_key"),
+        col(tokenCol).cast("long").as("n_tokens"), col(textCol).as("text"))
+    assigned
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("seq_key"))
+      .write.partitionBy("shard_id").mode("overwrite")
+      .option("compression", "zstd").parquet(staging)
+    val fresh = spark.read.schema(assigned.schema).parquet(staging)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_seqs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .select(col("shard_id"), concat(lit("shard_id="), col("shard_id")).as("path"),
+        col("n_seqs"), col("n_tokens"))
+      .orderBy("shard_id").collect()
+    fresh.foreach { r =>
+      val dir = s"shard_id=${r.getLong(0)}"
+      val dst = new java.io.File(path, dir)
+      // disjoint by construction; an existing dst means a prior append
+      // crashed after moving this shard but before the manifest swap —
+      // the orphan is unreferenced, replace it with this run's copy
+      if (dst.exists()) org.apache.commons.io.FileUtils.forceDelete(dst)
+      if (!new java.io.File(staging, dir).renameTo(dst))
+        sys.error(s"failed to move $dir into $path")
+    }
+    val all = (standing ++ fresh).sortBy(_.getLong(0))
+    val lines = all.map { r =>
+      s"""{"shard_id":${r.getLong(0)},"path":"${r.getString(1)}"""" +
+        s""","n_seqs":${r.getLong(2)},"n_tokens":${r.getLong(3)}}"""
+    }
+    val mfNew = java.nio.file.Paths.get(path, "_graft_manifest.json__new")
+    java.nio.file.Files.writeString(mfNew, lines.mkString("[", ",\n", "]"))
+    java.nio.file.Files.move(mfNew, mf,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(all.toSeq, 1), manifestSchema)
+  }
+
   /** Stratified deterministic sampling: a per-group keep-rate (per
     * mille), with groups absent from the map keeping the `default`. The
     * C4/multilingual rebalancing shape — downsample the over-represented

@@ -737,6 +737,69 @@ class SampleOpsSpec extends SparkSpec {
     assert(p.filter(_.getLong(3) == 2L).map(_.getLong(2)).toSeq == Seq(99L))
   }
 
+  test("appendSharded: day-append extends the corpus without touching standing shards") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_append").toFile
+    val out = new java.io.File(dir, "corpus").getPath
+    try {
+      val day1 = corpus.filter(col("doc_id") % 2 === 0)
+      val day2 = corpus.filter(col("doc_id") % 2 === 1)
+      val m1 = SampleOps.writeSharded(day1, col("doc_id"), "n_chars", "text",
+        out, targetTokens = 3000L, buckets = 4).collect()
+      // fingerprint the standing shard files before the append
+      val standingFiles = m1.map(_.getString(1)).flatMap { p =>
+        new java.io.File(out, p).listFiles().filter(_.isFile)
+          .map(f => f.getPath -> (f.length(), f.lastModified()))
+      }.toMap
+      val m2 = SampleOps.appendSharded(day2, col("doc_id"), "n_chars", "text",
+        out, targetTokens = 3000L, buckets = 4).collect()
+      // standing files untouched byte-for-byte (length + mtime)
+      standingFiles.foreach { case (p, sig) =>
+        val f = new java.io.File(p)
+        assert(f.exists() && (f.length(), f.lastModified()) == sig, s"standing $p changed")
+      }
+      // combined manifest = old rows verbatim + new rows continuing the numbering
+      val m2ById = m2.map(r => r.getLong(0) -> r).toMap
+      m1.foreach(r => assert(m2ById(r.getLong(0)).toString == r.toString))
+      val maxOld = m1.map(_.getLong(0)).max
+      val fresh = m2.filter(_.getLong(0) > maxOld)
+      assert(fresh.nonEmpty && m2.length == m1.length + fresh.length)
+      assert(m2.map(_.getLong(0)).sorted.toSeq == (0L to m2.map(_.getLong(0)).max).toSeq)
+      // the published corpus now carries every row of both days, exactly once
+      val back = spark.read.parquet(out)
+      assert(back.count() == corpus.count())
+      assert(back.select("seq_key").distinct().count() == corpus.count())
+      // manifest totals == data totals per shard (shard_id comes back
+      // as INT from partition-dir inference — cast before comparing)
+      val agg = back.groupBy(col("shard_id").cast("long").as("sid"))
+        .agg(count(lit(1)).as("n"), sum("n_tokens").as("t")).collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      m2.foreach(r => assert(agg(r.getLong(0)) == ((r.getLong(2), r.getLong(3)))))
+      // determinism: the same append on a copy yields byte-equal manifests
+      val out2 = new java.io.File(dir, "corpus2").getPath
+      SampleOps.writeSharded(day1, col("doc_id"), "n_chars", "text",
+        out2, targetTokens = 3000L, buckets = 4)
+      SampleOps.appendSharded(day2.repartition(7), col("doc_id"), "n_chars", "text",
+        out2, targetTokens = 3000L, buckets = 4)
+      val b1 = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out, "_graft_manifest.json"))
+      val b2 = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out2, "_graft_manifest.json"))
+      assert(b1 == b2)
+      // appending to a dir that was never writeSharded fails actionably
+      val e = intercept[IllegalArgumentException] {
+        SampleOps.appendSharded(day2, col("doc_id"), "n_chars", "text",
+          new java.io.File(dir, "nope").getPath, 3000L, 4)
+      }
+      assert(e.getMessage.contains("writeSharded"))
+      // empty append: manifest survives unchanged, corpus intact
+      SampleOps.appendSharded(day2.limit(0), col("doc_id"), "n_chars", "text",
+        out, targetTokens = 3000L, buckets = 4)
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out, "_graft_manifest.json")) == b1)
+      assert(spark.read.parquet(out).count() == corpus.count())
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("assignShards refuses reserved working column names; writeSharded refuses remote schemes") {
     val clash = corpus.withColumn("__cum", lit(1L))
     val e = intercept[IllegalArgumentException] {

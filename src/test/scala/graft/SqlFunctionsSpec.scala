@@ -118,5 +118,16 @@ class SqlFunctionsSpec extends SparkSpec {
       "SELECT graft_bpe_token_stats(t, 't h,th e,a t,th at') AS b FROM sqlfn_r8")
       .head().getSeq[Long](0)
     assert(bpe == Seq(2L, 2L), s"got $bpe")
+    // token IDS under the same literal convention == the Column API
+    val ids = spark.sql(
+      "SELECT graft_bpe_token_ids(t, 't h,th e,a t,th at') AS i FROM sqlfn_r8")
+      .head().getSeq[Long](0)
+    val idsCol = Seq(Tuple1("the that")).toDF("t")
+      .select(exprs.bpeTokenIds(col("t"),
+        Seq("t" -> "h", "th" -> "e", "a" -> "t", "th" -> "at")))
+      .head().getSeq[Long](0)
+    assert(ids == idsCol && ids.length == 2, s"got $ids vs $idsCol")
+    // 'the' = rule 1's output, 'that' = rule 3's: VocabBase + rank
+    assert(ids == Seq(0x110000L + 1, 0x110000L + 3), s"got $ids")
   }
 }
