@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -216,6 +216,24 @@ object TextOps {
     * persisted corpus. */
   def bpeEosId(merges: Seq[(String, String)] = DefaultBpeMerges): Long =
     graft.functions.BpeTokenIds.VocabBase + merges.size
+
+  /** The merge-derived vocabulary as a joinable table — one row per
+    * MERGED token: (token_id = 0x110000 + min producing rank, token).
+    * Single-codepoint tokens are the identity ids 0…0x10FFFF and appear
+    * in no table. The reverse map [[encodeBpe]] consumers need for
+    * decode/inspection/embedding rows; broadcast-sized by construction
+    * (≤ one row per rule). */
+  def bpeVocab(spark: SparkSession,
+      merges: Seq[(String, String)] = DefaultBpeMerges): DataFrame = {
+    val rows = scala.collection.mutable.LinkedHashMap[String, Long]()
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      val t = a + b
+      if (!rows.contains(t))
+        rows(t) = graft.functions.BpeTokenIds.VocabBase + r
+    }
+    import spark.implicits._
+    rows.toSeq.map { case (t, i) => (i, t) }.toDF("token_id", "token")
+  }
 
   /** TRAIN a byte-BPE merges table from the corpus (Sennrich et al.
     * 2016): iteratively pick the highest-frequency adjacent token pair

@@ -576,4 +576,46 @@ class StreamOpsSpec extends SparkSpec {
       assert(!new java.io.File(p + "__old").exists(), p)
     }
   }
+
+  test("daily-loop composition: gate survivors publish into the sharded corpus by append") {
+    import graft.ops.SampleOps
+    val sig = tmpDir("graft_loop_sig") + "/sigs.parquet"
+    val out = tmpDir("graft_loop_out") + "/survivors"
+    val corpus = tmpDir("graft_loop_corpus") + "/corpus"
+    val tA = "the quick brown fox jumps over the lazy dog tonight again"
+    val tB = "completely different words appear inside this other document here now"
+    val tC = "yet another corpus entry with its own unrepeated vocabulary words"
+    def day(rows: Seq[(Long, String)], batch: Long) = {
+      StreamOps.gateNearDupBatch(rows.toDF("doc_id", "text"), sig, out,
+        "doc_id", "text", 16, 3, 8, 0.5, 1000, batchId = batch)
+      spark.read.parquet(s"$out/batch=$batch")
+        .withColumn("n_tok", length(col("text")).cast("long"))
+    }
+    // day 0: internal dup collapses; the two survivors seed the corpus
+    val d0 = day(Seq((0L, tA), (1L, tA), (2L, tB)), 0L)
+    SampleOps.writeSharded(d0, col("doc_id"), "n_tok", "text", corpus,
+      targetTokens = 40L, buckets = 2)
+    val standing = new java.io.File(corpus).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).flatMap(_.listFiles())
+      .filter(_.isFile).map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    // day 1: the re-delivered tA copy is blocked by the standing index;
+    // only the genuinely new doc reaches the corpus append
+    val d1 = day(Seq((3L, tA), (4L, tC)), 1L)
+    assert(d1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(4L))
+    SampleOps.appendSharded(d1, col("doc_id"), "n_tok", "text", corpus,
+      targetTokens = 40L, buckets = 2)
+    // the published corpus is exactly the union of admitted docs, and
+    // day 0's shard files were never touched by day 1's append
+    val back = spark.read.parquet(corpus)
+    assert(back.select("seq_key").collect().map(_.getLong(0)).toSet == Set(0L, 2L, 4L))
+    standing.foreach { case (p, sigOld) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && (f.length(), f.lastModified()) == sigOld, s"$p rewritten")
+    }
+    // manifest covers old + new shard ids contiguously
+    val mf = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(corpus, "_graft_manifest.json"))
+    val shardIds = """"shard_id":(\d+)""".r.findAllMatchIn(mf).map(_.group(1).toLong).toSeq
+    assert(shardIds == (0L until shardIds.length).toSeq, s"manifest ids $shardIds")
+  }
 }

@@ -473,6 +473,38 @@ class TextOpsSpec extends SparkSpec {
     assert(n1 == n2)
   }
 
+  test("encodeBpe round-trips: ids + bpeVocab reconstruct every document modulo whitespace") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = TextOps.bpeVocab(spark).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = graft.functions.BpeTokenIds.VocabBase
+    val enc = TextOps.encodeBpe(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    corpus.select("doc_id", "text").collect().foreach { r =>
+      val decoded = enc(r.getLong(0)).map { id =>
+        if (id < base) new String(Character.toChars(id.toInt)) else vocab(id)
+      }.mkString
+      val expected = r.getString(1).split(" ", -1).filter(_.nonEmpty).mkString
+      assert(decoded == expected, s"doc ${r.getLong(0)} decode mismatch")
+    }
+    // vocab ids are dense in rank semantics: every id in [VocabBase,
+    // VocabBase + nRules) belongs to the first rule producing its token
+    assert(vocab.keys.forall(id => id >= base &&
+      id < base + TextOps.DefaultBpeMerges.size))
+    // a trained table threads through the same chain end-to-end
+    val trained = TextOps.trainBpeMergesIncremental(corpus, "text", nMerges = 30)
+    val tv = TextOps.bpeVocab(spark, trained).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tenc = TextOps.encodeBpe(corpus.limit(20), "doc_id", "text", trained).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    corpus.limit(20).select("doc_id", "text").collect().foreach { r =>
+      val decoded = tenc(r.getLong(0)).map { id =>
+        if (id < base) new String(Character.toChars(id.toInt)) else tv(id)
+      }.mkString
+      assert(decoded == r.getString(1).split(" ", -1).filter(_.nonEmpty).mkString)
+    }
+  }
+
   test("bpe counts: real compression, bounded below by words; merges with a==b rejected") {
     val r = TextOps.bpeTokenCounts(
       Seq((1L, "the weather in northern england that month")).toDF("doc_id", "text"),
