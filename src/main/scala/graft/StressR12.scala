@@ -217,6 +217,16 @@ object StressR12 {
         val h2 = again.agg(bit_xor(xxhash64(col("seq_id"), col("seq_pos"),
           col("token_id")))).head().getLong(0)
         report(s"pack ${reps}x partitioning-independent", h1 == h2)
+        // sequence assembly: token-row exchange vs fragment exchange
+        time(s"materializeSequences ${reps}x (token rows)") {
+          graft.ops.SampleOps.materializeSequences(p)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"materializePackedSequences ${reps}x (fragments)") {
+          graft.ops.SampleOps.materializePackedSequences(enc, col("key"),
+              "token_ids", seqLen, eos, buckets = 64)
+            .write.format("noop").mode("overwrite").save()
+        }
       }
       p.unpersist(); enc.unpersist(); rep.unpersist()
     }

@@ -212,12 +212,52 @@ object SampleOps {
   /** Assemble [[packSequences]]' exploded rows into one array per
     * training sequence: (seq_id, token_ids, n_tokens), token ids in
     * sequence order. One seq_id-keyed hash aggregate; per-group volume
-    * is bounded by seqLen, so there is no skew dimension. */
+    * is bounded by seqLen, so there is no skew dimension. The exchange
+    * carries one row per TOKEN — fine for inspection-sized frames; the
+    * production writer is [[materializePackedSequences]], whose
+    * exchange carries one row per document FRAGMENT instead. */
   def materializeSequences(packed: DataFrame): DataFrame =
     packed.groupBy("seq_id")
       .agg(transform(array_sort(collect_list(struct(col("seq_pos"), col("token_id")))),
           x => x.getField("token_id")).as("token_ids"),
         count(lit(1)).as("n_tokens"))
+
+  /** [[packSequences]] + [[materializeSequences]] fused at FRAGMENT
+    * granularity — the production path to trainer-ready rows. Each
+    * document (ids + separator, global offset from the shared prefix
+    * sum) covers at most ⌈n/seqLen⌉+1 consecutive sequences; a map-only
+    * explode emits one (seq_id, in-seq offset, id-slice) row per
+    * covered sequence, and one seq_id-keyed aggregate flattens the
+    * offset-sorted fragments. Identical output to
+    * `materializeSequences(packSequences(…))` (spec-pinned bit-equal)
+    * with the exchange carrying ~one row per document instead of one
+    * per token — the same bytes of ids move, but ~seqLen× fewer rows
+    * and a fragment sort instead of a token sort. */
+  def materializePackedSequences(df: DataFrame, key: Column, idsCol: String,
+      seqLen: Int, sepId: Long, buckets: Int = 0): DataFrame = {
+    require(seqLen > 0, s"need positive seqLen, got $seqLen")
+    val ids = concat(
+      coalesce(col(idsCol), array().cast("array<long>")), array(lit(sepId)))
+    val withIds = df.withColumn("__ids", ids)
+    withGlobalStart(withIds, key, size(col("__ids")).cast("long"), buckets)
+      .select(col("__ids"), col("__start"),
+        explode(sequence(expr(s"__start div $seqLen"),
+          expr(s"(__start + size(__ids) - 1) div $seqLen"))).as("seq_id"))
+      // fragment = this sequence's slice of the doc's ids (1-based slice)
+      .withColumn("__from", greatest(lit(0L), col("seq_id") * seqLen - col("__start")))
+      .withColumn("__len",
+        least(size(col("__ids")).cast("long"),
+          (col("seq_id") + 1) * seqLen - col("__start")) - col("__from"))
+      .withColumn("__off", greatest(lit(0L), col("__start") - col("seq_id") * seqLen))
+      .select(col("seq_id"),
+        struct(col("__off"),
+          slice(col("__ids"), (col("__from") + 1).cast("int"),
+            col("__len").cast("int")).as("__frag")).as("__piece"))
+      .groupBy("seq_id")
+      .agg(flatten(transform(array_sort(collect_list(col("__piece"))),
+          x => x.getField("__frag"))).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
 
   /** Materialize [[assignShards]] into a training-ready sharded corpus:
     * parquet partitioned by `shard_id` (each shard hash-clustered into

@@ -729,6 +729,25 @@ class SampleOpsSpec extends SparkSpec {
     }
   }
 
+  test("materializePackedSequences (fragment path) == materializeSequences(packSequences)") {
+    val enc = TextOps.encodeBpe(corpus, "doc_id", "text")
+    val eos = TextOps.bpeEosId()
+    for (seqLen <- Seq(64, 1024)) {
+      val viaTokens = SampleOps.materializeSequences(
+        SampleOps.packSequences(enc, col("doc_id"), "token_ids", seqLen, eos, 8))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val viaFrags = SampleOps.materializePackedSequences(enc, col("doc_id"),
+        "token_ids", seqLen, eos, 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(viaFrags == viaTokens, s"fragment path diverged at seqLen=$seqLen")
+      // stable under a different input partitioning too
+      val again = SampleOps.materializePackedSequences(enc.repartition(7),
+        col("doc_id"), "token_ids", seqLen, eos, 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(again == viaTokens)
+    }
+  }
+
   test("packSequences: null arrays pack as the bare separator") {
     val df = Seq((1L, Seq(7L, 8L)), (2L, null.asInstanceOf[Seq[Long]]))
       .toDF("id", "ids")
