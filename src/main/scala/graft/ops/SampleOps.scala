@@ -282,6 +282,12 @@ object SampleOps {
     * rejected up front; for object stores, write shards with plain
     * Spark and publish via the store's own conditional-put/manifest
     * primitive instead of a rename protocol it cannot honor.
+    *
+    * `textCol` is type-agnostic (it lands in the published `text`
+    * column whatever its type): a PACKED token corpus —
+    * [[materializePackedSequences]] rows keyed by seq_id with
+    * `token_ids` as the payload — shards and publishes exactly like a
+    * text corpus (spec-pinned).
     */
   def writeSharded(df: DataFrame, key: Column, tokenCol: String,
       textCol: String, path: String, targetTokens: Long,

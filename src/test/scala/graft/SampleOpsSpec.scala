@@ -748,6 +748,29 @@ class SampleOpsSpec extends SparkSpec {
     }
   }
 
+  test("trainer corpus on disk: packed sequences shard and publish with an array payload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_seqcorpus").toFile
+    val out = new java.io.File(dir, "packed").getPath
+    try {
+      val eos = TextOps.bpeEosId()
+      val seqs = SampleOps.materializePackedSequences(
+        TextOps.encodeBpe(corpus, "doc_id", "text"),
+        col("doc_id"), "token_ids", 128, eos, buckets = 8)
+      // writeSharded's payload column is type-agnostic: array<long>
+      // sequences shard exactly like text documents
+      val manifest = SampleOps.writeSharded(seqs, col("seq_id"), "n_tokens",
+        "token_ids", out, targetTokens = 4000L, buckets = 4).collect()
+      val back = spark.read.parquet(out)
+      val expect = seqs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val got = back.collect().map(r =>
+        r.getLong(r.fieldIndex("seq_key")) ->
+          r.getSeq[Long](r.fieldIndex("text"))).toMap
+      assert(got == expect, "published packed corpus must round-trip every sequence")
+      assert(manifest.map(_.getLong(3)).sum ==
+        seqs.agg(sum("n_tokens")).head().getLong(0))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("packSequences: null arrays pack as the bare separator") {
     val df = Seq((1L, Seq(7L, 8L)), (2L, null.asInstanceOf[Seq[Long]]))
       .toDF("id", "ids")
