@@ -771,6 +771,41 @@ class SampleOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("property: packSequences equals an in-memory reference across shapes") {
+    val rnd = new scala.util.Random(42)
+    import org.apache.spark.unsafe.types.UTF8String
+    for (trial <- 1 to 8) {
+      val nDocs = 1 + rnd.nextInt(40)
+      val seqLen = 1 + rnd.nextInt(20)
+      val buckets = 1 + rnd.nextInt(5)
+      val sep = -1L
+      val docs = (0 until nDocs).map { i =>
+        val key = rnd.nextInt(1000).toLong * 10 + i // unique, non-dense
+        (key, Seq.fill(rnd.nextInt(7))(rnd.nextInt(100).toLong))
+      }
+      // in-memory reference: the documented deterministic global order
+      // (bucket, charHash(key), key), exclusive prefix offsets, stream
+      val ordered = docs.sortBy { case (k, _) =>
+        val h = graft.functions.HashKernels.weightedCharHash(
+          UTF8String.fromString(k.toString))
+        (((h % buckets) + buckets) % buckets, h, k)
+      }
+      val expected = scala.collection.mutable.Set.empty[(Long, Long, Long, Long)]
+      var g = 0L
+      ordered.foreach { case (k, ids) =>
+        (ids :+ sep).foreach { id =>
+          expected += ((g / seqLen, g % seqLen, id, k)); g += 1
+        }
+      }
+      val got = SampleOps.packSequences(
+          docs.toDF("key", "ids").repartition(1 + rnd.nextInt(4)),
+          col("key"), "ids", seqLen, sep, buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected.toSet,
+        s"trial $trial (nDocs=$nDocs seqLen=$seqLen buckets=$buckets) diverged")
+    }
+  }
+
   test("packSequences: null arrays pack as the bare separator") {
     val df = Seq((1L, Seq(7L, 8L)), (2L, null.asInstanceOf[Seq[Long]]))
       .toDF("id", "ids")
