@@ -460,8 +460,12 @@ object Queries {
 
   /** The shared BPE oracle CTE body: rank-ordered rules, positioned
     * word rows, and the per-distinct-word recursive encode — used by
-    * both the count and the budget-chunking oracles. */
-  private def bpeCtesSql: String = {
+    * the count, budget-chunking, token-id, and pipeline oracles.
+    * `src` names the document relation (the base table or a CTE of
+    * (doc_id, text) survivors). */
+  private def bpeCtesSql: String = bpeCtesSqlFrom("documents")
+
+  private def bpeCtesSqlFrom(src: String): String = {
     val rules = TextOps.DefaultBpeMerges.zipWithIndex.map { case ((a, b), r) =>
       s"($r, ' $a $b ', ' $a$b ')"
     }.mkString(", ")
@@ -471,7 +475,7 @@ object Queries {
        |  SELECT doc_id, w, pos FROM (
        |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w,
        |           UNNEST(range(len(string_split(text, ' ')))) AS pos
-       |    FROM documents)
+       |    FROM $src)
        |  WHERE w <> ''),
        |dw AS (SELECT DISTINCT w FROM words),
        |bpe(w, s, r) AS (
@@ -561,11 +565,15 @@ object Queries {
       .select(col("seq_id"), col("seq_pos"), col("token_id"),
         col("src_key").as("doc_id"))
 
-  private def packTokenIdsSql: String =
-    s"""WITH RECURSIVE $bpeCtesSql, $bpeIdCtesSql,
+  /** The full pack-replay oracle over document relation `src` —
+    * optional extra CTEs in `pre` (e.g. the pipeline's quality-filter +
+    * dedup survivor set) precede the shared BPE/id/prefix-sum bodies. */
+  private def packOracleSql(pre: String, src: String): String =
+    s"""WITH RECURSIVE ${if (pre.isEmpty) "" else pre + ","}
+       |${bpeCtesSqlFrom(src)}, $bpeIdCtesSql,
        |dtok AS (
        |  SELECT d.doc_id, COALESCE(tc.n, 0) + 1 AS wgt, COALESCE(tc.n, 0) AS nt
-       |  FROM documents d LEFT JOIN (
+       |  FROM $src d LEFT JOIN (
        |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ids GROUP BY doc_id) tc
        |    USING (doc_id)
        |  WHERE d.text IS NOT NULL),
@@ -589,6 +597,42 @@ object Queries {
        |  CAST((s.st + t.pos) % $PackSeqLen AS BIGINT) AS seq_pos,
        |  t.token_id, t.doc_id
        |FROM stream t JOIN starts s USING (doc_id)""".stripMargin
+
+  private def packTokenIdsSql: String = packOracleSql("", "documents")
+
+  /** The training-data materialization flagship (the extension layer's
+    * q_process_e2e for the round-12 token chain): quality filter →
+    * exact dedup keep-first → BPE token ids → fixed-length packing,
+    * composed end-to-end against one CTE oracle. */
+  private def trainingPipelineQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.packSequences(
+        TextOps.encodeBpe(
+          DedupOps.exactDedup(
+            TextOps.qualityFilter(t(s, dir, "documents"), "text"),
+            "doc_id", "text"),
+          "doc_id", "text"),
+        col("doc_id"), "token_ids", seqLen = PackSeqLen,
+        sepId = TextOps.bpeEosId(), buckets = 8)
+      .select(col("seq_id"), col("seq_pos"), col("token_id"),
+        col("src_key").as("doc_id"))
+
+  private def trainingPipelineSql: String = {
+    val stops = TextOps.Stopwords
+      .map(w => s"len(list_filter(string_split(text,' '), x -> x = '$w'))")
+      .mkString(" + ")
+    val pre =
+      s"""qf AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text, len(string_split(text,' '))::BIGINT AS n_words,
+         |    length(text)::BIGINT AS n_text_chars, ($stops)::BIGINT AS n_stopwords
+         |  FROM documents)
+         |  WHERE n_words >= 20
+         |    AND CAST(n_stopwords AS DOUBLE) / NULLIF(n_words, 0) <= 0.5
+         |    AND CAST(n_text_chars - (n_words - 1) AS DOUBLE) / NULLIF(n_words, 0) BETWEEN 2.0 AND 12.0),
+         |srcdocs AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS canon FROM qf)
+         |  WHERE doc_id = canon)""".stripMargin
+    packOracleSql(pre, "srcdocs")
+  }
 
   private def langIdQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
@@ -2563,6 +2607,7 @@ object Queries {
     "q_bpe_chunks" -> (bpeChunksQ _),
     "q_bpe_token_ids" -> (bpeTokenIdsQ _),
     "q_pack_token_ids" -> (packTokenIdsQ _),
+    "q_training_pipeline" -> (trainingPipelineQ _),
     "q_lang_id" -> (langIdQ _),
     "q_doc_fingerprint" -> (docFingerprintQ _),
     "q_dedup_exact" -> (dedupExactQ _),
@@ -2679,6 +2724,7 @@ object Queries {
     "q_bpe_chunks" -> bpeChunksSql,
     "q_bpe_token_ids" -> bpeTokenIdsSql,
     "q_pack_token_ids" -> packTokenIdsSql,
+    "q_training_pipeline" -> trainingPipelineSql,
     "q_lang_id" -> langIdSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_dedup_exact" -> dedupExactSql,
