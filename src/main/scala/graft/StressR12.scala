@@ -75,7 +75,8 @@ object StressR12 {
         args.lift(4).map(_.toInt).getOrElse(2))
       case "embed"  => embed(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(500))
       case "pack"   => pack(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
-      case other => sys.error(s"unknown subcommand '$other' (shards|lm|semkm|embed|pack)")
+      case "append" => append(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
+      case other => sys.error(s"unknown subcommand '$other' (shards|lm|semkm|embed|pack|append)")
     }
     spark.stop()
   }
@@ -168,6 +169,54 @@ object StressR12 {
         report(s"lm ${reps}x broadcast==shuffle checksum", hb == hs)
       }
       rep.unpersist()
+    }
+  }
+
+  // --------------------------------------------------------------- append
+
+  /** appendSharded's batch-sized-cost claim, measured: the same 10×
+    * day appends onto a `reps`× standing corpus and onto a 10× standing
+    * corpus — walls should match (append never re-reads the standing
+    * data), standing files stay byte-untouched, and the combined
+    * manifest equals the published data at both scales. */
+  private def append(spark: SparkSession, sfDir: String, reps: Int): Unit = {
+    val target = 500000L
+    def freshCorpus(label: String, r: Int): String = {
+      val out = s"/root/repo/target/stress/append_$label"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val docs = replicatedDocs(spark, sfDir, r).persist(StorageLevel.DISK_ONLY)
+      docs.count()
+      time(s"writeSharded $label (${r}x standing)") {
+        graft.ops.SampleOps.writeSharded(docs, col("key"), "n_tok", "text",
+          out, targetTokens = target, buckets = 64)
+      }
+      docs.unpersist(); out
+    }
+    // the day to append: 10x replicas re-keyed into a disjoint space
+    def day(): org.apache.spark.sql.DataFrame =
+      replicatedDocs(spark, sfDir, 10)
+        .select(concat(lit("day2#"), col("key")).as("key"), col("n_tok"), col("text"))
+    for ((label, r) <- Seq(("small", 10), ("big", reps))) {
+      val out = freshCorpus(label, r)
+      val d = day().persist(StorageLevel.DISK_ONLY)
+      val nDay = d.count()
+      val standing = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("shard_id=")).flatMap(_.listFiles())
+        .filter(_.isFile).map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+      val manifest = time(s"appendSharded $label ($nDay day rows onto ${r}x standing)") {
+        graft.ops.SampleOps.appendSharded(d, col("key"), "n_tok", "text",
+          out, targetTokens = target, buckets = 64)
+      }
+      val untouched = standing.forall { case (p, sig) =>
+        val f = new java.io.File(p); f.exists() && (f.length(), f.lastModified()) == sig
+      }
+      val m = manifest.agg(count(lit(1)), sum("n_seqs"), sum("n_tokens")).head()
+      val back = spark.read.parquet(out)
+      report(s"append $label", s"standing_untouched=$untouched " +
+        s"manifest shards=${m.getLong(0)} seqs=${m.getLong(1)} tokens=${m.getLong(2)} " +
+        s"readback_rows=${back.count()} readback_tokens=${
+          back.agg(sum("n_tokens")).head().getLong(0)}")
+      d.unpersist()
     }
   }
 

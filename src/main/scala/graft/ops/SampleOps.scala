@@ -346,6 +346,24 @@ object SampleOps {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+  /** Deterministic per-epoch training permutation WITHOUT a global
+    * sort: every row gets its dense position (`epoch_pos`, 0-based) in
+    * the epoch-keyed content-hash order — order key =
+    * charHash("<epoch>#<key>"), made global by the same two-level
+    * distributed exclusive-prefix-sum as [[assignShards]] with weight 1.
+    * Different epochs draw statistically independent permutations;
+    * the same (content, epoch, buckets) reproduces the same positions
+    * across runs, partitionings, and engines — the resumable-training
+    * data-order contract. A trainer shards the epoch stream by
+    * `epoch_pos div n` and can re-derive any worker's slice after a
+    * restart. One bucket-keyed exchange + a broadcast offsets join —
+    * no global range exchange, no driver data path beyond B longs. */
+  def epochShuffle(df: DataFrame, key: Column, epoch: Long,
+      buckets: Int = 0): DataFrame =
+    withGlobalStart(df, concat_ws("#", lit(epoch), key.cast("string")),
+        lit(1L), buckets)
+      .withColumnRenamed("__start", "epoch_pos")
+
   /** Incremental day-append for a published [[writeSharded]] corpus:
     * shard a NEW batch into shards numbered AFTER the standing corpus's
     * last shard and publish atomically — the standing shard files are

@@ -634,6 +634,31 @@ object Queries {
     packOracleSql(pre, "srcdocs")
   }
 
+  /** Deterministic per-epoch training permutation (SampleOps
+    * .epochShuffle): dense global positions in the epoch-keyed hash
+    * order — the oracle replays the epoch key, the charHash, and the
+    * two-level prefix sum (weight 1). */
+  private def epochShuffleQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.epochShuffle(t(s, dir, "documents").select("doc_id", "lang"),
+        col("doc_id"), epoch = 3L, buckets = 8)
+      .select(col("doc_id"), col("epoch_pos"))
+
+  private def epochShuffleSql =
+    s"""WITH c AS (SELECT doc_id, '3#' || CAST(doc_id AS VARCHAR) AS ek FROM documents),
+       |hs AS (SELECT doc_id, ek, ${sqlHash("ek")} AS h FROM c),
+       |b AS (SELECT doc_id, ek, h, h % 8 AS bucket FROM hs),
+       |cum AS (SELECT doc_id, bucket,
+       |  CAST(COALESCE(SUM(1) OVER (PARTITION BY bucket ORDER BY h, ek
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+       |  FROM b),
+       |tot AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t FROM b GROUP BY bucket),
+       |off AS (SELECT bucket,
+       |  CAST(COALESCE(SUM(t) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+       |  FROM tot)
+       |SELECT cum.doc_id, off.o + cum.c AS epoch_pos
+       |FROM cum JOIN off USING (bucket)""".stripMargin
+
   private def langIdQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextOps.languageId(col("text")).as("pred_lang"),
@@ -2608,6 +2633,7 @@ object Queries {
     "q_bpe_token_ids" -> (bpeTokenIdsQ _),
     "q_pack_token_ids" -> (packTokenIdsQ _),
     "q_training_pipeline" -> (trainingPipelineQ _),
+    "q_epoch_shuffle" -> (epochShuffleQ _),
     "q_lang_id" -> (langIdQ _),
     "q_doc_fingerprint" -> (docFingerprintQ _),
     "q_dedup_exact" -> (dedupExactQ _),
@@ -2725,6 +2751,7 @@ object Queries {
     "q_bpe_token_ids" -> bpeTokenIdsSql,
     "q_pack_token_ids" -> packTokenIdsSql,
     "q_training_pipeline" -> trainingPipelineSql,
+    "q_epoch_shuffle" -> epochShuffleSql,
     "q_lang_id" -> langIdSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_dedup_exact" -> dedupExactSql,

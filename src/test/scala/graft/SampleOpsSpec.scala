@@ -806,6 +806,28 @@ class SampleOpsSpec extends SparkSpec {
     }
   }
 
+  test("epochShuffle: dense bijective positions, epoch-dependent, partitioning-stable") {
+    val n = corpus.count()
+    val e3 = SampleOps.epochShuffle(corpus, col("doc_id"), epoch = 3L, buckets = 8)
+      .select("doc_id", "epoch_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a permutation: positions are exactly 0..n-1
+    assert(e3.values.toSeq.sorted == (0L until n).toSeq)
+    // reproducible across input partitionings
+    val again = SampleOps.epochShuffle(corpus.repartition(7), col("doc_id"),
+        epoch = 3L, buckets = 8)
+      .select("doc_id", "epoch_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == e3)
+    // a different epoch draws a genuinely different permutation
+    val e4 = SampleOps.epochShuffle(corpus, col("doc_id"), epoch = 4L, buckets = 8)
+      .select("doc_id", "epoch_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e4.values.toSeq.sorted == (0L until n).toSeq)
+    val moved = e3.count { case (k, p) => e4(k) != p }
+    assert(moved > n / 2, s"epoch 4 moved only $moved/$n rows vs epoch 3")
+  }
+
   test("packSequences: null arrays pack as the bare separator") {
     val df = Seq((1L, Seq(7L, 8L)), (2L, null.asInstanceOf[Seq[Long]]))
       .toDF("id", "ids")
