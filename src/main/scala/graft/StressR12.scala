@@ -65,7 +65,8 @@ object StressR12 {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
-    args.headOption.getOrElse("all") match {
+    args.headOption.getOrElse(sys.error(
+        "usage: StressR12 <shards|lm|semkm|embed|pack|append> [args]")) match {
       case "shards" => shards(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
       case "lm"     => lm(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
       case "semkm"  => semkm(spark,

@@ -289,13 +289,22 @@ object SampleOps {
     * `token_ids` as the payload — shards and publishes exactly like a
     * text corpus (spec-pinned).
     */
+  /** Local-filesystem gate for the staged-rename publishers: reject a
+    * non-file URI scheme WITHOUT parsing the whole string as a URI —
+    * legitimate local paths carry spaces/'%'/backslashes that
+    * `URI.create` would throw on. */
+  private def requireLocalPath(op: String, path: String): Unit = {
+    val scheme = "^([A-Za-z][A-Za-z0-9+.-]*)://".r
+      .findFirstMatchIn(path).map(_.group(1))
+    require(scheme.forall(_ == "file"),
+      s"$op publishes via local-FS renames; got scheme '${scheme.get}' " +
+        s"in '$path' — see the local-filesystem contract in the scaladoc")
+  }
+
   def writeSharded(df: DataFrame, key: Column, tokenCol: String,
       textCol: String, path: String, targetTokens: Long,
       buckets: Int): DataFrame = {
-    val scheme = java.net.URI.create(path).getScheme
-    require(scheme == null || scheme == "file",
-      s"writeSharded publishes via local-FS renames; got scheme '$scheme' " +
-        s"in '$path' — see the local-filesystem contract in the scaladoc")
+    requireLocalPath("writeSharded", path)
     val spark = df.sparkSession
     val assigned = assignShards(df, key, tokenCol, targetTokens, buckets)
       .select(col("shard_id"), key.as("seq_key"),
@@ -359,10 +368,17 @@ object SampleOps {
     * restart. One bucket-keyed exchange + a broadcast offsets join —
     * no global range exchange, no driver data path beyond B longs. */
   def epochShuffle(df: DataFrame, key: Column, epoch: Long,
-      buckets: Int = 0): DataFrame =
-    withGlobalStart(df, concat_ws("#", lit(epoch), key.cast("string")),
-        lit(1L), buckets)
+      buckets: Int = 0): DataFrame = {
+    // a null key must not silently collapse onto the bare epoch prefix
+    // (concat_ws skips nulls): every null-key row would share one order
+    // key and take a PHYSICAL-order-dependent position — the exact
+    // nondeterminism this op exists to remove. Fail at the row instead.
+    val ek = when(key.isNull, raise_error(lit(
+        "epochShuffle: null key — a stable epoch order needs a non-null key per row")))
+      .otherwise(concat_ws("#", lit(epoch), key.cast("string")))
+    withGlobalStart(df, ek, lit(1L), buckets)
       .withColumnRenamed("__start", "epoch_pos")
+  }
 
   /** Incremental day-append for a published [[writeSharded]] corpus:
     * shard a NEW batch into shards numbered AFTER the standing corpus's
@@ -389,10 +405,7 @@ object SampleOps {
   def appendSharded(df: DataFrame, key: Column, tokenCol: String,
       textCol: String, path: String, targetTokens: Long,
       buckets: Int): DataFrame = {
-    val scheme = java.net.URI.create(path).getScheme
-    require(scheme == null || scheme == "file",
-      s"appendSharded publishes via local-FS renames; got scheme '$scheme' " +
-        s"in '$path' — see the local-filesystem contract in the scaladoc")
+    requireLocalPath("appendSharded", path)
     val spark = df.sparkSession
     val mf = java.nio.file.Paths.get(path, "_graft_manifest.json")
     require(java.nio.file.Files.exists(mf),
@@ -408,16 +421,19 @@ object SampleOps {
       org.apache.spark.sql.types.StructField("n_tokens",
         org.apache.spark.sql.types.LongType, nullable = false)))
     // strict driver-side parse of the sidecar we wrote (manifest size =
-    // shard count, bounded): a silent partial parse here would zero the
-    // offset and overwrite standing shards — fail loudly instead
+    // shard count, bounded): a partial parse here would compute a shard
+    // offset colliding with a LIVE unparsed shard and overwrite it —
+    // every JSON object must parse, not merely one
     val mfText = java.nio.file.Files.readString(mf)
     val entry =
-      """\{"shard_id":(\d+),"path":"([^"]*)","n_seqs":(\d+),"n_tokens":(\d+)\}""".r
+      """\{"shard_id":(\d+),"path":"([^"]*)","n_seqs":(-?\d+),"n_tokens":(-?\d+)\}""".r
     val standing = entry.findAllMatchIn(mfText).map(m =>
       org.apache.spark.sql.Row(m.group(1).toLong, m.group(2),
         m.group(3).toLong, m.group(4).toLong)).toArray.sortBy(_.getLong(0))
-    require(standing.nonEmpty || mfText.trim == "[]",
-      s"unparseable manifest at $mf — refusing to append against it")
+    val objCount = mfText.count(_ == '{')
+    require(standing.length == objCount,
+      s"manifest at $mf carries $objCount entries but only " +
+        s"${standing.length} parsed — refusing to append against it")
     val offset = standing.lastOption.map(_.getLong(0) + 1).getOrElse(0L)
     val staging = path + "__append_staging"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))

@@ -149,8 +149,9 @@ object SimilarityOps {
     * wall under the k ∝ N dial (407 s at 200k vectors, k = 800: the
     * assignment term, not the pair generation, dominates). The classic
     * IVF-IMI fix: group the codebook under `nCoarse` coarse centroids
-    * (a deterministic stride sample of the codebook itself, driver-
-    * selected from the sorted centroid ids — model-sized); each row
+    * (round 12: seeded unit-sphere KMeans over the fine centroids
+    * themselves, model-sized input with a content-pinned layout so the
+    * centers are a pure function of codebook content); each row
     * ranks the coarse array (nCoarse dots), keeps its `coarseProbes`
     * nearest groups, and ranks only THOSE groups' members —
     * N·(nCoarse + coarseProbes·K/nCoarse) dots, minimized at
@@ -169,7 +170,7 @@ object SimilarityOps {
     */
   /** The two codebook levels of [[assignClustersTwoLevel]], built ONCE
     * per op call and shared across every assignment side — the coarse
-    * selection is a driver action, and both level tables are
+    * level trains on the model-sized centroid frame, and both level tables are
     * MATERIALIZED (localCheckpoint, model-sized) so the member
     * assignment is not re-executed as a fresh scalar subquery per
     * consuming side. */
@@ -206,7 +207,8 @@ object SimilarityOps {
   }
 
   private[graft] def twoLevelCodebook(cents: DataFrame, nCoarse: Int,
-      mat: Materializer = Materializer.Local, seed: Long = 42L): TwoLevelCodebook = {
+      mat: Materializer = Materializer.Local, seed: Long = 42L,
+      kHint: Long = -1L): TwoLevelCodebook = {
     require(nCoarse >= 1, s"need nCoarse >= 1, got $nCoarse")
     // TRAINED coarse level (round-12; replaces the round-11 stride
     // sample): seeded KMeans over the fine centroids themselves — the
@@ -217,12 +219,17 @@ object SimilarityOps {
     // anywhere in the space, so coarse cells were arbitrary unions and
     // the canopy miss rate paid for it (0.857 tiny-fixture pair recall;
     // the KMeans coarse level is spec-pinned >= that). Determinism:
-    // fixed seed + deterministic input -> same centers every run.
-    // Degenerate shapes keep the round-11 contract: empty codebook ->
-    // empty levels; nCoarse >= K -> every fine centroid is its own
-    // coarse group (no training); nCoarse = 1 -> one group holding the
-    // whole codebook, bit-identical to flat assignment (spec anchor).
-    val k = cents.count()
+    // the training input is pinned to ONE partition sorted by cent_id
+    // below, so fixed seed + same centroid CONTENT -> same centers
+    // across runs AND input partitionings (spec-pinned) — KMeans||
+    // sampling and float-sum order would otherwise vary with the
+    // upstream layout; the codebook is model-sized, so the single
+    // partition costs nothing. Degenerate shapes keep the round-11
+    // contract: empty codebook -> empty levels; nCoarse >= K -> every
+    // fine centroid is its own coarse group (no training); nCoarse = 1
+    // -> one group holding the whole codebook, bit-identical to flat
+    // assignment (spec anchor).
+    val k = if (kHint >= 0L) kHint else cents.count()
     val n = math.min(nCoarse.toLong, k).toInt
     val coarse =
       if (n.toLong >= k)
@@ -250,7 +257,27 @@ object SimilarityOps {
             when(col("cent_n2") > 0L,
               x.cast("double") / sqrt(col("cent_n2").cast("double")))
               .otherwise(lit(0.0)).cast("float")).as("__v"))
-        withQ(trainCentroids(floats, "cent_id", "__v", n, seed = seed),
+          // content-pinned physical layout (see determinism note above)
+          .repartition(1).sortWithinPartitions(col("cent_id"))
+        // best-of-4 seeded restarts by training cost: a single KMeans||
+        // run on a tiny codebook is fragile (one bad init costs real
+        // canopy recall); restart costs are model-sized and the pinned
+        // input makes every cost — and therefore the argmin — a pure
+        // function of codebook content. Ties break to the lowest seed.
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val feats = floats
+          .select(array_to_vector(col("__v").cast("array<double>")).as("features"))
+          .localCheckpoint(true)
+        val model = (0 until 4).map { i =>
+          val m = new KMeans().setK(n).setMaxIter(20).setSeed(seed + i).fit(feats)
+          (m.summary.trainingCost, i.toLong, m)
+        }.minBy(t => (t._1, t._2))._3
+        val spark = cents.sparkSession
+        import spark.implicits._
+        withQ(model.clusterCenters.zipWithIndex.toSeq
+            .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+            .toDF("cent_id", "__v"),
           "cent_id", "__v", "g")
       }
     // member table: every centroid under its nearest coarse group
@@ -317,8 +344,12 @@ object SimilarityOps {
       nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = withQ(centroids, idCol, vecCol, "cent")
-    val nc = resolveNCoarse(nCoarse, cents.count())
-    lazy val codebook = twoLevelCodebook(cents, nc)
+    // one count job feeds BOTH the strategy choice and the codebook
+    // build (twoLevelCodebook would otherwise re-execute the centroid
+    // lineage for its own count)
+    lazy val kc = cents.count()
+    val nc = resolveNCoarse(nCoarse, kc)
+    lazy val codebook = twoLevelCodebook(cents, nc, kHint = kc)
     def assign(s: DataFrame, p: String, pr: Int): DataFrame =
       if (nc > 0) assignClustersTwoLevel(codebook, s, p, pr, coarseProbes)
       else assignClusters(cents, s, p, pr)
@@ -401,9 +432,11 @@ object SimilarityOps {
 
   /** Resolve a caller-supplied `bitsPerBand` dial: [[AutoBits]] (the
     * default) derives the width from the corpus row count via
-    * [[autoBitsPerBand]] — one cheap count at plan-build time, the
-    * price of a default that survives a 1000× corpus without re-reading
-    * BASELINE.md; an explicit positive value is used as-is. */
+    * [[autoBitsPerBand]] — ONE count job at plan-build time (it
+    * re-executes the input's lineage; persist upstream or pass explicit
+    * bits when that lineage is expensive) — the price of a default that
+    * survives a 1000× corpus without re-reading BASELINE.md; an
+    * explicit positive value is used as-is. */
   private def resolveBits(bitsPerBand: Int, bands: Int, n: => Long): Int =
     if (bitsPerBand == AutoBits) autoBitsPerBand(n, bands) else bitsPerBand
 
@@ -570,8 +603,12 @@ object SimilarityOps {
       nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     val cents = withQ(centroids, idCol, vecCol, "cent")
-    val nc = resolveNCoarse(nCoarse, cents.count())
-    lazy val codebook = twoLevelCodebook(cents, nc)
+    // one count job feeds BOTH the strategy choice and the codebook
+    // build (twoLevelCodebook would otherwise re-execute the centroid
+    // lineage for its own count)
+    lazy val kc = cents.count()
+    val nc = resolveNCoarse(nCoarse, kc)
+    lazy val codebook = twoLevelCodebook(cents, nc, kHint = kc)
     def assign(s: DataFrame, p: String, pr: Int): DataFrame =
       if (nc > 0) assignClustersTwoLevel(codebook, s, p, pr, coarseProbes)
       else assignClusters(cents, s, p, pr)
@@ -700,8 +737,12 @@ object SimilarityOps {
       nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame = {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     val cents = withQ(centroids, idCol, vecCol, "cent")
-    val nc = resolveNCoarse(nCoarse, cents.count())
-    lazy val codebook = twoLevelCodebook(cents, nc)
+    // one count job feeds BOTH the strategy choice and the codebook
+    // build (twoLevelCodebook would otherwise re-execute the centroid
+    // lineage for its own count)
+    lazy val kc = cents.count()
+    val nc = resolveNCoarse(nCoarse, kc)
+    lazy val codebook = twoLevelCodebook(cents, nc, kHint = kc)
     ivfPairsWith(df, idCol, vecCol, minCos, (s, p) =>
       if (nc > 0) assignClustersTwoLevel(codebook, s, p, probes, coarseProbes)
       else assignClusters(cents, s, p, probes))

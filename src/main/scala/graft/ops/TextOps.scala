@@ -427,7 +427,11 @@ object TextOps {
       // outgrows the live pair set by a wide factor, rebuild it from
       // `counts` (one push per LIVE pair — the same legality filter):
       // bounded churn, identical pop order for live candidates.
-      if (heap.size > math.max(1 << 20, 16 * counts.size)) {
+      // 16L: an Int product overflows past ~134M live pairs — exactly
+      // the large-vocabulary regime the maxPairIndexEntries guard
+      // message tells users to size their driver for — and a wrapped
+      // negative threshold would force a full heap rebuild every merge
+      if (heap.size > math.max(1L << 20, 16L * counts.size)) {
         heap.clear()
         counts.foreach { case (p, c) => push(p, c) }
       }

@@ -899,6 +899,46 @@ class SampleOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("writeSharded accepts local paths with spaces and percent signs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_odd").toFile
+    val out = new java.io.File(dir, "my corpus 100%done").getPath
+    try {
+      val m = SampleOps.writeSharded(corpus.limit(20), col("doc_id"), "n_chars",
+        "text", out, targetTokens = 3000L, buckets = 2)
+      assert(m.count() > 0 && spark.read.parquet(out).count() == 20)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("appendSharded refuses a manifest with ANY unparseable entry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badmf").toFile
+    val out = new java.io.File(dir, "corpus").getPath
+    try {
+      SampleOps.writeSharded(corpus.limit(20), col("doc_id"), "n_chars",
+        "text", out, targetTokens = 3000L, buckets = 2)
+      val mf = java.nio.file.Paths.get(out, "_graft_manifest.json")
+      val good = java.nio.file.Files.readString(mf)
+      // corrupt ONE trailing entry: a partial parse would compute an
+      // offset colliding with the live unparsed shard
+      java.nio.file.Files.writeString(mf,
+        good.dropRight(1) + ""","{"shard_id":9,"path":"shard_id=9","n_seqs":oops}]""")
+      val e = intercept[IllegalArgumentException] {
+        SampleOps.appendSharded(corpus.limit(5), col("doc_id"), "n_chars",
+          "text", out, targetTokens = 3000L, buckets = 2)
+      }
+      assert(e.getMessage.contains("refusing to append"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("epochShuffle fails loudly on a null key instead of a physical-order position") {
+    val df = Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+      .toDF("k", "v")
+    val e = intercept[Exception] {
+      SampleOps.epochShuffle(df, col("k"), epoch = 1L, buckets = 2).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("null key") ||
+      Option(e.getCause).exists(_.getMessage.contains("null key")))
+  }
+
   test("assignShards refuses reserved working column names; writeSharded refuses remote schemes") {
     val clash = corpus.withColumn("__cum", lit(1L))
     val e = intercept[IllegalArgumentException] {

@@ -349,6 +349,21 @@ class SimilarityOpsSpec extends SparkSpec {
     assert(agree >= 0.9, s"two-level semDedup survivor agreement fell to $agree")
   }
 
+  test("trained coarse codebook is a pure content function: survivors stable across centroid partitionings") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = SimilarityOps.trainCentroids(em, "vec_id", "embedding", k = 8)
+    def survivors(c: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.semDedup(em, c, "vec_id", "embedding", minCos = 0.45,
+          probes = 2, nCoarse = 3, coarseProbes = 2)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    // the coarse KMeans trains on a content-pinned single-partition
+    // layout, so re-partitioning the CENTROID frame must not change the
+    // coarse centers — and therefore not the semDedup survivor corpus
+    assert(survivors(cents.repartition(7)) == survivors(cents),
+      "coarse codebook leaked centroid partitioning into the survivor set")
+  }
+
   test("nCoarse auto-selection: flat below the threshold, ceil(sqrt(2K)) above, explicit wins") {
     import SimilarityOps.{resolveNCoarse, AutoCoarse, TwoLevelAutoThreshold}
     // the selection rule, pinned: small codebooks keep the EXACT flat
