@@ -361,9 +361,18 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
-  /** Train an IVF codebook with spark.ml KMeans (seeded — deterministic)
-    * and return it in the (id, vec) shape [[ivfTopK]] consumes. At scale
-    * train on a sample (`df.sample`) — KMeans cost is iterations x |df| x k.
+  /** Train an IVF codebook with spark.ml KMeans (seeded) and return it
+    * in the (id, vec) shape [[ivfTopK]] consumes. At scale train on a
+    * sample (`df.sample`) — KMeans cost is iterations x |df| x k.
+    *
+    * Determinism contract: the fixed seed makes training reproducible
+    * for a FIXED physical input layout; across different partitionings
+    * KMeans|| sampling and float-sum order can shift the centers (an
+    * inherent spark.ml property at corpus scale). When cross-layout
+    * reproducibility matters and the input is model-sized, pin it first
+    * (`repartition(1).sortWithinPartitions(id)`) — the two-level coarse
+    * codebook does exactly that, with best-of-4 restarts (spec-pinned
+    * survivor stability under centroid repartitioning).
     */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int = 20, seed: Long = 42L): DataFrame = {
