@@ -273,6 +273,10 @@ object SimilarityOps {
           val m = new KMeans().setK(n).setMaxIter(20).setSeed(seed + i).fit(feats)
           (m.summary.trainingCost, i.toLong, m)
         }.minBy(t => (t._1, t._2))._3
+        // centers are collected into the model — release the
+        // checkpointed training blocks now (repeated op calls would
+        // otherwise accrete model-sized blocks until session end)
+        feats.unpersist(blocking = false)
         val spark = cents.sparkSession
         import spark.implicits._
         withQ(model.clusterCenters.zipWithIndex.toSeq
