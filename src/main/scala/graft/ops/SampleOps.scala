@@ -294,7 +294,10 @@ object SampleOps {
     * legitimate local paths carry spaces/'%'/backslashes that
     * `URI.create` would throw on. */
   private def requireLocalPath(op: String, path: String): Unit = {
-    val scheme = "^([A-Za-z][A-Za-z0-9+.-]*)://".r
+    // colon form, not '://': Hadoop accepts single-slash/opaque scheme
+    // URIs (hdfs:/x, s3a:bucket/key) — those must hit this gate too,
+    // exactly as URI.create's scheme detection did
+    val scheme = "^([A-Za-z][A-Za-z0-9+.-]*):".r
       .findFirstMatchIn(path).map(_.group(1))
     require(scheme.forall(_ == "file"),
       s"$op publishes via local-FS renames; got scheme '${scheme.get}' " +
@@ -434,6 +437,11 @@ object SampleOps {
     require(standing.length == objCount,
       s"manifest at $mf carries $objCount entries but only " +
         s"${standing.length} parsed — refusing to append against it")
+    // a brace-free corrupt manifest (truncated to zero bytes, 'null',
+    // '[') sails past the count equality at 0 == 0: only the literal
+    // empty manifest legitimately parses to nothing
+    require(standing.nonEmpty || mfText.trim == "[]",
+      s"unparseable manifest at $mf — refusing to append against it")
     val offset = standing.lastOption.map(_.getLong(0) + 1).getOrElse(0L)
     val staging = path + "__append_staging"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))

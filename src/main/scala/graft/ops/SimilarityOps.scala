@@ -291,11 +291,24 @@ object SimilarityOps {
       cents.select(col("cent_id").as("m_id"), col("cent_q").as("m_q"),
         col("cent_n2").as("m_n2")),
       "m", 1)
-    val grouped = members
+    val grouped = mat(members
       .groupBy(col("m_cluster").as("gid"))
       .agg(collect_list(struct(col("m_id").as("cent_id"),
-        col("m_q").as("cent_q"), col("m_n2").as("cent_n2"))).as("members"))
-    TwoLevelCodebook(mat(coarse), mat(grouped))
+        col("m_q").as("cent_q"), col("m_n2").as("cent_n2"))).as("members")))
+    // EMPTY coarse groups are unrankable hazards, not candidates: a
+    // TRAINED center can end up no fine centroid's cosine-nearest
+    // (KMeans assigns by Euclidean distance to non-unit centers, the
+    // member table by cosine — different argmaxes), and a row whose
+    // every probed group were empty would silently vanish from
+    // assignment. Keep only member-bearing groups at the coarse level
+    // (the stride-era construction had this by construction: each
+    // coarse center WAS a fine centroid, so its group held >= itself);
+    // with K >= 1 at least one group is non-empty, so every row probes
+    // real candidates. Spec pins coarse == grouped keys + full member
+    // coverage.
+    val liveCoarse = coarse.join(grouped.select(col("gid")),
+      col("g_id") === col("gid"), "left_semi")
+    TwoLevelCodebook(mat(liveCoarse), grouped)
   }
 
   private[graft] def assignClustersTwoLevel(codebook: TwoLevelCodebook,

@@ -926,6 +926,17 @@ class SampleOpsSpec extends SparkSpec {
           "text", out, targetTokens = 3000L, buckets = 2)
       }
       assert(e.getMessage.contains("refusing to append"))
+      // brace-free corruption (truncation, 'null', '[') must also refuse
+      // — 0 parsed == 0 braces would otherwise zero the offset and
+      // overwrite live shards
+      for (garbage <- Seq("", "null", "[")) {
+        java.nio.file.Files.writeString(mf, garbage)
+        val g = intercept[IllegalArgumentException] {
+          SampleOps.appendSharded(corpus.limit(5), col("doc_id"), "n_chars",
+            "text", out, targetTokens = 3000L, buckets = 2)
+        }
+        assert(g.getMessage.contains("refusing to append"), s"garbage '$garbage'")
+      }
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
@@ -950,5 +961,12 @@ class SampleOpsSpec extends SparkSpec {
         "s3://bucket/corpus", targetTokens = 1000L, buckets = 4)
     }
     assert(r.getMessage.contains("local-filesystem"))
+    // single-slash/opaque scheme URIs (Hadoop accepts them) must hit
+    // the same gate — the data would go remote, the manifest local
+    val r2 = intercept[IllegalArgumentException] {
+      SampleOps.writeSharded(corpus, col("doc_id"), "n_chars", "text",
+        "hdfs:/corpus", targetTokens = 1000L, buckets = 4)
+    }
+    assert(r2.getMessage.contains("local-filesystem"))
   }
 }

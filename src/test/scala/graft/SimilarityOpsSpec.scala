@@ -364,6 +364,28 @@ class SimilarityOpsSpec extends SparkSpec {
       "coarse codebook leaked centroid partitioning into the survivor set")
   }
 
+  test("twoLevelCodebook: every coarse group is member-bearing; members cover the whole codebook") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = SimilarityOps.trainCentroids(em, "vec_id", "embedding", k = 9)
+    val cents = base.select(col("vec_id").as("cent_id"),
+        SimilarityOps.quantize(col("embedding")).as("cent_q"))
+      .withColumn("cent_n2", SimilarityOps.norm2Q(col("cent_q")))
+    val allIds = cents.select("cent_id").collect().map(_.getLong(0)).toSet
+    for (n <- Seq(1, 2, 3, 5, 9, 12)) {
+      val cb = SimilarityOps.twoLevelCodebook(cents, n)
+      val coarseIds = cb.coarse.select("g_id").collect().map(_.getLong(0)).toSet
+      val groupIds = cb.grouped.select("gid").collect().map(_.getLong(0)).toSet
+      // a trained center no fine centroid ranks nearest would strand
+      // rows behind an empty group — the coarse level must carry
+      // member-bearing groups ONLY, and every centroid must appear
+      assert(coarseIds == groupIds, s"nCoarse=$n: empty coarse groups ${coarseIds -- groupIds}")
+      val memberIds = cb.grouped.select(explode(col("members")).as("m"))
+        .select("m.cent_id").collect().map(_.getLong(0)).toSet
+      assert(memberIds == allIds, s"nCoarse=$n: members lost ${allIds -- memberIds}")
+    }
+  }
+
   test("nCoarse auto-selection: flat below the threshold, ceil(sqrt(2K)) above, explicit wins") {
     import SimilarityOps.{resolveNCoarse, AutoCoarse, TwoLevelAutoThreshold}
     // the selection rule, pinned: small codebooks keep the EXACT flat
