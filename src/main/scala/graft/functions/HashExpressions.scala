@@ -610,6 +610,35 @@ object HashKernels {
     toks
   }
 
+  /** One-pass codepoint script-class counts (see
+    * [[graft.functions.ScriptClassCounts]] for the class table): a
+    * 7-long array [latin, cyrillic, cjk, arabic, digit, space, other]
+    * counted per CODEPOINT (surrogate pairs advance once). Explicit
+    * range arithmetic — not Java \\p{Script} classes — so the DuckDB
+    * oracle replays the exact same buckets from `unicode(ch)`. */
+  def scriptClassCounts(s: UTF8String): ArrayData = {
+    val text = s.toString
+    val out = new Array[Long](7)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val cls =
+        if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+            (cp >= 0xC0 && cp <= 0x24F)) 0 // Latin + Latin-1/Extended-A/B
+        else if (cp >= 0x400 && cp <= 0x4FF) 1 // Cyrillic
+        else if ((cp >= 0x4E00 && cp <= 0x9FFF) ||
+            (cp >= 0x3040 && cp <= 0x30FF)) 2 // CJK ideographs + kana
+        else if (cp >= 0x600 && cp <= 0x6FF) 3 // Arabic
+        else if (cp >= '0' && cp <= '9') 4
+        else if (cp == ' ') 5
+        else 6
+      out(cls) += 1
+      i += Character.charCount(cp)
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Whole-document BPE token-ID sequence (see [[graft.functions.BpeTokenIds]]
     * for the id scheme): words exactly as in [[bpeTokenStats]], per-word
     * canonical Sennrich encode, each token mapped to its id — a
@@ -837,6 +866,28 @@ case class BpeTokenIds(child: Expression, merges: Seq[String])
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bpeDocTokenIds($c, $mref, $iref)")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeTokenIds =
+    copy(child = newChild)
+}
+
+/** Codegen'd one-pass codepoint script-class counter (see
+  * HashKernels.scriptClassCounts): [latin, cyrillic, cjk, arabic,
+  * digit, space, other] — the charset-distribution curation signal
+  * complementary to the marker-word language ID (a Russian document
+  * with zero marker hits still reads 90%+ cyrillic). Classes are
+  * EXPLICIT codepoint ranges, not Java script properties, so the
+  * counts replay exactly in any engine exposing the codepoint. */
+case class ScriptClassCounts(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"script_class_counts needs string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.scriptClassCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.scriptClassCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): ScriptClassCounts =
     copy(child = newChild)
 }
 
@@ -1189,6 +1240,8 @@ object exprs {
   def bpeTokenIds(c: Column, merges: Seq[(String, String)]): Column =
     shims.column(BpeTokenIds(shims.expression(c),
       merges.flatMap(p => Seq(p._1, p._2))))
+  def scriptClassCounts(c: Column): Column =
+    shims.column(ScriptClassCounts(shims.expression(c)))
   def hashEmbedding(c: Column, dim: Int): Column =
     shims.column(HashEmbedding(shims.expression(c), dim))
   def zInterleave(a: Column, b: Column, bits: Int): Column =

@@ -217,6 +217,35 @@ object TextOps {
   def bpeEosId(merges: Seq[(String, String)] = DefaultBpeMerges): Long =
     graft.functions.BpeTokenIds.VocabBase + merges.size
 
+  /** Codepoint script-class profile — the charset-distribution signal
+    * the marker-word [[languageId]] cannot see (a Russian document with
+    * zero marker hits still reads overwhelmingly Cyrillic; a base64
+    * blob reads as 'other'-heavy). One map-only codegen pass
+    * ([[graft.functions.ScriptClassCounts]]: explicit codepoint ranges,
+    * engine-replayable) → per-class counts plus the dominant letter
+    * script (argmax over latin/cyrillic/cjk/arabic; fixed tie order
+    * latin > cyrillic > cjk > arabic; 'none' when no letter class
+    * fires). Null-text rows are dropped. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val names = Seq("n_latin", "n_cyrillic", "n_cjk", "n_arabic",
+      "n_digit", "n_space", "n_other")
+    val counted = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.exprs.scriptClassCounts(col(textCol)).as("__c"))
+      .select(col(idCol) +: names.zipWithIndex.map { case (nm, i) =>
+        element_at(col("__c"), i + 1).as(nm) }: _*)
+    counted.withColumn("script",
+      when(greatest(col("n_latin"), col("n_cyrillic"), col("n_cjk"),
+        col("n_arabic")) === 0L, "none")
+      .when(col("n_latin") >= col("n_cyrillic") &&
+        col("n_latin") >= col("n_cjk") &&
+        col("n_latin") >= col("n_arabic"), "latin")
+      .when(col("n_cyrillic") >= col("n_cjk") &&
+        col("n_cyrillic") >= col("n_arabic"), "cyrillic")
+      .when(col("n_cjk") >= col("n_arabic"), "cjk")
+      .otherwise("arabic"))
+  }
+
   /** The merge-derived vocabulary as a joinable table — one row per
     * MERGED token: (token_id = 0x110000 + min producing rank, token).
     * Single-codepoint tokens are the identity ids 0…0x10FFFF and appear

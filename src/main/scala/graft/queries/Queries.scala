@@ -659,6 +659,34 @@ object Queries {
        |SELECT cum.doc_id, off.o + cum.c AS epoch_pos
        |FROM cum JOIN off USING (bucket)""".stripMargin
 
+  /** Script-class profile (TextOps.scriptProfile): per-codepoint range
+    * counts + dominant letter script — the oracle replays the SAME
+    * explicit ranges from `unicode(ch)` over the codepoint split. */
+  private def scriptProfileQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.scriptProfile(t(s, dir, "documents"), "doc_id", "text")
+
+  private val scriptProfileSql = {
+    def cnt(cond: String) =
+      s"CAST(len(list_filter(cps, c -> $cond)) AS BIGINT)"
+    s"""SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic, n_digit, n_space,
+       |  CAST(n_total - n_latin - n_cyrillic - n_cjk - n_arabic - n_digit - n_space AS BIGINT) AS n_other,
+       |  CASE WHEN greatest(n_latin, n_cyrillic, n_cjk, n_arabic) = 0 THEN 'none'
+       |       WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk AND n_latin >= n_arabic THEN 'latin'
+       |       WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic THEN 'cyrillic'
+       |       WHEN n_cjk >= n_arabic THEN 'cjk'
+       |       ELSE 'arabic' END AS script
+       |FROM (SELECT doc_id,
+       |  ${cnt("(c BETWEEN 65 AND 90) OR (c BETWEEN 97 AND 122) OR (c BETWEEN 192 AND 591)")} AS n_latin,
+       |  ${cnt("c BETWEEN 1024 AND 1279")} AS n_cyrillic,
+       |  ${cnt("(c BETWEEN 19968 AND 40959) OR (c BETWEEN 12352 AND 12543)")} AS n_cjk,
+       |  ${cnt("c BETWEEN 1536 AND 1791")} AS n_arabic,
+       |  ${cnt("c BETWEEN 48 AND 57")} AS n_digit,
+       |  ${cnt("c = 32")} AS n_space,
+       |  CAST(len(cps) AS BIGINT) AS n_total
+       |  FROM (SELECT doc_id, list_transform(string_split(text, ''), ch -> unicode(ch)) AS cps
+       |        FROM documents WHERE text IS NOT NULL))""".stripMargin
+  }
+
   private def langIdQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextOps.languageId(col("text")).as("pred_lang"),
@@ -2635,6 +2663,7 @@ object Queries {
     "q_training_pipeline" -> (trainingPipelineQ _),
     "q_epoch_shuffle" -> (epochShuffleQ _),
     "q_lang_id" -> (langIdQ _),
+    "q_script_profile" -> (scriptProfileQ _),
     "q_doc_fingerprint" -> (docFingerprintQ _),
     "q_dedup_exact" -> (dedupExactQ _),
     "q_ngram_jaccard_pairs" -> (ngramJaccardQ _),
@@ -2753,6 +2782,7 @@ object Queries {
     "q_training_pipeline" -> trainingPipelineSql,
     "q_epoch_shuffle" -> epochShuffleSql,
     "q_lang_id" -> langIdSql,
+    "q_script_profile" -> scriptProfileSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_ngram_jaccard_pairs" -> ngramJaccardSql,

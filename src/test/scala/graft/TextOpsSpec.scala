@@ -449,6 +449,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("scriptProfile counts codepoint classes and picks the dominant letter script") {
+    val mixed = Seq(
+      (1L, "hello мир 好 123 ¿?"),       // latin-dominant mixed bag
+      (2L, "привет мир да"),              // pure cyrillic
+      (3L, "好的 こんにちは"),             // cjk ideographs + kana
+      (4L, "مرحبا بالعالم"),              // arabic
+      (5L, "12345 !!! ..."),              // no letter class at all
+      (6L, ""))                           // empty
+      .toDF("doc_id", "text")
+    val got = TextOps.scriptProfile(mixed, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: hello=5 latin, мир=3 cyrillic, 好=1 cjk, 123=3 digit,
+    // 4 spaces, ¿? = 2 other (¿ is 0xBF — outside the latin ranges)
+    val r1 = got(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4),
+      r1.getLong(5), r1.getLong(6), r1.getLong(7)) == ((5L, 3L, 1L, 0L, 3L, 4L, 2L)))
+    assert(r1.getString(8) == "latin")
+    assert(got(2L).getString(8) == "cyrillic")
+    assert(got(3L).getString(8) == "cjk" && got(3L).getLong(3) == 7L)
+    assert(got(4L).getString(8) == "arabic")
+    assert(got(5L).getString(8) == "none")
+    assert(got(6L).getString(8) == "none" && got(6L).getLong(7) == 0L)
+    // astral codepoints count once (surrogate pairs don't double)
+    val emoji = TextOps.scriptProfile(
+      Seq((7L, "a😀b")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(emoji.getLong(1) == 2L && emoji.getLong(7) == 1L)
+  }
+
   test("encodeBpe emits stable token ids: codepoints, min-rank merges, astral-safe") {
     val merges = Seq("a" -> "b", "ab" -> "c")
     val base = graft.functions.BpeTokenIds.VocabBase
