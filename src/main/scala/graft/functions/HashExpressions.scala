@@ -625,8 +625,11 @@ object HashKernels {
       val cp = text.codePointAt(i)
       val cls =
         if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
-            (cp >= 0xC0 && cp <= 0x24F)) 0 // Latin + Latin-1/Extended-A/B
-        else if (cp >= 0x400 && cp <= 0x4FF) 1 // Cyrillic
+            (cp >= 0xC0 && cp <= 0x24F && cp != 0xD7 && cp != 0xF7))
+          0 // Latin + Latin-1/Extended-A/B, minus the two non-letter
+            // symbols embedded in Latin-1 (U+00D7 ×, U+00F7 ÷) — math-
+            // symbol-heavy text must not skew the letter-script argmax
+        else if (cp >= 0x400 && cp <= 0x52F) 1 // Cyrillic + Supplement
         else if ((cp >= 0x4E00 && cp <= 0x9FFF) ||
             (cp >= 0x3040 && cp <= 0x30FF)) 2 // CJK ideographs + kana
         else if (cp >= 0x600 && cp <= 0x6FF) 3 // Arabic

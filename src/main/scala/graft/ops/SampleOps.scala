@@ -138,6 +138,15 @@ object SampleOps {
     * Null weights count 0. One corpus shuffle on the bucket key, one
     * tiny aggregate, one broadcast join — no global sort, no driver
     * data path beyond B longs. */
+  /** The packing ops install a `__ids` working column (ids + separator)
+    * before the prefix sum; an input column of that name would be
+    * silently overwritten — refuse loudly, like [[withGlobalStart]]'s
+    * own reserved names. */
+  private def requireNoIdsWorkingCol(df: DataFrame, op: String): Unit =
+    require(!df.columns.contains("__ids"),
+      s"$op reserves the working column name __ids; " +
+        "input already has __ids — rename before packing")
+
   private def withGlobalStart(df: DataFrame, key: Column, weight: Column,
       buckets: Int): DataFrame = {
     // the working columns installed below would silently overwrite (and
@@ -197,6 +206,7 @@ object SampleOps {
   def packSequences(df: DataFrame, key: Column, idsCol: String, seqLen: Int,
       sepId: Long, buckets: Int = 0): DataFrame = {
     require(seqLen > 0, s"need positive seqLen, got $seqLen")
+    requireNoIdsWorkingCol(df, "packSequences")
     val ids = concat(
       coalesce(col(idsCol), array().cast("array<long>")), array(lit(sepId)))
     val withIds = df.withColumn("__ids", ids)
@@ -236,6 +246,7 @@ object SampleOps {
   def materializePackedSequences(df: DataFrame, key: Column, idsCol: String,
       seqLen: Int, sepId: Long, buckets: Int = 0): DataFrame = {
     require(seqLen > 0, s"need positive seqLen, got $seqLen")
+    requireNoIdsWorkingCol(df, "materializePackedSequences")
     val ids = concat(
       coalesce(col(idsCol), array().cast("array<long>")), array(lit(sepId)))
     val withIds = df.withColumn("__ids", ids)
@@ -266,8 +277,10 @@ object SampleOps {
     * INSIDE the staged directory and published with the library's
     * staged swap ([[Pipeline.publishStaged]]): readers never observe a
     * shard dir without its manifest or vice versa. The manifest is
-    * driver-built from the per-shard aggregate (shard count =
-    * total/target — bounded and small at any corpus size), and is a
+    * driver-built from the per-shard aggregate — shard count =
+    * total tokens / targetTokens, so it stays driver-sized only when
+    * `targetTokens` is sized WITH the corpus; a guard refuses past
+    * `maxManifestShards` (default [[MaxManifestShards]]) — and is a
     * pure function of (content, targetTokens, buckets): re-building on
     * a different partitioning yields identical bytes (spec-pinned).
     * Returns the manifest as a DataFrame (shard_id, path, n_seqs,
@@ -304,9 +317,31 @@ object SampleOps {
         s"in '$path' — see the local-filesystem contract in the scaladoc")
   }
 
+  /** Driver-safe shard-count bound for the manifest collect in
+    * [[writeSharded]]/[[appendSharded]]: the manifest is one driver row
+    * per shard, so shard count — corpus tokens / `targetTokens` — must
+    * stay driver-sized. 1M rows ≈ 100 MB of manifest, a comfortable
+    * ceiling; at 100 TB (~25T tokens) that means targetTokens ≥ ~25M.
+    * Size `targetTokens` WITH the corpus — a fixed small target at a
+    * growing corpus walks the shard count into this guard. */
+  val MaxManifestShards: Long = 1000000L
+
+  private def requireManifestScale(op: String, stagingDir: String,
+      maxShards: Long): Unit = {
+    // partition-dir count = shard count, from a pure listing (shard_id
+    // is the partition column — no data read, no extra corpus scan)
+    val n = Option(new java.io.File(stagingDir).list())
+      .map(_.count(_.startsWith("shard_id="))).getOrElse(0)
+    require(n <= maxShards,
+      s"$op: $n shards exceed the driver-safe manifest bound $maxShards " +
+        "— the manifest is collected to the driver (one row per shard); " +
+        "raise targetTokens (shards = corpus tokens / targetTokens) or " +
+        "raise maxManifestShards deliberately")
+  }
+
   def writeSharded(df: DataFrame, key: Column, tokenCol: String,
       textCol: String, path: String, targetTokens: Long,
-      buckets: Int): DataFrame = {
+      buckets: Int, maxManifestShards: Long = MaxManifestShards): DataFrame = {
     requireLocalPath("writeSharded", path)
     val spark = df.sparkSession
     val assigned = assignShards(df, key, tokenCol, targetTokens, buckets)
@@ -318,6 +353,7 @@ object SampleOps {
       .sortWithinPartitions(col("shard_id"), col("seq_key"))
       .write.partitionBy("shard_id").mode("overwrite")
       .option("compression", "zstd").parquet(tmp)
+    requireManifestScale("writeSharded", tmp, maxManifestShards)
     // manifest from the JUST-WRITTEN staged parquet (the gate sinks'
     // idiom): one corpus materialization instead of two, and the
     // manifest provably describes the files being published even if the
@@ -372,6 +408,12 @@ object SampleOps {
     * no global range exchange, no driver data path beyond B longs. */
   def epochShuffle(df: DataFrame, key: Column, epoch: Long,
       buckets: Int = 0): DataFrame = {
+    // the rename below would otherwise produce a frame with TWO
+    // epoch_pos columns (ambiguous-reference errors downstream) — the
+    // same loud refusal withGlobalStart applies to its working columns
+    require(!df.columns.contains("epoch_pos"),
+      "epochShuffle reserves the output column name epoch_pos; " +
+        "input already has epoch_pos — rename before shuffling")
     // a null key must not silently collapse onto the bare epoch prefix
     // (concat_ws skips nulls): every null-key row would share one order
     // key and take a PHYSICAL-order-dependent position — the exact
@@ -402,18 +444,38 @@ object SampleOps {
     * disjoint from the standing set by construction), and the combined
     * manifest swaps in LAST via rename. A reader holding the old
     * manifest never references a missing shard; a crash mid-append
-    * leaves the old manifest valid and at worst some orphan shard dirs
-    * the next manifest swap supersedes. Same local-filesystem contract
+    * leaves the old manifest valid and at worst some orphan shard dirs,
+    * which the NEXT successful append deletes after its swap (any live
+    * shard id >= its offset absent from its fresh set is provably
+    * unreferenced) — directory-listing readers (plain
+    * `spark.read.parquet`) can surface orphan rows only in the window
+    * between a crash and the next append; manifest-driven reads never
+    * do. Appends are SINGLE-WRITER, enforced by an exclusive
+    * `_graft_append.lock` beside the manifest held for the whole
+    * read -> swap window (a crash leaves the lock behind; the refusal
+    * message says how to clear it). Same local-filesystem contract
     * as [[writeSharded]]. Returns the combined manifest. */
   def appendSharded(df: DataFrame, key: Column, tokenCol: String,
       textCol: String, path: String, targetTokens: Long,
-      buckets: Int): DataFrame = {
+      buckets: Int, maxManifestShards: Long = MaxManifestShards): DataFrame = {
     requireLocalPath("appendSharded", path)
     val spark = df.sparkSession
     val mf = java.nio.file.Paths.get(path, "_graft_manifest.json")
     require(java.nio.file.Files.exists(mf),
       s"no _graft_manifest.json under $path — appendSharded extends a " +
         "writeSharded corpus; run writeSharded for the first build")
+    // SINGLE-WRITER lock for the whole manifest-read -> swap window
+    // (atomic O_CREAT|O_EXCL): two concurrent appends would read the
+    // same manifest, compute the SAME shard offset, and the second
+    // would destroy the first's just-published shards before silently
+    // dropping its rows from the final manifest
+    val lock = new java.io.File(path, "_graft_append.lock")
+    require(lock.createNewFile(),
+      s"append lock $lock already exists — appendSharded is " +
+        "single-writer (the manifest read -> swap window must be " +
+        "exclusive); if no other append is running, a previous one " +
+        "crashed: remove the lock file and re-run")
+    try {
     val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("shard_id",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -453,6 +515,8 @@ object SampleOps {
       .sortWithinPartitions(col("shard_id"), col("seq_key"))
       .write.partitionBy("shard_id").mode("overwrite")
       .option("compression", "zstd").parquet(staging)
+    requireManifestScale("appendSharded", staging,
+      maxManifestShards - standing.length)
     val fresh = spark.read.schema(assigned.schema).parquet(staging)
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_seqs"),
@@ -480,9 +544,23 @@ object SampleOps {
     java.nio.file.Files.move(mfNew, mf,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // crash-orphan sweep: a PRIOR crashed append can have moved shard
+    // dirs into the live path that its (never-swapped) manifest doesn't
+    // cover; directory-listing readers (plain spark.read.parquet) would
+    // surface those rows forever. Any live id >= offset absent from
+    // this append's fresh set is provably unreferenced — the standing
+    // manifest tops out below offset and the new one adds only `fresh`.
+    val published = fresh.map(_.getLong(0)).toSet
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        f.isDirectory && f.getName.startsWith("shard_id=") &&
+          f.getName.stripPrefix("shard_id=").toLongOption
+            .exists(i => i >= offset && !published.contains(i))
+      }.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
     spark.createDataFrame(
       spark.sparkContext.parallelize(all.toSeq, 1), manifestSchema)
+    } finally lock.delete()
   }
 
   /** Stratified deterministic sampling: a per-group keep-rate (per

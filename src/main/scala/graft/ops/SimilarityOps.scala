@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * |Q|·|C|/K per probed cluster.
   */
 object SimilarityOps {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  /** Count of legacy unstamped-index fallbacks taken by
+    * [[embeddingNearDupAgainstIndex]] this JVM — the synchronous,
+    * spec-observable twin of the WARN it logs (log capture is
+    * binding-dependent; this isn't). */
+  private[graft] val legacyFallbacks = new java.util.concurrent.atomic.AtomicLong()
+
   /** Quantize a float/double vector to exact integers at 1e-4 resolution
     * (codegen expression; round(double(x)*10000) per element — identical
     * to the composed `transform(v, round(double(x)*1e4)::long)`). */
@@ -723,8 +730,19 @@ object SimilarityOps {
       idCol: String, vecCol: String, minCos: Double, dim: Int,
       bands: Int = 8, bitsPerBand: Int = AutoBits, seed: Long = 42L,
       maxBucket: Int = 1000): DataFrame = {
-    val p = rpParamsOf(index).getOrElse(RpParams(bands,
-      if (bitsPerBand == AutoBits) 8 else bitsPerBand, seed, dim))
+    val p = rpParamsOf(index).getOrElse {
+      // loud at CALL time, not just in the scaladoc: the legacy width
+      // is strictly better than any alternative for an unstamped store,
+      // but the caller should know the corpus-sized AutoBits width is
+      // OFF until the index is rebuilt through round-12+ rpSignatures
+      legacyFallbacks.incrementAndGet()
+      log.warn("embeddingNearDupAgainstIndex: index carries no stamped " +
+        "RpMeta dials (pre-round-12 store) — falling back to the " +
+        "caller's dials with the historical 8-bit band width; rebuild " +
+        "the index through rpSignatures to stamp corpus-sized dials")
+      RpParams(bands,
+        if (bitsPerBand == AutoBits) 8 else bitsPerBand, seed, dim)
+    }
     val newSigs = rpSignatures(newVecs, idCol, vecCol, p.dim, p.bands,
       p.bitsPerBand, p.seed)
     def banded(sigs: DataFrame, pre: String): DataFrame =

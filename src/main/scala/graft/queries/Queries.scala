@@ -676,8 +676,8 @@ object Queries {
        |       WHEN n_cjk >= n_arabic THEN 'cjk'
        |       ELSE 'arabic' END AS script
        |FROM (SELECT doc_id,
-       |  ${cnt("(c BETWEEN 65 AND 90) OR (c BETWEEN 97 AND 122) OR (c BETWEEN 192 AND 591)")} AS n_latin,
-       |  ${cnt("c BETWEEN 1024 AND 1279")} AS n_cyrillic,
+       |  ${cnt("(c BETWEEN 65 AND 90) OR (c BETWEEN 97 AND 122) OR (c BETWEEN 192 AND 591 AND c <> 215 AND c <> 247)")} AS n_latin,
+       |  ${cnt("c BETWEEN 1024 AND 1327")} AS n_cyrillic,
        |  ${cnt("(c BETWEEN 19968 AND 40959) OR (c BETWEEN 12352 AND 12543)")} AS n_cjk,
        |  ${cnt("c BETWEEN 1536 AND 1791")} AS n_arabic,
        |  ${cnt("c BETWEEN 48 AND 57")} AS n_digit,

@@ -969,4 +969,96 @@ class SampleOpsSpec extends SparkSpec {
     }
     assert(r2.getMessage.contains("local-filesystem"))
   }
+
+  test("epochShuffle refuses an input that already carries epoch_pos; packers refuse __ids") {
+    val clash = corpus.limit(5).withColumn("epoch_pos", lit(0L))
+    val e = intercept[IllegalArgumentException] {
+      SampleOps.epochShuffle(clash, col("doc_id"), epoch = 1L, buckets = 2)
+    }
+    assert(e.getMessage.contains("epoch_pos"))
+    val ids = corpus.limit(5)
+      .select(col("doc_id"), array(lit(1L)).as("tids"))
+      .withColumn("__ids", lit(0L))
+    for (op <- Seq(
+        () => SampleOps.packSequences(ids, col("doc_id"), "tids", 8, 99L, 2),
+        () => SampleOps.materializePackedSequences(ids, col("doc_id"), "tids", 8, 99L, 2))) {
+      val p = intercept[IllegalArgumentException](op())
+      assert(p.getMessage.contains("__ids"))
+    }
+  }
+
+  test("appendSharded is single-writer: the append lock refuses a second writer and clears on completion") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock").toFile
+    val out = new java.io.File(dir, "corpus").getPath
+    try {
+      SampleOps.writeSharded(corpus.limit(20), col("doc_id"), "n_chars",
+        "text", out, targetTokens = 3000L, buckets = 2)
+      // simulate an in-flight (or crashed) append holding the lock
+      val lock = new java.io.File(out, "_graft_append.lock")
+      assert(lock.createNewFile())
+      val e = intercept[IllegalArgumentException] {
+        SampleOps.appendSharded(corpus.limit(5), col("doc_id"), "n_chars",
+          "text", out, targetTokens = 3000L, buckets = 2)
+      }
+      assert(e.getMessage.contains("single-writer") &&
+        e.getMessage.contains("remove the lock file"))
+      // corpus untouched by the refused append
+      assert(spark.read.parquet(out).count() == 20)
+      lock.delete()
+      // a successful append takes and RELEASES the lock
+      SampleOps.appendSharded(corpus.filter(col("doc_id") >= 400).limit(5),
+        col("doc_id"), "n_chars", "text", out, targetTokens = 3000L, buckets = 2)
+      assert(!lock.exists(), "lock must be released after a completed append")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("appendSharded sweeps crash-orphan shard dirs a directory-listing reader would surface") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orphan").toFile
+    val out = new java.io.File(dir, "corpus").getPath
+    try {
+      val m1 = SampleOps.writeSharded(corpus.limit(40), col("doc_id"), "n_chars",
+        "text", out, targetTokens = 3000L, buckets = 2).collect()
+      val offset = m1.map(_.getLong(0)).max + 1
+      // plant a crashed append's orphan: a live shard dir above the
+      // standing manifest's range, holding rows no manifest references
+      val orphan = new java.io.File(out, s"shard_id=${offset + 7}")
+      corpus.limit(3)
+        .select(col("doc_id").as("seq_key"),
+          col("n_chars").cast("long").as("n_tokens"), col("text"))
+        .coalesce(1).write.parquet(orphan.getPath)
+      assert(spark.read.parquet(out).count() == 43) // reader sees orphan rows
+      SampleOps.appendSharded(corpus.filter(col("doc_id") >= 400).limit(5),
+        col("doc_id"), "n_chars", "text", out, targetTokens = 3000L, buckets = 2)
+      assert(!orphan.exists(), "orphan above the append's fresh range must be swept")
+      // every surviving row is manifest-covered
+      val mf = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out, "_graft_manifest.json"))
+      val covered = """"shard_id":(\d+)""".r.findAllMatchIn(mf).map(_.group(1).toLong).toSet
+      val live = Option(new java.io.File(out).list()).get
+        .filter(_.startsWith("shard_id=")).map(_.stripPrefix("shard_id=").toLong).toSet
+      assert(live == covered, s"live $live vs manifest $covered")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("manifest scale guard: shard counts past maxManifestShards refuse with sizing guidance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale").toFile
+    val out = new java.io.File(dir, "corpus").getPath
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SampleOps.writeSharded(corpus.limit(40), col("doc_id"), "n_chars",
+          "text", out, targetTokens = 100L, buckets = 2, maxManifestShards = 3L)
+      }
+      assert(e.getMessage.contains("driver-safe manifest bound") &&
+        e.getMessage.contains("targetTokens"))
+      // a passing write, then an append that would push past the bound
+      SampleOps.writeSharded(corpus.limit(40), col("doc_id"), "n_chars",
+        "text", out, targetTokens = 3000L, buckets = 2)
+      val a = intercept[IllegalArgumentException] {
+        SampleOps.appendSharded(corpus.filter(col("doc_id") >= 400).limit(40),
+          col("doc_id"), "n_chars", "text", out, targetTokens = 100L,
+          buckets = 2, maxManifestShards = 5L)
+      }
+      assert(a.getMessage.contains("driver-safe manifest bound"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }

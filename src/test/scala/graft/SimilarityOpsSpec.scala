@@ -471,4 +471,23 @@ class SimilarityOpsSpec extends SparkSpec {
     // sides can never hash under different families
     assert(hits(8, 8) == matched)
   }
+
+  test("unstamped legacy index takes the loud fallback path; a stamped one does not") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 50).select("vec_id", "embedding")
+    val stamped = SimilarityOps.rpSignatures(em, "vec_id", "embedding", dim = 64)
+    // a pre-round-12 index: same columns, no RpMeta stamp on b0
+    val unstamped = stamped.select(stamped.columns.map(c =>
+      col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder().build())): _*)
+    assert(SimilarityOps.rpParamsOf(unstamped).isEmpty)
+    val batch = em.filter(col("vec_id") < 5)
+    def run(idx: org.apache.spark.sql.DataFrame): Long = {
+      val before = SimilarityOps.legacyFallbacks.get()
+      SimilarityOps.embeddingNearDupAgainstIndex(batch, idx, "vec_id",
+        "embedding", minCos = 0.99, dim = 64).count()
+      SimilarityOps.legacyFallbacks.get() - before
+    }
+    assert(run(stamped) == 0L, "stamped index must not take the legacy fallback")
+    assert(run(unstamped) == 1L, "unstamped index must take (and count) the fallback")
+  }
 }

@@ -475,6 +475,16 @@ class TextOpsSpec extends SparkSpec {
     val emoji = TextOps.scriptProfile(
       Seq((7L, "a😀b")).toDF("doc_id", "text"), "doc_id", "text").head()
     assert(emoji.getLong(1) == 2L && emoji.getLong(7) == 1L)
+    // U+00D7 × and U+00F7 ÷ are SYMBOLS embedded in Latin-1, not Latin
+    // letters: math-heavy text must not flip the script argmax to latin
+    val math = TextOps.scriptProfile(
+      Seq((8L, "д ××÷÷")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(math.getLong(1) == 0L && math.getLong(2) == 1L &&
+      math.getLong(7) == 4L && math.getString(8) == "cyrillic")
+    // Cyrillic Supplement (U+0500–U+052F) counts as cyrillic
+    val supp = TextOps.scriptProfile(
+      Seq((9L, "Ԁԯ")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(supp.getLong(2) == 2L && supp.getString(8) == "cyrillic")
   }
 
   test("encodeBpe emits stable token ids: codepoints, min-rank merges, astral-safe") {
