@@ -71,7 +71,16 @@ object GraftExtensions {
     // merges table as a comma-separated "a b" pair list literal, e.g.
     // 't h,th e' (SQL has no Seq arg; same convention as word_counts)
     "graft_bpe_token_stats" -> (args => BpeTokenStats(args.head, mergesArg(args(1)))),
-    "graft_bpe_token_ids" -> (args => BpeTokenIds(args.head, mergesArg(args(1)))))
+    // optional 3rd arg: lossless spaces-as-tokens encoding (default false)
+    "graft_bpe_token_ids" -> (args => BpeTokenIds(args.head, mergesArg(args(1)),
+      args.length > 2 && boolArg(args(2), "lossless"))),
+    "graft_bpe_decode" -> (args => BpeDecodeIds(args.head, mergesArg(args(1)))))
+
+  private def boolArg(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
+  }
 
   private def mergesArg(e: Expression): Seq[String] = e match {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>

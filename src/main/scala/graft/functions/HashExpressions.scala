@@ -648,7 +648,19 @@ object HashKernels {
     * single-codepoint token to its codepoint value, a merged token
     * through the rank-derived id map the Expression precomputes. */
   def bpeDocTokenIds(s: UTF8String, merges: Array[String],
-      ids: java.util.HashMap[String, java.lang.Long]): ArrayData = {
+      ids: java.util.HashMap[String, java.lang.Long]): ArrayData =
+    bpeDocTokenIds(s, merges, ids, false)
+
+  /** `lossless = true` additionally emits every U+0020 space as its own
+    * single-codepoint token (id 32) in stream position — merge tokens
+    * can never contain a space ([[graft.functions.BpeTokenStats.legalToken]]),
+    * so the word-token subsequence is IDENTICAL to the lossless=false
+    * stream and `decode(encode(text))` reconstructs the document
+    * byte-for-byte (tabs/newlines already ride inside words as
+    * unmergeable single-codepoint tokens in both modes). */
+  def bpeDocTokenIds(s: UTF8String, merges: Array[String],
+      ids: java.util.HashMap[String, java.lang.Long],
+      lossless: Boolean): ArrayData = {
     val text = s.toString
     val out = new java.util.ArrayList[String]()
     val n = text.length
@@ -657,6 +669,7 @@ object HashKernels {
     while (i <= n) {
       if (i == n || text.charAt(i) == ' ') {
         if (i > start) out.addAll(bpeWordTokenList(text, start, i, merges))
+        if (i < n && lossless) out.add(" ")
         start = i + 1
       }
       i += 1
@@ -677,6 +690,34 @@ object HashKernels {
       j += 1
     }
     ArrayData.toArrayData(arr)
+  }
+
+  /** Inverse of [[bpeDocTokenIds]]: ids back to text — a codepoint id
+    * (< 0x110000) appends its codepoint, a merged id appends its
+    * rank-derived token string from the precomputed reverse map. On a
+    * `lossless = true` stream this reconstructs the document
+    * byte-for-byte; on the legacy stream it reconstructs it modulo
+    * spaces (words concatenated). Unknown / invalid ids fail loudly —
+    * decode under the wrong merges table must never fabricate text. */
+  def bpeDecodeIds(arr: ArrayData,
+      rev: java.util.HashMap[java.lang.Long, String]): UTF8String = {
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val id = arr.getLong(i)
+      if (id >= 0L && id < 0x110000L) {
+        sb.appendCodePoint(id.toInt)
+      } else {
+        val s = rev.get(java.lang.Long.valueOf(id))
+        if (s == null) throw new IllegalStateException(
+          s"token id $id is not in the merge-derived vocabulary — " +
+            "decoding under a different merges table than the encoder's?")
+        sb.append(s)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
   }
 }
 
@@ -834,7 +875,8 @@ case class BpeWordTokens(child: Expression, merges: Seq[String])
   * rules literal, which is what makes packed training sequences
   * hash-comparable. Merges and the precomputed id map ship into
   * generated code as reference objects. */
-case class BpeTokenIds(child: Expression, merges: Seq[String])
+case class BpeTokenIds(child: Expression, merges: Seq[String],
+    lossless: Boolean = false)
     extends UnaryExpression {
   require(merges.length % 2 == 0,
     "merges must be a flat [a0,b0,a1,b1,…] pair list (possibly empty)")
@@ -862,13 +904,57 @@ case class BpeTokenIds(child: Expression, merges: Seq[String])
       s"bpe_token_ids needs string, got ${child.dataType}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    HashKernels.bpeDocTokenIds(input.asInstanceOf[UTF8String], mergesArr, idMap)
+    HashKernels.bpeDocTokenIds(input.asInstanceOf[UTF8String], mergesArr, idMap, lossless)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mref = ctx.addReferenceObj("graftBpeMerges", mergesArr, "java.lang.String[]")
     val iref = ctx.addReferenceObj("graftBpeIds", idMap, "java.util.HashMap")
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bpeDocTokenIds($c, $mref, $iref)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.bpeDocTokenIds($c, $mref, $iref, $lossless)")
   }
   override protected def withNewChildInternal(newChild: Expression): BpeTokenIds =
+    copy(child = newChild)
+}
+
+/** Codegen'd inverse of [[BpeTokenIds]] (see HashKernels.bpeDecodeIds):
+  * a token-id array back to its text. Byte-exact on a `lossless`
+  * encode; words-concatenated on the legacy (space-dropping) encode.
+  * The reverse map covers EVERY rule rank (not just min-rank winners):
+  * any id the id scheme could ever have assigned decodes to its rule's
+  * output string; ids outside both the codepoint space and the rank
+  * range fail loudly. */
+case class BpeDecodeIds(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+  require(merges.length % 2 == 0,
+    "merges must be a flat [a0,b0,a1,b1,…] pair list (possibly empty)")
+  require(merges.forall(BpeTokenStats.legalToken),
+    "merge tokens must be non-empty and free of ' '/',' and control " +
+      "characters (see BpeTokenStats.legalToken)")
+  private lazy val revMap: java.util.HashMap[java.lang.Long, String] = {
+    val m = new java.util.HashMap[java.lang.Long, String]()
+    var r = 0
+    while (r + 1 < merges.length) {
+      m.put(java.lang.Long.valueOf(BpeTokenIds.VocabBase + r / 2),
+        merges(r) + merges(r + 1))
+      r += 2
+    }
+    m
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_decode needs array<long>, got $other")
+    }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bpeDecodeIds(input.asInstanceOf[ArrayData], revMap)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rref = ctx.addReferenceObj("graftBpeRev", revMap, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bpeDecodeIds($c, $rref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeIds =
     copy(child = newChild)
 }
 
@@ -1240,8 +1326,12 @@ object exprs {
   def bpeWordTokens(c: Column, merges: Seq[(String, String)]): Column =
     shims.column(BpeWordTokens(shims.expression(c),
       merges.flatMap(p => Seq(p._1, p._2))))
-  def bpeTokenIds(c: Column, merges: Seq[(String, String)]): Column =
+  def bpeTokenIds(c: Column, merges: Seq[(String, String)],
+      lossless: Boolean = false): Column =
     shims.column(BpeTokenIds(shims.expression(c),
+      merges.flatMap(p => Seq(p._1, p._2)), lossless))
+  def bpeDecode(c: Column, merges: Seq[(String, String)]): Column =
+    shims.column(BpeDecodeIds(shims.expression(c),
       merges.flatMap(p => Seq(p._1, p._2))))
   def scriptClassCounts(c: Column): Column =
     shims.column(ScriptClassCounts(shims.expression(c)))

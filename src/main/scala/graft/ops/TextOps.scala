@@ -200,13 +200,37 @@ object TextOps {
     * replayable; see [[graft.functions.BpeTokenIds]]). One map-only
     * codegen pass per row; null-text rows are dropped like
     * [[bpeTokenCounts]]; blank text encodes as the empty sequence.
-    * Output: (idCol, token_ids array<long>, n_tokens). */
+    * Output: (idCol, token_ids array<long>, n_tokens).
+    *
+    * `lossless = true` is the TRAINER-FAITHFUL mode: every U+0020
+    * space is emitted as its own token (id 32) in stream position, so
+    * [[decodeBpe]] reconstructs the document BYTE-FOR-BYTE — code,
+    * markdown, and indentation-sensitive text survive materialization
+    * (the default mode reconstructs only modulo spacing). Merge rules
+    * can never contain a space ([[graft.functions.BpeTokenStats.legalToken]]),
+    * so the word-token subsequence is IDENTICAL to the default mode's
+    * (filter out id 32 and the streams are equal — spec-pinned): the
+    * id-stability contract is unchanged, and a corpus encoded under
+    * either mode stays valid when rules are appended. */
   def encodeBpe(df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)] = DefaultBpeMerges): DataFrame =
+      merges: Seq[(String, String)] = DefaultBpeMerges,
+      lossless: Boolean = false): DataFrame =
     df.filter(col(textCol).isNotNull)
       .select(col(idCol),
-        graft.functions.exprs.bpeTokenIds(col(textCol), merges).as("token_ids"))
+        graft.functions.exprs.bpeTokenIds(col(textCol), merges, lossless)
+          .as("token_ids"))
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+
+  /** Inverse of [[encodeBpe]] under the SAME merges table: token ids
+    * back to text (`decoded`). Byte-exact on a `lossless = true`
+    * encode; words-joined-without-spaces on the legacy stream. One
+    * map-only codegen pass; unknown ids fail loudly (decoding under
+    * the wrong merges table must never silently fabricate text).
+    * Output: (idCol, decoded). */
+  def decodeBpe(df: DataFrame, idCol: String, idsCol: String,
+      merges: Seq[(String, String)] = DefaultBpeMerges): DataFrame =
+    df.select(col(idCol),
+      graft.functions.exprs.bpeDecode(col(idsCol), merges).as("decoded"))
 
   /** The id one past the last merge rule's — the conventional
     * end-of-document separator for [[encodeBpe]] output fed to

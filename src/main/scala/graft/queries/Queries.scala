@@ -529,9 +529,30 @@ object Queries {
 
   /** The shared token-id CTE body on top of [[bpeCtesSql]]: the
     * min-rank vocabulary id map, per-word token lists, and the per-doc
-    * positioned id stream. */
-  private def bpeIdCtesSql: String = {
+    * positioned id stream. `lossless = true` interleaves one id-32
+    * space token between consecutive FULL-SPLIT positions (the word
+    * split on ' ' keeps empties positioned, so spaces sit exactly
+    * between adjacent split positions — TextOps.encodeBpe's
+    * byte-faithful mode), with `src` naming the document relation the
+    * space positions are read from. */
+  private def bpeIdCtesSql: String = bpeIdCtesSql(lossless = false)
+
+  private def bpeIdCtesSql(lossless: Boolean,
+      src: String = "documents"): String = {
     val nRules = TextOps.DefaultBpeMerges.size
+    val wordIds =
+      """SELECT doc_id, wpos, tpos,
+        |    CAST(CASE WHEN len(tok) = 1 THEN unicode(tok) ELSE v.id END AS BIGINT) AS token_id
+        |  FROM doctok LEFT JOIN vocab v USING (tok)""".stripMargin
+    val stream =
+      if (!lossless) wordIds
+      else
+        s"""SELECT doc_id, wpos, tpos, token_id FROM ($wordIds)
+           |  UNION ALL
+           |  SELECT doc_id, wpos, 1000000000 AS tpos, CAST(32 AS BIGINT) AS token_id
+           |  FROM (SELECT doc_id,
+           |          UNNEST(range(len(string_split(text, ' ')) - 1)) AS wpos
+           |        FROM $src WHERE text IS NOT NULL)""".stripMargin
     s"""vocab AS (SELECT trim(q) AS tok, CAST(1114112 + min(r) AS BIGINT) AS id
        |  FROM rules GROUP BY trim(q)),
        |toks AS (SELECT w, string_split(trim(s), ' ') AS ts FROM bpe WHERE r = $nRules),
@@ -541,13 +562,41 @@ object Queries {
        |ids AS (
        |  SELECT doc_id,
        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, tpos) - 1 AS BIGINT) AS pos,
-       |    CAST(CASE WHEN len(tok) = 1 THEN unicode(tok) ELSE v.id END AS BIGINT) AS token_id
-       |  FROM doctok LEFT JOIN vocab v USING (tok))""".stripMargin
+       |    token_id
+       |  FROM ($stream))""".stripMargin
   }
 
   private def bpeTokenIdsSql: String =
     s"""WITH RECURSIVE $bpeCtesSql, $bpeIdCtesSql
        |SELECT doc_id, pos, token_id FROM ids""".stripMargin
+
+  /** Byte-faithful token-ID materialization (TextOps.encodeBpe with
+    * `lossless = true`): the space-preserving id stream — the corpus a
+    * trainer can actually reconstruct. Same oracle replay as
+    * [[bpeTokenIdsQ]] plus the interleaved space tokens. */
+  private def bpeTokenIdsLosslessQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.encodeBpe(t(s, dir, "documents"), "doc_id", "text",
+        TextOps.DefaultBpeMerges, lossless = true)
+      .select(col("doc_id"),
+        posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token_id"))
+
+  private def bpeTokenIdsLosslessSql: String =
+    s"""WITH RECURSIVE $bpeCtesSql, ${bpeIdCtesSql(lossless = true)}
+       |SELECT doc_id, pos, token_id FROM ids""".stripMargin
+
+  /** The round-trip contract itself: decode(encode(text)) under the
+    * lossless mode must reproduce the document BYTE-FOR-BYTE — the
+    * oracle is simply the original text (if the hash matches, the
+    * reconstruction is exact over the whole corpus). */
+  private def bpeRoundtripQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.decodeBpe(
+      TextOps.encodeBpe(t(s, dir, "documents"), "doc_id", "text",
+        TextOps.DefaultBpeMerges, lossless = true),
+      "doc_id", "token_ids")
+
+  private def bpeRoundtripSql: String =
+    "SELECT doc_id, text AS decoded FROM documents WHERE text IS NOT NULL"
 
   private val PackSeqLen = 128
 
@@ -568,9 +617,10 @@ object Queries {
   /** The full pack-replay oracle over document relation `src` —
     * optional extra CTEs in `pre` (e.g. the pipeline's quality-filter +
     * dedup survivor set) precede the shared BPE/id/prefix-sum bodies. */
-  private def packOracleSql(pre: String, src: String): String =
+  private def packOracleSql(pre: String, src: String,
+      lossless: Boolean = false): String =
     s"""WITH RECURSIVE ${if (pre.isEmpty) "" else pre + ","}
-       |${bpeCtesSqlFrom(src)}, $bpeIdCtesSql,
+       |${bpeCtesSqlFrom(src)}, ${bpeIdCtesSql(lossless, src)},
        |dtok AS (
        |  SELECT d.doc_id, COALESCE(tc.n, 0) + 1 AS wgt, COALESCE(tc.n, 0) AS nt
        |  FROM $src d LEFT JOIN (
@@ -603,14 +653,17 @@ object Queries {
   /** The training-data materialization flagship (the extension layer's
     * q_process_e2e for the round-12 token chain): quality filter →
     * exact dedup keep-first → BPE token ids → fixed-length packing,
-    * composed end-to-end against one CTE oracle. */
+    * composed end-to-end against one CTE oracle. Round 13: the encode
+    * stage is the byte-faithful LOSSLESS mode — the packed corpus
+    * reconstructs its documents exactly (see q_bpe_roundtrip), which is
+    * what "a corpus a trainer would consume" actually requires. */
   private def trainingPipelineQ(s: SparkSession, dir: String): DataFrame =
     SampleOps.packSequences(
         TextOps.encodeBpe(
           DedupOps.exactDedup(
             TextOps.qualityFilter(t(s, dir, "documents"), "text"),
             "doc_id", "text"),
-          "doc_id", "text"),
+          "doc_id", "text", TextOps.DefaultBpeMerges, lossless = true),
         col("doc_id"), "token_ids", seqLen = PackSeqLen,
         sepId = TextOps.bpeEosId(), buckets = 8)
       .select(col("seq_id"), col("seq_pos"), col("token_id"),
@@ -631,7 +684,7 @@ object Queries {
          |srcdocs AS (SELECT doc_id, text FROM (
          |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS canon FROM qf)
          |  WHERE doc_id = canon)""".stripMargin
-    packOracleSql(pre, "srcdocs")
+    packOracleSql(pre, "srcdocs", lossless = true)
   }
 
   /** Deterministic per-epoch training permutation (SampleOps
@@ -2659,6 +2712,8 @@ object Queries {
     "q_bpe_tokens" -> (bpeTokensQ _),
     "q_bpe_chunks" -> (bpeChunksQ _),
     "q_bpe_token_ids" -> (bpeTokenIdsQ _),
+    "q_bpe_token_ids_lossless" -> (bpeTokenIdsLosslessQ _),
+    "q_bpe_roundtrip" -> (bpeRoundtripQ _),
     "q_pack_token_ids" -> (packTokenIdsQ _),
     "q_training_pipeline" -> (trainingPipelineQ _),
     "q_epoch_shuffle" -> (epochShuffleQ _),
@@ -2778,6 +2833,8 @@ object Queries {
     "q_bpe_tokens" -> bpeTokensSql,
     "q_bpe_chunks" -> bpeChunksSql,
     "q_bpe_token_ids" -> bpeTokenIdsSql,
+    "q_bpe_token_ids_lossless" -> bpeTokenIdsLosslessSql,
+    "q_bpe_roundtrip" -> bpeRoundtripSql,
     "q_pack_token_ids" -> packTokenIdsSql,
     "q_training_pipeline" -> trainingPipelineSql,
     "q_epoch_shuffle" -> epochShuffleSql,

@@ -129,5 +129,16 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(ids == idsCol && ids.length == 2, s"got $ids vs $idsCol")
     // 'the' = rule 1's output, 'that' = rule 3's: VocabBase + rank
     assert(ids == Seq(0x110000L + 1, 0x110000L + 3), s"got $ids")
+    // lossless 3rd arg: the interleaved space token, and a pure-SQL
+    // decode round trip back to the exact input bytes
+    val lossless = spark.sql(
+      "SELECT graft_bpe_token_ids(t, 't h,th e,a t,th at', true) AS i FROM sqlfn_r8")
+      .head().getSeq[Long](0)
+    assert(lossless == Seq(0x110000L + 1, 32L, 0x110000L + 3), s"got $lossless")
+    val decoded = spark.sql(
+      "SELECT graft_bpe_decode(graft_bpe_token_ids(t, 't h,th e,a t,th at', true), " +
+        "'t h,th e,a t,th at') AS d FROM sqlfn_r8")
+      .head().getString(0)
+    assert(decoded == "the that")
   }
 }

@@ -543,6 +543,58 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("lossless encodeBpe + decodeBpe round-trip BYTE-FOR-BYTE, including whitespace-sensitive text") {
+    // indentation-sensitive fixtures the legacy mode cannot reconstruct:
+    // leading spaces, runs of spaces, trailing space, tabs/newlines,
+    // space-only and empty documents, astral codepoints beside spaces
+    val fixtures = Seq(
+      (1L, "def f(x):\n    return  x + 1\n"),
+      (2L, "  leading and trailing  "),
+      (3L, "| a | b |\n|---|---|\n| 1 |  2 |"),
+      (4L, "   "),
+      (5L, ""),
+      (6L, "tab\tand\nnewline inside words"),
+      (7L, "a 😀  b"))
+      .toDF("doc_id", "text")
+    val decoded = TextOps.decodeBpe(
+        TextOps.encodeBpe(fixtures, "doc_id", "text",
+          TextOps.DefaultBpeMerges, lossless = true),
+        "doc_id", "token_ids")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    fixtures.collect().foreach { r =>
+      assert(decoded(r.getLong(0)) == r.getString(1),
+        s"doc ${r.getLong(0)}: '${decoded(r.getLong(0))}' != '${r.getString(1)}'")
+    }
+    // ... and across the whole real corpus
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bad = TextOps.decodeBpe(
+        TextOps.encodeBpe(corpus, "doc_id", "text",
+          TextOps.DefaultBpeMerges, lossless = true),
+        "doc_id", "token_ids")
+      .join(corpus.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(col("decoded") =!= col("text")).count()
+    assert(bad == 0L, s"$bad corpus documents failed the byte round trip")
+    // id-stability relation: the lossless stream MINUS the space tokens
+    // IS the legacy stream — word-token ids are mode-independent
+    val legacy = TextOps.encodeBpe(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    TextOps.encodeBpe(corpus, "doc_id", "text", TextOps.DefaultBpeMerges,
+        lossless = true)
+      .collect().foreach { r =>
+        assert(r.getSeq[Long](1).filter(_ != 32L) == legacy(r.getLong(0)),
+          s"doc ${r.getLong(0)}: lossless-minus-spaces != legacy stream")
+      }
+    // decode under the wrong vocabulary fails loudly, never fabricates
+    val foreign = Seq((1L, Seq(graft.functions.BpeTokenIds.VocabBase + 999L)))
+      .toDF("doc_id", "token_ids")
+    val e = intercept[Exception] {
+      TextOps.decodeBpe(foreign, "doc_id", "token_ids").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("merge-derived vocabulary")))
+  }
+
   test("bpe counts: real compression, bounded below by words; merges with a==b rejected") {
     val r = TextOps.bpeTokenCounts(
       Seq((1L, "the weather in northern england that month")).toDF("doc_id", "text"),
