@@ -692,6 +692,26 @@ object HashKernels {
     ArrayData.toArrayData(arr)
   }
 
+  /** Element-wise id remap through a precomputed table (the dense-
+    * vocabulary materialization step): every id must be covered — a
+    * miss fails loudly, because a silently-invented id would corrupt a
+    * training corpus undetectably. */
+  def remapIds(arr: ArrayData,
+      map: java.util.HashMap[java.lang.Long, java.lang.Long]): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = map.get(java.lang.Long.valueOf(arr.getLong(i)))
+      if (v == null) throw new IllegalStateException(
+        s"id ${arr.getLong(i)} is not in the remap table — rebuild the " +
+          "vocabulary over the corpus being remapped")
+      out(i) = v.longValue()
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Inverse of [[bpeDocTokenIds]]: ids back to text — a codepoint id
     * (< 0x110000) appends its codepoint, a merged id appends its
     * rank-derived token string from the precomputed reverse map. On a
@@ -985,6 +1005,33 @@ object BpeTokenIds {
     * merged-token ids start here — rule rank r maps to VocabBase + r —
     * so they can never collide with a codepoint id. */
   val VocabBase: Long = 0x110000L
+}
+
+/** Codegen'd element-wise id remap through a precomputed vocabulary
+  * table (see HashKernels.remapIds) — the map ships into generated code
+  * as a reference object (vocabulary-sized: the same broadcast-small-
+  * model shape as the merges tables). Total function or loud failure:
+  * an uncovered id throws rather than fabricating one. */
+case class RemapIds(child: Expression,
+    map: java.util.HashMap[java.lang.Long, java.lang.Long])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"remap_ids needs array<long>, got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.remapIds(input.asInstanceOf[ArrayData], map)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mref = ctx.addReferenceObj("graftRemap", map, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.remapIds($c, $mref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): RemapIds =
+    copy(child = newChild)
 }
 
 /** Codegen'd one-pass 1-D dHash (see HashKernels.dhashBits). */
@@ -1333,6 +1380,8 @@ object exprs {
   def bpeDecode(c: Column, merges: Seq[(String, String)]): Column =
     shims.column(BpeDecodeIds(shims.expression(c),
       merges.flatMap(p => Seq(p._1, p._2))))
+  def remapIds(c: Column, map: java.util.HashMap[java.lang.Long, java.lang.Long]): Column =
+    shims.column(RemapIds(shims.expression(c), map))
   def scriptClassCounts(c: Column): Column =
     shims.column(ScriptClassCounts(shims.expression(c)))
   def hashEmbedding(c: Column, dim: Int): Column =

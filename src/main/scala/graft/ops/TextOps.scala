@@ -288,6 +288,83 @@ object TextOps {
     rows.toSeq.map { case (t, i) => (i, t) }.toDF("token_id", "token")
   }
 
+  /** Driver-safe bound for [[denseVocab]]'s collect: the dense remap is
+    * a model artifact (one row per OBSERVED token), and real tokenizer
+    * vocabularies top out in the hundreds of thousands; 16M rows
+    * (~128 MB of longs) is far past any legitimate vocabulary and
+    * catches a caller who exploded the wrong column. */
+  val MaxDenseVocab: Int = 1 << 24
+
+  /** DENSE vocabulary over an [[encodeBpe]] corpus: the observed sparse
+    * ids (codepoint ∪ 0x110000+rank space) mapped to contiguous
+    * [0, V) — what a real embedding table indexes by. Output:
+    * (dense_id, token_id), dense_id = rank of token_id in ascending
+    * sparse order — a pure function of the observed id SET, so the
+    * same corpus (under any partitioning) and the DuckDB oracle derive
+    * the identical table. `extraIds` reserves ids the corpus itself
+    * may not contain (specials — pass [[bpeEosId]] when the stream
+    * will be packed).
+    *
+    * Shape: per-doc `array_distinct` before the explode (map-only
+    * dedup), one vocabulary-sized hash aggregate, then the
+    * collect-the-model step every trainer artifact takes (the
+    * [[bpeVocab]]/trainCentroids shape) — guarded at
+    * [[MaxDenseVocab]]. The table is persistable (write it next to the
+    * corpus) and joinable; [[densifyIds]] applies it as one codegen
+    * pass, and applying the SWAPPED table (dense_id ↔ token_id)
+    * inverts the remap exactly (spec-pinned). */
+  def denseVocab(encoded: DataFrame, idsCol: String,
+      extraIds: Seq[Long] = Nil): DataFrame = {
+    val spark = encoded.sparkSession
+    val observed = encoded
+      .select(explode(array_distinct(col(idsCol))).as("token_id"))
+      .distinct()
+      .limit(MaxDenseVocab + 1)
+      .collect().map(_.getLong(0))
+    require(observed.length <= MaxDenseVocab,
+      s"denseVocab: more than $MaxDenseVocab distinct ids — this is not " +
+        "a token vocabulary; was the right column exploded?")
+    val all = (observed ++ extraIds).distinct.sorted
+    import spark.implicits._
+    all.toSeq.zipWithIndex.map { case (tid, d) => (d.toLong, tid) }
+      .toDF("dense_id", "token_id")
+  }
+
+  /** Apply a [[denseVocab]] table to an id-array column: one codegen
+    * map pass ([[graft.functions.RemapIds]] — the table rides into
+    * generated code as a reference object, never a corpus-side join).
+    * Replaces `idsCol` with the remapped array under `outCol`
+    * (default `dense_ids`), keeping every other column. Ids absent
+    * from the table FAIL the job — a silently-invented id would
+    * corrupt a training corpus undetectably; extend the vocabulary
+    * (extraIds) or rebuild it over this corpus instead. Pass the
+    * swapped table (`select(dense_id AS token_id, token_id AS
+    * dense_id)`) to invert. */
+  def densifyIds(df: DataFrame, idsCol: String, vocab: DataFrame,
+      outCol: String = "dense_ids"): DataFrame = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    vocab.select(col("token_id").cast("long"), col("dense_id").cast("long"))
+      .collect().foreach { r =>
+        val prev = m.put(java.lang.Long.valueOf(r.getLong(0)),
+          java.lang.Long.valueOf(r.getLong(1)))
+        require(prev == null,
+          s"densifyIds: duplicate token_id ${r.getLong(0)} in the remap table")
+      }
+    val remapped =
+      df.withColumn(outCol, graft.functions.exprs.remapIds(col(idsCol), m))
+    if (outCol == idsCol) remapped else remapped.drop(idsCol)
+  }
+
+  /** The dense id a [[denseVocab]] table assigns to one sparse id —
+    * the driver-side lookup for specials (e.g. the packed-stream
+    * separator: `denseId(vocab, bpeEosId())`). Fails if absent. */
+  def denseId(vocab: DataFrame, tokenId: Long): Long = {
+    val rows = vocab.filter(col("token_id") === tokenId)
+      .select(col("dense_id").cast("long")).collect()
+    require(rows.nonEmpty, s"token id $tokenId is not in the remap table")
+    rows.head.getLong(0)
+  }
+
   /** TRAIN a byte-BPE merges table from the corpus (Sennrich et al.
     * 2016): iteratively pick the highest-frequency adjacent token pair
     * over the word-frequency table and add it as the next merge rule.

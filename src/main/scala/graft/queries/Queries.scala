@@ -598,6 +598,37 @@ object Queries {
   private def bpeRoundtripSql: String =
     "SELECT doc_id, text AS decoded FROM documents WHERE text IS NOT NULL"
 
+  /** The dense-vocabulary CTE shared by the dense oracles: observed
+    * sparse ids (∪ the reserved EOS) ranked ascending — exactly
+    * TextOps.denseVocab's pure-function-of-the-id-SET contract. */
+  private def denseVocabCteSql: String =
+    s"""vocabd AS (
+       |  SELECT token_id,
+       |    CAST(row_number() OVER (ORDER BY token_id) - 1 AS BIGINT) AS dense_id
+       |  FROM (SELECT DISTINCT token_id FROM ids
+       |        UNION SELECT CAST(${TextOps.bpeEosId()} AS BIGINT) AS token_id))""".stripMargin
+
+  /** Dense-vocabulary materialization (TextOps.denseVocab +
+    * densifyIds): the byte-faithful id stream remapped to contiguous
+    * [0, V) — what an embedding table actually indexes. The oracle
+    * derives the SAME table by ranking the distinct observed ids (plus
+    * the reserved EOS) ascending. */
+  private def denseTokenIdsQ(s: SparkSession, dir: String): DataFrame = {
+    val enc = TextOps.encodeBpe(t(s, dir, "documents"), "doc_id", "text",
+      TextOps.DefaultBpeMerges, lossless = true)
+    val vocab = TextOps.denseVocab(enc, "token_ids", Seq(TextOps.bpeEosId()))
+    TextOps.densifyIds(enc, "token_ids", vocab)
+      .select(col("doc_id"),
+        posexplode(col("dense_ids")).as(Seq("pos", "dense_id")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("dense_id"))
+  }
+
+  private def denseTokenIdsSql: String =
+    s"""WITH RECURSIVE $bpeCtesSql, ${bpeIdCtesSql(lossless = true)},
+       |$denseVocabCteSql
+       |SELECT i.doc_id, i.pos, v.dense_id
+       |FROM ids i JOIN vocabd v USING (token_id)""".stripMargin
+
   private val PackSeqLen = 128
 
   /** Fixed-length training-sequence packing (SampleOps.packSequences
@@ -618,9 +649,10 @@ object Queries {
     * optional extra CTEs in `pre` (e.g. the pipeline's quality-filter +
     * dedup survivor set) precede the shared BPE/id/prefix-sum bodies. */
   private def packOracleSql(pre: String, src: String,
-      lossless: Boolean = false): String =
+      lossless: Boolean = false, dense: Boolean = false): String =
     s"""WITH RECURSIVE ${if (pre.isEmpty) "" else pre + ","}
        |${bpeCtesSqlFrom(src)}, ${bpeIdCtesSql(lossless, src)},
+       |${if (dense) denseVocabCteSql + "," else ""}
        |dtok AS (
        |  SELECT d.doc_id, COALESCE(tc.n, 0) + 1 AS wgt, COALESCE(tc.n, 0) AS nt
        |  FROM $src d LEFT JOIN (
@@ -645,10 +677,31 @@ object Queries {
        |  SELECT doc_id, nt, CAST(${TextOps.bpeEosId()} AS BIGINT) FROM starts)
        |SELECT CAST((s.st + t.pos) // $PackSeqLen AS BIGINT) AS seq_id,
        |  CAST((s.st + t.pos) % $PackSeqLen AS BIGINT) AS seq_pos,
-       |  t.token_id, t.doc_id
-       |FROM stream t JOIN starts s USING (doc_id)""".stripMargin
+       |  ${if (dense) "v.dense_id" else "t.token_id"}, t.doc_id
+       |FROM stream t JOIN starts s USING (doc_id)
+       |${if (dense) "JOIN vocabd v USING (token_id)" else ""}""".stripMargin
 
   private def packTokenIdsSql: String = packOracleSql("", "documents")
+
+  /** Packing over the DENSIFIED byte-faithful stream — the full
+    * trainer-ready materialization: lossless encode → dense [0, V)
+    * remap → fixed-length packing (separator = the EOS's dense id).
+    * Remap is elementwise and 1:1, so the oracle packs the sparse
+    * stream and remaps at the end — identical layout, same positions. */
+  private def packDenseIdsQ(s: SparkSession, dir: String): DataFrame = {
+    val enc = TextOps.encodeBpe(t(s, dir, "documents"), "doc_id", "text",
+      TextOps.DefaultBpeMerges, lossless = true)
+    val vocab = TextOps.denseVocab(enc, "token_ids", Seq(TextOps.bpeEosId()))
+    SampleOps.packSequences(
+        TextOps.densifyIds(enc, "token_ids", vocab),
+        col("doc_id"), "dense_ids", seqLen = PackSeqLen,
+        sepId = TextOps.denseId(vocab, TextOps.bpeEosId()), buckets = 8)
+      .select(col("seq_id"), col("seq_pos"), col("token_id").as("dense_id"),
+        col("src_key").as("doc_id"))
+  }
+
+  private def packDenseIdsSql: String =
+    packOracleSql("", "documents", lossless = true, dense = true)
 
   /** The training-data materialization flagship (the extension layer's
     * q_process_e2e for the round-12 token chain): quality filter →
@@ -2714,6 +2767,8 @@ object Queries {
     "q_bpe_token_ids" -> (bpeTokenIdsQ _),
     "q_bpe_token_ids_lossless" -> (bpeTokenIdsLosslessQ _),
     "q_bpe_roundtrip" -> (bpeRoundtripQ _),
+    "q_dense_token_ids" -> (denseTokenIdsQ _),
+    "q_pack_dense_ids" -> (packDenseIdsQ _),
     "q_pack_token_ids" -> (packTokenIdsQ _),
     "q_training_pipeline" -> (trainingPipelineQ _),
     "q_epoch_shuffle" -> (epochShuffleQ _),
@@ -2835,6 +2890,8 @@ object Queries {
     "q_bpe_token_ids" -> bpeTokenIdsSql,
     "q_bpe_token_ids_lossless" -> bpeTokenIdsLosslessSql,
     "q_bpe_roundtrip" -> bpeRoundtripSql,
+    "q_dense_token_ids" -> denseTokenIdsSql,
+    "q_pack_dense_ids" -> packDenseIdsSql,
     "q_pack_token_ids" -> packTokenIdsSql,
     "q_training_pipeline" -> trainingPipelineSql,
     "q_epoch_shuffle" -> epochShuffleSql,

@@ -595,6 +595,53 @@ class TextOpsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("merge-derived vocabulary")))
   }
 
+  test("denseVocab/densifyIds: contiguous [0,V), partitioning-stable, invertible, persistable") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val enc = TextOps.encodeBpe(corpus, "doc_id", "text",
+      TextOps.DefaultBpeMerges, lossless = true)
+    val eos = TextOps.bpeEosId()
+    val vocab = TextOps.denseVocab(enc, "token_ids", Seq(eos))
+    val rows = vocab.orderBy("dense_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // contiguous [0, V) and strictly increasing in the sparse id
+    assert(rows.map(_._1).toSeq == (0L until rows.length.toLong))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    assert(rows.map(_._2).contains(eos))
+    // pure function of the id SET: a different partitioning derives
+    // the identical table
+    val vocab2 = TextOps.denseVocab(
+      TextOps.encodeBpe(corpus.repartition(13, col("lang")), "doc_id",
+        "text", TextOps.DefaultBpeMerges, lossless = true),
+      "token_ids", Seq(eos))
+    assert(vocab2.orderBy("dense_id").collect().map(_.toString).toSeq ==
+      rows.map(r => s"[${r._1},${r._2}]").toSeq)
+    // densify covers every observed id; output ids all within [0, V)
+    val dense = TextOps.densifyIds(enc, "token_ids", vocab)
+    val mx = dense.select(max(array_max(col("dense_ids")))).head().getLong(0)
+    assert(mx < rows.length)
+    // the SWAPPED table inverts the remap exactly (and survives parquet)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vocab").toString
+    vocab.write.parquet(dir + "/vocab.parquet")
+    val back = spark.read.parquet(dir + "/vocab.parquet")
+    val inverse = back.select(col("dense_id").as("token_id"),
+      col("token_id").as("dense_id"))
+    val restored = TextOps.densifyIds(dense, "dense_ids", inverse, "token_ids")
+    val orig = enc.select("doc_id", "token_ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    restored.select("doc_id", "token_ids").collect().foreach { r =>
+      assert(r.getSeq[Long](1) == orig(r.getLong(0)),
+        s"doc ${r.getLong(0)}: inverse remap != original")
+    }
+    // an uncovered id fails loudly instead of fabricating one
+    val foreign = Seq((1L, Seq(eos + 1000L))).toDF("doc_id", "tids")
+    val e = intercept[Exception] {
+      TextOps.densifyIds(foreign, "tids", vocab).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("remap table")))
+  }
+
   test("bpe counts: real compression, bounded below by words; merges with a==b rejected") {
     val r = TextOps.bpeTokenCounts(
       Seq((1L, "the weather in northern england that month")).toDF("doc_id", "text"),
