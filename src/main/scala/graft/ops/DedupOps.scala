@@ -909,10 +909,19 @@ object DedupOps {
     * caller's contract — both sides must emit the same canonical
     * orientation (every generator in this file emits id_a < id_b).
     */
-  def pairRecall(exactPairs: DataFrame, approxPairs: DataFrame): DataFrame = {
-    val e = exactPairs.select(col("id_a"), col("id_b"), lit(true).as("__e")).distinct()
-    val a = approxPairs.select(col("id_a"), col("id_b"), lit(true).as("__a")).distinct()
-    e.join(a, Seq("id_a", "id_b"), "full_outer")
+  def pairRecall(exactPairs: DataFrame, approxPairs: DataFrame): DataFrame =
+    keyedRecall(exactPairs, approxPairs, Seq("id_a", "id_b"))
+
+  /** The generic key-set recall harness behind [[pairRecall]] and
+    * [[passageRecall]]: full-outer join of the two key sets, one
+    * aggregate row. Inputs are `.distinct()`-ed internally (result-
+    * sized, cheap) so a generator emitting a key twice cannot fan the
+    * join out and inflate counts. */
+  private def keyedRecall(exact: DataFrame, approx: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val e = exact.select(keys.map(col) :+ lit(true).as("__e"): _*).distinct()
+    val a = approx.select(keys.map(col) :+ lit(true).as("__a"): _*).distinct()
+    e.join(a, keys, "full_outer")
       .agg(
         count(col("__e")).as("n_exact"),
         count(col("__a")).as("n_approx"),
@@ -923,6 +932,40 @@ object DedupOps {
       .withColumn("recall",
         when(col("n_exact") === 0, lit(null).cast("double"))
           .otherwise(col("n_both").cast("double") / col("n_exact")))
+  }
+
+  /** ExactSubstr STRIDE scorecard — the fourth member of the recall
+    * family (text LSH / media / embeddings / passages): the duplicated
+    * passages found at `stride` measured against the stride=1
+    * exhaustive word-window baseline, keyed by the passage string.
+    * Both sides run the same [[duplicatedPassages]] plan; the cost IS
+    * the measurement (the exact side is the expensive one, exactly as
+    * in [[pairRecall]]'s uses).
+    *
+    * The stride dial, analytically: windows start at offsets ≡ 0
+    * (mod stride). A specific winTokens-word passage occurring at
+    * offset o is ENUMERATED iff o ≡ 0 (mod stride) — for a cross-doc
+    * repeat of length L at offsets a and b, some shared window is
+    * enumerated on BOTH sides iff a ≡ b (mod stride) (probability
+    * 1/stride under uniform alignment) AND the repeat covers an
+    * aligned start (guaranteed once L ≥ winTokens + stride − 1). So
+    * span-level detection recall ≈ 1/stride for minimal-length
+    * repeats, and the passage-level recall this scorecard reports is
+    * stricter still (≈ 1/stride per enumerated side, both sides
+    * required): budget stride against that loss — it buys a 1/stride
+    * cheaper explode, the usual trade when the corpus side is huge.
+    * Run this scorecard when retuning the dial at a new corpus scale,
+    * exactly like the LSH band scorecards. */
+  def passageRecall(df: DataFrame, idCol: String, textCol: String,
+      winTokens: Int, stride: Int, minDocs: Int = 2,
+      hashKey: Boolean = true): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    keyedRecall(
+      duplicatedPassages(df, idCol, textCol, winTokens, 1, minDocs, hashKey)
+        .select("passage"),
+      duplicatedPassages(df, idCol, textCol, winTokens, stride, minDocs, hashKey)
+        .select("passage"),
+      Seq("passage"))
   }
 
   /** Keep the best-scoring document per near-dup cluster — canonical

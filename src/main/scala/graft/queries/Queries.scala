@@ -1442,6 +1442,34 @@ object Queries {
       |  min(doc_id) AS first_doc
       |FROM pd GROUP BY passage HAVING count(*) >= 2""".stripMargin
 
+  /** ExactSubstr stride scorecard (DedupOps.passageRecall): passages
+    * found at stride 3 vs the stride=1 exhaustive baseline, keyed by
+    * passage string — the fourth recall-family member. The oracle
+    * replays both window enumerations (range step = stride) and the
+    * full-outer count join. */
+  private def passageRecallQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.passageRecall(t(s, dir, "documents"), "doc_id", "text",
+      winTokens = 6, stride = 3)
+
+  private val passageRecallSql = {
+    def passages(stride: Int) =
+      s"""SELECT DISTINCT passage FROM (
+         |  SELECT passage, count(DISTINCT doc_id) AS nd FROM (
+         |    SELECT doc_id, array_to_string(ws[i:i+5],' ') AS passage
+         |    FROM (SELECT doc_id, string_split(text,' ') AS ws
+         |          FROM documents WHERE text IS NOT NULL),
+         |         UNNEST(range(1, len(ws)-4, $stride)) t(i))
+         |  GROUP BY passage HAVING count(DISTINCT doc_id) >= 2)""".stripMargin
+    s"""SELECT count(e.passage)::BIGINT AS n_exact,
+       |  count(a.passage)::BIGINT AS n_approx,
+       |  count(CASE WHEN e.passage IS NOT NULL AND a.passage IS NOT NULL THEN 1 END)::BIGINT AS n_both,
+       |  CASE WHEN count(e.passage) = 0 THEN NULL
+       |       ELSE CAST(count(CASE WHEN e.passage IS NOT NULL AND a.passage IS NOT NULL THEN 1 END) AS DOUBLE)
+       |              / count(e.passage) END AS recall
+       |FROM (${passages(1)}) e
+       |FULL OUTER JOIN (${passages(3)}) a ON e.passage = a.passage""".stripMargin
+  }
+
   /** Model table derived deterministically from the corpus itself: the
     * terms whose charHash ≡ 0 (mod 3) carry weight (charHash mod 21) − 10
     * ∈ [−10, 10]; other tokens exercise the left-join miss path. Shared
@@ -2840,6 +2868,7 @@ object Queries {
     "q_priority_sample" -> (prioritySampleQ _),
     "q_collocations" -> (collocationsQ _),
     "q_dup_passages" -> (dupPassagesQ _),
+    "q_passage_recall" -> (passageRecallQ _),
     "q_classifier_score" -> (classifierScoreQ _),
     "q_lm_perplexity" -> (lmPerplexityQ _),
     "q_normalize_text" -> (normalizeTextQ _),
@@ -2963,6 +2992,7 @@ object Queries {
     "q_priority_sample" -> prioritySampleSql,
     "q_collocations" -> collocationsSql,
     "q_dup_passages" -> dupPassagesSql,
+    "q_passage_recall" -> passageRecallSql,
     "q_classifier_score" -> classifierScoreSql,
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_normalize_text" -> normalizeTextSql,

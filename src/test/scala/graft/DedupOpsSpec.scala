@@ -75,6 +75,33 @@ class DedupOpsSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("passageRecall: stride 1 is exhaustive; stride misses only stride-misaligned repeats") {
+    // the aligned repeat ("p q r" at offset 0 in both docs) survives any
+    // stride; the misaligned one ("a b c" at offsets 0 vs 1) is missed
+    // by every stride > 1 — the scaladoc's a ≡ b (mod stride) condition
+    val d = Seq(
+      (0L, "p q r s t u"),
+      (1L, "p q r x y z"),
+      (2L, "a b c m n o"),
+      (3L, "k a b c n o"))
+      .toDF("doc_id", "text")
+    def rec(stride: Int) = {
+      val r = DedupOps.passageRecall(d, "doc_id", "text",
+        winTokens = 3, stride = stride).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    assert(rec(1) == ((2L, 2L, 2L, 1.0)))
+    val (ne, na, nb, r2) = rec(2)
+    assert(ne == 2L && na == 1L && nb == 1L && r2 == 0.5)
+    // on the real corpus: approx passages are a SUBSET of exact (stride
+    // multiples enumerate a subset of all offsets), so recall = na/ne
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val row = DedupOps.passageRecall(corpus, "doc_id", "text",
+      winTokens = 6, stride = 3).head()
+    assert(row.getLong(2) == row.getLong(1), "approx must nest in exact")
+    assert(row.getLong(0) > 0 && row.getDouble(3) <= 1.0)
+  }
+
   test("duplicatedPassages hashed key matches text key on the real corpus; two-level agg plan") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def norm(df: org.apache.spark.sql.DataFrame) =
