@@ -692,6 +692,34 @@ object HashKernels {
     ArrayData.toArrayData(arr)
   }
 
+  /** Count of card-pattern matches passing the Luhn mod-10 checksum —
+    * the verification layer on top of the structural card regex (a
+    * random 16-digit group passes Luhn 1 time in 10; a real PAN always
+    * does). Digits are taken right-to-left, every second doubled with
+    * the >9 − 9 fold; separators are stripped first. */
+  def luhnCardCount(s: UTF8String, p: java.util.regex.Pattern): Long = {
+    val m = p.matcher(s.toString)
+    var n = 0L
+    while (m.find()) if (luhnOk(m.group())) n += 1
+    n
+  }
+
+  private def luhnOk(c: String): Boolean = {
+    val ds = c.filter(Character.isDigit)
+    if (ds.length < 13) false
+    else {
+      var sum = 0
+      var i = 0
+      while (i < ds.length) {
+        var d = ds.charAt(ds.length - 1 - i) - '0'
+        if (i % 2 == 1) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        i += 1
+      }
+      sum % 10 == 0
+    }
+  }
+
   /** Element-wise id remap through a precomputed table (the dense-
     * vocabulary materialization step): every id must be covered — a
     * miss fails loudly, because a silently-invented id would corrupt a
@@ -1005,6 +1033,32 @@ object BpeTokenIds {
     * merged-token ids start here — rule rank r maps to VocabBase + r —
     * so they can never collide with a codepoint id. */
   val VocabBase: Long = 0x110000L
+}
+
+/** Codegen'd Luhn-verified card-candidate counter (see
+  * HashKernels.luhnCardCount): finds every match of the structural card
+  * `pattern` and counts those passing the Luhn mod-10 checksum — exact
+  * integer arithmetic, replayed by the DuckDB oracle from the same
+  * pattern and digit rules. The compiled pattern ships into generated
+  * code as a reference object. */
+case class LuhnCardCount(child: Expression, pattern: String)
+    extends UnaryExpression {
+  private lazy val compiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(pattern)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"luhn_card_count needs string, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.luhnCardCount(input.asInstanceOf[UTF8String], compiled)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pref = ctx.addReferenceObj("graftLuhnPat", compiled, "java.util.regex.Pattern")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.luhnCardCount($c, $pref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): LuhnCardCount =
+    copy(child = newChild)
 }
 
 /** Codegen'd element-wise id remap through a precomputed vocabulary
@@ -1382,6 +1436,8 @@ object exprs {
       merges.flatMap(p => Seq(p._1, p._2))))
   def remapIds(c: Column, map: java.util.HashMap[java.lang.Long, java.lang.Long]): Column =
     shims.column(RemapIds(shims.expression(c), map))
+  def luhnCardCount(c: Column, pattern: String): Column =
+    shims.column(LuhnCardCount(shims.expression(c), pattern))
   def scriptClassCounts(c: Column): Column =
     shims.column(ScriptClassCounts(shims.expression(c)))
   def hashEmbedding(c: Column, dim: Int): Column =

@@ -893,30 +893,63 @@ object TextOps {
     */
   def normalizeText(c: Column): Column = graft.functions.exprs.normalizeText(c)
 
-  /** PII patterns for [[redactPii]], applied in this order. Chosen to
-    * parse identically under Java regex (Spark) and RE2 (the DuckDB
-    * oracle): character classes + bounded/greedy quantifiers only — no
-    * backreferences, no lookaround (RE2 has none), no alternation
-    * ambiguity. Email must run before the digit rules (its local part
-    * may contain digit runs the later rules would shred). The phone
-    * pattern counts DIGITS by construction — each repeat unit is
-    * (≤2 separators + one digit), so a match needs ≥9 digits: ISO dates
-    * (8 digits) and grouped thousands like "1 200 000" (7) survive,
-    * which a bare "9+ phone characters" class got wrong (it ate any
-    * digit/space/dash run). */
-  val PiiPatterns: Seq[(String, String)] = Seq(
-    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
-    ("\\+?[0-9]([ ()-]{0,2}[0-9]){8,}", "<PHONE>"))
+  /** The structural card-number shape [[redactPii]] redacts and
+    * [[graft.functions.LuhnCardCount]] verifies: separator-grouped
+    * 4-4-4-(1..7) (Visa/Mastercard/generic 13–19) or 4-6-5 (Amex)
+    * digit groups. CONTIGUOUS 13+-digit runs are left to the phone
+    * rule — they are redacted either way (what matters for a scrub);
+    * the grouped forms are what card numbers look like in prose, and
+    * keeping them a separate category preserves the phone rule's
+    * date/thousands precision unchanged. */
+  val CardPattern: String =
+    "[0-9]{4}([ -][0-9]{4}){2}[ -][0-9]{1,7}|[0-9]{4}[ -][0-9]{6}[ -][0-9]{5}"
 
-  /** PII redaction — the standard pre-training scrub (emails, IPv4s,
-    * phone-style digit runs → typed placeholder tokens), the compliance
-    * pass every large-scale corpus gets before training. Each category
-    * is COUNTED on the text state it actually matched against, then
-    * replaced, so counts and replacements agree even when categories
-    * overlap (an email is redacted as one `<EMAIL>`, not an email plus
-    * a phone). Output: (id, clean_text, n_emails, n_ips, n_phones,
-    * n_redactions).
+  /** PII patterns for [[redactPii]] — (count column, pattern,
+    * placeholder), applied in this order. Chosen to parse identically
+    * under Java regex (Spark) and RE2 (the DuckDB oracle): character
+    * classes, bounded/greedy quantifiers, alternation and `\b` only —
+    * no backreferences, no lookaround (RE2 has none). Order matters:
+    * email first (its local part may contain digit runs the later
+    * rules would shred); IPv6 before IPv4 (a full-form v6 must not
+    * have hex groups nibbled); cards before phones (a separator-
+    * grouped 16-digit number is a card, not a phone); the opaque-token
+    * rule last (anything the typed rules claimed is already gone).
+    *
+    * Per-rule notes: the IPv6 rule covers full and `::`-compressed
+    * forms, `\b`-anchored so code like `std::vector` (a trailing hex
+    * letter before `::`) cannot match; IPv4-mapped `::ffff:1.2.3.4`
+    * is handled by the IPv4 rule redacting its dotted tail. The phone
+    * pattern counts DIGITS by construction — each repeat unit is
+    * (≤2 separators + one digit), so a match needs ≥9 digits: ISO
+    * dates (8 digits) and grouped thousands like "1 200 000" (7)
+    * survive. The secret rule is the STRUCTURAL signature of keys /
+    * tokens / base64 blobs — 40+ unbroken chars of the token alphabet
+    * (no '/', so URL paths don't chain into one run); JWTs are caught
+    * per base64url segment (dots break runs). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("n_emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_ipv6", "\\b(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|" +
+      "([0-9A-Fa-f]{1,4}:){1,7}:([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,5})?)",
+      "<IPV6>"),
+    ("n_ips", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("n_cards", CardPattern, "<CARD>"),
+    ("n_phones", "\\+?[0-9]([ ()-]{0,2}[0-9]){8,}", "<PHONE>"),
+    ("n_secrets", "[A-Za-z0-9+=_-]{40,}", "<SECRET>"))
+
+  /** PII redaction — the standard pre-training scrub (emails, IPv6s,
+    * IPv4s, card numbers, phone-style digit runs, opaque key/secret
+    * runs → typed placeholder tokens), the compliance pass every
+    * large-scale corpus gets before training. Each category is COUNTED
+    * on the text state it actually matched against, then replaced, so
+    * counts and replacements agree even when categories overlap (an
+    * email is redacted as one `<EMAIL>`, not an email plus a phone).
+    * `n_luhn_cards` additionally counts the card-pattern matches that
+    * pass the Luhn mod-10 checksum ([[graft.functions.LuhnCardCount]],
+    * measured on the same text state the card rule matched) — the
+    * verified-PAN signal for auditing what the structural rule caught.
+    * Output: (id, clean_text, n_emails, n_ipv6, n_ips, n_cards,
+    * n_luhn_cards, n_phones, n_secrets, n_redactions); `n_redactions`
+    * sums the replacement categories (not the Luhn audit count).
     *
     * Shape: map-only — `regexp_count`/`regexp_replace` are codegen'd
     * builtins evaluated once per row; no join, no aggregate, no
@@ -925,11 +958,17 @@ object TextOps {
     * characters (spec-pinned).
     */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val names = Seq("n_emails", "n_ips", "n_phones")
+    val names = PiiPatterns.map(_._1)
     val (cleaned, counts) =
-      PiiPatterns.zip(names).foldLeft((col(textCol), Seq.empty[Column])) {
-        case ((t, cs), ((re, repl), n)) =>
-          (regexp_replace(t, re, repl), cs :+ regexp_count(t, lit(re)).cast("long").as(n))
+      PiiPatterns.foldLeft((col(textCol), Seq.empty[Column])) {
+        case ((t, cs), (n, re, repl)) =>
+          val c = cs :+ regexp_count(t, lit(re)).cast("long").as(n)
+          val withAudit =
+            if (n == "n_cards")
+              c :+ graft.functions.exprs.luhnCardCount(t, CardPattern)
+                .as("n_luhn_cards")
+            else c
+          (regexp_replace(t, re, repl), withAudit)
       }
     df.filter(col(textCol).isNotNull)
       .select(Seq(col(idCol), cleaned.as("clean_text")) ++ counts: _*)
