@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.ops.{DedupOps, SampleOps, TextOps}
+
+/** Round-13 scale-stress harness (same BASELINE.md protocol as
+  * [[StressR12]]: same-JVM timings, DISK_ONLY-persisted inputs,
+  * local[32], default 8g heap). Subcommands:
+  *
+  *  - `pipeline [reps]` — the q_training_pipeline COMPOSITION as ONE
+  *    plan (quality filter → exact-dedup keep-first → LOSSLESS BPE
+  *    encode → fixed-length packing) on replicated sf0.1 documents at
+  *    2×/10×/reps× (reps=100 → 500k input docs). Replica text is
+  *    de-duplicated PAIRWISE (replicas 2k and 2k+1 share text, fixed-
+  *    width tag so quality features are replica-invariant), so the
+  *    dedup stage removes exactly half at every scale — the composed
+  *    plan exercises all four stages with known survivor counts.
+  *    Verifies: survivor count = passers × reps/2, packed-stream row
+  *    count/EOS/dense-position invariants, bit-identical output under
+  *    a different input partitioning, and composed wall vs the sum of
+  *    separately-materialized stages (is one plan ≈ the sum of its
+  *    stages, or does the composition pay a barrier?).
+  *  - `epochshuffle [reps]` — epochShuffle at 100×/1000× (reps=1000 →
+  *    5M rows; the assignShards stress scales, weight-1 variant):
+  *    dense-bijection invariants verified DISTRIBUTEDLY (count /
+  *    min / max / countDistinct), epoch-independence (different epoch
+  *    → different permutation), partitioning independence, wall
+  *    alongside the shards row it shares machinery with.
+  *
+  * Timings print as `[stress] <label>: <sec> s`; results as
+  * `[stress] <label> = <value>`. Not part of the oracle surface — a
+  * measurement tool like Bench, kept in-repo so the BASELINE.md rows
+  * it produces stay reproducible.
+  */
+object StressR13 {
+  private def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[stress] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+  private def report(label: String, v: Any): Unit =
+    println(s"[stress] $label = $v")
+
+  private def session(): SparkSession = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    args.headOption.getOrElse(sys.error(
+        "usage: StressR13 <pipeline|epochshuffle> [reps]")) match {
+      case "pipeline" =>
+        pipeline(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
+      case "epochshuffle" =>
+        epochShuffle(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(1000))
+      case other => sys.error(s"unknown subcommand '$other' (pipeline|epochshuffle)")
+    }
+    spark.stop()
+  }
+
+  /** Replicated documents with PAIRWISE-duplicated text: replicas 2k
+    * and 2k+1 of a document carry identical text (a fixed-width pair
+    * tag, so every replica of a document has byte-identical quality
+    * features), distinct pairs differ — exact dedup keep-first removes
+    * exactly one of each pair. Map-only, no join. */
+  private def pairedDocs(spark: SparkSession, sfDir: String, reps: Int): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+      .select(concat(col("doc_id"), lit("#"), col("__rep")).as("key"),
+        col("doc_id"),
+        concat(col("text"), lit(" #"),
+          lpad((col("__rep") / 2).cast("int").cast("string"), 6, "0")).as("text"))
+
+  // -------------------------------------------------------------- pipeline
+
+  private def pipeline(spark: SparkSession, sfDir: String, maxReps: Int): Unit = {
+    val seqLen = 1024
+    val eos = TextOps.bpeEosId()
+    require(maxReps % 2 == 0, "pipeline stress wants an even reps (pairwise dedup)")
+    // base passer count: distinct source documents surviving the
+    // quality filter (replica-invariant by the fixed-width tag)
+    for (reps <- Seq(2, 10, maxReps)) {
+      val rep = pairedDocs(spark, sfDir, reps).persist(StorageLevel.DISK_ONLY)
+      val nIn = rep.count()
+      def composed(src: DataFrame) = SampleOps.packSequences(
+        TextOps.encodeBpe(
+          DedupOps.exactDedup(
+            TextOps.qualityFilter(src, "text"), "key", "text"),
+          "key", "text", TextOps.DefaultBpeMerges, lossless = true),
+        col("key"), "token_ids", seqLen, eos, buckets = 64)
+      val packed = composed(rep)
+      time(s"pipeline ${reps}x ($nIn docs, one plan)") {
+        packed.write.format("noop").mode("overwrite").save()
+      }
+      val p = packed.persist(StorageLevel.DISK_ONLY)
+      val total = p.count()
+      // survivors: the filter passes per-document (replica-invariant),
+      // dedup halves the replicas — and ALSO collapses source documents
+      // sharing identical text (the corpus carries a handful), so the
+      // prediction counts distinct passing TEXTS, not passing docs
+      val passers = TextOps.qualityFilter(
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .withColumn("text", concat(col("text"), lit(" #000000"))), "text")
+        .select("text").distinct().count()
+      val survivors = p.filter(col("token_id") === eos).count()
+      val maxSeq = p.agg(max("seq_id")).head().getLong(0)
+      val lens = p.groupBy("seq_id").agg(count(lit(1)).as("n"),
+        min("seq_pos").as("lo"), max("seq_pos").as("hi"))
+      val badFull = lens.filter(col("seq_id") < maxSeq &&
+        (col("n") =!= seqLen || col("lo") =!= 0 || col("hi") =!= seqLen - 1)).count()
+      val badLast = lens.filter(col("seq_id") === maxSeq &&
+        (col("lo") =!= 0 || col("hi") =!= col("n") - 1)).count()
+      report(s"pipeline ${reps}x",
+        s"rows=$total survivors=$survivors (expect ${passers * reps / 2}, " +
+          s"match=${survivors == passers * reps / 2}) " +
+          s"seqs=${maxSeq + 1} bad_full=$badFull bad_last=$badLast")
+      if (reps == maxReps) {
+        // bit-identical under a different input partitioning: the whole
+        // chain is a pure content function
+        val again = composed(rep.repartition(13))
+        val h1 = p.agg(bit_xor(xxhash64(col("seq_id"), col("seq_pos"),
+          col("token_id")))).head().getLong(0)
+        val h2 = again.agg(bit_xor(xxhash64(col("seq_id"), col("seq_pos"),
+          col("token_id")))).head().getLong(0)
+        report(s"pipeline ${reps}x partitioning-independent", h1 == h2)
+        // stage-by-stage: does composing cost anything beyond its parts?
+        val deduped = time(s"stage filter+dedup ${reps}x") {
+          val d = DedupOps.exactDedup(
+              TextOps.qualityFilter(rep, "text"), "key", "text")
+            .select("key", "text").persist(StorageLevel.DISK_ONLY)
+          d.count(); d
+        }
+        val enc = time(s"stage encode ${reps}x") {
+          val e = TextOps.encodeBpe(deduped, "key", "text",
+              TextOps.DefaultBpeMerges, lossless = true)
+            .persist(StorageLevel.DISK_ONLY)
+          e.count(); e
+        }
+        time(s"stage pack ${reps}x") {
+          SampleOps.packSequences(enc, col("key"), "token_ids", seqLen,
+              eos, buckets = 64)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val nTok = enc.agg(sum("n_tokens")).head().getLong(0)
+        report(s"pipeline ${reps}x stream",
+          s"tokens=$nTok rows_expected=${nTok + survivors} rows=$total " +
+            s"match=${total == nTok + survivors}")
+        enc.unpersist(); deduped.unpersist()
+      }
+      p.unpersist(); rep.unpersist()
+    }
+  }
+
+  // ---------------------------------------------------------- epochshuffle
+
+  private def epochShuffle(spark: SparkSession, sfDir: String, maxReps: Int): Unit = {
+    for (reps <- Seq(100, maxReps)) {
+      val rep = spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+        .select(concat(col("doc_id"), lit("#"), col("__rep")).as("key"))
+        .persist(StorageLevel.DISK_ONLY)
+      val n = rep.count()
+      val shuffled = SampleOps.epochShuffle(rep, col("key"), epoch = 3L,
+        buckets = 64)
+      time(s"epochShuffle ${reps}x ($n rows)") {
+        shuffled.write.format("noop").mode("overwrite").save()
+      }
+      // dense bijection, verified distributedly: n positions, exactly
+      // [0, n), no repeats — one aggregate row reaches the driver
+      val s = shuffled.persist(StorageLevel.DISK_ONLY)
+      val agg = s.agg(count(lit(1)).as("n"), min("epoch_pos").as("lo"),
+        max("epoch_pos").as("hi"),
+        countDistinct(col("epoch_pos")).as("nd")).head()
+      report(s"epochShuffle ${reps}x bijection",
+        s"n=${agg.getLong(0)} lo=${agg.getLong(1)} hi=${agg.getLong(2)} " +
+          s"distinct=${agg.getLong(3)} " +
+          s"ok=${agg.getLong(0) == n && agg.getLong(1) == 0L &&
+            agg.getLong(2) == n - 1 && agg.getLong(3) == n}")
+      if (reps == maxReps) {
+        // a different epoch is a different permutation (same key set)
+        val other = SampleOps.epochShuffle(rep, col("key"), epoch = 4L,
+          buckets = 64)
+        val moved = s.join(other.withColumnRenamed("epoch_pos", "p4"), Seq("key"))
+          .filter(col("epoch_pos") =!= col("p4")).count()
+        report(s"epochShuffle ${reps}x epoch-independence",
+          s"moved=$moved/$n (${100.0 * moved / n}%)")
+        // partitioning independence: position is a pure content function
+        val again = SampleOps.epochShuffle(rep.repartition(13), col("key"),
+          epoch = 3L, buckets = 64)
+        val h1 = s.agg(bit_xor(xxhash64(col("key"), col("epoch_pos"))))
+          .head().getLong(0)
+        val h2 = again.agg(bit_xor(xxhash64(col("key"), col("epoch_pos"))))
+          .head().getLong(0)
+        report(s"epochShuffle ${reps}x partitioning-independent", h1 == h2)
+      }
+      s.unpersist(); rep.unpersist()
+    }
+  }
+}

@@ -219,6 +219,28 @@ object SampleOps {
         col("token_id"), col("src_key"))
   }
 
+  /** Inverse of [[packSequences]]: reconstruct each source row's id
+    * array from the exploded packed stream — the audit path proving a
+    * packed corpus still CONTAINS its documents. Each document's
+    * tokens are contiguous in the global stream (its ids then exactly
+    * one separator), so one src_key-keyed aggregate over
+    * (seq_id, seq_pos)-sorted tokens, with the trailing separator
+    * sliced off, returns the original arrays: `unpackSequences(
+    * packSequences(df, …)) == df`'s (key, ids) set exactly
+    * (spec-pinned; the q_packed_roundtrip oracle closes the full
+    * text → ids → packed → ids → text circle byte-for-byte on top of
+    * the lossless codec). Same shape/cost notes as
+    * [[materializeSequences]] (token-row exchange, per-group volume =
+    * document length). Output: (src_key, token_ids, n_tokens). */
+  def unpackSequences(packed: DataFrame): DataFrame =
+    packed.groupBy("src_key")
+      .agg(transform(array_sort(collect_list(struct(col("seq_id"),
+          col("seq_pos"), col("token_id")))),
+          x => x.getField("token_id")).as("__all"))
+      .select(col("src_key"),
+        slice(col("__all"), lit(1), size(col("__all")) - 1).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+
   /** Assemble [[packSequences]]' exploded rows into one array per
     * training sequence: (seq_id, token_ids, n_tokens), token ids in
     * sequence order. One seq_id-keyed hash aggregate; per-group volume

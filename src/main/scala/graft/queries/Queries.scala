@@ -703,6 +703,23 @@ object Queries {
   private def packDenseIdsSql: String =
     packOracleSql("", "documents", lossless = true, dense = true)
 
+  /** The full materialization circle: text → lossless ids → packed
+    * training sequences → unpacked ids → text. If this row hash-
+    * matches, the packed artifact provably still CONTAINS the corpus
+    * byte-for-byte — the end-to-end contract of the whole
+    * encode/pack/unpack/decode layer in one oracle row. */
+  private def packedRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val enc = TextOps.encodeBpe(t(s, dir, "documents"), "doc_id", "text",
+      TextOps.DefaultBpeMerges, lossless = true)
+    val packed = SampleOps.packSequences(enc, col("doc_id"), "token_ids",
+      seqLen = PackSeqLen, sepId = TextOps.bpeEosId(), buckets = 8)
+    TextOps.decodeBpe(SampleOps.unpackSequences(packed), "src_key", "token_ids")
+      .select(col("src_key").as("doc_id"), col("decoded"))
+  }
+
+  private def packedRoundtripSql: String =
+    "SELECT doc_id, text AS decoded FROM documents WHERE text IS NOT NULL"
+
   /** The training-data materialization flagship (the extension layer's
     * q_process_e2e for the round-12 token chain): quality filter →
     * exact dedup keep-first → BPE token ids → fixed-length packing,
@@ -2847,6 +2864,7 @@ object Queries {
     "q_bpe_roundtrip" -> (bpeRoundtripQ _),
     "q_dense_token_ids" -> (denseTokenIdsQ _),
     "q_pack_dense_ids" -> (packDenseIdsQ _),
+    "q_packed_roundtrip" -> (packedRoundtripQ _),
     "q_pack_token_ids" -> (packTokenIdsQ _),
     "q_training_pipeline" -> (trainingPipelineQ _),
     "q_epoch_shuffle" -> (epochShuffleQ _),
@@ -2972,6 +2990,7 @@ object Queries {
     "q_bpe_roundtrip" -> bpeRoundtripSql,
     "q_dense_token_ids" -> denseTokenIdsSql,
     "q_pack_dense_ids" -> packDenseIdsSql,
+    "q_packed_roundtrip" -> packedRoundtripSql,
     "q_pack_token_ids" -> packTokenIdsSql,
     "q_training_pipeline" -> trainingPipelineSql,
     "q_epoch_shuffle" -> epochShuffleSql,

@@ -828,6 +828,35 @@ class SampleOpsSpec extends SparkSpec {
     assert(moved > n / 2, s"epoch 4 moved only $moved/$n rows vs epoch 3")
   }
 
+  test("unpackSequences inverts packSequences exactly, including empty and boundary-straddling docs") {
+    val docs = Seq(
+      (1L, Seq(10L, 11L, 12L, 13L, 14L)), // straddles the 4-id boundary
+      (2L, Seq.empty[Long]),              // empty doc: bare separator
+      (3L, Seq(20L)),
+      (4L, (30L to 45L).toSeq))           // multi-sequence doc
+      .toDF("doc_id", "ids")
+    val packed = SampleOps.packSequences(docs, col("doc_id"), "ids",
+      seqLen = 4, sepId = 99L, buckets = 2)
+    val back = SampleOps.unpackSequences(packed).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    docs.collect().foreach { r =>
+      val want = r.getSeq[Long](1)
+      assert(back(r.getLong(0)) == ((want, want.length.toLong)),
+        s"doc ${r.getLong(0)}")
+    }
+    // and across the real corpus on the lossless stream
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val enc = TextOps.encodeBpe(corpus, "doc_id", "text",
+      TextOps.DefaultBpeMerges, lossless = true)
+    val p = SampleOps.packSequences(enc, col("doc_id"), "token_ids",
+      seqLen = 128, sepId = TextOps.bpeEosId(), buckets = 8)
+    val rows = SampleOps.unpackSequences(p)
+      .join(enc.select(col("doc_id").as("src_key"),
+        col("token_ids").as("orig")), Seq("src_key"))
+    assert(rows.filter(col("token_ids") =!= col("orig")).count() == 0L)
+    assert(rows.count() == enc.count())
+  }
+
   test("packSequences: null arrays pack as the bare separator") {
     val df = Seq((1L, Seq(7L, 8L)), (2L, null.asInstanceOf[Seq[Long]]))
       .toDF("id", "ids")
