@@ -363,7 +363,8 @@ object SampleOps {
 
   def writeSharded(df: DataFrame, key: Column, tokenCol: String,
       textCol: String, path: String, targetTokens: Long,
-      buckets: Int, maxManifestShards: Long = MaxManifestShards): DataFrame = {
+      buckets: Int, maxManifestShards: Long = MaxManifestShards,
+      sidecar: Option[String => Unit] = None): DataFrame = {
     requireLocalPath("writeSharded", path)
     val spark = df.sparkSession
     val assigned = assignShards(df, key, tokenCol, targetTokens, buckets)
@@ -400,6 +401,10 @@ object SampleOps {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(tmp, "_graft_manifest.json"),
       lines.mkString("[", ",\n", "]"))
+    // sidecar artifacts (e.g. the dense-vocab table) write INTO the
+    // staging dir so the swap publishes corpus + sidecars atomically;
+    // underscore-prefixed names are invisible to Spark/Hive readers
+    sidecar.foreach(write => write(tmp))
     graft.ops.Pipeline.publishStaged(tmp, path)
     // the returned frame is built from the COLLECTED rows — a lazy plan
     // over the staging dir would dangle once the swap renames it away
@@ -414,6 +419,54 @@ object SampleOps {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("n_tokens",
           org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** ONE-CALL trainer-ready corpus: the whole round-13 materialization
+    * chain — quality filter → exact-dedup keep-first (skipped when
+    * `curate = false`: the caller already curated) → byte-faithful
+    * LOSSLESS BPE encode → dense [0, V) vocabulary remap → fragment-
+    * fused fixed-length packing → sharded atomic publish — with the
+    * dense-vocab table written as a `_graft_vocab.parquet` sidecar
+    * INSIDE the same staged swap (corpus and vocab appear together or
+    * not at all; underscore prefix keeps it invisible to plain
+    * `spark.read.parquet(path)` readers, who see only the shards of
+    * (shard_id, seq_key = seq_id, n_tokens, text = dense id array)).
+    *
+    * What a trainer mounts: fixed-`seqLen` examples of contiguous
+    * dense ids (separator = the EOS's dense id — its row is in the
+    * vocab table), plus the vocab to wire an embedding table and to
+    * decode ([[graft.ops.TextOps.densifyIds]] with the swapped table,
+    * then [[graft.ops.TextOps.decodeBpe]] under the same merges).
+    * Every stage is a pure content function, so a rebuild reproduces
+    * the artifact byte-for-byte (spec-pinned); scale shape = the
+    * composed q_training_pipeline plan (stressed at 100× as ONE plan,
+    * BASELINE round-13) + the writeSharded publish.
+    * Returns (manifest, denseVocab). */
+  def materializeTrainingCorpus(docs: DataFrame, idCol: String,
+      textCol: String, path: String, seqLen: Int, targetTokens: Long,
+      buckets: Int,
+      merges: Seq[(String, String)] = TextOps.DefaultBpeMerges,
+      curate: Boolean = true): (DataFrame, DataFrame) = {
+    val survivors =
+      if (curate)
+        DedupOps.exactDedup(TextOps.qualityFilter(docs, textCol),
+          idCol, textCol)
+      else docs
+    val enc = TextOps.encodeBpe(survivors, idCol, textCol, merges,
+      lossless = true)
+    val vocab = TextOps.denseVocab(enc, "token_ids",
+      Seq(TextOps.bpeEosId(merges)))
+    val dense = TextOps.densifyIds(enc, "token_ids", vocab)
+    val packed = materializePackedSequences(dense, col(idCol),
+      "dense_ids", seqLen, TextOps.denseId(vocab, TextOps.bpeEosId(merges)),
+      buckets)
+    val manifest = writeSharded(packed, col("seq_id"), "n_tokens",
+      "token_ids", path, targetTokens, buckets,
+      sidecar = Some { staging =>
+        vocab.coalesce(1).write
+          .parquet(new java.io.File(staging, "_graft_vocab.parquet").getPath)
+      })
+    (manifest, vocab)
   }
 
   /** Deterministic per-epoch training permutation WITHOUT a global

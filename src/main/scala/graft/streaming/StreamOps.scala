@@ -619,4 +619,56 @@ object StreamOps {
       .start()
     q.awaitTermination()
   }
+
+  /** Continuous training-corpus ingest: every micro-batch of documents
+    * is LOSSLESS-encoded ([[graft.ops.TextOps.encodeBpe]]), packed into
+    * fixed-`seqLen` examples at fragment granularity
+    * ([[graft.ops.SampleOps.materializePackedSequences]]) and published
+    * as its OWN epoch segment — `path/epoch=<batchId>/`, a complete
+    * [[graft.ops.SampleOps.writeSharded]] corpus (shards + manifest,
+    * one atomic swap). A trainer (or a later compaction) mounts
+    * `spark.read.parquet(path)`: partition discovery exposes `epoch`
+    * and `shard_id`, the payload is the sparse stable-id scheme (ids
+    * never renumber as the vocabulary or the stream grows — the dense
+    * [0, V) remap is an OFFLINE corpus-wide step, deliberately not
+    * per-batch: a per-epoch vocab would renumber ids across epochs).
+    *
+    * Replay safety WITHOUT marker machinery: `foreachBatch` is
+    * at-least-once, and the epoch segment is idempotent by
+    * construction — writeSharded's publish is one atomic rename, so
+    * the segment's manifest exists iff the epoch fully published; a
+    * replayed epoch sees it and skips. No cross-epoch state is read or
+    * written (each segment is self-contained), so there is nothing a
+    * crash can corrupt — the log-structured answer at stream cadence,
+    * complementing the daily [[graft.ops.SampleOps.appendSharded]]
+    * single-corpus form. */
+  def packedCorpusSink(docs: DataFrame, path: String, idCol: String,
+      textCol: String, seqLen: Int, targetTokens: Long, buckets: Int,
+      merges: Seq[(String, String)] = graft.ops.TextOps.DefaultBpeMerges)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendPackedEpoch(batch, path, idCol, textCol, seqLen,
+          targetTokens, buckets, merges, batchId)
+      }
+
+  /** One micro-batch of [[packedCorpusSink]] — the testable epoch body. */
+  private[graft] def appendPackedEpoch(batch: DataFrame, path: String,
+      idCol: String, textCol: String, seqLen: Int, targetTokens: Long,
+      buckets: Int, merges: Seq[(String, String)], batchId: Long): Unit = {
+    val epochDir = new java.io.File(path, s"epoch=$batchId").getPath
+    // manifest presence == the epoch's single atomic publish completed:
+    // a replayed epoch is a no-op, a crashed one left only staging
+    // (which the re-run's overwrite-mode staged write replaces)
+    if (new java.io.File(epochDir, "_graft_manifest.json").exists()) return
+    val enc = graft.ops.TextOps.encodeBpe(batch, idCol, textCol, merges,
+      lossless = true)
+    val packed = graft.ops.SampleOps.materializePackedSequences(enc,
+      col(idCol), "token_ids", seqLen,
+      graft.ops.TextOps.bpeEosId(merges), buckets)
+    graft.ops.SampleOps.writeSharded(packed, col("seq_id"), "n_tokens",
+      "token_ids", epochDir, targetTokens, buckets)
+    ()
+  }
 }

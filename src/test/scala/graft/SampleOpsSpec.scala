@@ -1069,6 +1069,73 @@ class SampleOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("materializeTrainingCorpus: one call to a mountable corpus — shards + atomic vocab sidecar, dense ids, rebuild-identical, stream reconstructs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corpus").toFile
+    val out = new java.io.File(dir, "corpus").getPath
+    try {
+      val (manifest, vocab) = SampleOps.materializeTrainingCorpus(
+        corpus, "doc_id", "text", out, seqLen = 128,
+        targetTokens = 3000L, buckets = 4)
+      val m = manifest.collect()
+      // vocab sidecar published atomically with the corpus, dense [0, V)
+      val v = spark.read.parquet(out + "/_graft_vocab.parquet")
+        .orderBy("dense_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(v.map(_._1).toSeq == (0L until v.length.toLong))
+      assert(v.map(_._2).toSeq == vocab.orderBy("dense_id").collect()
+        .map(_.getLong(1)).toSeq)
+      // plain readers see only the shards; every id is dense; all
+      // sequences except the global last are exactly seqLen
+      val back = spark.read.parquet(out)
+      assert(back.columns.toSet ==
+        Set("shard_id", "seq_key", "n_tokens", "text"))
+      val nSeqs = back.count()
+      assert(back.filter(col("n_tokens") =!= 128).count() <= 1)
+      assert(back.select(max(array_max(col("text")))).head().getLong(0) <
+        v.length)
+      // manifest totals == data totals
+      assert(m.map(_.getLong(2)).sum == nSeqs)
+      assert(m.map(_.getLong(3)).sum ==
+        back.agg(sum("n_tokens")).head().getLong(0))
+      // the flattened global stream, split at the dense EOS and mapped
+      // back through the SWAPPED vocab, is exactly the per-doc sparse
+      // id arrays of the curated corpus — the artifact still contains
+      // its documents
+      val eosDense = TextOps.denseId(vocab, TextOps.bpeEosId())
+      val toSparse = v.map { case (d, t) => d -> t }.toMap
+      val stream = back.orderBy(col("seq_key"))
+        .select(explode(col("text")).as("id")).collect().map(_.getLong(0))
+      val docsBack = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+      var cur = scala.collection.mutable.ArrayBuffer[Long]()
+      stream.foreach { id =>
+        if (id == eosDense) { docsBack += cur.toSeq.map(toSparse); cur.clear() }
+        else cur += id
+      }
+      assert(cur.isEmpty, "stream must end on a document boundary")
+      val expected = TextOps.encodeBpe(
+          graft.ops.DedupOps.exactDedup(
+            TextOps.qualityFilter(corpus, "text"), "doc_id", "text"),
+          "doc_id", "text", TextOps.DefaultBpeMerges, lossless = true)
+        .select("token_ids").collect().map(_.getSeq[Long](0): Seq[Long])
+      assert(docsBack.size == expected.length)
+      assert(docsBack.groupBy(identity).view.mapValues(_.size).toMap ==
+        expected.groupBy(identity).view.mapValues(_.size).toMap)
+      // a rebuild from a different partitioning is byte-identical
+      val out2 = new java.io.File(dir, "corpus2").getPath
+      SampleOps.materializeTrainingCorpus(corpus.repartition(7, col("lang")),
+        "doc_id", "text", out2, seqLen = 128, targetTokens = 3000L, buckets = 4)
+      val mf1 = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out, "_graft_manifest.json"))
+      val mf2 = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out2, "_graft_manifest.json"))
+      assert(mf1 == mf2)
+      val h1 = spark.read.parquet(out).agg(bit_xor(xxhash64(col("seq_key"),
+        col("text")))).head().getLong(0)
+      val h2 = spark.read.parquet(out2).agg(bit_xor(xxhash64(col("seq_key"),
+        col("text")))).head().getLong(0)
+      assert(h1 == h2)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("manifest scale guard: shard counts past maxManifestShards refuse with sizing guidance") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scale").toFile
     val out = new java.io.File(dir, "corpus").getPath

@@ -577,6 +577,67 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("packedCorpusSink: per-epoch packed segments, replay no-op, sparse ids stable across epochs") {
+    import graft.ops.{SampleOps, TextOps}
+    val corpus = tmpDir("graft_packed_stream") + "/corpus"
+    val d0 = Seq((1L, "the cat sat on the mat today"),
+      (2L, "another document with different words entirely"))
+      .toDF("doc_id", "text")
+    val d1 = Seq((3L, "a third document arrives in the next epoch"))
+      .toDF("doc_id", "text")
+    StreamOps.appendPackedEpoch(d0, corpus, "doc_id", "text", seqLen = 8,
+      targetTokens = 32L, buckets = 2, TextOps.DefaultBpeMerges, batchId = 0L)
+    StreamOps.appendPackedEpoch(d1, corpus, "doc_id", "text", seqLen = 8,
+      targetTokens = 32L, buckets = 2, TextOps.DefaultBpeMerges, batchId = 1L)
+    // reader view: partition discovery exposes epoch + shard_id
+    val back = spark.read.parquet(corpus)
+    assert(back.columns.toSet ==
+      Set("shard_id", "seq_key", "n_tokens", "text", "epoch"))
+    assert(back.select("epoch").distinct().collect()
+      .map(_.getInt(0)).toSet == Set(0, 1))
+    // epoch 0's files are untouched by epoch 1 (self-contained segments)
+    val e0files = new java.io.File(corpus, "epoch=0").listFiles()
+      .filter(_.getName.startsWith("shard_id=")).flatMap(_.listFiles())
+      .filter(_.isFile).map(f => f.getPath -> ((f.length(), f.lastModified()))).toMap
+    // replayed epoch (at-least-once delivery) is a no-op — even with
+    // DIFFERENT content, the published segment wins
+    StreamOps.appendPackedEpoch(d1.limit(0), corpus, "doc_id", "text",
+      seqLen = 8, targetTokens = 32L, buckets = 2,
+      TextOps.DefaultBpeMerges, batchId = 0L)
+    e0files.foreach { case (p, sig) =>
+      val f = new java.io.File(p)
+      assert(f.exists() && (f.length(), f.lastModified()) == sig, s"$p changed")
+    }
+    assert(spark.read.parquet(corpus).filter(col("epoch") === 0)
+      .agg(sum("n_tokens")).head().getLong(0) > 0)
+    // the streamed segments carry exactly the batch-local packed streams:
+    // ids are the SPARSE stable scheme, so re-encoding each batch offline
+    // reproduces every epoch's token multiset
+    for ((df, ep) <- Seq((d0, 0), (d1, 1))) {
+      val want = TextOps.encodeBpe(df, "doc_id", "text",
+          TextOps.DefaultBpeMerges, lossless = true)
+        .agg(sum("n_tokens")).head().getLong(0) + df.count() // + one EOS per doc
+      val got = spark.read.parquet(corpus).filter(col("epoch") === ep)
+        .agg(sum("n_tokens")).head().getLong(0)
+      assert(got == want, s"epoch $ep: $got != $want")
+    }
+    // the full sink wrapper drives the same body through a real stream
+    val in = tmpDir("graft_packed_stream_in")
+    val ckpt = tmpDir("graft_packed_stream_ckpt")
+    val corpus2 = tmpDir("graft_packed_stream2") + "/corpus"
+    d0.write.mode("overwrite").parquet(in)
+    val q = StreamOps.packedCorpusSink(
+        StreamOps.streamSource(spark, in, d0.schema),
+        corpus2, "doc_id", "text", seqLen = 8, targetTokens = 32L, buckets = 2)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(corpus2).agg(sum("n_tokens")).head().getLong(0) ==
+      spark.read.parquet(corpus).filter(col("epoch") === 0)
+        .agg(sum("n_tokens")).head().getLong(0))
+  }
+
   test("daily-loop composition: gate survivors publish into the sharded corpus by append") {
     import graft.ops.SampleOps
     val sig = tmpDir("graft_loop_sig") + "/sigs.parquet"
