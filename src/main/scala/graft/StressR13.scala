@@ -66,7 +66,9 @@ object StressR13 {
         pipeline(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
       case "epochshuffle" =>
         epochShuffle(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(1000))
-      case other => sys.error(s"unknown subcommand '$other' (pipeline|epochshuffle)")
+      case "corpus" =>
+        corpus(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
+      case other => sys.error(s"unknown subcommand '$other' (pipeline|epochshuffle|corpus)")
     }
     spark.stop()
   }
@@ -161,6 +163,39 @@ object StressR13 {
         enc.unpersist(); deduped.unpersist()
       }
       p.unpersist(); rep.unpersist()
+    }
+  }
+
+  // -------------------------------------------------------------- corpus
+
+  /** End-to-end `materializeTrainingCorpus` (the curate→encode→densify→
+    * pack→publish capstone, incl. the parquet write + vocab sidecar) on
+    * the paired corpus at 10×/reps× — what a full corpus BUILD costs,
+    * where `pipeline` measures the in-memory chain alone. */
+  private def corpus(spark: SparkSession, sfDir: String, maxReps: Int): Unit = {
+    val seqLen = 1024
+    for (reps <- Seq(10, maxReps)) {
+      val rep = pairedDocs(spark, sfDir, reps).persist(StorageLevel.DISK_ONLY)
+      val nIn = rep.count()
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_corpus")
+      val out = dir.toString + "/corpus"
+      val (manifest, vocab) = time(s"materializeTrainingCorpus ${reps}x ($nIn docs)") {
+        val r = graft.ops.SampleOps.materializeTrainingCorpus(rep, "key",
+          "text", out, seqLen, targetTokens = 500000L, buckets = 64)
+        r._1.count(); r
+      }
+      val m = manifest.collect()
+      val v = vocab.count()
+      val back = spark.read.parquet(out)
+      val agg = back.agg(count(lit(1)).as("n"), sum("n_tokens").as("t"),
+        max(array_max(col("text"))).as("mx")).head()
+      report(s"corpus ${reps}x",
+        s"shards=${m.length} seqs=${agg.getLong(0)} tokens=${agg.getLong(1)} " +
+          s"vocab=$v ids_dense=${agg.getLong(2) < v} " +
+          s"manifest_match=${m.map(_.getLong(3)).sum == agg.getLong(1)} " +
+          s"nonfull_seqs=${back.filter(col("n_tokens") =!= seqLen).count()}")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      rep.unpersist()
     }
   }
 

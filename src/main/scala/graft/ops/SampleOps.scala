@@ -446,14 +446,20 @@ object SampleOps {
       textCol: String, path: String, seqLen: Int, targetTokens: Long,
       buckets: Int,
       merges: Seq[(String, String)] = TextOps.DefaultBpeMerges,
-      curate: Boolean = true): (DataFrame, DataFrame) = {
+      curate: Boolean = true,
+      mat: Materializer = Materializer.Local): (DataFrame, DataFrame) = {
     val survivors =
       if (curate)
         DedupOps.exactDedup(TextOps.qualityFilter(docs, textCol),
           idCol, textCol)
       else docs
-    val enc = TextOps.encodeBpe(survivors, idCol, textCol, merges,
-      lossless = true)
+    // the encoded frame feeds THREE actions (the vocab collect, the
+    // prefix-sum bucket totals, the staged write) — materialize it once
+    // instead of re-running filter+dedup+encode per action; at 100 TB
+    // pass Materializer.Reliable (executor-loss-safe), the class's
+    // standard trade
+    val enc = mat(TextOps.encodeBpe(survivors, idCol, textCol, merges,
+      lossless = true))
     val vocab = TextOps.denseVocab(enc, "token_ids",
       Seq(TextOps.bpeEosId(merges)))
     val dense = TextOps.densifyIds(enc, "token_ids", vocab)

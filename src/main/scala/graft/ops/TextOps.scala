@@ -312,7 +312,10 @@ object TextOps {
     * [[MaxDenseVocab]]. The table is persistable (write it next to the
     * corpus) and joinable; [[densifyIds]] applies it as one codegen
     * pass, and applying the SWAPPED table (dense_id ↔ token_id)
-    * inverts the remap exactly (spec-pinned). */
+    * inverts the remap exactly (spec-pinned). Composing vocab build +
+    * remap re-evaluates `encoded`'s lineage twice — materialize it
+    * first when that lineage is a corpus encode
+    * ([[graft.ops.SampleOps.materializeTrainingCorpus]] does). */
   def denseVocab(encoded: DataFrame, idsCol: String,
       extraIds: Seq[Long] = Nil): DataFrame = {
     val spark = encoded.sparkSession
