@@ -129,15 +129,6 @@ object SampleOps {
       .drop("__start")
   }
 
-  /** The distributed exclusive-prefix-sum shared by [[assignShards]]
-    * and [[packSequences]]: every row's EXCLUSIVE global weight offset
-    * (`__start`) in the deterministic two-level content-hash order
-    * ([[packBins]]' order made global) — per-bucket running-sum windows
-    * (never unpartitioned) plus per-bucket exclusive offsets from the
-    * B-row bucket-total aggregate, collected once and broadcast back.
-    * Null weights count 0. One corpus shuffle on the bucket key, one
-    * tiny aggregate, one broadcast join — no global sort, no driver
-    * data path beyond B longs. */
   /** The packing ops install a `__ids` working column (ids + separator)
     * before the prefix sum; an input column of that name would be
     * silently overwritten — refuse loudly, like [[withGlobalStart]]'s
@@ -147,6 +138,15 @@ object SampleOps {
       s"$op reserves the working column name __ids; " +
         "input already has __ids — rename before packing")
 
+  /** The distributed exclusive-prefix-sum shared by [[assignShards]]
+    * and [[packSequences]]: every row's EXCLUSIVE global weight offset
+    * (`__start`) in the deterministic two-level content-hash order
+    * ([[packBins]]' order made global) — per-bucket running-sum windows
+    * (never unpartitioned) plus per-bucket exclusive offsets from the
+    * B-row bucket-total aggregate, collected once and broadcast back.
+    * Null weights count 0. One corpus shuffle on the bucket key, one
+    * tiny aggregate, one broadcast join — no global sort, no driver
+    * data path beyond B longs. */
   private def withGlobalStart(df: DataFrame, key: Column, weight: Column,
       buckets: Int): DataFrame = {
     // the working columns installed below would silently overwrite (and
@@ -226,7 +226,9 @@ object SampleOps {
     * one separator), so one src_key-keyed aggregate over
     * (seq_id, seq_pos)-sorted tokens, with the trailing separator
     * sliced off, returns the original arrays: `unpackSequences(
-    * packSequences(df, …)) == df`'s (key, ids) set exactly
+    * packSequences(df, …)) == df`'s (key, coalesce(ids, [])) set
+    * exactly — pack is null-coalescing (a null array packs as the
+    * bare separator), so a null-ids row comes back EMPTY, not null
     * (spec-pinned; the q_packed_roundtrip oracle closes the full
     * text → ids → packed → ids → text circle byte-for-byte on top of
     * the lossless codec). Same shape/cost notes as
@@ -349,15 +351,18 @@ object SampleOps {
   val MaxManifestShards: Long = 1000000L
 
   private def requireManifestScale(op: String, stagingDir: String,
-      maxShards: Long): Unit = {
+      maxShards: Long, standing: Long = 0L): Unit = {
     // partition-dir count = shard count, from a pure listing (shard_id
     // is the partition column — no data read, no extra corpus scan)
     val n = Option(new java.io.File(stagingDir).list())
       .map(_.count(_.startsWith("shard_id="))).getOrElse(0)
-    require(n <= maxShards,
-      s"$op: $n shards exceed the driver-safe manifest bound $maxShards " +
-        "— the manifest is collected to the driver (one row per shard); " +
-        "raise targetTokens (shards = corpus tokens / targetTokens) or " +
+    val total = standing + n
+    val breakdown = if (standing > 0) s" ($standing standing + $n new)" else ""
+    require(total <= maxShards,
+      s"$op: $total shards$breakdown exceed the driver-safe manifest " +
+        s"bound $maxShards — the manifest is collected to the driver " +
+        "(one row per shard); raise targetTokens (shards = corpus " +
+        "tokens / targetTokens), re-shard the standing corpus, or " +
         "raise maxManifestShards deliberately")
   }
 
@@ -596,8 +601,8 @@ object SampleOps {
       .sortWithinPartitions(col("shard_id"), col("seq_key"))
       .write.partitionBy("shard_id").mode("overwrite")
       .option("compression", "zstd").parquet(staging)
-    requireManifestScale("appendSharded", staging,
-      maxManifestShards - standing.length)
+    requireManifestScale("appendSharded", staging, maxManifestShards,
+      standing.length.toLong)
     val fresh = spark.read.schema(assigned.schema).parquet(staging)
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_seqs"),

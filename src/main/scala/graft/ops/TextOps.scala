@@ -918,10 +918,17 @@ object TextOps {
     * grouped 16-digit number is a card, not a phone); the opaque-token
     * rule last (anything the typed rules claimed is already gone).
     *
-    * Per-rule notes: the IPv6 rule covers full and `::`-compressed
-    * forms, `\b`-anchored so code like `std::vector` (a trailing hex
-    * letter before `::`) cannot match; IPv4-mapped `::ffff:1.2.3.4`
-    * is handled by the IPv4 rule redacting its dotted tail. The phone
+    * Per-rule notes: the IPv6 rule covers full-form addresses and
+    * `::`-compressed forms WITH at least one leading hex group
+    * (`2001:db8::1`, `fe80::1`), `\b`-anchored so code like
+    * `std::vector` (a trailing hex letter before `::`) cannot match.
+    * LEADING-`::` addresses (`::1`, `::abcd:1`) are DELIBERATELY out
+    * of scope: without lookbehind (RE2 has none) any `::hex` rule
+    * also matches C++/Rust scope operators whose right side is
+    * hex-alphabet (`std::add`, `ns::f`) — shredding every code corpus
+    * to protect the loopback address is the wrong trade, and the
+    * common v4-mapped `::ffff:1.2.3.4` still loses its dotted tail to
+    * the IPv4 rule (spec-pinned, both directions). The phone
     * pattern counts DIGITS by construction — each repeat unit is
     * (≤2 separators + one digit), so a match needs ≥9 digits: ISO
     * dates (8 digits) and grouped thousands like "1 200 000" (7)

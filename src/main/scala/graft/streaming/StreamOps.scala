@@ -653,22 +653,34 @@ object StreamOps {
           targetTokens, buckets, merges, batchId)
       }
 
-  /** One micro-batch of [[packedCorpusSink]] — the testable epoch body. */
+  /** One micro-batch of [[packedCorpusSink]] — the testable epoch body.
+    *
+    * The segment is BUILT under an underscore-prefixed working dir
+    * (`_epoch_building=<id>` — invisible to Spark/Hive partition
+    * discovery, as is the writeSharded staging dir derived from it)
+    * and renamed to `epoch=<id>` in ONE atomic move only after its
+    * manifest is in place: a reader scanning the corpus root can never
+    * observe a partial epoch, a `<id>__staging` pseudo-partition, or a
+    * type-widened epoch column — the partition namespace only ever
+    * contains fully-published integer epochs. */
   private[graft] def appendPackedEpoch(batch: DataFrame, path: String,
       idCol: String, textCol: String, seqLen: Int, targetTokens: Long,
       buckets: Int, merges: Seq[(String, String)], batchId: Long): Unit = {
-    val epochDir = new java.io.File(path, s"epoch=$batchId").getPath
+    val epochDir = new java.io.File(path, s"epoch=$batchId")
     // manifest presence == the epoch's single atomic publish completed:
-    // a replayed epoch is a no-op, a crashed one left only staging
-    // (which the re-run's overwrite-mode staged write replaces)
+    // a replayed epoch is a no-op; a crashed one left only underscore-
+    // prefixed working dirs (reader-invisible), cleared here
     if (new java.io.File(epochDir, "_graft_manifest.json").exists()) return
+    val building = new java.io.File(path, s"_epoch_building=$batchId")
+    org.apache.commons.io.FileUtils.deleteQuietly(building)
     val enc = graft.ops.TextOps.encodeBpe(batch, idCol, textCol, merges,
       lossless = true)
     val packed = graft.ops.SampleOps.materializePackedSequences(enc,
       col(idCol), "token_ids", seqLen,
       graft.ops.TextOps.bpeEosId(merges), buckets)
     graft.ops.SampleOps.writeSharded(packed, col("seq_id"), "n_tokens",
-      "token_ids", epochDir, targetTokens, buckets)
-    ()
+      "token_ids", building.getPath, targetTokens, buckets)
+    if (!building.renameTo(epochDir))
+      sys.error(s"failed to publish epoch segment $epochDir")
   }
 }

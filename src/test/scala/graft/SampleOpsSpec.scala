@@ -833,14 +833,16 @@ class SampleOpsSpec extends SparkSpec {
       (1L, Seq(10L, 11L, 12L, 13L, 14L)), // straddles the 4-id boundary
       (2L, Seq.empty[Long]),              // empty doc: bare separator
       (3L, Seq(20L)),
-      (4L, (30L to 45L).toSeq))           // multi-sequence doc
+      (4L, (30L to 45L).toSeq),           // multi-sequence doc
+      (5L, null.asInstanceOf[Seq[Long]])) // null ids: pack coalesces to []
       .toDF("doc_id", "ids")
     val packed = SampleOps.packSequences(docs, col("doc_id"), "ids",
       seqLen = 4, sepId = 99L, buckets = 2)
     val back = SampleOps.unpackSequences(packed).collect()
       .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
     docs.collect().foreach { r =>
-      val want = r.getSeq[Long](1)
+      // the documented null-coalescing contract: null comes back EMPTY
+      val want = Option(r.getSeq[Long](1)).getOrElse(Seq.empty[Long])
       assert(back(r.getLong(0)) == ((want, want.length.toLong)),
         s"doc ${r.getLong(0)}")
     }
