@@ -480,6 +480,90 @@ object SampleOps {
     (manifest, vocab)
   }
 
+  /** OFFLINE compaction of a [[graft.streaming.StreamOps.packedCorpusSink]]
+    * epoch-segmented corpus into ONE dense-id sharded corpus — the
+    * batch half of the log-structured contract (stream appends epoch
+    * segments; this consumes them). The global token stream is the
+    * concatenation of the epoch streams in (epoch, seq_key) order, and
+    * it re-cuts WITHOUT unpacking documents: within an epoch every
+    * sequence but the last is full, so a token's in-epoch position is
+    * just `seq_key · seqLen + pos`, and the cross-epoch offset is a
+    * driver-side prefix sum over the E-row epoch-total aggregate (the
+    * [[withGlobalStart]] B-row shape — epochs, like buckets, are few).
+    * One broadcast offsets join + a map-only explode re-derive every
+    * token's global position; re-cut sequences are exactly `seqLen`
+    * (only the corpus-global last may run short) even when each epoch
+    * ended with a short tail. Ids densify to [0, V) over the WHOLE
+    * standing corpus ([[graft.ops.TextOps.denseVocab]] semantics, EOS
+    * reserved) and the result publishes through [[writeSharded]] with
+    * the vocab sidecar in the same atomic swap — byte-identical to
+    * re-running the compaction (pure function of the segments).
+    * Returns (manifest, denseVocab).
+    *
+    * `epochSeqLen` is the SEGMENTS' sequence length (how the stream
+    * was cut at ingest); `seqLen` is the compacted output's — they may
+    * differ (e.g. re-cut 1k-token stream segments into 8k trainer
+    * examples). */
+  def compactPackedEpochs(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String, epochSeqLen: Int, seqLen: Int,
+      targetTokens: Long, buckets: Int,
+      eosId: Long = TextOps.bpeEosId()): (DataFrame, DataFrame) = {
+    require(epochSeqLen > 0 && seqLen > 0, "sequence lengths must be > 0")
+    val segs = spark.read.parquet(path)
+      .select(col("epoch").cast("long").as("__e"),
+        col("seq_key").cast("long").as("__s"),
+        col("n_tokens").cast("long").as("__n"), col("text"))
+    // E-row epoch totals -> exclusive cross-epoch offsets (driver-side
+    // prefix over epochs, the bucket-offsets shape)
+    val totals = segs.groupBy("__e")
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("__t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (e, t) => val o = (e, acc); acc += t; o }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq.map {
+        case (e, o) => org.apache.spark.sql.Row(e, o) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__oe",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__off",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val stream = segs
+      .join(broadcast(offDf), col("__e") === col("__oe"))
+      // in-epoch position of a sequence's first token: every sequence
+      // below it in seq_key order is FULL (only each epoch's last runs
+      // short, and nothing sits above it)
+      .withColumn("__g0", col("__off") + col("__s") * epochSeqLen)
+      .select(col("__g0"), posexplode(col("text")).as(Seq("__p", "token_id")))
+      .withColumn("__g", col("__g0") + col("__p"))
+    val vocab = TextOps.denseVocabOfIds(stream.select("token_id"),
+      "token_id", Seq(eosId))
+    // scalar remap: one broadcast hash join against the vocab-sized
+    // table (the array form rides a codegen kernel; a stream of scalar
+    // ids joins just as cheaply) — LOUD on a miss, like RemapIds
+    val dense = stream
+      .join(broadcast(vocab), Seq("token_id"), "left")
+      .select(expr(s"__g div $seqLen").as("seq_id"),
+        expr(s"__g % $seqLen").as("seq_pos"),
+        when(col("dense_id").isNull, raise_error(concat(
+            lit("id "), col("token_id"),
+            lit(" is not in the remap table — rebuild the vocabulary " +
+              "over the corpus being remapped"))))
+          .otherwise(col("dense_id")).as("token_id"))
+    val packed = dense
+      .groupBy("seq_id")
+      .agg(transform(array_sort(collect_list(struct(col("seq_pos"),
+          col("token_id")))), x => x.getField("token_id")).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+    val manifest = writeSharded(packed, col("seq_id"), "n_tokens",
+      "token_ids", outPath, targetTokens, buckets,
+      sidecar = Some { staging =>
+        vocab.coalesce(1).write
+          .parquet(new java.io.File(staging, "_graft_vocab.parquet").getPath)
+      })
+    (manifest, vocab)
+  }
+
   /** Deterministic per-epoch training permutation WITHOUT a global
     * sort: every row gets its dense position (`epoch_pos`, 0-based) in
     * the epoch-keyed content-hash order — order key =

@@ -317,10 +317,19 @@ object TextOps {
     * first when that lineage is a corpus encode
     * ([[graft.ops.SampleOps.materializeTrainingCorpus]] does). */
   def denseVocab(encoded: DataFrame, idsCol: String,
+      extraIds: Seq[Long] = Nil): DataFrame =
+    denseVocabOfIds(
+      encoded.select(explode(array_distinct(col(idsCol))).as("token_id")),
+      "token_id", extraIds)
+
+  /** [[denseVocab]] over an already-FLAT id column (one id per row) —
+    * the form [[graft.ops.SampleOps.compactPackedEpochs]] uses on the
+    * exploded standing stream. Same contract, same guard. */
+  def denseVocabOfIds(ids: DataFrame, idCol: String,
       extraIds: Seq[Long] = Nil): DataFrame = {
-    val spark = encoded.sparkSession
-    val observed = encoded
-      .select(explode(array_distinct(col(idsCol))).as("token_id"))
+    val spark = ids.sparkSession
+    val observed = ids
+      .select(col(idCol).cast("long").as("token_id"))
       .distinct()
       .limit(MaxDenseVocab + 1)
       .collect().map(_.getLong(0))

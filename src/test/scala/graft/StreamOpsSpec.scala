@@ -638,6 +638,65 @@ class StreamOpsSpec extends SparkSpec {
         .agg(sum("n_tokens")).head().getLong(0))
   }
 
+  test("compactPackedEpochs: epoch segments re-cut into one dense-id corpus, stream-order-preserving, decodable") {
+    import graft.ops.{SampleOps, TextOps}
+    val root = tmpDir("graft_compact") + "/stream"
+    val out = tmpDir("graft_compact_out") + "/corpus"
+    val batches = Seq(
+      Seq((1L, "the cat sat on the mat in the hat today"),
+        (2L, "a second document with some different words")),
+      Seq((3L, "the third arrives next epoch with more text")),
+      Seq((4L, "and a fourth closes the stream for now"),
+        (5L, "fifth document rides along too")))
+    batches.zipWithIndex.foreach { case (rows, ep) =>
+      StreamOps.appendPackedEpoch(rows.toDF("doc_id", "text"), root,
+        "doc_id", "text", seqLen = 8, targetTokens = 64L, buckets = 2,
+        TextOps.DefaultBpeMerges, batchId = ep.toLong)
+    }
+    val (manifest, vocab) = SampleOps.compactPackedEpochs(spark, root, out,
+      epochSeqLen = 8, seqLen = 16, targetTokens = 64L, buckets = 2)
+    // the compacted corpus: vocab sidecar dense, all-but-last full at
+    // the NEW length, manifest totals match
+    val back = spark.read.parquet(out)
+    assert(back.filter(col("n_tokens") =!= 16).count() <= 1)
+    val v = spark.read.parquet(out + "/_graft_vocab.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(v.map(_._1).sorted.toSeq == (0L until v.length.toLong))
+    assert(manifest.collect().map(_.getLong(3)).sum ==
+      back.agg(sum("n_tokens")).head().getLong(0))
+    // stream-order preservation: the compacted stream mapped back to
+    // sparse ids == the concatenation of the epoch streams in order
+    val toSparse = v.map { case (d, t) => d -> t }.toMap
+    val compacted = back.orderBy("seq_key")
+      .select(explode(col("text"))).collect().map(r => toSparse(r.getLong(0)))
+    val original = spark.read.parquet(root)
+      .orderBy(col("epoch"), col("seq_key"))
+      .select(explode(col("text"))).collect().map(_.getLong(0))
+    assert(compacted.toSeq == original.toSeq)
+    // full circle: split the sparse stream at the EOS and decode — the
+    // standing stream still contains every ingested document verbatim
+    val eos = TextOps.bpeEosId()
+    val docsBack = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    var cur = scala.collection.mutable.ArrayBuffer[Long]()
+    compacted.foreach { id =>
+      if (id == eos) { docsBack += cur.toSeq; cur.clear() } else cur += id
+    }
+    assert(cur.isEmpty)
+    val decoded = TextOps.decodeBpe(
+        docsBack.toSeq.zipWithIndex.map { case (ids, i) => (i.toLong, ids) }
+          .toDF("i", "token_ids"), "i", "token_ids")
+      .collect().map(_.getString(1)).toSet
+    assert(decoded == batches.flatten.map(_._2).toSet)
+    // deterministic: re-compacting reproduces the manifest byte-for-byte
+    val out2 = tmpDir("graft_compact_out2") + "/corpus"
+    SampleOps.compactPackedEpochs(spark, root, out2,
+      epochSeqLen = 8, seqLen = 16, targetTokens = 64L, buckets = 2)
+    assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out, "_graft_manifest.json")) ==
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out2, "_graft_manifest.json")))
+  }
+
   test("daily-loop composition: gate survivors publish into the sharded corpus by append") {
     import graft.ops.SampleOps
     val sig = tmpDir("graft_loop_sig") + "/sigs.parquet"
