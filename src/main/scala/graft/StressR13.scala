@@ -68,7 +68,9 @@ object StressR13 {
         epochShuffle(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(1000))
       case "corpus" =>
         corpus(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
-      case other => sys.error(s"unknown subcommand '$other' (pipeline|epochshuffle|corpus)")
+      case "compact" =>
+        compact(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
+      case other => sys.error(s"unknown subcommand '$other' (pipeline|epochshuffle|corpus|compact)")
     }
     spark.stop()
   }
@@ -197,6 +199,52 @@ object StressR13 {
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
       rep.unpersist()
     }
+  }
+
+  // -------------------------------------------------------------- compact
+
+  /** Stream-then-compact at scale: `reps/10` epoch segments of 10×
+    * paired docs each (≈ reps× total) ingested via `appendPackedEpoch`
+    * (epochSeqLen 1024), then ONE `compactPackedEpochs` into 8k-token
+    * examples with a corpus-wide dense vocab — wall for both halves,
+    * token conservation and re-cut invariants verified distributedly. */
+  private def compact(spark: SparkSession, sfDir: String, maxReps: Int): Unit = {
+    val nEpochs = math.max(2, maxReps / 10)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_compact")
+    val root = dir.toString + "/stream"
+    val out = dir.toString + "/corpus"
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    time(s"ingest $nEpochs epochs (10x docs each)") {
+      for (ep <- 0 until nEpochs) {
+        val batch = base.select(
+          concat(col("doc_id"), lit("#"), lit(ep)).as("key"),
+          concat(col("text"), lit(" #"), lit(ep)).as("text"))
+          .withColumn("__rep", explode(sequence(lit(0), lit(9))))
+          .select(concat(col("key"), lit("/"), col("__rep")).as("key"),
+            col("text"))
+        graft.streaming.StreamOps.appendPackedEpoch(batch, root, "key",
+          "text", seqLen = 1024, targetTokens = 500000L, buckets = 64,
+          graft.ops.TextOps.DefaultBpeMerges, batchId = ep.toLong)
+      }
+    }
+    val standing = spark.read.parquet(root)
+    val inTok = standing.agg(sum("n_tokens")).head().getLong(0)
+    val (manifest, vocab) = time(s"compactPackedEpochs ($nEpochs epochs, $inTok tokens)") {
+      val r = graft.ops.SampleOps.compactPackedEpochs(spark, root, out,
+        epochSeqLen = 1024, seqLen = 8192, targetTokens = 500000L,
+        buckets = 64)
+      r._1.count(); r
+    }
+    val back = spark.read.parquet(out)
+    val agg = back.agg(count(lit(1)).as("n"), sum("n_tokens").as("t"),
+      max(array_max(col("text"))).as("mx")).head()
+    report(s"compact ${nEpochs}ep",
+      s"in_tokens=$inTok out_tokens=${agg.getLong(1)} " +
+        s"conserved=${agg.getLong(1) == inTok} seqs=${agg.getLong(0)} " +
+        s"nonfull=${back.filter(col("n_tokens") =!= 8192).count()} " +
+        s"vocab=${vocab.count()} ids_dense=${agg.getLong(2) < vocab.count()} " +
+        s"shards=${manifest.count()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
   // ---------------------------------------------------------- epochshuffle

@@ -490,9 +490,11 @@ object SampleOps {
     * just `seq_key · seqLen + pos`, and the cross-epoch offset is a
     * driver-side prefix sum over the E-row epoch-total aggregate (the
     * [[withGlobalStart]] B-row shape — epochs, like buckets, are few).
-    * One broadcast offsets join + a map-only explode re-derive every
-    * token's global position; re-cut sequences are exactly `seqLen`
-    * (only the corpus-global last may run short) even when each epoch
+    * One broadcast offsets join + the [[materializePackedSequences]]
+    * fragment trick re-cut the stream with an exchange that carries
+    * one row per input-sequence FRAGMENT, never per token; re-cut
+    * sequences are exactly `seqLen` (only the corpus-global last may
+    * run short) even when each epoch
     * ended with a short tail. Ids densify to [0, V) over the WHOLE
     * standing corpus ([[graft.ops.TextOps.denseVocab]] semantics, EOS
     * reserved) and the result publishes through [[writeSharded]] with
@@ -528,32 +530,40 @@ object SampleOps {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("__off",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    val stream = segs
+    val vocab = TextOps.denseVocab(segs, "text", Seq(eosId))
+    // fragment-granularity re-cut, exactly [[materializePackedSequences]]'
+    // shape: each input sequence (array + its arithmetic global start)
+    // covers ≤ ⌈epochSeqLen/seqLen⌉+1 output sequences — emit one
+    // (seq_id, offset, slice) row per covered sequence map-only and
+    // flatten per output sequence, so the exchange carries fragments,
+    // not tokens; the dense remap then rides the codegen array kernel
+    // ([[graft.functions.RemapIds]] — loud on a miss) over the
+    // assembled arrays
+    val frags = segs
+      .filter(col("__n") > 0)
       .join(broadcast(offDf), col("__e") === col("__oe"))
       // in-epoch position of a sequence's first token: every sequence
       // below it in seq_key order is FULL (only each epoch's last runs
       // short, and nothing sits above it)
       .withColumn("__g0", col("__off") + col("__s") * epochSeqLen)
-      .select(col("__g0"), posexplode(col("text")).as(Seq("__p", "token_id")))
-      .withColumn("__g", col("__g0") + col("__p"))
-    val vocab = TextOps.denseVocabOfIds(stream.select("token_id"),
-      "token_id", Seq(eosId))
-    // scalar remap: one broadcast hash join against the vocab-sized
-    // table (the array form rides a codegen kernel; a stream of scalar
-    // ids joins just as cheaply) — LOUD on a miss, like RemapIds
-    val dense = stream
-      .join(broadcast(vocab), Seq("token_id"), "left")
-      .select(expr(s"__g div $seqLen").as("seq_id"),
-        expr(s"__g % $seqLen").as("seq_pos"),
-        when(col("dense_id").isNull, raise_error(concat(
-            lit("id "), col("token_id"),
-            lit(" is not in the remap table — rebuild the vocabulary " +
-              "over the corpus being remapped"))))
-          .otherwise(col("dense_id")).as("token_id"))
-    val packed = dense
-      .groupBy("seq_id")
-      .agg(transform(array_sort(collect_list(struct(col("seq_pos"),
-          col("token_id")))), x => x.getField("token_id")).as("token_ids"))
+      .select(col("text"), col("__g0"), col("__n"),
+        explode(sequence(expr(s"__g0 div $seqLen"),
+          expr(s"(__g0 + __n - 1) div $seqLen"))).as("seq_id"))
+      .withColumn("__from",
+        greatest(lit(0L), col("seq_id") * seqLen - col("__g0")))
+      .withColumn("__len",
+        least(col("__n"), (col("seq_id") + 1) * seqLen - col("__g0")) -
+          col("__from"))
+      .withColumn("__o", greatest(lit(0L), col("__g0") - col("seq_id") * seqLen))
+      .select(col("seq_id"),
+        struct(col("__o"),
+          slice(col("text"), (col("__from") + 1).cast("int"),
+            col("__len").cast("int")).as("__frag")).as("__piece"))
+    val packed = TextOps.densifyIds(
+        frags.groupBy("seq_id")
+          .agg(flatten(transform(array_sort(collect_list(col("__piece"))),
+            x => x.getField("__frag"))).as("__sparse")),
+        "__sparse", vocab, "token_ids")
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
     val manifest = writeSharded(packed, col("seq_id"), "n_tokens",
       "token_ids", outPath, targetTokens, buckets,
