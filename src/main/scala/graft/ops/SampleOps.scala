@@ -515,6 +515,21 @@ object SampleOps {
       .select(col("epoch").cast("long").as("__e"),
         col("seq_key").cast("long").as("__s"),
         col("n_tokens").cast("long").as("__n"), col("text"))
+    // the position arithmetic is valid ONLY when every segment was cut
+    // at `epochSeqLen`: within each epoch, every sequence below the
+    // last must be exactly that long (a stream reconfigured mid-life
+    // would silently mis-cut every token after the first mismatch —
+    // fail loudly instead; one segment-sized aggregate, no token rows)
+    val bad = segs.groupBy("__e")
+      .agg(sum(when(col("__n") > epochSeqLen, 1L).otherwise(0L)).as("__over"),
+        sum(when(col("__n") =!= epochSeqLen, 1L).otherwise(0L)).as("__short"))
+      .filter(col("__over") > 0 || col("__short") > 1)
+      .select("__e").collect().map(_.getLong(0))
+    require(bad.isEmpty,
+      s"compactPackedEpochs: epochs ${bad.mkString(", ")} were not cut " +
+        s"at epochSeqLen=$epochSeqLen (more than one non-full sequence, " +
+        "or an over-long one) — pass the seqLen the segments were " +
+        "actually ingested with")
     // E-row epoch totals -> exclusive cross-epoch offsets (driver-side
     // prefix over epochs, the bucket-offsets shape)
     val totals = segs.groupBy("__e")

@@ -641,7 +641,16 @@ object StreamOps {
     * written (each segment is self-contained), so there is nothing a
     * crash can corrupt — the log-structured answer at stream cadence,
     * complementing the daily [[graft.ops.SampleOps.appendSharded]]
-    * single-corpus form. */
+    * single-corpus form.
+    *
+    * ONE streaming query per corpus root: epoch ids come from the
+    * query's own batch counter, so a SECOND query (a different
+    * checkpoint) writing the same root would collide on epoch ids and
+    * silently skip its colliding batches (first publisher wins).
+    * Restarting the SAME query (same checkpoint) is the supported —
+    * and safe — case. Keep `seqLen` fixed for the corpus's life;
+    * [[graft.ops.SampleOps.compactPackedEpochs]] validates it at
+    * compaction time and refuses a reconfigured stream. */
   def packedCorpusSink(docs: DataFrame, path: String, idCol: String,
       textCol: String, seqLen: Int, targetTokens: Long, buckets: Int,
       merges: Seq[(String, String)] = graft.ops.TextOps.DefaultBpeMerges)

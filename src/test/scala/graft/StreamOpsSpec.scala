@@ -695,6 +695,15 @@ class StreamOpsSpec extends SparkSpec {
         java.nio.file.Paths.get(out, "_graft_manifest.json")) ==
       java.nio.file.Files.readString(
         java.nio.file.Paths.get(out2, "_graft_manifest.json")))
+    // a stream reconfigured mid-life (segments cut at a different
+    // length) refuses loudly — the wrong epochSeqLen would silently
+    // mis-cut every token after the first mismatch
+    val e = intercept[IllegalArgumentException] {
+      SampleOps.compactPackedEpochs(spark, root,
+        tmpDir("graft_compact_bad") + "/corpus",
+        epochSeqLen = 5, seqLen = 16, targetTokens = 64L, buckets = 2)
+    }
+    assert(e.getMessage.contains("were not cut"))
   }
 
   test("daily-loop composition: gate survivors publish into the sharded corpus by append") {
