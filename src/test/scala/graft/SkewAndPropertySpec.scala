@@ -95,6 +95,40 @@ class SkewAndPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: lossless BPE round-trips random unicode byte-for-byte; legacy relation holds") {
+    // random documents over a hostile alphabet: space runs, tabs,
+    // newlines, merge-rule letters, digits, punctuation, Cyrillic,
+    // CJK, and astral codepoints — plus random leading/trailing runs
+    val rnd = new scala.util.Random(13)
+    val alphabet: IndexedSeq[String] = IndexedSeq(
+      " ", " ", " ", "\t", "\n", "t", "h", "e", "a", "n", "o", "r",
+      "0", "7", ".", ",", "(", "д", "ж", "好", "の", "😀",
+      "🤖", "x", "q")
+    val docs = (0 until 60).map { i =>
+      val len = rnd.nextInt(80)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val enc = graft.ops.TextOps.encodeBpe(df, "doc_id", "text",
+      graft.ops.TextOps.DefaultBpeMerges, lossless = true)
+    val decoded = graft.ops.TextOps.decodeBpe(enc, "doc_id", "token_ids")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) =>
+      assert(decoded(id) == text,
+        s"doc $id round-trip mismatch for ${text.take(40).map(_.toInt)}")
+    }
+    // the lossless stream minus spaces IS the legacy stream, and token
+    // counts obey n_lossless = n_legacy + n_spaces, for every document
+    val legacy = graft.ops.TextOps.encodeBpe(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    enc.collect().foreach { r =>
+      val ids = r.getSeq[Long](1)
+      val spaces = docs(r.getLong(0).toInt)._2.count(_ == ' ')
+      assert(ids.filter(_ != 32L) == legacy(r.getLong(0)))
+      assert(ids.length == legacy(r.getLong(0)).length + spaces)
+    }
+  }
+
   test("property: packBins never loses or duplicates items at any capacity") {
     val rnd = new scala.util.Random(8)
     for (_ <- 0 until 8) {
