@@ -61,7 +61,7 @@ object StressR13 {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
     args.headOption.getOrElse(sys.error(
-        "usage: StressR13 <pipeline|epochshuffle|corpus> [reps]")) match {
+        "usage: StressR13 <pipeline|epochshuffle|corpus|compact> [reps]")) match {
       case "pipeline" =>
         pipeline(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
       case "epochshuffle" =>

@@ -426,6 +426,13 @@ object SampleOps {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+
+  /** The `_graft_vocab.parquet` sidecar writer both corpus builders
+    * hand to [[writeSharded]] — one recipe, one filename. */
+  private def vocabSidecar(vocab: DataFrame): String => Unit =
+    staging => vocab.coalesce(1).write
+      .parquet(new java.io.File(staging, "_graft_vocab.parquet").getPath)
+
   /** ONE-CALL trainer-ready corpus: the whole round-13 materialization
     * chain — quality filter → exact-dedup keep-first (skipped when
     * `curate = false`: the caller already curated) → byte-faithful
@@ -473,10 +480,7 @@ object SampleOps {
       buckets)
     val manifest = writeSharded(packed, col("seq_id"), "n_tokens",
       "token_ids", path, targetTokens, buckets,
-      sidecar = Some { staging =>
-        vocab.coalesce(1).write
-          .parquet(new java.io.File(staging, "_graft_vocab.parquet").getPath)
-      })
+      sidecar = Some(vocabSidecar(vocab)))
     (manifest, vocab)
   }
 
@@ -496,8 +500,9 @@ object SampleOps {
     * sequences are exactly `seqLen` (only the corpus-global last may
     * run short) even when each epoch
     * ended with a short tail. Ids densify to [0, V) over the WHOLE
-    * standing corpus ([[graft.ops.TextOps.denseVocab]] semantics, EOS
-    * reserved) and the result publishes through [[writeSharded]] with
+    * standing corpus ([[graft.ops.TextOps.denseVocab]] over observed
+    * ids only — a packed stream already contains its EOS, one per
+    * document) and the result publishes through [[writeSharded]] with
     * the vocab sidecar in the same atomic swap — byte-identical to
     * re-running the compaction (pure function of the segments).
     * Returns (manifest, denseVocab).
@@ -508,33 +513,45 @@ object SampleOps {
     * examples). */
   def compactPackedEpochs(spark: org.apache.spark.sql.SparkSession,
       path: String, outPath: String, epochSeqLen: Int, seqLen: Int,
-      targetTokens: Long, buckets: Int,
-      eosId: Long = TextOps.bpeEosId()): (DataFrame, DataFrame) = {
+      targetTokens: Long, buckets: Int): (DataFrame, DataFrame) = {
     require(epochSeqLen > 0 && seqLen > 0, "sequence lengths must be > 0")
     val segs = spark.read.parquet(path)
       .select(col("epoch").cast("long").as("__e"),
         col("seq_key").cast("long").as("__s"),
         col("n_tokens").cast("long").as("__n"), col("text"))
-    // the position arithmetic is valid ONLY when every segment was cut
-    // at `epochSeqLen`: within each epoch, every sequence below the
-    // last must be exactly that long (a stream reconfigured mid-life
-    // would silently mis-cut every token after the first mismatch —
-    // fail loudly instead; one segment-sized aggregate, no token rows)
-    val bad = segs.groupBy("__e")
-      .agg(sum(when(col("__n") > epochSeqLen, 1L).otherwise(0L)).as("__over"),
-        sum(when(col("__n") =!= epochSeqLen, 1L).otherwise(0L)).as("__short"))
-      .filter(col("__over") > 0 || col("__short") > 1)
-      .select("__e").collect().map(_.getLong(0))
+    // ONE segment-sized aggregate (no token rows) yields both the
+    // validation facts and the epoch totals. The position arithmetic is
+    // valid ONLY for a well-formed `epochSeqLen`-cut segment set:
+    // per epoch, seq_keys must be the contiguous distinct 0..N−1, every
+    // sequence must be exactly epochSeqLen except at most ONE, and that
+    // one must be the LAST — anything else (a stream reconfigured
+    // mid-life, a hand-repacked or corrupted segment) would silently
+    // mis-cut every token after the first mismatch; fail loudly instead.
+    val perEpoch = segs.groupBy("__e")
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("__t"),
+        count(lit(1)).as("__c"),
+        countDistinct(col("__s")).as("__d"),
+        max(col("__s")).as("__m"),
+        sum(when(col("__n") > epochSeqLen, 1L).otherwise(0L)).as("__over"),
+        sum(when(col("__n") =!= epochSeqLen, 1L).otherwise(0L)).as("__nshort"),
+        max(when(col("__n") =!= epochSeqLen, col("__s"))).as("__shortAt"))
+      .collect()
+    val bad = perEpoch.filter { r =>
+      val (t, c, d, m) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (over, nshort) = (r.getLong(5), r.getLong(6))
+      val shortAt = if (r.isNullAt(7)) -1L else r.getLong(7)
+      over > 0 || nshort > 1 || d != c || m != c - 1 ||
+        (nshort == 1 && shortAt != m) || t <= 0
+    }.map(_.getLong(0))
     require(bad.isEmpty,
-      s"compactPackedEpochs: epochs ${bad.mkString(", ")} were not cut " +
-        s"at epochSeqLen=$epochSeqLen (more than one non-full sequence, " +
-        "or an over-long one) — pass the seqLen the segments were " +
-        "actually ingested with")
+      s"compactPackedEpochs: epochs ${bad.mkString(", ")} are not " +
+        s"well-formed $epochSeqLen-cut segments (contiguous seq_keys, " +
+        "all-but-last exactly epochSeqLen, short one last) — pass the " +
+        "seqLen the segments were actually ingested with, and only " +
+        "compact segments this library published")
     // E-row epoch totals -> exclusive cross-epoch offsets (driver-side
     // prefix over epochs, the bucket-offsets shape)
-    val totals = segs.groupBy("__e")
-      .agg(coalesce(sum(col("__n")), lit(0L)).as("__t"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val totals = perEpoch.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (e, t) => val o = (e, acc); acc += t; o }
     val offDf = spark.createDataFrame(
@@ -545,7 +562,11 @@ object SampleOps {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("__off",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    val vocab = TextOps.denseVocab(segs, "text", Seq(eosId))
+    // vocab purely from OBSERVED ids: a packed stream always already
+    // contains its EOS (one per document), so there is nothing to
+    // reserve — an eosId parameter here could only inject a phantom
+    // never-observed id and shift every dense id above it
+    val vocab = TextOps.denseVocab(segs, "text")
     // fragment-granularity re-cut, exactly [[materializePackedSequences]]'
     // shape: each input sequence (array + its arithmetic global start)
     // covers ≤ ⌈epochSeqLen/seqLen⌉+1 output sequences — emit one
@@ -582,10 +603,7 @@ object SampleOps {
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
     val manifest = writeSharded(packed, col("seq_id"), "n_tokens",
       "token_ids", outPath, targetTokens, buckets,
-      sidecar = Some { staging =>
-        vocab.coalesce(1).write
-          .parquet(new java.io.File(staging, "_graft_vocab.parquet").getPath)
-      })
+      sidecar = Some(vocabSidecar(vocab)))
     (manifest, vocab)
   }
 

@@ -323,8 +323,9 @@ object TextOps {
       "token_id", extraIds)
 
   /** [[denseVocab]] over an already-FLAT id column (one id per row) —
-    * the form [[graft.ops.SampleOps.compactPackedEpochs]] uses on the
-    * exploded standing stream. Same contract, same guard. */
+    * the delegation target the array form explodes into, exposed for
+    * callers whose ids already arrive one per row (a stored token
+    * table, an exploded stream). Same contract, same guard. */
   def denseVocabOfIds(ids: DataFrame, idCol: String,
       extraIds: Seq[Long] = Nil): DataFrame = {
     val spark = ids.sparkSession

@@ -680,6 +680,12 @@ object StreamOps {
     // a replayed epoch is a no-op; a crashed one left only underscore-
     // prefixed working dirs (reader-invisible), cleared here
     if (new java.io.File(epochDir, "_graft_manifest.json").exists()) return
+    // an empty trigger (e.g. batch 0 of a source with no files yet)
+    // must not publish a data-less segment: a corpus of only empty
+    // segments would fail schema inference on every reader with an
+    // unrelated error, and an empty epoch carries no information a
+    // replay could lose
+    if (batch.isEmpty) return
     val building = new java.io.File(path, s"_epoch_building=$batchId")
     org.apache.commons.io.FileUtils.deleteQuietly(building)
     val enc = graft.ops.TextOps.encodeBpe(batch, idCol, textCol, merges,

@@ -703,7 +703,7 @@ class StreamOpsSpec extends SparkSpec {
         tmpDir("graft_compact_bad") + "/corpus",
         epochSeqLen = 5, seqLen = 16, targetTokens = 64L, buckets = 2)
     }
-    assert(e.getMessage.contains("were not cut"))
+    assert(e.getMessage.contains("not well-formed"))
   }
 
   test("daily-loop composition: gate survivors publish into the sharded corpus by append") {
