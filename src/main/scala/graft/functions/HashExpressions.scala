@@ -315,6 +315,33 @@ object HashKernels {
     s
   }
 
+  /** Product-quantization ADC score: `lut` is the per-query lookup
+    * table (array<array<bigint>>, one row per subspace, one entry per
+    * sub-codebook centroid — exact integer dot products precomputed
+    * ONCE per query), `code` the corpus row's PQ code (array<int>, one
+    * dense centroid index per subspace). Returns Σ_j lut[j][code[j]] —
+    * the asymmetric-distance approximation of the full dot product in m
+    * adds instead of `dim` multiplies per scored pair. Exact long
+    * arithmetic; malformed codes (null slot, index outside the lut row)
+    * throw rather than silently mis-scoring. */
+  def pqAdcScore(lut: ArrayData, code: ArrayData): Long = {
+    val m = code.numElements()
+    require(lut.numElements() == m,
+      s"ADC lut has ${lut.numElements()} subspaces, code has $m")
+    var s = 0L
+    var j = 0
+    while (j < m) {
+      require(!code.isNullAt(j), s"null PQ code at subspace $j")
+      val cj = code.getInt(j)
+      val row = lut.getArray(j)
+      require(cj >= 0 && cj < row.numElements(),
+        s"PQ code $cj out of [0, ${row.numElements()}) at subspace $j")
+      s += row.getLong(cj)
+      j += 1
+    }
+    s
+  }
+
   /** Quantize a float/double array to exact integers at `scale`
     * resolution: round(double(x) * scale). Bit-deterministic (widening
     * is exact, one exactly-rounded multiply, ties never hit on binary
@@ -1204,6 +1231,40 @@ case class DotProductLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd PQ asymmetric-distance score (see HashKernels.pqAdcScore):
+  * the per-query LUT on the left (array<array<bigint>>, computed once
+  * per query row), the corpus row's PQ code on the right (array<int>).
+  * This is the per-pair hot path of [[graft.ops.SimilarityOps.pqTopK]] —
+  * m lookups+adds per scored pair in generated code; the composed
+  * `aggregate(zip_with(...))` form evaluates interpreted per element. */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isLutType(t: DataType): Boolean = t match {
+    case ArrayType(ArrayType(LongType, _), _) => true
+    case _ => false
+  }
+  private def isCodeType(t: DataType): Boolean = t match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!isLutType(left.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc needs array<array<bigint>> lut, got ${left.dataType}")
+    else if (!isCodeType(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc needs array<int> code, got ${right.dataType}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.pqAdcScore(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.pqAdcScore($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd bloom probe (see HashKernels.bloomHits): grams array on the
   * left, the bitmap array on the right (normally a scalar-subquery
   * literal, evaluated ONCE — a higher-order-function formulation would
@@ -1401,6 +1462,8 @@ object exprs {
     shims.column(ShingleHashArray(shims.expression(c), k))
   def dotLong(a: Column, b: Column): Column =
     shims.column(DotProductLong(shims.expression(a), shims.expression(b)))
+  def pqAdc(lut: Column, code: Column): Column =
+    shims.column(PqAdcScore(shims.expression(lut), shims.expression(code)))
   def quantizeVec(c: Column, scale: Long = 10000L): Column =
     shims.column(QuantizeVector(shims.expression(c), scale))
   def wordCounts(c: Column, words: Seq[String]): Column =

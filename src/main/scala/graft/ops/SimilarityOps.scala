@@ -806,4 +806,296 @@ object SimilarityOps {
       .select(col("q_id").as("id_a"), col("c_id").as("id_b"), col("cos"))
       .distinct()
   }
+
+  // ================= Product quantization (PQ / IVF-PQ) =================
+  // Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+  // Search" (TPAMI 2011): split each vector into `m` subvectors, vector-
+  // quantize each subspace against its own `ksub`-entry codebook, and
+  // answer queries by ASYMMETRIC distance computation — the query
+  // precomputes one m × ksub lookup table of exact sub-dot-products, and
+  // every corpus row is then scored with m table lookups + adds instead
+  // of `dim` multiplies. The corpus stores only the m-byte-ish codes:
+  // at dim=64 float32 → m=8 int codes that's a 32× memory cut, which is
+  // the difference between "the embedding corpus fits in cluster RAM"
+  // and "it doesn't" at 100 TB. Cosine comes from encoding UNIT-sphere
+  // vectors: dot(q̂, recon(x̂)) ≈ cos(q, x), scored in exact integer
+  // arithmetic on the 1e-4 quantization grid so results are
+  // bit-reproducible across engines (the DuckDB oracle replays encode
+  // and ADC exactly).
+
+  /** Unit-sphere re-quantization: normalize an already-quantized vector
+    * by its exact integer norm and re-quantize to the 1e-4 grid. Each
+    * element is long→double widening (exact), one exactly-rounded
+    * divide against sqrt(n2) (exact-rounded), and the shared
+    * [[quantize]] kernel — bit-deterministic and replayed verbatim by
+    * the oracle SQL. Zero-norm vectors map to the all-zero unit vector
+    * (their cosine is undefined everywhere in this file; ADC scores
+    * them 0, ranking them last with ties to the lowest id — defined). */
+  private[graft] def unitQCol(vq: Column, n2: Column): Column =
+    quantize(transform(vq, x =>
+      when(n2 > 0L, x.cast("double") / sqrt(n2.cast("double")))
+        .otherwise(lit(0.0))))
+
+  /** A validated, fold-ready PQ codebook: `arr` is the ONE-row frame
+    * holding the nested array-of-subspaces literal (bind with
+    * `.scalar()` to a column before any lambda touches it — the
+    * [[assignClusters]] discipline), `m` the subspace count, `dsub` the
+    * subvector width. */
+  private[graft] final case class PqFolded(arr: DataFrame, m: Int, dsub: Int)
+
+  /** Validate a PQ codebook frame (sub_id, cent_id, cent_q, cent_n2)
+    * and fold it into the nested scalar-subquery shape the encode/LUT
+    * lambdas consume. Validation is one model-sized aggregate collected
+    * to the driver: sub_id must be dense [0, m), cent_id dense
+    * [0, ksub_j) per subspace (codes index the LUT by position, so
+    * density is a correctness contract, not a convention), and every
+    * cent_q the same width. */
+  private[graft] def foldPqCodebook(codebook: DataFrame): PqFolded = {
+    val stats = codebook.groupBy(col("sub_id"))
+      .agg(count(lit(1)).as("n"), min(col("cent_id")).as("lo"),
+        max(col("cent_id")).as("hi"),
+        min(size(col("cent_q"))).as("dlo"), max(size(col("cent_q"))).as("dhi"))
+      .collect() // model-sized: m rows
+    require(stats.nonEmpty, "empty PQ codebook")
+    val subIds = stats.map(_.getInt(0)).sorted
+    require(subIds.sameElements(0 until stats.length),
+      s"PQ codebook sub_id must be dense [0, m); got ${subIds.mkString(",")}")
+    stats.foreach { r =>
+      require(r.getLong(2) == 0L && r.getLong(3) == r.getLong(1) - 1L,
+        s"PQ codebook cent_id must be dense [0, ksub) in subspace ${r.getInt(0)}: " +
+          s"min=${r.getLong(2)} max=${r.getLong(3)} n=${r.getLong(1)}")
+      require(r.getInt(4) == r.getInt(5),
+        s"ragged cent_q widths in subspace ${r.getInt(0)}: ${r.getInt(4)}..${r.getInt(5)}")
+    }
+    val dsubs = stats.map(_.getInt(4)).distinct
+    require(dsubs.length == 1,
+      s"PQ codebook subspaces disagree on subvector width: ${dsubs.mkString(",")}")
+    val arr = codebook
+      .groupBy(col("sub_id"))
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cent_q"),
+        col("cent_n2")))).as("cents"))
+      .agg(array_sort(collect_list(struct(col("sub_id"), col("cents")))).as("cb"))
+    PqFolded(arr, stats.length, dsubs.head)
+  }
+
+  /** Quantized input vector with its dimension enforced in-plan:
+    * a ragged or wrong-dim vector would otherwise silently dot over
+    * the shorter prefix and mis-encode. */
+  private def dimChecked(vq: Column, dim: Int): Column =
+    when(size(vq) === dim, vq).otherwise(raise_error(concat(
+      lit(s"pq: vector dimension "), size(vq).cast("string"),
+      lit(s" != codebook dimension $dim"))))
+
+  /** Per-row subvector array: slices computed ONCE per row, so the
+    * per-centroid lambdas below bind a plain lambda variable instead of
+    * re-evaluating the slice per element (the interpreted-HOF
+    * re-evaluation trap [[assignClusters]] documents). */
+  private def subVectors(u: Column, m: Int, dsub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), j => slice(u, j * dsub + 1, lit(dsub)))
+
+  /** The PQ code of a unit-quantized vector against the folded codebook
+    * column: per subspace, the dense id of the centroid minimizing
+    * exact squared distance. Ranked by the monotone surrogate
+    * `cent_n2 - 2·dot(sub, cent)` (the `‖sub‖²` term is constant per
+    * row×subspace), ties to the lowest cent_id — deterministic. */
+  private def pqCodeCol(u: Column, cbCol: Column, m: Int, dsub: Int): Column =
+    zip_with(cbCol, subVectors(u, m, dsub), (sub, sv) =>
+      element_at(array_sort(transform(sub.getField("cents"), c =>
+        struct((c.getField("cent_n2") - lit(2L) * dotQ(sv, c.getField("cent_q"))).as("d"),
+          c.getField("cent_id").as("cent_id")))), 1)
+        .getField("cent_id").cast("int"))
+
+  /** The per-query ADC lookup table: lut[j][c] = exact integer dot of
+    * the query's j-th unit subvector with centroid c of subspace j —
+    * m × ksub dots ONCE per query row; every scored pair afterwards is
+    * m lookups in the codegen [[graft.functions.PqAdcScore]] kernel. */
+  private def pqLutCol(u: Column, cbCol: Column, m: Int, dsub: Int): Column =
+    zip_with(cbCol, subVectors(u, m, dsub), (sub, sv) =>
+      transform(sub.getField("cents"), c => dotQ(sv, c.getField("cent_q"))))
+
+  /** Sampled PQ codebook: subspace j's centroids are the j-th unit
+    * subvectors of `rows` (dense cent_id by ascending row id) — the
+    * deterministic, SQL-replayable codebook the oracle queries use, and
+    * a legitimate production seed when `rows` is a uniform sample.
+    * [[trainPqCodebook]] is the quality path. Model-sized input: the
+    * ranking window is over the codebook rows, never a corpus. */
+  def pqCodebookFromRows(rows: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame = {
+    require(m >= 1, s"need m >= 1 subspaces, got $m")
+    val dim = rows.select(size(quantize(col(vecCol)))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("empty PQ codebook sample"))
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    // dense cent_id by ascending row id WITHOUT a window (the global
+    // plan sweep rightly refuses unpartitioned windows, and a codebook
+    // build inside a registered query must honor it): the id list is
+    // model-sized by contract, so rank against a collected sorted
+    // literal — array_position is O(ksub) per row over ksub rows
+    val ids = rows.select(col(idCol).cast("long")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    require(ids.nonEmpty, "empty PQ codebook sample")
+    val unit = rows
+      .select(col(idCol).as("__rid"), quantize(col(vecCol)).as("__vq"))
+      .withColumn("__vq", dimChecked(col("__vq"), dim))
+      .withColumn("__u", unitQCol(col("__vq"), norm2Q(col("__vq"))))
+      .withColumn("cent_id",
+        array_position(lit(ids), col("__rid").cast("long")) - 1L)
+    unit.select(col("cent_id"), col("__u"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
+      .withColumn("cent_q", slice(col("__u"), col("sub_id") * dsub + 1, lit(dsub)))
+      .select(col("sub_id"), col("cent_id"), col("cent_q"),
+        norm2Q(col("cent_q")).as("cent_n2"))
+  }
+
+  /** Train a PQ codebook: per-subspace seeded spark.ml KMeans over the
+    * corpus's unit subvectors, centers re-quantized to the shared 1e-4
+    * grid. Same determinism contract as [[trainCentroids]]: the fixed
+    * seed reproduces for a fixed physical layout; at corpus scale train
+    * on a sample. Cost is m KMeans fits over dim/m-wide features. */
+  def trainPqCodebook(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, maxIter: Int = 20, seed: Long = 42L): DataFrame = {
+    require(m >= 1, s"need m >= 1 subspaces, got $m")
+    require(ksub >= 2, s"need ksub >= 2 centroids per subspace, got $ksub")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = df.select(size(quantize(col(vecCol)))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("empty PQ training input"))
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val unit = df
+      .select(quantize(col(vecCol)).as("__vq"))
+      .withColumn("__vq", dimChecked(col("__vq"), dim))
+      .select(unitQCol(col("__vq"), norm2Q(col("__vq"))).as("__u"))
+      .localCheckpoint(true) // m fits share one materialization
+    val spark = df.sparkSession
+    import spark.implicits._
+    try {
+      (0 until m).map { j =>
+        val feats = unit.select(array_to_vector(
+          slice(col("__u"), j * dsub + 1, dsub).cast("array<double>")).as("features"))
+        val model = new KMeans().setK(ksub).setMaxIter(maxIter)
+          .setSeed(seed + j).fit(feats)
+        model.clusterCenters.zipWithIndex.toSeq
+          .map { case (c, i) =>
+            (j, i.toLong, c.toArray.map(x => math.round(x)), 0L) }
+          .toDF("sub_id", "cent_id", "cent_q", "cent_n2")
+          .withColumn("cent_n2", norm2Q(col("cent_q")))
+      }.reduce(_ union _)
+    } finally unit.unpersist(blocking = false)
+  }
+
+  /** Encode a corpus against a PQ codebook — MAP-ONLY (the corpus is
+    * never shuffled, sorted, or aggregated; the codebook folds into one
+    * scalar-subquery literal). Output: (idCol, code array<int>) — the
+    * compressed index a 100-TB deployment persists INSTEAD of the
+    * vectors (m ints vs dim floats; 8 vs 64 here). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame): DataFrame = {
+    val pcb = foldPqCodebook(codebook)
+    val dim = pcb.m * pcb.dsub
+    df.select(col(idCol), quantize(col(vecCol)).as("__vq"))
+      .withColumn("__vq", dimChecked(col("__vq"), dim))
+      .withColumn("__u", unitQCol(col("__vq"), norm2Q(col("__vq"))))
+      .withColumn("__cb", pcb.arr.scalar())
+      .select(col(idCol), pqCodeCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("code"))
+  }
+
+  /** ADC top-k over a PRE-ENCODED corpus: every (query, code) pair is
+    * scored by the codegen kernel in m adds, ranked by the bounded
+    * top-k aggregate. The scan is |Q|·|C| pairs — the declared
+    * flat-index baseline exactly like [[bruteForceTopK]] (queries side
+    * small/broadcast); [[ivfPqTopK]] is the cluster-pruned scale path.
+    * `adc_cos` = ADC score / 1e8 ≈ cosine(query, corpus) — an
+    * approximation through the sub-codebooks, exact integer ranking. */
+  def pqTopKFromCodes(queries: DataFrame, codes: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val pcb = foldPqCodebook(codebook)
+    val dim = pcb.m * pcb.dsub
+    val q = queries.select(col(idCol).as("q_id"), quantize(col(vecCol)).as("__vq"))
+      .withColumn("__vq", dimChecked(col("__vq"), dim))
+      .withColumn("__u", unitQCol(col("__vq"), norm2Q(col("__vq"))))
+      .withColumn("__cb", pcb.arr.scalar())
+      .select(col("q_id"), pqLutCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("__lut"))
+    val c = codes.select(col(idCol).as("c_id"), col("code"))
+    val scored = q.crossJoin(c)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        graft.functions.exprs.pqAdc(col("__lut"), col("code")).cast("double") / lit(1e8))
+    topKPerQuery(scored, k).withColumnRenamed("cos", "adc_cos")
+  }
+
+  /** Encode-then-search convenience over raw vectors. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    pqTopKFromCodes(queries, pqEncode(corpus, idCol, vecCol, codebook),
+      codebook, idCol, vecCol, k)
+
+  /** ADC-retrieve-then-exact-rerank (the IVFADC "refine" step, Jégou
+    * §V): the compressed scan shortlists `cands` candidates per query
+    * by ADC, then ONLY those |Q|·cands rows are rescored with the
+    * exact integer cosine against the full vectors and cut to top-k.
+    * Result recall@k equals the shortlist's candidate recall — the
+    * distortion the sub-codebooks cost at rank k is mostly rank noise
+    * WITHIN the shortlist, which the exact pass repairs. The rescore
+    * join broadcasts the candidate list (|Q|·cands ids) against the
+    * corpus — at 100 TB the full vectors are touched for cands rows
+    * per query, not the corpus: the scan stays compressed. Output is
+    * exact `cos` (directly comparable to [[bruteForceTopK]]). */
+  def pqTopKRerank(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, k: Int, cands: Int): DataFrame = {
+    require(cands >= k, s"need cands >= k, got cands=$cands < k=$k")
+    val shortlist = pqTopK(queries, corpus, codebook, idCol, vecCol, cands)
+      .select(col("q_id"), col("c_id"))
+    val q = withQ(queries, idCol, vecCol, "q")
+    val c = withQ(corpus, idCol, vecCol, "c")
+    val rescored = broadcast(shortlist)
+      .join(q, "q_id").join(c, "c_id")
+      .withColumn("cos",
+        cosineFromQ(dotQ(col("q_q"), col("c_q")), col("q_n2"), col("c_n2")))
+    topKPerQuery(rescored, k)
+  }
+
+  /** IVF-PQ: the 100-TB shape. Corpus rows are coarse-assigned (IVF)
+    * AND PQ-encoded in the same map-only pass; queries probe their
+    * `nprobe` nearest coarse cells and ADC-score only those cells'
+    * codes — |Q|·|C|·nprobe/K pairs through an equi-join on the cell
+    * id, m adds each, against a corpus the cluster stores at dim/m-fold
+    * compression. Codes are whole-vector (not residual) — one codebook
+    * serves every cell, so the same encoded corpus answers flat ADC and
+    * any coarse layout; residual encoding (Jégou §IV) trades that
+    * reusability for accuracy and needs per-cell re-encoding on
+    * codebook rebuilds. Recall is governed by `nprobe` (cell boundary
+    * misses — same dial as [[ivfTopK]]) times the PQ quantization loss
+    * (measured by the [[DedupOps.pairRecall]] scorecard). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 1, nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val pcb = foldPqCodebook(codebook)
+    val dim = pcb.m * pcb.dsub
+    val cents = withQ(centroids, idCol, vecCol, "cent")
+    lazy val kc = cents.count()
+    val nc = resolveNCoarse(nCoarse, kc)
+    lazy val cb2 = twoLevelCodebook(cents, nc, kHint = kc)
+    def assign(s: DataFrame, p: String, pr: Int): DataFrame =
+      if (nc > 0) assignClustersTwoLevel(cb2, s, p, pr, coarseProbes)
+      else assignClusters(cents, s, p, pr)
+    val q = assign(withQ(queries, idCol, vecCol, "q"), "q", nprobe)
+      .withColumn("__u", unitQCol(dimChecked(col("q_q"), dim), col("q_n2")))
+      .withColumn("__cb", pcb.arr.scalar())
+      .select(col("q_id"), col("q_cluster"),
+        pqLutCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("__lut"))
+    val c = assign(withQ(corpus, idCol, vecCol, "c"), "c", 1)
+      .withColumn("__u", unitQCol(dimChecked(col("c_q"), dim), col("c_n2")))
+      .withColumn("__cb", pcb.arr.scalar())
+      .select(col("c_id"), col("c_cluster"),
+        pqCodeCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("code"))
+    val scored = q.join(c, col("q_cluster") === col("c_cluster"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        graft.functions.exprs.pqAdc(col("__lut"), col("code")).cast("double") / lit(1e8))
+    topKPerQuery(scored, k).withColumnRenamed("cos", "adc_cos")
+  }
 }

@@ -1168,6 +1168,144 @@ object Queries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM scored)
        |WHERE rk <= 5""".stripMargin
 
+  // ---- Product quantization: from-rows 8×8 codebook (vec_id < 8 →
+  // dense cent_id = vec_id), m = 8 subspaces × dsub = 8 over dim 64.
+  // The oracle replays unit re-quantization, per-subspace argmin
+  // encode (squared-distance surrogate cn2 − 2·dot, ties to lowest
+  // cent_id), and exact-integer ADC — bit-for-bit.
+
+  private def pqFromRowsCb(em: DataFrame): DataFrame =
+    SimilarityOps.pqCodebookFromRows(
+      em.filter(col("vec_id") < 8), "vec_id", "embedding", m = 8)
+
+  /** Shared PQ SQL CTEs: quantized vectors, unit re-quantization, the
+    * from-rows codebook with per-centroid norms, and per-row codes. */
+  private def sqlPqCommon =
+    s"""q0 AS ($sqlQuantized),
+       |n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q0),
+       |unit AS (SELECT vec_id,
+       |    CASE WHEN n2 > 0 THEN list_transform(v, x ->
+       |      CAST(round(CAST(x AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) * 10000) AS BIGINT))
+       |    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS u FROM n),
+       |subsp AS (SELECT unnest(range(8)) AS sub_id),
+       |cb AS (SELECT s.sub_id, r.vec_id AS cent_id,
+       |    list_slice(r.u, s.sub_id*8 + 1, s.sub_id*8 + 8) AS cq,
+       |    CAST(list_sum(list_transform(list_slice(r.u, s.sub_id*8 + 1, s.sub_id*8 + 8),
+       |      x -> x*x)) AS BIGINT) AS cn2
+       |  FROM unit r CROSS JOIN subsp s WHERE r.vec_id < 8),
+       |enc AS (SELECT vec_id, sub_id, code FROM (
+       |  SELECT a.vec_id, c.sub_id, c.cent_id AS code,
+       |    row_number() OVER (PARTITION BY a.vec_id, c.sub_id ORDER BY
+       |      c.cn2 - 2 * CAST(list_sum(list_transform(
+       |        list_slice(a.u, c.sub_id*8 + 1, c.sub_id*8 + 8), (x,i) -> x * c.cq[i])) AS BIGINT),
+       |      c.cent_id) AS rk
+       |  FROM unit a CROSS JOIN cb c) WHERE rk = 1)""".stripMargin
+
+  /** ADC scores of `pred`-selected queries against every other row's
+    * code: exact integer Σ_j dot(q_sub_j, centroid[j][code_j]). */
+  private def sqlPqAdc(pred: String) =
+    s"""SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+       |    CAST(SUM(CAST(list_sum(list_transform(
+       |      list_slice(q.u, e.sub_id*8 + 1, e.sub_id*8 + 8), (x,i) -> x * c.cq[i])) AS BIGINT)) AS BIGINT) AS score
+       |  FROM unit q JOIN enc e ON $pred AND e.vec_id <> q.vec_id
+       |  JOIN cb c ON c.sub_id = e.sub_id AND c.cent_id = e.code
+       |  GROUP BY q.vec_id, e.vec_id""".stripMargin
+
+  private def pqEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings")
+    val codes = SimilarityOps.pqEncode(em, "vec_id", "embedding", pqFromRowsCb(em))
+    codes.select(col("vec_id") +:
+      (0 until 8).map(j => col("code")(j).as(s"c$j")): _*)
+  }
+
+  private def pqEncodeSql = {
+    val cols = (0 until 8)
+      .map(j => s"MAX(CASE WHEN sub_id = $j THEN code END)::INTEGER AS c$j")
+      .mkString(", ")
+    s"""WITH $sqlPqCommon
+       |SELECT vec_id, $cols FROM enc GROUP BY vec_id""".stripMargin
+  }
+
+  private def pqTopkQ(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings")
+    SimilarityOps.pqTopK(em.filter(col("vec_id") < 10), em, pqFromRowsCb(em),
+      "vec_id", "embedding", k = 3)
+  }
+
+  private def pqTopkSql =
+    s"""WITH $sqlPqCommon,
+       |adc AS (${sqlPqAdc("q.vec_id < 10")})
+       |SELECT q_id, c_id, CAST(score AS DOUBLE) / 100000000 AS adc_cos, rk::BIGINT AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk FROM adc)
+       |WHERE rk <= 3""".stripMargin
+
+  private def ivfPqTopkQ(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings")
+    SimilarityOps.ivfPqTopK(em.filter(col("vec_id") < 10), em,
+      em.filter(col("vec_id") < 8), pqFromRowsCb(em),
+      "vec_id", "embedding", k = 3, nprobe = 2)
+  }
+
+  private def ivfPqTopkSql =
+    s"""WITH $sqlPqCommon,
+       |cents AS (SELECT vec_id AS a_id, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 8),
+       |casg AS (SELECT vec_id, cl FROM (
+       |  SELECT a.vec_id, c.a_id AS cl, row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |    CAST(list_sum(list_transform(a.v, (x,i) -> x * c.cv[i])) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC, c.a_id) AS crk
+       |  FROM n a CROSS JOIN cents c) WHERE crk = 1),
+       |qasg AS (SELECT vec_id, cl FROM (
+       |  SELECT a.vec_id, c.a_id AS cl, row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |    CAST(list_sum(list_transform(a.v, (x,i) -> x * c.cv[i])) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC, c.a_id) AS crk
+       |  FROM n a CROSS JOIN cents c WHERE a.vec_id < 10) WHERE crk <= 2),
+       |adc AS (SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+       |    CAST(SUM(CAST(list_sum(list_transform(
+       |      list_slice(q.u, e.sub_id*8 + 1, e.sub_id*8 + 8), (x,i) -> x * c.cq[i])) AS BIGINT)) AS BIGINT) AS score
+       |  FROM qasg qa JOIN casg ca ON qa.cl = ca.cl AND ca.vec_id <> qa.vec_id
+       |  JOIN unit q ON q.vec_id = qa.vec_id
+       |  JOIN enc e ON e.vec_id = ca.vec_id
+       |  JOIN cb c ON c.sub_id = e.sub_id AND c.cent_id = e.code
+       |  GROUP BY q.vec_id, e.vec_id)
+       |SELECT q_id, c_id, CAST(score AS DOUBLE) / 100000000 AS adc_cos, rk::BIGINT AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk FROM adc)
+       |WHERE rk <= 3""".stripMargin
+
+  private def pqRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings")
+    val queries = em.filter(col("vec_id") < 20)
+    DedupOps.pairRecall(
+      SimilarityOps.bruteForceTopK(queries, em, "vec_id", "embedding", k = 5)
+        .select(col("q_id").as("id_a"), col("c_id").as("id_b")),
+      SimilarityOps.pqTopKRerank(queries, em, pqFromRowsCb(em),
+        "vec_id", "embedding", k = 5, cands = 15)
+        .select(col("q_id").as("id_a"), col("c_id").as("id_b")))
+  }
+
+  private def pqRecallSql =
+    s"""WITH $sqlPqCommon,
+       |exact AS (SELECT q_id AS id_a, c_id AS id_b FROM (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      CAST(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) AS DOUBLE)
+       |        / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) DESC, b.vec_id) AS rk
+       |  FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id) WHERE rk <= 5),
+       |adc AS (${sqlPqAdc("q.vec_id < 20")}),
+       |shortlist AS (SELECT q_id, c_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk FROM adc)
+       |  WHERE rk <= 15),
+       |rr AS (SELECT id_a, id_b FROM (
+       |  SELECT sl.q_id AS id_a, sl.c_id AS id_b, row_number() OVER (PARTITION BY sl.q_id ORDER BY
+       |      CAST(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) AS DOUBLE)
+       |        / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) DESC, sl.c_id) AS rk
+       |  FROM shortlist sl JOIN n a ON a.vec_id = sl.q_id JOIN n b ON b.vec_id = sl.c_id) WHERE rk <= 5)
+       |SELECT count(e.id_a)::BIGINT AS n_exact,
+       |  count(l.id_a)::BIGINT AS n_approx,
+       |  count(CASE WHEN e.id_a IS NOT NULL AND l.id_a IS NOT NULL THEN 1 END)::BIGINT AS n_both,
+       |  CASE WHEN count(e.id_a) = 0 THEN NULL
+       |       ELSE CAST(count(CASE WHEN e.id_a IS NOT NULL AND l.id_a IS NOT NULL THEN 1 END) AS DOUBLE)
+       |              / count(e.id_a) END AS recall
+       |FROM exact e FULL OUTER JOIN rr l ON e.id_a = l.id_a AND e.id_b = l.id_b""".stripMargin
+
   private def embedNearDupQ(s: SparkSession, dir: String): DataFrame =
     SimilarityOps.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", minCos = 0.45)
 
@@ -2894,6 +3032,10 @@ object Queries {
     "q_dedup_by_minhash" -> (dedupByMinhashQ _),
     "q_quality_filter" -> (qualityFilterQ _),
     "q_ivf_topk" -> (ivfTopkQ _),
+    "q_pq_encode" -> (pqEncodeQ _),
+    "q_pq_topk" -> (pqTopkQ _),
+    "q_ivfpq_topk" -> (ivfPqTopkQ _),
+    "q_pq_recall" -> (pqRecallQ _),
     "q_events_props" -> (eventsPropsQ _),
     "q_string_funcs" -> (stringFuncsQ _),
     "q_set_ops" -> (setOpsQ _),
@@ -3020,6 +3162,10 @@ object Queries {
     "q_dedup_by_minhash" -> dedupByMinhashSql,
     "q_quality_filter" -> qualityFilterSql,
     "q_ivf_topk" -> ivfTopkSql,
+    "q_pq_encode" -> pqEncodeSql,
+    "q_pq_topk" -> pqTopkSql,
+    "q_ivfpq_topk" -> ivfPqTopkSql,
+    "q_pq_recall" -> pqRecallSql,
     "q_events_props" -> eventsPropsSql,
     "q_string_funcs" -> stringFuncsSql,
     "q_set_ops" -> setOpsSql,

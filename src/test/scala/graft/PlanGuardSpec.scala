@@ -122,6 +122,8 @@ class PlanGuardSpec extends SparkSpec {
       "q_embed_cosine_topk", // bruteForceTopK: exactness baseline (IVF is the scale path)
       "q_embed_near_dup",    // embeddingNearDupPairs: exactness baseline (IVF/RP-LSH scale paths)
       "q_embed_recall",      // pairRecall over the same declared baseline (RP recall scorecard)
+      "q_pq_topk",           // flat ADC scan: declared flat-index baseline (ivfPqTopK is the scale path)
+      "q_pq_recall",         // pairRecall over bruteForceTopK + the flat ADC scan (PQ recall scorecard)
       "q_media_recall",      // hammingAllPairs: exactness baseline (pigeonhole is the scale path)
       // the numeric-profile family carries the P×P broadcast triangular
       // offsets join — P = shuffle partition COUNT (a config constant,

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DedupOps, SimilarityOps}
+
+/** Product-quantization (PQ / IVF-PQ) similarity search. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val em = "/root/testdata/sf0.001/embeddings.parquet"
+
+  // dim=3 toy corpus: m=3 one-dim subspaces with the WHOLE corpus as
+  // the codebook sample makes sub-quantization lossless (every
+  // subvector is its own centroid), so PQ must reproduce brute-force
+  // exactly — the degradation-from-exact anchor.
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("pqCodebookFromRows: dense ids, one row per (subspace, centroid), right widths") {
+    val cb = SimilarityOps.pqCodebookFromRows(
+      spark.read.parquet(em).filter(col("vec_id") < 8), "vec_id", "embedding", m = 8)
+    val rows = cb.collect()
+    assert(rows.length == 8 * 8)
+    assert(rows.map(_.getInt(0)).distinct.sorted.toSeq == (0 until 8))
+    assert(rows.map(_.getLong(1)).distinct.sorted.toSeq == (0L until 8L))
+    assert(rows.forall(_.getSeq[Long](2).length == 8)) // dsub = 64/8
+    // folding validates density and width agreement
+    val folded = SimilarityOps.foldPqCodebook(cb)
+    assert(folded.m == 8 && folded.dsub == 8)
+  }
+
+  test("foldPqCodebook refuses gapped cent_id (codes index the LUT by position)") {
+    val cb = SimilarityOps.pqCodebookFromRows(
+      spark.read.parquet(em).filter(col("vec_id") < 4), "vec_id", "embedding", m = 4)
+    val gapped = cb.withColumn("cent_id",
+      when(col("cent_id") === 2L, lit(7L)).otherwise(col("cent_id")))
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.foldPqCodebook(gapped)
+    }
+    assert(e.getMessage.contains("dense"))
+  }
+
+  test("pqEncode: sampled rows encode to their own centroids; map-only determinism across partitionings") {
+    val rows = spark.read.parquet(em)
+    val cb = SimilarityOps.pqCodebookFromRows(
+      rows.filter(col("vec_id") < 8), "vec_id", "embedding", m = 8)
+    val codes = SimilarityOps.pqEncode(rows, "vec_id", "embedding", cb)
+    // a sampled row's unit subvector is distance-0 from its own centroid
+    val self = codes.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("code")).collect()
+    assert(self.forall(r => r.getSeq[Int](1).forall(_ == r.getLong(0).toInt)))
+    // pure content function: bit-identical under a different layout
+    val re = SimilarityOps.pqEncode(rows.repartition(7), "vec_id", "embedding", cb)
+    assert(codes.exceptAll(re).isEmpty && re.exceptAll(codes).isEmpty)
+  }
+
+  test("lossless sub-codebooks: PQ top-k reproduces brute force exactly") {
+    val cb = SimilarityOps.pqCodebookFromRows(vecs, "vec_id", "embedding", m = 3)
+    val pq = SimilarityOps.pqTopK(vecs.filter(col("vec_id") === 0), vecs,
+      cb, "vec_id", "embedding", k = 4).orderBy("rk").collect()
+    val bf = SimilarityOps.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs,
+      "vec_id", "embedding", k = 4).orderBy("rk").collect()
+    assert(pq.map(_.getLong(1)).toSeq == bf.map(_.getLong(1)).toSeq)
+    // adc_cos ≈ cos within the unit-requantization grid (1e-4 per element)
+    pq.zip(bf).foreach { case (p, b) =>
+      assert(math.abs(p.getDouble(2) - b.getDouble(2)) < 1e-3,
+        s"adc_cos ${p.getDouble(2)} vs cos ${b.getDouble(2)}")
+    }
+  }
+
+  test("ivfPqTopK with every cell probed equals flat ADC") {
+    val rows = spark.read.parquet(em).filter(col("vec_id") < 100)
+    val cb = SimilarityOps.pqCodebookFromRows(
+      rows.filter(col("vec_id") < 8), "vec_id", "embedding", m = 8)
+    val cents = rows.filter(col("vec_id") < 4)
+    val flat = SimilarityOps.pqTopK(rows.filter(col("vec_id") < 5), rows,
+      cb, "vec_id", "embedding", k = 3)
+    val ivf = SimilarityOps.ivfPqTopK(rows.filter(col("vec_id") < 5), rows,
+      cents, cb, "vec_id", "embedding", k = 3, nprobe = 4)
+    assert(flat.exceptAll(ivf).isEmpty && ivf.exceptAll(flat).isEmpty)
+  }
+
+  test("zero-norm vectors: encode defined, ADC scores them 0, ranked last") {
+    val withZero = vecs.union(Seq((5L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val cb = SimilarityOps.pqCodebookFromRows(vecs, "vec_id", "embedding", m = 3)
+    val got = SimilarityOps.pqTopK(withZero.filter(col("vec_id") === 0), withZero,
+      cb, "vec_id", "embedding", k = 5).orderBy("rk").collect()
+    val zeroRow = got.find(_.getLong(1) == 5L).get
+    assert(zeroRow.getDouble(2) == 0.0)
+    // ranked below every positive-cosine neighbor
+    assert(got.filter(_.getDouble(2) > 0).forall(_.getLong(3) < zeroRow.getLong(3)))
+  }
+
+  test("dimension mismatch fails loudly, not by silent prefix-dot") {
+    val cb = SimilarityOps.pqCodebookFromRows(vecs, "vec_id", "embedding", m = 3)
+    val short = Seq((9L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilarityOps.pqEncode(short, "vec_id", "embedding", cb).collect()
+    }
+    assert(e.getMessage.contains("dimension") || e.getCause != null)
+  }
+
+  test("recall scorecard: code bits buy recall, exact rerank repairs shortlist rank noise") {
+    // The fixture's synthetic embeddings are near-random — PQ's WORST
+    // case (neighbor margins sit at noise scale, so sub-codebook
+    // distortion swamps them; real low-intrinsic-dimension embeddings
+    // quantize far better). The floors below are measured-on-fixture
+    // with margin; the STRUCTURAL claims are the monotone ones: more
+    // code bits → more recall, and ADC-shortlist + exact rerank →
+    // recall ≈ the shortlist's candidate recall.
+    val rows = spark.read.parquet(em)
+    val queries = rows.filter(col("vec_id") < 20)
+    val exact = SimilarityOps.bruteForceTopK(queries, rows, "vec_id", "embedding", k = 5)
+      .select(col("q_id").as("id_a"), col("c_id").as("id_b"))
+    def recallOf(approx0: org.apache.spark.sql.DataFrame): Double = {
+      val approx = approx0.select(col("q_id").as("id_a"), col("c_id").as("id_b"))
+      DedupOps.pairRecall(exact, approx).head().getAs[Double]("recall")
+    }
+    val cb64 = SimilarityOps.trainPqCodebook(rows, "vec_id", "embedding", m = 8, ksub = 4)
+    val cb80 = SimilarityOps.trainPqCodebook(rows, "vec_id", "embedding", m = 16, ksub = 32)
+    val adcSmall = recallOf(SimilarityOps.pqTopK(queries, rows, cb64, "vec_id", "embedding", k = 5))
+    val adcBig = recallOf(SimilarityOps.pqTopK(queries, rows, cb80, "vec_id", "embedding", k = 5))
+    info(s"ADC recall@5: 16-bit codes $adcSmall, 80-bit codes $adcBig")
+    assert(adcBig > adcSmall, s"more code bits must buy recall: $adcSmall -> $adcBig")
+    assert(adcBig > 0.35, s"80-bit trained ADC recall@5 $adcBig (measured 0.46)")
+    val cbMid = SimilarityOps.trainPqCodebook(rows, "vec_id", "embedding", m = 8, ksub = 32)
+    val adcMid = recallOf(SimilarityOps.pqTopK(queries, rows, cbMid, "vec_id", "embedding", k = 5))
+    val reranked = recallOf(SimilarityOps.pqTopKRerank(queries, rows, cbMid,
+      "vec_id", "embedding", k = 5, cands = 50))
+    info(s"m=8 ksub=32: ADC-only $adcMid, rerank(cands=50) $reranked")
+    assert(reranked > adcMid, s"rerank must improve on ADC-only: $adcMid -> $reranked")
+    assert(reranked > 0.7, s"reranked recall@5 $reranked (measured 0.83)")
+  }
+
+  test("pqTopKRerank emits exact cosines for the rows it keeps") {
+    // rerank output must be directly comparable to bruteForceTopK: for
+    // every (q, c) it returns, the cos must equal the exact pairwise one
+    val rows = spark.read.parquet(em).filter(col("vec_id") < 60)
+    val cb = SimilarityOps.pqCodebookFromRows(
+      rows.filter(col("vec_id") < 8), "vec_id", "embedding", m = 8)
+    val got = SimilarityOps.pqTopKRerank(rows.filter(col("vec_id") < 3), rows,
+      cb, "vec_id", "embedding", k = 3, cands = 10)
+    val exact = SimilarityOps.bruteForceTopK(rows.filter(col("vec_id") < 3), rows,
+      "vec_id", "embedding", k = 60)
+    val joined = got.select(col("q_id"), col("c_id"), col("cos").as("got_cos"))
+      .join(exact.select(col("q_id"), col("c_id"), col("cos").as("exact_cos")),
+        Seq("q_id", "c_id"))
+    assert(joined.count() == 9)
+    assert(joined.filter(col("got_cos") =!= col("exact_cos")).isEmpty)
+  }
+
+  test("trainPqCodebook output passes codebook validation and compresses dim/m-fold") {
+    val rows = spark.read.parquet(em)
+    val cb = SimilarityOps.trainPqCodebook(rows, "vec_id", "embedding", m = 8, ksub = 4)
+    val folded = SimilarityOps.foldPqCodebook(cb)
+    assert(folded.m == 8 && folded.dsub == 8)
+    val codes = SimilarityOps.pqEncode(rows, "vec_id", "embedding", cb)
+    val r = codes.head()
+    assert(r.getSeq[Int](1).length == 8) // 8 ints vs 64 floats stored
+  }
+
+  test("ADC kernel refuses malformed codes instead of mis-scoring") {
+    val lut = Seq((Array(Array(1L, 2L)), Array(5))).toDF("lut", "code")
+    val e = intercept[Exception] {
+      lut.select(graft.functions.exprs.pqAdc(col("lut"), col("code"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
