@@ -44,6 +44,8 @@ object GraftExtensions {
       ShingleHashArray(args.head, intArg(args(1), "shingle size").toInt)),
     "graft_dot_long" -> (args => DotProductLong(args(0), args(1))),
     "graft_pq_adc" -> (args => PqAdcScore(args(0), args(1))),
+    "graft_unit_quantize" -> (args => UnitQuantizeVector(args.head,
+      if (args.length > 1) intArg(args(1), "scale") else 10000L)),
     "graft_quantize" -> (args => QuantizeVector(args.head,
       if (args.length > 1) intArg(args(1), "scale") else 10000L)),
     "graft_top_k" -> (args =>

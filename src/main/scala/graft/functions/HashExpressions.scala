@@ -315,6 +315,31 @@ object HashKernels {
     s
   }
 
+  /** Unit-sphere re-quantization of an already-quantized vector in ONE
+    * O(dim) pass: n2 = Σx², then round(x / sqrt(n2) · scale) per
+    * element — bit-identical to the composed
+    * `transform(v, x -> x/sqrt(n2)) |> quantize` form (same widenings,
+    * same exactly-rounded divide, same math.round), which evaluates
+    * interpreted AND re-derives n2 per element when the norm expression
+    * gets inlined into the lambda (O(dim²) per row). Zero norm → the
+    * all-zero vector. */
+  def unitQuantize(a: ArrayData, scale: Long): ArrayData = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) { val x = a.getLong(i); s += x * x; i += 1 }
+    val out = new Array[Long](n)
+    if (s > 0L) {
+      val nrm = math.sqrt(s.toDouble)
+      i = 0
+      while (i < n) {
+        out(i) = math.round(a.getLong(i).toDouble / nrm * scale)
+        i += 1
+      }
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** Product-quantization ADC score: `lut` is the per-query lookup
     * table (array<array<bigint>>, one row per subspace, one entry per
     * sub-codebook centroid — exact integer dot products precomputed
@@ -1231,6 +1256,27 @@ case class DotProductLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd one-pass unit-sphere re-quantization (see
+  * HashKernels.unitQuantize): array<bigint> in, array<bigint> out. */
+case class UnitQuantizeVector(child: Expression, scale: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unit_quantize needs array<bigint>, got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.unitQuantize(input.asInstanceOf[ArrayData], scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.unitQuantize($c, ${scale}L)")
+  override protected def withNewChildInternal(newChild: Expression): UnitQuantizeVector =
+    copy(child = newChild)
+}
+
 /** Codegen'd PQ asymmetric-distance score (see HashKernels.pqAdcScore):
   * the per-query LUT on the left (array<array<bigint>>, computed once
   * per query row), the corpus row's PQ code on the right (array<int>).
@@ -1464,6 +1510,8 @@ object exprs {
     shims.column(DotProductLong(shims.expression(a), shims.expression(b)))
   def pqAdc(lut: Column, code: Column): Column =
     shims.column(PqAdcScore(shims.expression(lut), shims.expression(code)))
+  def unitQuantize(c: Column, scale: Long = 10000L): Column =
+    shims.column(UnitQuantizeVector(shims.expression(c), scale))
   def quantizeVec(c: Column, scale: Long = 10000L): Column =
     shims.column(QuantizeVector(shims.expression(c), scale))
   def wordCounts(c: Column, words: Seq[String]): Column =

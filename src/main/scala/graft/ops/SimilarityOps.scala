@@ -824,17 +824,20 @@ object SimilarityOps {
   // and ADC exactly).
 
   /** Unit-sphere re-quantization: normalize an already-quantized vector
-    * by its exact integer norm and re-quantize to the 1e-4 grid. Each
-    * element is long→double widening (exact), one exactly-rounded
-    * divide against sqrt(n2) (exact-rounded), and the shared
-    * [[quantize]] kernel — bit-deterministic and replayed verbatim by
-    * the oracle SQL. Zero-norm vectors map to the all-zero unit vector
-    * (their cosine is undefined everywhere in this file; ADC scores
-    * them 0, ranking them last with ties to the lowest id — defined). */
-  private[graft] def unitQCol(vq: Column, n2: Column): Column =
-    quantize(transform(vq, x =>
-      when(n2 > 0L, x.cast("double") / sqrt(n2.cast("double")))
-        .otherwise(lit(0.0))))
+    * by its exact integer norm and re-quantize to the 1e-4 grid — the
+    * ONE-PASS codegen kernel [[graft.functions.UnitQuantizeVector]]
+    * (a composed `transform(v, x -> x/sqrt(n2)) |> quantize` form
+    * evaluates interpreted and re-derives the norm expression per
+    * element once project-collapse inlines it — O(dim²) per row; the
+    * kernel is spec-pinned bit-identical to that form). Each element is
+    * long→double widening (exact), one exactly-rounded divide against
+    * sqrt(n2), and the shared round-to-grid — deterministic and
+    * replayed verbatim by the oracle SQL. Zero-norm vectors map to the
+    * all-zero unit vector (their cosine is undefined everywhere in
+    * this file; ADC scores them 0, ranking them last with ties to the
+    * lowest id — defined). */
+  private[graft] def unitQCol(vq: Column): Column =
+    graft.functions.exprs.unitQuantize(vq)
 
   /** A validated, fold-ready PQ codebook: `arr` is the ONE-row frame
     * holding the nested array-of-subspaces literal (bind with
@@ -938,7 +941,7 @@ object SimilarityOps {
     val unit = rows
       .select(col(idCol).as("__rid"), quantize(col(vecCol)).as("__vq"))
       .withColumn("__vq", dimChecked(col("__vq"), dim))
-      .withColumn("__u", unitQCol(col("__vq"), norm2Q(col("__vq"))))
+      .withColumn("__u", unitQCol(col("__vq")))
       .withColumn("cent_id",
         array_position(lit(ids), col("__rid").cast("long")) - 1L)
     unit.select(col("cent_id"), col("__u"),
@@ -967,7 +970,7 @@ object SimilarityOps {
     val unit = df
       .select(quantize(col(vecCol)).as("__vq"))
       .withColumn("__vq", dimChecked(col("__vq"), dim))
-      .select(unitQCol(col("__vq"), norm2Q(col("__vq"))).as("__u"))
+      .select(unitQCol(col("__vq")).as("__u"))
       .localCheckpoint(true) // m fits share one materialization
     val spark = df.sparkSession
     import spark.implicits._
@@ -997,7 +1000,7 @@ object SimilarityOps {
     val dim = pcb.m * pcb.dsub
     df.select(col(idCol), quantize(col(vecCol)).as("__vq"))
       .withColumn("__vq", dimChecked(col("__vq"), dim))
-      .withColumn("__u", unitQCol(col("__vq"), norm2Q(col("__vq"))))
+      .withColumn("__u", unitQCol(col("__vq")))
       .withColumn("__cb", pcb.arr.scalar())
       .select(col(idCol), pqCodeCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("code"))
   }
@@ -1015,7 +1018,7 @@ object SimilarityOps {
     val dim = pcb.m * pcb.dsub
     val q = queries.select(col(idCol).as("q_id"), quantize(col(vecCol)).as("__vq"))
       .withColumn("__vq", dimChecked(col("__vq"), dim))
-      .withColumn("__u", unitQCol(col("__vq"), norm2Q(col("__vq"))))
+      .withColumn("__u", unitQCol(col("__vq")))
       .withColumn("__cb", pcb.arr.scalar())
       .select(col("q_id"), pqLutCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("__lut"))
     val c = codes.select(col(idCol).as("c_id"), col("code"))
@@ -1083,12 +1086,12 @@ object SimilarityOps {
       if (nc > 0) assignClustersTwoLevel(cb2, s, p, pr, coarseProbes)
       else assignClusters(cents, s, p, pr)
     val q = assign(withQ(queries, idCol, vecCol, "q"), "q", nprobe)
-      .withColumn("__u", unitQCol(dimChecked(col("q_q"), dim), col("q_n2")))
+      .withColumn("__u", unitQCol(dimChecked(col("q_q"), dim)))
       .withColumn("__cb", pcb.arr.scalar())
       .select(col("q_id"), col("q_cluster"),
         pqLutCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("__lut"))
     val c = assign(withQ(corpus, idCol, vecCol, "c"), "c", 1)
-      .withColumn("__u", unitQCol(dimChecked(col("c_q"), dim), col("c_n2")))
+      .withColumn("__u", unitQCol(dimChecked(col("c_q"), dim)))
       .withColumn("__cb", pcb.arr.scalar())
       .select(col("c_id"), col("c_cluster"),
         pqCodeCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("code"))

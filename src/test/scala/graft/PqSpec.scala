@@ -165,6 +165,26 @@ class PqSpec extends SparkSpec {
     assert(r.getSeq[Int](1).length == 8) // 8 ints vs 64 floats stored
   }
 
+  test("unit-quantize kernel is bit-identical to the composed transform|>quantize form") {
+    // the oracle SQL replays the COMPOSED form; the kernel must match it
+    // exactly on real data including near-tie rounding territory
+    val rows = spark.read.parquet(em)
+    val composed = rows.select(col("vec_id"),
+      SimilarityOps.quantize(col("embedding")).as("vq"))
+      .select(col("vec_id"), SimilarityOps.quantize(transform(col("vq"), x =>
+        when(graft.functions.exprs.dotLong(col("vq"), col("vq")) > 0L,
+          x.cast("double") / sqrt(graft.functions.exprs.dotLong(col("vq"), col("vq")).cast("double")))
+          .otherwise(lit(0.0)))).as("u"))
+    val kernel = rows.select(col("vec_id"),
+      graft.functions.exprs.unitQuantize(SimilarityOps.quantize(col("embedding"))).as("u"))
+    assert(kernel.exceptAll(composed).isEmpty && composed.exceptAll(kernel).isEmpty)
+    // zero-norm → all-zero unit vector
+    val z = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("v")
+      .select(graft.functions.exprs.unitQuantize(SimilarityOps.quantize(col("v"))))
+      .head().getSeq[Long](0)
+    assert(z == Seq(0L, 0L))
+  }
+
   test("ADC kernel refuses malformed codes instead of mis-scoring") {
     val lut = Seq((Array(Array(1L, 2L)), Array(5))).toDF("lut", "code")
     val e = intercept[Exception] {
