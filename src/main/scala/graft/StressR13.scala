@@ -29,6 +29,11 @@ import graft.ops.{DedupOps, SampleOps, TextOps}
   *    min / max / countDistinct), epoch-independence (different epoch
   *    → different permutation), partitioning independence, wall
   *    alongside the shards row it shares machinery with.
+  *  - `pq [reps]` — product-quantization at scale: map-only encode
+  *    wall at 10×/100×/reps× (linearity), parquet footprint codes vs
+  *    raw vectors, IVF-PQ vs uncompressed IVF query wall at reps×,
+  *    ADC/rerank recall vs brute ground truth at 100× on perturbed
+  *    replicas (pairwise-distinct, cluster structure preserved).
   *
   * Timings print as `[stress] <label>: <sec> s`; results as
   * `[stress] <label> = <value>`. Not part of the oracle surface — a
@@ -61,7 +66,7 @@ object StressR13 {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
     args.headOption.getOrElse(sys.error(
-        "usage: StressR13 <pipeline|epochshuffle|corpus|compact> [reps]")) match {
+        "usage: StressR13 <pipeline|epochshuffle|corpus|compact|pq> [reps]")) match {
       case "pipeline" =>
         pipeline(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
       case "epochshuffle" =>
@@ -70,7 +75,9 @@ object StressR13 {
         corpus(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
       case "compact" =>
         compact(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
-      case other => sys.error(s"unknown subcommand '$other' (pipeline|epochshuffle|corpus|compact)")
+      case "pq" =>
+        pq(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(1000))
+      case other => sys.error(s"unknown subcommand '$other' (pipeline|epochshuffle|corpus|compact|pq)")
     }
     spark.stop()
   }
@@ -291,5 +298,109 @@ object StressR13 {
       }
       s.unpersist(); rep.unpersist()
     }
+  }
+
+  // ------------------------------------------------------------------ pq
+
+  /** Replicated embeddings with per-replica deterministic perturbation
+    * (±0.1 uniform grid from a hash of the new id × element index) —
+    * replicas stay near their source vector (cluster structure
+    * survives) but are pairwise distinct, so neighbor sets at scale
+    * are non-degenerate. Map-only, no join. */
+  private def perturbedVectors(spark: SparkSession, sfDir: String,
+      reps: Int): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__key", col("vec_id") * reps + col("__rep"))
+      .select(col("__key").as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + ((pmod(xxhash64(col("__key"), i), lit(101)) - 50).cast("float")
+            * lit(2e-3f))).cast("float")).as("embedding"))
+      // the base table is ONE parquet partition; without this the whole
+      // replicated corpus runs in a single task
+      .repartition(64, col("vec_id"))
+
+  /** PQ at scale: codebook trained once on the base sample, encode wall
+    * at 10×/100×/reps× (map-only — MUST be linear), parquet footprint
+    * of codes vs raw vectors at reps× (the compression that lets a
+    * 100-TB embedding corpus live in cluster RAM), IVF-PQ vs
+    * uncompressed IVF query wall at reps×, and ADC/rerank recall vs
+    * brute-force ground truth at 100×. */
+  private def pq(spark: SparkSession, sfDir: String, maxReps: Int): Unit = {
+    import graft.ops.SimilarityOps
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cb = time("trainPqCodebook m=8 ksub=64 (500-row sample)") {
+      val c = SimilarityOps.trainPqCodebook(base, "vec_id", "embedding",
+        m = 8, ksub = 64).persist(StorageLevel.DISK_ONLY)
+      c.count(); c
+    }
+    for (reps <- Seq(10, 100, maxReps).distinct.filter(_ <= maxReps)) {
+      val vecs = perturbedVectors(spark, sfDir, reps).persist(StorageLevel.DISK_ONLY)
+      val n = vecs.count()
+      val codes = SimilarityOps.pqEncode(vecs, "vec_id", "embedding", cb)
+      time(s"pqEncode ${reps}x ($n vectors)") {
+        codes.write.format("noop").mode("overwrite").save()
+      }
+      if (reps == maxReps) {
+        // real parquet footprint, codes vs raw vectors
+        val cdir = "/tmp/stress_pq_codes"
+        val vdir = "/tmp/stress_pq_vecs"
+        codes.write.mode("overwrite").parquet(cdir)
+        vecs.write.mode("overwrite").parquet(vdir)
+        def dirBytes(p: String): Long = {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size(_)).sum
+        }
+        val (cBytes, vBytes) = (dirBytes(cdir), dirBytes(vdir))
+        report(s"parquet bytes ${reps}x",
+          f"codes=$cBytes vectors=$vBytes ratio=${vBytes.toDouble / cBytes}%.1f")
+        // query wall: IVF-PQ vs uncompressed IVF, same coarse layout
+        val centroids = SimilarityOps.trainCentroids(base, "vec_id", "embedding", k = 256)
+          .persist(StorageLevel.DISK_ONLY)
+        centroids.count()
+        val queries = vecs.filter(col("vec_id") < 20)
+        val index = time(s"ivfPqIndex build ${reps}x (one-time, persistable)") {
+          val ix = SimilarityOps.ivfPqIndex(vecs, centroids, cb,
+            "vec_id", "embedding").persist(StorageLevel.DISK_ONLY)
+          ix.count(); ix
+        }
+        time(s"ivfPqTopKFromIndex ${reps}x k=10 nprobe=2 K=256 (standing index)") {
+          SimilarityOps.ivfPqTopKFromIndex(queries, index, centroids, cb,
+            "vec_id", "embedding", k = 10, nprobe = 2)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"ivfTopK (uncompressed, re-reads vectors) ${reps}x k=10 nprobe=2 K=256") {
+          SimilarityOps.ivfTopK(queries, vecs, centroids,
+            "vec_id", "embedding", k = 10, nprobe = 2)
+            .write.format("noop").mode("overwrite").save()
+        }
+        index.unpersist(); centroids.unpersist()
+      }
+      if (reps == 100) {
+        // recall vs brute ground truth at 100x (50k corpus, 10 queries)
+        val queries = vecs.filter(col("vec_id") < 10)
+        val exact = SimilarityOps.bruteForceTopK(queries, vecs,
+            "vec_id", "embedding", k = 10)
+          .select(col("q_id").as("id_a"), col("c_id").as("id_b"))
+          .persist(StorageLevel.DISK_ONLY)
+        exact.count()
+        def recallOf(approx: DataFrame): Double =
+          DedupOps.pairRecall(exact,
+            approx.select(col("q_id").as("id_a"), col("c_id").as("id_b")))
+            .head().getAs[Double]("recall")
+        val adc = recallOf(SimilarityOps.pqTopK(queries, vecs, cb,
+          "vec_id", "embedding", k = 10))
+        val rr = recallOf(SimilarityOps.pqTopKRerank(queries, vecs, cb,
+          "vec_id", "embedding", k = 10, cands = 100))
+        report(s"recall@10 ${reps}x (50k corpus)",
+          f"adc=$adc%.2f rerank(cands=100)=$rr%.2f")
+        exact.unpersist()
+      }
+      vecs.unpersist()
+    }
+    cb.unpersist()
   }
 }

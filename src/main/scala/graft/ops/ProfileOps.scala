@@ -343,6 +343,94 @@ object ProfileOps {
         min(col("__v")).as("lo"), max(col("__v")).as("hi"))
   }
 
+  // ------------------------------------------------------------- drift
+
+  /** Categorical distribution drift between two corpus snapshots — the
+    * monitoring row a recurring ingestion pipeline publishes per batch
+    * ("did the language / source / bucket mix move?"). Per key:
+    * baseline and snapshot counts, exact-integer ppm rates
+    * (`n·10⁶ div total`, the [[SampleOps.mixtureRates]] discipline),
+    * and a population-stability-index contribution in EXACT Q16
+    * fixed-point: `psi_q16 = |sa − sb| · log2q16(max(sa,sb),
+    * min(sa,sb))` with `s = max(ppm, 1)` smoothing (both factors share
+    * a sign in the classic `(p_a−p_b)·log(p_a/p_b)` form, so the
+    * absolute-value form is identical and keeps [[graft.functions
+    * .Log2Fixed]]'s num ≥ den ≥ 1 contract). All-integer cells: the
+    * oracle replays every row bit-for-bit, and summed contributions
+    * are partitioning/engine-stable — no transcendental `ln` drift.
+    *
+    * Scale shape: one map-side-combined count aggregate per corpus
+    * (group-sized outputs, materialized once via `mat` — the totals
+    * are re-aggregates of the materialized group tables, not second
+    * corpus passes), a group-sized full-outer join, and scalar-
+    * subquery totals. The corpora are never joined row-to-row. */
+  def categoryDrift(a: DataFrame, b: DataFrame, keyCol: String,
+      mat: Materializer = Materializer.Local): DataFrame = {
+    def counts(df: DataFrame, n: String): DataFrame =
+      mat(df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as(n)))
+    val ca = counts(a, "n_a")
+    val cb = counts(b, "n_b")
+    val ta = ca.agg(coalesce(sum(col("n_a")), lit(0L)).as("t")).scalar()
+    val tb = cb.agg(coalesce(sum(col("n_b")), lit(0L)).as("t")).scalar()
+    val sa = greatest(col("ppm_a"), lit(1L))
+    val sb = greatest(col("ppm_b"), lit(1L))
+    ca.join(cb, Seq("key"), "full_outer")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .withColumn("__ta", ta)
+      .withColumn("__tb", tb)
+      .withColumn("ppm_a",
+        when(col("__ta") > 0L, expr("n_a * 1000000L DIV __ta")).otherwise(lit(0L)))
+      .withColumn("ppm_b",
+        when(col("__tb") > 0L, expr("n_b * 1000000L DIV __tb")).otherwise(lit(0L)))
+      .withColumn("psi_q16",
+        (greatest(sa, sb) - least(sa, sb)) *
+          graft.functions.exprs.log2Fixed(greatest(sa, sb), least(sa, sb), 16))
+      .select(col("key"), col("n_a"), col("n_b"),
+        col("ppm_a"), col("ppm_b"), col("psi_q16"))
+  }
+
+  /** One-row summary of a [[categoryDrift]] table: key counts, the
+    * appeared/vanished tallies, the exact integer PSI total, and the
+    * conventional double reading `psi = psi_q16_total / 2¹⁶ / 10⁶`
+    * (two exactly-rounded divisions — deterministic; the standard
+    * "investigate ≥ 0.1 / act ≥ 0.25" thresholds apply to a
+    * natural-log PSI, so compare against `psi · ln 2`). */
+  def categoryDriftSummary(drift: DataFrame): DataFrame =
+    drift.agg(
+      count(lit(1)).as("n_keys"),
+      count(when(col("n_a") === 0L, 1)).as("n_new"),
+      count(when(col("n_b") === 0L, 1)).as("n_gone"),
+      coalesce(sum(col("psi_q16")), lit(0L)).as("psi_q16"),
+      (coalesce(sum(col("psi_q16")), lit(0L)).cast("double")
+        / lit(65536.0) / lit(1000000.0)).as("psi"))
+
+  /** Numeric distribution drift: both snapshots are binned with ONE
+    * shared exact-integer equi-width rule (edges from the UNION range,
+    * the [[equiWidthHistogram]] arithmetic: `(v − mn)·bins div width`,
+    * overflow refused loudly) and the bins flow through
+    * [[categoryDrift]] — the key is the bin index. Two one-row range
+    * aggregates up front; the same no-corpus-join scale shape after. */
+  def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      bins: Int, mat: Materializer = Materializer.Local): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val v = col(valueCol)
+    val row = a.select(v).union(b.select(v)).filter(v.isNotNull)
+      .agg(min(v).cast("long"), max(v).cast("long")).head()
+    val (mn, mx) =
+      if (row.isNullAt(0)) (0L, 0L) else (row.getLong(0), row.getLong(1))
+    require(BigInt(mx) - BigInt(mn) + 1 <= BigInt(Long.MaxValue) / bins,
+      s"value range [$mn, $mx] * $bins bins overflows exact long binning — " +
+        "pre-transform the column (hash-bucket / clamp) first")
+    val width = mx - mn + 1
+    def binned(df: DataFrame): DataFrame = df.filter(v.isNotNull).select(expr(
+      s"CAST(((CAST(`$valueCol` AS BIGINT) - ${mn}L) * $bins) DIV ${width}L AS BIGINT)")
+      .as("bin"))
+    categoryDrift(binned(a), binned(b), "bin", mat)
+  }
+
   /** Per-group profile: one [[numericProfile]] row per group (language,
     * source, day …) — the per-slice QA table a curation pipeline
     * publishes. Identical cell semantics (exact discrete k-th-smallest

@@ -1074,7 +1074,51 @@ object SimilarityOps {
     * (measured by the [[DedupOps.pairRecall]] scorecard). */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       codebook: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int = 1, nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame = {
+      nprobe: Int = 1, nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame =
+    ivfPqTopKFromIndex(queries,
+      ivfPqIndex(corpus, centroids, codebook, idCol, vecCol, nCoarse, coarseProbes),
+      centroids, codebook, idCol, vecCol, k, nprobe, nCoarse, coarseProbes)
+
+  /** The persistable IVF-PQ index: every corpus row coarse-assigned AND
+    * PQ-encoded in ONE map-only pass — (idCol, cluster, code), m ints +
+    * a cell id per vector (the measured 25× parquet cut vs raw vectors,
+    * BASELINE round-13 addendum 4). Build once, store, query with
+    * [[ivfPqTopKFromIndex]] — re-deriving it per query call would pay
+    * the whole corpus encode every time (the round-13 stress measured
+    * exactly that mistake at 2M vectors: 50 s re-encoding vs 13 s
+    * against the standing index). Contract: queries must present the
+    * SAME `centroids` and `codebook` the index was built with — persist
+    * both beside the index (the materializeTrainingCorpus vocab-sidecar
+    * discipline); there is no in-data stamp (a codebook is a table, not
+    * a dial — nothing compact enough to ride column metadata). */
+  def ivfPqIndex(corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String,
+      nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame = {
+    val pcb = foldPqCodebook(codebook)
+    val dim = pcb.m * pcb.dsub
+    val cents = withQ(centroids, idCol, vecCol, "cent")
+    lazy val kc = cents.count()
+    val nc = resolveNCoarse(nCoarse, kc)
+    lazy val cb2 = twoLevelCodebook(cents, nc, kHint = kc)
+    val assigned =
+      if (nc > 0) assignClustersTwoLevel(cb2, withQ(corpus, idCol, vecCol, "c"), "c", 1, coarseProbes)
+      else assignClusters(cents, withQ(corpus, idCol, vecCol, "c"), "c", 1)
+    assigned
+      .withColumn("__u", unitQCol(dimChecked(col("c_q"), dim)))
+      .withColumn("__cb", pcb.arr.scalar())
+      .select(col("c_id").as(idCol), col("c_cluster").as("cluster"),
+        pqCodeCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("code"))
+  }
+
+  /** ADC top-k against a standing [[ivfPqIndex]]: queries are coarse-
+    * assigned to their `nprobe` cells and build their LUTs (map-only,
+    * query-sized); the join against the index is an equi-join on the
+    * cell id scoring codes with the codegen kernel. The corpus's full
+    * vectors are never read. */
+  def ivfPqTopKFromIndex(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1,
+      nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val pcb = foldPqCodebook(codebook)
     val dim = pcb.m * pcb.dsub
@@ -1082,19 +1126,14 @@ object SimilarityOps {
     lazy val kc = cents.count()
     val nc = resolveNCoarse(nCoarse, kc)
     lazy val cb2 = twoLevelCodebook(cents, nc, kHint = kc)
-    def assign(s: DataFrame, p: String, pr: Int): DataFrame =
-      if (nc > 0) assignClustersTwoLevel(cb2, s, p, pr, coarseProbes)
-      else assignClusters(cents, s, p, pr)
-    val q = assign(withQ(queries, idCol, vecCol, "q"), "q", nprobe)
+    val q = (if (nc > 0) assignClustersTwoLevel(cb2, withQ(queries, idCol, vecCol, "q"), "q", nprobe, coarseProbes)
+             else assignClusters(cents, withQ(queries, idCol, vecCol, "q"), "q", nprobe))
       .withColumn("__u", unitQCol(dimChecked(col("q_q"), dim)))
       .withColumn("__cb", pcb.arr.scalar())
       .select(col("q_id"), col("q_cluster"),
         pqLutCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("__lut"))
-    val c = assign(withQ(corpus, idCol, vecCol, "c"), "c", 1)
-      .withColumn("__u", unitQCol(dimChecked(col("c_q"), dim)))
-      .withColumn("__cb", pcb.arr.scalar())
-      .select(col("c_id"), col("c_cluster"),
-        pqCodeCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("code"))
+    val c = index.select(col(idCol).as("c_id"), col("cluster").as("c_cluster"),
+      col("code"))
     val scored = q.join(c, col("q_cluster") === col("c_cluster"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos",

@@ -1168,6 +1168,92 @@ object Queries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk FROM scored)
        |WHERE rk <= 5""".stripMargin
 
+  // ---- Corpus snapshot drift (ProfileOps.categoryDrift family): the
+  // oracle replays exact ppm floor rates, max(·,1) smoothing, and the
+  // Q16 log2 square-and-compare recurrence per key — bit-for-bit.
+
+  /** Drift CTE block over two `... AS key` relations (already
+    * null-filtered); emits a `drift` relation with the op's columns. */
+  private def sqlDrift(aSel: String, bSel: String) =
+    s"""ca AS (SELECT key, count(*)::BIGINT AS n_a FROM ($aSel) GROUP BY key),
+       |cb AS (SELECT key, count(*)::BIGINT AS n_b FROM ($bSel) GROUP BY key),
+       |tta AS (SELECT COALESCE(CAST(sum(n_a) AS BIGINT), 0) AS t FROM ca),
+       |ttb AS (SELECT COALESCE(CAST(sum(n_b) AS BIGINT), 0) AS t FROM cb),
+       |j AS (SELECT COALESCE(ca.key, cb.key) AS key,
+       |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+       |  FROM ca FULL OUTER JOIN cb ON ca.key = cb.key),
+       |rates AS (SELECT key, n_a, n_b,
+       |    CASE WHEN tta.t > 0 THEN n_a * 1000000 // tta.t ELSE 0 END AS ppm_a,
+       |    CASE WHEN ttb.t > 0 THEN n_b * 1000000 // ttb.t ELSE 0 END AS ppm_b
+       |  FROM j CROSS JOIN tta CROSS JOIN ttb),
+       |sm AS (SELECT key, n_a, n_b, ppm_a, ppm_b,
+       |    GREATEST(ppm_a, ppm_b, 1) AS num,
+       |    LEAST(GREATEST(ppm_a, 1), GREATEST(ppm_b, 1)) AS den FROM rates),
+       |rec AS (SELECT key, length(bin(num // den)) - 1 AS e,
+       |    (num::DOUBLE / den::DOUBLE)
+       |      / CAST(1::BIGINT << (length(bin(num // den)) - 1) AS DOUBLE) AS x,
+       |    0::BIGINT AS y, 0 AS step FROM sm
+       |  UNION ALL
+       |  SELECT key, e,
+       |    CASE WHEN x * x >= 2 THEN x * x / 2 ELSE x * x END,
+       |    CASE WHEN x * x >= 2 THEN y * 2 + 1 ELSE y * 2 END,
+       |    step + 1 FROM rec WHERE step < 16),
+       |l2 AS (SELECT key, (CAST(e AS BIGINT) << 16) + y AS l2 FROM rec WHERE step = 16),
+       |drift AS (SELECT sm.key, n_a, n_b, ppm_a, ppm_b,
+       |    CAST((sm.num - sm.den) * l2.l2 AS BIGINT) AS psi_q16
+       |  FROM sm JOIN l2 ON sm.key = l2.key)""".stripMargin
+
+  private def categoryDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    ProfileOps.categoryDrift(d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 =!= 0), "lang")
+  }
+
+  private def categoryDriftSql =
+    s"""WITH RECURSIVE ${sqlDrift(
+        "SELECT lang AS key FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL",
+        "SELECT lang AS key FROM documents WHERE doc_id % 2 <> 0 AND lang IS NOT NULL")}
+       |SELECT key, n_a, n_b, ppm_a, ppm_b, psi_q16 FROM drift""".stripMargin
+
+  private def driftSummaryQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    ProfileOps.categoryDriftSummary(ProfileOps.categoryDrift(
+      d.filter(col("doc_id") % 4 =!= 0), d.filter(col("doc_id") % 4 === 0), "source"))
+  }
+
+  private def driftSummarySql =
+    s"""WITH RECURSIVE ${sqlDrift(
+        "SELECT source AS key FROM documents WHERE doc_id % 4 <> 0 AND source IS NOT NULL",
+        "SELECT source AS key FROM documents WHERE doc_id % 4 = 0 AND source IS NOT NULL")}
+       |SELECT count(*)::BIGINT AS n_keys,
+       |  count(CASE WHEN n_a = 0 THEN 1 END)::BIGINT AS n_new,
+       |  count(CASE WHEN n_b = 0 THEN 1 END)::BIGINT AS n_gone,
+       |  COALESCE(CAST(sum(psi_q16) AS BIGINT), 0) AS psi_q16,
+       |  CAST(COALESCE(CAST(sum(psi_q16) AS BIGINT), 0) AS DOUBLE)
+       |    / 65536.0 / 1000000.0 AS psi
+       |FROM drift""".stripMargin
+
+  private def histogramDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    ProfileOps.histogramDrift(d.filter(col("lang") === "en"),
+      d.filter(col("lang") =!= "en"), "n_chars", bins = 16)
+  }
+
+  private def histogramDriftSql = {
+    // shared exact bin rule from the UNION range — same arithmetic the
+    // op bakes in at plan-build time
+    val binned = (pred: String) =>
+      s"""SELECT CAST(((CAST(n_chars AS BIGINT) - hb.mn) * 16) // (hb.mx - hb.mn + 1) AS VARCHAR) AS key
+         |  FROM documents CROSS JOIN hb WHERE $pred AND n_chars IS NOT NULL""".stripMargin
+    s"""WITH RECURSIVE hb AS (
+       |  SELECT CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx FROM (
+       |    SELECT n_chars AS v FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+       |    UNION ALL
+       |    SELECT n_chars AS v FROM documents WHERE lang <> 'en' AND n_chars IS NOT NULL)),
+       |${sqlDrift(binned("lang = 'en'"), binned("lang <> 'en'"))}
+       |SELECT key, n_a, n_b, ppm_a, ppm_b, psi_q16 FROM drift""".stripMargin
+  }
+
   // ---- Product quantization: from-rows 8×8 codebook (vec_id < 8 →
   // dense cent_id = vec_id), m = 8 subspaces × dsub = 8 over dim 64.
   // The oracle replays unit re-quantization, per-subspace argmin
@@ -3032,6 +3118,9 @@ object Queries {
     "q_dedup_by_minhash" -> (dedupByMinhashQ _),
     "q_quality_filter" -> (qualityFilterQ _),
     "q_ivf_topk" -> (ivfTopkQ _),
+    "q_category_drift" -> (categoryDriftQ _),
+    "q_drift_summary" -> (driftSummaryQ _),
+    "q_histogram_drift" -> (histogramDriftQ _),
     "q_pq_encode" -> (pqEncodeQ _),
     "q_pq_topk" -> (pqTopkQ _),
     "q_ivfpq_topk" -> (ivfPqTopkQ _),
@@ -3162,6 +3251,9 @@ object Queries {
     "q_dedup_by_minhash" -> dedupByMinhashSql,
     "q_quality_filter" -> qualityFilterSql,
     "q_ivf_topk" -> ivfTopkSql,
+    "q_category_drift" -> categoryDriftSql,
+    "q_drift_summary" -> driftSummarySql,
+    "q_histogram_drift" -> histogramDriftSql,
     "q_pq_encode" -> pqEncodeSql,
     "q_pq_topk" -> pqTopkSql,
     "q_ivfpq_topk" -> ivfPqTopkSql,

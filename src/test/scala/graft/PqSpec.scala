@@ -185,6 +185,23 @@ class PqSpec extends SparkSpec {
     assert(z == Seq(0L, 0L))
   }
 
+  test("ivfPqIndex: parquet-roundtripped standing index answers identically to the one-shot op") {
+    val rows = spark.read.parquet(em).filter(col("vec_id") < 200)
+    val cb = SimilarityOps.pqCodebookFromRows(
+      rows.filter(col("vec_id") < 8), "vec_id", "embedding", m = 8)
+    val cents = rows.filter(col("vec_id") < 8)
+    val dir = "/tmp/graft_test_pq_index"
+    SimilarityOps.ivfPqIndex(rows, cents, cb, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val fromIx = SimilarityOps.ivfPqTopKFromIndex(
+      rows.filter(col("vec_id") < 5), stored, cents, cb,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val oneShot = SimilarityOps.ivfPqTopK(rows.filter(col("vec_id") < 5), rows,
+      cents, cb, "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(fromIx.exceptAll(oneShot).isEmpty && oneShot.exceptAll(fromIx).isEmpty)
+  }
+
   test("ADC kernel refuses malformed codes instead of mis-scoring") {
     val lut = Seq((Array(Array(1L, 2L)), Array(5))).toDF("lut", "code")
     val e = intercept[Exception] {
