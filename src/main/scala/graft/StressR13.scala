@@ -350,9 +350,11 @@ object StressR13 {
         vecs.write.mode("overwrite").parquet(vdir)
         def dirBytes(p: String): Long = {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+          try s.iterator().asScala
             .filter(java.nio.file.Files.isRegularFile(_))
             .map(java.nio.file.Files.size(_)).sum
+          finally s.close()
         }
         val (cBytes, vBytes) = (dirBytes(cdir), dirBytes(vdir))
         report(s"parquet bytes ${reps}x",
@@ -361,7 +363,11 @@ object StressR13 {
         val centroids = SimilarityOps.trainCentroids(base, "vec_id", "embedding", k = 256)
           .persist(StorageLevel.DISK_ONLY)
         centroids.count()
-        val queries = vecs.filter(col("vec_id") < 20)
+        // 20 queries SPREAD ACROSS distinct base vectors (keys are
+        // base_id·reps + rep, so a plain vec_id < 20 filter would pick
+        // 20 perturbed replicas of base vector 0 — a degenerate
+        // single-cluster workload, caught in review)
+        val queries = vecs.filter(col("vec_id") % (reps * 100L) === 0L)
         val index = time(s"ivfPqIndex build ${reps}x (one-time, persistable)") {
           val ix = SimilarityOps.ivfPqIndex(vecs, centroids, cb,
             "vec_id", "embedding").persist(StorageLevel.DISK_ONLY)
@@ -380,8 +386,9 @@ object StressR13 {
         index.unpersist(); centroids.unpersist()
       }
       if (reps == 100) {
-        // recall vs brute ground truth at 100x (50k corpus, 10 queries)
-        val queries = vecs.filter(col("vec_id") < 10)
+        // recall vs brute ground truth at 100x — 20 queries spread
+        // across distinct base vectors (see the spread note above)
+        val queries = vecs.filter(col("vec_id") % (reps * 100L) === 0L)
         val exact = SimilarityOps.bruteForceTopK(queries, vecs,
             "vec_id", "embedding", k = 10)
           .select(col("q_id").as("id_a"), col("c_id").as("id_b"))
@@ -395,7 +402,7 @@ object StressR13 {
           "vec_id", "embedding", k = 10))
         val rr = recallOf(SimilarityOps.pqTopKRerank(queries, vecs, cb,
           "vec_id", "embedding", k = 10, cands = 100))
-        report(s"recall@10 ${reps}x (50k corpus)",
+        report(s"recall@10 ${reps}x ($n-vector corpus)",
           f"adc=$adc%.2f rerank(cands=100)=$rr%.2f")
         exact.unpersist()
       }

@@ -361,6 +361,9 @@ object HashKernels {
       val row = lut.getArray(j)
       require(cj >= 0 && cj < row.numElements(),
         s"PQ code $cj out of [0, ${row.numElements()}) at subspace $j")
+      // getLong on a null slot reads 0 — that would be the silent
+      // mis-scoring this kernel's contract forbids
+      require(!row.isNullAt(cj), s"null ADC lut entry at subspace $j index $cj")
       s += row.getLong(cj)
       j += 1
     }

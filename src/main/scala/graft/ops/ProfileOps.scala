@@ -416,6 +416,21 @@ object ProfileOps {
   def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
       bins: Int, mat: Materializer = Materializer.Local): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
+    // the exact bin rule casts to BIGINT: a fractional column (scores
+    // in [0,1)) would silently collapse into one or two bins and the
+    // monitor would report "no drift" on an arbitrarily large shift —
+    // refuse loudly; pre-scale fractional columns to integers first
+    // (e.g. round(score * 1000))
+    import org.apache.spark.sql.types._
+    Seq("a" -> a, "b" -> b).foreach { case (side, df) =>
+      val dt = df.schema(valueCol).dataType
+      require(dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType => d.scale == 0
+        case _ => false
+      }, s"histogramDrift needs an integral value column; `$valueCol` on side $side " +
+        s"is ${dt.simpleString} — pre-scale it to integers (e.g. round(x * 1000)) first")
+    }
     val v = col(valueCol)
     val row = a.select(v).union(b.select(v)).filter(v.isNotNull)
       .agg(min(v).cast("long"), max(v).cast("long")).head()

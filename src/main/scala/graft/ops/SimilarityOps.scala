@@ -995,14 +995,28 @@ object SimilarityOps {
     * compressed index a 100-TB deployment persists INSTEAD of the
     * vectors (m ints vs dim floats; 8 vs 64 here). */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-      codebook: DataFrame): DataFrame = {
-    val pcb = foldPqCodebook(codebook)
+      codebook: DataFrame): DataFrame =
+    pqEncodeWith(df, idCol, vecCol, foldPqCodebook(codebook))
+
+  private def pqEncodeWith(df: DataFrame, idCol: String, vecCol: String,
+      pcb: PqFolded): DataFrame = {
     val dim = pcb.m * pcb.dsub
     df.select(col(idCol), quantize(col(vecCol)).as("__vq"))
       .withColumn("__vq", dimChecked(col("__vq"), dim))
       .withColumn("__u", unitQCol(col("__vq")))
       .withColumn("__cb", pcb.arr.scalar())
       .select(col(idCol), pqCodeCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("code"))
+  }
+
+  /** Per-query LUT frame (q_id, __lut) over raw query vectors. */
+  private def pqLutFrame(queries: DataFrame, idCol: String, vecCol: String,
+      pcb: PqFolded): DataFrame = {
+    val dim = pcb.m * pcb.dsub
+    queries.select(col(idCol).as("q_id"), quantize(col(vecCol)).as("__vq"))
+      .withColumn("__vq", dimChecked(col("__vq"), dim))
+      .withColumn("__u", unitQCol(col("__vq")))
+      .withColumn("__cb", pcb.arr.scalar())
+      .select(col("q_id"), pqLutCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("__lut"))
   }
 
   /** ADC top-k over a PRE-ENCODED corpus: every (query, code) pair is
@@ -1013,14 +1027,12 @@ object SimilarityOps {
     * `adc_cos` = ADC score / 1e8 ≈ cosine(query, corpus) — an
     * approximation through the sub-codebooks, exact integer ranking. */
   def pqTopKFromCodes(queries: DataFrame, codes: DataFrame,
-      codebook: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val pcb = foldPqCodebook(codebook)
-    val dim = pcb.m * pcb.dsub
-    val q = queries.select(col(idCol).as("q_id"), quantize(col(vecCol)).as("__vq"))
-      .withColumn("__vq", dimChecked(col("__vq"), dim))
-      .withColumn("__u", unitQCol(col("__vq")))
-      .withColumn("__cb", pcb.arr.scalar())
-      .select(col("q_id"), pqLutCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("__lut"))
+      codebook: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    pqTopKFromCodesWith(queries, codes, foldPqCodebook(codebook), idCol, vecCol, k)
+
+  private def pqTopKFromCodesWith(queries: DataFrame, codes: DataFrame,
+      pcb: PqFolded, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = pqLutFrame(queries, idCol, vecCol, pcb)
     val c = codes.select(col(idCol).as("c_id"), col("code"))
     val scored = q.crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
@@ -1029,11 +1041,14 @@ object SimilarityOps {
     topKPerQuery(scored, k).withColumnRenamed("cos", "adc_cos")
   }
 
-  /** Encode-then-search convenience over raw vectors. */
+  /** Encode-then-search convenience over raw vectors — the codebook is
+    * validated and folded ONCE, shared by encode and LUT sides. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, codebook: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame =
-    pqTopKFromCodes(queries, pqEncode(corpus, idCol, vecCol, codebook),
-      codebook, idCol, vecCol, k)
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val pcb = foldPqCodebook(codebook)
+    pqTopKFromCodesWith(queries, pqEncodeWith(corpus, idCol, vecCol, pcb),
+      pcb, idCol, vecCol, k)
+  }
 
   /** ADC-retrieve-then-exact-rerank (the IVFADC "refine" step, Jégou
     * §V): the compressed scan shortlists `cands` candidates per query
@@ -1074,10 +1089,33 @@ object SimilarityOps {
     * (measured by the [[DedupOps.pairRecall]] scorecard). */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       codebook: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int = 1, nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame =
-    ivfPqTopKFromIndex(queries,
-      ivfPqIndex(corpus, centroids, codebook, idCol, vecCol, nCoarse, coarseProbes),
-      centroids, codebook, idCol, vecCol, k, nprobe, nCoarse, coarseProbes)
+      nprobe: Int = 1, nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame = {
+    // ONE setup (codebook fold + centroid count + coarse codebook)
+    // shared between the index build and the query side — the composed
+    // form must not pay the two-codebook-builds tax the split publics
+    // each pay alone (the ivfTopK one-count-job discipline)
+    val st = ivfPqSetup(centroids, codebook, idCol, vecCol, nCoarse, coarseProbes)
+    ivfPqFromIndexWith(queries,
+      ivfPqIndexWith(corpus, st, idCol, vecCol), st, idCol, vecCol, k, nprobe)
+  }
+
+  /** The shared per-call setup of the IVF-PQ ops: the folded codebook
+    * and an assignment closure over the (lazily trained, at most once)
+    * coarse codebook. */
+  private final case class IvfPqSetup(pcb: PqFolded,
+      assign: (DataFrame, String, Int) => DataFrame)
+
+  private def ivfPqSetup(centroids: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, nCoarse: Int, coarseProbes: Int): IvfPqSetup = {
+    val pcb = foldPqCodebook(codebook)
+    val cents = withQ(centroids, idCol, vecCol, "cent")
+    lazy val kc = cents.count()
+    val nc = resolveNCoarse(nCoarse, kc)
+    lazy val cb2 = twoLevelCodebook(cents, nc, kHint = kc)
+    IvfPqSetup(pcb, (s, p, pr) =>
+      if (nc > 0) assignClustersTwoLevel(cb2, s, p, pr, coarseProbes)
+      else assignClusters(cents, s, p, pr))
+  }
 
   /** The persistable IVF-PQ index: every corpus row coarse-assigned AND
     * PQ-encoded in ONE map-only pass — (idCol, cluster, code), m ints +
@@ -1085,29 +1123,28 @@ object SimilarityOps {
     * BASELINE round-13 addendum 4). Build once, store, query with
     * [[ivfPqTopKFromIndex]] — re-deriving it per query call would pay
     * the whole corpus encode every time (the round-13 stress measured
-    * exactly that mistake at 2M vectors: 50 s re-encoding vs 13 s
-    * against the standing index). Contract: queries must present the
+    * exactly that mistake at 2M vectors: ~50 s re-encoding per call vs
+    * ~4 s against the standing index — BASELINE round-13 addendum 4).
+    * Contract: queries must present the
     * SAME `centroids` and `codebook` the index was built with — persist
     * both beside the index (the materializeTrainingCorpus vocab-sidecar
     * discipline); there is no in-data stamp (a codebook is a table, not
     * a dial — nothing compact enough to ride column metadata). */
   def ivfPqIndex(corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String,
-      nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame = {
-    val pcb = foldPqCodebook(codebook)
-    val dim = pcb.m * pcb.dsub
-    val cents = withQ(centroids, idCol, vecCol, "cent")
-    lazy val kc = cents.count()
-    val nc = resolveNCoarse(nCoarse, kc)
-    lazy val cb2 = twoLevelCodebook(cents, nc, kHint = kc)
-    val assigned =
-      if (nc > 0) assignClustersTwoLevel(cb2, withQ(corpus, idCol, vecCol, "c"), "c", 1, coarseProbes)
-      else assignClusters(cents, withQ(corpus, idCol, vecCol, "c"), "c", 1)
-    assigned
+      nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame =
+    ivfPqIndexWith(corpus,
+      ivfPqSetup(centroids, codebook, idCol, vecCol, nCoarse, coarseProbes),
+      idCol, vecCol)
+
+  private def ivfPqIndexWith(corpus: DataFrame, st: IvfPqSetup,
+      idCol: String, vecCol: String): DataFrame = {
+    val dim = st.pcb.m * st.pcb.dsub
+    st.assign(withQ(corpus, idCol, vecCol, "c"), "c", 1)
       .withColumn("__u", unitQCol(dimChecked(col("c_q"), dim)))
-      .withColumn("__cb", pcb.arr.scalar())
+      .withColumn("__cb", st.pcb.arr.scalar())
       .select(col("c_id").as(idCol), col("c_cluster").as("cluster"),
-        pqCodeCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("code"))
+        pqCodeCol(col("__u"), col("__cb"), st.pcb.m, st.pcb.dsub).as("code"))
   }
 
   /** ADC top-k against a standing [[ivfPqIndex]]: queries are coarse-
@@ -1118,20 +1155,21 @@ object SimilarityOps {
   def ivfPqTopKFromIndex(queries: DataFrame, index: DataFrame,
       centroids: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 1,
-      nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame = {
+      nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame =
+    ivfPqFromIndexWith(queries, index,
+      ivfPqSetup(centroids, codebook, idCol, vecCol, nCoarse, coarseProbes),
+      idCol, vecCol, k, nprobe)
+
+  private def ivfPqFromIndexWith(queries: DataFrame, index: DataFrame,
+      st: IvfPqSetup, idCol: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val pcb = foldPqCodebook(codebook)
-    val dim = pcb.m * pcb.dsub
-    val cents = withQ(centroids, idCol, vecCol, "cent")
-    lazy val kc = cents.count()
-    val nc = resolveNCoarse(nCoarse, kc)
-    lazy val cb2 = twoLevelCodebook(cents, nc, kHint = kc)
-    val q = (if (nc > 0) assignClustersTwoLevel(cb2, withQ(queries, idCol, vecCol, "q"), "q", nprobe, coarseProbes)
-             else assignClusters(cents, withQ(queries, idCol, vecCol, "q"), "q", nprobe))
+    val dim = st.pcb.m * st.pcb.dsub
+    val q = st.assign(withQ(queries, idCol, vecCol, "q"), "q", nprobe)
       .withColumn("__u", unitQCol(dimChecked(col("q_q"), dim)))
-      .withColumn("__cb", pcb.arr.scalar())
+      .withColumn("__cb", st.pcb.arr.scalar())
       .select(col("q_id"), col("q_cluster"),
-        pqLutCol(col("__u"), col("__cb"), pcb.m, pcb.dsub).as("__lut"))
+        pqLutCol(col("__u"), col("__cb"), st.pcb.m, st.pcb.dsub).as("__lut"))
     val c = index.select(col(idCol).as("c_id"), col("cluster").as("c_cluster"),
       col("code"))
     val scored = q.join(c, col("q_cluster") === col("c_cluster"))

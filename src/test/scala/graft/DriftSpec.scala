@@ -73,6 +73,14 @@ class DriftSpec extends SparkSpec {
     assert(drifted.getAs[Double]("psi") > 1.0) // disjoint supports: huge PSI
   }
 
+  test("histogramDrift refuses fractional value columns instead of collapsing bins") {
+    val frac = docs.select(col("doc_id"), (col("n_chars") / 1000.0).as("score"))
+    val e = intercept[IllegalArgumentException] {
+      ProfileOps.histogramDrift(frac, frac, "score", bins = 16)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("empty snapshot is total, defined drift — every key gone, rates 0") {
     val s = ProfileOps.categoryDriftSummary(ProfileOps.categoryDrift(
       docs, docs.filter(lit(false)), "lang")).head()

@@ -208,5 +208,12 @@ class PqSpec extends SparkSpec {
       lut.select(graft.functions.exprs.pqAdc(col("lut"), col("code"))).collect()
     }
     assert(e.getMessage != null)
+    // a NULL lut entry would read as 0 through getLong — must throw too
+    val nullEntry = spark.sql(
+      "SELECT array(array(1L, CAST(NULL AS BIGINT))) AS lut, array(1) AS code")
+    val e2 = intercept[Exception] {
+      nullEntry.select(graft.functions.exprs.pqAdc(col("lut"), col("code"))).collect()
+    }
+    assert(e2.getMessage != null)
   }
 }
