@@ -219,6 +219,57 @@ object SampleOps {
         col("token_id"), col("src_key"))
   }
 
+  /** The SFT twin of [[packSequences]]: pack supervised examples —
+    * (ids, loss_mask) pairs from [[graft.ops.TextOps.encodeSft]] — into
+    * the fixed-length global stream, carrying the mask through. Same
+    * shape and cost as packSequences (the ONE corpus exchange moves a
+    * row per example; token rows exist only after the explode): global
+    * order is the deterministic two-level hash order, `seq_id/seq_pos`
+    * from the shared exclusive prefix sum. NO separator is appended —
+    * an encodeSft example already ends with its supervised EOS, so the
+    * stream is exactly the examples back-to-back and example
+    * boundaries are recoverable from the mask-1 EOS tokens. This is
+    * concat-and-cut packing (examples MAY straddle sequence
+    * boundaries) — the loss mask is what keeps prompt tokens unscored
+    * wherever they land; a trainer wanting per-example attention
+    * isolation derives segment resets from the EOS positions, the
+    * standard packed-SFT contract. Ids and mask must be equal-length —
+    * enforced in-plan (a silent zip would truncate supervision).
+    * Output: (seq_id, seq_pos, token_id, loss_mask, src_key). */
+  def packSftSequences(df: DataFrame, key: Column, idsCol: String,
+      maskCol: String, seqLen: Int, buckets: Int = 0): DataFrame = {
+    require(seqLen > 0, s"need positive seqLen, got $seqLen")
+    require(!df.columns.contains("__pairs"),
+      "packSftSequences reserves the working column name __pairs; " +
+        "input already has __pairs — rename before packing")
+    val ids = coalesce(col(idsCol), array().cast("array<long>"))
+    val mask = coalesce(col(maskCol), array().cast("array<int>"))
+    // zip_with pads the shorter array with nulls, so a length mismatch
+    // surfaces as a null struct field — refused PER TOKEN below. (A
+    // per-example size-equality CASE would reference the ids/mask
+    // expressions ~4× more; when the input is a lazy encode plan,
+    // project-collapse inlines every reference and the encode kernel
+    // runs once per mention — the interpreted-HOF trap again, caught
+    // in this op's own plan audit.)
+    val pairs = zip_with(ids, mask, (i, m) => struct(i.as("t"), m.as("lm")))
+    val withPairs = df.withColumn("__pairs", pairs)
+    def field(f: String) = {
+      val v = col("__tm").getField(f)
+      when(v.isNotNull, v).otherwise(raise_error(lit(
+        "packSftSequences: token_ids and loss_mask lengths differ " +
+          "(null-padded zip slot) — supervision would silently truncate")))
+    }
+    withGlobalStart(withPairs, key, size(col("__pairs")).cast("long"), buckets)
+      .select(key.as("src_key"), col("__start"),
+        posexplode(col("__pairs")).as(Seq("__p", "__tm")))
+      .withColumn("__g", col("__start") + col("__p"))
+      .select(expr(s"__g div $seqLen").as("seq_id"),
+        expr(s"__g % $seqLen").as("seq_pos"),
+        field("t").as("token_id"),
+        field("lm").as("loss_mask"),
+        col("src_key"))
+  }
+
   /** Inverse of [[packSequences]]: reconstruct each source row's id
     * array from the exploded packed stream — the audit path proving a
     * packed corpus still CONTAINS its documents. Each document's

@@ -241,6 +241,38 @@ object TextOps {
   def bpeEosId(merges: Seq[(String, String)] = DefaultBpeMerges): Long =
     graft.functions.BpeTokenIds.VocabBase + merges.size
 
+  /** SFT (prompt, completion) example encoding — the supervised twin of
+    * [[encodeBpe]]: one map-only pass emitting the concatenated id
+    * stream `prompt_ids ++ completion_ids ++ [EOS]` and the aligned
+    * `loss_mask` (0 over the prompt — context only — and 1 over the
+    * completion and the EOS, the tokens the trainer scores). The two
+    * parts are encoded INDEPENDENTLY (an SFT template defines them
+    * independently; no whitespace is synthesized at the seam — put any
+    * separator text in the prompt itself), both byte-faithful under
+    * `lossless = true` (the default here: an instruction corpus is
+    * exactly where indentation survives or dies). Null prompt or
+    * completion reads as the empty string, so every non-null-keyed row
+    * yields at least the supervised EOS. Output: (idCol, token_ids,
+    * loss_mask, n_tokens) — feed to
+    * [[graft.ops.SampleOps.packSftSequences]]. */
+  def encodeSft(df: DataFrame, idCol: String, promptCol: String,
+      completionCol: String,
+      merges: Seq[(String, String)] = DefaultBpeMerges,
+      lossless: Boolean = true): DataFrame = {
+    val eos = bpeEosId(merges)
+    df.select(col(idCol),
+        graft.functions.exprs.bpeTokenIds(
+          coalesce(col(promptCol), lit("")), merges, lossless).as("__p"),
+        graft.functions.exprs.bpeTokenIds(
+          coalesce(col(completionCol), lit("")), merges, lossless).as("__c"))
+      .select(col(idCol),
+        concat(col("__p"), col("__c"), array(lit(eos))).as("token_ids"),
+        concat(
+          array_repeat(lit(0), size(col("__p"))),
+          array_repeat(lit(1), size(col("__c")) + 1)).as("loss_mask"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
   /** Codepoint script-class profile — the charset-distribution signal
     * the marker-word [[languageId]] cannot see (a Russian document with
     * zero marker hits still reads overwhelmingly Cyrillic; a base64

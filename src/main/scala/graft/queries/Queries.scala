@@ -683,6 +683,77 @@ object Queries {
 
   private def packTokenIdsSql: String = packOracleSql("", "documents")
 
+  /** SFT example packing (TextOps.encodeSft → SampleOps
+    * .packSftSequences): prompt = the document's first 48 chars,
+    * completion = the rest (the continue-the-document framing), both
+    * byte-faithfully encoded INDEPENDENTLY, concatenated with one
+    * supervised EOS, loss_mask 0 over prompt / 1 over completion+EOS,
+    * then concat-and-cut packed with the mask riding along. The oracle
+    * encodes both parts through the shared lossless BPE CTEs (each part
+    * as its own synthetic doc), reassembles the per-example stream with
+    * prompt-count offsets, and replays the two-level-hash prefix-sum
+    * layout with example weight = np + nc + 1 (NO extra separator — the
+    * EOS lives inside the example). */
+  private def sftPackQ(s: SparkSession, dir: String): DataFrame = {
+    val sft = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        substring(col("text"), 1, 48).as("prompt"),
+        substring(col("text"), 49, Int.MaxValue).as("completion"))
+    SampleOps.packSftSequences(
+        TextOps.encodeSft(sft, "doc_id", "prompt", "completion"),
+        col("doc_id"), "token_ids", "loss_mask", seqLen = PackSeqLen,
+        buckets = 8)
+      .select(col("seq_id"), col("seq_pos"), col("token_id"),
+        col("loss_mask"), col("src_key").as("doc_id"))
+  }
+
+  private def sftPackSql: String = {
+    val pre =
+      """sft AS (
+        |  SELECT doc_id, substring(text, 1, 48) AS prompt,
+        |    CASE WHEN length(text) > 48 THEN substring(text, 49) ELSE '' END AS completion
+        |  FROM documents WHERE text IS NOT NULL),
+        |sftsrc AS (
+        |  SELECT doc_id * 2 AS doc_id, prompt AS text FROM sft
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, completion AS text FROM sft)""".stripMargin
+    s"""WITH RECURSIVE $pre,
+       |${bpeCtesSqlFrom("sftsrc")}, ${bpeIdCtesSql(lossless = true, "sftsrc")},
+       |parts AS (SELECT doc_id // 2 AS odoc, doc_id % 2 AS part, pos, token_id FROM ids),
+       |pcnt AS (SELECT s.doc_id AS odoc,
+       |    COALESCE(pp.np, 0) AS np, COALESCE(cc.nc, 0) AS nc
+       |  FROM sft s
+       |  LEFT JOIN (SELECT odoc, CAST(count(*) AS BIGINT) AS np FROM parts WHERE part = 0 GROUP BY odoc) pp
+       |    ON pp.odoc = s.doc_id
+       |  LEFT JOIN (SELECT odoc, CAST(count(*) AS BIGINT) AS nc FROM parts WHERE part = 1 GROUP BY odoc) cc
+       |    ON cc.odoc = s.doc_id),
+       |stream AS (
+       |  SELECT p.odoc AS doc_id, p.pos AS tp, p.token_id, 0 AS lm
+       |  FROM parts p WHERE p.part = 0
+       |  UNION ALL
+       |  SELECT p.odoc, c.np + p.pos, p.token_id, 1
+       |  FROM parts p JOIN pcnt c ON c.odoc = p.odoc WHERE p.part = 1
+       |  UNION ALL
+       |  SELECT odoc, np + nc, CAST(${TextOps.bpeEosId()} AS BIGINT), 1 FROM pcnt),
+       |wgt AS (SELECT odoc AS doc_id, np + nc + 1 AS w FROM pcnt),
+       |hsh AS (SELECT doc_id, w, ${sqlHash("CAST(doc_id AS VARCHAR)")} AS h FROM wgt),
+       |bkt AS (SELECT doc_id, w, h, h % 8 AS bucket FROM hsh),
+       |cum AS (SELECT doc_id, bucket,
+       |  CAST(COALESCE(SUM(w) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+       |  FROM bkt),
+       |tot AS (SELECT bucket, CAST(SUM(w) AS BIGINT) AS t FROM bkt GROUP BY bucket),
+       |off AS (SELECT bucket,
+       |  CAST(COALESCE(SUM(t) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+       |  FROM tot),
+       |starts AS (SELECT cum.doc_id, off.o + cum.c AS st FROM cum JOIN off USING (bucket))
+       |SELECT CAST((s.st + t.tp) // $PackSeqLen AS BIGINT) AS seq_id,
+       |  CAST((s.st + t.tp) % $PackSeqLen AS BIGINT) AS seq_pos,
+       |  t.token_id, t.lm::INTEGER AS loss_mask, t.doc_id
+       |FROM stream t JOIN starts s ON s.doc_id = t.doc_id""".stripMargin
+  }
+
   /** Packing over the DENSIFIED byte-faithful stream — the full
     * trainer-ready materialization: lossless encode → dense [0, V)
     * remap → fixed-length packing (separator = the EOS's dense id).
@@ -3091,6 +3162,7 @@ object Queries {
     "q_pack_dense_ids" -> (packDenseIdsQ _),
     "q_packed_roundtrip" -> (packedRoundtripQ _),
     "q_pack_token_ids" -> (packTokenIdsQ _),
+    "q_sft_pack" -> (sftPackQ _),
     "q_training_pipeline" -> (trainingPipelineQ _),
     "q_epoch_shuffle" -> (epochShuffleQ _),
     "q_lang_id" -> (langIdQ _),
@@ -3224,6 +3296,7 @@ object Queries {
     "q_pack_dense_ids" -> packDenseIdsSql,
     "q_packed_roundtrip" -> packedRoundtripSql,
     "q_pack_token_ids" -> packTokenIdsSql,
+    "q_sft_pack" -> sftPackSql,
     "q_training_pipeline" -> trainingPipelineSql,
     "q_epoch_shuffle" -> epochShuffleSql,
     "q_lang_id" -> langIdSql,
