@@ -270,6 +270,36 @@ object SampleOps {
         col("src_key"))
   }
 
+  /** Embedding-slot coordinates for an interleaved multimodal corpus
+    * ([[graft.ops.TextOps.encodeMultimodal]] packed through
+    * [[packSftSequences]]): each attached medium's image-placeholder
+    * token sits at global position `example_start + media_ord`
+    * (placeholders lead the example by construction), so its
+    * (seq_id, seq_pos) falls out of the SAME prefix sum the packer ran
+    * — no join against the packed token stream, no second corpus pass
+    * over tokens. `media_ord` orders a doc's attachments by ascending
+    * media id (a doc-partitioned window over the attachment table —
+    * group volume = attachments per doc). The layout is a pure content
+    * function, so running the prefix sum here reproduces the packer's
+    * placement exactly (spec-pinned: every alignment coordinate holds
+    * an image-placeholder token in the packed stream). Output:
+    * (seq_id, seq_pos, src_key, media_ord, mediaIdCol). */
+  def multimodalAlignment(encoded: DataFrame, media: DataFrame, key: Column,
+      mediaIdCol: String, seqLen: Int, buckets: Int = 0): DataFrame = {
+    require(seqLen > 0, s"need positive seqLen, got $seqLen")
+    val starts = withGlobalStart(encoded, key, col("n_tokens"), buckets)
+      .select(key.as("src_key"), col("__start"), col("n_media"))
+    val w = Window.partitionBy(key).orderBy(col(mediaIdCol))
+    val ordered = media
+      .withColumn("media_ord", row_number().over(w).cast("long") - 1L)
+      .select(key.as("src_key"), col("media_ord"), col(mediaIdCol))
+    ordered.join(starts, "src_key")
+      .withColumn("__g", col("__start") + col("media_ord"))
+      .select(expr(s"__g div $seqLen").as("seq_id"),
+        expr(s"__g % $seqLen").as("seq_pos"),
+        col("src_key"), col("media_ord"), col(mediaIdCol))
+  }
+
   /** Inverse of [[packSequences]]: reconstruct each source row's id
     * array from the exploded packed stream — the audit path proving a
     * packed corpus still CONTAINS its documents. Each document's

@@ -273,6 +273,49 @@ object TextOps {
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 
+  /** The reserved image-placeholder id — one past [[bpeEosId]], the
+    * same specials-after-vocab convention (appending merge rules moves
+    * both together; pin the table for a persisted corpus). */
+  def bpeImageId(merges: Seq[(String, String)] = DefaultBpeMerges): Long =
+    bpeEosId(merges) + 1
+
+  /** Interleaved multimodal example encoding — the VLM twin of
+    * [[encodeSft]]: each document becomes `n_media` image-placeholder
+    * ids, then its byte-faithful text ids, then one EOS (the
+    * images-first layout), with `loss_mask` 0 over the placeholders
+    * (embedding slots, never scored) and 1 over text + EOS. `media` is
+    * the (idCol, mediaIdCol, …) attachment table; its per-doc count is
+    * one group-sized aggregate joined on the doc key — docs with no
+    * media encode as plain text examples. Pack with
+    * [[graft.ops.SampleOps.packSftSequences]] (the mask rides along)
+    * and derive the embedding-slot coordinates with
+    * [[graft.ops.SampleOps.multimodalAlignment]] — both consume the
+    * SAME deterministic layout, so the alignment is exact by the
+    * pure-content-function contract, not by a join against the packed
+    * stream. Output: (idCol, token_ids, loss_mask, n_tokens, n_media). */
+  def encodeMultimodal(docs: DataFrame, media: DataFrame, idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)] = DefaultBpeMerges,
+      lossless: Boolean = true): DataFrame = {
+    val img = bpeImageId(merges)
+    val eos = bpeEosId(merges)
+    val counts = media.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("__nm"))
+    docs.filter(col(textCol).isNotNull)
+      .join(counts, Seq(idCol), "left")
+      .withColumn("__nm", coalesce(col("__nm"), lit(0)))
+      .select(col(idCol), col("__nm"),
+        graft.functions.exprs.bpeTokenIds(col(textCol), merges, lossless)
+          .as("__t"))
+      .select(col(idCol),
+        concat(array_repeat(lit(img), col("__nm")), col("__t"),
+          array(lit(eos))).as("token_ids"),
+        concat(array_repeat(lit(0), col("__nm")),
+          array_repeat(lit(1), size(col("__t")) + 1)).as("loss_mask"),
+        col("__nm").cast("long").as("n_media"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
   /** Codepoint script-class profile — the charset-distribution signal
     * the marker-word [[languageId]] cannot see (a Russian document with
     * zero marker hits still reads overwhelmingly Cyrillic; a base64

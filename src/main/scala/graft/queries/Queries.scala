@@ -683,6 +683,88 @@ object Queries {
 
   private def packTokenIdsSql: String = packOracleSql("", "documents")
 
+  // ---- Interleaved multimodal packing: a deterministic synthetic
+  // attachment table (doc_id % 3 media per doc, media_id =
+  // doc_id·10 + ord) so the oracle replays counts, placeholder ids,
+  // and the alignment arithmetic exactly.
+
+  private def mmMedia(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(array_repeat(lit(1), (col("doc_id") % 3).cast("int")))
+          .as(Seq("ord", "__x")))
+      .select(col("doc_id"), (col("doc_id") * 10 + col("ord")).as("media_id"))
+
+  private def mmCommonSql =
+    s"""mmm AS (SELECT doc_id, text, doc_id % 3 AS nm
+       |  FROM documents WHERE text IS NOT NULL),
+       |medid AS (SELECT doc_id, ord, doc_id * 10 + ord AS media_id
+       |  FROM (SELECT doc_id, UNNEST(range(doc_id % 3)) AS ord FROM mmm)),
+       |${bpeCtesSqlFrom("mmm")}, ${bpeIdCtesSql(lossless = true, "mmm")},
+       |tcnt AS (SELECT m.doc_id, COALESCE(tc.n, 0) AS nt, m.nm
+       |  FROM mmm m LEFT JOIN (
+       |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ids GROUP BY doc_id) tc
+       |    USING (doc_id)),
+       |wgt AS (SELECT doc_id, nm + nt + 1 AS w FROM tcnt),
+       |hsh AS (SELECT doc_id, w, ${sqlHash("CAST(doc_id AS VARCHAR)")} AS h FROM wgt),
+       |bkt AS (SELECT doc_id, w, h, h % 8 AS bucket FROM hsh),
+       |cum AS (SELECT doc_id, bucket,
+       |  CAST(COALESCE(SUM(w) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+       |  FROM bkt),
+       |tot AS (SELECT bucket, CAST(SUM(w) AS BIGINT) AS t FROM bkt GROUP BY bucket),
+       |off AS (SELECT bucket,
+       |  CAST(COALESCE(SUM(t) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+       |  FROM tot),
+       |starts AS (SELECT cum.doc_id, off.o + cum.c AS st FROM cum JOIN off USING (bucket))""".stripMargin
+
+  /** Interleaved multimodal packing (TextOps.encodeMultimodal →
+    * packSftSequences): image placeholders lead each example (masked
+    * 0), byte-faithful text + EOS follow (masked 1). */
+  private def mmPackQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val enc = TextOps.encodeMultimodal(docs, mmMedia(s, dir), "doc_id", "text")
+    SampleOps.packSftSequences(enc, col("doc_id"), "token_ids", "loss_mask",
+        seqLen = PackSeqLen, buckets = 8)
+      .select(col("seq_id"), col("seq_pos"), col("token_id"),
+        col("loss_mask"), col("src_key").as("doc_id"))
+  }
+
+  private def mmPackSql: String =
+    s"""WITH RECURSIVE $mmCommonSql,
+       |stream AS (
+       |  SELECT doc_id, ord AS tp, CAST(${TextOps.bpeImageId()} AS BIGINT) AS token_id, 0 AS lm
+       |  FROM medid
+       |  UNION ALL
+       |  SELECT i.doc_id, c.nm + i.pos, i.token_id, 1
+       |  FROM ids i JOIN tcnt c USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, nm + nt, CAST(${TextOps.bpeEosId()} AS BIGINT), 1 FROM tcnt)
+       |SELECT CAST((s.st + t.tp) // $PackSeqLen AS BIGINT) AS seq_id,
+       |  CAST((s.st + t.tp) % $PackSeqLen AS BIGINT) AS seq_pos,
+       |  t.token_id, t.lm::INTEGER AS loss_mask, t.doc_id
+       |FROM stream t JOIN starts s USING (doc_id)""".stripMargin
+
+  /** The embedding-slot alignment table: where each attached medium's
+    * placeholder landed in the packed stream. */
+  private def mmAlignmentQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val media = mmMedia(s, dir)
+    val enc = TextOps.encodeMultimodal(docs, media, "doc_id", "text")
+    SampleOps.multimodalAlignment(enc, media, col("doc_id"), "media_id",
+        seqLen = PackSeqLen, buckets = 8)
+      .select(col("seq_id"), col("seq_pos"), col("src_key").as("doc_id"),
+        col("media_ord"), col("media_id"))
+  }
+
+  private def mmAlignmentSql: String =
+    s"""WITH RECURSIVE $mmCommonSql
+       |SELECT CAST((s.st + m.ord) // $PackSeqLen AS BIGINT) AS seq_id,
+       |  CAST((s.st + m.ord) % $PackSeqLen AS BIGINT) AS seq_pos,
+       |  m.doc_id, CAST(m.ord AS BIGINT) AS media_ord, m.media_id
+       |FROM medid m JOIN starts s USING (doc_id)""".stripMargin
+
   /** SFT example packing (TextOps.encodeSft → SampleOps
     * .packSftSequences): prompt = the document's first 48 chars,
     * completion = the rest (the continue-the-document framing), both
@@ -3163,6 +3245,8 @@ object Queries {
     "q_packed_roundtrip" -> (packedRoundtripQ _),
     "q_pack_token_ids" -> (packTokenIdsQ _),
     "q_sft_pack" -> (sftPackQ _),
+    "q_mm_pack" -> (mmPackQ _),
+    "q_mm_alignment" -> (mmAlignmentQ _),
     "q_training_pipeline" -> (trainingPipelineQ _),
     "q_epoch_shuffle" -> (epochShuffleQ _),
     "q_lang_id" -> (langIdQ _),
@@ -3297,6 +3381,8 @@ object Queries {
     "q_packed_roundtrip" -> packedRoundtripSql,
     "q_pack_token_ids" -> packTokenIdsSql,
     "q_sft_pack" -> sftPackSql,
+    "q_mm_pack" -> mmPackSql,
+    "q_mm_alignment" -> mmAlignmentSql,
     "q_training_pipeline" -> trainingPipelineSql,
     "q_epoch_shuffle" -> epochShuffleSql,
     "q_lang_id" -> langIdSql,
