@@ -34,6 +34,10 @@ import graft.ops.{DedupOps, SampleOps, TextOps}
   *    raw vectors, IVF-PQ vs uncompressed IVF query wall at reps×,
   *    ADC/rerank recall vs brute ground truth at 100× on perturbed
   *    replicas (pairwise-distinct, cluster structure preserved).
+  *  - `sft [reps]` — mask-carrying SFT pack vs the maskless
+  *    pretraining pack over the same replicated corpus (the mask's
+  *    marginal cost), plus multimodal alignment coordinate-exactness
+  *    verified distributedly at reps×.
   *
   * Timings print as `[stress] <label>: <sec> s`; results as
   * `[stress] <label> = <value>`. Not part of the oracle surface — a
@@ -66,7 +70,7 @@ object StressR13 {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
     args.headOption.getOrElse(sys.error(
-        "usage: StressR13 <pipeline|epochshuffle|corpus|compact|pq> [reps]")) match {
+        "usage: StressR13 <pipeline|epochshuffle|corpus|compact|pq|sft> [reps]")) match {
       case "pipeline" =>
         pipeline(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
       case "epochshuffle" =>
@@ -77,7 +81,9 @@ object StressR13 {
         compact(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
       case "pq" =>
         pq(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(1000))
-      case other => sys.error(s"unknown subcommand '$other' (pipeline|epochshuffle|corpus|compact|pq)")
+      case "sft" =>
+        sft(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
+      case other => sys.error(s"unknown subcommand '$other' (pipeline|epochshuffle|corpus|compact|pq|sft)")
     }
     spark.stop()
   }
@@ -297,6 +303,69 @@ object StressR13 {
         report(s"epochShuffle ${reps}x partitioning-independent", h1 == h2)
       }
       s.unpersist(); rep.unpersist()
+    }
+  }
+
+  // ----------------------------------------------------------------- sft
+
+  /** Supervised + multimodal packing at scale: the mask-carrying SFT
+    * pack and the plain pretraining pack over the SAME replicated
+    * corpus (prompt = first 48 chars, completion = rest), so the mask
+    * column's marginal cost is directly read off; multimodal alignment
+    * (doc_id % 3 attachments) verified coordinate-exact at scale
+    * distributedly (every alignment row must land on a placeholder
+    * token of its own doc). */
+  private def sft(spark: SparkSession, sfDir: String, maxReps: Int): Unit = {
+    import graft.ops.SimilarityOps
+    for (reps <- Seq(10, maxReps).distinct) {
+      val rep = pairedDocs(spark, sfDir, reps)
+        .select(col("key"), col("text"),
+          substring(col("text"), 1, 48).as("prompt"),
+          substring(col("text"), 49, Int.MaxValue).as("completion"))
+        .persist(StorageLevel.DISK_ONLY)
+      val nIn = rep.count()
+      val enc = TextOps.encodeSft(rep, "key", "prompt", "completion")
+      time(s"encodeSft+packSftSequences ${reps}x ($nIn docs, one plan)") {
+        SampleOps.packSftSequences(enc, col("key"), "token_ids", "loss_mask",
+            seqLen = 1024, buckets = 64)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"encodeBpe+packSequences (maskless baseline) ${reps}x") {
+        SampleOps.packSequences(
+            TextOps.encodeBpe(rep, "key", "text", TextOps.DefaultBpeMerges,
+              lossless = true),
+            col("key"), "token_ids", seqLen = 1024,
+            sepId = TextOps.bpeEosId(), buckets = 64)
+          .write.format("noop").mode("overwrite").save()
+      }
+      if (reps == maxReps) {
+        // multimodal alignment exactness at scale, verified distributedly
+        val media = rep.select(col("key"),
+            posexplode(array_repeat(lit(1),
+              (abs(xxhash64(col("key"))) % 3L).cast("int")))
+              .as(Seq("ord", "__x")))
+          .select(col("key"), concat(col("key"), lit("#m"),
+            col("ord").cast("string")).as("media_id"))
+        val mEnc = TextOps.encodeMultimodal(rep, media, "key", "text")
+          .persist(StorageLevel.DISK_ONLY)
+        mEnc.count()
+        val packed = SampleOps.packSftSequences(mEnc, col("key"),
+            "token_ids", "loss_mask", seqLen = 1024, buckets = 64)
+          .persist(StorageLevel.DISK_ONLY)
+        val align = SampleOps.multimodalAlignment(mEnc, media, col("key"),
+          "media_id", seqLen = 1024, buckets = 64)
+        val (nAlign, t0) = (align.count(), System.nanoTime())
+        val img = TextOps.bpeImageId()
+        val hits = align.join(packed, Seq("seq_id", "seq_pos"))
+          .filter(col("token_id") === img && col("loss_mask") === 0 &&
+            align("src_key") === packed("src_key"))
+          .count()
+        println(f"[stress] mm alignment verify ${reps}x: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        report(s"mm alignment ${reps}x",
+          s"attachments=$nAlign placeholder_hits=$hits exact=${nAlign == hits}")
+        packed.unpersist(); mEnc.unpersist()
+      }
+      rep.unpersist()
     }
   }
 
