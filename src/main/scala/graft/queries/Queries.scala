@@ -789,17 +789,22 @@ object Queries {
         col("loss_mask"), col("src_key").as("doc_id"))
   }
 
-  private def sftPackSql: String = {
-    val pre =
-      """sft AS (
+  private def sftPackSql: String = sftOracleSql("", "documents")
+
+  /** The SFT pack-replay oracle over document relation `src` (optional
+    * preceding CTEs in `pre` — e.g. the pipeline's survivor set). */
+  private def sftOracleSql(pre: String, src: String): String = {
+    val sftPre =
+      s"""sft AS (
         |  SELECT doc_id, substring(text, 1, 48) AS prompt,
         |    CASE WHEN length(text) > 48 THEN substring(text, 49) ELSE '' END AS completion
-        |  FROM documents WHERE text IS NOT NULL),
+        |  FROM $src WHERE text IS NOT NULL),
         |sftsrc AS (
         |  SELECT doc_id * 2 AS doc_id, prompt AS text FROM sft
         |  UNION ALL
         |  SELECT doc_id * 2 + 1 AS doc_id, completion AS text FROM sft)""".stripMargin
-    s"""WITH RECURSIVE $pre,
+    s"""WITH RECURSIVE ${if (pre.isEmpty) "" else pre + ","}
+       |$sftPre,
        |${bpeCtesSqlFrom("sftsrc")}, ${bpeIdCtesSql(lossless = true, "sftsrc")},
        |parts AS (SELECT doc_id // 2 AS odoc, doc_id % 2 AS part, pos, token_id FROM ids),
        |pcnt AS (SELECT s.doc_id AS odoc,
@@ -892,23 +897,46 @@ object Queries {
       .select(col("seq_id"), col("seq_pos"), col("token_id"),
         col("src_key").as("doc_id"))
 
-  private def trainingPipelineSql: String = {
+  /** The quality-filter + exact-dedup survivor CTEs (→ `srcdocs`)
+    * shared by the pretraining and SFT pipeline flagships. */
+  private def survivorCtesSql: String = {
     val stops = TextOps.Stopwords
       .map(w => s"len(list_filter(string_split(text,' '), x -> x = '$w'))")
       .mkString(" + ")
-    val pre =
-      s"""qf AS (SELECT doc_id, text FROM (
-         |  SELECT doc_id, text, len(string_split(text,' '))::BIGINT AS n_words,
-         |    length(text)::BIGINT AS n_text_chars, ($stops)::BIGINT AS n_stopwords
-         |  FROM documents)
-         |  WHERE n_words >= 20
-         |    AND CAST(n_stopwords AS DOUBLE) / NULLIF(n_words, 0) <= 0.5
-         |    AND CAST(n_text_chars - (n_words - 1) AS DOUBLE) / NULLIF(n_words, 0) BETWEEN 2.0 AND 12.0),
-         |srcdocs AS (SELECT doc_id, text FROM (
-         |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS canon FROM qf)
-         |  WHERE doc_id = canon)""".stripMargin
-    packOracleSql(pre, "srcdocs", lossless = true)
+    s"""qf AS (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text, len(string_split(text,' '))::BIGINT AS n_words,
+       |    length(text)::BIGINT AS n_text_chars, ($stops)::BIGINT AS n_stopwords
+       |  FROM documents)
+       |  WHERE n_words >= 20
+       |    AND CAST(n_stopwords AS DOUBLE) / NULLIF(n_words, 0) <= 0.5
+       |    AND CAST(n_text_chars - (n_words - 1) AS DOUBLE) / NULLIF(n_words, 0) BETWEEN 2.0 AND 12.0),
+       |srcdocs AS (SELECT doc_id, text FROM (
+       |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS canon FROM qf)
+       |  WHERE doc_id = canon)""".stripMargin
   }
+
+  private def trainingPipelineSql: String =
+    packOracleSql(survivorCtesSql, "srcdocs", lossless = true)
+
+  /** The SFT flagship: quality filter → exact-dedup keep-first →
+    * independent prompt/completion lossless encode → mask-carrying
+    * pack, as ONE declarative plan — the supervised twin of
+    * q_training_pipeline. */
+  private def sftPipelineQ(s: SparkSession, dir: String): DataFrame = {
+    val survivors = DedupOps.exactDedup(
+      TextOps.qualityFilter(t(s, dir, "documents"), "text"), "doc_id", "text")
+    val sft = survivors.select(col("doc_id"),
+      substring(col("text"), 1, 48).as("prompt"),
+      substring(col("text"), 49, Int.MaxValue).as("completion"))
+    SampleOps.packSftSequences(
+        TextOps.encodeSft(sft, "doc_id", "prompt", "completion"),
+        col("doc_id"), "token_ids", "loss_mask", seqLen = PackSeqLen,
+        buckets = 8)
+      .select(col("seq_id"), col("seq_pos"), col("token_id"),
+        col("loss_mask"), col("src_key").as("doc_id"))
+  }
+
+  private def sftPipelineSql: String = sftOracleSql(survivorCtesSql, "srcdocs")
 
   /** Deterministic per-epoch training permutation (SampleOps
     * .epochShuffle): dense global positions in the epoch-keyed hash
@@ -3246,6 +3274,7 @@ object Queries {
     "q_pack_token_ids" -> (packTokenIdsQ _),
     "q_sft_pack" -> (sftPackQ _),
     "q_mm_pack" -> (mmPackQ _),
+    "q_sft_pipeline" -> (sftPipelineQ _),
     "q_mm_alignment" -> (mmAlignmentQ _),
     "q_training_pipeline" -> (trainingPipelineQ _),
     "q_epoch_shuffle" -> (epochShuffleQ _),
@@ -3382,6 +3411,7 @@ object Queries {
     "q_pack_token_ids" -> packTokenIdsSql,
     "q_sft_pack" -> sftPackSql,
     "q_mm_pack" -> mmPackSql,
+    "q_sft_pipeline" -> sftPipelineSql,
     "q_mm_alignment" -> mmAlignmentSql,
     "q_training_pipeline" -> trainingPipelineSql,
     "q_epoch_shuffle" -> epochShuffleSql,
