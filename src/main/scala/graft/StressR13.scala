@@ -316,7 +316,6 @@ object StressR13 {
     * distributedly (every alignment row must land on a placeholder
     * token of its own doc). */
   private def sft(spark: SparkSession, sfDir: String, maxReps: Int): Unit = {
-    import graft.ops.SimilarityOps
     for (reps <- Seq(10, maxReps).distinct) {
       val rep = pairedDocs(spark, sfDir, reps)
         .select(col("key"), col("text"),

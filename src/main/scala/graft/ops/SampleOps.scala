@@ -245,28 +245,33 @@ object SampleOps {
     val ids = coalesce(col(idsCol), array().cast("array<long>"))
     val mask = coalesce(col(maskCol), array().cast("array<int>"))
     // zip_with pads the shorter array with nulls, so a length mismatch
-    // surfaces as a null struct field — refused PER TOKEN below. (A
-    // per-example size-equality CASE would reference the ids/mask
-    // expressions ~4× more; when the input is a lazy encode plan,
-    // project-collapse inlines every reference and the encode kernel
-    // runs once per mention — the interpreted-HOF trap again, caught
-    // in this op's own plan audit.)
+    // surfaces as a null struct slot — refused by the guard INSIDE the
+    // posexplode argument: the generator input defines the row set, so
+    // column pruning can never remove the check (a guard projected
+    // onto token_id/loss_mask WOULD be pruned for consumers that read
+    // neither — count(), seq-length audits — and the phantom padded
+    // slot would silently shift every later doc's positions; caught in
+    // review). One exists() scan per example, same order as the zip
+    // itself. (A per-example size-equality CASE would also reference
+    // the lazy encode expression ~4× — the inlining trap this op's
+    // first plan audit caught.)
     val pairs = zip_with(ids, mask, (i, m) => struct(i.as("t"), m.as("lm")))
     val withPairs = df.withColumn("__pairs", pairs)
-    def field(f: String) = {
-      val v = col("__tm").getField(f)
-      when(v.isNotNull, v).otherwise(raise_error(lit(
+    val guarded = when(
+      !exists(col("__pairs"), p =>
+        p.getField("t").isNull || p.getField("lm").isNull),
+      col("__pairs"))
+      .otherwise(raise_error(lit(
         "packSftSequences: token_ids and loss_mask lengths differ " +
           "(null-padded zip slot) — supervision would silently truncate")))
-    }
     withGlobalStart(withPairs, key, size(col("__pairs")).cast("long"), buckets)
       .select(key.as("src_key"), col("__start"),
-        posexplode(col("__pairs")).as(Seq("__p", "__tm")))
+        posexplode(guarded).as(Seq("__p", "__tm")))
       .withColumn("__g", col("__start") + col("__p"))
       .select(expr(s"__g div $seqLen").as("seq_id"),
         expr(s"__g % $seqLen").as("seq_pos"),
-        field("t").as("token_id"),
-        field("lm").as("loss_mask"),
+        col("__tm").getField("t").as("token_id"),
+        col("__tm").getField("lm").as("loss_mask"),
         col("src_key"))
   }
 
@@ -294,7 +299,17 @@ object SampleOps {
       .withColumn("media_ord", row_number().over(w).cast("long") - 1L)
       .select(key.as("src_key"), col("media_ord"), col(mediaIdCol))
     ordered.join(starts, "src_key")
-      .withColumn("__g", col("__start") + col("media_ord"))
+      // a media table inconsistent with the one the encode counted
+      // (extra attachments) would otherwise label a TEXT token as an
+      // embedding slot — refuse on the coordinate path (seq_id/seq_pos
+      // derive from __g, so any consumer reading coordinates evaluates
+      // the guard; a bare count() of alignment rows does not force it)
+      .withColumn("__g",
+        when(col("media_ord") < col("n_media"),
+          col("__start") + col("media_ord"))
+          .otherwise(raise_error(lit(
+            "multimodalAlignment: media_ord >= the n_media the encode " +
+              "counted — the media table does not match the encoded corpus"))))
       .select(expr(s"__g div $seqLen").as("seq_id"),
         expr(s"__g % $seqLen").as("seq_pos"),
         col("src_key"), col("media_ord"), col(mediaIdCol))

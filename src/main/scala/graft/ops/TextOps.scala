@@ -286,7 +286,12 @@ object TextOps {
     * (embedding slots, never scored) and 1 over text + EOS. `media` is
     * the (idCol, mediaIdCol, …) attachment table; its per-doc count is
     * one group-sized aggregate joined on the doc key — docs with no
-    * media encode as plain text examples. Pack with
+    * media encode as plain text examples, and docs with NULL text
+    * encode as image-only examples (placeholders + EOS) rather than
+    * being dropped with their attachments — the [[encodeSft]]
+    * null-reads-as-empty totality, NOT [[encodeBpe]]'s null filter
+    * (silently losing attachments of a caption-less image is the
+    * failure mode). Pack with
     * [[graft.ops.SampleOps.packSftSequences]] (the mask rides along)
     * and derive the embedding-slot coordinates with
     * [[graft.ops.SampleOps.multimodalAlignment]] — both consume the
@@ -301,12 +306,12 @@ object TextOps {
     val eos = bpeEosId(merges)
     val counts = media.groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("__nm"))
-    docs.filter(col(textCol).isNotNull)
+    docs
       .join(counts, Seq(idCol), "left")
       .withColumn("__nm", coalesce(col("__nm"), lit(0)))
       .select(col(idCol), col("__nm"),
-        graft.functions.exprs.bpeTokenIds(col(textCol), merges, lossless)
-          .as("__t"))
+        graft.functions.exprs.bpeTokenIds(
+          coalesce(col(textCol), lit("")), merges, lossless).as("__t"))
       .select(col(idCol),
         concat(array_repeat(lit(img), col("__nm")), col("__t"),
           array(lit(eos))).as("token_ids"),

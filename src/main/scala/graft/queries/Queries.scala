@@ -648,6 +648,26 @@ object Queries {
   /** The full pack-replay oracle over document relation `src` —
     * optional extra CTEs in `pre` (e.g. the pipeline's quality-filter +
     * dedup survivor set) precede the shared BPE/id/prefix-sum bodies. */
+  /** The shared prefix-sum layout replay (two-level deterministic hash
+    * order, buckets = 8) over an existing `wgt(doc_id, w)` relation —
+    * ONE definition consumed by the pretraining, SFT, and multimodal
+    * pack oracles, so a layout change cannot silently diverge between
+    * them (the three hand-copied blocks it replaces were caught in
+    * review). Emits `starts(doc_id, st)`. */
+  private def layoutCtesSql: String =
+    s"""hsh AS (SELECT doc_id, w, ${sqlHash("CAST(doc_id AS VARCHAR)")} AS h FROM wgt),
+       |bkt AS (SELECT doc_id, w, h, h % 8 AS bucket FROM hsh),
+       |cum AS (SELECT doc_id, bucket,
+       |  CAST(COALESCE(SUM(w) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+       |  FROM bkt),
+       |tot AS (SELECT bucket, CAST(SUM(w) AS BIGINT) AS t FROM bkt GROUP BY bucket),
+       |off AS (SELECT bucket,
+       |  CAST(COALESCE(SUM(t) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+       |  FROM tot),
+       |starts AS (SELECT cum.doc_id, off.o + cum.c AS st FROM cum JOIN off USING (bucket))""".stripMargin
+
   private def packOracleSql(pre: String, src: String,
       lossless: Boolean = false, dense: Boolean = false): String =
     s"""WITH RECURSIVE ${if (pre.isEmpty) "" else pre + ","}
@@ -659,22 +679,12 @@ object Queries {
        |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ids GROUP BY doc_id) tc
        |    USING (doc_id)
        |  WHERE d.text IS NOT NULL),
-       |hsh AS (SELECT doc_id, wgt, nt, ${sqlHash("CAST(doc_id AS VARCHAR)")} AS h FROM dtok),
-       |bkt AS (SELECT doc_id, wgt, nt, h, h % 8 AS bucket FROM hsh),
-       |cum AS (SELECT doc_id, nt, bucket,
-       |  CAST(COALESCE(SUM(wgt) OVER (PARTITION BY bucket ORDER BY h, doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
-       |  FROM bkt),
-       |tot AS (SELECT bucket, CAST(SUM(wgt) AS BIGINT) AS t FROM bkt GROUP BY bucket),
-       |off AS (SELECT bucket,
-       |  CAST(COALESCE(SUM(t) OVER (ORDER BY bucket
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
-       |  FROM tot),
-       |starts AS (SELECT cum.doc_id, cum.nt, off.o + cum.c AS st FROM cum JOIN off USING (bucket)),
+       |wgt AS (SELECT doc_id, wgt AS w FROM dtok),
+       |$layoutCtesSql,
        |stream AS (
        |  SELECT doc_id, pos, token_id FROM ids
        |  UNION ALL
-       |  SELECT doc_id, nt, CAST(${TextOps.bpeEosId()} AS BIGINT) FROM starts)
+       |  SELECT doc_id, nt, CAST(${TextOps.bpeEosId()} AS BIGINT) FROM dtok)
        |SELECT CAST((s.st + t.pos) // $PackSeqLen AS BIGINT) AS seq_id,
        |  CAST((s.st + t.pos) % $PackSeqLen AS BIGINT) AS seq_pos,
        |  ${if (dense) "v.dense_id" else "t.token_id"}, t.doc_id
@@ -689,15 +699,15 @@ object Queries {
   // and the alignment arithmetic exactly.
 
   private def mmMedia(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").filter(col("text").isNotNull)
+    t(s, dir, "documents")
       .select(col("doc_id"),
         posexplode(array_repeat(lit(1), (col("doc_id") % 3).cast("int")))
           .as(Seq("ord", "__x")))
       .select(col("doc_id"), (col("doc_id") * 10 + col("ord")).as("media_id"))
 
   private def mmCommonSql =
-    s"""mmm AS (SELECT doc_id, text, doc_id % 3 AS nm
-       |  FROM documents WHERE text IS NOT NULL),
+    s"""mmm AS (SELECT doc_id, COALESCE(text, '') AS text, doc_id % 3 AS nm
+       |  FROM documents),
        |medid AS (SELECT doc_id, ord, doc_id * 10 + ord AS media_id
        |  FROM (SELECT doc_id, UNNEST(range(doc_id % 3)) AS ord FROM mmm)),
        |${bpeCtesSqlFrom("mmm")}, ${bpeIdCtesSql(lossless = true, "mmm")},
@@ -706,18 +716,7 @@ object Queries {
        |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ids GROUP BY doc_id) tc
        |    USING (doc_id)),
        |wgt AS (SELECT doc_id, nm + nt + 1 AS w FROM tcnt),
-       |hsh AS (SELECT doc_id, w, ${sqlHash("CAST(doc_id AS VARCHAR)")} AS h FROM wgt),
-       |bkt AS (SELECT doc_id, w, h, h % 8 AS bucket FROM hsh),
-       |cum AS (SELECT doc_id, bucket,
-       |  CAST(COALESCE(SUM(w) OVER (PARTITION BY bucket ORDER BY h, doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
-       |  FROM bkt),
-       |tot AS (SELECT bucket, CAST(SUM(w) AS BIGINT) AS t FROM bkt GROUP BY bucket),
-       |off AS (SELECT bucket,
-       |  CAST(COALESCE(SUM(t) OVER (ORDER BY bucket
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
-       |  FROM tot),
-       |starts AS (SELECT cum.doc_id, off.o + cum.c AS st FROM cum JOIN off USING (bucket))""".stripMargin
+       |$layoutCtesSql""".stripMargin
 
   /** Interleaved multimodal packing (TextOps.encodeMultimodal →
     * packSftSequences): image placeholders lead each example (masked
@@ -823,18 +822,7 @@ object Queries {
        |  UNION ALL
        |  SELECT odoc, np + nc, CAST(${TextOps.bpeEosId()} AS BIGINT), 1 FROM pcnt),
        |wgt AS (SELECT odoc AS doc_id, np + nc + 1 AS w FROM pcnt),
-       |hsh AS (SELECT doc_id, w, ${sqlHash("CAST(doc_id AS VARCHAR)")} AS h FROM wgt),
-       |bkt AS (SELECT doc_id, w, h, h % 8 AS bucket FROM hsh),
-       |cum AS (SELECT doc_id, bucket,
-       |  CAST(COALESCE(SUM(w) OVER (PARTITION BY bucket ORDER BY h, doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
-       |  FROM bkt),
-       |tot AS (SELECT bucket, CAST(SUM(w) AS BIGINT) AS t FROM bkt GROUP BY bucket),
-       |off AS (SELECT bucket,
-       |  CAST(COALESCE(SUM(t) OVER (ORDER BY bucket
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
-       |  FROM tot),
-       |starts AS (SELECT cum.doc_id, off.o + cum.c AS st FROM cum JOIN off USING (bucket))
+       |$layoutCtesSql
        |SELECT CAST((s.st + t.tp) // $PackSeqLen AS BIGINT) AS seq_id,
        |  CAST((s.st + t.tp) % $PackSeqLen AS BIGINT) AS seq_pos,
        |  t.token_id, t.lm::INTEGER AS loss_mask, t.doc_id

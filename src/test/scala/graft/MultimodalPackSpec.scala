@@ -55,6 +55,32 @@ class MultimodalPackSpec extends SparkSpec {
       align("src_key") =!= packed("src_key")).isEmpty)
   }
 
+  test("null-text doc encodes as an image-only example; its attachments survive") {
+    val d = Seq((1L, "a caption"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val m = Seq((2L, 20L), (2L, 21L)).toDF("doc_id", "media_id")
+    val enc = TextOps.encodeMultimodal(d, m, "doc_id", "text")
+    val r2 = enc.filter(col("doc_id") === 2).head()
+    assert(r2.getAs[Long]("n_media") == 2L)
+    assert(r2.getSeq[Long](1) ==
+      Seq(TextOps.bpeImageId(), TextOps.bpeImageId(), TextOps.bpeEosId()))
+    val align = SampleOps.multimodalAlignment(enc, m, col("doc_id"),
+      "media_id", seqLen = 16, buckets = 2)
+    assert(align.count() == 2)
+  }
+
+  test("alignment refuses a media table the encode never counted") {
+    val d = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val m1 = Seq((1L, 10L)).toDF("doc_id", "media_id")
+    val m2 = Seq((1L, 10L), (1L, 11L)).toDF("doc_id", "media_id") // extra row
+    val enc = TextOps.encodeMultimodal(d, m1, "doc_id", "text")
+    val e = intercept[Exception] {
+      SampleOps.multimodalAlignment(enc, m2, col("doc_id"), "media_id",
+        seqLen = 16, buckets = 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("alignment is a pure content function across partitionings") {
     val enc = TextOps.encodeMultimodal(docs, media, "doc_id", "text")
     val a1 = SampleOps.multimodalAlignment(enc, media, col("doc_id"),

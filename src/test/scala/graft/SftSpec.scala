@@ -86,6 +86,14 @@ class SftSpec extends SparkSpec {
         seqLen = 8, buckets = 2).collect()
     }
     assert(e.getMessage != null)
+    // the guard lives in the generator input, so even a count() — which
+    // prunes every output column — must refuse (the pruning bypass a
+    // column-level guard would allow, caught in review)
+    val e2 = intercept[Exception] {
+      SampleOps.packSftSequences(rows, col("doc_id"), "token_ids", "loss_mask",
+        seqLen = 8, buckets = 2).count()
+    }
+    assert(e2.getMessage != null)
   }
 
   test("packing is a pure content function: bit-identical across partitionings") {
