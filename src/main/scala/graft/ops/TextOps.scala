@@ -273,6 +273,31 @@ object TextOps {
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 
+  /** Preference-pair (DPO/RLHF reward-modeling) example encoding: one
+    * (prompt, chosen, rejected) row becomes TWO supervised branches —
+    * each encoded exactly as [[encodeSft]] encodes (prompt, completion)
+    * (byte-faithful, independent parts, supervised EOS, 0/1 mask), with
+    * a `branch` tag ("chosen"/"rejected") and the shared idCol as the
+    * pair key. A DPO trainer consumes the two branches of a pair
+    * side-by-side; pack each branch as its own example with
+    * [[graft.ops.SampleOps.packSftSequences]] keyed by
+    * `concat(idCol, '#', branch)`. The shared prompt encodes
+    * identically in both branches (same bytes → same ids → same masked
+    * prefix; spec-pinned), so per-branch logprob deltas are
+    * prompt-aligned by construction. Output: (idCol, token_ids,
+    * loss_mask, n_tokens, branch). */
+  def encodePreference(df: DataFrame, idCol: String, promptCol: String,
+      chosenCol: String, rejectedCol: String,
+      merges: Seq[(String, String)] = DefaultBpeMerges,
+      lossless: Boolean = true): DataFrame = {
+    def branch(completion: String, tag: String): DataFrame =
+      encodeSft(df.select(col(idCol), col(promptCol),
+          col(completion).as("__completion")),
+        idCol, promptCol, "__completion", merges, lossless)
+        .withColumn("branch", lit(tag))
+    branch(chosenCol, "chosen").unionByName(branch(rejectedCol, "rejected"))
+  }
+
   /** The reserved image-placeholder id — one past [[bpeEosId]], the
     * same specials-after-vocab convention (appending merge rules moves
     * both together; pin the table for a persisted corpus). */

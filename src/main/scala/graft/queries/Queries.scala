@@ -764,6 +764,58 @@ object Queries {
        |  m.doc_id, CAST(m.ord AS BIGINT) AS media_ord, m.media_id
        |FROM medid m JOIN starts s USING (doc_id)""".stripMargin
 
+  /** Preference-pair encoding (TextOps.encodePreference): chosen =
+    * the document's continuation, rejected = the same continuation
+    * with a 'not ' prefix (deterministic, SQL-replayable). The oracle
+    * triples each doc into synthetic part-docs (prompt / chosen /
+    * rejected) through the shared lossless BPE CTEs and assembles both
+    * branch streams with prompt-count offsets. */
+  private def dpoPairsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        substring(col("text"), 1, 48).as("prompt"),
+        substring(col("text"), 49, Int.MaxValue).as("chosen"),
+        concat(lit("not "), substring(col("text"), 49, Int.MaxValue)).as("rejected"))
+    TextOps.encodePreference(d, "doc_id", "prompt", "chosen", "rejected")
+      .select(col("doc_id"), col("branch"),
+        posexplode(arrays_zip(col("token_ids"), col("loss_mask")))
+          .as(Seq("pos", "z")))
+      .select(col("doc_id"), col("branch"), col("pos").cast("long").as("pos"),
+        col("z.token_ids").as("token_id"), col("z.loss_mask").as("loss_mask"))
+  }
+
+  private def dpoPairsSql: String =
+    s"""WITH RECURSIVE pref AS (
+       |  SELECT doc_id, substring(text, 1, 48) AS prompt,
+       |    CASE WHEN length(text) > 48 THEN substring(text, 49) ELSE '' END AS completion
+       |  FROM documents WHERE text IS NOT NULL),
+       |prefsrc AS (
+       |  SELECT doc_id * 3 AS doc_id, prompt AS text FROM pref
+       |  UNION ALL SELECT doc_id * 3 + 1, completion FROM pref
+       |  UNION ALL SELECT doc_id * 3 + 2, 'not ' || completion FROM pref),
+       |${bpeCtesSqlFrom("prefsrc")}, ${bpeIdCtesSql(lossless = true, "prefsrc")},
+       |parts AS (SELECT doc_id // 3 AS odoc, doc_id % 3 AS part, pos, token_id FROM ids),
+       |pcnt AS (SELECT p.doc_id AS odoc,
+       |    COALESCE(pp.n, 0) AS np, COALESCE(cc.n, 0) AS ncc, COALESCE(rr.n, 0) AS ncr
+       |  FROM pref p
+       |  LEFT JOIN (SELECT odoc, CAST(count(*) AS BIGINT) AS n FROM parts WHERE part = 0 GROUP BY odoc) pp ON pp.odoc = p.doc_id
+       |  LEFT JOIN (SELECT odoc, CAST(count(*) AS BIGINT) AS n FROM parts WHERE part = 1 GROUP BY odoc) cc ON cc.odoc = p.doc_id
+       |  LEFT JOIN (SELECT odoc, CAST(count(*) AS BIGINT) AS n FROM parts WHERE part = 2 GROUP BY odoc) rr ON rr.odoc = p.doc_id)
+       |SELECT doc_id, branch, pos, token_id, lm::INTEGER AS loss_mask FROM (
+       |  SELECT p.odoc AS doc_id, b.branch, p.pos AS pos, p.token_id, 0 AS lm
+       |  FROM parts p CROSS JOIN (SELECT 'chosen' AS branch UNION ALL SELECT 'rejected') b
+       |  WHERE p.part = 0
+       |  UNION ALL
+       |  SELECT p.odoc, 'chosen', c.np + p.pos, p.token_id, 1
+       |  FROM parts p JOIN pcnt c ON c.odoc = p.odoc WHERE p.part = 1
+       |  UNION ALL
+       |  SELECT odoc, 'chosen', np + ncc, CAST(${TextOps.bpeEosId()} AS BIGINT), 1 FROM pcnt
+       |  UNION ALL
+       |  SELECT p.odoc, 'rejected', c.np + p.pos, p.token_id, 1
+       |  FROM parts p JOIN pcnt c ON c.odoc = p.odoc WHERE p.part = 2
+       |  UNION ALL
+       |  SELECT odoc, 'rejected', np + ncr, CAST(${TextOps.bpeEosId()} AS BIGINT), 1 FROM pcnt)""".stripMargin
+
   /** SFT example packing (TextOps.encodeSft → SampleOps
     * .packSftSequences): prompt = the document's first 48 chars,
     * completion = the rest (the continue-the-document framing), both
@@ -1422,6 +1474,25 @@ object Queries {
        |${sqlDrift(binned("lang = 'en'"), binned("lang <> 'en'"))}
        |SELECT key, n_a, n_b, ppm_a, ppm_b, psi_q16 FROM drift""".stripMargin
   }
+
+  /** Token-distribution drift — the drift family composed onto the
+    * lossless BPE stream: PSI over per-token-id ppm rates between two
+    * corpus halves. The training-corpus QA row: "did the snapshot's
+    * token mix move?" without any corpus-to-corpus join. */
+  private def tokenDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val enc = TextOps.encodeBpe(t(s, dir, "documents"), "doc_id", "text",
+      TextOps.DefaultBpeMerges, lossless = true)
+    val tok = enc.select(col("doc_id"), explode(col("token_ids")).as("token_id"))
+    ProfileOps.categoryDrift(tok.filter(col("doc_id") % 2 === 0),
+      tok.filter(col("doc_id") % 2 =!= 0), "token_id")
+  }
+
+  private def tokenDriftSql: String =
+    s"""WITH RECURSIVE $bpeCtesSql, ${bpeIdCtesSql(lossless = true)},
+       |${sqlDrift(
+          "SELECT CAST(token_id AS VARCHAR) AS key FROM ids WHERE doc_id % 2 = 0",
+          "SELECT CAST(token_id AS VARCHAR) AS key FROM ids WHERE doc_id % 2 <> 0")}
+       |SELECT key, n_a, n_b, ppm_a, ppm_b, psi_q16 FROM drift""".stripMargin
 
   // ---- Product quantization: from-rows 8×8 codebook (vec_id < 8 →
   // dense cent_id = vec_id), m = 8 subspaces × dsub = 8 over dim 64.
@@ -3263,6 +3334,7 @@ object Queries {
     "q_sft_pack" -> (sftPackQ _),
     "q_mm_pack" -> (mmPackQ _),
     "q_sft_pipeline" -> (sftPipelineQ _),
+    "q_dpo_pairs" -> (dpoPairsQ _),
     "q_mm_alignment" -> (mmAlignmentQ _),
     "q_training_pipeline" -> (trainingPipelineQ _),
     "q_epoch_shuffle" -> (epochShuffleQ _),
@@ -3294,6 +3366,7 @@ object Queries {
     "q_category_drift" -> (categoryDriftQ _),
     "q_drift_summary" -> (driftSummaryQ _),
     "q_histogram_drift" -> (histogramDriftQ _),
+    "q_token_drift" -> (tokenDriftQ _),
     "q_pq_encode" -> (pqEncodeQ _),
     "q_pq_topk" -> (pqTopkQ _),
     "q_ivfpq_topk" -> (ivfPqTopkQ _),
@@ -3400,6 +3473,7 @@ object Queries {
     "q_sft_pack" -> sftPackSql,
     "q_mm_pack" -> mmPackSql,
     "q_sft_pipeline" -> sftPipelineSql,
+    "q_dpo_pairs" -> dpoPairsSql,
     "q_mm_alignment" -> mmAlignmentSql,
     "q_training_pipeline" -> trainingPipelineSql,
     "q_epoch_shuffle" -> epochShuffleSql,
@@ -3431,6 +3505,7 @@ object Queries {
     "q_category_drift" -> categoryDriftSql,
     "q_drift_summary" -> driftSummarySql,
     "q_histogram_drift" -> histogramDriftSql,
+    "q_token_drift" -> tokenDriftSql,
     "q_pq_encode" -> pqEncodeSql,
     "q_pq_topk" -> pqTopkSql,
     "q_ivfpq_topk" -> ivfPqTopkSql,

@@ -96,6 +96,36 @@ class SftSpec extends SparkSpec {
     assert(e2.getMessage != null)
   }
 
+  test("encodePreference: branches share the prompt's masked prefix byte-for-byte") {
+    val d = sft.select(col("doc_id"), col("prompt"),
+      col("completion").as("chosen"),
+      concat(lit("not "), col("completion")).as("rejected"))
+    val enc = TextOps.encodePreference(d, "doc_id", "prompt", "chosen", "rejected")
+    // two branches per pair
+    val counts = enc.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      countDistinct(col("branch")).as("nb"))
+    assert(counts.filter(col("n") =!= 2 || col("nb") =!= 2).isEmpty)
+    // the prompt prefix (ids AND mask) is identical across branches
+    val np = graft.functions.exprs.bpeTokenIds(col("prompt"),
+      TextOps.DefaultBpeMerges, lossless = true)
+    val pfx = enc.join(sft.select(col("doc_id"), col("prompt")), "doc_id")
+      .select(col("doc_id"), col("branch"),
+        slice(col("token_ids"), lit(1), size(np)).as("p_ids"),
+        slice(col("loss_mask"), lit(1), size(np)).as("p_mask"))
+    val byPair = pfx.groupBy("doc_id")
+      .agg(countDistinct(col("p_ids")).as("di"), countDistinct(col("p_mask")).as("dm"))
+    assert(byPair.filter(col("di") =!= 1 || col("dm") =!= 1).isEmpty)
+    // prompt tokens unsupervised in both branches
+    assert(pfx.filter(exists(col("p_mask"), m => m =!= 0)).isEmpty)
+    // branches diverge after the prompt (rejected carries the 'not ' prefix)
+    val chosen = enc.filter(col("branch") === "chosen")
+      .select(col("doc_id"), col("token_ids").as("c_ids"))
+    val rejected = enc.filter(col("branch") === "rejected")
+      .select(col("doc_id"), col("token_ids").as("r_ids"))
+    assert(chosen.join(rejected, "doc_id")
+      .filter(col("c_ids") === col("r_ids")).isEmpty)
+  }
+
   test("packing is a pure content function: bit-identical across partitionings") {
     val enc = TextOps.encodeSft(sft, "doc_id", "prompt", "completion")
     val p1 = SampleOps.packSftSequences(enc, col("doc_id"),
