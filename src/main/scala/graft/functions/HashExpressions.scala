@@ -322,12 +322,28 @@ object HashKernels {
     * same exactly-rounded divide, same math.round), which evaluates
     * interpreted AND re-derives n2 per element when the norm expression
     * gets inlined into the lambda (O(dim²) per row). Zero norm → the
-    * all-zero vector. */
+    * all-zero vector. The Σx² accumulation is EXACT-OVERFLOW-CHECKED
+    * (addExact/multiplyExact intrinsics): a raw element ≥ ~3e9 — an
+    * embedding quantized at a wildly wrong scale — would otherwise
+    * wrap the long sum and silently emit an all-zero or mis-normalized
+    * vector; the library's no-silent-mis-scoring contract says fail
+    * loudly instead. (|x| ≲ 3.8e8 also keeps dim ≤ 64 sums exact; the
+    * 1e-4-grid unit vectors every caller feeds are ≤ ~1e4.) */
   def unitQuantize(a: ArrayData, scale: Long): ArrayData = {
     val n = a.numElements()
     var s = 0L
     var i = 0
-    while (i < n) { val x = a.getLong(i); s += x * x; i += 1 }
+    try {
+      while (i < n) {
+        val x = a.getLong(i)
+        s = Math.addExact(s, Math.multiplyExact(x, x)); i += 1
+      }
+    } catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        s"unitQuantize: Σx² overflows long at element $i (|x| too large " +
+          "for the quantization grid — was the vector quantized at the " +
+          "wrong scale?)")
+    }
     val out = new Array[Long](n)
     if (s > 0L) {
       val nrm = math.sqrt(s.toDouble)

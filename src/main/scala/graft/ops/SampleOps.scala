@@ -122,11 +122,43 @@ object SampleOps {
     * data path beyond B longs.
     */
   def assignShards(df: DataFrame, key: Column, tokenCol: String,
-      targetTokens: Long, buckets: Int = 0): DataFrame = {
+      targetTokens: Long, buckets: Int = 0): DataFrame =
+    assignShardsTotal(df, key, tokenCol, targetTokens, buckets)._1
+
+  /** [[assignShards]] plus the exact shard count it will produce
+    * (`grand total div targetTokens + 1` — shards are globally
+    * consecutive cuts of the total token stream), known BEFORE any
+    * corpus write from the prefix sum's own driver-side accumulator.
+    * The sharded writers pre-check the manifest bound against this, so
+    * a mis-sized `targetTokens` refuses up front instead of after the
+    * full staged corpus write (hours at 100 TB). */
+  private def assignShardsTotal(df: DataFrame, key: Column, tokenCol: String,
+      targetTokens: Long, buckets: Int): (DataFrame, Long) = {
     require(targetTokens > 0, s"need positive targetTokens, got $targetTokens")
-    withGlobalStart(df, key, col(tokenCol).cast("long"), buckets)
+    val (started, total) =
+      withGlobalStartTotal(df, key, col(tokenCol).cast("long"), buckets)
+    val assigned = started
       .withColumn("shard_id", expr(s"__start div $targetTokens"))
       .drop("__start")
+    (assigned, if (total <= 0L) 0L else (total - 1L) / targetTokens + 1L)
+  }
+
+  /** The PRE-write half of the manifest-scale gate: refuse a mis-sized
+    * `targetTokens` from the prefix sum's grand total BEFORE the staged
+    * corpus write burns hours at 100 TB. Upper bound (a shard is a
+    * consecutive token-stream cut, so count ≤ ⌈total/target⌉); the
+    * post-write listing check stays the authoritative gate. */
+  private def requirePreShardBound(op: String, expected: Long,
+      standing: Long, maxShards: Long): Unit = {
+    val total = standing + expected
+    val breakdown =
+      if (standing > 0) s" ($standing standing + ~$expected new)" else ""
+    require(total <= maxShards,
+      s"$op: ~$total shards$breakdown would exceed the driver-safe " +
+        s"manifest bound $maxShards (pre-write estimate from corpus " +
+        "tokens / targetTokens) — raise targetTokens, re-shard the " +
+        "standing corpus, or raise maxManifestShards deliberately; " +
+        "refusing BEFORE the staged corpus write")
   }
 
   /** The packing ops install a `__ids` working column (ids + separator)
@@ -148,7 +180,16 @@ object SampleOps {
     * tiny aggregate, one broadcast join — no global sort, no driver
     * data path beyond B longs. */
   private def withGlobalStart(df: DataFrame, key: Column, weight: Column,
-      buckets: Int): DataFrame = {
+      buckets: Int): DataFrame =
+    withGlobalStartTotal(df, key, weight, buckets)._1
+
+  /** [[withGlobalStart]] plus the corpus GRAND TOTAL weight — already
+    * computed by the eager bucket-totals collect (the driver-side
+    * prefix sum's accumulator), exposed so callers can pre-check
+    * scale dials (e.g. the shard-count bound) BEFORE paying a corpus
+    * write, at zero extra jobs. */
+  private def withGlobalStartTotal(df: DataFrame, key: Column,
+      weight: Column, buckets: Int): (DataFrame, Long) = {
     // the working columns installed below would silently overwrite (and
     // then drop) an input column of the same name — refuse loudly
     val reserved = Seq("__h", "__sb", "__w", "__cum", "__ob", "__off", "__start")
@@ -177,11 +218,13 @@ object SampleOps {
           org.apache.spark.sql.types.LongType, nullable = false))))
     val w = Window.partitionBy(col("__sb")).orderBy(col("__h").asc, key.asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("__h", h).withColumn("__sb", bucket).withColumn("__w", weight)
+    val out = df.withColumn("__h", h).withColumn("__sb", bucket)
+      .withColumn("__w", weight)
       .withColumn("__cum", coalesce(sum(col("__w")).over(w), lit(0L)))
       .join(broadcast(offDf), col("__sb") === col("__ob"))
       .withColumn("__start", col("__off") + col("__cum"))
       .drop("__h", "__sb", "__w", "__cum", "__ob", "__off")
+    (out, acc)
   }
 
   /** Pack per-row id arrays into fixed-length training sequences —
@@ -298,15 +341,26 @@ object SampleOps {
     val ordered = media
       .withColumn("media_ord", row_number().over(w).cast("long") - 1L)
       .select(key.as("src_key"), col("media_ord"), col(mediaIdCol))
-    ordered.join(starts, "src_key")
+    // LEFT join from media: an attachment whose doc key has no encoded
+    // row at all (a media table keyed to missing docs) must refuse,
+    // not silently vanish — an inner join here would drop those rows
+    // with no error, inconsistent with the media_ord guard below
+    ordered.join(starts, Seq("src_key"), "left")
       // a media table inconsistent with the one the encode counted
-      // (extra attachments) would otherwise label a TEXT token as an
-      // embedding slot — refuse on the coordinate path (seq_id/seq_pos
-      // derive from __g, so any consumer reading coordinates evaluates
-      // the guard; a bare count() of alignment rows does not force it)
+      // (extra attachments, or attachments of unknown docs — __start
+      // null from the left join) would otherwise label a TEXT token as
+      // an embedding slot or shrink the table silently — refuse on the
+      // coordinate path (seq_id/seq_pos derive from __g, so any
+      // consumer reading coordinates evaluates the guard; a bare
+      // count() of alignment rows does not force it)
       .withColumn("__g",
-        when(col("media_ord") < col("n_media"),
-          col("__start") + col("media_ord"))
+        when(col("__start").isNull,
+          raise_error(lit(
+            "multimodalAlignment: media row keyed to a doc absent from " +
+              "the encoded corpus — the media table does not match the " +
+              "encoded corpus")))
+          .when(col("media_ord") < col("n_media"),
+            col("__start") + col("media_ord"))
           .otherwise(raise_error(lit(
             "multimodalAlignment: media_ord >= the n_media the encode " +
               "counted — the media table does not match the encoded corpus"))))
@@ -468,7 +522,10 @@ object SampleOps {
       sidecar: Option[String => Unit] = None): DataFrame = {
     requireLocalPath("writeSharded", path)
     val spark = df.sparkSession
-    val assigned = assignShards(df, key, tokenCol, targetTokens, buckets)
+    val (shards, nShards) =
+      assignShardsTotal(df, key, tokenCol, targetTokens, buckets)
+    requirePreShardBound("writeSharded", nShards, 0L, maxManifestShards)
+    val assigned = shards
       .select(col("shard_id"), key.as("seq_key"),
         col(tokenCol).cast("long").as("n_tokens"), col(textCol).as("text"))
     val tmp = path + "__staging"
@@ -816,7 +873,11 @@ object SampleOps {
     val offset = standing.lastOption.map(_.getLong(0) + 1).getOrElse(0L)
     val staging = path + "__append_staging"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
-    val assigned = assignShards(df, key, tokenCol, targetTokens, buckets)
+    val (shards, nShards) =
+      assignShardsTotal(df, key, tokenCol, targetTokens, buckets)
+    requirePreShardBound("appendSharded", nShards, standing.length.toLong,
+      maxManifestShards)
+    val assigned = shards
       .select((col("shard_id") + offset).as("shard_id"), key.as("seq_key"),
         col(tokenCol).cast("long").as("n_tokens"), col(textCol).as("text"))
     assigned

@@ -1043,14 +1043,30 @@ object TextOps {
     * hex-alphabet (`std::add`, `ns::f`) — shredding every code corpus
     * to protect the loopback address is the wrong trade, and the
     * common v4-mapped `::ffff:1.2.3.4` still loses its dotted tail to
-    * the IPv4 rule (spec-pinned, both directions). The phone
+    * the IPv4 rule (spec-pinned, both directions). The residual
+    * false-positive class of the compressed form: a PURE-hex-alphabet
+    * identifier pair around a scope operator at word start (`be::add`,
+    * `face::cafe`, `a::f` in C++/Rust) parses as `hexgroup::hexgroup`
+    * and is rewritten to `<IPV6>` — both sides must be entirely
+    * [0-9a-f] and ≤4 chars, so ordinary identifiers (`std`, `vec`,
+    * `ns1`) break the match; audit a code corpus for short-hex-word
+    * scope pairs before scrubbing, or pre-mask the `::` operator. The
+    * phone
     * pattern counts DIGITS by construction — each repeat unit is
     * (≤2 separators + one digit), so a match needs ≥9 digits: ISO
     * dates (8 digits) and grouped thousands like "1 200 000" (7)
     * survive. The secret rule is the STRUCTURAL signature of keys /
     * tokens / base64 blobs — 40+ unbroken chars of the token alphabet
     * (no '/', so URL paths don't chain into one run); JWTs are caught
-    * per base64url segment (dots break runs). */
+    * per base64url segment (dots break runs). KNOWN COLLISION: a bare
+    * 40-hex git commit SHA or content hash — ubiquitous in code and
+    * docs corpora — is structurally indistinguishable from a 40-char
+    * hex API key (which real providers ship), so it IS rewritten to
+    * `<SECRET>`; the rule deliberately keeps them (a hex-exclusion
+    * carve-out would whitelist exactly the hex-keyed secrets). For a
+    * code corpus where hash fidelity matters more than hex-key
+    * coverage, pre-mask `\b[0-9a-f]{40}\b`/`{64}` runs to a
+    * placeholder before this pass and restore after. */
   val PiiPatterns: Seq[(String, String, String)] = Seq(
     ("n_emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("n_ipv6", "\\b(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|" +

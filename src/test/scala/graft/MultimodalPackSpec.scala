@@ -81,6 +81,20 @@ class MultimodalPackSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("alignment refuses a media row keyed to a doc absent from the encode") {
+    val d = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val m1 = Seq((1L, 10L)).toDF("doc_id", "media_id")
+    // media for doc 2, which the encode never saw: must refuse, not
+    // silently shrink the alignment table
+    val m3 = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "media_id")
+    val enc = TextOps.encodeMultimodal(d, m1, "doc_id", "text")
+    val e = intercept[Exception] {
+      SampleOps.multimodalAlignment(enc, m3, col("doc_id"), "media_id",
+        seqLen = 16, buckets = 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("alignment is a pure content function across partitionings") {
     val enc = TextOps.encodeMultimodal(docs, media, "doc_id", "text")
     val a1 = SampleOps.multimodalAlignment(enc, media, col("doc_id"),

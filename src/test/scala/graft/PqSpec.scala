@@ -183,6 +183,16 @@ class PqSpec extends SparkSpec {
       .select(graft.functions.exprs.unitQuantize(SimilarityOps.quantize(col("v"))))
       .head().getSeq[Long](0)
     assert(z == Seq(0L, 0L))
+    // Σx² long overflow (element ≥ ~3e9 post-quantization — a vector
+    // quantized at a wildly wrong scale) fails LOUDLY instead of
+    // silently emitting an all-zero / mis-normalized unit vector
+    val big = Seq(Tuple1(Array(4e5f, 1.0f))).toDF("v")
+    val e = intercept[Exception] {
+      big.select(graft.functions.exprs.unitQuantize(
+        SimilarityOps.quantize(col("v")))).collect()
+    }
+    assert(e.getMessage.contains("overflow") ||
+      Option(e.getCause).exists(_.getMessage.contains("overflow")))
   }
 
   test("ivfPqIndex: parquet-roundtripped standing index answers identically to the one-shot op") {

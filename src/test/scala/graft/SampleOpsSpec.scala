@@ -1148,6 +1148,9 @@ class SampleOpsSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("driver-safe manifest bound") &&
         e.getMessage.contains("targetTokens"))
+      // the refusal fired BEFORE the staged corpus write (the pre-write
+      // half of the gate): no staging dir was ever created
+      assert(!new java.io.File(out + "__staging").exists())
       // a passing write, then an append that would push past the bound
       SampleOps.writeSharded(corpus.limit(40), col("doc_id"), "n_chars",
         "text", out, targetTokens = 3000L, buckets = 2)
