@@ -586,6 +586,31 @@ object SampleOps {
     staging => vocab.coalesce(1).write
       .parquet(new java.io.File(staging, "_graft_vocab.parquet").getPath)
 
+  /** The full sidecar set of a trainer-ready corpus: the dense-vocab
+    * table PLUS the `_graft_specials.parquet` registry pin —
+    * (name, token_id, dense_id) for every [[TextOps.SpecialTokenNames]]
+    * entry under the ENCODING merges table, dense_id null when the
+    * special never occurs in this corpus. Both write INSIDE the staged
+    * swap, so a published corpus always carries the authoritative
+    * record of what its specials' ids were: a live merges table
+    * extended after publish moves the whole specials block, and
+    * re-deriving from it would silently disagree with the stored ids —
+    * readers resolve specials through the sidecar, never the registry.
+    * The EOS must resolve to a dense id ([[TextOps.denseId]] fails
+    * loudly if absent): every packed document carries one, so an
+    * unresolvable EOS means the merges passed here are NOT the merges
+    * the corpus was encoded with. */
+  private[graft] def corpusSidecars(vocab: DataFrame,
+      merges: Seq[(String, String)]): String => Unit = staging => {
+    vocabSidecar(vocab)(staging)
+    TextOps.denseId(vocab, TextOps.bpeEosId(merges))
+    TextOps.specialsTable(vocab.sparkSession, merges)
+      .join(vocab, Seq("token_id"), "left")
+      .select(col("name"), col("token_id"), col("dense_id"))
+      .coalesce(1).write
+      .parquet(new java.io.File(staging, "_graft_specials.parquet").getPath)
+  }
+
   /** ONE-CALL trainer-ready corpus: the whole round-13 materialization
     * chain — quality filter → exact-dedup keep-first (skipped when
     * `curate = false`: the caller already curated) → byte-faithful
@@ -633,7 +658,7 @@ object SampleOps {
       buckets)
     val manifest = writeSharded(packed, col("seq_id"), "n_tokens",
       "token_ids", path, targetTokens, buckets,
-      sidecar = Some(vocabSidecar(vocab)))
+      sidecar = Some(corpusSidecars(vocab, merges)))
     (manifest, vocab)
   }
 
@@ -666,7 +691,9 @@ object SampleOps {
     * examples). */
   def compactPackedEpochs(spark: org.apache.spark.sql.SparkSession,
       path: String, outPath: String, epochSeqLen: Int, seqLen: Int,
-      targetTokens: Long, buckets: Int): (DataFrame, DataFrame) = {
+      targetTokens: Long, buckets: Int,
+      merges: Seq[(String, String)] = TextOps.DefaultBpeMerges)
+      : (DataFrame, DataFrame) = {
     require(epochSeqLen > 0 && seqLen > 0, "sequence lengths must be > 0")
     val segs = spark.read.parquet(path)
       .select(col("epoch").cast("long").as("__e"),
@@ -720,6 +747,11 @@ object SampleOps {
     // reserve — an eosId parameter here could only inject a phantom
     // never-observed id and shift every dense id above it
     val vocab = TextOps.denseVocab(segs, "text")
+    // fail FAST on an encoder/corpus disagreement: the EOS id under
+    // the caller's merges must be in the observed vocab (every packed
+    // document carries one) — refuse before the re-cut corpus write,
+    // not at the sidecar step after it
+    TextOps.denseId(vocab, TextOps.bpeEosId(merges))
     // fragment-granularity re-cut, exactly [[materializePackedSequences]]'
     // shape: each input sequence (array + its arithmetic global start)
     // covers ≤ ⌈epochSeqLen/seqLen⌉+1 output sequences — emit one
@@ -754,9 +786,15 @@ object SampleOps {
             x => x.getField("__frag"))).as("__sparse")),
         "__sparse", vocab, "token_ids")
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+    // specials pinned from the ENCODER's merges: the EOS-resolves
+    // guard inside corpusSidecars is the "compacted corpus can never
+    // disagree with its encoder about a special id" contract — a
+    // mismatched merges table yields an EOS id the observed vocab
+    // cannot contain (every packed document carries one), refusing
+    // BEFORE the corpus publishes
     val manifest = writeSharded(packed, col("seq_id"), "n_tokens",
       "token_ids", outPath, targetTokens, buckets,
-      sidecar = Some(vocabSidecar(vocab)))
+      sidecar = Some(corpusSidecars(vocab, merges)))
     (manifest, vocab)
   }
 

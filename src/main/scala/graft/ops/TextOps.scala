@@ -232,14 +232,49 @@ object TextOps {
     df.select(col(idCol),
       graft.functions.exprs.bpeDecode(col(idsCol), merges).as("decoded"))
 
+  /** The AUTHORITATIVE specials-after-vocab registry, in id order: the
+    * special token ids occupy the slots immediately past the last
+    * merge rule's id (`VocabBase + merges.size + ordinal`), exactly
+    * like a real tokenizer's specials-after-vocab convention. This
+    * sequence IS the registry — [[bpeEosId]], [[bpeImageId]],
+    * [[bpeRoleId]], [[bpeEotId]] all resolve through it, so a new
+    * special is ONE entry here (append-only: reordering would renumber
+    * every persisted corpus's specials). Appending merge rules moves
+    * the whole block together; a PERSISTED corpus pins the resolved
+    * table via the `_graft_specials.parquet` sidecar
+    * ([[graft.ops.SampleOps.materializeTrainingCorpus]]), the
+    * durable record of what each special's id was under the encoding
+    * merges — never re-derive specials of a stored corpus from a
+    * possibly-extended live merges table. */
+  val SpecialTokenNames: Seq[String] =
+    Seq("eos", "image", "role_system", "role_user", "role_assistant", "eot")
+
+  /** The resolved registry under a merges table: name → token id. */
+  def bpeSpecialIds(
+      merges: Seq[(String, String)] = DefaultBpeMerges): Map[String, Long] = {
+    val base = graft.functions.BpeTokenIds.VocabBase + merges.size
+    SpecialTokenNames.zipWithIndex
+      .map { case (n, i) => n -> (base + i) }.toMap
+  }
+
+  /** The registry as a model-sized frame (name, token_id) — the shape
+    * the `_graft_specials.parquet` sidecar persists. */
+  def specialsTable(spark: SparkSession,
+      merges: Seq[(String, String)] = DefaultBpeMerges): DataFrame = {
+    import spark.implicits._
+    val ids = bpeSpecialIds(merges)
+    SpecialTokenNames.map(n => (n, ids(n))).toDF("name", "token_id")
+  }
+
   /** The id one past the last merge rule's — the conventional
     * end-of-document separator for [[encodeBpe]] output fed to
-    * [[graft.ops.SampleOps.packSequences]]. Appending rules to the
+    * [[graft.ops.SampleOps.packSequences]]; slot 0 of the
+    * [[SpecialTokenNames]] registry. Appending rules to the
     * table moves it, exactly like a real tokenizer's specials-after-
     * vocab convention; pin the table (or pass an explicit id) for a
     * persisted corpus. */
   def bpeEosId(merges: Seq[(String, String)] = DefaultBpeMerges): Long =
-    graft.functions.BpeTokenIds.VocabBase + merges.size
+    bpeSpecialIds(merges)("eos")
 
   /** SFT (prompt, completion) example encoding — the supervised twin of
     * [[encodeBpe]]: one map-only pass emitting the concatenated id
@@ -298,11 +333,31 @@ object TextOps {
     branch(chosenCol, "chosen").unionByName(branch(rejectedCol, "rejected"))
   }
 
-  /** The reserved image-placeholder id — one past [[bpeEosId]], the
-    * same specials-after-vocab convention (appending merge rules moves
-    * both together; pin the table for a persisted corpus). */
+  /** The reserved image-placeholder id — slot 1 of the
+    * [[SpecialTokenNames]] registry (appending merge rules moves the
+    * whole specials block together; pin the table for a persisted
+    * corpus). */
   def bpeImageId(merges: Seq[(String, String)] = DefaultBpeMerges): Long =
-    bpeEosId(merges) + 1
+    bpeSpecialIds(merges)("image")
+
+  /** The role-marker special for `role` ("system" / "user" /
+    * "assistant") — slots 2–4 of the [[SpecialTokenNames]] registry.
+    * Unknown roles refuse loudly: a chat corpus with a typo'd role
+    * must never silently encode a wrong marker. */
+  def bpeRoleId(role: String,
+      merges: Seq[(String, String)] = DefaultBpeMerges): Long =
+    bpeSpecialIds(merges).getOrElse(s"role_$role",
+      throw new IllegalArgumentException(
+        s"unknown chat role '$role' — the specials registry knows " +
+          s"${SpecialTokenNames.filter(_.startsWith("role_"))
+            .map(_.stripPrefix("role_")).mkString(", ")}"))
+
+  /** The end-of-turn special — slot 5 of the [[SpecialTokenNames]]
+    * registry: closes every chat turn ([[encodeChat]]), supervised on
+    * assistant turns so the model learns to STOP a turn (the ChatML
+    * `im_end` convention). */
+  def bpeEotId(merges: Seq[(String, String)] = DefaultBpeMerges): Long =
+    bpeSpecialIds(merges)("eot")
 
   /** Interleaved multimodal example encoding — the VLM twin of
     * [[encodeSft]]: each document becomes `n_media` image-placeholder
@@ -343,6 +398,82 @@ object TextOps {
         concat(array_repeat(lit(0), col("__nm")),
           array_repeat(lit(1), size(col("__t")) + 1)).as("loss_mask"),
         col("__nm").cast("long").as("n_media"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** Multi-turn chat-template SFT encoding — the conversation twin of
+    * [[encodeSft]]: a (conversation id, turn_ord, role, text) TURN
+    * table becomes one supervised example per conversation. Template
+    * (the ChatML shape on this library's specials registry): each turn
+    * renders as `[role marker] text-ids [EOT]` — role markers from
+    * [[bpeRoleId]] (system/user/assistant; an unknown or null role
+    * REFUSES loudly, a typo'd role must never silently encode a wrong
+    * marker), per-turn text byte-faithful under `lossless = true`
+    * (null text reads as empty — a role-only turn is a legal turn) —
+    * and the conversation closes with one [[bpeEosId]] EOS. Loss
+    * masks per the standard chat-SFT contract: ASSISTANT turns'
+    * text + EOT are supervised (the EOT is what teaches the model to
+    * STOP a turn), their role marker is not (it is prompt-side
+    * control); system/user turns are fully masked; the final EOS is
+    * supervised like [[encodeSft]]'s.
+    *
+    * Turn assembly is ONE conversation-keyed aggregate (group volume =
+    * one conversation's turns) over map-only per-turn encode rows —
+    * the turn order is `turnOrdCol` ascending, and a conversation
+    * carrying DUPLICATE turn ordinals refuses in-plan (its assembly
+    * order would be content-dependent, the nondeterminism this
+    * library's layout contracts exist to kill); a null ordinal
+    * refuses at the row. Output: (idCol, token_ids, loss_mask,
+    * n_turns, n_tokens) — feed to
+    * [[graft.ops.SampleOps.packSftSequences]] (concat-and-cut, the
+    * mask rides along) or the segmented/padded variants. */
+  def encodeChat(turns: DataFrame, idCol: String, turnOrdCol: String,
+      roleCol: String, textCol: String,
+      merges: Seq[(String, String)] = DefaultBpeMerges,
+      lossless: Boolean = true): DataFrame = {
+    val ids = bpeSpecialIds(merges)
+    val roles = SpecialTokenNames.filter(_.startsWith("role_"))
+      .map(_.stripPrefix("role_"))
+    val roleId = roles.foldLeft(
+      when(lit(false), lit(0L))) { (acc, r) =>
+        acc.when(col(roleCol) === r, lit(ids(s"role_$r")))
+      }.otherwise(raise_error(concat(
+        lit("encodeChat: unknown chat role '"),
+        coalesce(col(roleCol), lit("<null>")),
+        lit(s"' — the specials registry knows ${roles.mkString(", ")}"))))
+    val sup = (col(roleCol) === "assistant").cast("int")
+    val perTurn = turns
+      .select(col(idCol),
+        when(col(turnOrdCol).isNull, raise_error(lit(
+            "encodeChat: null turn_ord — a stable turn order needs a " +
+              "non-null ordinal per turn")))
+          .otherwise(col(turnOrdCol).cast("long")).as("__ord"),
+        roleId.as("__role"), sup.as("__sup"),
+        graft.functions.exprs.bpeTokenIds(
+          coalesce(col(textCol), lit("")), merges, lossless).as("__t"))
+      .select(col(idCol), col("__ord"),
+        concat(array(col("__role")), col("__t"),
+          array(lit(ids("eot")))).as("__ids"),
+        concat(array(lit(0)), array_repeat(col("__sup"), size(col("__t"))),
+          array(col("__sup"))).as("__lm"))
+    perTurn
+      .groupBy(col(idCol))
+      .agg(
+        array_sort(collect_list(struct(col("__ord"),
+          col("__ids").as("i"), col("__lm").as("m")))).as("__ts"),
+        count(lit(1)).as("__n"),
+        countDistinct(col("__ord")).as("__nd"))
+      .select(col(idCol),
+        when(col("__n") === col("__nd"),
+          concat(
+            flatten(transform(col("__ts"), t => t.getField("i"))),
+            array(lit(ids("eos"))))).otherwise(raise_error(lit(
+            "encodeChat: duplicate turn_ord within a conversation — " +
+              "the turn order would be content-dependent; renumber the " +
+              "turns"))).as("token_ids"),
+        concat(flatten(transform(col("__ts"), t => t.getField("m"))),
+          array(lit(1))).as("loss_mask"),
+        col("__n").as("n_turns"))
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 

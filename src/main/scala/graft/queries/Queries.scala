@@ -978,6 +978,92 @@ object Queries {
 
   private def sftPipelineSql: String = sftOracleSql(survivorCtesSql, "srcdocs")
 
+  /** The deterministic synthetic CONVERSATION table the chat oracle
+    * replays: each document split into five turns —
+    * system(1..48) / user(49..96) / assistant(97..144) / user(145..192)
+    * / assistant(193..end) — so multi-turn role alternation, empty
+    * turns (docs shorter than an offset), and the tail turn are all
+    * exercised. */
+  private def chatTurns(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+    val slices = Seq(
+      (0L, "system", 1), (1L, "user", 49), (2L, "assistant", 97),
+      (3L, "user", 145))
+    val fixed = slices.map { case (ord, role, start) =>
+      d.select(col("doc_id"), lit(ord).as("turn_ord"), lit(role).as("role"),
+        substring(col("text"), start, 48).as("turn_text"))
+    }
+    val tail = d.select(col("doc_id"), lit(4L).as("turn_ord"),
+      lit("assistant").as("role"),
+      substring(col("text"), 193, Int.MaxValue).as("turn_text"))
+    (fixed :+ tail).reduce(_ unionByName _)
+  }
+
+  /** Multi-turn chat-template SFT (TextOps.encodeChat →
+    * packSftSequences): each turn renders `[role] text-ids [EOT]`,
+    * the conversation closes with one EOS; assistant text + EOT
+    * supervised, role markers and user/system turns masked. The
+    * oracle encodes every turn as its own synthetic doc
+    * (conv·8 + ord) through the shared lossless BPE CTEs, reassembles
+    * the per-conversation stream with cumulative (nt + 2) turn
+    * offsets, and replays the two-level-hash pack layout with
+    * conversation weight = Σ(nt + 2) + 1. */
+  private def chatPackQ(s: SparkSession, dir: String): DataFrame = {
+    val enc = TextOps.encodeChat(chatTurns(s, dir), "doc_id", "turn_ord",
+      "role", "turn_text")
+    SampleOps.packSftSequences(enc, col("doc_id"), "token_ids", "loss_mask",
+        seqLen = PackSeqLen, buckets = 8)
+      .select(col("seq_id"), col("seq_pos"), col("token_id"),
+        col("loss_mask"), col("src_key").as("doc_id"))
+  }
+
+  private def chatPackSql: String = {
+    val ids = TextOps.bpeSpecialIds()
+    s"""WITH RECURSIVE chat AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |turns AS (
+       |  SELECT doc_id, 0 AS ord, 'system' AS role, substring(text, 1, 48) AS ttext FROM chat
+       |  UNION ALL SELECT doc_id, 1, 'user', substring(text, 49, 48) FROM chat
+       |  UNION ALL SELECT doc_id, 2, 'assistant', substring(text, 97, 48) FROM chat
+       |  UNION ALL SELECT doc_id, 3, 'user', substring(text, 145, 48) FROM chat
+       |  UNION ALL SELECT doc_id, 4, 'assistant',
+       |    CASE WHEN length(text) > 192 THEN substring(text, 193) ELSE '' END FROM chat),
+       |chatsrc AS (SELECT doc_id * 8 + ord AS doc_id, ttext AS text FROM turns),
+       |${bpeCtesSqlFrom("chatsrc")}, ${bpeIdCtesSql(lossless = true, "chatsrc")},
+       |tcnt AS (SELECT t.doc_id, t.ord, t.role, COALESCE(c.n, 0) AS nt
+       |  FROM turns t LEFT JOIN (
+       |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ids GROUP BY doc_id) c
+       |    ON c.doc_id = t.doc_id * 8 + t.ord),
+       |toff AS (SELECT doc_id, ord, role, nt,
+       |  CAST(COALESCE(SUM(nt + 2) OVER (PARTITION BY doc_id ORDER BY ord
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS toff
+       |  FROM tcnt),
+       |ctot AS (SELECT doc_id, CAST(SUM(nt + 2) AS BIGINT) AS tt FROM tcnt GROUP BY doc_id),
+       |stream AS (
+       |  SELECT doc_id, toff AS tp,
+       |    CAST(CASE role WHEN 'system' THEN ${ids("role_system")}
+       |      WHEN 'user' THEN ${ids("role_user")}
+       |      ELSE ${ids("role_assistant")} END AS BIGINT) AS token_id,
+       |    0 AS lm
+       |  FROM toff
+       |  UNION ALL
+       |  SELECT o.doc_id, o.toff + 1 + i.pos, i.token_id,
+       |    CASE WHEN o.role = 'assistant' THEN 1 ELSE 0 END
+       |  FROM ids i JOIN toff o ON i.doc_id = o.doc_id * 8 + o.ord
+       |  UNION ALL
+       |  SELECT doc_id, toff + 1 + nt, CAST(${ids("eot")} AS BIGINT),
+       |    CASE WHEN role = 'assistant' THEN 1 ELSE 0 END
+       |  FROM toff
+       |  UNION ALL
+       |  SELECT doc_id, tt, CAST(${ids("eos")} AS BIGINT), 1 FROM ctot),
+       |wgt AS (SELECT doc_id, tt + 1 AS w FROM ctot),
+       |$layoutCtesSql
+       |SELECT CAST((s.st + t.tp) // $PackSeqLen AS BIGINT) AS seq_id,
+       |  CAST((s.st + t.tp) % $PackSeqLen AS BIGINT) AS seq_pos,
+       |  t.token_id, t.lm::INTEGER AS loss_mask, t.doc_id
+       |FROM stream t JOIN starts s USING (doc_id)""".stripMargin
+  }
+
   /** Deterministic per-epoch training permutation (SampleOps
     * .epochShuffle): dense global positions in the epoch-keyed hash
     * order — the oracle replays the epoch key, the charHash, and the
@@ -3334,6 +3420,7 @@ object Queries {
     "q_sft_pack" -> (sftPackQ _),
     "q_mm_pack" -> (mmPackQ _),
     "q_sft_pipeline" -> (sftPipelineQ _),
+    "q_chat_pack" -> (chatPackQ _),
     "q_dpo_pairs" -> (dpoPairsQ _),
     "q_mm_alignment" -> (mmAlignmentQ _),
     "q_training_pipeline" -> (trainingPipelineQ _),
@@ -3473,6 +3560,7 @@ object Queries {
     "q_sft_pack" -> sftPackSql,
     "q_mm_pack" -> mmPackSql,
     "q_sft_pipeline" -> sftPipelineSql,
+    "q_chat_pack" -> chatPackSql,
     "q_dpo_pairs" -> dpoPairsSql,
     "q_mm_alignment" -> mmAlignmentSql,
     "q_training_pipeline" -> trainingPipelineSql,

@@ -1138,6 +1138,54 @@ class SampleOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("specials sidecar: registry pinned beside the vocab; extended merges stay resolvable through THEIR corpus's sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_specials").toFile
+    try {
+      val out = new java.io.File(dir, "corpus").getPath
+      val (_, vocab) = SampleOps.materializeTrainingCorpus(
+        corpus, "doc_id", "text", out, seqLen = 128,
+        targetTokens = 3000L, buckets = 4)
+      val sp = spark.read.parquet(out + "/_graft_specials.parquet")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      // every registry entry present; sparse ids are the live registry's
+      assert(sp.keySet == TextOps.SpecialTokenNames.toSet)
+      TextOps.bpeSpecialIds().foreach { case (n, id) =>
+        assert(sp(n)._1 == id, s"specials sidecar sparse id for $n")
+      }
+      // the EOS resolves to the SAME dense id the packed stream uses
+      assert(sp("eos")._2.contains(TextOps.denseId(vocab, TextOps.bpeEosId())))
+      // a text-only corpus never observes the image placeholder
+      assert(sp("image")._2.isEmpty)
+
+      // rebuild under an EXTENDED merges table: the live registry block
+      // moves, and the new corpus's sidecar records the MOVED ids — each
+      // corpus resolves its specials through its own sidecar, never the
+      // live registry
+      val ext = TextOps.DefaultBpeMerges :+ ("qq", "zz")
+      val out2 = new java.io.File(dir, "corpus2").getPath
+      val (_, vocab2) = SampleOps.materializeTrainingCorpus(
+        corpus, "doc_id", "text", out2, seqLen = 128,
+        targetTokens = 3000L, buckets = 4, merges = ext)
+      val sp2 = spark.read.parquet(out2 + "/_graft_specials.parquet")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      assert(sp2("eos")._1 == TextOps.bpeEosId(ext))
+      assert(sp2("eos")._1 == sp("eos")._1 + 1)
+      assert(sp2("eos")._2.contains(
+        TextOps.denseId(vocab2, TextOps.bpeEosId(ext))))
+      // resolving the first corpus through ITS sidecar still works: the
+      // recorded dense EOS splits its stream into exactly the doc count
+      val eosDense = sp("eos")._2.get
+      val nDocs = graft.ops.DedupOps.exactDedup(
+        TextOps.qualityFilter(corpus, "text"), "doc_id", "text").count()
+      val nSeps = spark.read.parquet(out)
+        .select(explode(col("text")).as("id"))
+        .filter(col("id") === eosDense).count()
+      assert(nSeps == nDocs)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("manifest scale guard: shard counts past maxManifestShards refuse with sizing guidance") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scale").toFile
     val out = new java.io.File(dir, "corpus").getPath
