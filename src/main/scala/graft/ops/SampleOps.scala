@@ -318,6 +318,95 @@ object SampleOps {
         col("src_key"))
   }
 
+  /** Pivot [[graft.ops.TextOps.encodePreference]] output into ONE ROW
+    * PER PAIR — the shape a DPO trainer actually consumes (chosen and
+    * rejected side by side, pair boundary guaranteed by construction):
+    * (pair_key, chosen_ids, chosen_mask, rejected_ids, rejected_mask,
+    * n_prompt, n_tokens = |chosen| + |rejected|). One pair-keyed
+    * aggregate (group volume = 2 rows). Refusals, in-plan on the
+    * chosen/weight path so any packing or scoring consumer evaluates
+    * them: a pair without exactly one 'chosen' and one 'rejected'
+    * branch, and a pair whose masked-0 prompt prefixes DIFFER between
+    * branches (length or content) — a DPO objective subtracts the two
+    * branch logprobs over a shared prompt, so silent prompt
+    * misalignment corrupts every gradient it touches. `n_prompt` is
+    * the shared masked-prefix length (first supervised position − 1;
+    * an all-masked branch refuses — [[TextOps.encodeSft]] always
+    * supervises at least the EOS). */
+  def pairPreferenceExamples(encoded: DataFrame, key: Column,
+      branchCol: String = "branch", idsCol: String = "token_ids",
+      maskCol: String = "loss_mask"): DataFrame = {
+    val isC = col(branchCol) === "chosen"
+    val isR = col(branchCol) === "rejected"
+    val g = encoded
+      .select(key.as("pair_key"), col(branchCol),
+        col(idsCol).as("__i"), col(maskCol).as("__m"))
+      .groupBy(col("pair_key"))
+      .agg(
+        sum(when(isC, 1L).otherwise(0L)).as("__nc"),
+        sum(when(isR, 1L).otherwise(0L)).as("__nr"),
+        max(when(isC, struct(col("__i").as("i"), col("__m").as("m"))))
+          .as("__c"),
+        max(when(isR, struct(col("__i").as("i"), col("__m").as("m"))))
+          .as("__r"))
+    val ci = col("__c").getField("i")
+    val ri = col("__r").getField("i")
+    val pc = array_position(col("__c").getField("m"), 1)
+    val pr = array_position(col("__r").getField("m"), 1)
+    val aligned = pc > 0 && pr === pc &&
+      slice(ci, lit(1), (pc - 1).cast("int")) ===
+        slice(ri, lit(1), (pc - 1).cast("int"))
+    val guardedChosen =
+      when(col("__nc") =!= 1L || col("__nr") =!= 1L, raise_error(lit(
+          "pairPreferenceExamples: a pair needs exactly one 'chosen' " +
+            "and one 'rejected' branch — malformed preference table")))
+        .when(!aligned, raise_error(lit(
+          "pairPreferenceExamples: branch prompts are not aligned " +
+            "(masked-0 prefixes differ in length or content) — a DPO " +
+            "pair must share its prompt token-for-token")))
+        .otherwise(ci)
+    g.select(col("pair_key"),
+      guardedChosen.as("chosen_ids"),
+      col("__c").getField("m").as("chosen_mask"),
+      ri.as("rejected_ids"),
+      col("__r").getField("m").as("rejected_mask"),
+      (pc - 1).as("n_prompt"),
+      (size(guardedChosen) + size(ri)).cast("long").as("n_tokens"))
+  }
+
+  /** Pair-aligned DPO packing: [[pairPreferenceExamples]] rows laid
+    * into fixed-budget training batches with the deterministic
+    * [[packBins]] layout (two-level content-hash order on the pair
+    * key, bin = exclusive running token sum div `capacity`). A pair is
+    * an ATOMIC row — both branches land in the same batch, adjacent by
+    * construction, and no pair can straddle a batch boundary; a pair
+    * larger than `capacity` refuses (it could never fit one batch).
+    * Bins inherit packBins' bounded one-item overrun at capacity
+    * boundaries — the standard batch-packing trade; a trainer padding
+    * to a hard token budget sizes `capacity` one max-pair short.
+    * Same scale shape as every packed layout here: one bucket-keyed
+    * exchange over pair-sized rows, per-bucket running-sum windows,
+    * never a global sort. Output: pairPreferenceExamples' columns +
+    * (pack_bucket, bin_seq); deterministic per (content, capacity,
+    * buckets) — persisted layouts pass `buckets` explicitly. */
+  def packPreferencePairs(encoded: DataFrame, key: Column, capacity: Int,
+      buckets: Int = 0, branchCol: String = "branch",
+      idsCol: String = "token_ids", maskCol: String = "loss_mask")
+      : DataFrame = {
+    require(capacity > 0, s"need positive capacity, got $capacity")
+    val pairs =
+      pairPreferenceExamples(encoded, key, branchCol, idsCol, maskCol)
+        .withColumn("n_tokens",
+          when(col("n_tokens") <= capacity, col("n_tokens"))
+            .otherwise(raise_error(concat(
+              lit("packPreferencePairs: pair of "),
+              col("n_tokens").cast("string"),
+              lit(s" tokens exceeds batch capacity $capacity — it can " +
+                "never fit one batch; raise capacity or truncate the " +
+                "branches upstream")))))
+    packBins(pairs, col("pair_key"), "n_tokens", capacity, buckets)
+  }
+
   /** Embedding-slot coordinates for an interleaved multimodal corpus
     * ([[graft.ops.TextOps.encodeMultimodal]] packed through
     * [[packSftSequences]]): each attached medium's image-placeholder

@@ -816,6 +816,61 @@ object Queries {
        |  UNION ALL
        |  SELECT odoc, 'rejected', np + ncr, CAST(${TextOps.bpeEosId()} AS BIGINT), 1 FROM pcnt)""".stripMargin
 
+  /** Pair-aligned DPO packing (SampleOps.packPreferencePairs): one row
+    * per (prompt, chosen, rejected) pair — branches adjacent by
+    * construction — laid into fixed-budget batches by the
+    * deterministic packBins layout. The oracle reuses the preference
+    * CTE set for per-branch token counts and replays the
+    * two-level-hash bin arithmetic (h, bucket = h % 8, exclusive
+    * running weight sum, bin = cum div capacity) at PAIR granularity. */
+  private def dpoPackQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        substring(col("text"), 1, 48).as("prompt"),
+        substring(col("text"), 49, Int.MaxValue).as("chosen"),
+        concat(lit("not "), substring(col("text"), 49, Int.MaxValue)).as("rejected"))
+    val enc = TextOps.encodePreference(d, "doc_id", "prompt", "chosen",
+      "rejected")
+    SampleOps.packPreferencePairs(enc, col("doc_id"), capacity = 1024,
+        buckets = 8)
+      .select(col("pair_key").as("doc_id"), col("n_prompt"),
+        size(col("chosen_ids")).cast("long").as("n_chosen"),
+        size(col("rejected_ids")).cast("long").as("n_rejected"),
+        col("pack_bucket"), col("bin_seq"))
+  }
+
+  private def dpoPackSql: String =
+    s"""WITH RECURSIVE pref AS (
+       |  SELECT doc_id, substring(text, 1, 48) AS prompt,
+       |    CASE WHEN length(text) > 48 THEN substring(text, 49) ELSE '' END AS completion
+       |  FROM documents WHERE text IS NOT NULL),
+       |prefsrc AS (
+       |  SELECT doc_id * 3 AS doc_id, prompt AS text FROM pref
+       |  UNION ALL SELECT doc_id * 3 + 1, completion FROM pref
+       |  UNION ALL SELECT doc_id * 3 + 2, 'not ' || completion FROM pref),
+       |${bpeCtesSqlFrom("prefsrc")}, ${bpeIdCtesSql(lossless = true, "prefsrc")},
+       |parts AS (SELECT doc_id // 3 AS odoc, doc_id % 3 AS part, pos, token_id FROM ids),
+       |pcnt AS (SELECT p.doc_id AS odoc,
+       |    COALESCE(pp.n, 0) AS np, COALESCE(cc.n, 0) AS ncc, COALESCE(rr.n, 0) AS ncr
+       |  FROM pref p
+       |  LEFT JOIN (SELECT odoc, CAST(count(*) AS BIGINT) AS n FROM parts WHERE part = 0 GROUP BY odoc) pp ON pp.odoc = p.doc_id
+       |  LEFT JOIN (SELECT odoc, CAST(count(*) AS BIGINT) AS n FROM parts WHERE part = 1 GROUP BY odoc) cc ON cc.odoc = p.doc_id
+       |  LEFT JOIN (SELECT odoc, CAST(count(*) AS BIGINT) AS n FROM parts WHERE part = 2 GROUP BY odoc) rr ON rr.odoc = p.doc_id),
+       |pw AS (SELECT odoc AS doc_id, np, np + ncc + 1 AS nch, np + ncr + 1 AS nrj,
+       |    (np + ncc + 1) + (np + ncr + 1) AS w
+       |  FROM pcnt),
+       |hsh AS (SELECT doc_id, np, nch, nrj, w,
+       |  ${sqlHash("CAST(doc_id AS VARCHAR)")} AS h FROM pw),
+       |bkt AS (SELECT *, h % 8 AS bucket FROM hsh),
+       |cum AS (SELECT doc_id, np, nch, nrj, bucket,
+       |  CAST(COALESCE(SUM(w) OVER (PARTITION BY bucket ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c
+       |  FROM bkt)
+       |SELECT doc_id, CAST(np AS BIGINT) AS n_prompt,
+       |  CAST(nch AS BIGINT) AS n_chosen, CAST(nrj AS BIGINT) AS n_rejected,
+       |  CAST(bucket AS BIGINT) AS pack_bucket, c // 1024 AS bin_seq
+       |FROM cum""".stripMargin
+
   /** SFT example packing (TextOps.encodeSft → SampleOps
     * .packSftSequences): prompt = the document's first 48 chars,
     * completion = the rest (the continue-the-document framing), both
@@ -3422,6 +3477,7 @@ object Queries {
     "q_sft_pipeline" -> (sftPipelineQ _),
     "q_chat_pack" -> (chatPackQ _),
     "q_dpo_pairs" -> (dpoPairsQ _),
+    "q_dpo_pack" -> (dpoPackQ _),
     "q_mm_alignment" -> (mmAlignmentQ _),
     "q_training_pipeline" -> (trainingPipelineQ _),
     "q_epoch_shuffle" -> (epochShuffleQ _),
@@ -3562,6 +3618,7 @@ object Queries {
     "q_sft_pipeline" -> sftPipelineSql,
     "q_chat_pack" -> chatPackSql,
     "q_dpo_pairs" -> dpoPairsSql,
+    "q_dpo_pack" -> dpoPackSql,
     "q_mm_alignment" -> mmAlignmentSql,
     "q_training_pipeline" -> trainingPipelineSql,
     "q_epoch_shuffle" -> epochShuffleSql,

@@ -126,6 +126,81 @@ class SftSpec extends SparkSpec {
       .filter(col("c_ids") === col("r_ids")).isEmpty)
   }
 
+  test("pairPreferenceExamples: one row per pair, branches adjacent, shared-prompt guard") {
+    val d = sft.select(col("doc_id"), col("prompt"),
+      col("completion").as("chosen"),
+      concat(lit("not "), col("completion")).as("rejected"))
+    val enc = TextOps.encodePreference(d, "doc_id", "prompt", "chosen", "rejected")
+    val pairs = SampleOps.pairPreferenceExamples(enc, col("doc_id"))
+    assert(pairs.count() == d.count())
+    // n_prompt = the shared masked prefix; both branches start with it
+    val bad = pairs.filter(
+      slice(col("chosen_ids"), lit(1), col("n_prompt").cast("int")) =!=
+        slice(col("rejected_ids"), lit(1), col("n_prompt").cast("int")) ||
+      size(col("chosen_ids")) =!= size(col("chosen_mask")) ||
+      size(col("rejected_ids")) =!= size(col("rejected_mask")) ||
+      col("n_tokens") =!=
+        (size(col("chosen_ids")) + size(col("rejected_ids"))).cast("long"))
+    assert(bad.isEmpty)
+    // prompt tokens masked 0 in both branches; first supervised at n_prompt+1
+    assert(pairs.filter(
+      array_position(col("chosen_mask"), 1) =!= col("n_prompt") + 1 ||
+      array_position(col("rejected_mask"), 1) =!= col("n_prompt") + 1).isEmpty)
+    // a pair missing one branch refuses
+    val e1 = intercept[Exception] {
+      SampleOps.pairPreferenceExamples(
+        enc.filter(col("branch") === "chosen" || col("doc_id") % 7 =!= 0),
+        col("doc_id")).collect()
+    }
+    assert(e1.getMessage.contains("exactly one") ||
+      Option(e1.getCause).exists(_.getMessage.contains("exactly one")))
+    // a pair whose prompts differ between branches refuses
+    val skew = enc.withColumn("token_ids",
+      when(col("branch") === "rejected" && col("doc_id") === 0L,
+        concat(array(lit(999999L)), slice(col("token_ids"), 2, 1000000)))
+        .otherwise(col("token_ids")))
+    val e2 = intercept[Exception] {
+      SampleOps.pairPreferenceExamples(skew, col("doc_id")).collect()
+    }
+    assert(e2.getMessage.contains("aligned") ||
+      Option(e2.getCause).exists(_.getMessage.contains("aligned")))
+  }
+
+  test("packPreferencePairs: pairs are atomic in batches; oversize pair refuses; layout is partition-independent") {
+    val d = sft.select(col("doc_id"), col("prompt"),
+      col("completion").as("chosen"),
+      concat(lit("not "), col("completion")).as("rejected"))
+    val enc = TextOps.encodePreference(d, "doc_id", "prompt", "chosen", "rejected")
+    val packed = SampleOps.packPreferencePairs(enc, col("doc_id"),
+      capacity = 1024, buckets = 8)
+    // every pair appears exactly once, whole (adjacency by construction)
+    assert(packed.count() == d.count())
+    assert(packed.groupBy("pair_key").count().filter(col("count") =!= 1).isEmpty)
+    // bins respect capacity up to the documented one-pair overrun:
+    // the bin's weight minus its LAST pair (in (h, key) order) fits
+    val h = TextOps.charHash(col("pair_key").cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_bucket"), col("bin_seq"))
+      .orderBy(h.desc, col("pair_key").desc)
+    val overrun = packed
+      .withColumn("__rk", row_number().over(w))
+      .groupBy("pack_bucket", "bin_seq")
+      .agg(sum(when(col("__rk") > 1, col("n_tokens")).otherwise(0L)).as("wo"))
+      .filter(col("wo") > 1024)
+    assert(overrun.isEmpty)
+    // partition-independent layout
+    val p2 = SampleOps.packPreferencePairs(enc.repartition(11), col("doc_id"),
+      capacity = 1024, buckets = 8)
+    assert(packed.exceptAll(p2).isEmpty && p2.exceptAll(packed).isEmpty)
+    // an oversize pair refuses loudly
+    val e = intercept[Exception] {
+      SampleOps.packPreferencePairs(enc, col("doc_id"),
+        capacity = 4, buckets = 8).collect()
+    }
+    assert(e.getMessage.contains("capacity") ||
+      Option(e.getCause).exists(_.getMessage.contains("capacity")))
+  }
+
   test("packing is a pure content function: bit-identical across partitionings") {
     val enc = TextOps.encodeSft(sft, "doc_id", "prompt", "completion")
     val p1 = SampleOps.packSftSequences(enc, col("doc_id"),
