@@ -280,7 +280,32 @@ object SampleOps {
     * enforced in-plan (a silent zip would truncate supervision).
     * Output: (seq_id, seq_pos, token_id, loss_mask, src_key). */
   def packSftSequences(df: DataFrame, key: Column, idsCol: String,
-      maskCol: String, seqLen: Int, buckets: Int = 0): DataFrame = {
+      maskCol: String, seqLen: Int, buckets: Int = 0): DataFrame =
+    sftExplodedWithStart(df, key, idsCol, maskCol, seqLen, buckets)
+      .withColumn("__g", col("__start") + col("__p"))
+      .select(expr(s"__g div $seqLen").as("seq_id"),
+        expr(s"__g % $seqLen").as("seq_pos"),
+        col("__tm").getField("t").as("token_id"),
+        col("__tm").getField("lm").as("loss_mask"),
+        col("src_key"))
+
+  /** The shared exploded (token, mask) stream of the SFT packers:
+    * (src_key, __start, __w, __p, __tm) — every example's aligned
+    * pairs in the deterministic global order with its exclusive
+    * global offset and weight. The zip-mismatch guard (and any
+    * `extraGuard`) lives INSIDE the posexplode argument: the generator
+    * input defines the row set, so column pruning can never remove a
+    * check (a guard projected onto token_id/loss_mask WOULD be pruned
+    * for consumers that read neither — count(), seq-length audits —
+    * and the phantom padded slot would silently shift every later
+    * doc's positions; caught in review). One exists() scan per
+    * example, same order as the zip itself. (A per-example
+    * size-equality CASE would also reference the lazy encode
+    * expression ~4× — the inlining trap this op's first plan audit
+    * caught.) */
+  private def sftExplodedWithStart(df: DataFrame, key: Column,
+      idsCol: String, maskCol: String, seqLen: Int, buckets: Int)
+      : DataFrame = {
     require(seqLen > 0, s"need positive seqLen, got $seqLen")
     require(!df.columns.contains("__pairs"),
       "packSftSequences reserves the working column name __pairs; " +
@@ -288,16 +313,7 @@ object SampleOps {
     val ids = coalesce(col(idsCol), array().cast("array<long>"))
     val mask = coalesce(col(maskCol), array().cast("array<int>"))
     // zip_with pads the shorter array with nulls, so a length mismatch
-    // surfaces as a null struct slot — refused by the guard INSIDE the
-    // posexplode argument: the generator input defines the row set, so
-    // column pruning can never remove the check (a guard projected
-    // onto token_id/loss_mask WOULD be pruned for consumers that read
-    // neither — count(), seq-length audits — and the phantom padded
-    // slot would silently shift every later doc's positions; caught in
-    // review). One exists() scan per example, same order as the zip
-    // itself. (A per-example size-equality CASE would also reference
-    // the lazy encode expression ~4× — the inlining trap this op's
-    // first plan audit caught.)
+    // surfaces as a null struct slot — refused in the generator input
     val pairs = zip_with(ids, mask, (i, m) => struct(i.as("t"), m.as("lm")))
     val withPairs = df.withColumn("__pairs", pairs)
     val guarded = when(
@@ -309,14 +325,119 @@ object SampleOps {
           "(null-padded zip slot) — supervision would silently truncate")))
     withGlobalStart(withPairs, key, size(col("__pairs")).cast("long"), buckets)
       .select(key.as("src_key"), col("__start"),
+        size(col("__pairs")).cast("long").as("__w"),
         posexplode(guarded).as(Seq("__p", "__tm")))
+  }
+
+  /** [[packSftSequences]] plus a per-token `segment_id` — the example
+    * ordinal WITHIN its sequence (0-based), the column a trainer uses
+    * to reset attention across packed examples without re-deriving
+    * boundaries from EOS positions. Derived from the same layout
+    * arithmetic: examples in a sequence are ordered by their global
+    * start, so segment_id = dense rank of `__start` within the
+    * sequence — a seq_id-partitioned window whose group volume is
+    * bounded by seqLen (never a corpus-wide or unpartitioned window).
+    * An example straddling a boundary is segment 0 of the next
+    * sequence's ranking only if it STARTS there; its continuation
+    * tokens keep the rank of its start position — i.e. the carried
+    * tail of a straddler is segment 0 of the new sequence, exactly the
+    * standard packed-attention contract. Output: packSftSequences'
+    * columns + segment_id. */
+  def packSftSequencesSegmented(df: DataFrame, key: Column, idsCol: String,
+      maskCol: String, seqLen: Int, buckets: Int = 0): DataFrame =
+    sftExplodedWithStart(df, key, idsCol, maskCol, seqLen, buckets)
       .withColumn("__g", col("__start") + col("__p"))
-      .select(expr(s"__g div $seqLen").as("seq_id"),
-        expr(s"__g % $seqLen").as("seq_pos"),
+      .withColumn("seq_id", expr(s"__g div $seqLen"))
+      .withColumn("segment_id",
+        (dense_rank().over(Window.partitionBy(col("seq_id"))
+          .orderBy(col("__start"))) - 1).cast("long"))
+      .select(col("seq_id"), expr(s"__g % $seqLen").as("seq_pos"),
         col("__tm").getField("t").as("token_id"),
         col("__tm").getField("lm").as("loss_mask"),
-        col("src_key"))
+        col("src_key"), col("segment_id"))
+
+  /** NO-STRADDLE padded packing — the variant for trainers that want
+    * hard per-example attention isolation WITHOUT segment masking:
+    * every example lands entirely inside one sequence, sequences are
+    * padded (sparsely — emitted rows are real tokens only; positions
+    * absent from a sequence are padding, mask 0 by definition).
+    * Deterministic arithmetic layout, no sequential first-fit: lay
+    * examples at their [[withGlobalStart]] cum positions; an example
+    * that would CROSS a `seqLen` boundary (at most one per boundary,
+    * since every example fits `seqLen` — larger ones refuse in the
+    * generator input) is instead moved WHOLE to its own singleton
+    * sequence `base + crossed-boundary index` (injective — an example
+    * crosses at most one boundary and a boundary is crossed by at most
+    * one example), where `base = ⌈total/seqLen⌉` sits past every
+    * cum-assigned id. Removing the straddler leaves its head room as
+    * tail padding; the prefix of each sequence stays contiguous from
+    * position 0. The waste is the padding fraction
+    * ([[paddingWaste]] measures it) — the price of isolation vs
+    * concat-and-cut's zero waste; sequence ids may be SPARSE (only
+    * crossed boundaries mint singletons). Pure function of (content,
+    * seqLen, buckets); one corpus exchange (the prefix sum) + the
+    * bounded segment window, like every packer here. Output:
+    * packSftSequencesSegmented's columns (straddler singletons are
+    * their sequence's segment 0). */
+  def packSftSequencesPadded(df: DataFrame, key: Column, idsCol: String,
+      maskCol: String, seqLen: Int, buckets: Int = 0): DataFrame = {
+    require(seqLen > 0, s"need positive seqLen, got $seqLen")
+    require(!df.columns.contains("__pairs"),
+      "packSftSequencesPadded reserves the working column name __pairs; " +
+        "input already has __pairs — rename before packing")
+    val ids = coalesce(col(idsCol), array().cast("array<long>"))
+    val mask = coalesce(col(maskCol), array().cast("array<int>"))
+    val pairs = zip_with(ids, mask, (i, m) => struct(i.as("t"), m.as("lm")))
+    val withPairs = df.withColumn("__pairs", pairs)
+    val guarded =
+      when(exists(col("__pairs"), p =>
+          p.getField("t").isNull || p.getField("lm").isNull),
+        raise_error(lit(
+          "packSftSequencesPadded: token_ids and loss_mask lengths " +
+            "differ (null-padded zip slot) — supervision would silently " +
+            "truncate")))
+      .when(size(col("__pairs")) > seqLen, raise_error(concat(
+        lit("packSftSequencesPadded: example of "),
+        size(col("__pairs")).cast("string"),
+        lit(s" tokens exceeds seqLen $seqLen — it can never fit one " +
+          "sequence; raise seqLen or chunk the example upstream"))))
+      .otherwise(col("__pairs"))
+    val (started, total) = withGlobalStartTotal(withPairs, key,
+      size(col("__pairs")).cast("long"), buckets)
+    val base = (total + seqLen - 1) / seqLen
+    started
+      .select(key.as("src_key"), col("__start"),
+        size(col("__pairs")).cast("long").as("__w"),
+        posexplode(guarded).as(Seq("__p", "__tm")))
+      .withColumn("__bs", expr(s"__start div $seqLen"))
+      .withColumn("__be", expr(s"(__start + __w - 1) div $seqLen"))
+      .withColumn("__straddle", col("__bs") =!= col("__be"))
+      .withColumn("seq_id",
+        when(col("__straddle"), lit(base) + col("__be"))
+          .otherwise(col("__bs")))
+      .withColumn("segment_id",
+        (dense_rank().over(Window.partitionBy(col("seq_id"))
+          .orderBy(col("__start"))) - 1).cast("long"))
+      .select(col("seq_id"),
+        when(col("__straddle"), col("__p"))
+          .otherwise(expr(s"__start % $seqLen") + col("__p")).as("seq_pos"),
+        col("__tm").getField("t").as("token_id"),
+        col("__tm").getField("lm").as("loss_mask"),
+        col("src_key"), col("segment_id"))
   }
+
+  /** The padding-waste row of a [[packSftSequencesPadded]] layout: one
+    * aggregate over the packed rows — (n_seqs, n_tokens, capacity
+    * tokens = n_seqs · seqLen, waste_ppm). The number the isolation
+    * trade is judged by against concat-and-cut's zero. */
+  def paddingWaste(packed: DataFrame, seqLen: Int): DataFrame =
+    packed.agg(
+        countDistinct(col("seq_id")).as("n_seqs"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("n_seqs"), col("n_tokens"),
+        (col("n_seqs") * seqLen).as("n_capacity"),
+        ((col("n_seqs") * seqLen - col("n_tokens")) * lit(1000000L) /
+          (col("n_seqs") * seqLen)).cast("long").as("waste_ppm"))
 
   /** Pivot [[graft.ops.TextOps.encodePreference]] output into ONE ROW
     * PER PAIR — the shape a DPO trainer actually consumes (chosen and

@@ -897,9 +897,83 @@ object Queries {
 
   private def sftPackSql: String = sftOracleSql("", "documents")
 
+  private def sftExamples(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        substring(col("text"), 1, 48).as("prompt"),
+        substring(col("text"), 49, Int.MaxValue).as("completion"))
+
+  /** Segment-id emission (packSftSequencesSegmented): the example
+    * ordinal within each sequence from the shared layout arithmetic —
+    * the oracle adds a dense_rank over (seq_id ORDER BY example start)
+    * on top of the sft pack replay. */
+  private def sftSegmentsQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.packSftSequencesSegmented(
+        TextOps.encodeSft(sftExamples(s, dir), "doc_id", "prompt",
+          "completion"),
+        col("doc_id"), "token_ids", "loss_mask", seqLen = PackSeqLen,
+        buckets = 8)
+      .select(col("seq_id"), col("seq_pos"), col("token_id"),
+        col("loss_mask"), col("src_key").as("doc_id"), col("segment_id"))
+
+  private def sftSegmentsSql: String =
+    s"""${sftStreamCtesSql("", "documents")}
+       |SELECT seq_id, seq_pos, token_id, loss_mask, doc_id,
+       |  CAST(dense_rank() OVER (PARTITION BY seq_id ORDER BY st) - 1 AS BIGINT) AS segment_id
+       |FROM (
+       |  SELECT CAST((s.st + t.tp) // $PackSeqLen AS BIGINT) AS seq_id,
+       |    CAST((s.st + t.tp) % $PackSeqLen AS BIGINT) AS seq_pos,
+       |    t.token_id, t.lm::INTEGER AS loss_mask, t.doc_id, s.st AS st
+       |  FROM stream t JOIN starts s ON s.doc_id = t.doc_id)""".stripMargin
+
+  /** No-straddle padded packing: examples at their cum positions,
+    * boundary-crossers moved whole to singleton sequences past
+    * base = ⌈total/seqLen⌉ — the oracle replays the straddle test and
+    * the singleton arithmetic over the same stream + layout CTEs. */
+  private val PadSeqLen = 512
+
+  private def sftPackPaddedQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.packSftSequencesPadded(
+        TextOps.encodeSft(sftExamples(s, dir), "doc_id", "prompt",
+          "completion"),
+        col("doc_id"), "token_ids", "loss_mask", seqLen = PadSeqLen,
+        buckets = 8)
+      .select(col("seq_id"), col("seq_pos"), col("token_id"),
+        col("loss_mask"), col("src_key").as("doc_id"), col("segment_id"))
+
+  private def sftPackPaddedSql: String =
+    s"""${sftStreamCtesSql("", "documents")},
+       |gtot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM wgt),
+       |lay AS (SELECT t.doc_id, t.tp, t.token_id, t.lm, s.st, g.w,
+       |    s.st // $PadSeqLen AS bs, (s.st + g.w - 1) // $PadSeqLen AS be
+       |  FROM stream t JOIN starts s ON s.doc_id = t.doc_id
+       |  JOIN wgt g ON g.doc_id = t.doc_id),
+       |fin AS (SELECT doc_id, token_id, lm, st,
+       |    CASE WHEN bs <> be
+       |      THEN (SELECT (t + $PadSeqLen - 1) // $PadSeqLen FROM gtot) + be
+       |      ELSE bs END AS seq_id,
+       |    CASE WHEN bs <> be THEN tp ELSE st % $PadSeqLen + tp END AS seq_pos
+       |  FROM lay)
+       |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       |  CAST(seq_pos AS BIGINT) AS seq_pos, token_id,
+       |  lm::INTEGER AS loss_mask, doc_id,
+       |  CAST(dense_rank() OVER (PARTITION BY seq_id ORDER BY st) - 1 AS BIGINT) AS segment_id
+       |FROM fin""".stripMargin
+
   /** The SFT pack-replay oracle over document relation `src` (optional
     * preceding CTEs in `pre` — e.g. the pipeline's survivor set). */
-  private def sftOracleSql(pre: String, src: String): String = {
+  private def sftOracleSql(pre: String, src: String): String =
+    s"""${sftStreamCtesSql(pre, src)}
+       |SELECT CAST((s.st + t.tp) // $PackSeqLen AS BIGINT) AS seq_id,
+       |  CAST((s.st + t.tp) % $PackSeqLen AS BIGINT) AS seq_pos,
+       |  t.token_id, t.lm::INTEGER AS loss_mask, t.doc_id
+       |FROM stream t JOIN starts s ON s.doc_id = t.doc_id""".stripMargin
+
+  /** The shared CTE body of the SFT oracles — per-example (prompt,
+    * completion) encode through the lossless BPE fixpoint, the
+    * per-example (tp, token, mask) stream, weights, and the two-level
+    * prefix-sum layout (`starts`, plus `wgt` for totals). */
+  private def sftStreamCtesSql(pre: String, src: String): String = {
     val sftPre =
       s"""sft AS (
         |  SELECT doc_id, substring(text, 1, 48) AS prompt,
@@ -929,11 +1003,7 @@ object Queries {
        |  UNION ALL
        |  SELECT odoc, np + nc, CAST(${TextOps.bpeEosId()} AS BIGINT), 1 FROM pcnt),
        |wgt AS (SELECT odoc AS doc_id, np + nc + 1 AS w FROM pcnt),
-       |$layoutCtesSql
-       |SELECT CAST((s.st + t.tp) // $PackSeqLen AS BIGINT) AS seq_id,
-       |  CAST((s.st + t.tp) % $PackSeqLen AS BIGINT) AS seq_pos,
-       |  t.token_id, t.lm::INTEGER AS loss_mask, t.doc_id
-       |FROM stream t JOIN starts s ON s.doc_id = t.doc_id""".stripMargin
+       |$layoutCtesSql""".stripMargin
   }
 
   /** Packing over the DENSIFIED byte-faithful stream — the full
@@ -3478,6 +3548,8 @@ object Queries {
     "q_chat_pack" -> (chatPackQ _),
     "q_dpo_pairs" -> (dpoPairsQ _),
     "q_dpo_pack" -> (dpoPackQ _),
+    "q_sft_segments" -> (sftSegmentsQ _),
+    "q_sft_pack_padded" -> (sftPackPaddedQ _),
     "q_mm_alignment" -> (mmAlignmentQ _),
     "q_training_pipeline" -> (trainingPipelineQ _),
     "q_epoch_shuffle" -> (epochShuffleQ _),
@@ -3619,6 +3691,8 @@ object Queries {
     "q_chat_pack" -> chatPackSql,
     "q_dpo_pairs" -> dpoPairsSql,
     "q_dpo_pack" -> dpoPackSql,
+    "q_sft_segments" -> sftSegmentsSql,
+    "q_sft_pack_padded" -> sftPackPaddedSql,
     "q_mm_alignment" -> mmAlignmentSql,
     "q_training_pipeline" -> trainingPipelineSql,
     "q_epoch_shuffle" -> epochShuffleSql,

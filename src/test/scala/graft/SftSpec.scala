@@ -201,6 +201,87 @@ class SftSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("capacity")))
   }
 
+  test("packSftSequencesSegmented: segment_id is the example ordinal within each sequence") {
+    val enc = TextOps.encodeSft(sft, "doc_id", "prompt", "completion")
+    val seg = SampleOps.packSftSequencesSegmented(enc, col("doc_id"),
+      "token_ids", "loss_mask", seqLen = 128, buckets = 8)
+    // dropping segment_id reproduces packSftSequences exactly
+    val plain = SampleOps.packSftSequences(enc, col("doc_id"),
+      "token_ids", "loss_mask", seqLen = 128, buckets = 8)
+    val segDropped = seg.drop("segment_id")
+    assert(segDropped.exceptAll(plain).isEmpty &&
+      plain.exceptAll(segDropped).isEmpty)
+    // within a sequence: segments start at 0, are dense, and change
+    // exactly where the source example changes in position order
+    val perSeq = seg.groupBy("seq_id")
+      .agg(array_sort(collect_list(struct(col("seq_pos"), col("segment_id"),
+        col("src_key")))).as("xs"))
+      .select(col("seq_id"), col("xs"),
+        transform(col("xs"), x => x.getField("segment_id")).as("segs"),
+        transform(col("xs"), x => x.getField("src_key")).as("keys"))
+    // head segment is 0; increments are 0 within an example, +1 across
+    val bad = perSeq.filter(
+      element_at(col("segs"), 1) =!= 0 ||
+      exists(zip_with(col("segs"), slice(col("segs"), 2, 1000000),
+        (a, b) => b =!= a && b =!= a + 1), x => x))
+    assert(bad.isEmpty)
+    // a segment increment happens iff the source example changes
+    val badChange = perSeq.filter(
+      exists(
+        zip_with(
+          zip_with(col("segs"), slice(col("segs"), 2, 1000000),
+            (a, b) => b - a),
+          zip_with(col("keys"), slice(col("keys"), 2, 1000000),
+            (a, b) => when(a === b, 0).otherwise(1)),
+          (ds, dk) => ds =!= dk), x => x))
+    assert(badChange.isEmpty)
+  }
+
+  test("packSftSequencesPadded: no example straddles a sequence; capacity and conservation hold") {
+    val enc = TextOps.encodeSft(sft, "doc_id", "prompt", "completion")
+    val seqLen = 512
+    val packed = SampleOps.packSftSequencesPadded(enc, col("doc_id"),
+      "token_ids", "loss_mask", seqLen = seqLen, buckets = 8)
+    // conservation: every (token, mask) pair lands exactly once
+    assert(packed.count() == enc.agg(sum(col("n_tokens"))).head().getLong(0))
+    // no straddle: each example lives in exactly ONE sequence
+    val spread = packed.groupBy("src_key")
+      .agg(countDistinct(col("seq_id")).as("ns"))
+    assert(spread.filter(col("ns") =!= 1).isEmpty)
+    // per-example reconstruction in (seq_pos) order is exact
+    val back = packed.groupBy("src_key")
+      .agg(transform(array_sort(collect_list(struct(col("seq_pos"),
+        col("token_id")))), x => x.getField("token_id")).as("ids"))
+      .join(enc.select(col("doc_id").as("src_key"), col("token_ids")),
+        "src_key")
+    assert(back.filter(col("ids") =!= col("token_ids")).isEmpty)
+    // capacity: no sequence exceeds seqLen tokens; positions in range,
+    // no collisions
+    val perSeq = packed.groupBy("seq_id").agg(count(lit(1)).as("n"),
+      countDistinct(col("seq_pos")).as("np"), max("seq_pos").as("mx"))
+    assert(perSeq.filter(col("n") > seqLen || col("np") =!= col("n") ||
+      col("mx") >= seqLen).isEmpty)
+    // straddlers actually occurred at this seqLen (the mode is exercised)
+    val base = packed.agg(max("seq_id")).head().getLong(0)
+    assert(packed.filter(col("seq_id") >=
+      (enc.agg(sum("n_tokens")).head().getLong(0) + seqLen - 1) / seqLen)
+      .count() > 0, "expected at least one straddler singleton")
+    // deterministic across partitionings
+    val p2 = SampleOps.packSftSequencesPadded(enc.repartition(17),
+      col("doc_id"), "token_ids", "loss_mask", seqLen = seqLen, buckets = 8)
+    assert(packed.exceptAll(p2).isEmpty && p2.exceptAll(packed).isEmpty)
+    // oversize example refuses (even under count(), the generator guard)
+    val e = intercept[Exception] {
+      SampleOps.packSftSequencesPadded(enc, col("doc_id"), "token_ids",
+        "loss_mask", seqLen = 16, buckets = 8).count()
+    }
+    assert(e.getMessage.contains("seqLen") ||
+      Option(e.getCause).exists(_.getMessage.contains("seqLen")))
+    // measured waste: padding exists but is bounded sanely
+    val w = SampleOps.paddingWaste(packed, seqLen).head()
+    assert(w.getAs[Long]("waste_ppm") > 0L && w.getAs[Long]("waste_ppm") < 1000000L)
+  }
+
   test("packing is a pure content function: bit-identical across partitionings") {
     val enc = TextOps.encodeSft(sft, "doc_id", "prompt", "completion")
     val p1 = SampleOps.packSftSequences(enc, col("doc_id"),
