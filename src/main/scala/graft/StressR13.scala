@@ -438,12 +438,13 @@ object StressR13 {
         val queries = vecs.filter(col("vec_id") % (reps * 100L) === 0L)
         val index = time(s"ivfPqIndex build ${reps}x (one-time, persistable)") {
           val ix = SimilarityOps.ivfPqIndex(vecs, centroids, cb,
-            "vec_id", "embedding").persist(StorageLevel.DISK_ONLY)
+            "vec_id", "embedding", residual = false) // r13 raw-code shape
+            .persist(StorageLevel.DISK_ONLY)
           ix.count(); ix
         }
         time(s"ivfPqTopKFromIndex ${reps}x k=10 nprobe=2 K=256 (standing index)") {
           SimilarityOps.ivfPqTopKFromIndex(queries, index, centroids, cb,
-            "vec_id", "embedding", k = 10, nprobe = 2)
+            "vec_id", "embedding", k = 10, nprobe = 2, residual = false)
             .write.format("noop").mode("overwrite").save()
         }
         time(s"ivfTopK (uncompressed, re-reads vectors) ${reps}x k=10 nprobe=2 K=256") {

@@ -960,19 +960,26 @@ object SimilarityOps {
       m: Int, ksub: Int, maxIter: Int = 20, seed: Long = 42L): DataFrame = {
     require(m >= 1, s"need m >= 1 subspaces, got $m")
     require(ksub >= 2, s"need ksub >= 2 centroids per subspace, got $ksub")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val dim = df.select(size(quantize(col(vecCol)))).limit(1).collect()
       .headOption.map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException("empty PQ training input"))
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
-    val dsub = dim / m
     val unit = df
       .select(quantize(col(vecCol)).as("__vq"))
       .withColumn("__vq", dimChecked(col("__vq"), dim))
       .select(unitQCol(col("__vq")).as("__u"))
-      .localCheckpoint(true) // m fits share one materialization
-    val spark = df.sparkSession
+    trainPqOnUnit(unit, df.sparkSession, m, dim / m, ksub, maxIter, seed)
+  }
+
+  /** The shared per-subspace KMeans loop of the PQ trainers over a
+    * prepared `__u` vector frame (unit vectors for the raw codebook,
+    * coarse residuals for the residual one). */
+  private def trainPqOnUnit(unitDf: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, m: Int, dsub: Int,
+      ksub: Int, maxIter: Int, seed: Long): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val unit = unitDf.localCheckpoint(true) // m fits share one materialization
     import spark.implicits._
     try {
       (0 until m).map { j =>
@@ -1080,41 +1087,57 @@ object SimilarityOps {
     * `nprobe` nearest coarse cells and ADC-score only those cells'
     * codes — |Q|·|C|·nprobe/K pairs through an equi-join on the cell
     * id, m adds each, against a corpus the cluster stores at dim/m-fold
-    * compression. Codes are whole-vector (not residual) — one codebook
-    * serves every cell, so the same encoded corpus answers flat ADC and
-    * any coarse layout; residual encoding (Jégou §IV) trades that
-    * reusability for accuracy and needs per-cell re-encoding on
-    * codebook rebuilds. Recall is governed by `nprobe` (cell boundary
-    * misses — same dial as [[ivfTopK]]) times the PQ quantization loss
-    * (measured by the [[DedupOps.pairRecall]] scorecard). */
+    * compression. `residual = true` (default) is classical IVFADC
+    * (Jégou §IV): codes are the RESIDUAL to the assigned cell centroid
+    * — variance concentrates near zero, buying recall per bit at equal
+    * code size (measured: the q_pq_residual_recall scorecard) — scored
+    * as the per-(query, cell) centroid-dot constant plus the same
+    * m-add ADC; pass a codebook trained on residuals
+    * ([[trainPqResidualCodebook]] / [[pqResidualCodebookFromRows]]).
+    * `residual = false` encodes the whole unit vector — one codebook
+    * then serves every cell, so the same encoded corpus answers flat
+    * ADC under any coarse layout (residual codes need re-encoding when
+    * centroids/codebook rebuild — persist both beside the index).
+    * Recall is governed by `nprobe` (cell boundary misses — same dial
+    * as [[ivfTopK]]) times the PQ quantization loss (measured by the
+    * [[DedupOps.pairRecall]] scorecard). */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       codebook: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int = 1, nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame = {
+      nprobe: Int = 1, nCoarse: Int = AutoCoarse, coarseProbes: Int = 2,
+      residual: Boolean = true): DataFrame = {
     // ONE setup (codebook fold + centroid count + coarse codebook)
     // shared between the index build and the query side — the composed
     // form must not pay the two-codebook-builds tax the split publics
     // each pay alone (the ivfTopK one-count-job discipline)
-    val st = ivfPqSetup(centroids, codebook, idCol, vecCol, nCoarse, coarseProbes)
+    val st = ivfPqSetup(centroids, codebook, idCol, vecCol, nCoarse,
+      coarseProbes, residual)
     ivfPqFromIndexWith(queries,
       ivfPqIndexWith(corpus, st, idCol, vecCol), st, idCol, vecCol, k, nprobe)
   }
 
-  /** The shared per-call setup of the IVF-PQ ops: the folded codebook
-    * and an assignment closure over the (lazily trained, at most once)
-    * coarse codebook. */
+  /** The shared per-call setup of the IVF-PQ ops: the folded codebook,
+    * an assignment closure over the (lazily trained, at most once)
+    * coarse codebook, the model-sized unit-quantized cell centroids
+    * (the residual anchor), and the residual dial. */
   private final case class IvfPqSetup(pcb: PqFolded,
-      assign: (DataFrame, String, Int) => DataFrame)
+      assign: (DataFrame, String, Int) => DataFrame,
+      centsU: DataFrame, residual: Boolean)
 
   private def ivfPqSetup(centroids: DataFrame, codebook: DataFrame,
-      idCol: String, vecCol: String, nCoarse: Int, coarseProbes: Int): IvfPqSetup = {
+      idCol: String, vecCol: String, nCoarse: Int, coarseProbes: Int,
+      residual: Boolean): IvfPqSetup = {
     val pcb = foldPqCodebook(codebook)
+    val dim = pcb.m * pcb.dsub
     val cents = withQ(centroids, idCol, vecCol, "cent")
     lazy val kc = cents.count()
     val nc = resolveNCoarse(nCoarse, kc)
     lazy val cb2 = twoLevelCodebook(cents, nc, kHint = kc)
+    val centsU = cents.select(col("cent_id").as("__cl"),
+      unitQCol(dimChecked(col("cent_q"), dim)).as("__cu"))
     IvfPqSetup(pcb, (s, p, pr) =>
       if (nc > 0) assignClustersTwoLevel(cb2, s, p, pr, coarseProbes)
-      else assignClusters(cents, s, p, pr))
+      else assignClusters(cents, s, p, pr),
+      centsU, residual)
   }
 
   /** The persistable IVF-PQ index: every corpus row coarse-assigned AND
@@ -1132,16 +1155,32 @@ object SimilarityOps {
     * a dial — nothing compact enough to ride column metadata). */
   def ivfPqIndex(corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String,
-      nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame =
+      nCoarse: Int = AutoCoarse, coarseProbes: Int = 2,
+      residual: Boolean = true): DataFrame =
     ivfPqIndexWith(corpus,
-      ivfPqSetup(centroids, codebook, idCol, vecCol, nCoarse, coarseProbes),
+      ivfPqSetup(centroids, codebook, idCol, vecCol, nCoarse, coarseProbes,
+        residual),
       idCol, vecCol)
 
   private def ivfPqIndexWith(corpus: DataFrame, st: IvfPqSetup,
       idCol: String, vecCol: String): DataFrame = {
     val dim = st.pcb.m * st.pcb.dsub
-    st.assign(withQ(corpus, idCol, vecCol, "c"), "c", 1)
+    val assigned = st.assign(withQ(corpus, idCol, vecCol, "c"), "c", 1)
       .withColumn("__u", unitQCol(dimChecked(col("c_q"), dim)))
+    // residual mode (classical IVFADC, Jégou §IV): encode
+    // u − cell-centroid-unit — exact integer subtraction on the shared
+    // 1e-4 grid against the broadcast model-sized centroid table. The
+    // residual concentrates variance near zero, buying recall per bit
+    // at the same code size; the price is that codes are only valid
+    // under THIS coarse layout (a codebook/centroid rebuild means
+    // re-encoding — persist both beside the index).
+    val vec =
+      if (st.residual)
+        assigned.join(broadcast(st.centsU), col("c_cluster") === col("__cl"))
+          .withColumn("__u",
+            zip_with(col("__u"), col("__cu"), (a, b) => a - b))
+      else assigned
+    vec
       .withColumn("__cb", st.pcb.arr.scalar())
       .select(col("c_id").as(idCol), col("c_cluster").as("cluster"),
         pqCodeCol(col("__u"), col("__cb"), st.pcb.m, st.pcb.dsub).as("code"))
@@ -1155,9 +1194,11 @@ object SimilarityOps {
   def ivfPqTopKFromIndex(queries: DataFrame, index: DataFrame,
       centroids: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 1,
-      nCoarse: Int = AutoCoarse, coarseProbes: Int = 2): DataFrame =
+      nCoarse: Int = AutoCoarse, coarseProbes: Int = 2,
+      residual: Boolean = true): DataFrame =
     ivfPqFromIndexWith(queries, index,
-      ivfPqSetup(centroids, codebook, idCol, vecCol, nCoarse, coarseProbes),
+      ivfPqSetup(centroids, codebook, idCol, vecCol, nCoarse, coarseProbes,
+        residual),
       idCol, vecCol, k, nprobe)
 
   private def ivfPqFromIndexWith(queries: DataFrame, index: DataFrame,
@@ -1165,17 +1206,94 @@ object SimilarityOps {
       nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val dim = st.pcb.m * st.pcb.dsub
-    val q = st.assign(withQ(queries, idCol, vecCol, "q"), "q", nprobe)
+    val q0 = st.assign(withQ(queries, idCol, vecCol, "q"), "q", nprobe)
       .withColumn("__u", unitQCol(dimChecked(col("q_q"), dim)))
       .withColumn("__cb", st.pcb.arr.scalar())
-      .select(col("q_id"), col("q_cluster"),
-        pqLutCol(col("__u"), col("__cb"), st.pcb.m, st.pcb.dsub).as("__lut"))
+    // residual mode: score(q, x) = dot(q̂, ĉ_cell) + ADC(lut, code) —
+    // dot(q̂, ĉ + r) splits into the per-(query, cell) constant against
+    // the broadcast centroid table plus the SAME m-add ADC kernel over
+    // residual codewords; the per-pair cost is unchanged
+    val q =
+      if (st.residual)
+        q0.join(broadcast(st.centsU), col("q_cluster") === col("__cl"))
+          .select(col("q_id"), col("q_cluster"),
+            pqLutCol(col("__u"), col("__cb"), st.pcb.m, st.pcb.dsub)
+              .as("__lut"),
+            dotQ(col("__u"), col("__cu")).as("__base"))
+      else
+        q0.select(col("q_id"), col("q_cluster"),
+          pqLutCol(col("__u"), col("__cb"), st.pcb.m, st.pcb.dsub)
+            .as("__lut"),
+          lit(0L).as("__base"))
     val c = index.select(col(idCol).as("c_id"), col("cluster").as("c_cluster"),
       col("code"))
     val scored = q.join(c, col("q_cluster") === col("c_cluster"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos",
-        graft.functions.exprs.pqAdc(col("__lut"), col("code")).cast("double") / lit(1e8))
+        (col("__base") +
+          graft.functions.exprs.pqAdc(col("__lut"), col("code")))
+          .cast("double") / lit(1e8))
     topKPerQuery(scored, k).withColumnRenamed("cos", "adc_cos")
+  }
+
+  /** Residual PQ codebook from sample rows — the deterministic,
+    * SQL-replayable seed ([[pqCodebookFromRows]]' residual twin):
+    * subspace j's codewords are the sample rows' RESIDUALS
+    * (unit vector − assigned cell centroid unit vector, exact integer
+    * subtraction on the shared grid) sliced at subspace j, dense
+    * cent_id by ascending row id. Pass rows DISTINCT from the
+    * centroids — a centroid's own residual is the zero vector, and a
+    * zero-heavy codebook defeats the encoding.
+    * [[trainPqResidualCodebook]] is the quality path. */
+  def pqResidualCodebookFromRows(rows: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, m: Int): DataFrame = {
+    require(m >= 1, s"need m >= 1 subspaces, got $m")
+    val dim = rows.select(size(quantize(col(vecCol)))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("empty PQ codebook sample"))
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val ids = rows.select(col(idCol).cast("long")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    require(ids.nonEmpty, "empty PQ codebook sample")
+    val cents = withQ(centroids, idCol, vecCol, "cent")
+    val centsU = cents.select(col("cent_id").as("__cl"),
+      unitQCol(dimChecked(col("cent_q"), dim)).as("__cu"))
+    val res = assignClusters(cents, withQ(rows, idCol, vecCol, "r"), "r", 1)
+      .join(broadcast(centsU), col("r_cluster") === col("__cl"))
+      .withColumn("__u",
+        zip_with(unitQCol(dimChecked(col("r_q"), dim)), col("__cu"),
+          (a, b) => a - b))
+      .withColumn("cent_id",
+        array_position(lit(ids), col("r_id").cast("long")) - 1L)
+    res.select(col("cent_id"), col("__u"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub_id"))
+      .withColumn("cent_q", slice(col("__u"), col("sub_id") * dsub + 1, lit(dsub)))
+      .select(col("sub_id"), col("cent_id"), col("cent_q"),
+        norm2Q(col("cent_q")).as("cent_n2"))
+  }
+
+  /** Train a RESIDUAL PQ codebook (the [[trainPqCodebook]] quality
+    * path for residual-mode [[ivfPqIndex]]): per-subspace seeded
+    * KMeans over the corpus's coarse-assignment residuals. Same
+    * determinism contract; cost adds one coarse assignment pass over
+    * the training sample. */
+  def trainPqResidualCodebook(df: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, m: Int, ksub: Int,
+      maxIter: Int = 20, seed: Long = 42L): DataFrame = {
+    require(m >= 1, s"need m >= 1 subspaces, got $m")
+    require(ksub >= 2, s"need ksub >= 2 centroids per subspace, got $ksub")
+    val dim = df.select(size(quantize(col(vecCol)))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("empty PQ training input"))
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val cents = withQ(centroids, idCol, vecCol, "cent")
+    val centsU = cents.select(col("cent_id").as("__cl"),
+      unitQCol(dimChecked(col("cent_q"), dim)).as("__cu"))
+    val unit = assignClusters(cents, withQ(df, idCol, vecCol, "r"), "r", 1)
+      .join(broadcast(centsU), col("r_cluster") === col("__cl"))
+      .select(zip_with(unitQCol(dimChecked(col("r_q"), dim)), col("__cu"),
+        (a, b) => a - b).as("__u"))
+    trainPqOnUnit(unit, df.sparkSession, m, dim / m, ksub, maxIter, seed)
   }
 }

@@ -1715,16 +1715,21 @@ object Queries {
     SimilarityOps.pqCodebookFromRows(
       em.filter(col("vec_id") < 8), "vec_id", "embedding", m = 8)
 
-  /** Shared PQ SQL CTEs: quantized vectors, unit re-quantization, the
-    * from-rows codebook with per-centroid norms, and per-row codes. */
-  private def sqlPqCommon =
+  /** The PQ base CTEs every PQ oracle shares: quantized vectors with
+    * norms, unit re-quantization, and the subspace index. */
+  private def sqlPqBase =
     s"""q0 AS ($sqlQuantized),
        |n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS n2 FROM q0),
        |unit AS (SELECT vec_id,
        |    CASE WHEN n2 > 0 THEN list_transform(v, x ->
        |      CAST(round(CAST(x AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) * 10000) AS BIGINT))
        |    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS u FROM n),
-       |subsp AS (SELECT unnest(range(8)) AS sub_id),
+       |subsp AS (SELECT unnest(range(8)) AS sub_id)""".stripMargin
+
+  /** Shared PQ SQL CTEs: [[sqlPqBase]] plus the from-rows codebook
+    * (rows < 8) with per-centroid norms, and per-row codes. */
+  private def sqlPqCommon =
+    s"""$sqlPqBase,
        |cb AS (SELECT s.sub_id, r.vec_id AS cent_id,
        |    list_slice(r.u, s.sub_id*8 + 1, s.sub_id*8 + 8) AS cq,
        |    CAST(list_sum(list_transform(list_slice(r.u, s.sub_id*8 + 1, s.sub_id*8 + 8),
@@ -1737,6 +1742,35 @@ object Queries {
        |        list_slice(a.u, c.sub_id*8 + 1, c.sub_id*8 + 8), (x,i) -> x * c.cq[i])) AS BIGINT),
        |      c.cent_id) AS rk
        |  FROM unit a CROSS JOIN cb c) WHERE rk = 1)""".stripMargin
+
+  /** The residual-IVFPQ CTE chain on top of [[sqlPqBase]]: coarse
+    * assignment of every corpus row to centroids 0..7, exact integer
+    * residuals on the unit grid, the residual codebook from rows
+    * 8..15 (cent_id = vec_id − 8, dense by ascending id), and per-row
+    * residual codes. */
+  private def sqlResidualCtes =
+    s"""cents AS (SELECT vec_id AS a_id, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 8),
+       |casg AS (SELECT vec_id, cl FROM (
+       |  SELECT a.vec_id, c.a_id AS cl, row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |    CAST(list_sum(list_transform(a.v, (x,i) -> x * c.cv[i])) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC, c.a_id) AS crk
+       |  FROM n a CROSS JOIN cents c) WHERE crk = 1),
+       |res AS (SELECT a.vec_id, ca.cl,
+       |    list_transform(a.u, (x,i) -> x - cu.u[i]) AS ru
+       |  FROM unit a JOIN casg ca ON ca.vec_id = a.vec_id
+       |  JOIN unit cu ON cu.vec_id = ca.cl),
+       |rcb AS (SELECT s.sub_id, r.vec_id - 8 AS cent_id,
+       |    list_slice(r.ru, s.sub_id*8 + 1, s.sub_id*8 + 8) AS cq,
+       |    CAST(list_sum(list_transform(list_slice(r.ru, s.sub_id*8 + 1, s.sub_id*8 + 8),
+       |      x -> x*x)) AS BIGINT) AS cn2
+       |  FROM res r CROSS JOIN subsp s WHERE r.vec_id >= 8 AND r.vec_id < 16),
+       |renc AS (SELECT vec_id, cl, sub_id, code FROM (
+       |  SELECT r.vec_id, r.cl, c.sub_id, c.cent_id AS code,
+       |    row_number() OVER (PARTITION BY r.vec_id, c.sub_id ORDER BY
+       |      c.cn2 - 2 * CAST(list_sum(list_transform(
+       |        list_slice(r.ru, c.sub_id*8 + 1, c.sub_id*8 + 8), (x,i) -> x * c.cq[i])) AS BIGINT),
+       |      c.cent_id) AS rk
+       |  FROM res r CROSS JOIN rcb c) WHERE rk = 1)""".stripMargin
 
   /** ADC scores of `pred`-selected queries against every other row's
     * code: exact integer Σ_j dot(q_sub_j, centroid[j][code_j]). */
@@ -1776,37 +1810,130 @@ object Queries {
        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk FROM adc)
        |WHERE rk <= 3""".stripMargin
 
+  /** Residual IVF-PQ (classical IVFADC): codes are residuals to the
+    * assigned cell centroid; score = per-(query, cell) centroid dot +
+    * residual ADC. Residual codebook from rows 8..15 (NOT the
+    * centroids 0..7 — a centroid's own residual is zero). The oracle
+    * replays coarse assignment, exact integer residual subtraction on
+    * the unit grid, per-subspace argmin encode, and base + ADC —
+    * bit-for-bit. */
   private def ivfPqTopkQ(s: SparkSession, dir: String): DataFrame = {
     val em = t(s, dir, "embeddings")
+    val cents = em.filter(col("vec_id") < 8)
+    val rescb = SimilarityOps.pqResidualCodebookFromRows(
+      em.filter(col("vec_id") >= 8 && col("vec_id") < 16), cents,
+      "vec_id", "embedding", m = 8)
     SimilarityOps.ivfPqTopK(em.filter(col("vec_id") < 10), em,
-      em.filter(col("vec_id") < 8), pqFromRowsCb(em),
-      "vec_id", "embedding", k = 3, nprobe = 2)
+      cents, rescb, "vec_id", "embedding", k = 3, nprobe = 2)
   }
 
   private def ivfPqTopkSql =
-    s"""WITH $sqlPqCommon,
-       |cents AS (SELECT vec_id AS a_id, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 8),
-       |casg AS (SELECT vec_id, cl FROM (
-       |  SELECT a.vec_id, c.a_id AS cl, row_number() OVER (PARTITION BY a.vec_id ORDER BY
-       |    CAST(list_sum(list_transform(a.v, (x,i) -> x * c.cv[i])) AS DOUBLE)
-       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC, c.a_id) AS crk
-       |  FROM n a CROSS JOIN cents c) WHERE crk = 1),
+    s"""WITH $sqlPqBase,
+       |$sqlResidualCtes,
        |qasg AS (SELECT vec_id, cl FROM (
        |  SELECT a.vec_id, c.a_id AS cl, row_number() OVER (PARTITION BY a.vec_id ORDER BY
        |    CAST(list_sum(list_transform(a.v, (x,i) -> x * c.cv[i])) AS DOUBLE)
        |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) DESC, c.a_id) AS crk
        |  FROM n a CROSS JOIN cents c WHERE a.vec_id < 10) WHERE crk <= 2),
-       |adc AS (SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+       |adcsum AS (SELECT qa.vec_id AS q_id, ca.vec_id AS c_id, qa.cl AS cl,
        |    CAST(SUM(CAST(list_sum(list_transform(
-       |      list_slice(q.u, e.sub_id*8 + 1, e.sub_id*8 + 8), (x,i) -> x * c.cq[i])) AS BIGINT)) AS BIGINT) AS score
+       |      list_slice(q.u, e.sub_id*8 + 1, e.sub_id*8 + 8), (x,i) -> x * c.cq[i])) AS BIGINT)) AS BIGINT) AS s
        |  FROM qasg qa JOIN casg ca ON qa.cl = ca.cl AND ca.vec_id <> qa.vec_id
        |  JOIN unit q ON q.vec_id = qa.vec_id
-       |  JOIN enc e ON e.vec_id = ca.vec_id
-       |  JOIN cb c ON c.sub_id = e.sub_id AND c.cent_id = e.code
-       |  GROUP BY q.vec_id, e.vec_id)
+       |  JOIN renc e ON e.vec_id = ca.vec_id
+       |  JOIN rcb c ON c.sub_id = e.sub_id AND c.cent_id = e.code
+       |  GROUP BY qa.vec_id, ca.vec_id, qa.cl),
+       |adc AS (SELECT a.q_id, a.c_id,
+       |    CAST(list_sum(list_transform(q.u, (x,i) -> x * cu.u[i])) AS BIGINT) + a.s AS score
+       |  FROM adcsum a JOIN unit q ON q.vec_id = a.q_id
+       |  JOIN unit cu ON cu.vec_id = a.cl)
        |SELECT q_id, c_id, CAST(score AS DOUBLE) / 100000000 AS adc_cos, rk::BIGINT AS rk
        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk FROM adc)
        |WHERE rk <= 3""".stripMargin
+
+  /** Recall-per-bit scorecard at EQUAL code size (m = 8 codewords from
+    * the same sample rows 8..15, every cell probed so coarse misses
+    * cannot mask code quality): residual codes vs whole-vector codes
+    * against the exact brute-force top-5. */
+  private def pqResidualRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val em = t(s, dir, "embeddings")
+    val queries = em.filter(col("vec_id") < 20)
+    val cents = em.filter(col("vec_id") < 8)
+    val sample = em.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+    val rescb = SimilarityOps.pqResidualCodebookFromRows(sample, cents,
+      "vec_id", "embedding", m = 8)
+    val rawcb = SimilarityOps.pqCodebookFromRows(sample,
+      "vec_id", "embedding", m = 8)
+    val exact = SimilarityOps.bruteForceTopK(queries, em,
+        "vec_id", "embedding", k = 5)
+      .select(col("q_id").as("id_a"), col("c_id").as("id_b"))
+    def pairsOf(cb: DataFrame, residual: Boolean) =
+      SimilarityOps.ivfPqTopK(queries, em, cents, cb, "vec_id", "embedding",
+          k = 5, nprobe = 8, residual = residual)
+        .select(col("q_id").as("id_a"), col("c_id").as("id_b"))
+    DedupOps.pairRecall(exact, pairsOf(rescb, residual = true))
+      .withColumn("variant", lit("residual"))
+      .unionByName(DedupOps.pairRecall(exact, pairsOf(rawcb, residual = false))
+        .withColumn("variant", lit("raw")))
+  }
+
+  private def pqResidualRecallSql = {
+    val lutSum =
+      """CAST(SUM(CAST(list_sum(list_transform(
+        |      list_slice(q.u, e.sub_id*8 + 1, e.sub_id*8 + 8), (x,i) -> x * c.cq[i])) AS BIGINT)) AS BIGINT)""".stripMargin
+    val recallOf = (sl: String) =>
+      s"""SELECT count(e.id_a)::BIGINT AS n_exact,
+         |  count(l.id_a)::BIGINT AS n_approx,
+         |  count(CASE WHEN e.id_a IS NOT NULL AND l.id_a IS NOT NULL THEN 1 END)::BIGINT AS n_both,
+         |  CASE WHEN count(e.id_a) = 0 THEN NULL
+         |       ELSE CAST(count(CASE WHEN e.id_a IS NOT NULL AND l.id_a IS NOT NULL THEN 1 END) AS DOUBLE)
+         |              / count(e.id_a) END AS recall
+         |FROM exact e FULL OUTER JOIN $sl l ON e.id_a = l.id_a AND e.id_b = l.id_b""".stripMargin
+    s"""WITH $sqlPqBase,
+       |$sqlResidualCtes,
+       |exact AS (SELECT q_id AS id_a, c_id AS id_b FROM (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      CAST(list_sum(list_transform(a.v, (x,i) -> x * b.v[i])) AS DOUBLE)
+       |        / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) DESC, b.vec_id) AS rk
+       |  FROM n a JOIN n b ON a.vec_id < 20 AND a.vec_id <> b.vec_id) WHERE rk <= 5),
+       |rsum AS (SELECT q.vec_id AS q_id, e.vec_id AS c_id, e.cl AS cl,
+       |    $lutSum AS s
+       |  FROM unit q JOIN renc e ON e.vec_id <> q.vec_id AND q.vec_id < 20
+       |  JOIN rcb c ON c.sub_id = e.sub_id AND c.cent_id = e.code
+       |  GROUP BY q.vec_id, e.vec_id, e.cl),
+       |rsl AS (SELECT q_id AS id_a, c_id AS id_b FROM (
+       |  SELECT r.q_id, r.c_id, row_number() OVER (PARTITION BY r.q_id ORDER BY
+       |      CAST(list_sum(list_transform(q.u, (x,i) -> x * cu.u[i])) AS BIGINT) + r.s DESC,
+       |      r.c_id) AS rk
+       |  FROM rsum r JOIN unit q ON q.vec_id = r.q_id
+       |  JOIN unit cu ON cu.vec_id = r.cl) WHERE rk <= 5),
+       |cb8 AS (SELECT s.sub_id, r.vec_id - 8 AS cent_id,
+       |    list_slice(r.u, s.sub_id*8 + 1, s.sub_id*8 + 8) AS cq,
+       |    CAST(list_sum(list_transform(list_slice(r.u, s.sub_id*8 + 1, s.sub_id*8 + 8),
+       |      x -> x*x)) AS BIGINT) AS cn2
+       |  FROM unit r CROSS JOIN subsp s WHERE r.vec_id >= 8 AND r.vec_id < 16),
+       |enc8 AS (SELECT vec_id, sub_id, code FROM (
+       |  SELECT a.vec_id, c.sub_id, c.cent_id AS code,
+       |    row_number() OVER (PARTITION BY a.vec_id, c.sub_id ORDER BY
+       |      c.cn2 - 2 * CAST(list_sum(list_transform(
+       |        list_slice(a.u, c.sub_id*8 + 1, c.sub_id*8 + 8), (x,i) -> x * c.cq[i])) AS BIGINT),
+       |      c.cent_id) AS rk
+       |  FROM unit a CROSS JOIN cb8 c) WHERE rk = 1),
+       |wsum AS (SELECT q.vec_id AS q_id, e.vec_id AS c_id,
+       |    $lutSum AS score
+       |  FROM unit q JOIN enc8 e ON e.vec_id <> q.vec_id AND q.vec_id < 20
+       |  JOIN cb8 c ON c.sub_id = e.sub_id AND c.cent_id = e.code
+       |  GROUP BY q.vec_id, e.vec_id),
+       |wsl AS (SELECT q_id AS id_a, c_id AS id_b FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rk FROM wsum)
+       |  WHERE rk <= 5)
+       |SELECT * FROM (
+       |  SELECT n_exact, n_approx, n_both, recall, 'residual' AS variant
+       |  FROM (${recallOf("rsl")})
+       |  UNION ALL
+       |  SELECT n_exact, n_approx, n_both, recall, 'raw' AS variant
+       |  FROM (${recallOf("wsl")}))""".stripMargin
+  }
 
   private def pqRecallQ(s: SparkSession, dir: String): DataFrame = {
     val em = t(s, dir, "embeddings")
@@ -3586,6 +3713,7 @@ object Queries {
     "q_pq_topk" -> (pqTopkQ _),
     "q_ivfpq_topk" -> (ivfPqTopkQ _),
     "q_pq_recall" -> (pqRecallQ _),
+    "q_pq_residual_recall" -> (pqResidualRecallQ _),
     "q_events_props" -> (eventsPropsQ _),
     "q_string_funcs" -> (stringFuncsQ _),
     "q_set_ops" -> (setOpsQ _),
@@ -3729,6 +3857,7 @@ object Queries {
     "q_pq_topk" -> pqTopkSql,
     "q_ivfpq_topk" -> ivfPqTopkSql,
     "q_pq_recall" -> pqRecallSql,
+    "q_pq_residual_recall" -> pqResidualRecallSql,
     "q_events_props" -> eventsPropsSql,
     "q_string_funcs" -> stringFuncsSql,
     "q_set_ops" -> setOpsSql,

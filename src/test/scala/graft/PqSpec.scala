@@ -82,7 +82,7 @@ class PqSpec extends SparkSpec {
     val flat = SimilarityOps.pqTopK(rows.filter(col("vec_id") < 5), rows,
       cb, "vec_id", "embedding", k = 3)
     val ivf = SimilarityOps.ivfPqTopK(rows.filter(col("vec_id") < 5), rows,
-      cents, cb, "vec_id", "embedding", k = 3, nprobe = 4)
+      cents, cb, "vec_id", "embedding", k = 3, nprobe = 4, residual = false)
     assert(flat.exceptAll(ivf).isEmpty && ivf.exceptAll(flat).isEmpty)
   }
 
@@ -153,6 +153,44 @@ class PqSpec extends SparkSpec {
         Seq("q_id", "c_id"))
     assert(joined.count() == 9)
     assert(joined.filter(col("got_cos") =!= col("exact_cos")).isEmpty)
+  }
+
+  test("residual IVFADC: trained residual codes match-or-beat raw codes at equal size; standing index identical to one-shot") {
+    val rows = spark.read.parquet(em)
+    val queries = rows.filter(col("vec_id") < 20)
+    val cents = SimilarityOps.trainCentroids(rows, "vec_id", "embedding", k = 8)
+    val rawcb = SimilarityOps.trainPqCodebook(rows, "vec_id", "embedding",
+      m = 8, ksub = 32)
+    val rescb = SimilarityOps.trainPqResidualCodebook(rows, cents,
+      "vec_id", "embedding", m = 8, ksub = 32)
+    val exact = SimilarityOps.bruteForceTopK(queries, rows,
+        "vec_id", "embedding", k = 5)
+      .select(col("q_id").as("id_a"), col("c_id").as("id_b"))
+    def recallOf(cb: org.apache.spark.sql.DataFrame, residual: Boolean) =
+      DedupOps.pairRecall(exact,
+        SimilarityOps.ivfPqTopK(queries, rows, cents, cb,
+            "vec_id", "embedding", k = 5, nprobe = 8, residual = residual)
+          .select(col("q_id").as("id_a"), col("c_id").as("id_b")))
+        .head().getAs[Double]("recall")
+    val res = recallOf(rescb, residual = true)
+    val raw = recallOf(rawcb, residual = false)
+    info(s"equal 64-bit codes, every cell probed: residual $res vs raw $raw")
+    // measured on the near-random fixture (PQ's worst case): the
+    // residual path must at least hold the line at equal code size —
+    // on clustered real embeddings the gap widens with coarse locality
+    assert(res >= raw - 1e-9, s"residual $res must not lose to raw $raw")
+    assert(res > 0.15, s"trained residual recall@5 $res (measured 0.25 " +
+      "on the fixture; floor with margin)")
+    // standing residual index answers identically to the one-shot op
+    val dir = "/tmp/graft_test_respq_index"
+    SimilarityOps.ivfPqIndex(rows, cents, rescb, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val fromIx = SimilarityOps.ivfPqTopKFromIndex(queries,
+      spark.read.parquet(dir), cents, rescb, "vec_id", "embedding",
+      k = 5, nprobe = 2)
+    val oneShot = SimilarityOps.ivfPqTopK(queries, rows, cents, rescb,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(fromIx.exceptAll(oneShot).isEmpty && oneShot.exceptAll(fromIx).isEmpty)
   }
 
   test("trainPqCodebook output passes codebook validation and compresses dim/m-fold") {
