@@ -1273,6 +1273,59 @@ object SimilarityOps {
         norm2Q(col("cent_q")).as("cent_n2"))
   }
 
+  /** Variance-balancing dimension permutation — the integer-exact
+    * slice of OPQ (Ge et al., "Optimized Product Quantization", CVPR
+    * 2013): a permutation IS an orthogonal transform, so it preserves
+    * dots, norms, and the exact-integer grid (a general learned
+    * rotation would break the bit-replayable arithmetic this file's
+    * oracles pin), while still attacking OPQ's target — unbalanced
+    * variance across subspaces, where one subspace holds most of the
+    * signal and its ksub codewords saturate. Eigenvalue-allocation
+    * greedy (the OPQ-P initialization): dims sorted by variance
+    * descending, each assigned to the non-full subspace with the
+    * smallest log-variance sum. One corpus aggregate (dim-sized
+    * output); apply with [[permuteVec]] to BOTH corpus and queries
+    * before any PQ op — the permutation is part of the codebook
+    * contract, persist it beside the index. */
+  def pqBalancedPermutation(df: DataFrame, vecCol: String, m: Int): Seq[Int] = {
+    require(m >= 1, s"need m >= 1 subspaces, got $m")
+    val stats = df
+      .select(unitQCol(quantize(col(vecCol))).as("__u"))
+      .select(posexplode(col("__u")).as(Seq("__d", "__x")))
+      .groupBy("__d")
+      .agg(avg(col("__x")).as("__mu"),
+        avg(col("__x") * col("__x")).as("__m2"))
+      .select(col("__d"),
+        (col("__m2") - col("__mu") * col("__mu")).as("__v"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    require(stats.nonEmpty, "empty permutation training input")
+    val dim = stats.length
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val bySignal = stats.sortBy { case (d, v) => (-v, d) }
+    val sums = Array.fill(m)(0.0)
+    val members = Array.fill(m)(List.empty[Int])
+    bySignal.foreach { case (d, v) =>
+      val j = (0 until m).filter(members(_).size < dsub)
+        .minBy(j => (sums(j), j))
+      sums(j) += math.log(v + 1e-12)
+      members(j) = d :: members(j)
+    }
+    members.toSeq.flatMap(_.sorted)
+  }
+
+  /** Gather `vec`'s elements in `perm` order (perm(i) = source index
+    * of output position i, 0-based) — the applicator of
+    * [[pqBalancedPermutation]]. Pass a plain column reference (not a
+    * computed expression): interpreted higher-order functions
+    * re-evaluate expressions referenced inside the lambda per
+    * element. */
+  def permuteVec(vec: Column, perm: Seq[Int]): Column = {
+    require(perm.sorted == perm.indices,
+      s"not a permutation of 0..${perm.length - 1}: $perm")
+    transform(typedlit(perm.map(_ + 1)), i => element_at(vec, i))
+  }
+
   /** Train a RESIDUAL PQ codebook (the [[trainPqCodebook]] quality
     * path for residual-mode [[ivfPqIndex]]): per-subspace seeded
     * KMeans over the corpus's coarse-assignment residuals. Same

@@ -193,6 +193,47 @@ class PqSpec extends SparkSpec {
     assert(fromIx.exceptAll(oneShot).isEmpty && oneShot.exceptAll(fromIx).isEmpty)
   }
 
+  test("OPQ permutation: balanced variance allocation buys recall on skewed dims; orthogonality is exact") {
+    // fixture with ALL the signal in dims 0..3 (one natural subspace):
+    // plain m=4 grouping burns three subspaces on noise while subspace
+    // 0's ksub codewords saturate; the balanced permutation spreads the
+    // signal dims one per subspace
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      val sig = Array.fill(4)(rnd.nextGaussian().toFloat)
+      val noise = Array.fill(12)(0.01f * rnd.nextGaussian().toFloat)
+      (i.toLong, sig ++ noise)
+    }.toDF("vec_id", "embedding")
+    val perm = SimilarityOps.pqBalancedPermutation(rows, "embedding", m = 4)
+    // each subspace gets exactly one high-variance dim (0..3)
+    val groups = perm.grouped(4).toSeq
+    assert(groups.forall(g => g.count(_ < 4) == 1), s"unbalanced: $groups")
+    val permuted = rows.select(col("vec_id"),
+      SimilarityOps.permuteVec(col("embedding"), perm).as("embedding"))
+    // permutation preserves exact cosine structure (orthogonal transform)
+    val q = rows.filter(col("vec_id") < 10)
+    val qp = permuted.filter(col("vec_id") < 10)
+    val bf = SimilarityOps.bruteForceTopK(q, rows, "vec_id", "embedding", k = 5)
+    val bfp = SimilarityOps.bruteForceTopK(qp, permuted, "vec_id", "embedding", k = 5)
+    assert(bf.exceptAll(bfp).isEmpty && bfp.exceptAll(bf).isEmpty)
+    // recall at equal code size: permuted codes must win on this fixture
+    val exact = bf.select(col("q_id").as("id_a"), col("c_id").as("id_b"))
+    def recallOf(corpus: org.apache.spark.sql.DataFrame): Double = {
+      val cb = SimilarityOps.trainPqCodebook(corpus, "vec_id", "embedding",
+        m = 4, ksub = 8)
+      val qs = corpus.filter(col("vec_id") < 10)
+      DedupOps.pairRecall(exact,
+        SimilarityOps.pqTopK(qs, corpus, cb, "vec_id", "embedding", k = 5)
+          .select(col("q_id").as("id_a"), col("c_id").as("id_b")))
+        .head().getAs[Double]("recall")
+    }
+    val plain = recallOf(rows)
+    val opq = recallOf(permuted)
+    info(s"equal 12-bit codes on skewed dims: permuted $opq vs plain $plain")
+    assert(opq > plain, s"balanced permutation must buy recall here: " +
+      s"plain $plain -> permuted $opq")
+  }
+
   test("trainPqCodebook output passes codebook validation and compresses dim/m-fold") {
     val rows = spark.read.parquet(em)
     val cb = SimilarityOps.trainPqCodebook(rows, "vec_id", "embedding", m = 8, ksub = 4)
