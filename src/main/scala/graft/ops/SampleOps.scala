@@ -676,9 +676,11 @@ object SampleOps {
     * contract of the whole staged-swap family. A remote path
     * (`s3://`, `hdfs://`) would write the parquet data through the
     * Hadoop FS but misplace the manifest and the swap, so it is
-    * rejected up front; for object stores, write shards with plain
-    * Spark and publish via the store's own conditional-put/manifest
-    * primitive instead of a rename protocol it cannot honor.
+    * rejected up front; for object stores use the MANIFEST-AS-COMMIT
+    * protocol instead — [[writeShardedCommit]]/[[appendShardedCommit]]
+    * /[[readShardedCommit]] — which needs no directory rename at all
+    * (shards first under immutable commit dirs, one manifest PUT as
+    * the commit point, readers resolve through the manifest only).
     *
     * `textCol` is type-agnostic (it lands in the published `text`
     * column whatever its type): a PACKED token corpus —
@@ -789,6 +791,301 @@ object SampleOps {
           org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
+
+  // =====================================================================
+  // Manifest-as-commit publish — the OBJECT-STORE-SAFE protocol.
+  //
+  // [[writeSharded]]/[[appendSharded]] publish via atomic directory
+  // renames — correct on a POSIX filesystem, impossible on S3/GCS where
+  // rename is copy+delete. This mode inverts the dependency: shard data
+  // writes FIRST under immutable per-commit directories
+  // (`data/c<generation>/shard_id=K`), invisible to readers until the
+  // single small manifest object (`_graft_manifest.json`, carrying the
+  // generation and the full shard list) is PUT LAST as the one commit
+  // point. Readers resolve shards EXCLUSIVELY through the manifest —
+  // never by directory listing — so a crash between shard write and
+  // manifest PUT leaves the old manifest (and thus the old corpus)
+  // fully intact, and the orphaned commit directory is swept by the
+  // next successful writer. No published object is ever renamed or
+  // rewritten; an append adds a new commit dir and a manifest that
+  // references old + new shards across commit dirs.
+  //
+  // Portability seam: all IO goes through the Hadoop FileSystem of the
+  // corpus path, so `s3a://`/`gs://`/`hdfs://` paths work as-is. Two
+  // steps are atomic locally but only best-effort on plain object
+  // stores — the manifest replace (here: write-new + rename; on a real
+  // deployment back it with the store's conditional-put/if-match) and
+  // the writer lock (O_CREAT|O_EXCL; back with a lease or conditional
+  // put). Everything else relies only on "a PUT object appears fully
+  // or not at all", which every object store guarantees.
+  // =====================================================================
+
+  private val ManifestName = "_graft_manifest.json"
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+      path: String): (org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Strict parse of a commit-mode manifest:
+    * `{"generation":G,"shards":[{shard_id,path,n_seqs,n_tokens}...]}`.
+    * Every object must parse (the appendSharded discipline — a partial
+    * parse would collide shard ids with live unparsed shards). */
+  private def parseCommitManifest(text: String): (Long, Array[(Long, String, Long, Long)]) = {
+    val gen = """^\s*\{"generation":(\d+),"shards":\[""".r
+      .findFirstMatchIn(text).map(_.group(1).toLong)
+      .getOrElse(sys.error(
+        s"unparseable commit manifest (no generation header): " +
+          s"${text.take(80)}..."))
+    val entry =
+      """\{"shard_id":(\d+),"path":"([^"]*)","n_seqs":(-?\d+),"n_tokens":(-?\d+)\}""".r
+    val shards = entry.findAllMatchIn(text).map(m =>
+      (m.group(1).toLong, m.group(2), m.group(3).toLong, m.group(4).toLong))
+      .toArray.sortBy(_._1)
+    val objCount = text.count(_ == '{') - 1 // minus the header object
+    require(shards.length == objCount,
+      s"commit manifest carries $objCount shard entries but only " +
+        s"${shards.length} parsed — refusing to act on it")
+    (gen, shards)
+  }
+
+  private def renderCommitManifest(gen: Long,
+      shards: Seq[(Long, String, Long, Long)]): String =
+    shards.map { case (id, p, ns, nt) =>
+      s"""{"shard_id":$id,"path":"$p","n_seqs":$ns,"n_tokens":$nt}"""
+    }.mkString(s"""{"generation":$gen,"shards":[""", ",\n", "]}")
+
+  private def readCommitManifestOpt(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Option[(Long, Array[(Long, String, Long, Long)])] = {
+    val mf = new org.apache.hadoop.fs.Path(root, ManifestName)
+    if (!fs.exists(mf)) None
+    else {
+      val in = fs.open(mf)
+      val text = try {
+        new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      Some(parseCommitManifest(text))
+    }
+  }
+
+  /** The manifest PUT — the commit point. Locally an atomic move; on a
+    * plain object store a delete+rename window exists, which a real
+    * deployment closes with the store's conditional put (this method
+    * is the one seam to swap). */
+  private def putManifest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, text: String): Unit = {
+    val mf = new org.apache.hadoop.fs.Path(root, ManifestName)
+    if ("file" == fs.getScheme) {
+      val tmp = java.nio.file.Paths.get(
+        new org.apache.hadoop.fs.Path(root, ManifestName + "__new").toUri.getPath)
+      java.nio.file.Files.createDirectories(tmp.getParent)
+      java.nio.file.Files.writeString(tmp, text)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(mf.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(root, ManifestName + "__new")
+      val out = fs.create(tmp, true)
+      try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(mf, false)
+      if (!fs.rename(tmp, mf)) sys.error(s"failed to publish manifest $mf")
+    }
+  }
+
+  /** Exclusive writer lock for the read→PUT window (single-writer, the
+    * [[appendSharded]] discipline); released in a finally. */
+  private def withCommitLock[T](fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(root, "_graft_commit.lock")
+    fs.mkdirs(root)
+    val out = try fs.create(lock, false) catch {
+      case _: java.io.IOException => throw new IllegalArgumentException(
+        s"commit lock $lock already exists — commit-mode writers are " +
+          "single-writer (the manifest read -> PUT window must be " +
+          "exclusive); if no other writer is running, a previous one " +
+          "crashed: remove the lock and re-run")
+    }
+    out.close()
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Write a sharded corpus under the MANIFEST-AS-COMMIT protocol (see
+    * the section banner above): shards to `data/c<G>/shard_id=K` first,
+    * manifest PUT last. `G` is 0 for a fresh corpus, standing
+    * generation + 1 when a manifest exists — in which case this is a
+    * full REPLACE (the new manifest references only the new commit;
+    * prior commit dirs become unreferenced and are swept AFTER the
+    * PUT, when no reader resolving through the new manifest can reach
+    * them; a reader mid-scan on the old manifest can race that sweep —
+    * gate sweeps on reader-lease expiry in a real deployment, the
+    * standard snapshot-retention trade). `sidecar` writes into the
+    * commit dir, so sidecars version with their corpus. Returns the
+    * manifest frame (shard_id, path, n_seqs, n_tokens). */
+  def writeShardedCommit(df: DataFrame, key: Column, tokenCol: String,
+      textCol: String, path: String, targetTokens: Long,
+      buckets: Int, maxManifestShards: Long = MaxManifestShards,
+      sidecar: Option[String => Unit] = None): DataFrame = {
+    val spark = df.sparkSession
+    val (fs, root) = hadoopFs(spark, path)
+    withCommitLock(fs, root) {
+      val standing = readCommitManifestOpt(fs, root)
+      val gen = standing.map(_._1 + 1).getOrElse(0L)
+      // sweep earlier CRASHED commits: any data/c<K> with K above the
+      // standing generation is a write that never reached its PUT —
+      // provably unreferenced (manifests only ever reference commits
+      // <= their own generation)
+      sweepCommits(fs, root,
+        k => k > standing.map(_._1).getOrElse(-1L))
+      val (shards, nShards) =
+        assignShardsTotal(df, key, tokenCol, targetTokens, buckets)
+      requirePreShardBound("writeShardedCommit", nShards, 0L,
+        maxManifestShards)
+      val commitDir = s"data/c$gen"
+      val rows = writeCommitShards(spark, shards, key, tokenCol, textCol,
+        path, commitDir, 0L, maxManifestShards, 0L)
+      sidecar.foreach(_(new org.apache.hadoop.fs.Path(root, commitDir).toString))
+      putManifest(fs, root, renderCommitManifest(gen,
+        rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))))
+      // sweep prior-generation data only AFTER the commit point
+      sweepCommits(fs, root, k => k != gen)
+      manifestFrame(spark, rows)
+    }
+  }
+
+  /** Append under the manifest-as-commit protocol: new shards (ids past
+    * the standing corpus's last) land in `data/c<G+1>`, the combined
+    * manifest — standing entries verbatim + fresh — is the single PUT.
+    * Standing shard objects are never touched; the log-structured
+    * bounded-waste trade of [[appendSharded]] applies unchanged. */
+  def appendShardedCommit(df: DataFrame, key: Column, tokenCol: String,
+      textCol: String, path: String, targetTokens: Long,
+      buckets: Int, maxManifestShards: Long = MaxManifestShards): DataFrame = {
+    val spark = df.sparkSession
+    val (fs, root) = hadoopFs(spark, path)
+    withCommitLock(fs, root) {
+      val (gen, standing) = readCommitManifestOpt(fs, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"no $ManifestName under $path — appendShardedCommit extends a " +
+            "writeShardedCommit corpus; run writeShardedCommit first"))
+      // crashed-append sweep: commit dirs above the standing generation
+      // never reached their PUT and are unreferenced
+      sweepCommits(fs, root, k => k > gen)
+      val offset = standing.lastOption.map(_._1 + 1).getOrElse(0L)
+      val (shards, nShards) =
+        assignShardsTotal(df, key, tokenCol, targetTokens, buckets)
+      requirePreShardBound("appendShardedCommit", nShards,
+        standing.length.toLong, maxManifestShards)
+      val commitDir = s"data/c${gen + 1}"
+      val fresh = writeCommitShards(spark, shards, key, tokenCol, textCol,
+        path, commitDir, offset, maxManifestShards, standing.length.toLong)
+      val all = standing ++ fresh.map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      putManifest(fs, root, renderCommitManifest(gen + 1, all.sortBy(_._1)))
+      manifestFrame(spark,
+        all.sortBy(_._1).map(t => org.apache.spark.sql.Row(t._1, t._2, t._3, t._4)))
+    }
+  }
+
+  /** Resolve a commit-mode corpus THROUGH its manifest — the only
+    * legitimate read path (directory listing would surface crashed
+    * commits). One multi-path parquet scan of exactly the listed shard
+    * dirs; `shard_id` recovered from the partition-dir name in the
+    * file path (codegen regexp over input_file_name — no per-shard
+    * plan blowup at large N). Returns (shard_id, seq_key, n_tokens,
+    * text). */
+  def readShardedCommit(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (fs, root) = hadoopFs(spark, path)
+    val (_, shards) = readCommitManifestOpt(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no $ManifestName under $path — not a commit-mode corpus"))
+    require(shards.nonEmpty, s"empty corpus manifest under $path")
+    val paths = shards.map(s =>
+      new org.apache.hadoop.fs.Path(root, s._2).toString)
+    spark.read.parquet(paths.toIndexedSeq: _*)
+      .withColumn("shard_id",
+        regexp_extract(input_file_name(), "shard_id=([0-9]+)", 1)
+          .cast("long"))
+      .select(col("shard_id"), col("seq_key"), col("n_tokens"), col("text"))
+  }
+
+  /** The commit-mode manifest as a frame (shard_id, path, n_seqs,
+    * n_tokens) plus its generation, for audits. */
+  def readCommitManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, DataFrame) = {
+    val (fs, root) = hadoopFs(spark, path)
+    val (gen, shards) = readCommitManifestOpt(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no $ManifestName under $path — not a commit-mode corpus"))
+    (gen, manifestFrame(spark, shards.map(t =>
+      org.apache.spark.sql.Row(t._1, t._2, t._3, t._4))))
+  }
+
+  private def sweepCommits(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, dead: Long => Boolean): Unit = {
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("c"))
+          name.stripPrefix("c").toLongOption
+            .filter(dead).foreach(_ => fs.delete(st.getPath, true))
+      }
+  }
+
+  /** Write one commit's shards (offset applied) and return the
+    * aggregated manifest rows read back from the JUST-WRITTEN data. */
+  private def writeCommitShards(spark: org.apache.spark.sql.SparkSession,
+      shards: DataFrame, key: Column, tokenCol: String, textCol: String,
+      path: String, commitDir: String, offset: Long,
+      maxManifestShards: Long, standingCount: Long): Array[org.apache.spark.sql.Row] = {
+    val assigned = shards
+      .select((col("shard_id") + offset).as("shard_id"), key.as("seq_key"),
+        col(tokenCol).cast("long").as("n_tokens"), col(textCol).as("text"))
+    val dest = s"$path/$commitDir"
+    assigned
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("seq_key"))
+      .write.partitionBy("shard_id").mode("overwrite")
+      .option("compression", "zstd").parquet(dest)
+    val rows = spark.read.schema(assigned.schema).parquet(dest)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_seqs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .select(col("shard_id"),
+        concat(lit(s"$commitDir/shard_id="), col("shard_id")).as("path"),
+        col("n_seqs"), col("n_tokens"))
+      .orderBy("shard_id").collect()
+    // authoritative post-write check (the requireManifestScale analog —
+    // here the just-written shard count is already in hand)
+    require(standingCount + rows.length <= maxManifestShards,
+      s"commit-mode write: ${standingCount + rows.length} shards exceed " +
+        s"the driver-safe manifest bound $maxManifestShards — raise " +
+        "targetTokens or maxManifestShards; the crashed commit dir will " +
+        "be swept by the next writer")
+    rows
+  }
+
+  private def manifestFrame(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shard_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_seqs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType, nullable = false))))
 
   /** The `_graft_vocab.parquet` sidecar writer both corpus builders
     * hand to [[writeSharded]] — one recipe, one filename. */

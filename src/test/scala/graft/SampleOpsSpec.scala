@@ -1138,6 +1138,96 @@ class SampleOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("manifest-as-commit: shards first, manifest PUT last; crash leaves old corpus intact; readers never list directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_commit").toFile
+    val out = new java.io.File(dir, "corpus").getPath
+    try {
+      val m1 = SampleOps.writeShardedCommit(corpus.limit(40), col("doc_id"),
+        "n_chars", "text", out, targetTokens = 3000L, buckets = 2)
+      val m1rows = m1.collect()
+      assert(m1rows.nonEmpty)
+      // data sits under immutable per-commit dirs; paths resolve
+      assert(m1rows.forall(_.getString(1).startsWith("data/c0/shard_id=")))
+      val (gen0, _) = SampleOps.readCommitManifest(spark, out)
+      assert(gen0 == 0L)
+      val r1 = SampleOps.readShardedCommit(spark, out)
+      assert(r1.count() == 40)
+      assert(r1.agg(sum("n_tokens")).head().getLong(0) ==
+        m1rows.map(_.getLong(3)).sum)
+      val mfBytes = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out, "_graft_manifest.json"))
+
+      // SIMULATED CRASH between shard write and manifest PUT: a c1
+      // commit dir full of data exists, but the manifest was never
+      // replaced — the old corpus must read back exactly, because the
+      // reader resolves through the manifest, never by listing
+      val orphan = new java.io.File(out, "data/c1/shard_id=99")
+      corpus.limit(3)
+        .select(col("doc_id").as("seq_key"),
+          col("n_chars").cast("long").as("n_tokens"), col("text"))
+        .write.parquet(orphan.getPath)
+      assert(SampleOps.readShardedCommit(spark, out).count() == 40)
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(out, "_graft_manifest.json")) == mfBytes)
+
+      // the next successful append sweeps the crashed commit and
+      // publishes old + new through one manifest PUT
+      val m2 = SampleOps.appendShardedCommit(
+        corpus.filter(col("doc_id") >= 400).limit(5), col("doc_id"),
+        "n_chars", "text", out, targetTokens = 3000L, buckets = 2).collect()
+      assert(!new java.io.File(out, "data/c1/shard_id=99").exists(),
+        "crashed commit dir must be swept by the next writer")
+      val (gen2, _) = SampleOps.readCommitManifest(spark, out)
+      // the crashed c1 never committed, so the append sweeps it and
+      // REUSES generation 1 — generation numbers are commit points,
+      // not write attempts
+      assert(gen2 == 1L)
+      assert(SampleOps.readShardedCommit(spark, out).count() == 45)
+      // standing shards untouched (same paths, same stats), fresh ones
+      // in the new commit dir with ids past the standing range
+      val oldIds = m1rows.map(_.getLong(0)).toSet
+      assert(m2.filter(r => oldIds(r.getLong(0)))
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq ==
+        m1rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq)
+      assert(m2.filter(r => !oldIds(r.getLong(0)))
+        .forall(r => r.getString(1).startsWith("data/c1/shard_id=") &&
+          r.getLong(0) > oldIds.max))
+      // single-writer lock refuses a second concurrent writer
+      new java.io.File(out, "_graft_commit.lock").createNewFile()
+      val e = intercept[IllegalArgumentException] {
+        SampleOps.appendShardedCommit(corpus.limit(2), col("doc_id"),
+          "n_chars", "text", out, targetTokens = 3000L, buckets = 2)
+      }
+      assert(e.getMessage.contains("single-writer"))
+      new java.io.File(out, "_graft_commit.lock").delete()
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("manifest-as-commit: a replace write moves the generation and sweeps prior commits after the PUT") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_commit2").toFile
+    val out = new java.io.File(dir, "corpus").getPath
+    try {
+      SampleOps.writeShardedCommit(corpus.limit(20), col("doc_id"),
+        "n_chars", "text", out, targetTokens = 3000L, buckets = 2)
+      SampleOps.writeShardedCommit(corpus.limit(30), col("doc_id"),
+        "n_chars", "text", out, targetTokens = 3000L, buckets = 2)
+      val (gen, mf) = SampleOps.readCommitManifest(spark, out)
+      assert(gen == 1L)
+      assert(mf.collect().forall(_.getString(1).startsWith("data/c1/")))
+      assert(!new java.io.File(out, "data/c0").exists(),
+        "prior commit swept after the PUT")
+      assert(SampleOps.readShardedCommit(spark, out).count() == 30)
+      // rebuild determinism: same content -> byte-identical shard lists
+      // across protocols (commit mode vs rename mode share assignShards)
+      val renameOut = new java.io.File(dir, "rename").getPath
+      val mRename = SampleOps.writeSharded(corpus.limit(30), col("doc_id"),
+        "n_chars", "text", renameOut, targetTokens = 3000L, buckets = 2)
+      val a = mf.select("shard_id", "n_seqs", "n_tokens").collect().toSeq
+      val b = mRename.select("shard_id", "n_seqs", "n_tokens").collect().toSeq
+      assert(a == b)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("specials sidecar: registry pinned beside the vocab; extended merges stay resolvable through THEIR corpus's sidecar") {
     val dir = java.nio.file.Files.createTempDirectory("graft_specials").toFile
     try {
