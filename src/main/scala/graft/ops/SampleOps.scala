@@ -792,6 +792,89 @@ object SampleOps {
   }
 
 
+  /** [[materializePackedSequences]] for SUPERVISED corpora — the
+    * fragment-fused production materializer of
+    * [[graft.ops.TextOps.encodeSft]] / [[TextOps.encodeChat]] /
+    * [[TextOps.encodeMultimodal]] output: (ids, mask) pairs packed
+    * concat-and-cut (NO separator — a supervised example ends with its
+    * own supervised EOS) and assembled into per-sequence arrays with
+    * the exchange carrying one row per document FRAGMENT, never per
+    * token. The zip-mismatch guard rides the fragment payload (any
+    * consumer of the assembled arrays evaluates it); empty examples
+    * contribute nothing (and must be filtered before the coverage
+    * `sequence(...)`, whose start would otherwise exceed its stop).
+    * Spec-pinned bit-equal to assembling
+    * `packSftSequences(...)` per sequence. Output:
+    * (seq_id, token_ids, loss_mask, n_tokens). */
+  def materializePackedSftSequences(df: DataFrame, key: Column,
+      idsCol: String, maskCol: String, seqLen: Int,
+      buckets: Int = 0): DataFrame = {
+    require(seqLen > 0, s"need positive seqLen, got $seqLen")
+    require(!df.columns.contains("__pairs"),
+      "materializePackedSftSequences reserves the working column name " +
+        "__pairs; input already has __pairs — rename before packing")
+    val ids = coalesce(col(idsCol), array().cast("array<long>"))
+    val mask = coalesce(col(maskCol), array().cast("array<int>"))
+    val pairs = zip_with(ids, mask, (i, m) => struct(i.as("t"), m.as("lm")))
+    val withPairs = df.withColumn("__pairs", pairs)
+    val guarded = when(
+      !exists(col("__pairs"), p =>
+        p.getField("t").isNull || p.getField("lm").isNull),
+      col("__pairs"))
+      .otherwise(raise_error(lit(
+        "materializePackedSftSequences: token_ids and loss_mask lengths " +
+          "differ (null-padded zip slot) — supervision would silently " +
+          "truncate")))
+    // the zip guard must live INSIDE the generator input (the
+    // packSftSequences discipline): the coverage `sequence` below uses
+    // size(guarded), so even a consumer that prunes every payload
+    // column — count() of sequences — forces the mismatch refusal
+    val zz = withGlobalStart(withPairs, key,
+        size(col("__pairs")).cast("long"), buckets)
+      .filter(size(col("__pairs")) > 0)
+      .select(guarded.as("__z"), col("__start"))
+      .select(col("__z"), col("__start"),
+        explode(sequence(expr(s"__start div $seqLen"),
+          expr(s"(__start + size(__z) - 1) div $seqLen"))).as("seq_id"))
+      .withColumn("__from",
+        greatest(lit(0L), col("seq_id") * seqLen - col("__start")))
+      .withColumn("__len",
+        least(size(col("__z")).cast("long"),
+          (col("seq_id") + 1) * seqLen - col("__start")) - col("__from"))
+      .withColumn("__off",
+        greatest(lit(0L), col("__start") - col("seq_id") * seqLen))
+      .select(col("seq_id"),
+        struct(col("__off"),
+          slice(col("__z"), (col("__from") + 1).cast("int"),
+            col("__len").cast("int")).as("__frag")).as("__piece"))
+      .groupBy("seq_id")
+      .agg(flatten(transform(array_sort(collect_list(col("__piece"))),
+        x => x.getField("__frag"))).as("__zz"))
+    zz.select(col("seq_id"),
+        transform(col("__zz"), x => x.getField("t")).as("token_ids"),
+        transform(col("__zz"), x => x.getField("lm")).as("loss_mask"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** Embedding-slot coordinates recovered from MATERIALIZED packed
+    * rows by scanning for the placeholder id — the offline/compacted
+    * counterpart of [[multimodalAlignment]] (which derives coordinates
+    * arithmetically at pack time): one map-only posexplode + filter,
+    * no join. For a densified corpus pass the placeholder's DENSE id
+    * from the `_graft_specials.parquet` sidecar. Output:
+    * (seq_id, seq_pos, slot_ord — the placeholder's ordinal within its
+    * sequence). */
+  def alignmentFromPacked(packed: DataFrame, imageId: Long): DataFrame =
+    packed
+      .select(col("seq_id"),
+        posexplode(col("token_ids")).as(Seq("seq_pos", "__t")))
+      .filter(col("__t") === imageId)
+      .withColumn("slot_ord",
+        (row_number().over(Window.partitionBy(col("seq_id"))
+          .orderBy(col("seq_pos"))) - 1).cast("long"))
+      .select(col("seq_id"), col("seq_pos").cast("long").as("seq_pos"),
+        col("slot_ord"))
+
   // =====================================================================
   // Manifest-as-commit publish — the OBJECT-STORE-SAFE protocol.
   //
@@ -1201,11 +1284,85 @@ object SampleOps {
       targetTokens: Long, buckets: Int,
       merges: Seq[(String, String)] = TextOps.DefaultBpeMerges)
       : (DataFrame, DataFrame) = {
-    require(epochSeqLen > 0 && seqLen > 0, "sequence lengths must be > 0")
-    val segs = spark.read.parquet(path)
+    val segs = readEpochSegments(spark, path)
+    val recut = recutEpochSegments(spark, segs, epochSeqLen, seqLen)
+    // vocab purely from OBSERVED ids: a packed stream always already
+    // contains its EOS (one per document), so there is nothing to
+    // reserve — an eosId parameter here could only inject a phantom
+    // never-observed id and shift every dense id above it
+    val vocab = TextOps.denseVocab(segs, "text")
+    // fail FAST on an encoder/corpus disagreement: the EOS id under
+    // the caller's merges must be in the observed vocab (every packed
+    // document carries one) — refuse before the re-cut corpus write,
+    // not at the sidecar step after it
+    TextOps.denseId(vocab, TextOps.bpeEosId(merges))
+    val packed = TextOps.densifyIds(
+        recut.withColumnRenamed("__zz", "__sparse"),
+        "__sparse", vocab, "token_ids")
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+    // specials pinned from the ENCODER's merges: the EOS-resolves
+    // guard inside corpusSidecars is the "compacted corpus can never
+    // disagree with its encoder about a special id" contract
+    val manifest = writeSharded(packed, col("seq_id"), "n_tokens",
+      "token_ids", outPath, targetTokens, buckets,
+      sidecar = Some(corpusSidecars(vocab, merges)))
+    (manifest, vocab)
+  }
+
+  /** The SUPERVISED twin of [[compactPackedEpochs]], for epoch
+    * segments written by the mask-carrying sinks
+    * ([[graft.streaming.StreamOps.packedSftCorpusSink]] /
+    * `packedMultimodalCorpusSink`): `text` is an array of (t, lm)
+    * structs, re-cut by the SAME fragment arithmetic (the slice is
+    * element-type-agnostic — the mask can never desynchronize from its
+    * token because they travel as one struct), ids densified INSIDE
+    * the structs over the corpus-wide observed vocabulary, specials
+    * pinned via the sidecar. Mask totals are conserved exactly
+    * (spec-pinned). Returns (manifest, denseVocab); the published
+    * `text` column stays the zipped struct array — unzip with
+    * `transform(text, x -> x.t)` / `x.lm`. */
+  def compactPackedSftEpochs(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String, epochSeqLen: Int, seqLen: Int,
+      targetTokens: Long, buckets: Int,
+      merges: Seq[(String, String)] = TextOps.DefaultBpeMerges)
+      : (DataFrame, DataFrame) = {
+    val segs = readEpochSegments(spark, path)
+    val recut = recutEpochSegments(spark, segs, epochSeqLen, seqLen)
+    val vocab = TextOps.denseVocab(
+      segs.withColumn("__ids",
+        transform(col("text"), x => x.getField("t"))), "__ids")
+    TextOps.denseId(vocab, TextOps.bpeEosId(merges))
+    val packed = TextOps.densifyIds(
+        recut.withColumn("__sparse",
+          transform(col("__zz"), x => x.getField("t"))),
+        "__sparse", vocab, "__dense")
+      .withColumn("text",
+        zip_with(col("__dense"),
+          transform(col("__zz"), x => x.getField("lm")),
+          (t, m) => struct(t.as("t"), m.as("lm"))))
+      .withColumn("n_tokens", size(col("text")).cast("long"))
+      .select(col("seq_id"), col("text"), col("n_tokens"))
+    val manifest = writeSharded(packed, col("seq_id"), "n_tokens",
+      "text", outPath, targetTokens, buckets,
+      sidecar = Some(corpusSidecars(vocab, merges)))
+    (manifest, vocab)
+  }
+
+  private def readEpochSegments(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
       .select(col("epoch").cast("long").as("__e"),
         col("seq_key").cast("long").as("__s"),
         col("n_tokens").cast("long").as("__n"), col("text"))
+
+  /** The shared re-cut core of the epoch compactors: validate the
+    * segment set and re-cut the concatenated epoch streams at fragment
+    * granularity into (seq_id, __zz) — `__zz` keeps `text`'s element
+    * type, so the same arithmetic serves plain id streams and zipped
+    * (t, lm) supervised streams. */
+  private def recutEpochSegments(spark: org.apache.spark.sql.SparkSession,
+      segs: DataFrame, epochSeqLen: Int, seqLen: Int): DataFrame = {
+    require(epochSeqLen > 0 && seqLen > 0, "sequence lengths must be > 0")
     // ONE segment-sized aggregate (no token rows) yields both the
     // validation facts and the epoch totals. The position arithmetic is
     // valid ONLY for a well-formed `epochSeqLen`-cut segment set:
@@ -1249,24 +1406,14 @@ object SampleOps {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("__off",
           org.apache.spark.sql.types.LongType, nullable = false))))
-    // vocab purely from OBSERVED ids: a packed stream always already
-    // contains its EOS (one per document), so there is nothing to
-    // reserve — an eosId parameter here could only inject a phantom
-    // never-observed id and shift every dense id above it
-    val vocab = TextOps.denseVocab(segs, "text")
-    // fail FAST on an encoder/corpus disagreement: the EOS id under
-    // the caller's merges must be in the observed vocab (every packed
-    // document carries one) — refuse before the re-cut corpus write,
-    // not at the sidecar step after it
-    TextOps.denseId(vocab, TextOps.bpeEosId(merges))
     // fragment-granularity re-cut, exactly [[materializePackedSequences]]'
     // shape: each input sequence (array + its arithmetic global start)
     // covers ≤ ⌈epochSeqLen/seqLen⌉+1 output sequences — emit one
     // (seq_id, offset, slice) row per covered sequence map-only and
     // flatten per output sequence, so the exchange carries fragments,
-    // not tokens; the dense remap then rides the codegen array kernel
-    // ([[graft.functions.RemapIds]] — loud on a miss) over the
-    // assembled arrays
+    // not tokens; the compactors' dense remap then rides the codegen
+    // array kernel ([[graft.functions.RemapIds]] — loud on a miss)
+    // over the assembled arrays
     val frags = segs
       .filter(col("__n") > 0)
       .join(broadcast(offDf), col("__e") === col("__oe"))
@@ -1287,22 +1434,9 @@ object SampleOps {
         struct(col("__o"),
           slice(col("text"), (col("__from") + 1).cast("int"),
             col("__len").cast("int")).as("__frag")).as("__piece"))
-    val packed = TextOps.densifyIds(
-        frags.groupBy("seq_id")
-          .agg(flatten(transform(array_sort(collect_list(col("__piece"))),
-            x => x.getField("__frag"))).as("__sparse")),
-        "__sparse", vocab, "token_ids")
-      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
-    // specials pinned from the ENCODER's merges: the EOS-resolves
-    // guard inside corpusSidecars is the "compacted corpus can never
-    // disagree with its encoder about a special id" contract — a
-    // mismatched merges table yields an EOS id the observed vocab
-    // cannot contain (every packed document carries one), refusing
-    // BEFORE the corpus publishes
-    val manifest = writeSharded(packed, col("seq_id"), "n_tokens",
-      "token_ids", outPath, targetTokens, buckets,
-      sidecar = Some(corpusSidecars(vocab, merges)))
-    (manifest, vocab)
+    frags.groupBy("seq_id")
+      .agg(flatten(transform(array_sort(collect_list(col("__piece"))),
+        x => x.getField("__frag"))).as("__zz"))
   }
 
   /** Deterministic per-epoch training permutation WITHOUT a global

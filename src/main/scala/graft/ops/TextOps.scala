@@ -401,6 +401,37 @@ object TextOps {
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
 
+  /** [[encodeMultimodal]] with the attachments INLINE on the doc row
+    * (`mediaIdsCol`: array of media ids — null reads as no media) —
+    * the streaming-friendly shape, where a micro-batch row must be
+    * self-contained (a separate attachment table cannot be
+    * consistently joined against an in-flight batch). Same layout,
+    * same mask, one map-only pass, no aggregate at all. `media_ord`
+    * for alignment is the position in the array (the caller's order is
+    * authoritative — there is no per-doc window to impose one).
+    * Output: (idCol, token_ids, loss_mask, n_media, n_tokens). */
+  def encodeMultimodalInline(docs: DataFrame, idCol: String,
+      textCol: String, mediaIdsCol: String,
+      merges: Seq[(String, String)] = DefaultBpeMerges,
+      lossless: Boolean = true): DataFrame = {
+    val img = bpeImageId(merges)
+    val eos = bpeEosId(merges)
+    docs
+      .withColumn("__nm",
+        coalesce(size(col(mediaIdsCol)), lit(0))
+          .cast("int"))
+      .select(col(idCol), col("__nm"),
+        graft.functions.exprs.bpeTokenIds(
+          coalesce(col(textCol), lit("")), merges, lossless).as("__t"))
+      .select(col(idCol),
+        concat(array_repeat(lit(img), col("__nm")), col("__t"),
+          array(lit(eos))).as("token_ids"),
+        concat(array_repeat(lit(0), col("__nm")),
+          array_repeat(lit(1), size(col("__t")) + 1)).as("loss_mask"),
+        col("__nm").cast("long").as("n_media"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
   /** Multi-turn chat-template SFT encoding — the conversation twin of
     * [[encodeSft]]: a (conversation id, turn_ord, role, text) TURN
     * table becomes one supervised example per conversation. Template

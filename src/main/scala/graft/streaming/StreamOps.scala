@@ -674,7 +674,26 @@ object StreamOps {
     * contains fully-published integer epochs. */
   private[graft] def appendPackedEpoch(batch: DataFrame, path: String,
       idCol: String, textCol: String, seqLen: Int, targetTokens: Long,
-      buckets: Int, merges: Seq[(String, String)], batchId: Long): Unit = {
+      buckets: Int, merges: Seq[(String, String)], batchId: Long): Unit =
+    appendEpochSegment(batch, path, batchId, targetTokens, buckets) {
+      val enc = graft.ops.TextOps.encodeBpe(batch, idCol, textCol, merges,
+        lossless = true)
+      graft.ops.SampleOps.materializePackedSequences(enc,
+        col(idCol), "token_ids", seqLen,
+        graft.ops.TextOps.bpeEosId(merges), buckets)
+        .select(col("seq_id"), col("n_tokens"),
+          col("token_ids").as("__payload"))
+    }
+
+  /** The shared epoch-segment publisher: skip-if-published (manifest
+    * presence == the atomic swap completed — replay-safe), skip-empty,
+    * build under the underscore working dir, ONE rename. `packed`
+    * yields (seq_id, n_tokens, __payload) — payload type free (plain
+    * id arrays for pretraining, zipped (t, lm) structs for supervised
+    * corpora). */
+  private def appendEpochSegment(batch: DataFrame, path: String,
+      batchId: Long, targetTokens: Long, buckets: Int)
+      (packed: => DataFrame): Unit = {
     val epochDir = new java.io.File(path, s"epoch=$batchId")
     // manifest presence == the epoch's single atomic publish completed:
     // a replayed epoch is a no-op; a crashed one left only underscore-
@@ -688,14 +707,78 @@ object StreamOps {
     if (batch.isEmpty) return
     val building = new java.io.File(path, s"_epoch_building=$batchId")
     org.apache.commons.io.FileUtils.deleteQuietly(building)
-    val enc = graft.ops.TextOps.encodeBpe(batch, idCol, textCol, merges,
-      lossless = true)
-    val packed = graft.ops.SampleOps.materializePackedSequences(enc,
-      col(idCol), "token_ids", seqLen,
-      graft.ops.TextOps.bpeEosId(merges), buckets)
     graft.ops.SampleOps.writeSharded(packed, col("seq_id"), "n_tokens",
-      "token_ids", building.getPath, targetTokens, buckets)
+      "__payload", building.getPath, targetTokens, buckets)
     if (!building.renameTo(epochDir))
       sys.error(s"failed to publish epoch segment $epochDir")
   }
+
+  /** [[packedCorpusSink]] for SUPERVISED (SFT) corpora: each
+    * micro-batch of (id, prompt, completion) rows is mask-carrying
+    * encoded ([[graft.ops.TextOps.encodeSft]]) and fragment-fused
+    * packed ([[graft.ops.SampleOps.materializePackedSftSequences]]);
+    * the epoch segment's `text` column is the zipped
+    * array<struct<t, lm>> — token and mask travel as ONE struct, so no
+    * replay, re-cut, or compaction can ever desynchronize them.
+    * Same epoch-segment replay contract as [[packedCorpusSink]];
+    * compact with [[graft.ops.SampleOps.compactPackedSftEpochs]]. */
+  def packedSftCorpusSink(docs: DataFrame, path: String, idCol: String,
+      promptCol: String, completionCol: String, seqLen: Int,
+      targetTokens: Long, buckets: Int,
+      merges: Seq[(String, String)] = graft.ops.TextOps.DefaultBpeMerges)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendPackedSftEpoch(batch, path, idCol, promptCol, completionCol,
+          seqLen, targetTokens, buckets, merges, batchId)
+      }
+
+  private[graft] def appendPackedSftEpoch(batch: DataFrame, path: String,
+      idCol: String, promptCol: String, completionCol: String,
+      seqLen: Int, targetTokens: Long, buckets: Int,
+      merges: Seq[(String, String)], batchId: Long): Unit =
+    appendEpochSegment(batch, path, batchId, targetTokens, buckets) {
+      sftPayload(graft.ops.TextOps.encodeSft(batch, idCol, promptCol,
+        completionCol, merges), idCol, seqLen, buckets)
+    }
+
+  /** [[packedCorpusSink]] for INTERLEAVED MULTIMODAL (VLM) corpora:
+    * micro-batch rows carry their attachments inline
+    * (`mediaIdsCol`: array of media ids —
+    * [[graft.ops.TextOps.encodeMultimodalInline]], the self-contained
+    * shape a stream requires), placeholders lead each example masked
+    * 0, and the packed segment stores the zipped (t, lm) structs.
+    * Embedding-slot coordinates of the standing/compacted corpus come
+    * from [[graft.ops.SampleOps.alignmentFromPacked]] (scan for the
+    * placeholder id — map-only). */
+  def packedMultimodalCorpusSink(docs: DataFrame, path: String,
+      idCol: String, textCol: String, mediaIdsCol: String, seqLen: Int,
+      targetTokens: Long, buckets: Int,
+      merges: Seq[(String, String)] = graft.ops.TextOps.DefaultBpeMerges)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendPackedMultimodalEpoch(batch, path, idCol, textCol,
+          mediaIdsCol, seqLen, targetTokens, buckets, merges, batchId)
+      }
+
+  private[graft] def appendPackedMultimodalEpoch(batch: DataFrame,
+      path: String, idCol: String, textCol: String, mediaIdsCol: String,
+      seqLen: Int, targetTokens: Long, buckets: Int,
+      merges: Seq[(String, String)], batchId: Long): Unit =
+    appendEpochSegment(batch, path, batchId, targetTokens, buckets) {
+      sftPayload(graft.ops.TextOps.encodeMultimodalInline(batch, idCol,
+        textCol, mediaIdsCol, merges), idCol, seqLen, buckets)
+    }
+
+  /** Mask-carrying pack + re-zip into the segment payload shape. */
+  private def sftPayload(enc: DataFrame, idCol: String, seqLen: Int,
+      buckets: Int): DataFrame =
+    graft.ops.SampleOps.materializePackedSftSequences(enc, col(idCol),
+        "token_ids", "loss_mask", seqLen, buckets)
+      .select(col("seq_id"), col("n_tokens"),
+        zip_with(col("token_ids"), col("loss_mask"),
+          (t, m) => struct(t.as("t"), m.as("lm"))).as("__payload"))
 }

@@ -282,6 +282,33 @@ class SftSpec extends SparkSpec {
     assert(w.getAs[Long]("waste_ppm") > 0L && w.getAs[Long]("waste_ppm") < 1000000L)
   }
 
+  test("materializePackedSftSequences: fragment-fused assembly equals assembled packSftSequences bit-for-bit") {
+    val enc = TextOps.encodeSft(sft, "doc_id", "prompt", "completion")
+    val fused = SampleOps.materializePackedSftSequences(enc, col("doc_id"),
+      "token_ids", "loss_mask", seqLen = 128, buckets = 8)
+    val assembled = SampleOps.packSftSequences(enc, col("doc_id"),
+        "token_ids", "loss_mask", seqLen = 128, buckets = 8)
+      .groupBy("seq_id")
+      .agg(
+        transform(array_sort(collect_list(struct(col("seq_pos"),
+          col("token_id"), col("loss_mask")))),
+          x => x.getField("token_id")).as("token_ids"),
+        transform(array_sort(collect_list(struct(col("seq_pos"),
+          col("token_id"), col("loss_mask")))),
+          x => x.getField("loss_mask")).as("loss_mask"),
+        count(lit(1)).as("n_tokens"))
+    assert(fused.exceptAll(assembled).isEmpty &&
+      assembled.exceptAll(fused).isEmpty)
+    // misaligned ids/mask refuse even under count()
+    val bad = Seq((1L, Array(5L, 6L, 7L), Array(0, 1)))
+      .toDF("doc_id", "token_ids", "loss_mask")
+    val e = intercept[Exception] {
+      SampleOps.materializePackedSftSequences(bad, col("doc_id"),
+        "token_ids", "loss_mask", seqLen = 8, buckets = 2).count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("packing is a pure content function: bit-identical across partitionings") {
     val enc = TextOps.encodeSft(sft, "doc_id", "prompt", "completion")
     val p1 = SampleOps.packSftSequences(enc, col("doc_id"),

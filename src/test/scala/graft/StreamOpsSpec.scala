@@ -706,6 +706,102 @@ class StreamOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("not well-formed"))
   }
 
+  test("packedSftCorpusSink: mask-carrying epoch segments; replay no-op; compaction conserves supervision exactly") {
+    import graft.ops.{SampleOps, TextOps}
+    val root = tmpDir("graft_sft_stream") + "/stream"
+    val batches = Seq(
+      Seq((1L, "answer the question", "with four words here"),
+        (2L, "another prompt", "and its completion text")),
+      Seq((3L, "third prompt arrives", "in the second epoch now")))
+    batches.zipWithIndex.foreach { case (rows, ep) =>
+      StreamOps.appendPackedSftEpoch(
+        rows.toDF("doc_id", "prompt", "completion"), root,
+        "doc_id", "prompt", "completion", seqLen = 8, targetTokens = 64L,
+        buckets = 2, TextOps.DefaultBpeMerges, batchId = ep.toLong)
+    }
+    val segs = spark.read.parquet(root)
+    // token AND supervised-token conservation per epoch vs offline encode
+    for ((rows, ep) <- batches.zipWithIndex) {
+      val enc = TextOps.encodeSft(rows.toDF("doc_id", "prompt", "completion"),
+        "doc_id", "prompt", "completion")
+      val wantTok = enc.agg(sum("n_tokens")).head().getLong(0)
+      val wantSup = enc.select(explode(col("loss_mask")).as("m"))
+        .filter(col("m") === 1).count()
+      val seg = segs.filter(col("epoch") === ep)
+      assert(seg.agg(sum("n_tokens")).head().getLong(0) == wantTok)
+      val gotSup = seg.select(explode(col("text")).as("z"))
+        .filter(col("z.lm") === 1).count()
+      assert(gotSup == wantSup, s"epoch $ep supervision: $gotSup != $wantSup")
+    }
+    // replay with different content is a no-op (published segment wins)
+    StreamOps.appendPackedSftEpoch(
+      Seq((9L, "x", "y")).toDF("doc_id", "prompt", "completion"), root,
+      "doc_id", "prompt", "completion", seqLen = 8, targetTokens = 64L,
+      buckets = 2, TextOps.DefaultBpeMerges, batchId = 0L)
+    assert(spark.read.parquet(root).filter(col("epoch") === 0).count() ==
+      segs.filter(col("epoch") === 0).count())
+    // compaction: re-cut at a new length, dense ids, mask rides the
+    // struct — totals conserved exactly, EOS resolvable via sidecar
+    val out = tmpDir("graft_sft_compact") + "/corpus"
+    val (manifest, vocab) = SampleOps.compactPackedSftEpochs(spark, root,
+      out, epochSeqLen = 8, seqLen = 16, targetTokens = 64L, buckets = 2)
+    val back = spark.read.parquet(out)
+    assert(back.filter(col("n_tokens") =!= 16).count() <= 1)
+    assert(manifest.collect().map(_.getLong(3)).sum ==
+      segs.agg(sum("n_tokens")).head().getLong(0))
+    val supIn = segs.select(explode(col("text")).as("z"))
+      .filter(col("z.lm") === 1).count()
+    val supOut = back.select(explode(col("text")).as("z"))
+      .filter(col("z.lm") === 1).count()
+    assert(supIn == supOut, "compaction must conserve supervision")
+    // stream order preserved for (t, lm) pairs jointly
+    val toSparse = vocab.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val compacted = back.orderBy("seq_key")
+      .select(explode(col("text")).as("z")).select(col("z.t"), col("z.lm"))
+      .collect().map(r => (toSparse(r.getLong(0)), r.getInt(1)))
+    val original = segs.orderBy(col("epoch"), col("seq_key"))
+      .select(explode(col("text")).as("z")).select(col("z.t"), col("z.lm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(compacted.toSeq == original.toSeq)
+    // specials sidecar rode the swap; its dense EOS id splits the
+    // supervised stream at example boundaries
+    val eosDense = spark.read.parquet(out + "/_graft_specials.parquet")
+      .filter(col("name") === "eos").head().getLong(2)
+    val nEos = back.select(explode(col("text")).as("z"))
+      .filter(col("z.t") === eosDense).count()
+    assert(nEos == batches.flatten.size)
+  }
+
+  test("packedMultimodalCorpusSink: inline attachments, placeholders masked 0, alignment recoverable from the packed corpus") {
+    import graft.ops.{SampleOps, TextOps}
+    val root = tmpDir("graft_mm_stream") + "/stream"
+    val rows = Seq(
+      (1L, "a captioned image", Seq(10L, 11L)),
+      (2L, "plain text doc", Seq.empty[Long]),
+      (3L, null.asInstanceOf[String], Seq(30L)))
+    StreamOps.appendPackedMultimodalEpoch(
+      rows.toDF("doc_id", "text", "media_ids"), root,
+      "doc_id", "text", "media_ids", seqLen = 8, targetTokens = 64L,
+      buckets = 2, TextOps.DefaultBpeMerges, batchId = 0L)
+    val seg = spark.read.parquet(root)
+    // every placeholder is masked 0; count matches the attachments
+    val img = TextOps.bpeImageId()
+    val ph = seg.select(explode(col("text")).as("z"))
+      .filter(col("z.t") === img)
+    assert(ph.count() == 3)
+    assert(ph.filter(col("z.lm") =!= 0).isEmpty)
+    // alignment from the packed corpus: coordinates hold placeholders
+    val mat = seg.select(col("seq_key").as("seq_id"),
+      transform(col("text"), x => x.getField("t")).as("token_ids"))
+    val align = SampleOps.alignmentFromPacked(mat, img)
+    assert(align.count() == 3)
+    val joined = align.join(
+      mat.select(col("seq_id"), posexplode(col("token_ids"))
+        .as(Seq("seq_pos", "tok"))),
+      Seq("seq_id", "seq_pos"))
+    assert(joined.count() == 3 && joined.filter(col("tok") =!= img).isEmpty)
+  }
+
   test("daily-loop composition: gate survivors publish into the sharded corpus by append") {
     import graft.ops.SampleOps
     val sig = tmpDir("graft_loop_sig") + "/sigs.parquet"
