@@ -334,54 +334,104 @@ object SampleOps {
     * to reset attention across packed examples without re-deriving
     * boundaries from EOS positions. Derived from the same layout
     * arithmetic: examples in a sequence are ordered by their global
-    * start, so segment_id = dense rank of `__start` within the
-    * sequence — a seq_id-partitioned window whose group volume is
-    * bounded by seqLen (never a corpus-wide or unpartitioned window).
-    * An example straddling a boundary is segment 0 of the next
-    * sequence's ranking only if it STARTS there; its continuation
-    * tokens keep the rank of its start position — i.e. the carried
-    * tail of a straddler is segment 0 of the new sequence, exactly the
-    * standard packed-attention contract. Output: packSftSequences'
-    * columns + segment_id. */
+    * start, so segment_id = dense rank of `__start` among the
+    * sequence's example FRAGMENTS — the window ranks one row per
+    * (example, covered sequence), so its exchange is doc-sized (≈ one
+    * row per example), never token-sized, and its group volume is the
+    * sequence's example count (≤ seqLen); tokens explode map-only
+    * AFTER the ranking. A straddler's carried tail is segment 0 of
+    * the new sequence (its start precedes every start inside it),
+    * exactly the standard packed-attention contract. Output:
+    * packSftSequences' columns + segment_id; dropping segment_id
+    * reproduces packSftSequences bit-for-bit (spec-pinned). */
   def packSftSequencesSegmented(df: DataFrame, key: Column, idsCol: String,
       maskCol: String, seqLen: Int, buckets: Int = 0): DataFrame =
-    sftExplodedWithStart(df, key, idsCol, maskCol, seqLen, buckets)
-      .withColumn("__g", col("__start") + col("__p"))
-      .withColumn("seq_id", expr(s"__g div $seqLen"))
+    sftFragmentsWithStart(df, key, idsCol, maskCol, seqLen, buckets)
       .withColumn("segment_id",
         (dense_rank().over(Window.partitionBy(col("seq_id"))
           .orderBy(col("__start"))) - 1).cast("long"))
-      .select(col("seq_id"), expr(s"__g % $seqLen").as("seq_pos"),
+      .withColumn("__from",
+        greatest(lit(0L), col("seq_id") * seqLen - col("__start")))
+      .withColumn("__len",
+        least(size(col("__z")).cast("long"),
+          (col("seq_id") + 1) * seqLen - col("__start")) - col("__from"))
+      .select(col("seq_id"), col("segment_id"), col("src_key"),
+        col("__start"), col("__from"),
+        posexplode(slice(col("__z"), (col("__from") + 1).cast("int"),
+          col("__len").cast("int"))).as(Seq("__p", "__tm")))
+      .select(col("seq_id"),
+        (col("__start") + col("__from") + col("__p") -
+          col("seq_id") * seqLen).as("seq_pos"),
         col("__tm").getField("t").as("token_id"),
         col("__tm").getField("lm").as("loss_mask"),
         col("src_key"), col("segment_id"))
+
+  /** One row per (example, covered sequence) with the guarded zipped
+    * pairs and the example's global start — the doc-sized fragment
+    * frame the segmented/padded packers rank before any token
+    * explode. */
+  private def sftFragmentsWithStart(df: DataFrame, key: Column,
+      idsCol: String, maskCol: String, seqLen: Int, buckets: Int)
+      : DataFrame = {
+    require(seqLen > 0, s"need positive seqLen, got $seqLen")
+    require(!df.columns.contains("__pairs"),
+      "packSftSequences reserves the working column name __pairs; " +
+        "input already has __pairs — rename before packing")
+    val ids = coalesce(col(idsCol), array().cast("array<long>"))
+    val mask = coalesce(col(maskCol), array().cast("array<int>"))
+    val pairs = zip_with(ids, mask, (i, m) => struct(i.as("t"), m.as("lm")))
+    val withPairs = df.withColumn("__pairs", pairs)
+    val guarded = when(
+      !exists(col("__pairs"), p =>
+        p.getField("t").isNull || p.getField("lm").isNull),
+      col("__pairs"))
+      .otherwise(raise_error(lit(
+        "packSftSequences: token_ids and loss_mask lengths differ " +
+          "(null-padded zip slot) — supervision would silently truncate")))
+    withGlobalStart(withPairs, key, size(col("__pairs")).cast("long"),
+        buckets)
+      .filter(size(col("__pairs")) > 0)
+      .select(key.as("src_key"), guarded.as("__z"), col("__start"))
+      // the guard rides the generator input (size(__z)) — even a
+      // count() of fragments forces the mismatch refusal
+      .select(col("src_key"), col("__z"), col("__start"),
+        explode(sequence(expr(s"__start div $seqLen"),
+          expr(s"(__start + size(__z) - 1) div $seqLen"))).as("seq_id"))
+  }
 
   /** NO-STRADDLE padded packing — the variant for trainers that want
     * hard per-example attention isolation WITHOUT segment masking:
     * every example lands entirely inside one sequence, sequences are
     * padded (sparsely — emitted rows are real tokens only; positions
     * absent from a sequence are padding, mask 0 by definition).
-    * Deterministic arithmetic layout, no sequential first-fit: lay
-    * examples at their [[withGlobalStart]] cum positions; an example
-    * that would CROSS a `seqLen` boundary (at most one per boundary,
-    * since every example fits `seqLen` — larger ones refuse in the
-    * generator input) is instead moved WHOLE to its own singleton
-    * sequence `base + crossed-boundary index` (injective — an example
-    * crosses at most one boundary and a boundary is crossed by at most
-    * one example), where `base = ⌈total/seqLen⌉` sits past every
-    * cum-assigned id. Removing the straddler leaves its head room as
-    * tail padding; the prefix of each sequence stays contiguous from
-    * position 0. The waste is the padding fraction
-    * ([[paddingWaste]] measures it) — the price of isolation vs
-    * concat-and-cut's zero waste; sequence ids may be SPARSE (only
-    * crossed boundaries mint singletons). Pure function of (content,
-    * seqLen, buckets); one corpus exchange (the prefix sum) + the
-    * bounded segment window, like every packer here. Output:
-    * packSftSequencesSegmented's columns (straddler singletons are
-    * their sequence's segment 0). */
+    * Deterministic arithmetic layout, no sequential first-fit: the
+    * SHIFTED-BOUNDARY reserve scheme. Bins are cut on a VIRTUAL
+    * capacity `C' = seqLen − maxExample + 1`: an example goes to
+    * sequence `start div C'` and its tokens sit at `g − seq·C'`
+    * (g = the global cum position). The bin's examples all START
+    * inside a C'-wide window and each is ≤ maxExample long, so
+    * content never exceeds `C' − 1 + maxExample = seqLen` — whole
+    * examples, no straddle, by arithmetic alone. The reserve is the
+    * price: average fill is EXACTLY C' (one bin's overhang is the next
+    * bin's deficit — they cancel), so the padding fraction is
+    * `(maxExample − 1)/seqLen` vs concat-and-cut's zero (measured at
+    * 100×: 11.5% at seqLen 4096, 46% at 1024 with ~470-token examples
+    * — BASELINE round-14; still below the 50% a move-straddlers-to-
+    * singletons scheme costs at 1024). Hard isolation is priced by the
+    * example-to-window ratio: size seqLen ≫ maxExample, or truncate
+    * upstream. `maxExample = 0` derives the bound
+    * with one tiny aggregate; passing it explicitly skips that job and
+    * refuses in-plan if exceeded (the truncation-bound contract).
+    * Pure function of (content, seqLen, maxExample, buckets); one
+    * corpus exchange (the prefix sum) + one DOC-sized window exchange
+    * ranking examples per sequence — tokens explode map-only after.
+    * Output: packSftSequencesSegmented's columns. */
   def packSftSequencesPadded(df: DataFrame, key: Column, idsCol: String,
-      maskCol: String, seqLen: Int, buckets: Int = 0): DataFrame = {
+      maskCol: String, seqLen: Int, buckets: Int = 0,
+      maxExample: Int = 0): DataFrame = {
     require(seqLen > 0, s"need positive seqLen, got $seqLen")
+    require(maxExample >= 0 && maxExample <= seqLen,
+      s"maxExample must be in [0, seqLen]; got $maxExample")
     require(!df.columns.contains("__pairs"),
       "packSftSequencesPadded reserves the working column name __pairs; " +
         "input already has __pairs — rename before packing")
@@ -389,6 +439,17 @@ object SampleOps {
     val mask = coalesce(col(maskCol), array().cast("array<int>"))
     val pairs = zip_with(ids, mask, (i, m) => struct(i.as("t"), m.as("lm")))
     val withPairs = df.withColumn("__pairs", pairs)
+    val eMax =
+      if (maxExample > 0) maxExample.toLong
+      else withPairs.agg(max(size(col("__pairs")))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getInt(0).toLong
+      }
+    require(eMax <= seqLen,
+      s"packSftSequencesPadded: largest example ($eMax tokens) exceeds " +
+        s"seqLen $seqLen — it can never fit one sequence; raise seqLen " +
+        "or chunk the example upstream")
+    val cPrime = math.max(1L, seqLen - eMax + 1L)
     val guarded =
       when(exists(col("__pairs"), p =>
           p.getField("t").isNull || p.getField("lm").isNull),
@@ -396,31 +457,26 @@ object SampleOps {
           "packSftSequencesPadded: token_ids and loss_mask lengths " +
             "differ (null-padded zip slot) — supervision would silently " +
             "truncate")))
-      .when(size(col("__pairs")) > seqLen, raise_error(concat(
+      .when(size(col("__pairs")) > eMax, raise_error(concat(
         lit("packSftSequencesPadded: example of "),
         size(col("__pairs")).cast("string"),
-        lit(s" tokens exceeds seqLen $seqLen — it can never fit one " +
-          "sequence; raise seqLen or chunk the example upstream"))))
+        lit(s" tokens exceeds the declared maxExample $eMax — the " +
+          "no-straddle guarantee would break; raise maxExample/seqLen " +
+          "or truncate upstream"))))
       .otherwise(col("__pairs"))
-    val (started, total) = withGlobalStartTotal(withPairs, key,
-      size(col("__pairs")).cast("long"), buckets)
-    val base = (total + seqLen - 1) / seqLen
-    started
-      .select(key.as("src_key"), col("__start"),
-        size(col("__pairs")).cast("long").as("__w"),
-        posexplode(guarded).as(Seq("__p", "__tm")))
-      .withColumn("__bs", expr(s"__start div $seqLen"))
-      .withColumn("__be", expr(s"(__start + __w - 1) div $seqLen"))
-      .withColumn("__straddle", col("__bs") =!= col("__be"))
-      .withColumn("seq_id",
-        when(col("__straddle"), lit(base) + col("__be"))
-          .otherwise(col("__bs")))
+    // rank EXAMPLES per sequence (doc-sized window exchange), then
+    // explode tokens map-only — the segmented packer's discipline
+    withGlobalStart(withPairs, key,
+        size(col("__pairs")).cast("long"), buckets)
+      .select(key.as("src_key"), guarded.as("__z"), col("__start"))
+      .withColumn("seq_id", expr(s"__start div $cPrime"))
       .withColumn("segment_id",
         (dense_rank().over(Window.partitionBy(col("seq_id"))
           .orderBy(col("__start"))) - 1).cast("long"))
+      .select(col("seq_id"), col("segment_id"), col("src_key"),
+        col("__start"), posexplode(col("__z")).as(Seq("__p", "__tm")))
       .select(col("seq_id"),
-        when(col("__straddle"), col("__p"))
-          .otherwise(expr(s"__start % $seqLen") + col("__p")).as("seq_pos"),
+        (col("__start") + col("__p") - col("seq_id") * cPrime).as("seq_pos"),
         col("__tm").getField("t").as("token_id"),
         col("__tm").getField("lm").as("loss_mask"),
         col("src_key"), col("segment_id"))

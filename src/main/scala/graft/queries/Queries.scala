@@ -926,11 +926,12 @@ object Queries {
        |    t.token_id, t.lm::INTEGER AS loss_mask, t.doc_id, s.st AS st
        |  FROM stream t JOIN starts s ON s.doc_id = t.doc_id)""".stripMargin
 
-  /** No-straddle padded packing: examples at their cum positions,
-    * boundary-crossers moved whole to singleton sequences past
-    * base = ⌈total/seqLen⌉ — the oracle replays the straddle test and
-    * the singleton arithmetic over the same stream + layout CTEs. */
-  private val PadSeqLen = 512
+  /** No-straddle padded packing (shifted-boundary reserve scheme):
+    * sequences cut on the virtual capacity C' = seqLen − max(w) + 1,
+    * example → sequence `st div C'`, token → position `g − seq·C'` —
+    * the oracle replays the max aggregate and the arithmetic over the
+    * same stream + layout CTEs. */
+  private val PadSeqLen = 2048
 
   private def sftPackPaddedQ(s: SparkSession, dir: String): DataFrame =
     SampleOps.packSftSequencesPadded(
@@ -943,17 +944,11 @@ object Queries {
 
   private def sftPackPaddedSql: String =
     s"""${sftStreamCtesSql("", "documents")},
-       |gtot AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM wgt),
-       |lay AS (SELECT t.doc_id, t.tp, t.token_id, t.lm, s.st, g.w,
-       |    s.st // $PadSeqLen AS bs, (s.st + g.w - 1) // $PadSeqLen AS be
-       |  FROM stream t JOIN starts s ON s.doc_id = t.doc_id
-       |  JOIN wgt g ON g.doc_id = t.doc_id),
-       |fin AS (SELECT doc_id, token_id, lm, st,
-       |    CASE WHEN bs <> be
-       |      THEN (SELECT (t + $PadSeqLen - 1) // $PadSeqLen FROM gtot) + be
-       |      ELSE bs END AS seq_id,
-       |    CASE WHEN bs <> be THEN tp ELSE st % $PadSeqLen + tp END AS seq_pos
-       |  FROM lay)
+       |cpr AS (SELECT GREATEST(1, $PadSeqLen - CAST(MAX(w) AS BIGINT) + 1) AS c FROM wgt),
+       |fin AS (SELECT t.doc_id, t.token_id, t.lm, s.st,
+       |    s.st // cpr.c AS seq_id,
+       |    s.st + t.tp - (s.st // cpr.c) * cpr.c AS seq_pos
+       |  FROM stream t JOIN starts s ON s.doc_id = t.doc_id CROSS JOIN cpr)
        |SELECT CAST(seq_id AS BIGINT) AS seq_id,
        |  CAST(seq_pos AS BIGINT) AS seq_pos, token_id,
        |  lm::INTEGER AS loss_mask, doc_id,

@@ -239,7 +239,7 @@ class SftSpec extends SparkSpec {
 
   test("packSftSequencesPadded: no example straddles a sequence; capacity and conservation hold") {
     val enc = TextOps.encodeSft(sft, "doc_id", "prompt", "completion")
-    val seqLen = 512
+    val seqLen = 2048
     val packed = SampleOps.packSftSequencesPadded(enc, col("doc_id"),
       "token_ids", "loss_mask", seqLen = seqLen, buckets = 8)
     // conservation: every (token, mask) pair lands exactly once
@@ -261,25 +261,36 @@ class SftSpec extends SparkSpec {
       countDistinct(col("seq_pos")).as("np"), max("seq_pos").as("mx"))
     assert(perSeq.filter(col("n") > seqLen || col("np") =!= col("n") ||
       col("mx") >= seqLen).isEmpty)
-    // straddlers actually occurred at this seqLen (the mode is exercised)
-    val base = packed.agg(max("seq_id")).head().getLong(0)
-    assert(packed.filter(col("seq_id") >=
-      (enc.agg(sum("n_tokens")).head().getLong(0) + seqLen - 1) / seqLen)
-      .count() > 0, "expected at least one straddler singleton")
-    // deterministic across partitionings
+    // multiple examples share sequences (the reserve scheme packs, it
+    // does not degenerate to one example per sequence at this seqLen)
+    assert(packed.groupBy("seq_id")
+      .agg(countDistinct(col("src_key")).as("nk"))
+      .filter(col("nk") > 1).count() > 0)
+    // deterministic across partitionings; explicit maxExample with the
+    // same bound reproduces the derived-bound layout exactly
+    val eMax = enc.agg(max(size(col("token_ids")))).head().getInt(0)
     val p2 = SampleOps.packSftSequencesPadded(enc.repartition(17),
-      col("doc_id"), "token_ids", "loss_mask", seqLen = seqLen, buckets = 8)
+      col("doc_id"), "token_ids", "loss_mask", seqLen = seqLen,
+      buckets = 8, maxExample = eMax)
     assert(packed.exceptAll(p2).isEmpty && p2.exceptAll(packed).isEmpty)
-    // oversize example refuses (even under count(), the generator guard)
+    // an example past the declared bound refuses in-plan (even count())
     val e = intercept[Exception] {
       SampleOps.packSftSequencesPadded(enc, col("doc_id"), "token_ids",
-        "loss_mask", seqLen = 16, buckets = 8).count()
+        "loss_mask", seqLen = seqLen, buckets = 8,
+        maxExample = 4).count()
     }
-    assert(e.getMessage.contains("seqLen") ||
-      Option(e.getCause).exists(_.getMessage.contains("seqLen")))
-    // measured waste: padding exists but is bounded sanely
+    assert(e.getMessage.contains("maxExample") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxExample")))
+    // a corpus whose largest example cannot fit refuses up front
+    val e2 = intercept[IllegalArgumentException] {
+      SampleOps.packSftSequencesPadded(enc, col("doc_id"), "token_ids",
+        "loss_mask", seqLen = 16, buckets = 8)
+    }
+    assert(e2.getMessage.contains("never fit"))
+    // measured waste: padding exists but stays under the reserve bound
     val w = SampleOps.paddingWaste(packed, seqLen).head()
-    assert(w.getAs[Long]("waste_ppm") > 0L && w.getAs[Long]("waste_ppm") < 1000000L)
+    assert(w.getAs[Long]("waste_ppm") > 0L &&
+      w.getAs[Long]("waste_ppm") < 1000000L)
   }
 
   test("materializePackedSftSequences: fragment-fused assembly equals assembled packSftSequences bit-for-bit") {
