@@ -102,36 +102,42 @@ object StressR14 {
       c.count(); c
     }
     sample.unpersist()
-    // recall at 100×: residual vs raw codes at EQUAL size vs brute truth
+    // quality at 100×: CLUSTER precision@10, residual vs raw at EQUAL
+    // code size. The replica corpus makes plain recall@10 vs brute
+    // force meaningless: a query's 99 jittered siblings are mutually
+    // unresolvable at any code size (jitter ≪ inter-cluster distance),
+    // so brute-force top-10 is a tie-break among them and "recall"
+    // measures luck (hypergeometric floor 10/99 ≈ 0.10 — the first run
+    // of this harness measured exactly that family, 0.19-0.25 for both
+    // variants, flat in nprobe). The resolvable question at scale is
+    // "did ADC rank the RIGHT base cluster above the other clusters in
+    // the probed cells" — precision of retrieved candidates against
+    // the query's base-cluster membership (sibling set 99 ≥ k, ideal
+    // 1.0), which is what shortlist quality bounds at 100 TB.
     locally {
       val reps = 100
       val vecs = perturbedVectors(spark, sfDir, reps)
         .persist(StorageLevel.DISK_ONLY)
       val n = vecs.count()
       val queries = vecs.filter(col("vec_id") % (reps * 100L) === 0L)
-      val exact = SimilarityOps.bruteForceTopK(queries, vecs,
-          "vec_id", "embedding", k = 10)
-        .select(col("q_id").as("id_a"), col("c_id").as("id_b"))
-        .persist(StorageLevel.DISK_ONLY)
-      exact.count()
-      def recallOf(cb: DataFrame, residual: Boolean, nprobe: Int): Double =
-        graft.ops.DedupOps.pairRecall(exact,
-          SimilarityOps.ivfPqTopK(queries, vecs, centroids, cb,
-              "vec_id", "embedding", k = 10, nprobe = nprobe,
-              residual = residual)
-            .select(col("q_id").as("id_a"), col("c_id").as("id_b")))
-          .head().getAs[Double]("recall")
+      def precisionOf(cb: DataFrame, residual: Boolean, nprobe: Int): Double =
+        SimilarityOps.ivfPqTopK(queries, vecs, centroids, cb,
+            "vec_id", "embedding", k = 10, nprobe = nprobe,
+            residual = residual)
+          .agg(avg((expr(s"q_id div $reps") === expr(s"c_id div $reps"))
+            .cast("double")))
+          .head().getDouble(0)
       for (nprobe <- Seq(2, 8)) {
-        val rr = time(s"recall residual ${reps}x ($n vectors) nprobe=$nprobe") {
-          recallOf(resCb, residual = true, nprobe)
+        val pr = time(s"precision residual ${reps}x ($n vectors) nprobe=$nprobe") {
+          precisionOf(resCb, residual = true, nprobe)
         }
-        val rw = time(s"recall raw ${reps}x nprobe=$nprobe") {
-          recallOf(rawCb, residual = false, nprobe)
+        val pw = time(s"precision raw ${reps}x nprobe=$nprobe") {
+          precisionOf(rawCb, residual = false, nprobe)
         }
-        report(s"recall@10 ${reps}x nprobe=$nprobe",
-          f"residual=$rr%.3f raw=$rw%.3f (equal 64-bit codes)")
+        report(s"cluster-precision@10 ${reps}x nprobe=$nprobe",
+          f"residual=$pr%.3f raw=$pw%.3f (equal 64-bit codes)")
       }
-      exact.unpersist(); vecs.unpersist()
+      vecs.unpersist()
     }
     // the 2M point: index build + standing-index query wall, both modes
     locally {
