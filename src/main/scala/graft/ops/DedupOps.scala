@@ -497,6 +497,102 @@ object DedupOps {
       .groupBy(col("sid").as(idCol)).agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Span-level decontamination: instead of DROPPING a document that
+    * shares word k-grams with the eval set ([[contaminationHits]] +
+    * anti-join), surgically CUT the contaminated spans and keep the
+    * rest — the scrub used when whole-doc removal would throw away a
+    * long book over one quoted benchmark item. A word is removed iff
+    * it is covered by at least one contaminated k-gram (the union of
+    * hit windows `[pos, pos+k)`); adjacent/overlapping windows merge
+    * into maximal spans.
+    *
+    * Output: every corpus row as (id, clean_text, n_spans, n_removed)
+    * — `clean_text` is the text with removed words excised (single-
+    * space retokenized, same convention as the shingle tokenizer;
+    * uncontaminated docs pass through byte-identical), `n_spans` the
+    * count of maximal merged spans, `n_removed` the word count cut.
+    * A fully-contaminated doc yields `clean_text = ""` — filter
+    * `n_removed`/length downstream rather than here, so the caller
+    * sees what the scrub did (the audit row IS the point).
+    *
+    * Scale shape: the eval side's distinct gram hashes broadcast; the
+    * corpus side is one map-only positional-shingle explode + broadcast
+    * semi-join, ONE aggregate over hit windows only (bounded by
+    * |benchmark grams| × df × k, never corpus-sized), and one key-sized
+    * left join back to the corpus — the 100 TB corpus itself is never
+    * shuffled. The window-merge is per-doc array arithmetic on the
+    * collected removal set (contaminated docs only, ≤ words/doc longs).
+    */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int = 13): DataFrame = {
+    val corpusSh = corpus.select(col(idCol).as("__sid"),
+      posexplode(graft.functions.exprs.shingleHashes(col(textCol), k)))
+      .toDF("__sid", "__pos", "__sh")
+    val benchSh = shingleHashes(benchmark, idCol, textCol, k)
+      .select(col("sh").as("__sh")).distinct()
+    // hit window [pos, pos+k) → covered word indices; collect_set dedups
+    // overlapping windows, so one shuffle (hit rows only) builds the
+    // per-doc removal set
+    val removal = corpusSh.join(broadcast(benchSh), Seq("__sh"))
+      .select(col("__sid"),
+        explode(sequence(col("__pos"), col("__pos") + lit(k - 1))).as("__w"))
+      .groupBy("__sid").agg(sort_array(collect_set(col("__w"))).as("__rm"))
+    val joined = corpus.join(removal, col(idCol) === col("__sid"), "left")
+    val rm = col("__rm")
+    // a span starts at removal element i iff it is not the successor of
+    // element i-1 (rm is sorted distinct); when() keeps element_at off
+    // the i=0 branch
+    val nSpans = size(filter(rm, (x, i) =>
+      when(i === lit(0), lit(true))
+        .otherwise(x =!= element_at(rm, i) + lit(1))))
+    val cleanText = array_join(
+      filter(split(col(textCol), " ", -1), (_, i) => !array_contains(rm, i)),
+      " ")
+    joined.select(
+      (corpus.columns.map(col) ++ Seq(
+        when(rm.isNull, col(textCol)).otherwise(cleanText).as("clean_text"),
+        when(rm.isNull, lit(0L)).otherwise(nSpans.cast("long")).as("n_spans"),
+        when(rm.isNull, lit(0L)).otherwise(size(rm).cast("long"))
+          .as("n_removed"))): _*)
+  }
+
+  /** The eval-side mirror of [[contaminationHits]]: per BENCHMARK item,
+    * how much of it leaked into the corpus. For each benchmark row,
+    * `n_grams` = its distinct word k-grams, `n_covered` = how many of
+    * those occur anywhere in the corpus, `coverage` = the ratio — the
+    * "is this eval still trustworthy after this corpus ships" QA row
+    * (an item at coverage 1.0 is memorizable from training data even
+    * after doc-level scrubbing misses, e.g. via paraphrase docs that
+    * share every gram across different documents).
+    *
+    * Scale shape: the corpus side is one map-only shingle explode +
+    * broadcast semi-join against the eval gram set, then a DISTINCT on
+    * the hit gram hashes — both bounded by |benchmark grams|, never
+    * corpus-sized; the per-item rollup is eval-set-sized. The 100 TB
+    * corpus is never shuffled. Items with fewer than k words report
+    * n_grams = 0 with coverage 0.0 (too short to test, surfaced rather
+    * than dropped).
+    */
+  def benchmarkCoverage(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int = 13): DataFrame = {
+    val benchSh = shingleHashes(benchmark, idCol, textCol, k)
+    val benchSet = benchSh.select("sh").distinct()
+    val found = shingleHashes(corpus, idCol, textCol, k)
+      .join(broadcast(benchSet), Seq("sh")).select("sh").distinct()
+    val perItem = benchSh.join(broadcast(found.withColumn("__hit", lit(1))),
+        Seq("sh"), "left")
+      .groupBy(col("sid").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_covered"))
+    benchmark.select(col(idCol)).join(perItem, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_covered").cast("double") / col("n_grams"))
+          .as("coverage"))
+  }
+
   /** [[contaminationHits]] without the join: the eval set's k-gram
     * hashes build a DETERMINISTIC bloom bitmap (probe j's position =
     * the minhash-j permutation of the gram hash, mod `2^log2m`), the
@@ -1017,6 +1113,46 @@ object DedupOps {
     clusters.withColumn("split",
       when(pmod(charHash(col("cluster_id").cast("string")), lit(1000L)) < valPerMille,
         "val").otherwise("train"))
+  }
+
+  /** Soft dedup: instead of collapsing each near-dup cluster to one
+    * canonical doc ([[IndexOps.dedupKeepFirst]]/[[dedupKeepBest]]), DOWNWEIGHT
+    * every member by its cluster size — weight_ppm = ⌊10⁶ / size⌋, so a
+    * cluster's expected mass after weighted sampling is one document
+    * while preserving the cluster's internal diversity (boilerplate
+    * variants, near-identical rewrites: hard dedup keeps one arbitrary
+    * variant, soft dedup keeps a random one per draw — the
+    * repetition-discounting recipe used when duplicates carry signal
+    * about natural frequency). Input is [[nearDupClusters]] output (or
+    * any (id, cluster_id) frame, e.g. exact content-hash groups);
+    * output: (id, cluster_id, cluster_size, weight_ppm). One
+    * cluster-table-sized aggregate + join — the corpus text is never
+    * touched. Exact integer division, oracle-replayable.
+    */
+  def softDedupWeights(clusters: DataFrame, idCol: String): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        expr("1000000L div cluster_size").as("weight_ppm"))
+  }
+
+  /** Realize [[softDedupWeights]] as a deterministic sample: keep each
+    * row iff its key hash lands under the cluster's weight_ppm
+    * threshold — each cluster survives with EXPECTED one member (a
+    * cluster may yield zero or several; that variance is the "soft"
+    * in soft dedup — use [[dedupKeepBest]] when exactly-one is
+    * required). Same hash-membership law as every sampler in
+    * SampleOps: stable across runs, partitionings, and engines.
+    */
+  def softDedupSample(df: DataFrame, clusters: DataFrame, idCol: String,
+      key: Column): DataFrame = {
+    val w = softDedupWeights(clusters, idCol)
+      .select(col(idCol), col("weight_ppm"))
+    df.join(w, Seq(idCol))
+      .filter(pmod(charHash(key.cast("string")), lit(1000000L)) <
+        col("weight_ppm"))
+      .select(df.columns.map(col): _*)
   }
 
   /** Full dedup pass: near-dup pairs -> clusters -> keep the canonical

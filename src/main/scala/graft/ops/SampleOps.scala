@@ -1754,10 +1754,25 @@ object SampleOps {
     * here carries).
     */
   def mixtureRates(df: DataFrame, groupCol: String, tokenCol: String,
-      targetWeights: Map[String, Long]): DataFrame = {
+      targetWeights: Map[String, Long]): DataFrame =
+    mixtureRates(df, groupCol, tokenCol, targetWeights, 0L)
+
+  /** [[mixtureRates]] with an output-size cap: `budgetTokens > 0` caps
+    * the realized total at `min(feasible T_out, budgetTokens)` — the
+    * phase-budget form behind [[mixtureSchedule]], where a phase wants
+    * its token shares AND a bounded size (an annealing phase is "20 B
+    * tokens at the high-quality mixture", not "as much as fits").
+    * `budgetTokens = 0` means uncapped (the largest downsample-only
+    * corpus, identical to the 4-arg form). Same exact integer
+    * arithmetic, same one-group-sized-aggregate shape.
+    */
+  def mixtureRates(df: DataFrame, groupCol: String, tokenCol: String,
+      targetWeights: Map[String, Long], budgetTokens: Long): DataFrame = {
     require(targetWeights.nonEmpty, "need at least one target group")
     require(targetWeights.values.forall(_ > 0),
       s"target weights must be positive: $targetWeights")
+    require(budgetTokens >= 0L,
+      s"budgetTokens must be >= 0 (0 = uncapped), got $budgetTokens")
     val sumW = targetWeights.values.sum
     require(sumW <= 1000000L, s"sum of target weights must be <= 10^6, got $sumW")
     val Scale = 1000000L
@@ -1768,9 +1783,11 @@ object SampleOps {
       .agg(coalesce(sum(col(tokenCol).cast("long")), lit(0L)).as("n_tokens"))
       .withColumn("__w", wExpr)
       .filter(col("__w").isNotNull && col("n_tokens") > 0L)
+    val feasible = counts.agg(min(expr(s"(n_tokens * ${sumW}L) div __w"))).scalar()
+    val tout = if (budgetTokens > 0L) least(feasible, lit(budgetTokens))
+      else feasible
     counts
-      .withColumn("__tout",
-        counts.agg(min(expr(s"(n_tokens * ${sumW}L) div __w"))).scalar())
+      .withColumn("__tout", tout)
       .withColumn("thr_ppm", least(lit(Scale),
         expr(s"((__tout * __w) div ${sumW}L) * ${Scale}L div n_tokens")))
       .select(col(groupCol), col("n_tokens"), col("thr_ppm"))
@@ -1795,6 +1812,60 @@ object SampleOps {
     df.join(broadcast(rates), col(groupCol) === col("__g"))
       .filter(pmod(keyHash(key), lit(Scale)) < col("thr_ppm"))
       .select(df.columns.map(col): _*)
+  }
+
+  /** One phase of an annealed mixture schedule: a name, the token-share
+    * target weights for the phase (the [[mixtureRates]] contract), and
+    * an optional token budget (0 = the largest downsample-only corpus
+    * at those shares). */
+  final case class MixturePhase(name: String,
+      targetWeights: Map[String, Long], budgetTokens: Long = 0L)
+
+  /** Annealed mixture schedule — the multi-phase form of
+    * [[rebalanceToShares]]: pretraining curricula shift the domain
+    * mixture over training (e.g. a long natural-mixture phase, then a
+    * short "anneal" phase upweighting high-quality sources — the
+    * LLaMA-3/MiniCPM-style two-stage recipe), so each phase carries its
+    * OWN target shares and token budget. Returns the union of the
+    * per-phase samples with `phase_ord` (0-based schedule position) and
+    * `phase` (name) prepended — partition/order by `phase_ord` to feed
+    * the trainer in schedule order.
+    *
+    * Phase draws are INDEPENDENT by design: membership hashes the row
+    * key salted with the phase name, so phase 2 is not a subset of
+    * phase 1 at higher rate, and a doc may legitimately appear in
+    * several phases (an annealing phase re-reads the best data —
+    * repetition across phases is the point; dedup WITHIN a phase is the
+    * caller's upstream job). Deterministic per (key, phase name):
+    * adding/removing/reordering phases never changes another phase's
+    * sample — incremental schedule surgery re-materializes only the
+    * phases it touches.
+    *
+    * Scale shape: one group-sized rate aggregate per phase over the
+    * grouped corpus + one broadcast-rate filter pass per phase — the
+    * corpus is scanned once per phase, never shuffled (schedules are
+    * 2-5 phases; the scans are map-only and cheaper than materializing
+    * a phase-tagged duplicate corpus). All arithmetic is the exact
+    * integer [[mixtureRates]] arithmetic, oracle-replayable.
+    */
+  def mixtureSchedule(df: DataFrame, groupCol: String, key: Column,
+      tokenCol: String, phases: Seq[MixturePhase]): DataFrame = {
+    require(phases.nonEmpty, "need at least one phase")
+    val names = phases.map(_.name)
+    require(names.distinct.size == names.size,
+      s"phase names must be distinct, got $names")
+    require(names.forall(_.nonEmpty), "phase names must be non-empty")
+    val Scale = 1000000L
+    phases.zipWithIndex.map { case (p, ord) =>
+      val rates = mixtureRates(df, groupCol, tokenCol, p.targetWeights,
+          p.budgetTokens)
+        .select(col(groupCol).as("__g"), col("thr_ppm"))
+      df.join(broadcast(rates), col(groupCol) === col("__g"))
+        .filter(pmod(keyHash(concat(key.cast("string"),
+          lit("|" + p.name))), lit(Scale)) < col("thr_ppm"))
+        .select((Seq(lit(ord).cast("long").as("phase_ord"),
+          lit(p.name).as("phase")) ++ df.columns.map(col)): _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Cap every group (domain, source, language …) at `maxRows`, keeping

@@ -1297,6 +1297,19 @@ object Queries {
 
   private val sqlShingleHashes = sqlShingleHashesK(3)
 
+  /** POSITIONAL word-k-gram hashes: (doc_id, pos, h) with pos the
+    * 0-based word index of the gram's first word — the coordinate
+    * stream behind span-level decontamination (mirrors Spark's
+    * `posexplode(shingleHashes(...))`, which keeps every occurrence:
+    * no DISTINCT here). */
+  private def sqlShinglePosK(k: Int): String = {
+    val gram = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""SELECT doc_id, i - 1 AS pos, ${sqlHash("sh")} AS h FROM (
+       |    SELECT doc_id, i, $gram AS sh
+       |    FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) w,
+       |         UNNEST(range(1, len(ws)-${k - 2})) t(i))""".stripMargin
+  }
+
   private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
     DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       k = 3, minJaccard = 0.5, maxDf = 1000)
@@ -2215,6 +2228,120 @@ object Queries {
        |WHERE list_has_all(pl.l, [$probeList])
        |GROUP BY doc_id""".stripMargin
   }
+
+  private def decontaminateSpansQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    DedupOps.decontaminateSpans(docs, docs.filter(col("doc_id") < 10),
+        "doc_id", "text", k = 5)
+      .select("doc_id", "clean_text", "n_spans", "n_removed")
+  }
+
+  /** Replays the window-union arithmetic: hit gram at word pos covers
+    * [pos, pos+5); removed word set = distinct covered indices; spans =
+    * lag-gap runs; clean text = ordered string_agg of surviving words.
+    * A doc whose every word is covered gets clean_text = '' (the spans
+    * row exists but the clean CTE has no surviving words). */
+  private def decontaminateSpansSql =
+    s"""WITH shp AS (${sqlShinglePosK(5)}),
+       |b AS (SELECT DISTINCT h FROM shp WHERE doc_id < 10),
+       |hit AS (SELECT DISTINCT shp.doc_id, pos FROM shp JOIN b ON shp.h = b.h),
+       |rm AS (SELECT DISTINCT doc_id, pos + j AS wpos
+       |       FROM hit, UNNEST(range(0, 5)) s(j)),
+       |lagd AS (SELECT doc_id, wpos,
+       |    lag(wpos) OVER (PARTITION BY doc_id ORDER BY wpos) AS prev FROM rm),
+       |spans AS (SELECT doc_id,
+       |    (count(*) FILTER (WHERE prev IS NULL OR wpos - prev > 1))::BIGINT AS n_spans,
+       |    count(*)::BIGINT AS n_removed
+       |  FROM lagd GROUP BY doc_id),
+       |toks AS (SELECT doc_id, ws[i] AS wrd, i
+       |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents) w,
+       |       UNNEST(range(1, len(ws)+1)) t(i)),
+       |clean AS (SELECT tk.doc_id, string_agg(wrd, ' ' ORDER BY i) AS ct
+       |  FROM toks tk LEFT JOIN rm ON rm.doc_id = tk.doc_id AND rm.wpos = tk.i - 1
+       |  WHERE rm.wpos IS NULL GROUP BY tk.doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN s.doc_id IS NULL THEN d.text ELSE coalesce(c.ct, '') END AS clean_text,
+       |  coalesce(s.n_spans, 0)::BIGINT AS n_spans,
+       |  coalesce(s.n_removed, 0)::BIGINT AS n_removed
+       |FROM documents d
+       |LEFT JOIN spans s ON s.doc_id = d.doc_id
+       |LEFT JOIN clean c ON c.doc_id = d.doc_id""".stripMargin
+
+  private def benchmarkCoverageQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    DedupOps.benchmarkCoverage(docs.filter(col("doc_id") >= 10),
+      docs.filter(col("doc_id") < 10), "doc_id", "text", k = 5)
+  }
+
+  private def benchmarkCoverageSql =
+    s"""WITH sh AS (${sqlShingleHashesK(5)}),
+       |bs AS (SELECT doc_id, h FROM sh WHERE doc_id < 10),
+       |found AS (SELECT DISTINCT h FROM sh
+       |          WHERE doc_id >= 10 AND h IN (SELECT h FROM bs)),
+       |per AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+       |    (count(*) FILTER (WHERE f.h IS NOT NULL))::BIGINT AS n_covered
+       |  FROM bs LEFT JOIN found f ON f.h = bs.h GROUP BY doc_id)
+       |SELECT b.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |  coalesce(n_covered, 0)::BIGINT AS n_covered,
+       |  CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+       |       ELSE n_covered::DOUBLE / n_grams END AS coverage
+       |FROM (SELECT doc_id FROM documents WHERE doc_id < 10) b
+       |LEFT JOIN per ON per.doc_id = b.doc_id""".stripMargin
+
+  private def mixtureScheduleQ(s: SparkSession, dir: String): DataFrame =
+    SampleOps.mixtureSchedule(t(s, dir, "documents"), "lang", col("doc_id"),
+        "n_chars", Seq(
+          SampleOps.MixturePhase("warmup",
+            Map("en" -> 500L, "zh" -> 300L, "de" -> 200L)),
+          SampleOps.MixturePhase("anneal",
+            Map("en" -> 400L, "de" -> 600L), budgetTokens = 200000L)))
+      .select("phase_ord", "phase", "doc_id", "lang", "n_chars")
+
+  /** Replays both phases' exact-integer rate arithmetic (phase 2 with
+    * the 200k budget cap inside the least()) and the phase-salted
+    * membership hash. */
+  private def mixtureScheduleSql =
+    s"""WITH n AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+       |    FROM documents GROUP BY lang),
+       |w1 AS (SELECT lang, n_tokens,
+       |    CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300 WHEN 'de' THEN 200 END AS w
+       |  FROM n WHERE lang IN ('en','zh','de') AND n_tokens > 0),
+       |o1 AS (SELECT min((n_tokens * 1000) // w) AS tout FROM w1),
+       |thr1 AS (SELECT lang,
+       |    least(1000000, ((o1.tout * w) // 1000) * 1000000 // n_tokens) AS t
+       |  FROM w1, o1),
+       |w2 AS (SELECT lang, n_tokens,
+       |    CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 600 END AS w
+       |  FROM n WHERE lang IN ('en','de') AND n_tokens > 0),
+       |o2 AS (SELECT least(min((n_tokens * 1000) // w), 200000) AS tout FROM w2),
+       |thr2 AS (SELECT lang,
+       |    least(1000000, ((o2.tout * w) // 1000) * 1000000 // n_tokens) AS t
+       |  FROM w2, o2)
+       |SELECT CAST(0 AS BIGINT) AS phase_ord, 'warmup' AS phase,
+       |    doc_id, d.lang, n_chars
+       |  FROM documents d JOIN thr1 ON d.lang = thr1.lang
+       |  WHERE ${sqlHash("CAST(doc_id AS VARCHAR) || '|warmup'")} % 1000000 < t
+       |UNION ALL
+       |SELECT CAST(1 AS BIGINT), 'anneal', doc_id, d.lang, n_chars
+       |  FROM documents d JOIN thr2 ON d.lang = thr2.lang
+       |  WHERE ${sqlHash("CAST(doc_id AS VARCHAR) || '|anneal'")} % 1000000 < t""".stripMargin
+
+  private def softDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+      numHashes = MinhashN, k = 3, bands = MinhashBands, minJaccard = 0.5)
+    val clusters = DedupOps.nearDupClusters(pairs,
+      docs.select(col("doc_id")), "doc_id")
+    DedupOps.softDedupWeights(clusters, "doc_id")
+  }
+
+  private def softDedupSql =
+    s"""WITH clusters AS ($dedupClustersSql),
+       |sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+       |          FROM clusters GROUP BY cluster_id)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       |  CAST(1000000 AS BIGINT) // s.cluster_size AS weight_ppm
+       |FROM clusters c JOIN sizes s ON s.cluster_id = c.cluster_id""".stripMargin
 
   private def prioritySampleQ(s: SparkSession, dir: String): DataFrame =
     SampleOps.prioritySample(
@@ -3749,6 +3876,10 @@ object Queries {
     "q_embed_cross_corpus" -> (embedCrossCorpusQ _),
     "q_vocabulary" -> (vocabularyQ _),
     "q_bloom_contamination" -> (bloomContaminationQ _),
+    "q_decontaminate_spans" -> (decontaminateSpansQ _),
+    "q_benchmark_coverage" -> (benchmarkCoverageQ _),
+    "q_mixture_schedule" -> (mixtureScheduleQ _),
+    "q_soft_dedup" -> (softDedupQ _),
     "q_priority_sample" -> (prioritySampleQ _),
     "q_collocations" -> (collocationsQ _),
     "q_dup_passages" -> (dupPassagesQ _),
@@ -3893,6 +4024,10 @@ object Queries {
     "q_embed_cross_corpus" -> embedCrossCorpusSql,
     "q_vocabulary" -> vocabularySql,
     "q_bloom_contamination" -> bloomContaminationSql,
+    "q_decontaminate_spans" -> decontaminateSpansSql,
+    "q_benchmark_coverage" -> benchmarkCoverageSql,
+    "q_mixture_schedule" -> mixtureScheduleSql,
+    "q_soft_dedup" -> softDedupSql,
     "q_priority_sample" -> prioritySampleSql,
     "q_collocations" -> collocationsSql,
     "q_dup_passages" -> dupPassagesSql,

@@ -804,4 +804,112 @@ class DedupOpsSpec extends SparkSpec {
     val st3 = awaitStats("lsh_candidate_pairs")
     assert(st3.droppedBuckets == 8 && st3.droppedRows == 240, s"$st3")
   }
+
+  // ------------------------------------------------------------------
+  // span-level decontamination
+  // ------------------------------------------------------------------
+
+  private def spanRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "clean_text", "n_spans", "n_removed")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("decontaminateSpans cuts hit windows, merges spans, passes clean docs byte-identical") {
+    val corpus = Seq(
+      (10L, "x1 x2 BAD1 BAD2 BAD3 x3 x4 x5 x6 x7"), // one window at pos 2
+      (11L, "y1 y2 y3 y4 y5"),                      // untouched
+      (12L, "BAD1 BAD2 BAD3 z1 BAD1 BAD2 BAD3"))    // two disjoint spans
+      .toDF("doc_id", "text")
+    val bench = Seq((0L, "BAD1 BAD2 BAD3")).toDF("doc_id", "text")
+    val got = spanRows(
+      DedupOps.decontaminateSpans(corpus, bench, "doc_id", "text", k = 3))
+    assert(got == Seq(
+      (10L, "x1 x2 x3 x4 x5 x6 x7", 1L, 3L),
+      (11L, "y1 y2 y3 y4 y5", 0L, 0L),
+      (12L, "z1", 2L, 6L)))
+  }
+
+  test("decontaminateSpans merges overlapping windows into one span; full hit empties the doc") {
+    val corpus = Seq((1L, "BAD1 BAD2 BAD3 BAD4")).toDF("doc_id", "text")
+    val bench = Seq((0L, "BAD1 BAD2 BAD3 qq BAD2 BAD3 BAD4"))
+      .toDF("doc_id", "text")
+    // both 3-gram windows of the corpus doc hit; [0,3) ∪ [1,4) merge
+    val got = spanRows(
+      DedupOps.decontaminateSpans(corpus, bench, "doc_id", "text", k = 3))
+    assert(got == Seq((1L, "", 1L, 4L)))
+  }
+
+  test("decontaminateSpans: eval side broadcasts; corpus never shuffled for the probe") {
+    val out = DedupOps.decontaminateSpans(
+      docs, docs.filter(col("doc_id") === 0), "doc_id", "text", k = 3)
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  // ------------------------------------------------------------------
+  // eval-side coverage report
+  // ------------------------------------------------------------------
+
+  test("benchmarkCoverage reports per-item gram coverage incl. too-short items") {
+    val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a b c d"),  // abc, bcd -> both in corpus
+      (101L, "a b c q"),  // abc yes, bcq no
+      (102L, "q r"),      // too short for k=3
+      (103L, "m n o p"))  // none
+      .toDF("doc_id", "text")
+    val got = DedupOps.benchmarkCoverage(corpus, bench, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((100L, 2L, 2L, 1.0), (101L, 2L, 1L, 0.5),
+      (102L, 0L, 0L, 0.0), (103L, 2L, 0L, 0.0)))
+  }
+
+  test("benchmarkCoverage counts distinct grams once regardless of corpus multiplicity") {
+    // the covered gram appears twice in the corpus AND twice in the item
+    val corpus = Seq((1L, "a b c x a b c")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c y a b c")).toDF("doc_id", "text")
+    val r = DedupOps.benchmarkCoverage(corpus, bench, "doc_id", "text", k = 3)
+      .collect()(0)
+    // item grams: abc, bcy, cya, yab, abc(dup) -> 4 distinct, 1 covered
+    assert((r.getLong(1), r.getLong(2)) == (4L, 1L))
+  }
+
+  // ------------------------------------------------------------------
+  // soft dedup
+  // ------------------------------------------------------------------
+
+  test("softDedupWeights prices every member at floor(1e6 / cluster size)") {
+    val clusters = Seq((0L, 0L), (1L, 0L), (3L, 0L), (2L, 2L))
+      .toDF("doc_id", "cluster_id")
+    val got = DedupOps.softDedupWeights(clusters, "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 0L, 3L, 333333L), (1L, 0L, 3L, 333333L),
+      (2L, 2L, 1L, 1000000L), (3L, 0L, 3L, 333333L)))
+  }
+
+  test("softDedupSample keeps singletons always, is deterministic and partition-independent") {
+    val clusters = DedupOps.nearDupClusters(
+      DedupOps.minhashDedupPairs(docs, "doc_id", "text",
+        numHashes = 16, k = 3, bands = 8, minJaccard = 0.5),
+      docs.select(col("doc_id")), "doc_id")
+    val s1 = DedupOps.softDedupSample(docs, clusters, "doc_id", col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 2 is a singleton cluster: weight 1e6 -> always kept
+    assert(s1.contains(2L))
+    val s2 = DedupOps.softDedupSample(docs.repartition(7), clusters,
+      "doc_id", col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+  }
+
+  test("softDedup expected mass: weights sum to ~1e6 per cluster") {
+    val clusters = Seq((0L, 0L), (1L, 0L), (3L, 0L), (2L, 2L))
+      .toDF("doc_id", "cluster_id")
+    val sums = DedupOps.softDedupWeights(clusters, "doc_id")
+      .groupBy("cluster_id").agg(sum("weight_ppm").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // floor rounding loses < cluster_size ppm
+    assert(sums(0L) == 999999L && sums(2L) == 1000000L)
+  }
 }

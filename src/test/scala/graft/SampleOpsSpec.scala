@@ -1300,4 +1300,83 @@ class SampleOpsSpec extends SparkSpec {
       assert(a.getMessage.contains("driver-safe manifest bound"))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  // ------------------------------------------------------------------
+  // annealed mixture schedule
+  // ------------------------------------------------------------------
+
+  test("mixtureRates budget cap: thresholds re-price to min(feasible, budget); 0 = uncapped") {
+    // en = 1200 tokens (2x600), de = 600; weights 500/500 ->
+    // feasible T_out = min(1200*1000/500, 600*1000/500) = 1200.
+    // budget 800 binds: en thr = ((800*500)//1000)*1e6//1200 = 333333,
+    // de thr = 400*1e6//600 = 666666.
+    val df = Seq((0L, "en", 600L), (1L, "en", 600L), (2L, "de", 600L))
+      .toDF("id", "g", "tok")
+    val w = Map("en" -> 500L, "de" -> 500L)
+    def rates(b: Long) = SampleOps.mixtureRates(df, "g", "tok", w, b)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(rates(800L) == Map("en" -> 333333L, "de" -> 666666L))
+    // a budget at/above feasible changes nothing; 0 = uncapped
+    assert(rates(0L) == rates(5000L))
+    assert(rates(0L) == Map("en" -> 500000L, "de" -> 1000000L))
+  }
+
+  test("mixtureSchedule: phase tags, salted independent draws, per-phase determinism") {
+    val phases = Seq(
+      SampleOps.MixturePhase("warmup", Map("en" -> 500L, "zh" -> 300L, "de" -> 200L)),
+      SampleOps.MixturePhase("anneal", Map("en" -> 400L, "de" -> 600L),
+        budgetTokens = 30000L))
+    val out = SampleOps.mixtureSchedule(corpus, "lang", col("doc_id"),
+      "n_chars", phases)
+    val byPhase = out.groupBy("phase_ord", "phase").count().collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(byPhase.keySet == Set((0L, "warmup"), (1L, "anneal")))
+    assert(byPhase.values.forall(_ > 0))
+    // anneal phase never selects a language outside its weight table
+    assert(out.filter(col("phase") === "anneal")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("en", "de")))
+    // each phase's draw is a pure function of (key, phase name): adding
+    // a phase in front changes NOTHING about the others' membership
+    val shifted = SampleOps.mixtureSchedule(corpus, "lang", col("doc_id"),
+      "n_chars", SampleOps.MixturePhase("extra", Map("zh" -> 1L)) +: phases)
+    def rows(df: org.apache.spark.sql.DataFrame, phase: String) =
+      df.filter(col("phase") === phase).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(rows(out, "warmup") == rows(shifted, "warmup"))
+    assert(rows(out, "anneal") == rows(shifted, "anneal"))
+    // but ordinals follow schedule position
+    assert(shifted.filter(col("phase") === "warmup")
+      .select("phase_ord").distinct().head().getLong(0) == 1L)
+    // salted hash: the warmup draw differs from the UNSALTED rebalance
+    // at identical weights (same expected mass, different members)
+    val unsalted = SampleOps.rebalanceToShares(corpus, "lang",
+      col("doc_id"), "n_chars", phases(0).targetWeights)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows(out, "warmup") != unsalted)
+  }
+
+  test("mixtureSchedule budget bounds the realized phase mass (law-of-large-numbers band)") {
+    val out = SampleOps.mixtureSchedule(corpus, "lang", col("doc_id"),
+      "n_chars", Seq(SampleOps.MixturePhase("a",
+        Map("en" -> 500L, "zh" -> 300L, "de" -> 200L), budgetTokens = 30000L)))
+    val got = out.agg(sum("n_chars")).head().getLong(0)
+    // hash-membership realization: generous band around the 30k target
+    assert(got > 15000L && got < 45000L, s"realized $got")
+  }
+
+  test("mixtureSchedule refuses empty, duplicate-name, and empty-name schedules") {
+    val w = Map("en" -> 1L)
+    intercept[IllegalArgumentException] {
+      SampleOps.mixtureSchedule(corpus, "lang", col("doc_id"), "n_chars", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.mixtureSchedule(corpus, "lang", col("doc_id"), "n_chars",
+        Seq(SampleOps.MixturePhase("p", w), SampleOps.MixturePhase("p", w)))
+    }
+    intercept[IllegalArgumentException] {
+      SampleOps.mixtureSchedule(corpus, "lang", col("doc_id"), "n_chars",
+        Seq(SampleOps.MixturePhase("", w)))
+    }
+  }
 }
