@@ -1359,25 +1359,52 @@ object TextOps {
       train: DataFrame, trainTextCol: String,
       fracBits: Int = 16, mat: Materializer = Materializer.Local,
       maxBroadcastModelRows: Long = 4L << 20): DataFrame = {
-    def pairs(d: DataFrame, id: Seq[Column], text: String): DataFrame = {
-      // "<s>"-anchored bigram expansion, map-only (no per-doc window):
-      // positions are 1-based for element_at. The token array is
-      // PROJECTED to a bound column before the transform lambda touches
-      // it — a composite expression referenced inside an interpreted
-      // higher-order lambda is re-evaluated per element (O(L²) per doc,
-      // the classic transform trap); an attribute reference is O(1).
-      val arr = concat(array(lit("<s>")), tokens(col(text)))
-      val ps = transform(sequence(lit(1), size(col("__arr")) - 1),
-        i => struct(element_at(col("__arr"), i).as("ctx"),
-          element_at(col("__arr"), i + 1).as("tok")))
-      d.filter(col(text).isNotNull)
-        .select(id :+ arr.as("__arr"): _*)
-        .select(id :+ explode(ps).as("__p"): _*)
-        .select(id :+ col("__p.ctx").as("__ctx") :+ col("__p.tok").as("__tok"): _*)
-    }
-    // the ONE train-corpus pass, materialized: ctxCnt, vocab, and both
-    // broadcast sides below all read this table, not the corpus
-    val pairCnt = mat(pairs(train, Seq.empty, trainTextCol)
+    val m = bigramModel(train, trainTextCol, mat, maxBroadcastModelRows)
+    def hint(x: DataFrame): DataFrame = if (m.small) broadcast(x) else x
+    bigramPairs(df, Seq(col(idCol)), textCol)
+      .join(hint(m.pairCnt), Seq("__ctx", "__tok"), "left")
+      .join(hint(m.ctxCnt), col("__ctx") === col("__ctx2"), "left")
+      .select(col(idCol),
+        graft.functions.exprs.log2Fixed(
+          coalesce(col("__c_ctx"), lit(0L)) + lit(math.max(m.vocab, 1L)),
+          coalesce(col("__c_pair"), lit(0L)) + lit(1L), fracBits).as("__bits"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__bits")).as("sum_bits_q"))
+      .withColumn("avg_bits_q", expr("sum_bits_q div n_tokens"))
+  }
+
+  /** "<s>"-anchored bigram expansion, map-only (no per-doc window):
+    * positions are 1-based for element_at. The token array is PROJECTED
+    * to a bound column before the transform lambda touches it — a
+    * composite expression referenced inside an interpreted higher-order
+    * lambda is re-evaluated per element (O(L²) per doc, the classic
+    * transform trap); an attribute reference is O(1). */
+  private def bigramPairs(d: DataFrame, id: Seq[Column],
+      text: String): DataFrame = {
+    val arr = concat(array(lit("<s>")), tokens(col(text)))
+    val ps = transform(sequence(lit(1), size(col("__arr")) - 1),
+      i => struct(element_at(col("__arr"), i).as("ctx"),
+        element_at(col("__arr"), i + 1).as("tok")))
+    d.filter(col(text).isNotNull)
+      .select(id :+ arr.as("__arr"): _*)
+      .select(id :+ explode(ps).as("__p"): _*)
+      .select(id :+ col("__p.ctx").as("__ctx") :+ col("__p.tok").as("__tok"): _*)
+  }
+
+  /** Add-one-smoothed bigram count model over `train`, ONE corpus pass,
+    * materialized: (ctx,tok) counts, context totals, vocabulary size,
+    * and the broadcast-eligibility decision ([[lmPerplexity]]'s
+    * contract — the hint is applied only while the model stays under
+    * `maxBroadcastModelRows`; past it the score joins degrade to
+    * shuffle equi-joins automatically). */
+  private case class BigramModel(pairCnt: DataFrame, ctxCnt: DataFrame,
+      vocab: Long, small: Boolean)
+
+  private def bigramModel(train: DataFrame, textCol: String,
+      mat: Materializer, maxBroadcastModelRows: Long): BigramModel = {
+    // the ONE train-corpus pass, materialized: ctxCnt, vocab, and the
+    // score-side joins all read this table, not the corpus
+    val pairCnt = mat(bigramPairs(train, Seq.empty, textCol)
       .groupBy(col("__ctx"), col("__tok"))
       .agg(count(lit(1)).as("__c_pair")))
     val ctxCnt = pairCnt.groupBy(col("__ctx").as("__ctx2"))
@@ -1385,20 +1412,94 @@ object TextOps {
     // (ctx, tok) rows are distinct in the model, so the vocabulary is a
     // distinct-count over the model table — model-sized, not corpus-sized
     val vocab = pairCnt.agg(countDistinct(col("__tok"))).head().getLong(0)
-    // model-sized count over the materialized table (cheap): the
-    // broadcast-or-shuffle decision documented above
-    val small = pairCnt.count() <= maxBroadcastModelRows
-    def hint(m: DataFrame): DataFrame = if (small) broadcast(m) else m
-    pairs(df, Seq(col(idCol)), textCol)
-      .join(hint(pairCnt), Seq("__ctx", "__tok"), "left")
-      .join(hint(ctxCnt), col("__ctx") === col("__ctx2"), "left")
+    // model-sized count over the materialized table (cheap)
+    BigramModel(pairCnt, ctxCnt, vocab,
+      pairCnt.count() <= maxBroadcastModelRows)
+  }
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by the log-likelihood RATIO between an n-gram model
+    * of the TARGET distribution (the small curated corpus you want more
+    * of) and one of the RAW distribution (the big corpus you're
+    * selecting from) — `logratio_q = bits_raw_q − bits_target_q` in
+    * Q`fracBits` fixed point (positive = the target model finds the doc
+    * more natural than the raw model does, i.e. select it). Both models
+    * are the add-one-smoothed bigram LM of [[lmPerplexity]], so the
+    * whole weight is exact long arithmetic — bit-reproducible and
+    * oracle-replayable.
+    *
+    * Output: (id, n_tokens, bits_target_q, bits_raw_q, logratio_q,
+    * avg_logratio_q) with avg = logratio div n_tokens (length-
+    * normalized; raw total log-ratio correlates with length, so rank on
+    * the average unless the paper-faithful bag weight is wanted).
+    *
+    * Shape: two model-corpus passes (one per model, materialized) and
+    * ONE score-corpus pass — the bigram expansion runs once and joins
+    * against both models in the same plan (four broadcast left joins
+    * while the models stay under `maxBroadcastModelRows`, shuffle
+    * equi-joins past it), then one per-doc aggregate with map-side
+    * combine. The 100 TB raw corpus is exploded once, never twice.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      raw: DataFrame, rawTextCol: String,
+      fracBits: Int = 16, mat: Materializer = Materializer.Local,
+      maxBroadcastModelRows: Long = 4L << 20): DataFrame = {
+    val mt = bigramModel(target, targetTextCol, mat, maxBroadcastModelRows)
+    val mr = bigramModel(raw, rawTextCol, mat, maxBroadcastModelRows)
+    def hint(small: Boolean)(x: DataFrame): DataFrame =
+      if (small) broadcast(x) else x
+    val tPair = mt.pairCnt.select(col("__ctx"), col("__tok"),
+      col("__c_pair").as("__cp_t"))
+    val tCtx = mt.ctxCnt.select(col("__ctx2").as("__cx_t"),
+      col("__c_ctx").as("__cc_t"))
+    val rPair = mr.pairCnt.select(col("__ctx"), col("__tok"),
+      col("__c_pair").as("__cp_r"))
+    val rCtx = mr.ctxCnt.select(col("__ctx2").as("__cx_r"),
+      col("__c_ctx").as("__cc_r"))
+    def bits(cc: Column, cp: Column, vocab: Long): Column =
+      graft.functions.exprs.log2Fixed(
+        coalesce(cc, lit(0L)) + lit(math.max(vocab, 1L)),
+        coalesce(cp, lit(0L)) + lit(1L), fracBits)
+    bigramPairs(df, Seq(col(idCol)), textCol)
+      .join(hint(mt.small)(tPair), Seq("__ctx", "__tok"), "left")
+      .join(hint(mt.small)(tCtx), col("__ctx") === col("__cx_t"), "left")
+      .join(hint(mr.small)(rPair), Seq("__ctx", "__tok"), "left")
+      .join(hint(mr.small)(rCtx), col("__ctx") === col("__cx_r"), "left")
       .select(col(idCol),
-        graft.functions.exprs.log2Fixed(
-          coalesce(col("__c_ctx"), lit(0L)) + lit(math.max(vocab, 1L)),
-          coalesce(col("__c_pair"), lit(0L)) + lit(1L), fracBits).as("__bits"))
+        bits(col("__cc_t"), col("__cp_t"), mt.vocab).as("__bt"),
+        bits(col("__cc_r"), col("__cp_r"), mr.vocab).as("__br"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__bits")).as("sum_bits_q"))
-      .withColumn("avg_bits_q", expr("sum_bits_q div n_tokens"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__bt")).as("bits_target_q"),
+        sum(col("__br")).as("bits_raw_q"))
+      .withColumn("logratio_q", col("bits_raw_q") - col("bits_target_q"))
+      // div truncates toward zero identically in Spark and DuckDB
+      // (checked on negatives), so the oracle replays this exactly
+      .withColumn("avg_logratio_q", expr("logratio_q div n_tokens"))
+  }
+
+  /** Deterministic top-k DSIR selection: the k documents with the
+    * highest importance ratio (the paper's top-k variant of importance
+    * resampling — the Gumbel-perturbed draw needs transcendental
+    * doubles this library's exactness contract excludes). Ranks on the
+    * length-normalized average by default; `byAverage = false` ranks on
+    * the paper-faithful total bag ratio. Ties broken by id — totally
+    * ordered, so the selection is reproducible. Plans as
+    * TakeOrderedAndProject (distributed partial top-k), never a global
+    * sort. */
+  def dsirTopK(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      raw: DataFrame, rawTextCol: String, k: Int,
+      byAverage: Boolean = true, fracBits: Int = 16,
+      mat: Materializer = Materializer.Local,
+      maxBroadcastModelRows: Long = 4L << 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = dsirWeights(df, idCol, textCol, target, targetTextCol,
+      raw, rawTextCol, fracBits, mat, maxBroadcastModelRows)
+    val rank = if (byAverage) col("avg_logratio_q") else col("logratio_q")
+    w.orderBy(rank.desc, col(idCol).asc).limit(k)
   }
 
   /** Feature-hashing bag-of-words embedding (the signed hashing trick —

@@ -2455,13 +2455,18 @@ object Queries {
       docs.filter(col("doc_id") % 10 =!= 0), "text")
   }
 
-  private val lmPerplexitySql =
-    """WITH RECURSIVE toks AS (
+  /** Exact-Q16 per-doc bigram-LM surprisal under a model trained on the
+    * documents matching `trainPred` — the shared oracle body for
+    * q_lm_perplexity and both DSIR rows (instantiated once per model;
+    * the recursive CTE replays the log2q fixed-point recurrence). */
+  private def lmBitsSql(trainPred: String) =
+    s"""WITH RECURSIVE toks AS (
       |  SELECT doc_id, ['<s>'] || string_split(text, ' ') AS arr
       |  FROM documents WHERE text IS NOT NULL),
       |idx AS (SELECT doc_id, arr, UNNEST(range(1, len(arr))) AS i FROM toks),
       |pairs AS (SELECT doc_id, arr[i] AS ctx, arr[i + 1] AS tok FROM idx),
-      |tp AS (SELECT ctx, tok FROM pairs WHERE doc_id % 10 != 0),
+      |tp AS (SELECT ctx, tok FROM pairs WHERE doc_id IN
+      |       (SELECT doc_id FROM documents WHERE $trainPred)),
       |pc AS (SELECT ctx, tok, count(*)::BIGINT AS c_pair FROM tp GROUP BY 1, 2),
       |cc AS (SELECT ctx, CAST(sum(c_pair) AS BIGINT) AS c_ctx FROM pc GROUP BY 1),
       |v AS (SELECT CAST(GREATEST(count(DISTINCT tok), 1) AS BIGINT) AS v FROM tp),
@@ -2490,6 +2495,36 @@ object Queries {
       |  CAST(sum((CAST(e AS BIGINT) << 16) + y) // count(*) AS BIGINT) AS avg_bits_q
       |FROM rec WHERE step = 16
       |GROUP BY doc_id""".stripMargin
+
+  private val lmPerplexitySql = lmBitsSql("doc_id % 10 != 0")
+
+  private def dsirWeightsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextOps.dsirWeights(docs, "doc_id", "text",
+      docs.filter(col("lang") === "en"), "text", docs, "text")
+  }
+
+  /** Per-doc sums split over models, so the oracle joins the two
+    * independently-replayed surprisal tables instead of re-deriving the
+    * fused four-join plan — same math, exact longs either way. */
+  private def dsirWeightsSql =
+    s"""WITH t AS (${lmBitsSql("lang = 'en'")}),
+       |r AS (${lmBitsSql("TRUE")})
+       |SELECT t.doc_id, t.n_tokens, t.sum_bits_q AS bits_target_q,
+       |  r.sum_bits_q AS bits_raw_q,
+       |  r.sum_bits_q - t.sum_bits_q AS logratio_q,
+       |  (r.sum_bits_q - t.sum_bits_q) // t.n_tokens AS avg_logratio_q
+       |FROM t JOIN r ON r.doc_id = t.doc_id""".stripMargin
+
+  private def dsirTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextOps.dsirTopK(docs, "doc_id", "text",
+      docs.filter(col("lang") === "en"), "text", docs, "text", k = 25)
+  }
+
+  private def dsirTopKSql =
+    s"""SELECT * FROM ($dsirWeightsSql)
+       |ORDER BY avg_logratio_q DESC, doc_id ASC LIMIT 25""".stripMargin
 
   /** Normalize-then-fingerprint: the canonicalization a dedup pipeline
     * hashes (the corpus is already canonical, so the normalizer must act
@@ -3880,6 +3915,8 @@ object Queries {
     "q_benchmark_coverage" -> (benchmarkCoverageQ _),
     "q_mixture_schedule" -> (mixtureScheduleQ _),
     "q_soft_dedup" -> (softDedupQ _),
+    "q_dsir_weights" -> (dsirWeightsQ _),
+    "q_dsir_topk" -> (dsirTopKQ _),
     "q_priority_sample" -> (prioritySampleQ _),
     "q_collocations" -> (collocationsQ _),
     "q_dup_passages" -> (dupPassagesQ _),
@@ -4028,6 +4065,8 @@ object Queries {
     "q_benchmark_coverage" -> benchmarkCoverageSql,
     "q_mixture_schedule" -> mixtureScheduleSql,
     "q_soft_dedup" -> softDedupSql,
+    "q_dsir_weights" -> dsirWeightsSql,
+    "q_dsir_topk" -> dsirTopKSql,
     "q_priority_sample" -> prioritySampleSql,
     "q_collocations" -> collocationsSql,
     "q_dup_passages" -> dupPassagesSql,

@@ -951,4 +951,66 @@ class TextOpsSpec extends SparkSpec {
         reference)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  // ------------------------------------------------------------------
+  // DSIR importance weights
+  // ------------------------------------------------------------------
+
+  test("dsirWeights: fused one-pass plan equals two composed lmPerplexity passes") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = corpus.filter(col("lang") === "en")
+    val fused = TextOps.dsirWeights(corpus, "doc_id", "text",
+      target, "text", corpus, "text")
+    val t = TextOps.lmPerplexity(corpus, "doc_id", "text", target, "text")
+      .select(col("doc_id"), col("sum_bits_q").as("bt"))
+    val r = TextOps.lmPerplexity(corpus, "doc_id", "text", corpus, "text")
+      .select(col("doc_id"), col("sum_bits_q").as("br"))
+    val composed = t.join(r, "doc_id")
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2)))).toMap
+    val got = fused.collect()
+      .map(x => (x.getLong(0), (x.getLong(2), x.getLong(3)))).toMap
+    assert(got == composed)
+  }
+
+  test("dsirWeights: target == raw gives zero log-ratio everywhere") {
+    val corpus = Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextOps.dsirWeights(corpus, "doc_id", "text",
+      corpus, "text", corpus, "text").collect()
+    assert(got.forall(r => r.getLong(4) == 0L && r.getLong(5) == 0L))
+  }
+
+  test("dsirWeights ranks target-like docs above raw-only docs") {
+    // target distribution: "good text" bigrams; raw: mixed
+    val target = Seq((1L, "good clean prose here"),
+      (2L, "good clean prose again")).toDF("doc_id", "text")
+    val raw = Seq((1L, "good clean prose here"), (2L, "spam spam spam spam"),
+      (3L, "spam buy now spam")).toDF("doc_id", "text")
+    val score = Seq((10L, "good clean prose here"),
+      (11L, "spam spam buy now")).toDF("doc_id", "text")
+    val w = TextOps.dsirWeights(score, "doc_id", "text",
+        target, "text", raw, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(w(10L) > w(11L), w.toString)
+    assert(w(10L) > 0L && w(11L) < 0L, w.toString)
+  }
+
+  test("dsirTopK: deterministic top-k by average ratio, partial top-k plan") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = corpus.filter(col("lang") === "en")
+    val top = TextOps.dsirTopK(corpus, "doc_id", "text",
+      target, "text", corpus, "text", k = 10)
+    assert(top.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    val ids = top.collect().map(_.getLong(0)).toSeq
+    assert(ids.size == 10 && ids.distinct.size == 10)
+    val brute = TextOps.dsirWeights(corpus, "doc_id", "text",
+        target, "text", corpus, "text")
+      .collect().sortBy(r => (-r.getLong(5), r.getLong(0)))
+      .take(10).map(_.getLong(0)).toSeq
+    assert(ids == brute)
+    // the top of an en-target ranking is english
+    val langs = corpus.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ids.count(langs(_) == "en") >= 8, ids.map(langs).toString)
+  }
 }
