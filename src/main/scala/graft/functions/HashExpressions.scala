@@ -208,6 +208,74 @@ object HashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** One-pass span scrub: removes every word covered by a word-k-gram
+    * whose hash (the [[shingleHashes]] arithmetic, bit-identical) is in
+    * `grams` — which MUST be sorted ascending; each window is a binary
+    * search. Returns struct(clean_text, n_spans, n_removed): the text
+    * with removed words excised (single-space rejoin), the count of
+    * maximal merged removal spans, and the removed word count. Too-short
+    * texts and empty gram sets pass through with (text, 0, 0). The
+    * map-only twin of the join-based DedupOps.decontaminateSpans —
+    * same output bit-for-bit.
+    */
+  def spanScrub(s: UTF8String, grams: ArrayData,
+      k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val g = grams.toLongArray()
+    val words = s.toString.split(" ", -1)
+    val n = words.length
+    if (n < k || g.length == 0)
+      return org.apache.spark.sql.catalyst.InternalRow(s, 0L, 0L)
+    val removed = new Array[Boolean](n)
+    var any = false
+    var i = 0
+    while (i <= n - k) {
+      var h = 0L
+      var pos = 1L
+      var j = 0
+      while (j < k) {
+        if (j > 0) { // the joining space
+          h = (h + 32L * ((pos * A) % P) % P) % P
+          pos += 1
+        }
+        val w = words(i + j)
+        var ci = 0
+        val wn = w.length
+        while (ci < wn) {
+          val cp = w.codePointAt(ci)
+          h = (h + cp * ((pos * A) % P) % P) % P
+          ci += Character.charCount(cp)
+          pos += 1
+        }
+        j += 1
+      }
+      if (java.util.Arrays.binarySearch(g, h) >= 0) {
+        any = true
+        var r = i
+        while (r < i + k) { removed(r) = true; r += 1 }
+      }
+      i += 1
+    }
+    if (!any) return org.apache.spark.sql.catalyst.InternalRow(s, 0L, 0L)
+    var nRemoved = 0L
+    var nSpans = 0L
+    val sb = new java.lang.StringBuilder
+    var first = true
+    var w = 0
+    while (w < n) {
+      if (removed(w)) {
+        nRemoved += 1
+        if (w == 0 || !removed(w - 1)) nSpans += 1
+      } else {
+        if (!first) sb.append(' ')
+        sb.append(words(w))
+        first = false
+      }
+      w += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(sb.toString), nSpans, nRemoved)
+  }
+
   /** MinHash permutation parameters for slot j: a_j odd-ish multiplier,
     * b_j offset, both mod P — the single source of truth shared by the
     * kernel below and the DuckDB oracle builders (DedupOps.minhashParams
@@ -1358,6 +1426,39 @@ case class BloomHitCount(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd map-only span scrub (see HashKernels.spanScrub): text +
+  * SORTED gram-hash array -> struct(clean_text, n_spans, n_removed).
+  * The sortedness contract lives at the ops layer
+  * (DedupOps.decontaminateSpansWithGrams sorts the driver artifact);
+  * an unsorted array would silently miss grams, so never build the
+  * literal by hand. */
+case class SpanScrub(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && isLongArray(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"span_scrub needs (string, array<bigint>), got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_spans", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.spanScrub(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashKernels.spanScrub($a, $b, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanScrub =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd sparse-to-dense bitmap scatter (see
   * HashKernels.bitmapFromEntries): array<struct<w:bigint,bits:bigint>>
   * -> array<bigint> of fixed length `n`. */
@@ -1525,6 +1626,9 @@ object exprs {
     shims.column(WeightedCharHash(shims.expression(c)))
   def shingleHashes(c: Column, k: Int): Column =
     shims.column(ShingleHashArray(shims.expression(c), k))
+  def spanScrub(text: Column, grams: Column, k: Int): Column =
+    shims.column(SpanScrub(shims.expression(text),
+      shims.expression(grams), k))
   def dotLong(a: Column, b: Column): Column =
     shims.column(DotProductLong(shims.expression(a), shims.expression(b)))
   def pqAdc(lut: Column, code: Column): Column =

@@ -556,6 +556,49 @@ object DedupOps {
           .as("n_removed"))): _*)
   }
 
+  /** The eval set's distinct k-gram hashes as a SORTED driver artifact —
+    * the exact-membership analog of [[bloomBitmap]] (build once, publish,
+    * reuse across jobs/micro-batches; no false positives, at the price
+    * of the full set instead of a bitmap). Guarded at `maxGrams`
+    * (default 16M ≈ 128 MB of longs — a deliberate dial, not a silent
+    * truncation): past it, use [[bloomDecontaminate]] + exact re-check,
+    * or raise the dial knowingly.
+    */
+  def contaminationGramSet(benchmark: DataFrame, idCol: String,
+      textCol: String, k: Int = 13, maxGrams: Long = 16L << 20): Array[Long] = {
+    val sh = shingleHashes(benchmark, idCol, textCol, k)
+      .select("sh").distinct()
+    val cnt = sh.count()
+    require(cnt <= maxGrams,
+      s"eval gram set has $cnt distinct grams, over the driver-safe bound " +
+        s"$maxGrams — raise maxGrams deliberately or use bloomDecontaminate")
+    val arr = sh.collect().map(_.getLong(0))
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** [[decontaminateSpans]] as a pure MAP against a prebuilt
+    * [[contaminationGramSet]]: the gram set rides into the scan as one
+    * array literal and each document is scrubbed by the codegen kernel
+    * [[graft.functions.HashKernels.spanScrub]] — no join, no explode,
+    * no exchange anywhere in the plan, so the op is legal in Structured
+    * Streaming (scrub documents as they arrive) and costs exactly one
+    * corpus scan at 100 TB. Output is bit-identical to
+    * [[decontaminateSpans]] (spec- and oracle-pinned): same merged-span
+    * semantics, same (…, clean_text, n_spans, n_removed) columns. */
+  def decontaminateSpansWithGrams(corpus: DataFrame, grams: Array[Long],
+      idCol: String, textCol: String, k: Int = 13): DataFrame = {
+    val sorted = grams.clone()
+    java.util.Arrays.sort(sorted)
+    val scrub = graft.functions.exprs.spanScrub(
+      col(textCol), typedLit(sorted), k)
+    corpus.withColumn("__scrub", scrub)
+      .select((corpus.columns.map(col) ++ Seq(
+        col("__scrub.clean_text").as("clean_text"),
+        coalesce(col("__scrub.n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("__scrub.n_removed"), lit(0L)).as("n_removed"))): _*)
+  }
+
   /** The eval-side mirror of [[contaminationHits]]: per BENCHMARK item,
     * how much of it leaked into the corpus. For each benchmark row,
     * `n_grams` = its distinct word k-grams, `n_covered` = how many of

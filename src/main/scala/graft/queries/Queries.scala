@@ -2267,6 +2267,16 @@ object Queries {
        |LEFT JOIN spans s ON s.doc_id = d.doc_id
        |LEFT JOIN clean c ON c.doc_id = d.doc_id""".stripMargin
 
+  /** The map-only twin: same oracle SQL as q_decontaminate_spans — the
+    * gate pins join form == kernel form bit-for-bit corpus-wide. */
+  private def decontaminateMapQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grams = DedupOps.contaminationGramSet(
+      docs.filter(col("doc_id") < 10), "doc_id", "text", k = 5)
+    DedupOps.decontaminateSpansWithGrams(docs, grams, "doc_id", "text", k = 5)
+      .select("doc_id", "clean_text", "n_spans", "n_removed")
+  }
+
   private def benchmarkCoverageQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     DedupOps.benchmarkCoverage(docs.filter(col("doc_id") >= 10),
@@ -3912,6 +3922,7 @@ object Queries {
     "q_vocabulary" -> (vocabularyQ _),
     "q_bloom_contamination" -> (bloomContaminationQ _),
     "q_decontaminate_spans" -> (decontaminateSpansQ _),
+    "q_decontaminate_map" -> (decontaminateMapQ _),
     "q_benchmark_coverage" -> (benchmarkCoverageQ _),
     "q_mixture_schedule" -> (mixtureScheduleQ _),
     "q_soft_dedup" -> (softDedupQ _),
@@ -4062,6 +4073,7 @@ object Queries {
     "q_vocabulary" -> vocabularySql,
     "q_bloom_contamination" -> bloomContaminationSql,
     "q_decontaminate_spans" -> decontaminateSpansSql,
+    "q_decontaminate_map" -> decontaminateSpansSql,
     "q_benchmark_coverage" -> benchmarkCoverageSql,
     "q_mixture_schedule" -> mixtureScheduleSql,
     "q_soft_dedup" -> softDedupSql,

@@ -845,6 +845,35 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("decontaminateSpansWithGrams == decontaminateSpans bit-for-bit on the corpus") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = corpus.filter(col("doc_id") < 10)
+    val joined = spanRows(DedupOps.decontaminateSpans(
+      corpus, bench, "doc_id", "text", k = 5))
+    val grams = DedupOps.contaminationGramSet(bench, "doc_id", "text", k = 5)
+    val mapped = spanRows(DedupOps.decontaminateSpansWithGrams(
+      corpus, grams, "doc_id", "text", k = 5))
+    assert(mapped == joined)
+    // the corpus-contaminated fixture docs really got scrubbed
+    assert(mapped.count(_._4 > 0) >= 10)
+  }
+
+  test("decontaminateSpansWithGrams plans pure map: no join, no exchange") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = DedupOps.decontaminateSpansWithGrams(corpus,
+      Array(12345L, 678L), "doc_id", "text", k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+  }
+
+  test("contaminationGramSet refuses an eval set over the driver bound") {
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.contaminationGramSet(docs, "doc_id", "text", k = 3,
+        maxGrams = 2L)
+    }
+    assert(e.getMessage.contains("driver-safe bound"))
+  }
+
   // ------------------------------------------------------------------
   // eval-side coverage report
   // ------------------------------------------------------------------

@@ -843,4 +843,39 @@ class StreamOpsSpec extends SparkSpec {
     val shardIds = """"shard_id":(\d+)""".r.findAllMatchIn(mf).map(_.group(1).toLong).toSeq
     assert(shardIds == (0L until shardIds.length).toSeq, s"manifest ids $shardIds")
   }
+
+  test("span scrub is streaming-legal: scrub-on-arrival equals the batch scrub") {
+    val in = tmpDir("graft_stream_scrub_in")
+    val outDir = tmpDir("graft_stream_scrub_out")
+    val ckpt = tmpDir("graft_stream_scrub_ckpt")
+    Seq((1L, "x1 x2 BAD1 BAD2 BAD3 x3 x4"), (2L, "clean words only here"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b1")
+    Thread.sleep(50)
+    Seq((3L, "BAD1 BAD2 BAD3 tail words"), (4L, "also fine"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b2")
+
+    val bench = Seq((0L, "BAD1 BAD2 BAD3")).toDF("doc_id", "text")
+    val grams = graft.ops.DedupOps.contaminationGramSet(
+      bench, "doc_id", "text", k = 3)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    // the scrub is a stateless map, so it drops straight into a stream
+    val q = graft.ops.DedupOps.decontaminateSpansWithGrams(
+        stream, grams, "doc_id", "text", k = 3)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "clean_text", "n_spans", "n_removed")
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    val streamed = norm(spark.read.parquet(outDir))
+    val batch = norm(graft.ops.DedupOps.decontaminateSpansWithGrams(
+      spark.read.parquet(s"$in/*"), grams, "doc_id", "text", k = 3))
+    assert(streamed == batch)
+    assert(streamed.size == 4)
+  }
 }
