@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.ops.{SampleOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, SampleOps, SimilarityOps, TextOps}
 
 /** Round-14 stress harness (committed so every BASELINE round-14 row is
   * reproducible):
@@ -53,7 +53,12 @@ object StressR14 {
         resPq(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(1000))
       case "padded" =>
         padded(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
-      case other => sys.error(s"unknown subcommand '$other' (respq|padded)")
+      case "decontam" =>
+        decontam(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
+      case "dsir" =>
+        dsir(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
+      case other =>
+        sys.error(s"unknown subcommand '$other' (respq|padded|decontam|dsir)")
     }
     spark.stop()
   }
@@ -178,6 +183,82 @@ object StressR14 {
         concat(substring(col("text"), 49, Int.MaxValue), lit(" #"),
           col("__rep")).as("completion"))
       .repartition(64, col("key"))
+
+  /** Replicated documents with per-replica dense ids (texts identical
+    * across replicas — decontamination/DSIR work is per-document, so
+    * replication scales the corpus side without changing hit shape). */
+  private def replicatedDocs(spark: SparkSession, sfDir: String,
+      reps: Int): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("text").isNotNull)
+      .withColumn("__rep", explode(sequence(lit(0), lit(reps - 1))))
+      .select((col("doc_id") * reps + col("__rep")).as("doc_id"), col("text"))
+      .repartition(64, col("doc_id"))
+
+  /** Span decontamination at 100×: doc-flag vs join-scrub vs map-scrub
+    * walls over the same corpus and eval set, map == join verified
+    * distributedly (aggregate totals only reach the driver). */
+  private def decontam(spark: SparkSession, sfDir: String,
+      maxReps: Int): Unit = {
+    val k = 8
+    val bench = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 100)
+    for (reps <- Seq(10, maxReps).distinct) {
+      val corpus = replicatedDocs(spark, sfDir, reps)
+        .persist(StorageLevel.DISK_ONLY)
+      report(s"${reps}x corpus", s"${corpus.count()} docs")
+      time(s"contaminationHits (doc flag) ${reps}x") {
+        DedupOps.contaminationHits(corpus, bench, "doc_id", "text", k)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val joined = DedupOps.decontaminateSpans(corpus, bench,
+        "doc_id", "text", k)
+      time(s"decontaminateSpans (join) ${reps}x") {
+        joined.write.format("noop").mode("overwrite").save()
+      }
+      val grams = time("contaminationGramSet build") {
+        DedupOps.contaminationGramSet(bench, "doc_id", "text", k)
+      }
+      report("gram set size", grams.length)
+      val mapped = DedupOps.decontaminateSpansWithGrams(corpus, grams,
+        "doc_id", "text", k)
+      time(s"decontaminateSpansWithGrams (map) ${reps}x") {
+        mapped.write.format("noop").mode("overwrite").save()
+      }
+      val a = joined.agg(sum("n_spans"), sum("n_removed")).head()
+      val b = mapped.agg(sum("n_spans"), sum("n_removed")).head()
+      require(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1),
+        s"map != join: $a vs $b")
+      report(s"scrub totals ${reps}x",
+        s"n_spans=${a.getLong(0)} n_removed=${a.getLong(1)}")
+      corpus.unpersist()
+    }
+  }
+
+  /** DSIR importance weights at 100×: two bigram models (target =
+    * base-corpus en docs, raw = the replicated corpus) + one fused
+    * score pass. */
+  private def dsir(spark: SparkSession, sfDir: String, maxReps: Int): Unit = {
+    val target = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("lang") === "en" && col("text").isNotNull)
+    for (reps <- Seq(10, maxReps).distinct) {
+      val corpus = replicatedDocs(spark, sfDir, reps)
+        .persist(StorageLevel.DISK_ONLY)
+      report(s"${reps}x corpus", s"${corpus.count()} docs")
+      val w = TextOps.dsirWeights(corpus, "doc_id", "text",
+        target, "text", corpus, "text")
+      time(s"dsirWeights ${reps}x") {
+        w.write.format("noop").mode("overwrite").save()
+      }
+      // sanity at scale: ranking is non-degenerate (both signs present)
+      val signs = w.agg(
+        sum(when(col("logratio_q") > 0, 1L).otherwise(0L)),
+        sum(when(col("logratio_q") < 0, 1L).otherwise(0L))).head()
+      report(s"sign split ${reps}x",
+        s"pos=${signs.getLong(0)} neg=${signs.getLong(1)}")
+      corpus.unpersist()
+    }
+  }
 
   private def padded(spark: SparkSession, sfDir: String, maxReps: Int): Unit = {
     for (reps <- Seq(10, maxReps).distinct) {
