@@ -220,10 +220,10 @@ object HashKernels {
     */
   def spanScrub(s: UTF8String, grams: ArrayData,
       k: Int): org.apache.spark.sql.catalyst.InternalRow = {
-    val g = grams.toLongArray()
+    val gLen = grams.numElements()
     val words = s.toString.split(" ", -1)
     val n = words.length
-    if (n < k || g.length == 0)
+    if (n < k || gLen == 0)
       return org.apache.spark.sql.catalyst.InternalRow(s, 0L, 0L)
     val removed = new Array[Boolean](n)
     var any = false
@@ -248,7 +248,7 @@ object HashKernels {
         }
         j += 1
       }
-      if (java.util.Arrays.binarySearch(g, h) >= 0) {
+      if (sortedLongArrayContains(grams, gLen, h)) {
         any = true
         var r = i
         while (r < i + k) { removed(r) = true; r += 1 }
@@ -274,6 +274,27 @@ object HashKernels {
     }
     org.apache.spark.sql.catalyst.InternalRow(
       UTF8String.fromString(sb.toString), nSpans, nRemoved)
+  }
+
+  /** Binary search for `h` over a sorted ascending array<bigint> read
+    * in place via ArrayData.getLong — no per-row toLongArray() copy.
+    * The grams operand of [[spanScrub]] is a plan-constant Literal
+    * (up to the documented 16M-gram / 128 MB contaminationGramSet
+    * bound): copying it once per ROW would dominate the scan cost at
+    * scale, so this reads the shared backing array directly, the same
+    * no-copy discipline as [[bloomHits]].
+    */
+  private def sortedLongArrayContains(g: ArrayData, n: Int, h: Long): Boolean = {
+    var lo = 0
+    var hi = n - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = g.getLong(mid)
+      if (v < h) lo = mid + 1
+      else if (v > h) hi = mid - 1
+      else return true
+    }
+    false
   }
 
   /** MinHash permutation parameters for slot j: a_j odd-ish multiplier,

@@ -176,14 +176,73 @@ object MultimodalOps {
     (w, math.max(1, (n + w - 1) / w))
   }
 
+  /** Magic-byte sniff for the codecs `javax.imageio` decodes out of the
+    * box (PNG / JPEG / GIF / BMP). Sniffing — not try-decode — keeps
+    * the dispatch deterministic and free for the fake-payload path:
+    * UTF-8 text can never start with these signatures, so every
+    * oracle-replayable fixture keeps the byte-exact stub arithmetic
+    * while real images route to the real decoder. */
+  private[graft] def isRealImage(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 4 && (
+      (bytes(0) == 0x89.toByte && bytes(1) == 0x50.toByte &&
+        bytes(2) == 0x4E.toByte && bytes(3) == 0x47.toByte) || // PNG
+      (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte &&
+        bytes(2) == 0xFF.toByte) ||                            // JPEG
+      (bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 'F'.toByte && bytes(3) == '8'.toByte) ||   // GIF
+      (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte))      // BMP
+
+  /** REAL pixel decode — `javax.imageio` ships with the JDK, so the
+    * perceptual ops hash true pixels with zero new dependencies.
+    * Returns (width, height, row-major Rec.601 luma): integer
+    * (299·R + 587·G + 114·B) / 1000 over the sRGB channels, exact
+    * integer arithmetic so hashes are engine-reproducible. A payload
+    * that SNIFFS as an image but fails to decode REFUSES loudly — a
+    * truncated JPEG silently hashed as a fake byte-raster would never
+    * collapse with its intact original, the exact silent-miss this
+    * library's contracts forbid. Called per row inside a partition-wise
+    * iterator: decoder state is JVM-static and payloads never cross
+    * the driver. */
+  private[graft] def decodeLuma(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: java.io.IOException => throw new IllegalArgumentException(
+          s"media payload sniffs as an image but failed to decode " +
+            s"(${e.getMessage}) — corrupted or truncated; refusing to " +
+            "hash it as raw bytes (it would silently never match its " +
+            "intact duplicates)", e)
+      }
+    if (img == null) throw new IllegalArgumentException(
+      "media payload sniffs as an image but no installed reader decodes " +
+        "it — corrupted, truncated, or an unsupported subformat; " +
+        "refusing to hash it as raw bytes")
+    val w = img.getWidth
+    val h = img.getHeight
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    val lum = new Array[Int](w * h)
+    var i = 0
+    while (i < lum.length) {
+      val p = rgb(i)
+      lum(i) =
+        (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) +
+          114 * (p & 0xFF)) / 1000
+      i += 1
+    }
+    (w, h, lum)
+  }
+
   /** Partition-wise decode → `grid`×`grid` block-mean luminance
-    * downsample — the real 2-D perceptual-hash front end, with only the
-    * pixel source stubbed (payload bytes as the raster via
-    * [[fakeRaster]]; a production decoder emits its grayscale raster
-    * into the SAME block-mean loop). Exact integer arithmetic (block
-    * sum div count) so results are engine-reproducible. Empty payloads
-    * have no pixels and drop. Output: (doc_id, lum: array of grid²
-    * row-major cell means).
+    * downsample — the real 2-D perceptual-hash front end. Payloads that
+    * SNIFF as real images ([[isRealImage]]) decode true pixels via
+    * [[decodeLuma]] (JDK `javax.imageio` — PNG/JPEG/GIF/BMP, zero new
+    * dependencies); anything else keeps the byte-exact STUB raster
+    * ([[fakeRaster]]: payload bytes as luminance), which is the
+    * oracle-replayable path the DuckDB rows pin. Both sources feed the
+    * SAME block-mean loop in exact integer arithmetic (block sum div
+    * count) so results are engine-reproducible. Empty payloads have no
+    * pixels and drop. Output: (doc_id, lum: array of grid² row-major
+    * cell means).
     */
   def decodeLuminanceGrid(media: DataFrame, grid: Int = 5): DataFrame = {
     require(grid >= 2 && grid <= 8, s"grid must be in [2, 8], got $grid")
@@ -195,7 +254,17 @@ object MultimodalOps {
         rows.flatMap { case (id, bytes) =>
           if (bytes == null || bytes.isEmpty) Iterator.empty
           else {
-            val (w, h) = fakeRaster(bytes.length)
+            // (w, h, luma-at-index, valid-sample count): real images
+            // have a full w·h raster; the stub raster's last row may
+            // be ragged (w·h >= n), hence the idx < limit guard below
+            val (w, h, at, limit) =
+              if (isRealImage(bytes)) {
+                val (rw, rh, l) = decodeLuma(bytes)
+                (rw, rh, (i: Int) => l(i), l.length)
+              } else {
+                val (fw, fh) = fakeRaster(bytes.length)
+                (fw, fh, (i: Int) => bytes(i) & 0xFF, bytes.length)
+              }
             val cells = new Array[Int](grid * grid)
             var r = 0
             while (r < grid) {
@@ -212,7 +281,7 @@ object MultimodalOps {
                   var cc = c0
                   while (cc < c1) {
                     val idx = rr * w + cc
-                    if (idx < bytes.length) { sum += bytes(idx) & 0xFF; cnt += 1 }
+                    if (idx < limit) { sum += at(idx); cnt += 1 }
                     cc += 1
                   }
                   rr += 1

@@ -1012,10 +1012,16 @@ object SampleOps {
     }
   }
 
-  /** The manifest PUT — the commit point. Locally an atomic move; on a
-    * plain object store a delete+rename window exists, which a real
-    * deployment closes with the store's conditional put (this method
-    * is the one seam to swap). */
+  /** The manifest PUT — the commit point. Locally an atomic move; on
+    * rename-capable filesystems (hdfs://, viewfs://) an atomic
+    * FileContext replace — NO delete window, a crash leaves either the
+    * old manifest or the new one, never neither. Only on a plain
+    * object store with no FileContext binding does a delete+rename
+    * window remain, which a real deployment closes with the store's
+    * conditional put (this method is the one seam to swap). The
+    * no-manifest-but-data state that window can produce is itself
+    * guarded: [[writeShardedCommit]] REFUSES to sweep standing commit
+    * dirs when no manifest exists (see `assumeCrashedOrphans`). */
   private def putManifest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, text: String): Unit = {
     val mf = new org.apache.hadoop.fs.Path(root, ManifestName)
@@ -1032,8 +1038,21 @@ object SampleOps {
       val out = fs.create(tmp, true)
       try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      fs.delete(mf, false)
-      if (!fs.rename(tmp, mf)) sys.error(s"failed to publish manifest $mf")
+      val replaced =
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            root.toUri, fs.getConf)
+          fc.rename(tmp, mf, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          true
+        } catch {
+          // no AbstractFileSystem binding for this scheme (bare object
+          // stores): fall back to the documented delete+rename window
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException => false
+        }
+      if (!replaced) {
+        fs.delete(mf, false)
+        if (!fs.rename(tmp, mf)) sys.error(s"failed to publish manifest $mf")
+      }
     }
   }
 
@@ -1069,11 +1088,30 @@ object SampleOps {
   def writeShardedCommit(df: DataFrame, key: Column, tokenCol: String,
       textCol: String, path: String, targetTokens: Long,
       buckets: Int, maxManifestShards: Long = MaxManifestShards,
-      sidecar: Option[String => Unit] = None): DataFrame = {
+      sidecar: Option[String => Unit] = None,
+      assumeCrashedOrphans: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val (fs, root) = hadoopFs(spark, path)
     withCommitLock(fs, root) {
       val standing = readCommitManifestOpt(fs, root)
+      // no-manifest-but-data guard: with NO standing manifest, commit
+      // dirs on disk are ambiguous — a gen-0 writer that crashed before
+      // its first PUT (genuinely orphaned) is indistinguishable from a
+      // corpus whose manifest was LOST (the object-store delete+rename
+      // window, or operator error), where the data is live and a sweep
+      // destroys it. Sweeping on k > -1 unconditionally was the
+      // data-loss path; refuse unless the caller asserts the orphan
+      // reading explicitly.
+      if (standing.isEmpty && !assumeCrashedOrphans) {
+        val dirs = listCommitDirs(fs, root)
+        require(dirs.isEmpty,
+          s"writeShardedCommit: no $ManifestName under $path but commit " +
+            s"dirs exist (${dirs.sorted.map("c" + _).mkString(", ")}) — " +
+            "either a gen-0 writer crashed before its first PUT (safe to " +
+            "sweep) or the manifest was lost and this data is LIVE. " +
+            "Refusing to sweep: restore the manifest, or re-run with " +
+            "assumeCrashedOrphans=true to delete these dirs.")
+      }
       val gen = standing.map(_._1 + 1).getOrElse(0L)
       // sweep earlier CRASHED commits: any data/c<K> with K above the
       // standing generation is a write that never reached its PUT —
@@ -1165,6 +1203,17 @@ object SampleOps {
         s"no $ManifestName under $path — not a commit-mode corpus"))
     (gen, manifestFrame(spark, shards.map(t =>
       org.apache.spark.sql.Row(t._1, t._2, t._3, t._4))))
+  }
+
+  /** Generations of the `data/c<K>` commit dirs present on disk. */
+  private def listCommitDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] = {
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    if (!fs.exists(dataDir)) Nil
+    else fs.listStatus(dataDir).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("c")) name.stripPrefix("c").toLongOption else None
+    }
   }
 
   private def sweepCommits(fs: org.apache.hadoop.fs.FileSystem,

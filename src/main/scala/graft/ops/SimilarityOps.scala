@@ -1151,8 +1151,14 @@ object SimilarityOps {
     * Contract: queries must present the
     * SAME `centroids` and `codebook` the index was built with — persist
     * both beside the index (the materializeTrainingCorpus vocab-sidecar
-    * discipline); there is no in-data stamp (a codebook is a table, not
-    * a dial — nothing compact enough to ride column metadata). */
+    * discipline); the codebook itself is a table, not a dial — nothing
+    * compact enough to ride column metadata. The residual DIAL however
+    * IS stamped: the `code` column carries metadata key
+    * `graft_pq_residual` (parquet persists Spark column metadata, so it
+    * survives the round trip), and [[ivfPqTopKFromIndex]] refuses a
+    * mode mismatch instead of silently mis-scoring — a raw-code index
+    * queried as residual would add the centroid base to whole-vector
+    * codes with no error otherwise. */
   def ivfPqIndex(corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String,
       nCoarse: Int = AutoCoarse, coarseProbes: Int = 2,
@@ -1180,10 +1186,47 @@ object SimilarityOps {
           .withColumn("__u",
             zip_with(col("__u"), col("__cu"), (a, b) => a - b))
       else assigned
+    // stamp the encode mode onto the code column: a standing index read
+    // back under the wrong `residual` dial must refuse, not mis-score
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(ResidualStampKey, st.residual).build()
     vec
       .withColumn("__cb", st.pcb.arr.scalar())
       .select(col("c_id").as(idCol), col("c_cluster").as("cluster"),
-        pqCodeCol(col("__u"), col("__cb"), st.pcb.m, st.pcb.dsub).as("code"))
+        pqCodeCol(col("__u"), col("__cb"), st.pcb.m, st.pcb.dsub)
+          .as("code", md))
+  }
+
+  /** Metadata key on an [[ivfPqIndex]] `code` column recording whether
+    * codes are coarse-cell residuals (IVFADC) or whole-vector codes. */
+  val ResidualStampKey = "graft_pq_residual"
+
+  /** Refuses an index whose stamped encode mode contradicts the
+    * caller's `residual` dial. Unstamped indexes (pre-stamp layout, or
+    * hand-built) are only accepted as `residual = false`: the legacy
+    * layout was raw codes, and scoring raw codes as residuals is the
+    * exact silent-mis-scoring path this guard exists to close. */
+  private def requireResidualStamp(index: DataFrame, residual: Boolean): Unit = {
+    index.schema.find(_.name == "code") match {
+      case Some(f) if f.metadata.contains(ResidualStampKey) =>
+        val stamped = f.metadata.getBoolean(ResidualStampKey)
+        require(stamped == residual,
+          s"ivfPqTopKFromIndex: index is stamped $ResidualStampKey=$stamped " +
+            s"but was queried with residual=$residual — scoring would " +
+            "silently mis-rank. Pass the matching residual dial (and the " +
+            "centroids/codebook persisted beside the index).")
+      case Some(_) =>
+        require(!residual,
+          s"ivfPqTopKFromIndex: index carries no $ResidualStampKey stamp " +
+            "(pre-stamp or hand-built layout — those encode WHOLE vectors) " +
+            "but was queried with residual=true (the default since the " +
+            "IVFADC change): residual scoring would add the centroid base " +
+            "to whole-vector codes with no error. Pass residual=false for " +
+            "a legacy raw-code index, or rebuild it with ivfPqIndex.")
+      case None =>
+        throw new IllegalArgumentException(
+          "ivfPqTopKFromIndex: index has no `code` column — not an ivfPqIndex")
+    }
   }
 
   /** ADC top-k against a standing [[ivfPqIndex]]: queries are coarse-
@@ -1195,11 +1238,13 @@ object SimilarityOps {
       centroids: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 1,
       nCoarse: Int = AutoCoarse, coarseProbes: Int = 2,
-      residual: Boolean = true): DataFrame =
+      residual: Boolean = true): DataFrame = {
+    requireResidualStamp(index, residual)
     ivfPqFromIndexWith(queries, index,
       ivfPqSetup(centroids, codebook, idCol, vecCol, nCoarse, coarseProbes,
         residual),
       idCol, vecCol, k, nprobe)
+  }
 
   private def ivfPqFromIndexWith(queries: DataFrame, index: DataFrame,
       st: IvfPqSetup, idCol: String, vecCol: String, k: Int,

@@ -494,14 +494,28 @@ object TextOps {
           col("__ids").as("i"), col("__lm").as("m")))).as("__ts"),
         count(lit(1)).as("__n"),
         countDistinct(col("__ord")).as("__nd"))
+      // the duplicate-turn_ord refusal guards the SORTED TURN LIST
+      // itself, before any output column is carved from it: token_ids,
+      // loss_mask, and n_turns all derive from the one guarded
+      // expression, so a consumer projecting ONLY loss_mask (column
+      // pruning drops token_ids and its guard with it) still refuses —
+      // an unguarded mask would silently carry content-dependent
+      // ordering and desync against ids read elsewhere
       .select(col(idCol),
-        when(col("__n") === col("__nd"),
-          concat(
-            flatten(transform(col("__ts"), t => t.getField("i"))),
-            array(lit(ids("eos"))))).otherwise(raise_error(lit(
+        when(col("__n") === col("__nd"), col("__ts"))
+          .otherwise(raise_error(lit(
             "encodeChat: duplicate turn_ord within a conversation — " +
               "the turn order would be content-dependent; renumber the " +
-              "turns"))).as("token_ids"),
+              "turns"))).as("__ts"),
+        when(col("__n") === col("__nd"), col("__n"))
+          .otherwise(raise_error(lit(
+            "encodeChat: duplicate turn_ord within a conversation — " +
+              "the turn order would be content-dependent; renumber the " +
+              "turns"))).as("__n"))
+      .select(col(idCol),
+        concat(
+          flatten(transform(col("__ts"), t => t.getField("i"))),
+          array(lit(ids("eos")))).as("token_ids"),
         concat(flatten(transform(col("__ts"), t => t.getField("m"))),
           array(lit(1))).as("loss_mask"),
         col("__n").as("n_turns"))

@@ -123,6 +123,21 @@ class ChatSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("duplicate turn_ord") ||
       Option(e3.getCause).exists(_.getMessage.contains("duplicate turn_ord")))
+    // the refusal must survive COLUMN PRUNING: a consumer projecting
+    // only loss_mask (or only n_turns) drops token_ids — and with it
+    // a guard that rode only the ids expression; the mask would then
+    // carry content-dependent ordering and desync against ids read
+    // elsewhere. The guard wraps the sorted turn list itself, so every
+    // derived column evaluates it.
+    for (onlyCol <- Seq("loss_mask", "n_turns")) {
+      val e = intercept[Exception] {
+        TextOps.encodeChat(dupOrd, "conv_id", "turn_ord", "role",
+          "turn_text").select(onlyCol).collect()
+      }
+      assert(e.getMessage.contains("duplicate turn_ord") ||
+        Option(e.getCause).exists(_.getMessage.contains("duplicate turn_ord")),
+        s"projecting only $onlyCol must still refuse")
+    }
   }
 
   test("encodeChat packs through packSftSequences with the mask riding along") {

@@ -291,6 +291,55 @@ class PqSpec extends SparkSpec {
     assert(fromIx.exceptAll(oneShot).isEmpty && oneShot.exceptAll(fromIx).isEmpty)
   }
 
+  test("ivfPqTopKFromIndex refuses an index whose residual stamp mismatches the dial") {
+    val rows = spark.read.parquet(em).filter(col("vec_id") < 64)
+    val cents = rows.filter(col("vec_id") < 4)
+    val cb = SimilarityOps.pqCodebookFromRows(
+      rows.filter(col("vec_id") < 8), "vec_id", "embedding", m = 8)
+    val queries = rows.filter(col("vec_id") < 3)
+    // raw-code index queried as residual (the silent-mis-scoring path
+    // the stamp closes: residual scoring would add the centroid base
+    // to whole-vector codes) — must refuse, including through a
+    // parquet round trip (column metadata survives the footer)
+    val rawIx = SimilarityOps.ivfPqIndex(rows, cents, cb,
+      "vec_id", "embedding", residual = false)
+    val dir = "/tmp/graft_test_pq_stamp"
+    rawIx.write.mode("overwrite").parquet(dir)
+    for (ix <- Seq(rawIx, spark.read.parquet(dir))) {
+      val e = intercept[IllegalArgumentException] {
+        SimilarityOps.ivfPqTopKFromIndex(queries, ix, cents, cb,
+          "vec_id", "embedding", k = 3, nprobe = 2, residual = true)
+      }
+      assert(e.getMessage.contains("graft_pq_residual=false"))
+    }
+    // residual index queried as raw — refuses the other way
+    val resIx = SimilarityOps.ivfPqIndex(rows, cents, cb,
+      "vec_id", "embedding", residual = true)
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityOps.ivfPqTopKFromIndex(queries, resIx, cents, cb,
+        "vec_id", "embedding", k = 3, nprobe = 2, residual = false)
+    }
+    assert(e2.getMessage.contains("graft_pq_residual=true"))
+    // an UNSTAMPED index (pre-stamp layout / hand-built) is only
+    // accepted as raw: under residual=true (the default) it refuses
+    val unstamped = rawIx.select(col("vec_id"), col("cluster"),
+      col("code").as("code",
+        org.apache.spark.sql.types.Metadata.empty)) // stripped stamp
+    assert(!unstamped.schema("code").metadata
+      .contains(SimilarityOps.ResidualStampKey))
+    val e3 = intercept[IllegalArgumentException] {
+      SimilarityOps.ivfPqTopKFromIndex(queries, unstamped, cents, cb,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+    }
+    assert(e3.getMessage.contains("no graft_pq_residual stamp"))
+    // …and answers identically to the stamped raw index as raw
+    val a = SimilarityOps.ivfPqTopKFromIndex(queries, unstamped, cents, cb,
+      "vec_id", "embedding", k = 3, nprobe = 2, residual = false)
+    val b = SimilarityOps.ivfPqTopKFromIndex(queries, rawIx, cents, cb,
+      "vec_id", "embedding", k = 3, nprobe = 2, residual = false)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("ADC kernel refuses malformed codes instead of mis-scoring") {
     val lut = Seq((Array(Array(1L, 2L)), Array(5))).toDF("lut", "code")
     val e = intercept[Exception] {

@@ -1228,6 +1228,37 @@ class SampleOpsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("manifest-as-commit: a lost manifest with standing data REFUSES the sweep instead of deleting live commits") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_commit3").toFile
+    val out = new java.io.File(dir, "corpus").getPath
+    try {
+      SampleOps.writeShardedCommit(corpus.limit(20), col("doc_id"),
+        "n_chars", "text", out, targetTokens = 3000L, buckets = 2)
+      // simulate the manifest-lost state (object-store delete+rename
+      // crash window, or operator error): data/c0 is LIVE but no
+      // manifest references it — indistinguishable from a gen-0 crash
+      // by the fs alone, so the next writer must NOT silently treat it
+      // as orphaned and delete it
+      val mf = new java.io.File(out, "_graft_manifest.json")
+      assert(mf.delete())
+      val e = intercept[IllegalArgumentException] {
+        SampleOps.writeShardedCommit(corpus.limit(30), col("doc_id"),
+          "n_chars", "text", out, targetTokens = 3000L, buckets = 2)
+      }
+      assert(e.getMessage.contains("Refusing to sweep") &&
+        e.getMessage.contains("c0"))
+      assert(new java.io.File(out, "data/c0").exists(),
+        "refusal must leave the standing data untouched")
+      // the explicit orphan assertion unlocks the sweep and rebuilds
+      // from generation 0
+      val m = SampleOps.writeShardedCommit(corpus.limit(30), col("doc_id"),
+        "n_chars", "text", out, targetTokens = 3000L, buckets = 2,
+        assumeCrashedOrphans = true)
+      assert(m.collect().forall(_.getString(1).startsWith("data/c0/")))
+      assert(SampleOps.readShardedCommit(spark, out).count() == 30)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("specials sidecar: registry pinned beside the vocab; extended merges stay resolvable through THEIR corpus's sidecar") {
     val dir = java.nio.file.Files.createTempDirectory("graft_specials").toFile
     try {
