@@ -149,8 +149,13 @@ object MultimodalOps {
 
   /** Partition-wise decode + feature extraction — Dataset-native
     * `mapPartitions` (the batch shape a Pandas-UDF/Arrow pipeline would
-    * use; swap fakeDecode for the real library call). Deliberately NOT
-    * the `.rdd` round-trip: staying a Dataset transform keeps the
+    * use). Payloads that sniff as real images ([[isRealImage]]) decode
+    * through JDK `javax.imageio` ([[decodeLuma]]): TRUE width/height
+    * from the codec, features = the 8 vertical-band mean-luma values
+    * (integer band sums div count, one float division each — exact and
+    * engine-reproducible). Everything else keeps the deterministic
+    * fake ([[fakeDecode]]), the oracle-replayable path. Deliberately
+    * NOT the `.rdd` round-trip: staying a Dataset transform keeps the
     * decode inside ONE plan tree, so the upstream scan's pushdown/
     * pruning, AQE, and downstream codegen all survive around the opaque
     * stage (the old LogicalRDD form severed the plan). */
@@ -161,8 +166,27 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val (w, h, f) = fakeDecode(bytes)
-          (id, w, h, f)
+          if (isRealImage(bytes)) {
+            val (w, h, lum) = decodeLuma(bytes)
+            val bands = 8
+            val feat = Array.tabulate(bands) { b =>
+              // vertical band [c0, c1) of the raster, mean luma
+              val c0 = b * w / bands
+              val c1 = math.max(c0 + 1, (b + 1) * w / bands)
+              var sum = 0L; var cnt = 0L
+              var r = 0
+              while (r < h) {
+                var c = c0
+                while (c < c1) { sum += lum(r * w + c); cnt += 1; c += 1 }
+                r += 1
+              }
+              (sum.toDouble / cnt).toFloat / 255f
+            }
+            (id, w, h, feat)
+          } else {
+            val (w, h, f) = fakeDecode(bytes)
+            (id, w, h, f)
+          }
         }
       }
       .toDF("doc_id", "width", "height", "feature")
@@ -179,18 +203,34 @@ object MultimodalOps {
   /** Magic-byte sniff for the codecs `javax.imageio` decodes out of the
     * box (PNG / JPEG / GIF / BMP). Sniffing — not try-decode — keeps
     * the dispatch deterministic and free for the fake-payload path:
-    * UTF-8 text can never start with these signatures, so every
-    * oracle-replayable fixture keeps the byte-exact stub arithmetic
-    * while real images route to the real decoder. */
-  private[graft] def isRealImage(bytes: Array[Byte]): Boolean =
-    bytes != null && bytes.length >= 4 && (
-      (bytes(0) == 0x89.toByte && bytes(1) == 0x50.toByte &&
-        bytes(2) == 0x4E.toByte && bytes(3) == 0x47.toByte) || // PNG
-      (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte &&
-        bytes(2) == 0xFF.toByte) ||                            // JPEG
-      (bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
-        bytes(2) == 'F'.toByte && bytes(3) == '8'.toByte) ||   // GIF
-      (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte))      // BMP
+    * text payloads keep the byte-exact stub arithmetic the oracle rows
+    * replay, while real images route to the real decoder. PNG (0x89)
+    * and JPEG (0xFF) lead bytes are ILLEGAL UTF-8 starts, so those two
+    * sniff on magic alone. GIF ("GIF8") and BMP ("BM") magics are plain
+    * ASCII — a document legitimately starting "BMW…" or "GIF89a…" must
+    * NOT be routed to a decoder that will refuse it — so those two
+    * additionally require structural corroboration no prose satisfies:
+    * BMP's little-endian size field (offset 2) must equal the payload
+    * length; GIF must carry a full "GIF87a"/"GIF89a" version AND the
+    * 0x3B trailer as its final byte. (Spec-pinned with exactly those
+    * adversarial text fixtures.) */
+  private[graft] def isRealImage(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < 8) return false
+    val png = bytes(0) == 0x89.toByte && bytes(1) == 0x50.toByte &&
+      bytes(2) == 0x4E.toByte && bytes(3) == 0x47.toByte
+    val jpeg = bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte &&
+      bytes(2) == 0xFF.toByte
+    def gif = bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte && bytes(3) == '8'.toByte &&
+      (bytes(4) == '7'.toByte || bytes(4) == '9'.toByte) &&
+      bytes(5) == 'a'.toByte && bytes(bytes.length - 1) == 0x3B.toByte
+    def bmp = bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte && {
+      val size = (bytes(2) & 0xFF) | ((bytes(3) & 0xFF) << 8) |
+        ((bytes(4) & 0xFF) << 16) | ((bytes(5) & 0xFF).toLong << 24)
+      size == bytes.length
+    }
+    png || jpeg || gif || bmp
+  }
 
   /** REAL pixel decode — `javax.imageio` ships with the JDK, so the
     * perceptual ops hash true pixels with zero new dependencies.
@@ -347,6 +387,29 @@ object MultimodalOps {
       maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame =
     DedupOps.hammingNearPairs(perceptualHash2D(media, grid), "doc_id",
       "phash2d", bits2D(grid), maxHamming, maxBucket)
+
+  /** Full 2-D perceptual media dedup: [[mediaNearDupPairs2D]] →
+    * connected components → keep the canonical (minimum-id) payload per
+    * perceptual-duplicate set — [[mediaDedup]]'s chain on the REAL-
+    * pixel 2-D hash. With the `javax.imageio` decode behind
+    * [[decodeLuminanceGrid]], this is the op that collapses a
+    * quality-re-encoded JPEG (or a PNG↔JPEG transcode) of the same
+    * picture — different BYTES, so digest dedup and any byte-derived
+    * hash provably miss it; near-identical PIXELS, so the block-mean
+    * gradient hash lands within `maxHamming` (spec-pinned with real
+    * encoded fixtures). Output: the surviving rows of `media`,
+    * original columns intact.
+    */
+  def mediaDedup2D(media: DataFrame, grid: Int = 5, maxHamming: Int = 3,
+      maxBucket: Int = 100000,
+      mat: Materializer = Materializer.Local): DataFrame = {
+    val pairs = mediaNearDupPairs2D(media, grid, maxHamming, maxBucket)
+    val clusters = DedupOps.nearDupClusters(pairs.select("id_a", "id_b"),
+      media.select(col("doc_id")), "doc_id", mat = mat)
+    media.join(clusters, Seq("doc_id"))
+      .filter(col("doc_id") === col("cluster_id"))
+      .drop("cluster_id")
+  }
 
   /** Deterministic frame sampling plumbing for video-shaped payloads:
     * every `stride`-th byte window as a "frame" — demonstrates the

@@ -468,4 +468,136 @@ class EventMultimodalSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getLong(1))
     assert(again.toSeq == h2.toSeq)
   }
+
+  // ---- real pixel fixtures (JDK javax.imageio — BufferedImage) ----
+
+  /** Smooth 2-D gradient, optionally inverted: strong monotone block
+    * structure in both axes (col-step ~40 luma, row-step ~11 at a 5×5
+    * grid) so gradient-bit signs survive lossy re-encoding noise. */
+  private def gradientImage(w: Int, h: Int,
+      inverted: Boolean): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = x * 200 / w + y * 55 / h
+      val v = if (inverted) 255 - base else base
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def encodeJpeg(img: java.awt.image.BufferedImage,
+      quality: Float): Array[Byte] = {
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("real pixels: a quality-re-encoded JPEG collapses through perceptualHash2D -> mediaDedup2D; digest dedup provably misses") {
+    val img = gradientImage(64, 48, inverted = false)
+    val png = encodePng(img)
+    val jpegHq = encodeJpeg(img, 0.9f)
+    // the production scenario the stub could never catch: RE-ENCODE
+    // yesterday's JPEG (decode its lossy pixels, compress again lower)
+    val jpegReenc = encodeJpeg(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpegHq)), 0.6f)
+    val other = encodePng(gradientImage(64, 48, inverted = true))
+    assert(Set(png.toSeq, jpegHq.toSeq, jpegReenc.toSeq).size == 3,
+      "fixtures must be byte-distinct or the digest comparison is vacuous")
+    val media = Seq((1L, png), (2L, jpegHq), (3L, jpegReenc), (4L, other))
+      .toDF("doc_id", "media")
+      .withColumn("n_bytes", length(col("media")).cast("long"))
+    // byte digest sees NOTHING (different bytes, no dup groups) …
+    assert(MultimodalOps.mediaDupGroups(media).count() == 0)
+    // … the real-pixel 2-D hash sees the same picture
+    val hashes = MultimodalOps.perceptualHash2D(media, grid = 5)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(0), hashes(1)) <= 3, "PNG vs JPEG(0.9)")
+    assert(ham(hashes(0), hashes(2)) <= 3, "PNG vs re-encoded JPEG(0.6)")
+    assert(ham(hashes(0), hashes(3)) > 10, "inverted gradient stays distinct")
+    // the full dedup chain keeps the canonical payload + the distinct one
+    val kept = MultimodalOps.mediaDedup2D(media, grid = 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L))
+    // decodeFeatures reads TRUE dimensions from the codec, and the
+    // band-mean features of the re-encodes agree to JPEG noise
+    val feats = MultimodalOps.decodeFeatures(media).orderBy("doc_id")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getSeq[Float](3)))
+    assert(feats.take(3).forall { case (w, h, _) => w == 64 && h == 48 })
+    val bandDiff = feats(0)._3.zip(feats(2)._3)
+      .map { case (a, b) => math.abs(a - b) }.max
+    assert(bandDiff < 0.02f, s"band means drift $bandDiff under re-encode")
+    // the gradient runs left->right, so band means must be increasing
+    assert(feats(0)._3.sliding(2).forall(p => p(0) < p(1)))
+  }
+
+  test("a payload that sniffs as an image but fails to decode refuses loudly") {
+    val jpeg = encodeJpeg(gradientImage(32, 32, inverted = false), 0.9f)
+    val truncated = jpeg.take(24) // keeps the FF D8 FF magic, loses the body
+    assert(MultimodalOps.isRealImage(truncated))
+    val media = Seq((1L, truncated)).toDF("doc_id", "media")
+    val e = intercept[Exception] {
+      MultimodalOps.decodeLuminanceGrid(media).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("refusing to hash it as raw bytes")),
+      s"got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("text payloads never sniff as images: the stub path (and its oracle rows) is untouched by the real decoder") {
+    val media = MultimodalOps.attachFakeMedia(
+      Seq((1L, "ordinary utf-8 text"), (2L, ""), (3L, "G"),
+        // adversarial: ASCII prefixes colliding with the GIF/BMP magic —
+        // the structural corroboration (BMP size field, GIF version +
+        // trailer) must keep these on the stub path
+        (4L, "BMW sales figures for GIF89a stickers"),
+        (5L, "GIF89a is the image format this document discusses"),
+        (6L, "BM"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val payloads = media.select("media").collect()
+      .map(_.getAs[Array[Byte]](0))
+    assert(payloads.forall(b => !MultimodalOps.isRealImage(b)))
+    // raw-byte forms too (attachFakeMedia may prefix; pin the raw case)
+    assert(!MultimodalOps.isRealImage(
+      "BMW sales figures for 2026, quarter one".getBytes("UTF-8")))
+    assert(!MultimodalOps.isRealImage(
+      "GIF89a is the image format this doc discusses".getBytes("UTF-8")))
+    // and the grid arithmetic on a text payload is still the byte-exact
+    // stub: recompute one row's expected block means from raw bytes
+    val text = "the quick brown fox jumps over the lazy dog 0123456789"
+    val bytes = text.getBytes("UTF-8")
+    val one = Seq((7L, bytes)).toDF("doc_id", "media")
+    val got = MultimodalOps.decodeLuminanceGrid(one, grid = 2)
+      .collect()(0).getSeq[Int](1)
+    val w = math.max(1, math.ceil(math.sqrt(bytes.length.toDouble)).toInt)
+    val h = math.max(1, (bytes.length + w - 1) / w)
+    val exp = for (r <- 0 until 2; c <- 0 until 2) yield {
+      val r0 = r * h / 2; val r1 = math.max(r0 + 1, (r + 1) * h / 2)
+      val c0 = c * w / 2; val c1 = math.max(c0 + 1, (c + 1) * w / 2)
+      var sum = 0L; var cnt = 0L
+      for (rr <- r0 until r1; cc <- c0 until c1) {
+        val idx = rr * w + cc
+        if (idx < bytes.length) { sum += bytes(idx) & 0xFF; cnt += 1 }
+      }
+      (sum / cnt).toInt
+    }
+    assert(got.toSeq == exp.toSeq)
+  }
 }
