@@ -297,6 +297,113 @@ object HashKernels {
     false
   }
 
+  // ---- HTML main-content extraction (jusText/CCNet-style) ----
+  // Patterns compiled ONCE per JVM; every construct used ((?is) flags,
+  // \b, [^>]*, non-greedy .*?, \s+, alternation) has IDENTICAL
+  // semantics in Java regex and RE2, which is what lets the DuckDB
+  // oracle replay the extraction byte-exactly.
+  private val HtmlScriptRe =
+    java.util.regex.Pattern.compile("(?is)<script\\b[^>]*>.*?</script>")
+  private val HtmlStyleRe =
+    java.util.regex.Pattern.compile("(?is)<style\\b[^>]*>.*?</style>")
+  private val HtmlCommentRe =
+    java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  /** Block-level separators. `\b` after the tag name keeps `<pre>` /
+    * `<param>` / `<thead>` from splitting on their `p`/`t…` prefixes. */
+  private val HtmlBlockSplitRe = java.util.regex.Pattern.compile(
+    "(?i)</?(p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|section|article|" +
+      "header|footer|nav|aside|blockquote|main|body|html|head|title|form)" +
+      "\\b[^>]*>")
+  private val HtmlAnchorRe =
+    java.util.regex.Pattern.compile("(?is)<a\\b[^>]*>.*?</a>")
+  private val HtmlTagRe = java.util.regex.Pattern.compile("<[^>]*>")
+  private val HtmlWsRe = java.util.regex.Pattern.compile("\\s+")
+  /** The word list [[graft.ops.TextOps.Stopwords]] publishes — kept in
+    * sync by a spec; duplicated here so the kernel has no ops-layer
+    * dependency. */
+  private val HtmlStopSet = java.util.Set.of("the", "a", "of", "and")
+
+  private def htmlDecodeEntities(s: String): String =
+    // &amp; LAST: decoding it first would double-decode "&amp;lt;".
+    // The oracle's replace() chain runs in this exact order.
+    s.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
+
+  /** Main-content extraction from raw HTML — the jusText/CCNet-style
+    * stage-0 of a web-corpus curation funnel, as ONE deterministic
+    * codegen kernel: strip script/style/comment subtrees, segment on
+    * block-level tags, then keep a block iff (all exact integer
+    * arithmetic, codepoint counts)
+    *   - it has ≥ `minWords` words (after tag strip, entity decode,
+    *     whitespace collapse),
+    *   - its anchor-text chars are ≤ 1/3 of its text chars
+    *     (3·link ≤ total — the link-density rule that kills nav bars,
+    *     breadcrumbs, footers), and
+    *   - its stopword density is ≥ 5 % (20·stops ≥ words — prose has
+    *     function words; tag soup, menus and code mostly don't).
+    * Returns (main_text: kept blocks joined by '\n' in document order,
+    * n_blocks: non-blank blocks seen, n_kept). Every rule is a regex /
+    * replace chain with identical Java-vs-RE2 semantics, so the DuckDB
+    * oracle replays it byte-exactly (q_html_extract).
+    */
+  def extractMainContent(s: UTF8String,
+      minWords: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val html = s.toString
+    val noScript = HtmlCommentRe.matcher(
+      HtmlStyleRe.matcher(
+        HtmlScriptRe.matcher(html).replaceAll(" ")).replaceAll(" "))
+      .replaceAll(" ")
+    val blocks = HtmlBlockSplitRe.split(noScript, -1)
+    var nBlocks = 0L
+    var nKept = 0L
+    val out = new java.lang.StringBuilder
+    var bi = 0
+    while (bi < blocks.length) {
+      val b = blocks(bi)
+      val text = HtmlWsRe.matcher(htmlDecodeEntities(
+        HtmlTagRe.matcher(b).replaceAll(" "))).replaceAll(" ").trim
+      if (text.nonEmpty) {
+        nBlocks += 1
+        // collapse guarantees single-space separation: words = spaces+1
+        var nWords = 1L
+        var nStop = 0L
+        var i = 0
+        var wStart = 0
+        def countWord(w: String): Unit =
+          if (HtmlStopSet.contains(w.toLowerCase(java.util.Locale.ROOT)))
+            nStop += 1
+        while (i < text.length) {
+          if (text.charAt(i) == ' ') {
+            nWords += 1
+            countWord(text.substring(wStart, i))
+            wStart = i + 1
+          }
+          i += 1
+        }
+        countWord(text.substring(wStart))
+        // link density over the RAW (undecoded) tag-stripped block —
+        // both sides of the inequality from the same representation
+        val rawText = HtmlTagRe.matcher(b).replaceAll("")
+        val rawChars = rawText.codePointCount(0, rawText.length).toLong
+        var linkChars = 0L
+        val m = HtmlAnchorRe.matcher(b)
+        while (m.find()) {
+          val lt = HtmlTagRe.matcher(m.group).replaceAll("")
+          linkChars += lt.codePointCount(0, lt.length)
+        }
+        if (nWords >= minWords && 3L * linkChars <= rawChars &&
+            20L * nStop >= nWords) {
+          nKept += 1
+          if (out.length > 0) out.append('\n')
+          out.append(text)
+        }
+      }
+      bi += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(out.toString), nBlocks, nKept)
+  }
+
   /** MinHash permutation parameters for slot j: a_j odd-ish multiplier,
     * b_j offset, both mod P — the single source of truth shared by the
     * kernel below and the DuckDB oracle builders (DedupOps.minhashParams
@@ -1638,6 +1745,32 @@ case class NormalizeText(child: Expression)
     copy(child = newChild)
 }
 
+/** Codegen'd HTML main-content extraction (see
+  * HashKernels.extractMainContent): raw HTML string ->
+  * struct(main_text, n_blocks, n_kept). One kernel call per row — the
+  * regex set is compiled once per JVM, and the whole block loop stays
+  * inside whole-stage codegen. */
+case class ExtractMainContent(child: Expression, minWords: Int)
+    extends UnaryExpression {
+  require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"extract_main_content needs string, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("main_text", StringType, nullable = false),
+    StructField("n_blocks", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.extractMainContent(input.asInstanceOf[UTF8String], minWords)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.extractMainContent($c, $minWords)")
+  override protected def withNewChildInternal(newChild: Expression): ExtractMainContent =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom expressions. */
 object exprs {
   import org.apache.spark.sql.Column
@@ -1674,6 +1807,8 @@ object exprs {
     shims.column(BitmapFromEntries(shims.expression(entries), n))
   def normalizeText(c: Column): Column =
     shims.column(NormalizeText(shims.expression(c)))
+  def extractMainContent(c: Column, minWords: Int = 5): Column =
+    shims.column(ExtractMainContent(shims.expression(c), minWords))
   def bpeTokenStats(c: Column, merges: Seq[(String, String)]): Column =
     shims.column(BpeTokenStats(shims.expression(c),
       merges.flatMap(p => Seq(p._1, p._2))))

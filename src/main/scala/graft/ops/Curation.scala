@@ -39,8 +39,21 @@ object Curation {
       minAvgLen: Double = 2.0, maxAvgLen: Double = 12.0,
       bias: Long = 0L, threshold: Long = 0L,
       sampleNum: Int = 800, sampleDen: Int = 1000,
-      mat: Materializer = Materializer.Inline): Seq[(String, DataFrame)] = {
-    val raw = df.filter(col(textCol).isNotNull)
+      mat: Materializer = Materializer.Inline,
+      fromHtml: Boolean = false): Seq[(String, DataFrame)] = {
+    val input = df.filter(col(textCol).isNotNull)
+    // stage 0 (web corpora): boilerplate extraction BEFORE anything
+    // else — nav/footer/menu text would otherwise survive into dedup
+    // shingles and quality stats. Documents with no kept content block
+    // drop here (the funnel report narrates the cut).
+    val raw =
+      if (!fromHtml) input
+      else mat(input
+        .join(TextOps.extractMainContent(input, idCol, textCol)
+          .filter(col("n_kept") > 0).select(col(idCol), col("main_text")),
+          Seq(idCol))
+        .withColumn(textCol, col("main_text")).drop("main_text")
+        .select(input.columns.map(col): _*))
     val normalized = mat(raw.withColumn(textCol,
       TextOps.normalizeText(col(textCol))))
     val quality = mat(TextOps.qualityFilter(normalized, textCol, minWords,
@@ -53,7 +66,10 @@ object Curation {
     val classified = mat(deduped.join(kept, Seq(idCol)))
     val sampled = SampleOps.hashSample(classified, col(idCol),
       sampleNum, sampleDen)
-    Seq("raw" -> raw, "quality" -> quality, "dedup" -> deduped,
+    val head =
+      if (fromHtml) Seq("raw" -> input, "extract" -> raw)
+      else Seq("raw" -> raw)
+    head ++ Seq("quality" -> quality, "dedup" -> deduped,
       "classifier" -> classified, "sample" -> sampled)
   }
 

@@ -1187,6 +1187,31 @@ object TextOps {
     */
   def normalizeText(c: Column): Column = graft.functions.exprs.normalizeText(c)
 
+  /** HTML main-content extraction — the jusText/CCNet-style boilerplate
+    * filter every web-corpus pipeline runs BEFORE the text funnel (web
+    * documents arrive as HTML; nav bars, footers, cookie banners and
+    * menus would otherwise dominate dedup shingles and poison quality
+    * stats). Strip script/style/comment subtrees, segment on block-level
+    * tags, keep a block iff it has ≥ `minWords` words AND anchor-text
+    * chars ≤ 1/3 of its chars (link density — kills menus/footers) AND
+    * stopword density ≥ 5 % (prose has function words) — all exact
+    * integer arithmetic in the ONE-pass codegen kernel
+    * [[graft.functions.ExtractMainContent]]. Map-only: no shuffle, no
+    * UDF, scales as a pure scan at any corpus size. Output:
+    * (id, main_text — kept blocks joined by newline in document order,
+    * n_blocks, n_kept); a document with no kept blocks keeps its row
+    * with main_text = '' (the funnel drops it at the next stage, and
+    * the count survives for telemetry). Oracle: q_html_extract replays
+    * the exact regex/replace chain in DuckDB (RE2 and Java regex agree
+    * on every construct used — pinned in the kernel's scaladoc).
+    */
+  def extractMainContent(df: DataFrame, idCol: String, htmlCol: String,
+      minWords: Int = 5): DataFrame =
+    df.select(col(idCol), graft.functions.exprs
+        .extractMainContent(col(htmlCol), minWords).as("__e"))
+      .select(col(idCol), col("__e.main_text").as("main_text"),
+        col("__e.n_blocks").as("n_blocks"), col("__e.n_kept").as("n_kept"))
+
   /** The structural card-number shape [[redactPii]] redacts and
     * [[graft.functions.LuhnCardCount]] verifies: separator-grouped
     * 4-4-4-(1..7) (Visa/Mastercard/generic 13–19) or 4-6-5 (Amex)

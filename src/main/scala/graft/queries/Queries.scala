@@ -2536,6 +2536,76 @@ object Queries {
     s"""SELECT * FROM ($dsirWeightsSql)
        |ORDER BY avg_logratio_q DESC, doc_id ASC LIMIT 25""".stripMargin
 
+  /** HTML main-content extraction over a synthetic web wrapping of the
+    * corpus: every document is embedded in the SAME html template
+    * (head/title/style/script, a link-only nav, the article block, a
+    * link-heavy footer) — the template pieces are shared constants so
+    * Spark and the oracle build byte-identical pages. The extractor
+    * must drop nav/footer/title boilerplate on every page and return
+    * the article text byte-exactly for documents passing the
+    * word-count/stopword gates. The oracle replays the kernel's exact
+    * regex/replace chain in DuckDB (RE2 ≡ Java semantics for every
+    * construct used). */
+  private val HtmlTplHead =
+    "<html><head><title>Synthetic</title><style>p{color:red}</style>" +
+      "<script>var x = 1;</script></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+      "<a href=\"/contact\">Contact</a></nav><p>"
+  private val HtmlTplTail =
+    "</p><div class=\"footer\">Copyright 2026 " +
+      "<a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a>" +
+      "</div></body></html>"
+
+  private def htmlExtractQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.extractMainContent(
+      t(s, dir, "documents").withColumn("html",
+        concat(lit(HtmlTplHead), col("text"), lit(HtmlTplTail))),
+      "doc_id", "html")
+
+  private val htmlExtractSql = {
+    val blockPat = "(?i)</?(p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|" +
+      "section|article|header|footer|nav|aside|blockquote|main|body|" +
+      "html|head|title|form)\\b[^>]*>"
+    val stops = TextOps.Stopwords
+      .map(w => s"len(list_filter(string_split(lower(txt),' '), x -> x = '$w'))")
+      .mkString(" + ")
+    val keep = "n_words >= 5 AND 3*link_chars <= raw_chars AND 20*n_stop >= n_words"
+    s"""WITH h AS (
+       |  SELECT doc_id, '$HtmlTplHead' || text || '$HtmlTplTail' AS html
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(html,
+       |    '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+       |    '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+       |    '(?s)<!--.*?-->', ' ', 'g') AS nh FROM h),
+       |b AS (SELECT doc_id,
+       |  unnest(regexp_split_to_array(nh, '$blockPat')) AS blk,
+       |  unnest(range(len(regexp_split_to_array(nh, '$blockPat')))) AS idx
+       |  FROM s),
+       |c AS (SELECT doc_id, idx,
+       |  trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+       |    regexp_replace(blk, '<[^>]*>', ' ', 'g'),
+       |    '&nbsp;',' '),'&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),'&amp;','&'),
+       |    '\\s+', ' ', 'g')) AS txt,
+       |  length(regexp_replace(blk, '<[^>]*>', '', 'g'))::BIGINT AS raw_chars,
+       |  coalesce(list_aggregate(list_transform(
+       |    regexp_extract_all(blk, '(?is)<a\\b[^>]*>.*?</a>'),
+       |    m -> length(regexp_replace(m, '<[^>]*>', '', 'g'))), 'sum'), 0)::BIGINT AS link_chars
+       |  FROM b),
+       |w AS (SELECT doc_id, idx, txt, raw_chars, link_chars,
+       |  len(string_split(txt, ' '))::BIGINT AS n_words,
+       |  ($stops)::BIGINT AS n_stop
+       |  FROM c WHERE txt <> ''),
+       |k AS (SELECT doc_id, count(*)::BIGINT AS n_blocks,
+       |  coalesce(count(*) FILTER ($keep), 0)::BIGINT AS n_kept,
+       |  coalesce(string_agg(txt, chr(10) ORDER BY idx) FILTER ($keep), '') AS main_text
+       |  FROM w GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(k.main_text, '') AS main_text,
+       |  coalesce(k.n_blocks, 0)::BIGINT AS n_blocks,
+       |  coalesce(k.n_kept, 0)::BIGINT AS n_kept
+       |FROM documents d LEFT JOIN k USING (doc_id)""".stripMargin
+  }
+
   /** Normalize-then-fingerprint: the canonicalization a dedup pipeline
     * hashes (the corpus is already canonical, so the normalizer must act
     * as identity here — non-trivial inputs are spec-pinned in
@@ -3935,6 +4005,7 @@ object Queries {
     "q_classifier_score" -> (classifierScoreQ _),
     "q_lm_perplexity" -> (lmPerplexityQ _),
     "q_normalize_text" -> (normalizeTextQ _),
+    "q_html_extract" -> (htmlExtractQ _),
     "q_hash_embed" -> (hashEmbedQ _),
     "q_containment_pairs" -> (containmentQ _),
     "q_cut_passages" -> (cutPassagesQ _),
@@ -4086,6 +4157,7 @@ object Queries {
     "q_classifier_score" -> classifierScoreSql,
     "q_lm_perplexity" -> lmPerplexitySql,
     "q_normalize_text" -> normalizeTextSql,
+    "q_html_extract" -> htmlExtractSql,
     "q_hash_embed" -> hashEmbedSql,
     "q_containment_pairs" -> containmentPairsSql,
     "q_cut_passages" -> cutPassagesSql,

@@ -44,4 +44,29 @@ class CurationSpec extends SparkSpec {
     // the curated set is exactly the last stage's count
     assert(Curation.curate(docs, "doc_id", "text", weights).count() == counts.last)
   }
+
+  test("fromHtml prepends the extraction stage: boilerplate-only pages drop, article pages feed the funnel clean") {
+    val fill = (1 to 20).map(i => s"x$i").mkString(" ")
+    val article = s"the story of a house and $fill"
+    val d = Seq(
+      (0L, s"<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>" +
+        s"<p>$article</p><div>Copyright <a href='/t'>Terms</a></div>"),
+      (1L, "<nav><a href='/'>Home</a> <a href='/a'>About</a> " +
+        "<a href='/c'>Contact</a> <a href='/d'>Docs</a></nav>")) // menu-only page
+      .toDF("doc_id", "text")
+    val weights = Seq(("bad", -100L)).toDF("term", "weight")
+    val stages = Curation.stages(d, "doc_id", "text", weights,
+      fromHtml = true)
+    assert(stages.map(_._1) == Seq("raw", "extract", "quality", "dedup",
+      "classifier", "sample"))
+    val extract = stages(1)._2
+    assert(extract.count() == 1L) // the menu-only page dropped
+    val text = extract.filter(col("doc_id") === 0L)
+      .select("text").collect()(0).getString(0)
+    assert(text == article, s"funnel must see CLEAN text, got: $text")
+    assert(!text.contains("Home") && !text.contains("Copyright"))
+    // funnel report carries the extract stage count
+    val funnel = Curation.funnel(d, "doc_id", "text", weights)
+    assert(funnel.count() == 5) // default path unchanged
+  }
 }

@@ -1013,4 +1013,88 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(ids.count(langs(_) == "en") >= 8, ids.map(langs).toString)
   }
+
+  // ---- HTML main-content extraction ----
+
+  private def extractOne(html: String): (String, Long, Long) = {
+    val r = TextOps.extractMainContent(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect()(0)
+    (r.getString(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("extractMainContent drops nav/footer/script boilerplate and keeps the article byte-exactly") {
+    val article = "The cat and the dog of a quiet house sat on the mat " +
+      "and watched the rain of an autumn evening fall past the window."
+    val html =
+      "<html><head><title>Page</title>" +
+        "<style>body { color: red }</style>" +
+        "<script>var tracking = \"the the the the the the\";</script>" +
+        "<!-- the a of and comment full of the stopwords and words -->" +
+        "</head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/c\">Contact</a> <a href=\"/d\">Docs</a></nav>" +
+        s"<p>$article</p>" +
+        "<div class=\"footer\">Copyright 2026 Example Corp " +
+        "<a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a> " +
+        "<a href=\"/cookies\">Cookies</a></div>" +
+        "</body></html>"
+    val (text, nBlocks, nKept) = extractOne(html)
+    assert(text == article, s"article must survive byte-exactly, got: $text")
+    assert(nKept == 1L)
+    // title, nav, article, footer are the non-blank blocks; script/
+    // style/comment content must not even be COUNTED (removed pre-split)
+    assert(nBlocks == 4L)
+    assert(!text.contains("tracking") && !text.contains("Cookies") &&
+      !text.contains("color"))
+  }
+
+  test("extractMainContent: link-density kills a prose-shaped menu; stopword gate kills tag soup") {
+    // >= 5 words, stopword-dense, but 2/3 of its chars are anchor text
+    val linky =
+      "<p>the <a href=\"/x\">very long anchor text of the first link" +
+        "</a> and <a href=\"/y\">another equally long anchor text here" +
+        "</a></p>"
+    assert(extractOne(linky)._3 == 0L)
+    // >= 5 words, no links, but ZERO function words -> not prose
+    val soup = "<p>widget gadget sprocket flange bracket grommet</p>"
+    assert(extractOne(soup)._3 == 0L)
+    // each stopword alone satisfies the 5% gate at 5 words
+    for (stop <- TextOps.Stopwords) {
+      val (t, _, k) = extractOne(s"<p>alpha beta gamma delta $stop</p>")
+      assert(k == 1L, s"stopword '$stop' must satisfy the density gate")
+      assert(t == s"alpha beta gamma delta $stop")
+    }
+  }
+
+  test("extractMainContent: <pre> is not a block separator; entities decode; whitespace collapses") {
+    // \b in the split pattern: <pre> must NOT split on its 'p' prefix —
+    // the code sample stays ONE block with the surrounding prose
+    val html = "<p>the code of a small function and its body: " +
+      "<pre>x = 1</pre> ends the block of the sample</p>"
+    val (text, nBlocks, _) = extractOne(html)
+    assert(nBlocks == 1L, "pre must not split the paragraph")
+    assert(text.contains("x = 1") && text.startsWith("the code"))
+    val entities = "<p>a &amp; b &lt;tag&gt; of &quot;the&quot; " +
+      "thing&nbsp;and   more\n\n of the &#39;end&#39;</p>"
+    val (t2, _, k2) = extractOne(entities)
+    assert(k2 == 1L)
+    assert(t2 == "a & b <tag> of \"the\" thing and more of the 'end'")
+  }
+
+  test("extractMainContent: empty and markup-only documents keep their row with zero counts") {
+    for (html <- Seq("", "   ", "<div><br/></div>", "<script>x</script>")) {
+      val (t, b, k) = extractOne(html)
+      assert(t == "" && b == 0L && k == 0L, s"for: '$html'")
+    }
+  }
+
+  test("extractMainContent is map-only: no exchange in the plan") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = TextOps.extractMainContent(
+      corpus.withColumn("html", concat(lit("<p>"), col("text"), lit("</p>"))),
+      "doc_id", "html")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
