@@ -1541,6 +1541,42 @@ object TextOps {
     w.orderBy(rank.desc, col(idCol).asc).limit(k)
   }
 
+  /** DSIR importance RESAMPLING — the paper's sampled variant (Xie et
+    * al., 2023): draw k documents without replacement with inclusion
+    * odds increasing in the importance weight, instead of the
+    * deterministic cut of [[dsirTopK]] (which starves diversity: it
+    * takes ONLY the most target-like docs; the sampled draw admits
+    * lower-ratio docs at proportionally lower odds, which is the
+    * paper's actual scheme). This is [[SampleOps.prioritySample]]'s
+    * weight/uniform priority race run EXACTLY in the Q16 log domain —
+    * the weight 2^(ratio_q/2^16) would need a transcendental pow2, but
+    * its LOG is already the ratio, so with u = (charHash(id)+1)/2^63:
+    *   log2(w/u) = ratio_q/2^16 − log2q(charHash(id)+1)/2^16 + 63
+    * and the score `score_q = ratio_q − log2q(hash+1, 1, fracBits)`
+    * ranks identically (the +63·2^fracBits shifts all docs equally).
+    * All exact integers (the [[graft.functions.Log2Fixed]] kernel's
+    * exactly-rounded op sequence), so the DuckDB oracle hash-matches
+    * (q_dsir_sample). Monotone: for a fixed id, a higher ratio can only
+    * raise the score; the draw is a pure content function of (id,
+    * corpus) — partitioning/engine independent (spec-pinned). Top-k by
+    * score plans as TakeOrderedAndProject, never a global sort.
+    */
+  def dsirSample(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      raw: DataFrame, rawTextCol: String, k: Int,
+      byAverage: Boolean = true, fracBits: Int = 16,
+      mat: Materializer = Materializer.Local,
+      maxBroadcastModelRows: Long = 4L << 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = dsirWeights(df, idCol, textCol, target, targetTextCol,
+      raw, rawTextCol, fracBits, mat, maxBroadcastModelRows)
+    val ratio = if (byAverage) col("avg_logratio_q") else col("logratio_q")
+    val u = charHash(col(idCol).cast("string")) + lit(1L)
+    w.withColumn("score_q",
+        ratio - graft.functions.exprs.log2Fixed(u, lit(1L), fracBits))
+      .orderBy(col("score_q").desc, col(idCol).asc).limit(k)
+  }
+
   /** Feature-hashing bag-of-words embedding (the signed hashing trick —
     * Weinberger et al., "Feature Hashing for Large Scale Multitask
     * Learning", ICML 2009): a `dim`-length exact-integer vector with

@@ -2536,6 +2536,36 @@ object Queries {
     s"""SELECT * FROM ($dsirWeightsSql)
        |ORDER BY avg_logratio_q DESC, doc_id ASC LIMIT 25""".stripMargin
 
+  /** Sampled DSIR selection: the priority race in the exact Q16 log
+    * domain (TextOps.dsirSample). The oracle replays the id-hash
+    * uniform draw through the same log2q square-and-compare recursive
+    * CTE the drift/LM rows use. */
+  private def dsirSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextOps.dsirSample(docs, "doc_id", "text",
+      docs.filter(col("lang") === "en"), "text", docs, "text", k = 25)
+  }
+
+  private def dsirSampleSql =
+    s"""WITH RECURSIVE w AS (SELECT * FROM ($dsirWeightsSql)),
+       |h AS (SELECT doc_id,
+       |  ${sqlHash("CAST(doc_id AS VARCHAR)")} + 1 AS hp FROM documents),
+       |rec AS (
+       |  SELECT doc_id, length(bin(hp)) - 1 AS e,
+       |    (hp::DOUBLE) / CAST(1::BIGINT << (length(bin(hp)) - 1) AS DOUBLE) AS x,
+       |    0::BIGINT AS y, 0 AS step FROM h
+       |  UNION ALL
+       |  SELECT doc_id, e,
+       |    CASE WHEN x * x >= 2 THEN x * x / 2 ELSE x * x END,
+       |    CASE WHEN x * x >= 2 THEN y * 2 + 1 ELSE y * 2 END,
+       |    step + 1 FROM rec WHERE step < 16),
+       |l2 AS (SELECT doc_id, (CAST(e AS BIGINT) << 16) + y AS l2
+       |  FROM rec WHERE step = 16)
+       |SELECT w.doc_id, n_tokens, bits_target_q, bits_raw_q, logratio_q,
+       |  avg_logratio_q, avg_logratio_q - l2.l2 AS score_q
+       |FROM w JOIN l2 ON l2.doc_id = w.doc_id
+       |ORDER BY score_q DESC, w.doc_id ASC LIMIT 25""".stripMargin
+
   /** HTML main-content extraction over a synthetic web wrapping of the
     * corpus: every document is embedded in the SAME html template
     * (head/title/style/script, a link-only nav, the article block, a
@@ -3998,6 +4028,7 @@ object Queries {
     "q_soft_dedup" -> (softDedupQ _),
     "q_dsir_weights" -> (dsirWeightsQ _),
     "q_dsir_topk" -> (dsirTopKQ _),
+    "q_dsir_sample" -> (dsirSampleQ _),
     "q_priority_sample" -> (prioritySampleQ _),
     "q_collocations" -> (collocationsQ _),
     "q_dup_passages" -> (dupPassagesQ _),
@@ -4150,6 +4181,7 @@ object Queries {
     "q_soft_dedup" -> softDedupSql,
     "q_dsir_weights" -> dsirWeightsSql,
     "q_dsir_topk" -> dsirTopKSql,
+    "q_dsir_sample" -> dsirSampleSql,
     "q_priority_sample" -> prioritySampleSql,
     "q_collocations" -> collocationsSql,
     "q_dup_passages" -> dupPassagesSql,
