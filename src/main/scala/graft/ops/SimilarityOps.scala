@@ -1229,6 +1229,91 @@ object SimilarityOps {
     }
   }
 
+  /** Incremental IVF-PQ append — the daily-ingest fold of a NEW vector
+    * batch into a STANDING compressed index WITHOUT re-encoding (or even
+    * reading) the standing codes: encode the batch against the SAME
+    * persisted centroids/codebook and union it under the standing rows
+    * (the [[graft.ops.DedupOps]] `hammingAgainstIndex` discipline
+    * applied to IVF-PQ). Exactness makes the fold trivially correct:
+    * encoding is a pure function of (vector, centroids, codebook), so
+    * `appendPqIndex(B, ivfPqIndex(A)) == ivfPqIndex(A ∪ B)` row-for-row
+    * (spec-pinned) — the thing float-kmeans indexes can never promise.
+    *
+    * Guards, in order:
+    *  - residual-stamp check — the batch must be encoded in the mode the
+    *    standing codes use ([[ivfPqTopKFromIndex]]'s refusal);
+    *  - DRIFT guard: coarse-cell occupancy PSI
+    *    ([[graft.ops.ProfileOps.categoryDrift]]) between the standing
+    *    index's `cluster` histogram and the new batch's assignment under
+    *    the same centroids. A distribution that shifted past `maxPsi`
+    *    (default 0.25 — the classical "significant shift" dial) means
+    *    the frozen coarse layout no longer matches arriving data: codes
+    *    stay VALID but recall decays silently, so refuse and rebuild
+    *    instead. The check is one aggregate scan of the standing
+    *    `cluster` column (map-side combine to K rows — codes and ids
+    *    are never read, nothing standing is shuffled). Batches under
+    *    `minDriftRows` skip the check: a tiny histogram is all
+    *    sampling noise (one row "concentrates" in one cell), and
+    *    refusing every small daily append would make the dial useless;
+    *  - duplicate-id guard: a batch id already present would silently
+    *    shadow its standing twin in every downstream top-k — one
+    *    map-only standing scan against the BROADCAST batch ids.
+    *
+    * Output: the appended index (standing rows byte-identical, plan
+    * shows them as a pure scan — spec-pinned that the PQ encode kernel
+    * appears exactly once, on the batch branch).
+    */
+  def appendPqIndex(newBatch: DataFrame, index: DataFrame,
+      centroids: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String,
+      nCoarse: Int = AutoCoarse, coarseProbes: Int = 2,
+      residual: Boolean = true, maxPsi: Double = 0.25,
+      minDriftRows: Long = 100L): DataFrame = {
+    require(maxPsi > 0.0, s"maxPsi must be positive, got $maxPsi")
+    requireResidualStamp(index, residual)
+    val st = ivfPqSetup(centroids, codebook, idCol, vecCol, nCoarse,
+      coarseProbes, residual)
+    // drift guard — standing occupancy vs the batch's assignment under
+    // the SAME coarse layout
+    val newAssign = st.assign(withQ(newBatch, idCol, vecCol, "c"), "c", 1)
+      .select(col("c_cluster").as("cluster"))
+    val driftRow = graft.ops.ProfileOps
+      .categoryDrift(index.select("cluster"), newAssign, "cluster")
+      .agg(coalesce(sum(col("psi_q16")), lit(0L)).as("psi_q16"),
+        coalesce(sum(col("n_b")), lit(0L)).as("n_new"))
+      .collect()(0)
+    val psiQ = driftRow.getLong(0)
+    require(driftRow.getLong(1) > 0L,
+      "appendPqIndex: the new batch is empty (or all-null vectors) — nothing to append")
+    val maxPsiQ = math.round(maxPsi * 65536.0 * 1000000.0)
+    // a tiny batch's occupancy histogram is ALL sampling noise (one
+    // row "concentrates" 100% of its mass in one cell) — PSI only
+    // means drift once the batch is big enough to estimate rates
+    require(driftRow.getLong(1) < minDriftRows || psiQ <= maxPsiQ,
+      f"appendPqIndex: coarse-cell occupancy PSI ${psiQ / 65536.0 / 1e6}%.4f " +
+        f"exceeds maxPsi $maxPsi%.4f — the arriving distribution no longer " +
+        "matches the frozen coarse layout; recall under these centroids " +
+        "would decay silently. Rebuild the index (ivfPqIndex) with " +
+        "re-trained centroids/codebook, or raise maxPsi deliberately.")
+    // duplicate-id guard — broadcast the (daily-sized) batch ids; the
+    // standing side is a map-only single-column scan, never shuffled
+    val dups = index
+      .join(broadcast(newBatch.select(col(idCol).as("__nid"))),
+        col(idCol) === col("__nid"))
+      .limit(1).collect()
+    require(dups.isEmpty,
+      s"appendPqIndex: batch id ${dups.headOption.map(_.get(0)).orNull} " +
+        "already exists in the standing index — appending would silently " +
+        "shadow the standing row in every downstream top-k; dedup the " +
+        "batch first (dedupAgainstIndex shape)")
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(ResidualStampKey, residual).build()
+    def restamp(d: DataFrame): DataFrame =
+      d.select(col(idCol), col("cluster"), col("code").as("code", md))
+    restamp(index).unionByName(
+      restamp(ivfPqIndexWith(newBatch, st, idCol, vecCol)))
+  }
+
   /** ADC top-k against a standing [[ivfPqIndex]]: queries are coarse-
     * assigned to their `nprobe` cells and build their LUTs (map-only,
     * query-sized); the join against the index is an equi-join on the

@@ -340,6 +340,69 @@ class PqSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("appendPqIndex: append equals rebuild, standing rows never re-encode, drift/dup/empty guards refuse") {
+    val rows = spark.read.parquet(em).filter(col("vec_id") < 96)
+    val a = rows.filter(col("vec_id") < 64)
+    val b = rows.filter(col("vec_id") >= 64)
+    val cents = rows.filter(col("vec_id") < 4)
+    val cb = SimilarityOps.pqCodebookFromRows(
+      rows.filter(col("vec_id") < 8), "vec_id", "embedding", m = 8)
+    val dir = "/tmp/graft_test_pq_append"
+    SimilarityOps.ivfPqIndex(a, cents, cb, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val standing = spark.read.parquet(dir)
+    val appended = SimilarityOps.appendPqIndex(b, standing, cents, cb,
+      "vec_id", "embedding")
+    // exact encode => append ∪ standing is ROW-IDENTICAL to a rebuild
+    val rebuilt = SimilarityOps.ivfPqIndex(rows, cents, cb,
+      "vec_id", "embedding")
+    assert(appended.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(appended).isEmpty)
+    assert(appended.count() == 96)
+    // the standing branch of the union is a pure scan: the PQ encode
+    // expression (zip_with over the codebook) must not appear in it
+    val union = appended.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.head
+    val standingSide = union.children.head.toString
+    assert(!standingSide.contains("zip_with"),
+      s"standing side must not re-encode:\n$standingSide")
+    assert(standingSide.contains("parquet"), standingSide)
+    // and the appended index queries like any stamped index
+    val q = rows.filter(col("vec_id") < 2)
+    val topk = SimilarityOps.ivfPqTopKFromIndex(q, appended, cents, cb,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(topk.count() == 6)
+    // duplicate-id refusal: a batch id already standing would shadow it
+    val e1 = intercept[IllegalArgumentException] {
+      SimilarityOps.appendPqIndex(a.limit(1), standing, cents, cb,
+        "vec_id", "embedding")
+    }
+    assert(e1.getMessage.contains("already exists"))
+    // empty-batch refusal
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityOps.appendPqIndex(b.limit(0), standing, cents, cb,
+        "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("empty"))
+    // drift refusal: every batch vector collapsed onto ONE embedding —
+    // the occupancy histogram concentrates into a single coarse cell
+    val skewed = b.select(col("vec_id")).crossJoin(
+      rows.filter(col("vec_id") === 64).select(col("embedding")))
+    val e3 = intercept[IllegalArgumentException] {
+      SimilarityOps.appendPqIndex(skewed, standing, cents, cb,
+        "vec_id", "embedding", minDriftRows = 1L)
+    }
+    assert(e3.getMessage.contains("exceeds maxPsi"), e3.getMessage)
+    // …a wider dial accepts the same batch, and under the DEFAULT
+    // minDriftRows this 32-row batch is too small for PSI to mean
+    // anything — the guard skips instead of refusing on noise
+    assert(SimilarityOps.appendPqIndex(skewed, standing, cents, cb,
+      "vec_id", "embedding", maxPsi = 1e6, minDriftRows = 1L).count() == 96)
+    assert(SimilarityOps.appendPqIndex(skewed, standing, cents, cb,
+      "vec_id", "embedding").count() == 96)
+  }
+
   test("ADC kernel refuses malformed codes instead of mis-scoring") {
     val lut = Seq((Array(Array(1L, 2L)), Array(5))).toDF("lut", "code")
     val e = intercept[Exception] {
