@@ -404,6 +404,33 @@ object HashKernels {
       UTF8String.fromString(out.toString), nBlocks, nKept)
   }
 
+  /** Per-pair add-one-smoothed bigram surprisal sum over `s` against a
+    * published [[DsirModel]] — the MAP-ONLY twin of the join form in
+    * [[graft.ops.TextOps.dsirWeights]] (which it must equal bit-for-bit;
+    * spec-pinned): tokenize exactly like `TextOps.tokens` (split on the
+    * single space, trailing empties kept) with the `<s>` sentinel
+    * prepended, look each (ctx, tok) pair and its context up in the
+    * model's sorted arrays (binary search, in place), and accumulate
+    * `log2q(c_ctx + max(vocab,1), c_pair + 1, fracBits)`. No join, no
+    * explode, no exchange — legal in a Structured Streaming plan, one
+    * codegen pass per arriving document. Returns (n_tokens, bits_q). */
+  def dsirBitsQ(s: UTF8String, m: DsirModel,
+      fracBits: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = s.toString.split(" ", -1)
+    val v = math.max(m.vocab, 1L)
+    var bits = 0L
+    var ctx = "<s>"
+    var i = 0
+    while (i < toks.length) {
+      val cPair = m.pairCount(ctx + " " + toks(i))
+      val cCtx = m.ctxCount(ctx)
+      bits += log2q(cCtx + v, cPair + 1L, fracBits)
+      ctx = toks(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(toks.length.toLong, bits)
+  }
+
   /** MinHash permutation parameters for slot j: a_j odd-ish multiplier,
     * b_j offset, both mod P — the single source of truth shared by the
     * kernel below and the DuckDB oracle builders (DedupOps.minhashParams
@@ -1771,6 +1798,59 @@ case class ExtractMainContent(child: Expression, minWords: Int)
     copy(child = newChild)
 }
 
+/** Published bigram-LM artifact for map-only DSIR scoring — the
+  * contaminationGramSet pattern applied to the two DSIR models: counts
+  * collected ONCE (driver-bounded like the broadcast path's
+  * maxBroadcastModelRows), keys sorted for in-place binary search, the
+  * whole object shipped into the plan as a codegen reference (legal in
+  * Structured Streaming where scalar subqueries and stateful joins are
+  * not). Build with [[graft.ops.TextOps.dsirModelArtifact]] — never by
+  * hand: UNSORTED keys would silently miss counts. */
+case class DsirModel(pairKeys: Array[String], pairCnts: Array[Long],
+    ctxKeys: Array[String], ctxCnts: Array[Long], vocab: Long) {
+  require(pairKeys.length == pairCnts.length &&
+    ctxKeys.length == ctxCnts.length,
+    "DsirModel: key/count arrays must align")
+  def pairCount(key: String): Long = {
+    val i = java.util.Arrays.binarySearch(
+      pairKeys.asInstanceOf[Array[AnyRef]], key)
+    if (i >= 0) pairCnts(i) else 0L
+  }
+  def ctxCount(key: String): Long = {
+    val i = java.util.Arrays.binarySearch(
+      ctxKeys.asInstanceOf[Array[AnyRef]], key)
+    if (i >= 0) ctxCnts(i) else 0L
+  }
+}
+
+/** Codegen'd map-only DSIR surprisal (see HashKernels.dsirBitsQ): text
+  * against a published [[DsirModel]] -> struct(n_tokens, bits_q). The
+  * model rides the plan as a codegen reference object — no join, no
+  * broadcast exchange, streaming-legal. */
+case class DsirBits(child: Expression, model: DsirModel, fracBits: Int)
+    extends UnaryExpression {
+  require(fracBits >= 1 && fracBits <= 30,
+    s"fracBits must be in [1, 30], got $fracBits")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dsir_bits needs string, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("bits_q", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.dsirBitsQ(input.asInstanceOf[UTF8String], model, fracBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dsirModel", model,
+      "graft.functions.DsirModel")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.dsirBitsQ($c, $ref, $fracBits)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DsirBits =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom expressions. */
 object exprs {
   import org.apache.spark.sql.Column
@@ -1809,6 +1889,8 @@ object exprs {
     shims.column(NormalizeText(shims.expression(c)))
   def extractMainContent(c: Column, minWords: Int = 5): Column =
     shims.column(ExtractMainContent(shims.expression(c), minWords))
+  def dsirBits(c: Column, model: DsirModel, fracBits: Int = 16): Column =
+    shims.column(DsirBits(shims.expression(c), model, fracBits))
   def bpeTokenStats(c: Column, merges: Seq[(String, String)]): Column =
     shims.column(BpeTokenStats(shims.expression(c),
       merges.flatMap(p => Seq(p._1, p._2))))

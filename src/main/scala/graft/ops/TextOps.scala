@@ -1577,6 +1577,61 @@ object TextOps {
       .orderBy(col("score_q").desc, col(idCol).asc).limit(k)
   }
 
+  /** Publish a DSIR bigram model as a driver artifact — the
+    * [[graft.ops.DedupOps.contaminationGramSet]] pattern applied to the
+    * importance models: ONE train-corpus pass, counts collected under
+    * the same `maxModelRows` bound the broadcast path uses, keys sorted
+    * for the kernel's in-place binary search. The artifact makes DSIR
+    * scoring a pure MAP ([[dsirScoreWithModels]]) — publishable beside
+    * the corpus, reusable across jobs and micro-batches. Counting is
+    * IDENTICAL to [[dsirWeights]]'s in-plan model (pair counts over the
+    * `<s>`-prepended space-split bigrams; context totals and vocabulary
+    * derived from the pair table), so the two score paths agree
+    * bit-for-bit (spec-pinned).
+    */
+  def dsirModelArtifact(train: DataFrame, textCol: String,
+      maxModelRows: Long = 4L << 20): graft.functions.DsirModel = {
+    val pairCnt = bigramPairs(train, Seq.empty, textCol)
+      .groupBy(col("__ctx"), col("__tok"))
+      .agg(count(lit(1)).as("__c_pair"))
+    val n = pairCnt.count()
+    require(n <= maxModelRows,
+      s"dsirModelArtifact: model has $n distinct bigrams, over the " +
+        s"driver-safe bound $maxModelRows — raise maxModelRows " +
+        "deliberately or stay on the join form (dsirWeights)")
+    val rows = pairCnt.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val pairs = rows.map { case (c, t, n2) => (c + " " + t, n2) }.sortBy(_._1)
+    val ctxs = rows.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toArray.sortBy(_._1)
+    val vocab = rows.iterator.map(_._2).toSet.size.toLong
+    graft.functions.DsirModel(pairs.map(_._1), pairs.map(_._2),
+      ctxs.map(_._1), ctxs.map(_._2), vocab)
+  }
+
+  /** Map-only DSIR scoring against two published [[dsirModelArtifact]]
+    * models — [[dsirWeights]] with the model joins replaced by the
+    * codegen kernel [[graft.functions.DsirBits]], emitting the SAME
+    * columns with the SAME exact-integer values (spec-pinned). No join,
+    * no aggregate, no exchange: legal in a Structured Streaming plan
+    * (the [[graft.streaming.StreamOps.dsirGateStream]] gate), and one
+    * codegen scan at any corpus size. Original columns ride along.
+    */
+  def dsirScoreWithModels(df: DataFrame, idCol: String, textCol: String,
+      target: graft.functions.DsirModel, raw: graft.functions.DsirModel,
+      fracBits: Int = 16): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .withColumn("__t",
+        graft.functions.exprs.dsirBits(col(textCol), target, fracBits))
+      .withColumn("__r",
+        graft.functions.exprs.dsirBits(col(textCol), raw, fracBits))
+      .withColumn("n_tokens", col("__t.n_tokens"))
+      .withColumn("bits_target_q", col("__t.bits_q"))
+      .withColumn("bits_raw_q", col("__r.bits_q"))
+      .withColumn("logratio_q", col("bits_raw_q") - col("bits_target_q"))
+      .withColumn("avg_logratio_q", expr("logratio_q div n_tokens"))
+      .drop("__t", "__r")
+
   /** Feature-hashing bag-of-words embedding (the signed hashing trick —
     * Weinberger et al., "Feature Hashing for Large Scale Multitask
     * Learning", ICML 2009): a `dim`-length exact-integer vector with

@@ -608,6 +608,29 @@ object StreamOps {
     graft.ops.DedupOps.bloomDecontaminateWithBitmap(
       docs, bitmap, idCol, textCol, k, probes)
 
+  /** Streaming DSIR importance gate — the fourth ingest gate
+    * (lexical [[nearDupGateSink]], perceptual [[mediaGateSink]],
+    * semantic [[embeddingGateSink]], and now IMPORTANCE): score each
+    * arriving document's target-vs-raw log-likelihood ratio against the
+    * two published [[graft.ops.TextOps.dsirModelArtifact]] models and
+    * pass only docs at or above `minAvgLogratioQ` (Q`fracBits`,
+    * length-normalized — the [[graft.ops.TextOps.dsirTopK]] ranking
+    * quantity). The models ride the plan as codegen reference objects
+    * (the bloom-gate literal discipline: scalar subqueries are illegal
+    * in streaming plans) and scoring is the map-only
+    * [[graft.ops.TextOps.dsirScoreWithModels]] — no join, no state
+    * store, no watermark, so replay of a micro-batch recomputes the
+    * identical scores (stateless ⇒ replay-safe; spec-pinned equal to
+    * the batch join form bit-for-bit). Output: the surviving rows with
+    * the score columns riding along.
+    */
+  def dsirGateStream(docs: DataFrame, target: graft.functions.DsirModel,
+      raw: graft.functions.DsirModel, idCol: String, textCol: String,
+      minAvgLogratioQ: Long, fracBits: Int = 16): DataFrame =
+    graft.ops.TextOps.dsirScoreWithModels(docs, idCol, textCol,
+      target, raw, fracBits)
+      .filter(col("avg_logratio_q") >= minAvgLogratioQ)
+
   /** One-shot catch-up run of [[indexSink]] (processes all available
     * input then stops) — the streaming equivalent of the CLI's daily
     * invocation. */

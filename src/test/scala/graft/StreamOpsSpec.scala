@@ -462,6 +462,50 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.map(_._1) == Set(10L), got) // streamed doc 10 flagged, 11 clean
   }
 
+  test("dsirGateStream: published-model importance gate equals batch scores; replay is a no-op") {
+    val in = tmpDir("graft_stream_dsir_in")
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 60).select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(in)
+    val target = docs.filter(col("doc_id") % 3 === 0)
+    val tm = graft.ops.TextOps.dsirModelArtifact(target, "text")
+    val rm = graft.ops.TextOps.dsirModelArtifact(docs, "text")
+
+    val stream = StreamOps.streamSource(spark, in, spark.read.parquet(in).schema)
+    val q = StreamOps.dsirGateStream(stream, tm, rm, "doc_id", "text",
+      minAvgLogratioQ = 0L)
+      .writeStream.format("memory").queryName("dsirgate")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dsirgate")
+      .select("doc_id", "avg_logratio_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // equal to the batch join form gated at the same dial
+    val batch = graft.ops.TextOps.dsirWeights(docs, "doc_id", "text",
+        target, "text", docs, "text")
+      .filter(col("avg_logratio_q") >= 0L)
+      .select("doc_id", "avg_logratio_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch && got.nonEmpty && got.size < 60,
+      s"gate must pass a strict non-empty subset, got ${got.size}")
+    // replay no-op: the gate is stateless, so re-scoring the same
+    // micro-batch (fresh stream over the same input) emits the
+    // identical rows — nothing accumulates, nothing drifts
+    val q2 = StreamOps.dsirGateStream(
+      StreamOps.streamSource(spark, in, spark.read.parquet(in).schema),
+      tm, rm, "doc_id", "text", minAvgLogratioQ = 0L)
+      .writeStream.format("memory").queryName("dsirgate2")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val again = spark.table("dsirgate2")
+      .select("doc_id", "avg_logratio_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got)
+  }
+
   test("latestPerKey keeps the max-ordinal row per key") {
     val in = tmpDir("graft_stream_latest_in")
     Seq(

@@ -1058,6 +1058,22 @@ class TextOpsSpec extends SparkSpec {
     assert(again == rows.map(r => (r.getLong(0), r.getLong(6))).toSet)
   }
 
+  test("dsirScoreWithModels: map-only artifact scoring equals the join form bit-for-bit; no exchange in the plan") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val target = corpus.filter(col("lang") === "en")
+    val tm = TextOps.dsirModelArtifact(target, "text")
+    val rm = TextOps.dsirModelArtifact(corpus, "text")
+    val mapped = TextOps.dsirScoreWithModels(corpus, "doc_id", "text", tm, rm)
+      .select("doc_id", "n_tokens", "bits_target_q", "bits_raw_q",
+        "logratio_q", "avg_logratio_q")
+    // the plan is a pure scan: no join, no exchange — streaming-legal
+    val plan = mapped.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    val joined = TextOps.dsirWeights(corpus, "doc_id", "text",
+      target, "text", corpus, "text")
+    assert(mapped.exceptAll(joined).isEmpty && joined.exceptAll(mapped).isEmpty)
+  }
+
   // ---- HTML main-content extraction ----
 
   private def extractOne(html: String): (String, Long, Long) = {
