@@ -431,6 +431,77 @@ object HashKernels {
     org.apache.spark.sql.catalyst.InternalRow(toks.length.toLong, bits)
   }
 
+  /** Exact unigram-LM (SentencePiece-style) word segmentation — the
+    * non-BPE tokenizer, as ONE Viterbi DP per space-split word in exact
+    * Q16 fixed point: maximize the summed piece scores over all
+    * segmentations of the word, with any single character missing from
+    * the vocabulary acting as the `<unk>` fallback at `unkScoreQ`
+    * (guarantees every word segments — SentencePiece's character
+    * coverage). Objective is totally ordered: maximize score, then
+    * minimize piece count; among remaining path ties the earliest
+    * (longest-first) split wins — deterministic, and the output pair
+    * (n_pieces, score_q) is tie-free by construction, which is what the
+    * DuckDB oracle replays (the piece PATH is spec-pinned on fixtures).
+    * Exact longs only; word offsets are UTF-16 like the rest of the
+    * word-level ops (identical to codepoints on the BMP corpora the
+    * oracle covers). Returns (pieces, n_pieces, score_q). */
+  def unigramEncode(s: UTF8String, v: UnigramVocab,
+      unkScoreQ: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val words = s.toString.split(" ", -1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var nPieces = 0L
+    var total = 0L
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      val L = w.length
+      if (L > 0) {
+        val dpS = new Array[Long](L + 1)
+        val dpN = new Array[Long](L + 1)
+        val back = new Array[Int](L + 1)
+        var i = 1
+        while (i <= L) {
+          var bestS = Long.MinValue
+          var bestN = Long.MinValue
+          var bestJ = -1
+          var j = math.max(0, i - v.maxLen)
+          while (j < i) {
+            val piece = w.substring(j, i)
+            val vs = v.score(piece)
+            val sc =
+              if (vs != UnigramVocab.NoScore) vs
+              else if (i - j == 1) unkScoreQ
+              else Long.MinValue
+            if (sc != Long.MinValue && dpS(j) != Long.MinValue) {
+              val cs = dpS(j) + sc
+              val cn = dpN(j) - 1L
+              if (cs > bestS || (cs == bestS && cn > bestN)) {
+                bestS = cs; bestN = cn; bestJ = j
+              }
+            }
+            j += 1
+          }
+          dpS(i) = bestS; dpN(i) = bestN; back(i) = bestJ
+          i += 1
+        }
+        // reconstruct the winning path back from the end of the word
+        var pos = L
+        var cut = out.length
+        while (pos > 0) {
+          val j = back(pos)
+          out.insert(cut, UTF8String.fromString(w.substring(j, pos)))
+          pos = j
+        }
+        nPieces += -dpN(L)
+        total += dpS(L)
+      }
+      wi += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray),
+      nPieces, total)
+  }
+
   /** MinHash permutation parameters for slot j: a_j odd-ish multiplier,
     * b_j offset, both mod P — the single source of truth shared by the
     * kernel below and the DuckDB oracle builders (DedupOps.minhashParams
@@ -1851,6 +1922,56 @@ case class DsirBits(child: Expression, model: DsirModel, fracBits: Int)
     copy(child = newChild)
 }
 
+/** Published unigram-LM vocabulary for [[UnigramEncode]] — (piece,
+  * Q16 log-probability score) pairs, keys sorted for in-place binary
+  * search (the [[DsirModel]] artifact discipline). Build with
+  * [[graft.ops.TextOps.unigramVocab]] — never by hand: unsorted keys
+  * would silently miss pieces. */
+case class UnigramVocab(pieces: Array[String], scores: Array[Long],
+    maxLen: Int) {
+  require(pieces.length == scores.length,
+    "UnigramVocab: piece/score arrays must align")
+  def score(piece: String): Long = {
+    val i = java.util.Arrays.binarySearch(
+      pieces.asInstanceOf[Array[AnyRef]], piece)
+    if (i >= 0) scores(i) else UnigramVocab.NoScore
+  }
+}
+object UnigramVocab {
+  /** Lookup miss sentinel (never a legal Q16 score). */
+  val NoScore: Long = Long.MinValue
+}
+
+/** Codegen'd unigram-LM segmentation (see HashKernels.unigramEncode):
+  * text -> struct(pieces, n_pieces, score_q) under a published
+  * [[UnigramVocab]] riding the plan as a codegen reference object —
+  * map-only, streaming-legal. */
+case class UnigramEncode(child: Expression, vocab: UnigramVocab,
+    unkScoreQ: Long) extends UnaryExpression {
+  require(unkScoreQ < 0L, s"unkScoreQ must be negative, got $unkScoreQ")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode needs string, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("pieces", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("n_pieces", LongType, nullable = false),
+    StructField("score_q", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.unigramEncode(input.asInstanceOf[UTF8String], vocab,
+      unkScoreQ)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramVocab", vocab,
+      "graft.functions.UnigramVocab")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.unigramEncode($c, $ref, ${unkScoreQ}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncode =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom expressions. */
 object exprs {
   import org.apache.spark.sql.Column
@@ -1891,6 +2012,8 @@ object exprs {
     shims.column(ExtractMainContent(shims.expression(c), minWords))
   def dsirBits(c: Column, model: DsirModel, fracBits: Int = 16): Column =
     shims.column(DsirBits(shims.expression(c), model, fracBits))
+  def unigramEncode(c: Column, vocab: UnigramVocab, unkScoreQ: Long): Column =
+    shims.column(UnigramEncode(shims.expression(c), vocab, unkScoreQ))
   def bpeTokenStats(c: Column, merges: Seq[(String, String)]): Column =
     shims.column(BpeTokenStats(shims.expression(c),
       merges.flatMap(p => Seq(p._1, p._2))))

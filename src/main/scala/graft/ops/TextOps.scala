@@ -168,6 +168,61 @@ object TextOps {
     "w" -> "h", "c" -> "e", "m" -> "e", "d" -> "e", "b" -> "e",
     "th" -> "at", "o" -> "w")
 
+  /** Demo unigram-LM vocabulary (the [[DefaultBpeMerges]] counterpart
+    * for the NON-BPE tokenizer family): every lowercase letter and
+    * digit at the character floor, common English bigrams/trigrams and
+    * a few corpus words above it, Q16 log-probability scores shaped so
+    * longer pieces win exactly when a real unigram LM would prefer
+    * them (e.g. "the" at −14 beats "th"+"e" at −20). */
+  val DefaultUnigramVocab: Seq[(String, Long)] =
+    (('a' to 'z') ++ ('0' to '9')).map(c => c.toString -> -(8L << 16)) ++
+      Seq("th", "he", "er", "in", "ta", "ba", "at", "or", "ar", "st",
+        "an", "re", "on", "en", "le").map(_ -> -(12L << 16)) ++
+      Seq("the" -> -(14L << 16), "ing" -> -(15L << 16),
+        "que" -> -(15L << 16), "and" -> -(15L << 16)) ++
+      Seq("data" -> -(18L << 16), "join" -> -(18L << 16),
+        "spark" -> -(20L << 16), "batch" -> -(20L << 16))
+
+  /** Assemble a [[graft.functions.UnigramVocab]] artifact from (piece,
+    * Q16 score) entries: validates shape, sorts for the kernel's
+    * in-place binary search, records the max piece length (the DP's
+    * lookback bound). */
+  def unigramVocab(entries: Seq[(String, Long)]): graft.functions.UnigramVocab = {
+    require(entries.nonEmpty, "unigramVocab: empty vocabulary")
+    require(entries.forall { case (p, s) => p.nonEmpty && !p.contains(" ") && s < 0L },
+      "unigramVocab: pieces must be non-empty, space-free, with negative Q16 scores")
+    require(entries.map(_._1).distinct.size == entries.size,
+      "unigramVocab: duplicate pieces")
+    val sorted = entries.sortBy(_._1).toArray
+    graft.functions.UnigramVocab(sorted.map(_._1), sorted.map(_._2),
+      sorted.map(_._1.length).max)
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenization — the NON-BPE
+    * tokenizer for corpora whose published tokenizer isn't BPE (Kudo,
+    * "Subword Regularization", ACL 2018 — the Viterbi decode, which is
+    * what inference-time SentencePiece runs): per space-split word,
+    * the segmentation maximizing the summed Q16 piece log-probs, single
+    * characters outside the vocabulary falling back to `<unk>` at
+    * `unkScoreQ` (character coverage — every word segments). Objective
+    * totally ordered (max score, then fewest pieces, then earliest
+    * split), so the result is deterministic and the per-doc
+    * (n_pieces, score_q) pair is oracle-replayable — the DuckDB oracle
+    * (q_unigram_tokens) runs the SAME DP as a list-carrying recursive
+    * CTE over the distinct words. One map-only codegen pass per row
+    * ([[graft.functions.UnigramEncode]]; the vocab rides the plan as a
+    * reference object) — no join, no exchange, streaming-legal.
+    * Output: (id, pieces, n_pieces, score_q).
+    */
+  def unigramEncode(df: DataFrame, idCol: String, textCol: String,
+      vocab: graft.functions.UnigramVocab,
+      unkScoreQ: Long = -(32L << 16)): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), graft.functions.exprs
+        .unigramEncode(col(textCol), vocab, unkScoreQ).as("__u"))
+      .select(col(idCol), col("__u.pieces").as("pieces"),
+        col("__u.n_pieces").as("n_pieces"), col("__u.score_q").as("score_q"))
+
   /** Tokenizer-faithful token counting: canonical byte-BPE (Sennrich et
     * al., "Neural Machine Translation of Rare Words with Subword Units",
     * ACL 2016) under a rank-ordered merges table — the budget a trainer

@@ -435,6 +435,59 @@ object Queries {
        |  len(regexp_extract_all(text, '[.!?,;:]'))::BIGINT AS n_punct FROM documents)""".stripMargin
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenization under the demo
+    * vocabulary: the oracle replays the kernel's Viterbi DP as a
+    * list-carrying recursive CTE per DISTINCT word — dp is a LIST of
+    * (score, −pieces) structs grown one position per recursion step,
+    * each step a list_max over the incoming edges (struct comparison is
+    * field-order lexicographic: max score, then fewest pieces — the
+    * kernel's exact tie order for the output pair). */
+  private def unigramTokensQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.unigramEncode(t(s, dir, "documents"), "doc_id", "text",
+      TextOps.unigramVocab(TextOps.DefaultUnigramVocab))
+      .select("doc_id", "n_pieces", "score_q")
+
+  private val unigramTokensSql = {
+    val entries = TextOps.DefaultUnigramVocab
+      .map { case (p, sc) => s"('$p', ${sc}::BIGINT)" }.mkString(", ")
+    val maxLen = TextOps.DefaultUnigramVocab.map(_._1.length).max
+    val unkQ = -(32L << 16)
+    s"""WITH RECURSIVE vocab(piece, s) AS (VALUES $entries),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS arr
+       |  FROM documents WHERE text IS NOT NULL),
+       |words AS (SELECT doc_id, unnest(arr) AS w FROM toks),
+       |dw AS (SELECT DISTINCT w FROM words WHERE w <> ''),
+       |grid AS (SELECT w, length(w) AS len,
+       |  unnest(range(length(w))) AS j FROM dw),
+       |edges0 AS (SELECT w, len, j,
+       |  unnest(range(j+1, least(j+$maxLen, len)+1)) AS i FROM grid),
+       |edges1 AS (SELECT e.w, e.len, e.j, e.i,
+       |    coalesce(v.s, CASE WHEN e.i - e.j = 1 THEN ${unkQ}::BIGINT END) AS s
+       |  FROM edges0 e
+       |  LEFT JOIN vocab v ON v.piece = substr(e.w, e.j+1, e.i-e.j)),
+       |wedges AS (SELECT w, any_value(len) AS len,
+       |    list(struct_pack(i := i, j := j, s := s) ORDER BY i, j) AS edges
+       |  FROM edges1 WHERE s IS NOT NULL GROUP BY w),
+       |rec AS (
+       |  SELECT w, edges, len, 0 AS i,
+       |    [struct_pack(s := 0::BIGINT, n := 0::BIGINT)] AS dp FROM wedges
+       |  UNION ALL
+       |  SELECT w, edges, len, i+1,
+       |    dp || [list_max(list_transform(list_filter(edges, e -> e.i = i+1),
+       |        e -> struct_pack(s := dp[e.j + 1].s + e.s,
+       |                         n := dp[e.j + 1].n - 1)))]
+       |  FROM rec WHERE i < len),
+       |wscore AS (SELECT w, dp[len + 1].s AS ws, -dp[len + 1].n AS wn
+       |  FROM rec WHERE i = len),
+       |agg AS (SELECT doc_id, CAST(sum(wn) AS BIGINT) AS n_pieces,
+       |    CAST(sum(ws) AS BIGINT) AS score_q
+       |  FROM words JOIN wscore ON wscore.w = words.w GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.n_pieces, 0)::BIGINT AS n_pieces,
+       |  coalesce(a.score_q, 0)::BIGINT AS score_q
+       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+       |LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   private def tokenCountQ(s: SparkSession, dir: String): DataFrame =
     TextOps.tokenCounts(t(s, dir, "documents"), "text")
       .select("doc_id", "n_ws_tokens", "n_bpeish_tokens")
@@ -3927,6 +3980,7 @@ object Queries {
     "q_events_sessions" -> (eventsSessionsQ _),
     "q_text_quality" -> (textQualityQ _),
     "q_token_count" -> (tokenCountQ _),
+    "q_unigram_tokens" -> (unigramTokensQ _),
     "q_bpe_tokens" -> (bpeTokensQ _),
     "q_bpe_chunks" -> (bpeChunksQ _),
     "q_bpe_token_ids" -> (bpeTokenIdsQ _),
@@ -4080,6 +4134,7 @@ object Queries {
     "q_events_sessions" -> eventsSessionsSql,
     "q_text_quality" -> textQualitySql,
     "q_token_count" -> tokenCountSql,
+    "q_unigram_tokens" -> unigramTokensSql,
     "q_bpe_tokens" -> bpeTokensSql,
     "q_bpe_chunks" -> bpeChunksSql,
     "q_bpe_token_ids" -> bpeTokenIdsSql,

@@ -1074,6 +1074,67 @@ class TextOpsSpec extends SparkSpec {
     assert(mapped.exceptAll(joined).isEmpty && joined.exceptAll(mapped).isEmpty)
   }
 
+  // ---- unigram-LM (SentencePiece-style) tokenizer ----
+
+  test("unigramEncode: Viterbi picks the max-score segmentation; unk fallback covers unknown chars") {
+    val vocab = TextOps.unigramVocab(TextOps.DefaultUnigramVocab)
+    def enc(t: String): (Seq[String], Long, Long) = {
+      val r = TextOps.unigramEncode(
+        Seq((1L, t)).toDF("doc_id", "text"), "doc_id", "text", vocab)
+        .collect()(0)
+      (r.getSeq[String](1), r.getLong(2), r.getLong(3))
+    }
+    // "the" is one piece at −14, beating th+e / t+he (−20) and chars (−24)
+    assert(enc("the") == ((Seq("the"), 1L, -(14L << 16))))
+    assert(enc("thethe") == ((Seq("the", "the"), 2L, -(28L << 16))))
+    // unknown char (uppercase) falls back to <unk> at −32
+    assert(enc("thX") == ((Seq("th", "X"), 2L, -(44L << 16))))
+    // multi-word with a double space: the empty middle word vanishes
+    assert(enc("the  the") == ((Seq("the", "the"), 2L, -(28L << 16))))
+    assert(enc("") == ((Seq(), 0L, 0L)))
+    // a corpus word the vocab carries whole
+    assert(enc("spark") == ((Seq("spark"), 1L, -(20L << 16))))
+  }
+
+  test("unigramEncode: score ties break to fewest pieces, then the earliest split") {
+    // equal score, different piece count: the single piece must win
+    val v1 = TextOps.unigramVocab(Seq(
+      "a" -> -(8L << 16), "b" -> -(8L << 16), "ab" -> -(16L << 16)))
+    val r1 = TextOps.unigramEncode(Seq((1L, "ab")).toDF("doc_id", "text"),
+      "doc_id", "text", v1).collect()(0)
+    assert(r1.getSeq[String](1) == Seq("ab") && r1.getLong(2) == 1L)
+    // equal score AND count: [a,bc] vs [ab,c] — earliest split for the
+    // final piece wins, i.e. the LAST piece is the longest
+    val v2 = TextOps.unigramVocab(Seq(
+      "a" -> -(6L << 16), "b" -> -(6L << 16), "c" -> -(6L << 16),
+      "ab" -> -(10L << 16), "bc" -> -(10L << 16)))
+    val r2 = TextOps.unigramEncode(Seq((1L, "abc")).toDF("doc_id", "text"),
+      "doc_id", "text", v2).collect()(0)
+    assert(r2.getSeq[String](1) == Seq("a", "bc"),
+      r2.getSeq[String](1).toString)
+    assert(r2.getLong(2) == 2L && r2.getLong(3) == -(16L << 16))
+  }
+
+  test("unigramEncode: map-only plan, deterministic on the corpus; vocab builder refuses malformed entries") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = TextOps.unigramVocab(TextOps.DefaultUnigramVocab)
+    val df = TextOps.unigramEncode(corpus, "doc_id", "text", vocab)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    val a = df.collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val b = TextOps.unigramEncode(corpus.repartition(7), "doc_id", "text",
+      vocab).collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(a.toSet == b.toSet && a.length == 500)
+    // pieces reassemble the word: lossless segmentation (no char lost)
+    val words = TextOps.unigramEncode(
+      Seq((1L, "merge customer window")).toDF("doc_id", "text"),
+      "doc_id", "text", vocab).collect()(0).getSeq[String](1)
+    assert(words.mkString == "mergecustomerwindow")
+    for (bad <- Seq(Seq.empty[(String, Long)], Seq("" -> -1L),
+        Seq("a b" -> -1L), Seq("a" -> 1L), Seq("a" -> -1L, "a" -> -2L)))
+      intercept[IllegalArgumentException] { TextOps.unigramVocab(bad) }
+  }
+
   // ---- HTML main-content extraction ----
 
   private def extractOne(html: String): (String, Long, Long) = {
