@@ -223,6 +223,100 @@ object TextOps {
       .select(col(idCol), col("__u.pieces").as("pieces"),
         col("__u.n_pieces").as("n_pieces"), col("__u.score_q").as("score_q"))
 
+  /** Unigram-LM vocabulary TRAINER — hard-EM (Viterbi-EM), the
+    * deterministic exact-arithmetic counterpart of SentencePiece's EM
+    * trainer (Kudo 2018 trains with expected counts; the hard variant
+    * re-segments with the CURRENT scores and re-estimates from the
+    * winning paths — every step exact integers, so training is
+    * bit-reproducible):
+    *
+    *  1. SEED: substring candidates of the distinct words (length ≤
+    *     `maxPieceLen`, corpus frequency ≥ `minCount`), top
+    *     `maxSeedSize` by coverage mass (count·len, ties by piece) —
+    *     plus every single character seen (coverage floor, always
+    *     retained so any word segments without `<unk>`).
+    *  2. E-step: Viterbi-segment the DISTINCT words under the current
+    *     scores (the [[unigramEncode]] kernel — each word once, counts
+    *     weighted by word frequency; distributed one-pass recount).
+    *  3. M-step: `score_q(p) = −log2q(2·total, count(p))` — the exact
+    *     Q16 log-probability, shifted one bit so scores stay strictly
+    *     negative; the shift is a constant per piece, i.e. a mild
+    *     fewer-pieces prior applied CONSISTENTLY in both E and M steps,
+    *     so the shifted corpus objective is non-decreasing across
+    *     iterations (the Viterbi-EM guarantee — spec-pinned).
+    *     Multi-char pieces that won no path drop; characters floor at
+    *     count 1.
+    *  4. After `iters` rounds, prune to `vocabSize` by (count desc,
+    *     piece asc), characters always kept.
+    *
+    * Scale shape: the corpus is touched ONCE (word histogram); every
+    * later pass runs over the distinct-word table (vocabulary-sized,
+    * the [[trainBpeMergesIncremental]] budget class) with the vocab
+    * riding as a kernel artifact — no shuffle wider than the word
+    * histogram. Returns (piece, score_q) entries for [[unigramVocab]].
+    */
+  def trainUnigramVocab(df: DataFrame, textCol: String, vocabSize: Int,
+      iters: Int = 2, maxPieceLen: Int = 8, minCount: Long = 2L,
+      maxSeedSize: Int = 50000, unkScoreQ: Long = -(32L << 16)): Seq[(String, Long)] = {
+    require(vocabSize >= 1 && iters >= 1 && maxPieceLen >= 1 &&
+      maxSeedSize >= 1, "trainUnigramVocab: dials must be positive")
+    val spark = df.sparkSession
+    // the ONE corpus pass: word histogram
+    val words = df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seed: substring coverage mass over the distinct words
+      val subs = words.select(col("w"), col("f"),
+          explode(sequence(lit(0), length(col("w")) - 1)).as("j"))
+        .select(col("w"), col("f"), col("j"),
+          explode(sequence(col("j") + 1,
+            least(col("j") + maxPieceLen, length(col("w"))))).as("i"))
+        .select(expr("substring(w, j + 1, i - j)").as("piece"), col("f"))
+        .groupBy("piece").agg(sum(col("f")).as("cnt"))
+      val chars = subs.filter(length(col("piece")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val seed = subs
+        .filter(length(col("piece")) > 1 && col("cnt") >= minCount)
+        .orderBy((col("cnt") * length(col("piece"))).desc, col("piece").asc)
+        .limit(maxSeedSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      def scored(counts: Array[(String, Long)]): Seq[(String, Long)] = {
+        val total = counts.map(_._2).sum
+        counts.toSeq.map { case (p, c) =>
+          p -> -graft.functions.HashKernels.log2q(2L * total, c, 16)
+        }
+      }
+      var counts = (chars ++ seed).sortBy(_._1)
+      var it = 0
+      while (it < iters) {
+        // E-step: segment the distinct words under the current scores;
+        // M-step: frequency-weighted piece recount (distributed)
+        val vocab = unigramVocab(scored(counts))
+        val charSet = chars.map(_._1).toSet
+        val recount = unigramEncode(words, "w", "w", vocab, unkScoreQ)
+          .join(words, "w")
+          .select(explode(col("pieces")).as("piece"), col("f"))
+          .groupBy("piece").agg(sum(col("f")).as("cnt"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        counts = (chars.map { case (c, _) =>
+            (c, math.max(recount.getOrElse(c, 0L), 1L)) } ++
+          counts.filter(e => !charSet(e._1) && recount.contains(e._1))
+            .map(e => (e._1, recount(e._1)))).sortBy(_._1)
+        it += 1
+      }
+      // prune to vocabSize by mass, characters always kept
+      val charSet = chars.map(_._1).toSet
+      val kept = counts.filter(e => charSet(e._1)) ++
+        counts.filter(e => !charSet(e._1))
+          .sortBy { case (p, c) => (-c, p) }
+          .take(math.max(0, vocabSize - charSet.size))
+      scored(kept.sortBy(_._1))
+    } finally words.unpersist()
+  }
+
   /** Tokenizer-faithful token counting: canonical byte-BPE (Sennrich et
     * al., "Neural Machine Translation of Rare Words with Subword Units",
     * ACL 2016) under a rank-ordered merges table — the budget a trainer

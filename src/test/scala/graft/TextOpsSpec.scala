@@ -1135,6 +1135,40 @@ class TextOpsSpec extends SparkSpec {
       intercept[IllegalArgumentException] { TextOps.unigramVocab(bad) }
   }
 
+  test("trainUnigramVocab: hard-EM is deterministic, covers every corpus char, and its shifted objective never decreases") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def totalScore(entries: Seq[(String, Long)]): Long =
+      TextOps.unigramEncode(corpus, "doc_id", "text",
+        TextOps.unigramVocab(entries))
+        .agg(sum(col("score_q"))).collect()(0).getLong(0)
+    val e1 = TextOps.trainUnigramVocab(corpus, "text", vocabSize = 200,
+      iters = 1)
+    val e2 = TextOps.trainUnigramVocab(corpus, "text", vocabSize = 200,
+      iters = 2)
+    // determinism incl. input layout
+    val e2b = TextOps.trainUnigramVocab(corpus.repartition(7), "text",
+      vocabSize = 200, iters = 2)
+    assert(e2 == e2b)
+    // the Viterbi-EM guarantee: another E/M round cannot lower the
+    // (consistently shifted) corpus objective
+    assert(totalScore(e2) >= totalScore(e1),
+      s"${totalScore(e2)} < ${totalScore(e1)}")
+    // character coverage: encoding the training corpus never needs <unk>
+    // — every piece of every doc is a vocab piece
+    val vocabSet = e2.map(_._1).toSet
+    val pieces = TextOps.unigramEncode(corpus, "doc_id", "text",
+      TextOps.unigramVocab(e2))
+      .select(explode(col("pieces")).as("p")).distinct()
+      .collect().map(_.getString(0))
+    assert(pieces.forall(vocabSet), pieces.filterNot(vocabSet).take(5).toSeq)
+    // the trainer actually learns multi-char pieces and the encoder
+    // uses them (the corpus is word soup over a small lexicon — whole
+    // words should dominate the vocabulary)
+    assert(pieces.count(_.length > 2) >= 20,
+      s"only ${pieces.count(_.length > 2)} multi-char pieces in use")
+    assert(vocabSet.size <= 200 + 100) // vocabSize + character floor
+  }
+
   // ---- HTML main-content extraction ----
 
   private def extractOne(html: String): (String, Long, Long) = {
