@@ -40,14 +40,19 @@ object TextOps {
     */
   def charHash(s: Column): Column = graft.functions.exprs.charHashFast(s)
 
-  /** Reference formulation of [[charHash]] in pure Catalyst builtins. */
-  def charHashComposed(s: Column): Column =
-    pmod(
-      aggregate(
-        transform(split(s, ""),
-          (c, i) => pmod(ascii(c) * pmod((i + 1) * HashA, lit(HashP)), lit(HashP))),
-        lit(0L), (acc, x) => acc + x),
-      lit(HashP))
+  /** Reference formulation of [[charHash]] in pure Catalyst builtins:
+    * the Horner fold `h ← h·(A mod P) + cp mod P` over the codepoints
+    * (Rabin–Karp — see HashKernels.weightedCharHash for why the old
+    * linear-weight sum was replaced: it collapsed to A·Σ(i+1)·cp, a
+    * bijection of a small integer, with measured mass collisions). */
+  def charHashComposed(s: Column): Column = {
+    val h = aggregate(
+      transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => pmod(acc * lit(HashA % HashP) + x, lit(HashP)))
+    // cube finalizer (bijective mod P; see HashKernels.finalizeHash)
+    pmod(pmod(h * h, lit(HashP)) * h, lit(HashP))
+  }
 
   /** Word k-shingles as an array of space-joined strings; empty array for
     * documents shorter than k words. */

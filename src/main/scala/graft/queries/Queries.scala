@@ -30,8 +30,20 @@ object Queries {
 
   /** SQL fragment: TextOps.charHash of a string expression (DuckDB's
     * list_transform index is 1-based; Spark's 0-based `i+1` matches). */
-  private def sqlHash(e: String): String =
-    s"CAST(list_sum(list_transform(string_split($e,''), (c,i) -> (ascii(c) * ((i*$HashA) % $HashP)) % $HashP)) % $HashP AS BIGINT)"
+  /** The library string hash in DuckDB: the Horner fold
+    * `h ← h·(A mod P) + ascii(c) mod P` via no-init list_reduce (the
+    * first element seeds the fold — identical to a 0-seeded fold since
+    * 0·A + cp₁ = cp₁; DuckDB splits '' to [''] with ascii('') = 0, so
+    * the empty string hashes to 0 like the kernel). Must stay in
+    * lockstep with HashKernels.weightedCharHash / TextOps.charHash. */
+  private def sqlHash(e: String): String = {
+    val fold =
+      s"list_reduce(list_transform(string_split($e,''), c -> ascii(c)::BIGINT), (a,x) -> (a * ${HashA % HashP} + x) % $HashP)"
+    // cube finalizer x³ mod P (bijective; kills the Horner fold's
+    // sequential low-order residues — HashKernels.finalizeHash). The
+    // single-element list_transform evaluates the fold ONCE.
+    s"CAST(list_transform([$fold], h -> ((h * h % $HashP) * h) % $HashP)[1] AS BIGINT)"
+  }
 
   // ---------------------------------------------------------------------
   // Index-maintenance parity (SURVEY.md §2, O1-O20) on the dense-id

@@ -555,8 +555,11 @@ class StreamOpsSpec extends SparkSpec {
     val tFresh1 = "yet another unrelated body of text mentioning clusters shuffles and partitions everywhere"
     val tFresh2 = "final genuinely novel sentence with vocabulary shared by no earlier document batch"
     val tFresh3 = "one more wholly original paragraph covering manifests shards and deterministic hashing"
-    // near-dup of tA: one word changed -> shingle overlap far above 0.5
-    val tAdup = tA.replace("misty", "foggy")
+    // re-upload of tA: VERBATIM, so the signature match is certain —
+    // a one-word edit's band collision is probabilistic in the hash
+    // (J≈0.6 ⇒ ~3% miss at 8 bands) and belongs to the recall
+    // scorecards (q_lsh_recall), not to this composition test
+    val tAdup = tA
     val mA = wave(1); val mB = wave(2); val mC = wave(3)
     val mBdup = { val b = mB.toCharArray; Seq(60, 200).foreach(i => b(i) = (b(i) + 5).toChar); new String(b) }
     val vA = vec(1, 0, 0, 0, 0, 0, 0, 0)
