@@ -67,7 +67,7 @@ object GraftExtensions {
       if (args.length > 2) intArg(args(2), "stride").toInt else 1)),
     "graft_simhash" -> (args =>
       SimhashBits(args.head,
-        if (args.length > 1) intArg(args(1), "bits").toInt else 24)),
+        if (args.length > 1) intArg(args(1), "bits").toInt else 60)),
     "graft_dhash" -> (args =>
       DhashBits(args.head,
         if (args.length > 1) intArg(args(1), "bits").toInt else 48)),
@@ -77,7 +77,68 @@ object GraftExtensions {
     // optional 3rd arg: lossless spaces-as-tokens encoding (default false)
     "graft_bpe_token_ids" -> (args => BpeTokenIds(args.head, mergesArg(args(1)),
       args.length > 2 && boolArg(args(2), "lossless"))),
-    "graft_bpe_decode" -> (args => BpeDecodeIds(args.head, mergesArg(args(1)))))
+    "graft_bpe_decode" -> (args => BpeDecodeIds(args.head, mergesArg(args(1)))),
+    // --- round-15 kernels (round-16 registration: a pure-SQL deployment
+    // could not reach them before) ---
+    // grams may arrive unsorted from SQL (the kernel binary-searches a
+    // sorted array); SortArray normalizes — same cost class as the scrub
+    "graft_span_scrub" -> (args => SpanScrub(args(0),
+      org.apache.spark.sql.catalyst.expressions.SortArray(args(1),
+        Literal(true)),
+      if (args.length > 2) intArg(args(2), "k").toInt else 13)),
+    "graft_extract_main" -> (args => ExtractMainContent(args.head,
+      if (args.length > 1) intArg(args(1), "minWords").toInt else 5)),
+    "graft_script_counts" -> (args => ScriptClassCounts(args.head)),
+    // vocabulary as a 'piece score_q' comma-separated literal (the
+    // graft_word_counts/BPE-merges convention; pieces with ',' or ' '
+    // are not expressible here — use the Column API)
+    "graft_unigram_encode" -> (args => UnigramEncode(args.head,
+      unigramVocabArg(args(1)),
+      if (args.length > 2) longArg(args(2), "unkScoreQ") else -(32L << 16))),
+    // DSIR model as two literals: bigram entries 'ctx tok count,…' and
+    // context entries 'ctx count,…', plus the vocabulary size
+    "graft_dsir_bits" -> (args => DsirBits(args.head,
+      dsirModelArg(args(1), args(2), longArg(args(3), "vocab")),
+      if (args.length > 4) intArg(args(4), "fracBits").toInt else 16)))
+
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def unigramVocabArg(e: Expression): UnigramVocab = {
+    val entries = strArg(e, "unigram vocab").split(",").toSeq.map { ent =>
+      val halves = ent.split(" ")
+      require(halves.length == 2, s"each vocab entry must be 'piece score_q', got '$ent'")
+      (halves(0), halves(1).toLong)
+    }
+    graft.ops.TextOps.unigramVocab(entries)
+  }
+
+  private def dsirModelArg(pairsE: Expression, ctxE: Expression,
+      vocab: Long): DsirModel = {
+    val pairs = strArg(pairsE, "dsir pair model").split(",").toSeq.map { ent =>
+      val f = ent.split(" ")
+      require(f.length == 3, s"each pair entry must be 'ctx tok count', got '$ent'")
+      (f(0) + " " + f(1), f(2).toLong)
+    }.sortBy(_._1)
+    val ctxs = strArg(ctxE, "dsir ctx model").split(",").toSeq.map { ent =>
+      val f = ent.split(" ")
+      require(f.length == 2, s"each ctx entry must be 'ctx count', got '$ent'")
+      (f(0), f(1).toLong)
+    }.sortBy(_._1)
+    DsirModel(pairs.map(_._1).toArray, pairs.map(_._2).toArray,
+      ctxs.map(_._1).toArray, ctxs.map(_._2).toArray, vocab)
+  }
 
   private def boolArg(e: Expression, what: String): Boolean = e match {
     case Literal(v: Boolean, _) => v

@@ -8,23 +8,86 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernels shared by interpreted eval and generated code. */
 object HashKernels {
-  val P: Long = 1000000007L
+  /** String-hash modulus: the Mersenne prime M61 = 2^61 − 1. Round 15's
+    * P ≈ 2^30 carried a birthday bound of √P ≈ 32k distinct inputs per
+    * hash-keyed domain — measured ~1.6% false-hit for EXACT-match
+    * consumers at the 16M-gram decontamination dial. At 2^61 the same
+    * bound is ~1.5e9 distinct inputs and the 16M-gram false-hit rate is
+    * ~7e-12. M61 specifically (vs an arbitrary 61-bit prime) because
+    * reduction needs no 128/64 division: 2^61 ≡ 1 (mod M61), so a
+    * 122-bit product folds with shifts and one conditional subtract
+    * (see [[mulmod]]) — the classic public rolling-hash modulus.
+    * The DuckDB oracle replays every product exactly in HUGEINT
+    * (≤ 2^122 < 2^127). */
+  val P: Long = 2305843009213693951L
   val A: Long = 2654435761L
-  /** The Horner multiplier: `A mod P`, so every per-character step
-    * `h·AM + cp` stays under 2^63 (h < P ≈ 1e9, AM ≈ 6.5e8). */
+  /** The Horner multiplier `A mod P` (= A now that P > A). Kept < 2^32
+    * so the pure-builtin Decimal(38,0) twin (TextOps.charHashComposed)
+    * and the HUGEINT oracle share small per-step products. */
   val AM: Long = A % P
+  /** Modulus of the affine REHASH families (minhash permutations, bloom
+    * probes, CMS rows): `(h mod RehashP)·a + b mod RehashP` with
+    * a, b < RehashP keeps every product under 2^61, so the Column-API
+    * and DuckDB-BIGINT formulations stay overflow-free. Banding /
+    * probing only needs per-slot uniformity, not 61-bit exactness —
+    * EXACT-match consumers key on the full 61-bit hash, never on a
+    * rehash. */
+  val RehashP: Long = 1000000007L
 
-  /** Hash finalizer: the cube x³ mod P — a PERMUTATION of Z_P (3 does
-    * not divide P−1 = 2·500000003), so it costs zero collision entropy
+  /** Version identifier of the string-hash family (modulus + Horner base
+    * + finalizer). Changing any of those orphans every PERSISTED
+    * hash-derived artifact — gram sets, bloom bitmaps, minhash/simhash
+    * signature indexes: replaying an old artifact through new-hash
+    * consumers silently matches nothing. Producers stamp this id into
+    * the artifact (column metadata — survives the parquet round trip);
+    * consumers REFUSE a mismatched stamp and warn on an unstamped
+    * legacy artifact — the `graft_pq_residual` stamp-and-refuse
+    * discipline. History: r15 "p30-h3" (Horner+cube mod 1e9+7),
+    * r16 "m61-x17" (Horner+x^17 mod 2^61−1). */
+  val FamilyId: String = "m61-x17"
+  /** Column-metadata key carrying [[FamilyId]] on stamped artifacts. */
+  val FamilyStampKey: String = "graft_hash_family"
+
+  /** a·b mod M61 for a, b ∈ [0, P): split the 122-bit product into
+    * hi·2^64 + lo (Math.multiplyHigh is an intrinsic), then fold with
+    * 2^64 ≡ 8, 2^61 ≡ 1 (mod M61): r = (lo & P) + (lo >>> 61 | hi << 3).
+    * hi < 2^58 so hi<<3 < 2^61 and the two OR-ed parts occupy disjoint
+    * bits; r < 2^62 − 3 < 2·M61, so ONE conditional subtract
+    * canonicalizes. */
+  @inline def mulmod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    val r = (lo & P) + ((lo >>> 61) | (hi << 3))
+    if (r >= P) r - P else r
+  }
+
+  /** One Horner step h ← h·AM + cp (mod P). cp < 2^21 (max codepoint),
+    * so the post-mulmod sum needs one conditional subtract. */
+  @inline def foldStep(h: Long, cp: Long): Long = {
+    val r = mulmod(h, AM) + cp
+    if (r >= P) r - P else r
+  }
+
+  /** Hash finalizer: x^17 mod P — a PERMUTATION of Z_P (17 is coprime
+    * to P−1 = 2·3²·5²·7·11·13·31·41·61·151·331·1321, the published
+    * factorization of 2^61−2), so it costs zero collision entropy
     * while destroying the arithmetic-progression structure a Horner
     * fold leaves in its low-order residues (sequential keys "…18, …19"
     * differ only in the raw-added last codepoint, so their hashes are
     * CONSECUTIVE — fine for collisions, fatal for `pmod(h, den)`
     * sampling, which would keep or drop whole key decades together;
-    * measured: hashSample at 100/1000 kept 10 of 500 sequential ids
-    * unfinalized, 56 with the cube). Both multiplies stay under 2^63
-    * (h < P ≈ 1e9), so the DuckDB oracle replays it exactly. */
-  def finalizeHash(h: Long): Long = (h * h % P) * h % P
+    * measured in r15: hashSample at 100/1000 kept 10 of 500 sequential
+    * ids unfinalized). The r15 cube x³ is NOT a bijection mod M61
+    * (3 | P−1 — it would triple-collide a third of the space); 17 is
+    * the smallest exponent coprime to P−1, and costs 4 squarings + 1
+    * multiply once per string. The DuckDB oracle replays it via nested
+    * single-element list_transforms in HUGEINT. */
+  def finalizeHash(h: Long): Long = {
+    val x2 = mulmod(h, h)
+    val x4 = mulmod(x2, x2)
+    val x8 = mulmod(x4, x4)
+    mulmod(mulmod(x8, x8), h)
+  }
 
   /** Rolling polynomial (Rabin–Karp/Horner) codepoint hash:
     * h = Σ cp_i · AM^(n−i) mod P, folded as `h ← h·AM + cp mod P` per
@@ -43,13 +106,11 @@ object HashKernels {
     * residues, making fine-rate hashSample off 4×. The geometric
     * weights break the common factor: the same measurements read
     * 100k/100k distinct, 0 shingle collisions, and exact sample rates.
-    * Residual limit (documented, not hidden): P ≈ 2^30, so
-    * birthday collisions start near √P ≈ 32k distinct inputs per
-    * hash-keyed domain — fine for sampling/banding/signatures (tiny
-    * uniform noise), but EXACT-match consumers at larger cardinality
-    * (the 16M-gram decontamination bound) carry a ~|set|/P false-hit
-    * rate; a 61-bit modulus needs 128-bit oracle arithmetic (HUGEINT)
-    * and is recorded as the follow-up in BASELINE round-15 notes.
+    * Round 16 widened P from ≈2^30 to M61 = 2^61−1 (see [[P]]): the
+    * birthday bound moves from ~32k to ~1.5e9 distinct inputs per
+    * domain, and the 16M-gram decontamination false-hit rate from
+    * ~1.6% to ~7e-12. The oracle fold runs in DuckDB HUGEINT; kernels
+    * reduce via the Mersenne [[mulmod]] fold.
     */
   def weightedCharHash(s: UTF8String): Long = {
     val str = s.toString
@@ -58,7 +119,7 @@ object HashKernels {
     val n = str.length
     while (i < n) {
       val cp = str.codePointAt(i)
-      h = (h * AM + cp) % P
+      h = foldStep(h, cp)
       i += Character.charCount(cp)
     }
     finalizeHash(h)
@@ -83,13 +144,13 @@ object HashKernels {
       var j = 0
       while (j < k) {
         if (j > 0) // the joining space
-          h = (h * AM + 32L) % P
+          h = foldStep(h, 32L)
         val w = words(i + j)
         var ci = 0
         val wn = w.length
         while (ci < wn) {
           val cp = w.codePointAt(ci)
-          h = (h * AM + cp) % P
+          h = foldStep(h, cp)
           ci += Character.charCount(cp)
         }
         j += 1
@@ -150,7 +211,7 @@ object HashKernels {
       var ci = start
       while (ci < end) {
         val cp = text.codePointAt(ci)
-        h = (h * AM + cp) % P
+        h = foldStep(h, cp)
         ci += Character.charCount(cp)
       }
       h = finalizeHash(h)
@@ -260,13 +321,13 @@ object HashKernels {
       var j = 0
       while (j < k) {
         if (j > 0) // the joining space
-          h = (h * AM + 32L) % P
+          h = foldStep(h, 32L)
         val w = words(i + j)
         var ci = 0
         val wn = w.length
         while (ci < wn) {
           val cp = w.codePointAt(ci)
-          h = (h * AM + cp) % P
+          h = foldStep(h, cp)
           ci += Character.charCount(cp)
         }
         j += 1
@@ -527,15 +588,17 @@ object HashKernels {
   }
 
   /** MinHash permutation parameters for slot j: a_j odd-ish multiplier,
-    * b_j offset, both mod P — the single source of truth shared by the
-    * kernel below and the DuckDB oracle builders (DedupOps.minhashParams
-    * delegates here). Products stay under 2^61 (both factors < P ~ 2^30).
-    */
+    * b_j offset, both mod [[RehashP]] — the single source of truth
+    * shared by the kernel below and the DuckDB oracle builders
+    * (DedupOps.minhashParams delegates here). Consumers first reduce the
+    * 61-bit string hash mod RehashP, so every product
+    * (h mod RehashP)·a_j stays under 2^60 — overflow-free in plain Long
+    * Column arithmetic and DuckDB BIGINT alike. */
   def minhashA(j: Int): Long = {
-    val a = (A * (2 * j + 1)) % P
+    val a = (A * (2 * j + 1)) % RehashP
     if (a == 0) 1L else a
   }
-  def minhashB(j: Int): Long = (A * A % P * (j + 7)) % P
+  def minhashB(j: Int): Long = (A * A % RehashP * (j + 7)) % RehashP
 
   /** MinHash signature of the doc's word k-shingles in one pass:
     * mins over (h * a_j + b_j) mod P for each permutation j. Returned
@@ -557,10 +620,10 @@ object HashKernels {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < m) {
-      val h = grams.getLong(i) // in [0, P): h * a + b < 2^61, no overflow
+      val h = grams.getLong(i) % RehashP // rehash field: products < 2^60
       j = 0
       while (j < numHashes) {
-        val v = (h * as(j) + bs(j)) % P
+        val v = (h * as(j) + bs(j)) % RehashP
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -584,11 +647,11 @@ object HashKernels {
     var hits = 0L
     var i = 0
     while (i < n) {
-      val h = grams.getLong(i)
+      val h = grams.getLong(i) % RehashP // rehash field: products < 2^60
       var all = true
       var j = 0
       while (all && j < probes) {
-        val pos = ((h * minhashA(j) + minhashB(j)) % P) % m
+        val pos = ((h * minhashA(j) + minhashB(j)) % RehashP) % m
         if (((bm.getLong((pos >>> 6).toInt) >>> (pos & 63L).toInt) & 1L) == 0L)
           all = false
         j += 1
@@ -826,7 +889,7 @@ object HashKernels {
         var ci = start
         while (ci < i) {
           val cp = str.codePointAt(ci)
-          h = (h * AM + cp) % P
+          h = foldStep(h, cp)
           ci += Character.charCount(cp)
         }
         h = finalizeHash(h)
@@ -1971,7 +2034,13 @@ object UnigramVocab {
   * map-only, streaming-legal. */
 case class UnigramEncode(child: Expression, vocab: UnigramVocab,
     unkScoreQ: Long) extends UnaryExpression {
-  require(unkScoreQ < 0L, s"unkScoreQ must be negative, got $unkScoreQ")
+  // lower bound excludes UnigramVocab.NoScore (Long.MinValue) — that
+  // sentinel would make unknown single characters unreachable DP states
+  // and surface as an opaque substring(-1) error during reconstruction —
+  // and rules out dpS accumulation overflow on pathological word lengths
+  // (|score|·word ≤ 2^62 for words ≤ 2^20 chars at scores > MinValue/2)
+  require(unkScoreQ < 0L && unkScoreQ > Long.MinValue / 2,
+    s"unkScoreQ must be in (${Long.MinValue / 2}, 0), got $unkScoreQ")
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess

@@ -7,6 +7,10 @@ import org.apache.spark.sql.functions._
   * composed in the canonical order a pretraining pipeline runs them
   * (each stage consumes the previous stage's survivors):
   *
+  *  0. web corpora only (opt-in): `domain_block` + `url_dedup`
+  *     ([[UrlOps]] — blocklisted domains out, one survivor per
+  *     canonical URL), then `extract` (HTML main-content,
+  *     [[TextOps.extractMainContent]]);
   *  1. `normalize`  — Unicode canonicalization (NFC, casefold,
   *     whitespace collapse) so every later stage keys on canonical text;
   *  2. `quality`    — the composite heuristic gate
@@ -40,8 +44,25 @@ object Curation {
       bias: Long = 0L, threshold: Long = 0L,
       sampleNum: Int = 800, sampleDen: Int = 1000,
       mat: Materializer = Materializer.Inline,
-      fromHtml: Boolean = false): Seq[(String, DataFrame)] = {
-    val input = df.filter(col(textCol).isNotNull)
+      fromHtml: Boolean = false,
+      urlCol: String = null,
+      blockedDomains: Seq[String] = Nil): Seq[(String, DataFrame)] = {
+    val preUrl = df.filter(col(textCol).isNotNull)
+    // stage -1 (web corpora with a URL column): URL-level curation runs
+    // FIRST — domain blocklist, then canonical-URL dedup keep-first —
+    // so a mirrored/re-tracked page never reaches text extraction, let
+    // alone shingling (the CCNet stage order). Both map/broadcast-only
+    // plus the one keep-first window.
+    val urlStages: Seq[(String, DataFrame)] =
+      if (urlCol == null) Nil
+      else {
+        val blocked = mat(
+          UrlOps.domainBlocklistFilter(preUrl, urlCol, blockedDomains))
+        val urlDeduped = mat(
+          UrlOps.urlDedup(blocked, idCol, urlCol).drop("canonical_url"))
+        Seq("domain_block" -> blocked, "url_dedup" -> urlDeduped)
+      }
+    val input = if (urlCol == null) preUrl else urlStages.last._2
     // stage 0 (web corpora): boilerplate extraction BEFORE anything
     // else — nav/footer/menu text would otherwise survive into dedup
     // shingles and quality stats. Documents with no kept content block
@@ -67,8 +88,8 @@ object Curation {
     val sampled = SampleOps.hashSample(classified, col(idCol),
       sampleNum, sampleDen)
     val head =
-      if (fromHtml) Seq("raw" -> input, "extract" -> raw)
-      else Seq("raw" -> raw)
+      Seq("raw" -> preUrl) ++ urlStages ++
+        (if (fromHtml) Seq("extract" -> raw) else Nil)
     head ++ Seq("quality" -> quality, "dedup" -> deduped,
       "classifier" -> classified, "sample" -> sampled)
   }

@@ -24,7 +24,10 @@ import org.apache.spark.sql.types
   *    DuckDB oracle reproduces results exactly.
   */
 object DedupOps {
-  import TextOps.{HashP, charHash, wordShingles}
+  import TextOps.{RehashP, charHash, wordShingles}
+
+  // named `logger`, not `log`: functions.log(base, col) shadows otherwise
+  private val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Exact duplicate groups by content: one row per distinct text with the
     * canonical (minimum) id and the duplicate count. One hash aggregate;
@@ -556,13 +559,88 @@ object DedupOps {
           .as("n_removed"))): _*)
   }
 
+  // --- hash-family stamping (HashKernels.FamilyId) -----------------------
+  // A persisted hash-derived artifact (gram set, bloom bitmap, signature
+  // index) replayed under a DIFFERENT hash family silently matches
+  // nothing — the exact failure the graft_pq_residual stamp prevents for
+  // PQ indexes. Producers below stamp the family id into column metadata
+  // (survives the parquet round trip); index consumers REFUSE a
+  // mismatched stamp and warn once on an unstamped legacy artifact.
+
+  private def familyMeta: types.Metadata = new types.MetadataBuilder()
+    .putString(graft.functions.HashKernels.FamilyStampKey,
+      graft.functions.HashKernels.FamilyId).build()
+
+  /** The hash-family stamp on `colName`, if the artifact carries one. */
+  def hashFamilyOf(df: DataFrame, colName: String): Option[String] =
+    df.schema.fields.find(_.name == colName).map(_.metadata)
+      .filter(_.contains(graft.functions.HashKernels.FamilyStampKey))
+      .map(_.getString(graft.functions.HashKernels.FamilyStampKey))
+
+  private def requireFamily(df: DataFrame, colName: String, op: String): Unit =
+    hashFamilyOf(df, colName) match {
+      case Some(f) => require(f == graft.functions.HashKernels.FamilyId,
+        s"$op: stored index was built with hash family '$f' but this " +
+          s"library computes '${graft.functions.HashKernels.FamilyId}' — " +
+          "its keys can never match; rebuild the index (a mismatched " +
+          "replay silently matches nothing)")
+      case None => logger.warn(s"$op: index column '$colName' carries no " +
+        s"${graft.functions.HashKernels.FamilyStampKey} stamp (legacy " +
+        s"artifact) — if it predates hash family " +
+        s"'${graft.functions.HashKernels.FamilyId}' it will silently match " +
+        "nothing; re-publish through the current builder to stamp it")
+    }
+
+  /** Publish a [[contaminationGramSet]] as a one-column parquet artifact
+    * with the hash family stamped in column metadata. [[loadGramSet]] is
+    * the refusing reader. */
+  def publishGramSet(spark: org.apache.spark.sql.SparkSession,
+      grams: Array[Long], path: String): Unit = {
+    import spark.implicits._
+    grams.toSeq.toDF("gram")
+      .select(col("gram").as("gram", familyMeta))
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a published gram set, refusing a hash-family mismatch (and
+    * warning on an unstamped legacy artifact). Returns the grams sorted,
+    * ready for [[decontaminateSpansWithGrams]]. */
+  def loadGramSet(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Long] = {
+    val df = spark.read.parquet(path)
+    requireFamily(df, "gram", "loadGramSet")
+    val arr = df.select("gram").collect().map(_.getLong(0))
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** Publish a [[bloomBitmap]] with the hash family stamped;
+    * [[loadBloomBitmap]] is the refusing reader. */
+  def publishBloomBitmap(spark: org.apache.spark.sql.SparkSession,
+      bitmap: Array[Long], path: String): Unit = {
+    import spark.implicits._
+    Seq(bitmap.toSeq).toDF("bm")
+      .select(col("bm").as("bm", familyMeta))
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a published bloom bitmap, refusing a hash-family mismatch. */
+  def loadBloomBitmap(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Long] = {
+    val df = spark.read.parquet(path)
+    requireFamily(df, "bm", "loadBloomBitmap")
+    df.head().getSeq[Long](0).toArray
+  }
+
   /** The eval set's distinct k-gram hashes as a SORTED driver artifact —
     * the exact-membership analog of [[bloomBitmap]] (build once, publish,
     * reuse across jobs/micro-batches; no false positives, at the price
     * of the full set instead of a bitmap). Guarded at `maxGrams`
     * (default 16M ≈ 128 MB of longs — a deliberate dial, not a silent
     * truncation): past it, use [[bloomDecontaminate]] + exact re-check,
-    * or raise the dial knowingly.
+    * or raise the dial knowingly. Persist via [[publishGramSet]] /
+    * [[loadGramSet]] — the stamped pair that survives hash-family
+    * migrations with a refusal instead of a silent no-match.
     */
   def contaminationGramSet(benchmark: DataFrame, idCol: String,
       textCol: String, k: Int = 13, maxGrams: Long = 16L << 20): Array[Long] = {
@@ -705,7 +783,9 @@ object DedupOps {
     val m = 1L << log2m
     val nWords = m >>> 6
     val posCols = minhashParams(probes).map { case (a, b) =>
-      ((col("sh") * a + b) % graft.functions.HashKernels.P) % m
+      // reduce the 61-bit hash into the rehash field first: products
+      // (h mod RehashP)·a stay < 2^60 (HashKernels.RehashP doc)
+      ((col("sh") % RehashP * a + b) % RehashP) % m
     }
     val words = shingleHashes(benchmark, idCol, textCol, k)
       .select(explode(array(posCols: _*)).as("pos"))
@@ -718,7 +798,7 @@ object DedupOps {
     // minutes stalled in the one-row subquery task at log2m ≥ 24
     words.agg(collect_list(struct(col("w"), col("bits"))).as("entries"))
       .select(graft.functions.exprs.bitmapFromEntries(
-        col("entries"), nWords.toInt).as("bm"))
+        col("entries"), nWords.toInt).as("bm", familyMeta))
   }
 
   private def bloomScore(corpus: DataFrame, bitmap: Column, idCol: String,
@@ -754,8 +834,9 @@ object DedupOps {
   }
 
   /** Deterministic MinHash permutation parameters: h_j(s) = (a_j*s + b_j)
-    * mod P, with odd a_j derived from the Knuth constant. Products stay
-    * under 2^61 (both factors < P ~ 2^30). */
+    * mod RehashP, with odd a_j derived from the Knuth constant. Callers
+    * reduce the 61-bit string hash mod RehashP first, so products stay
+    * under 2^60 (both factors < RehashP ~ 2^30). */
   def minhashParams(numHashes: Int): Seq[(Long, Long)] =
     (0 until numHashes).map { j =>
       (graft.functions.HashKernels.minhashA(j), graft.functions.HashKernels.minhashB(j))
@@ -777,7 +858,10 @@ object DedupOps {
         explode(graft.functions.exprs.minhashSignature(col(textCol), k, numHashes))
           .as("__sig"))
       .select(col(idCol) +: (0 until numHashes).map(j =>
-        col("__sig").getItem(j).as(s"mh$j")): _*)
+        // the hash-family stamp rides on mh0 (parquet persists it);
+        // dedupAgainstIndex refuses a mismatched stored index
+        if (j == 0) col("__sig").getItem(j).as("mh0", familyMeta)
+        else col("__sig").getItem(j).as(s"mh$j")): _*)
 
   /** Round-3 formulation of [[minhashSignatures]] (explode + min
     * aggregate) — the spec's equivalence reference. */
@@ -785,7 +869,7 @@ object DedupOps {
       textCol: String, numHashes: Int, k: Int): DataFrame = {
     val sh = shingleHashes(df, idCol, textCol, k)
     val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(col("sh") * a + b, lit(HashP))).as(s"mh$j")
+      min(pmod(col("sh") % RehashP * a + b, lit(RehashP))).as(s"mh$j")
     }
     sh.groupBy(col("sid").as(idCol) :: Nil: _*)
       .agg(aggs.head, aggs.tail: _*)
@@ -1005,6 +1089,7 @@ object DedupOps {
       bands: Int = 8, minEstJaccard: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    requireFamily(indexSigs, "mh0", "dedupAgainstIndex")
     val rowsPer = numHashes / bands
     val newSigs = minhashSignatures(newDocs, idCol, textCol, numHashes, k)
     def banded(sigs: DataFrame, p: String) = sigs.select(
@@ -1233,7 +1318,7 @@ object DedupOps {
     * (BASELINE.md round-7 stress).
     */
   def simhashNearPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 24, maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame =
+      bits: Int = 60, maxHamming: Int = 6, maxBucket: Int = 100000): DataFrame =
     hammingNearPairs(simhash(df, idCol, textCol, bits), idCol, "simhash",
       bits, maxHamming, maxBucket)
 
@@ -1310,6 +1395,22 @@ object DedupOps {
       maxBucket: Int = 100000): DataFrame = {
     require(bits >= maxHamming + 1 && bits <= 63,
       s"bits must be in [maxHamming+1, 63] = [${maxHamming + 1}, 63], got $bits")
+    // this spine is signature-agnostic (media phash sigs are not
+    // hash-family artifacts), so the family check is RELATIVE: refuse
+    // only when both sides carry stamps that disagree; warn when the
+    // fresh side is stamped (a text-simhash flow) but the stored index
+    // is not (a legacy index that may predate the current family)
+    (hashFamilyOf(newSigs, sigCol), hashFamilyOf(indexSigs, sigCol)) match {
+      case (Some(a), Some(b)) => require(a == b,
+        s"hammingAgainstIndex: new signatures are hash family '$a' but " +
+          s"the stored index is '$b' — their bits can never agree; " +
+          "rebuild the index under the current family")
+      case (Some(a), None) => logger.warn("hammingAgainstIndex: stored index " +
+        s"carries no hash-family stamp while new signatures are '$a' — " +
+        "if the index predates this family it will silently match " +
+        "nothing; re-publish it through simhash() to stamp it")
+      case _ => ()
+    }
     val nChunks = maxHamming + 1
     def banded(sigs: DataFrame, p: String): DataFrame =
       chunkBanded(sigs, idCol, sigCol, bits, nChunks, s"${p}_id", s"${p}_sig")
@@ -1359,10 +1460,13 @@ object DedupOps {
     * passes one-row-per-doc corpora); null texts are dropped, matching
     * the old explode's behavior on a null token array.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 24): DataFrame =
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame =
     df.filter(col(textCol).isNotNull)
       .select(col(idCol),
-        graft.functions.exprs.simhashBits(col(textCol), bits).as("simhash"))
+        // family-stamped: hammingAgainstIndex refuses a stored index
+        // hashed under a different family
+        graft.functions.exprs.simhashBits(col(textCol), bits)
+          .as("simhash", familyMeta))
 
   /** Round-3 formulation of [[simhash]] in pure builtins (explode +
     * conditional-sum aggregate) — kept as the equivalence reference the
@@ -1373,7 +1477,9 @@ object DedupOps {
         explode(TextOps.tokens(col(textCol))).as("w"))
       .select(col("sid"), charHash(col("w")).as("wh"))
     val votes = (0 until bits).map { b =>
-      sum(when(pmod(col("wh").divide(lit(1L << b)).cast("long"), lit(2L)) === 1L, 1L)
+      // bit extraction must be integer ops: hashes are 61-bit since r16,
+      // and Column.divide is DOUBLE division (exact only below 2^53)
+      sum(when(shiftrightunsigned(col("wh"), b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"v$b")
     }
     val bitsum = (0 until bits).map { b =>

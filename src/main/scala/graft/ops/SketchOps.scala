@@ -89,8 +89,9 @@ object SketchOps {
     val h = graft.ops.TextOps.charHash(col("__tok"))
     val entries = array(DedupOps.minhashParams(depth).zipWithIndex.map {
       case ((a, b), j) =>
-        struct(lit(j).as("j"), pmod(h * a + b, lit(graft.ops.TextOps.HashP))
-          .%(w).as("pos"))
+        struct(lit(j).as("j"),
+          pmod(h % graft.ops.TextOps.RehashP * a + b,
+            lit(graft.ops.TextOps.RehashP)).%(w).as("pos"))
     }: _*)
     df.filter(col(textCol).isNotNull)
       .select(explode(graft.ops.TextOps.tokens(col(textCol))).as("__tok"))
@@ -122,8 +123,9 @@ object SketchOps {
     val h = graft.ops.TextOps.charHash(col(termCol))
     val probes = array(DedupOps.minhashParams(depth).zipWithIndex.map {
       case ((a, b), j) =>
-        struct(lit(j).as("j"), pmod(h * a + b, lit(graft.ops.TextOps.HashP))
-          .%(w).as("pos"))
+        struct(lit(j).as("j"),
+          pmod(h % graft.ops.TextOps.RehashP * a + b,
+            lit(graft.ops.TextOps.RehashP)).%(w).as("pos"))
     }: _*)
     terms.select(col(termCol), explode(probes).as("__p"))
       .join(broadcast(cells),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, language ID, quality scoring, token counting, and
@@ -13,16 +14,22 @@ import org.apache.spark.sql.functions._
   * no UDFs, no serialization boundary, and it scales linearly with a
   * plain parquet scan — no shuffle at all for the per-document columns.
   *
-  * Determinism contract: all hashes are exact 64-bit integer arithmetic
-  * (position-weighted sums mod 1e9+7) so the DuckDB oracle can reproduce
-  * them bit-for-bit; intermediate products stay < 2^43 which keeps ANSI
-  * overflow checks quiet on both engines.
+  * Determinism contract: all hashes are exact modular integer arithmetic
+  * (Horner fold + x^17 finalizer mod the Mersenne prime 2^61−1 — see
+  * HashKernels.P) so the DuckDB oracle can reproduce them bit-for-bit:
+  * the oracle folds in HUGEINT (products ≤ 2^122 < 2^127), the kernels
+  * via the Mersenne shift-fold mulmod, and the pure-builtin twin
+  * [[charHashComposed]] in Spark Decimal(38,0) (128-bit).
   */
 object TextOps {
-  /** Modulus for all text hashes (fits in 31 bits: products with weights
-    * stay well under 2^63 even before reduction). */
-  val HashP = 1000000007L
-  /** Knuth multiplicative constant, the position-weight generator. */
+  /** Modulus for all text hashes: M61 = 2^61−1 (HashKernels.P). */
+  val HashP = graft.functions.HashKernels.P
+  /** Modulus of the affine rehash families — minhash permutations, bloom
+    * probes, CMS rows (HashKernels.RehashP): inputs are reduced
+    * `h mod RehashP` first so products stay < 2^61 in plain Long / BIGINT
+    * arithmetic on both engines. */
+  val RehashP = graft.functions.HashKernels.RehashP
+  /** Knuth multiplicative constant, the Horner base. */
   val HashA = 2654435761L
 
   /** Whitespace tokens. Single-space split so the oracle's
@@ -44,14 +51,28 @@ object TextOps {
     * the Horner fold `h ← h·(A mod P) + cp mod P` over the codepoints
     * (Rabin–Karp — see HashKernels.weightedCharHash for why the old
     * linear-weight sum was replaced: it collapsed to A·Σ(i+1)·cp, a
-    * bijection of a small integer, with measured mass collisions). */
+    * bijection of a small integer, with measured mass collisions).
+    *
+    * Arithmetic runs in Decimal(38,0) — Spark's 128-bit integer type —
+    * exactly as the DuckDB oracle runs it in HUGEINT: with P = 2^61−1
+    * every product h·A < 2^93 ≈ 1e28 overflows Long but sits comfortably
+    * inside 38 decimal digits, and each step reduces back under 2^61.
+    * The x^17 finalizer (HashKernels.finalizeHash) squares 61-bit values
+    * (< 2^122 ≈ 5.3e36 < 1e38 — still in range) four times and
+    * multiplies by h once. */
   def charHashComposed(s: Column): Column = {
+    val dec = DataTypes.createDecimalType(38, 0)
+    val pD = lit(new java.math.BigDecimal(HashP)).cast(dec)
+    def m(x: Column): Column = pmod(x, pD).cast(dec)
     val h = aggregate(
-      transform(split(s, ""), c => ascii(c).cast("long")),
-      lit(0L),
-      (acc, x) => pmod(acc * lit(HashA % HashP) + x, lit(HashP)))
-    // cube finalizer (bijective mod P; see HashKernels.finalizeHash)
-    pmod(pmod(h * h, lit(HashP)) * h, lit(HashP))
+      transform(split(s, ""), c => ascii(c).cast(dec)),
+      lit(java.math.BigDecimal.ZERO).cast(dec),
+      (acc, x) => m(acc * lit(HashA % HashP) + x))
+    // x^17 finalizer (bijective mod M61; see HashKernels.finalizeHash)
+    val x2 = m(h * h)
+    val x4 = m(x2 * x2)
+    val x8 = m(x4 * x4)
+    m(m(x8 * x8) * h).cast("long")
   }
 
   /** Word k-shingles as an array of space-joined strings; empty array for
@@ -259,6 +280,16 @@ object TextOps {
     * the [[trainBpeMergesIncremental]] budget class) with the vocab
     * riding as a kernel artifact — no shuffle wider than the word
     * histogram. Returns (piece, score_q) entries for [[unigramVocab]].
+    *
+    * BMP restriction: the seed pass slices candidate pieces with Spark
+    * `substring`/`length` (codepoint offsets) while the E-step
+    * re-segments through the [[unigramEncode]] kernel (UTF-16 offsets).
+    * On text containing supplementary-plane characters the two
+    * disagree — seed pieces that split a surrogate pair are never
+    * matched by the kernel and silently fall to `<unk>`, drifting the
+    * trainer's counts from what the encoder can use. Train on
+    * BMP-only corpora (or strip astral codepoints first); the ENCODER
+    * itself ([[unigramEncode]]) handles any input.
     */
   def trainUnigramVocab(df: DataFrame, textCol: String, vocabSize: Int,
       iters: Int = 2, maxPieceLen: Int = 8, minCount: Long = 2L,
@@ -1704,10 +1735,13 @@ object TextOps {
     * paper's actual scheme). This is [[SampleOps.prioritySample]]'s
     * weight/uniform priority race run EXACTLY in the Q16 log domain —
     * the weight 2^(ratio_q/2^16) would need a transcendental pow2, but
-    * its LOG is already the ratio, so with u = (charHash(id)+1)/2^63:
-    *   log2(w/u) = ratio_q/2^16 − log2q(charHash(id)+1)/2^16 + 63
-    * and the score `score_q = ratio_q − log2q(hash+1, 1, fracBits)`
-    * ranks identically (the +63·2^fracBits shifts all docs equally).
+    * its LOG is already the ratio. charHash(id) is uniform on [0, P)
+    * with P = 2^61−1 (HashKernels.P), so u = (charHash(id)+1)/P is
+    * uniform on (0, 1] and
+    *   log2(w/u) = ratio_q/2^16 − log2q(charHash(id)+1)/2^16 + log2(P)
+    * where log2(P) ≈ 61; the score `score_q = ratio_q − log2q(hash+1,
+    * 1, fracBits)` ranks identically (the +log2(P)·2^fracBits term
+    * shifts all docs equally, so it is dropped).
     * All exact integers (the [[graft.functions.Log2Fixed]] kernel's
     * exactly-rounded op sequence), so the DuckDB oracle hash-matches
     * (q_dsir_sample). Monotone: for a fixed id, a higher ratio can only

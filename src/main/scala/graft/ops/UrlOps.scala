@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain-level curation — the stage every web-corpus pipeline
+  * (CCNet and successors) runs BEFORE text-level dedup: canonicalize
+  * URLs with explicit replayable rules, collapse exact URL duplicates
+  * keep-first, and drop blocklisted domains. Reference `tmdb_index.py`
+  * has no analog (its ids are TMDB-native); this is brief-driven
+  * extension surface, prepended to [[Curation.stages]] like the r15
+  * HTML-extraction stage.
+  *
+  * Everything is pure Catalyst builtins (regexp/string/array functions)
+  * with Java-regex ≡ RE2-safe constructs only (anchors, `[^/?]*`
+  * classes, alternation, `\.`), so the DuckDB oracle replays each rule
+  * literally and results hash-match. No UDFs, no shuffle for
+  * canonicalization — it rides the scan.
+  */
+object UrlOps {
+  /** Query parameters stripped by [[canonicalizeUrl]] — the standard
+    * click-tracking set. Matching is case-insensitive on the NAME. */
+  val DefaultTrackingParams: Seq[String] = Seq(
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "ref", "mc_cid", "mc_eid")
+
+  /** One alternation regex over the tracking params: `utm_*` collapses
+    * to a single branch. Anchored at param start, matches `name=` or a
+    * bare valueless `name`. */
+  private val TrackingRe = "^(utm_[a-z0-9]+|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)"
+
+  /** Canonical form of a URL, as explicit ordered rules (each one a
+    * single replayable expression):
+    *  1. trim surrounding whitespace;
+    *  2. strip the fragment (`#…`);
+    *  3. strip the scheme (`http://`, `https://`, any `x+y://`);
+    *  4. host = everything before the first `/` or `?`, lowercased,
+    *     `www.` prefix dropped, default `:80`/`:443` port dropped
+    *     (the PATH keeps its case — only authority is case-insensitive
+    *     per RFC 3986);
+    *  5. path: trailing `/` runs dropped;
+    *  6. query: tracking params ([[DefaultTrackingParams]], name
+    *     matched case-insensitively) and empty params dropped, the
+    *     REST kept in original order (no reorder — two URLs differing
+    *     in param order stay distinct, a deliberate conservative rule);
+    *     an emptied query drops its `?`.
+    * Nulls pass through. Credentials (`user@host`) and punycode are NOT
+    * normalized — documented non-rules.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val t1 = regexp_replace(trim(url), "#.*$", "")
+    val t2 = regexp_replace(t1, "^[A-Za-z][A-Za-z0-9+.\\-]*://", "")
+    val hostRaw = regexp_extract(t2, "^[^/?]*", 0)
+    val host = regexp_replace(
+      regexp_replace(lower(hostRaw), "^www\\.", ""), ":(80|443)$", "")
+    val rest = substring(t2, length(hostRaw) + 1, lit(1 << 30))
+    val path = regexp_extract(rest, "^[^?]*", 0)
+    val cleanPath = regexp_replace(path, "/+$", "")
+    val query = when(length(rest) > length(path),
+      substring(rest, length(path) + 2, lit(1 << 30))).otherwise(lit(""))
+    val params = filter(split(query, "&"),
+      p => !lower(p).rlike(TrackingRe) && p =!= "")
+    concat(host, cleanPath,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** The canonical HOST alone (rule 4 of [[canonicalizeUrl]]) — the
+    * domain-blocklist join key. */
+  def hostOf(url: Column): Column = {
+    val t2 = regexp_replace(
+      regexp_replace(trim(url), "#.*$", ""),
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://", "")
+    regexp_replace(
+      regexp_replace(lower(regexp_extract(t2, "^[^/?]*", 0)), "^www\\.", ""),
+      ":(80|443)$", "")
+  }
+
+  /** Exact URL-keyed dedup, keep-first: one survivor per canonical URL —
+    * the row with the smallest `idCol` (deterministic, engine-replayable
+    * — the [[IndexOps.dedupKeepFirst]] priority-window pattern keyed on
+    * [[canonicalizeUrl]]). Emits the input columns plus
+    * `canonical_url`. Scale shape: ONE hash-partitioned window on the
+    * canonical key — the same exchange any exact dedup pays; no joins.
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+    val w = Window.partitionBy(col("canonical_url")).orderBy(col(idCol).asc)
+    keyed.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Drop rows whose canonical host is a blocked domain or any of its
+    * subdomains (`host == d` or `host` ends with `.d`). The blocklist is
+    * a BROADCAST side (blocklists are ~1e5 rows; the corpus is never
+    * shuffled — a left-anti broadcast join riding the scan). Domains are
+    * matched lowercase; pass registrable domains (`spam.example`), not
+    * hosts. */
+  def domainBlocklistFilter(df: DataFrame, urlCol: String,
+      blocked: Seq[String]): DataFrame = {
+    if (blocked.isEmpty) return df
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bl = broadcast(blocked.map(_.toLowerCase).toDF("__blocked_domain"))
+    val host = hostOf(col(urlCol))
+    df.join(bl,
+        host === col("__blocked_domain") ||
+          host.endsWith(concat(lit("."), col("__blocked_domain"))),
+        "left_anti")
+  }
+}

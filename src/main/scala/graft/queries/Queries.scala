@@ -21,28 +21,34 @@ import graft.ops._
   *  - every top-k has a total tie-broken order.
   */
 object Queries {
-  import TextOps.{HashA, HashP}
+  import TextOps.{HashA, HashP, RehashP}
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
-  /** SQL fragment: TextOps.charHash of a string expression (DuckDB's
-    * list_transform index is 1-based; Spark's 0-based `i+1` matches). */
   /** The library string hash in DuckDB: the Horner fold
     * `h ← h·(A mod P) + ascii(c) mod P` via no-init list_reduce (the
     * first element seeds the fold — identical to a 0-seeded fold since
     * 0·A + cp₁ = cp₁; DuckDB splits '' to [''] with ascii('') = 0, so
     * the empty string hashes to 0 like the kernel). Must stay in
-    * lockstep with HashKernels.weightedCharHash / TextOps.charHash. */
+    * lockstep with HashKernels.weightedCharHash / TextOps.charHash.
+    *
+    * P = 2^61−1 since round 16, so products run in HUGEINT (≤ 2^122 <
+    * 2^127): codepoints are cast to HUGEINT and the fold stays HUGEINT
+    * throughout. The x^17 finalizer (HashKernels.finalizeHash — the r15
+    * cube is not a bijection mod M61) shares each squaring via nested
+    * single-element list_transforms: x2 = h², x4 = x2², x8 = x4², then
+    * (x8²·h) mod P — five HUGEINT mulmods, one fold evaluation. */
   private def sqlHash(e: String): String = {
     val fold =
-      s"list_reduce(list_transform(string_split($e,''), c -> ascii(c)::BIGINT), (a,x) -> (a * ${HashA % HashP} + x) % $HashP)"
-    // cube finalizer x³ mod P (bijective; kills the Horner fold's
-    // sequential low-order residues — HashKernels.finalizeHash). The
-    // single-element list_transform evaluates the fold ONCE.
-    s"CAST(list_transform([$fold], h -> ((h * h % $HashP) * h) % $HashP)[1] AS BIGINT)"
+      s"list_reduce(list_transform(string_split($e,''), c -> ascii(c)::HUGEINT), (a,x) -> (a * ${HashA % HashP} + x) % $HashP)"
+    s"CAST(list_transform([$fold], h -> " +
+      s"list_transform([(h*h) % $HashP], x2 -> " +
+      s"list_transform([(x2*x2) % $HashP], x4 -> " +
+      s"list_transform([(x4*x4) % $HashP], x8 -> " +
+      s"((x8*x8) % $HashP * h) % $HashP)[1])[1])[1])[1] AS BIGINT)"
   }
 
   // ---------------------------------------------------------------------
@@ -1399,7 +1405,7 @@ object Queries {
 
   private val minhashSignaturesSql = {
     val mins = DedupOps.minhashParams(MinhashN).zipWithIndex.map { case ((a, b), j) =>
-      s"min((h * $a + $b) % $HashP)::BIGINT AS mh$j"
+      s"min((h % $RehashP * $a + $b) % $RehashP)::BIGINT AS mh$j"
     }.mkString(", ")
     s"""WITH sh AS ($sqlShingleHashes)
        |SELECT doc_id, $mins FROM sh GROUP BY doc_id""".stripMargin
@@ -1432,7 +1438,7 @@ object Queries {
 
   private def minhashSignaturesInner: String = {
     val mins = DedupOps.minhashParams(MinhashN).zipWithIndex.map { case ((a, b), j) =>
-      s"min((h * $a + $b) % $HashP)::BIGINT AS mh$j"
+      s"min((h % $RehashP * $a + $b) % $RehashP)::BIGINT AS mh$j"
     }.mkString(", ")
     s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
   }
@@ -1484,7 +1490,19 @@ object Queries {
        |FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
        |WHERE c.doc_id = c.cluster_id""".stripMargin
 
-  private val SimhashBits = 24
+  /** 60 of the 61 hash bits (chunk masks need bits ≤ 63; 60 splits
+    * evenly-ish into 7 pigeonhole chunks of 8-9 bits). Round 15 ran 24
+    * bits / maxHamming 3 — measured on this corpus (31-token synthetic
+    * vocabulary, so signature bits are heavily correlated): the pair
+    * graph at 24 bits is a coin flip of where 31 token hashes land
+    * (2,807 pairs under the r14 hash, 7,571 under r15's). At 60/6 the
+    * same corpus yields 64 pairs — just the genuine near-dup mass —
+    * while planted-mutation recall holds (SimhashTuningSpec: ≥94% at
+    * 5% token mutation, 98% at 2%). */
+  private val SimhashBits = 60
+  /** maxHamming 6/60 = 10% disagreement ≈ the r14 semantic (3/24 =
+    * 12.5%) with sharper concentration from the wider signature. */
+  private val SimhashMaxHamming = 6
 
   /** LSH recall scorecard: banded MinHash pairs measured against the
     * exact inverted-index pairs — the dial-tuning evidence row
@@ -1575,14 +1593,14 @@ object Queries {
 
   private def simhashNearQ(s: SparkSession, dir: String): DataFrame =
     DedupOps.simhashNearPairs(t(s, dir, "documents"), "doc_id", "text",
-      SimhashBits, maxHamming = 3)
+      SimhashBits, maxHamming = SimhashMaxHamming)
 
   private def simhashNearSql =
     s"""WITH sh AS ($simhashInnerSql)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming""".stripMargin
 
   /** SimHash pairs flowing INTO the cluster spine — the pigeonhole
     * near-pair generator feeding the same edge-induced-subgraph CC the
@@ -1590,7 +1608,7 @@ object Queries {
   private def simhashClustersQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val pairs = DedupOps.simhashNearPairs(docs, "doc_id", "text",
-      SimhashBits, maxHamming = 3)
+      SimhashBits, maxHamming = SimhashMaxHamming)
     DedupOps.nearDupClusters(pairs, docs.select(col("doc_id")), "doc_id")
   }
 
@@ -1598,7 +1616,7 @@ object Queries {
     s"""WITH RECURSIVE sh AS ($simhashInnerSql),
        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
        |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |          WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION SELECT id_b, id_a FROM pairs),
        |walk(node, label) AS (
@@ -2279,7 +2297,7 @@ object Queries {
     val m = 1L << BloomLog2m
     val ps = DedupOps.minhashParams(BloomProbes)
     def pos(j: Int): String = {
-      val (a, b) = ps(j); s"((h * $a + $b) % $HashP) % $m"
+      val (a, b) = ps(j); s"((h % $RehashP * $a + $b) % $RehashP) % $m"
     }
     val branches = (0 until BloomProbes)
       .map(j => s"SELECT DISTINCT ${pos(j)} AS p FROM sh WHERE doc_id < 10")
@@ -2952,7 +2970,7 @@ object Queries {
     val w = 1L << CmsLog2w
     val ps = DedupOps.minhashParams(CmsDepth)
     def pos(j: Int, h: String): String = {
-      val (a, b) = ps(j); s"(($h * $a + $b) % $HashP) % $w"
+      val (a, b) = ps(j); s"(($h % $RehashP * $a + $b) % $RehashP) % $w"
     }
     val cellBranches = (0 until CmsDepth)
       .map(j => s"SELECT $j AS j, ${pos(j, "h")} AS pos, CAST(sum(n_true) AS BIGINT) AS cell FROM th GROUP BY 2")
@@ -2976,6 +2994,81 @@ object Queries {
     * is for reference parity): five curation stages chained, counts per
     * stage, one CTE oracle. Model weights derive from the raw corpus
     * exactly as in q_classifier_score. */
+  // ---------------------------------------------------------------------
+  // URL/domain curation (round 16): canonicalization + URL-keyed dedup.
+  // The documents table carries no URL column, so the queries synthesize
+  // DETERMINISTIC urls from (doc_id, source) in four shapes that exercise
+  // every rule: scheme/host case, www., default port, fragment, tracking
+  // params, trailing slash, schemeless input. Shapes 0 and 1 canonicalize
+  // to the SAME url (the merge the canonicalizer exists to make).
+  // ---------------------------------------------------------------------
+
+  private def synthUrl: Column = {
+    val k = pmod(col("doc_id"), lit(25)).cast("string")
+    val id = col("doc_id").cast("string")
+    val m = pmod(col("doc_id"), lit(4))
+    when(m === 0, concat(lit("HTTPS://WWW."), col("source"),
+        lit(".Example.com:443/docs/"), k, lit("/?utm_source=feed&fbclid="),
+        id, lit("#frag")))
+      .when(m === 1, concat(lit("http://"), col("source"),
+        lit(".example.com/docs/"), k))
+      .when(m === 2, concat(lit("https://m."), col("source"),
+        lit(".example.com/a/"), k, lit("?gclid=1&page=2")))
+      .otherwise(concat(col("source"), lit(".spamhub.example/docs/"), k,
+        lit("?ref=tw&x=1")))
+  }
+
+  private val synthUrlSql =
+    """CASE doc_id % 4
+      | WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.com:443/docs/' || (doc_id % 25) || '/?utm_source=feed&fbclid=' || doc_id || '#frag'
+      | WHEN 1 THEN 'http://' || source || '.example.com/docs/' || (doc_id % 25)
+      | WHEN 2 THEN 'https://m.' || source || '.example.com/a/' || (doc_id % 25) || '?gclid=1&page=2'
+      | ELSE source || '.spamhub.example/docs/' || (doc_id % 25) || '?ref=tw&x=1'
+      |END""".stripMargin
+
+  /** UrlOps.canonicalizeUrl's six rules replayed literally (chained CTEs
+    * mirror the expression pipeline; every regex is RE2 ≡ Java-regex
+    * safe: anchors, char classes, alternation). */
+  private val urlCanonCtes =
+    s"""u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
+       |c1 AS (SELECT doc_id, url, regexp_replace(regexp_replace(trim(url),
+       |  '#.*$$', ''), '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS t2 FROM u),
+       |c2 AS (SELECT *, regexp_extract(t2, '^[^/?]*') AS hostraw FROM c1),
+       |c3 AS (SELECT *, regexp_replace(regexp_replace(lower(hostraw),
+       |  '^www\\.', ''), ':(80|443)$$', '') AS host,
+       |  substr(t2, length(hostraw) + 1) AS rest FROM c2),
+       |c4 AS (SELECT *, regexp_extract(rest, '^[^?]*') AS pth FROM c3),
+       |c5 AS (SELECT *, regexp_replace(pth, '/+$$', '') AS cleanpath,
+       |  CASE WHEN length(rest) > length(pth)
+       |       THEN substr(rest, length(pth) + 2) ELSE '' END AS qs FROM c4),
+       |c6 AS (SELECT *, list_filter(string_split(qs, '&'),
+       |  p -> NOT regexp_matches(lower(p),
+       |    '^(utm_[a-z0-9]+|gclid|fbclid|ref|mc_cid|mc_eid)(=|${"$"})')
+       |  AND p <> '') AS params FROM c5),
+       |canon AS (SELECT doc_id, url,
+       |  host || cleanpath || CASE WHEN len(params) > 0
+       |    THEN '?' || array_to_string(params, '&') ELSE '' END
+       |    AS canonical_url FROM c6)""".stripMargin
+
+  private def urlCanonicalQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), synthUrl.as("url"))
+      .withColumn("canonical_url", UrlOps.canonicalizeUrl(col("url")))
+
+  private def urlCanonicalSql =
+    s"""WITH $urlCanonCtes
+       |SELECT doc_id, url, canonical_url FROM canon""".stripMargin
+
+  private def urlDedupQ(s: SparkSession, dir: String): DataFrame =
+    UrlOps.urlDedup(
+      t(s, dir, "documents").select(col("doc_id"), synthUrl.as("url")),
+      "doc_id", "url")
+
+  private def urlDedupSql =
+    s"""WITH $urlCanonCtes
+       |SELECT doc_id, url, canonical_url FROM canon
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY canonical_url ORDER BY doc_id) = 1""".stripMargin
+
   private def curationFunnelQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val weights = corpusWeights(docs)
@@ -4119,6 +4212,8 @@ object Queries {
     "q_session_attribution" -> (sessionAttributionQ _),
     "q_cms_terms" -> (cmsTermsQ _),
     "q_curation_funnel" -> (curationFunnelQ _),
+    "q_url_canonical" -> (urlCanonicalQ _),
+    "q_url_dedup" -> (urlDedupQ _),
     "q_profile_by_group" -> (profileByGroupQ _),
     "q_profile_incremental" -> (profileIncrementalQ _))
 
@@ -4273,6 +4368,8 @@ object Queries {
     "q_session_attribution" -> sessionAttributionSql,
     "q_cms_terms" -> cmsTermsSql,
     "q_curation_funnel" -> curationFunnelSql,
+    "q_url_canonical" -> urlCanonicalSql,
+    "q_url_dedup" -> urlDedupSql,
     "q_profile_by_group" -> profileByGroupSql,
     "q_profile_incremental" -> numericProfileSql)
 }

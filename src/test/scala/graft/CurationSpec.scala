@@ -9,13 +9,16 @@ class CurationSpec extends SparkSpec {
 
   test("funnel drops the right doc at each stage") {
     // crafted so each stage removes exactly one known doc:
+    // survivor ids 3 and 5 sit in the 800/1000 hash-sample keep window
+    // under the m61-x17 family (charHash("3") % 1000 = 308, "5" -> 68);
+    // the ids only matter for the sample stage, which keys on doc_id
     val fill = (1 to 20).map(i => s"x$i").mkString(" ")
     val d = Seq(
-      (0L, s"GOOD  $fill"),       // survives everything (normalize fixes case/spaces)
+      (3L, s"GOOD  $fill"),       // survives everything (normalize fixes case/spaces)
       (1L, "too short"),           // quality: < 20 words
-      (2L, s"good $fill"),         // dedup: same canonical text as doc 0
-      (3L, s"bad bad bad $fill"),  // classifier: weight of 'bad' sinks it
-      (4L, s"keep me $fill aa"))   // survives
+      (6L, s"good $fill"),         // dedup: same canonical text as doc 3 (keep-first: 3 < 6)
+      (2L, s"bad bad bad $fill"),  // classifier: weight of 'bad' sinks it
+      (5L, s"keep me $fill aa"))   // survives
       .toDF("doc_id", "text")
     val weights = Seq(("bad", -100L)).toDF("term", "weight")
     val funnel = Curation.funnel(d, "doc_id", "text", weights)
@@ -23,10 +26,10 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getLong(2)))
     assert(funnel.toSeq == Seq(
       "raw" -> 5L, "quality" -> 4L, "dedup" -> 3L, "classifier" -> 2L,
-      "sample" -> 2L)) // 800/1000 sample happens to keep both here
+      "sample" -> 2L)) // both survivor ids are in the sample keep window
     val survivors = Curation.curate(d, "doc_id", "text", weights)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(survivors == Set(0L, 4L))
+    assert(survivors == Set(3L, 5L))
   }
 
   test("funnel counts are monotone non-increasing on the real corpus") {
@@ -43,6 +46,38 @@ class CurationSpec extends SparkSpec {
     counts.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
     // the curated set is exactly the last stage's count
     assert(Curation.curate(docs, "doc_id", "text", weights).count() == counts.last)
+  }
+
+  test("url stages: blocklisted domain drops first, canonical-URL dupes collapse, then the text funnel runs") {
+    import graft.ops.{Curation, UrlOps}
+    val fill = (1 to 20).map(i => s"x$i").mkString(" ")
+    val d = Seq(
+      // 3 and 5: survivor ids in the hash-sample keep window (above)
+      (3L, s"good $fill", "https://news.example.com/a/1"),
+      // same canonical URL as doc 3 after scheme/www/tracking strip:
+      // url_dedup keeps doc 3 (smaller id)
+      (7L, s"keep me $fill aa", "HTTP://WWW.News.Example.com/a/1/?utm_source=x"),
+      // blocked domain (subdomain of the blocklist entry)
+      (1L, s"keep me $fill aa", "https://cdn.spamhub.example/a/2"),
+      // distinct URL, survives URL stages; text survives the funnel
+      (5L, s"keep me $fill aa", "https://news.example.com/a/2"))
+      .toDF("doc_id", "text", "url")
+    val weights = Seq(("bad", -100L)).toDF("term", "weight")
+    val stages = Curation.stages(d, "doc_id", "text", weights,
+      urlCol = "url", blockedDomains = Seq("spamhub.example"))
+    assert(stages.map(_._1) == Seq("raw", "domain_block", "url_dedup",
+      "quality", "dedup", "classifier", "sample"))
+    val counts = stages.map { case (n, f) => n -> f.count() }.toMap
+    assert(counts("raw") == 4 && counts("domain_block") == 3 &&
+      counts("url_dedup") == 2)
+    val survivors = stages.last._2.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(3L, 5L))
+    // the canonicalizer itself: every rule in one value
+    val canon = d.select(UrlOps.canonicalizeUrl(
+      lit("HTTPS://WWW.News.Example.com:443/a/1/?utm_source=x&q=2&fbclid=z#f")))
+      .head().getString(0)
+    assert(canon == "news.example.com/a/1?q=2", canon)
   }
 
   test("fromHtml prepends the extraction stage: boilerplate-only pages drop, article pages feed the funnel clean") {

@@ -141,4 +141,67 @@ class SqlFunctionsSpec extends SparkSpec {
       .head().getString(0)
     assert(decoded == "the that")
   }
+
+  test("round-15 kernels reach pure SQL: span_scrub, extract_main, script_counts, unigram_encode, dsir_bits") {
+    exprs.registerSql(spark)
+    val text = "alpha beta gamma delta alpha beta"
+    Seq(Tuple1(text)).toDF("t").createOrReplaceTempView("sqlfn_r15")
+
+    // span_scrub: gram list from SQL arrives UNSORTED — the builder
+    // normalizes via SortArray, so the result equals the Column API
+    // (which sorts before typedLit)
+    val g1 = Seq(Tuple1(text)).toDF("t")
+      .select(exprs.shingleHashes(col("t"), 2)).head().getSeq[Long](0)
+    val grams = Array(g1(3), g1(0)).sorted // "delta alpha", "alpha beta"
+    val viaCol = Seq(Tuple1(text)).toDF("t")
+      .select(exprs.spanScrub(col("t"), typedLit(grams), 2).as("s"))
+      .select("s.clean_text", "s.n_spans", "s.n_removed").head()
+    val viaSql = spark.sql(
+      s"SELECT graft_span_scrub(t, array(${g1(3)}L, ${g1(0)}L), 2) AS s FROM sqlfn_r15")
+      .select("s.clean_text", "s.n_spans", "s.n_removed").head()
+    assert(viaSql == viaCol && viaSql.getLong(2) > 0)
+
+    // extract_main: one article block kept, nav dropped (the HTML
+    // carries single quotes — feed it through a view, not a literal)
+    val html = "<nav><a href='/'>Home</a> <a href='/b'>About</a></nav>" +
+      "<p>the story of a house that was on the hill by the sea</p>"
+    Seq(Tuple1(html)).toDF("h").createOrReplaceTempView("sqlfn_r15_html")
+    val em = spark.sql(
+      "SELECT graft_extract_main(h, 5) AS e FROM sqlfn_r15_html")
+      .select("e.main_text", "e.n_kept").head()
+    val emCol = Seq(Tuple1(html)).toDF("h")
+      .select(exprs.extractMainContent(col("h"), 5).as("e"))
+      .select("e.main_text", "e.n_kept").head()
+    assert(em == emCol && em.getLong(1) == 1L)
+
+    // script_counts: counts equal the Column kernel
+    val sc = spark.sql("SELECT graft_script_counts('abc где 123') AS c").head().getSeq[Long](0)
+    val scCol = Seq(Tuple1("abc где 123")).toDF("t")
+      .select(exprs.scriptClassCounts(col("t"))).head().getSeq[Long](0)
+    assert(sc == scCol && sc.head == 3L)
+
+    // unigram_encode: 'piece score_q' CSV == Column API with the same vocab
+    val vocabStr = "al -65536,pha -65536,alpha -98304,beta -65536"
+    val vocab = graft.ops.TextOps.unigramVocab(Seq(
+      "al" -> -65536L, "pha" -> -65536L, "alpha" -> -98304L, "beta" -> -65536L))
+    val ue = spark.sql(
+      s"SELECT graft_unigram_encode('alpha beta', '$vocabStr') AS u")
+      .select("u.pieces", "u.n_pieces", "u.score_q").head()
+    val ueCol = Seq(Tuple1("alpha beta")).toDF("t")
+      .select(exprs.unigramEncode(col("t"), vocab, -(32L << 16)).as("u"))
+      .select("u.pieces", "u.n_pieces", "u.score_q").head()
+    assert(ue == ueCol && ue.getLong(1) == 2L)
+
+    // dsir_bits: 'ctx tok count' / 'ctx count' CSV literals == Column API
+    val model = graft.functions.DsirModel(
+      Array("<s> alpha", "alpha beta"), Array(4L, 3L),
+      Array("<s>", "alpha"), Array(5L, 4L), vocab = 10L)
+    val db = spark.sql(
+      "SELECT graft_dsir_bits('alpha beta', '<s> alpha 4,alpha beta 3', " +
+        "'<s> 5,alpha 4', 10) AS d").select("d.n_tokens", "d.bits_q").head()
+    val dbCol = Seq(Tuple1("alpha beta")).toDF("t")
+      .select(exprs.dsirBits(col("t"), model).as("d"))
+      .select("d.n_tokens", "d.bits_q").head()
+    assert(db == dbCol && db.getLong(0) == 2L)
+  }
 }
