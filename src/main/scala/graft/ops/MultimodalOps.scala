@@ -425,4 +425,257 @@ object MultimodalOps {
         col("doc_id"),
         col("pos").cast("long").as("frame_idx"),
         (col("col") * stride).cast("long").as("byte_offset"))
+
+  // --- video: REAL keyframe content dedup (round 16) --------------------
+
+  /** Frame-index headroom when packing (doc_id, frame_idx) into one
+    * key for the per-frame hash chain: 2^20 frames ≈ 9.7 h at 30 fps. */
+  val MaxFramesPerClip: Long = 1L << 20
+
+  /** Split an MJPEG-style clip — a concatenation of whole still-image
+    * files, the simplest REAL motion container (MJPEG is literally a
+    * JPEG sequence; this parser also takes PNG sequences) — into its
+    * keyframes by scanning for frame magics (JPEG SOI `FF D8 FF`, PNG
+    * signature `89 50 4E 47 0D 0A 1A 0A`): each frame runs from its
+    * magic to the next magic (or payload end). A payload with NO frame
+    * magic yields zero rows (not a refusal — stub/audio payloads flow
+    * through the same media tables). Output: (doc_id, frame_idx,
+    * media = the frame bytes, n_bytes). Partition-wise; payloads never
+    * visit the driver. */
+  def splitKeyframes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (bytes == null || bytes.length < 4) Iterator.empty
+          else {
+            def magicAt(i: Int): Boolean =
+              (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte &&
+                bytes(i + 2) == 0xFF.toByte) ||
+              (bytes(i) == 0x89.toByte && bytes(i + 1) == 0x50.toByte &&
+                bytes(i + 2) == 0x4E.toByte && bytes(i + 3) == 0x47.toByte)
+            val offs = (0 to bytes.length - 4).iterator.filter(magicAt).toArray
+            require(offs.length <= MaxFramesPerClip,
+              s"clip $id has ${offs.length} keyframes, over the " +
+                s"$MaxFramesPerClip packing bound — split the clip")
+            offs.iterator.zipWithIndex.map { case (start, fi) =>
+              val end = if (fi + 1 < offs.length) offs(fi + 1) else bytes.length
+              (id, fi.toLong, java.util.Arrays.copyOfRange(bytes, start, end))
+            }
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "media")
+      .withColumn("n_bytes", length(col("media")).cast("long"))
+  }
+
+  /** Per-keyframe 2-D perceptual hashes of a clip corpus: frames from
+    * [[splitKeyframes]] run the REAL-decode [[perceptualHash2D]] chain
+    * (each frame is a whole still image, so the existing image path
+    * applies unchanged). Output: (doc_id, frame_idx, phash). */
+  def videoFrameHashes(media: DataFrame, grid: Int = 5): DataFrame = {
+    val frames = splitKeyframes(media)
+      .select((col("doc_id") * MaxFramesPerClip + col("frame_idx"))
+        .as("doc_id"), col("media"))
+    perceptualHash2D(frames, grid)
+      .select(
+        // integer unpack: Column./ is DOUBLE division (lossy past 2^53)
+        expr(s"doc_id div $MaxFramesPerClip").as("doc_id"),
+        pmod(col("doc_id"), lit(MaxFramesPerClip)).as("frame_idx"),
+        col("phash2d").as("phash"))
+  }
+
+  /** Clip-level near-duplicate pairs by matching keyframe CONTENT: two
+    * clips pair when ≥ `minMatchFrac` of the smaller clip's keyframes
+    * find a frame within `maxHamming` phash bits in the other — the
+    * tolerance that makes RE-ENCODED clips (same pixels, different
+    * codec/quality: PNG↔JPEG phashes land within a few bits through the
+    * real decode) collapse where exact-match would miss. Scale shape:
+    * frame hashes (a long each — payloads never shuffle) run the
+    * pigeonhole [[DedupOps.hammingNearPairs]] spine on a packed
+    * (clip, frame) key — chunk-bucketed, hot buckets capped and
+    * REPORTED (all-black intro frames would otherwise go quadratic) —
+    * then one clip-pair aggregate. Output: (id_a, id_b, n_matching,
+    * match_frac), id_a < id_b. */
+  def videoNearDupPairs(media: DataFrame, grid: Int = 5,
+      maxHamming: Int = 3, minMatchFrac: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    val fh = videoFrameHashes(media, grid)
+    val sizes = fh.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    val packed = fh.select(
+      (col("doc_id") * MaxFramesPerClip + col("frame_idx")).as("fid"),
+      col("phash"))
+    val framePairs = DedupOps.hammingNearPairs(packed, "fid", "phash",
+      bits2D(grid), maxHamming, maxBucket)
+    // unpack to clips; packed keys sort like (clip, frame), so
+    // id_a < id_b implies clip_a <= clip_b — the canonical orientation
+    // survives. distinct (id_a, id_b, fa): one match credit per frame
+    // of a, even when b repeats the frame (a still repeated 100× must
+    // not count 100 matches).
+    framePairs.select(
+        expr(s"id_a div $MaxFramesPerClip").as("id_a"),
+        expr(s"id_b div $MaxFramesPerClip").as("id_b"),
+        pmod(col("id_a"), lit(MaxFramesPerClip)).as("fa"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_matching"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_frames").as("na")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_frames").as("nb")), Seq("id_b"))
+      .withColumn("match_frac",
+        col("n_matching").cast("double") / least(col("na"), col("nb")))
+      .filter(col("match_frac") >= minMatchFrac)
+      .select("id_a", "id_b", "n_matching", "match_frac")
+  }
+
+  /** Clip dedup: [[videoNearDupPairs]] → the signature-agnostic CC
+    * cluster spine → keep the canonical (minimum-id) clip per cluster. */
+  def videoDedup(media: DataFrame, grid: Int = 5, maxHamming: Int = 3,
+      minMatchFrac: Double = 0.5, maxBucket: Int = 10000,
+      mat: Materializer = Materializer.Local): DataFrame = {
+    val pairs = videoNearDupPairs(media, grid, maxHamming, minMatchFrac,
+      maxBucket)
+    val clusters = DedupOps.nearDupClusters(pairs.select("id_a", "id_b"),
+      media.select(col("doc_id")), "doc_id", mat = mat)
+    media.join(clusters, Seq("doc_id"))
+      .filter(col("doc_id") === col("cluster_id"))
+      .drop("cluster_id")
+  }
+
+  // --- audio: REAL WAV fingerprinting (round 16) -------------------------
+
+  /** True when the payload sniffs as RIFF/WAVE. */
+  private[graft] def isWav(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte &&
+      bytes(8) == 'W'.toByte && bytes(9) == 'A'.toByte &&
+      bytes(10) == 'V'.toByte && bytes(11) == 'E'.toByte
+
+  /** REAL RIFF/WAVE PCM decode — WAV is a chunked header over raw PCM,
+    * parseable exactly with no codec: walks the chunk list, reads
+    * `fmt ` (PCM only — compressed formats REFUSE loudly, the
+    * [[decodeLuma]] discipline: a payload hashed from undecoded bytes
+    * would never match its decoded duplicates) and `data`, mixes
+    * channels to mono (sample average), and returns 16-bit-normalized
+    * samples (8-bit PCM is unsigned per the spec; it is recentred and
+    * scaled ×256 so the same waveform fingerprints identically at
+    * either bit depth). */
+  private[graft] def decodeWavMono(bytes: Array[Byte]): Array[Int] = {
+    def u16(i: Int) = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+    def u32(i: Int) = (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
+      ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
+    require(isWav(bytes), "not a RIFF/WAVE payload")
+    var pos = 12
+    var fmtCode = -1; var channels = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= bytes.length && (fmtCode < 0 || dataOff < 0)) {
+      val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = u32(pos + 4).toInt
+      require(sz >= 0, s"corrupt WAV: chunk '$id' declares size ${u32(pos + 4)}")
+      if (id == "fmt ") {
+        fmtCode = u16(pos + 8); channels = u16(pos + 10)
+        bits = u16(pos + 22)
+      } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
+      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    require(fmtCode == 1, s"WAV format code $fmtCode is not PCM — " +
+      "compressed audio needs a real codec; refusing to fingerprint " +
+      "undecoded bytes (they would never match decoded duplicates)")
+    require(channels >= 1 && (bits == 8 || bits == 16),
+      s"unsupported PCM shape: $channels ch × $bits bit")
+    require(dataOff >= 0 && dataOff + dataLen <= bytes.length,
+      "WAV data chunk missing or truncated")
+    val bytesPer = bits / 8
+    val n = dataLen / (bytesPer * channels)
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var sum = 0
+      var c = 0
+      while (c < channels) {
+        val off = dataOff + (i * channels + c) * bytesPer
+        val s =
+          if (bits == 16) (u16(off) << 16) >> 16 // sign-extend
+          else ((bytes(off) & 0xFF) - 128) << 8 // unsigned 8 → centred 16
+        sum += s
+        c += 1
+      }
+      out(i) = sum / channels
+      i += 1
+    }
+    out
+  }
+
+  /** Audio fingerprint: the energy-contour difference hash — window the
+    * mono PCM into `windows` equal spans, mean-square energy per
+    * window (exact Long arithmetic), bit i = [energy(i+1) > energy(i)].
+    * Volume changes scale every window's energy by the same factor, so
+    * the comparisons — and the fingerprint — are invariant; so is an
+    * 8↔16-bit re-encode (the decoder normalizes). Time-shift is NOT
+    * survived (documented; shift-robust constellation hashing is a real
+    * FFT away). `windows` ≤ 64 keeps the signature in one long for the
+    * [[DedupOps.hammingNearPairs]] spine. Non-WAV payloads drop (mixed
+    * media tables flow through). Output: (doc_id, afp, n_windows,
+    * n_samples). */
+  def audioFingerprint(media: DataFrame, windows: Int = 49): DataFrame = {
+    require(windows >= 2 && windows <= 64,
+      s"windows must be in [2, 64], got $windows")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (!isWav(bytes)) Iterator.empty
+          else {
+            val pcm = decodeWavMono(bytes)
+            if (pcm.length < windows) Iterator.empty
+            else {
+              val energy = new Array[Long](windows)
+              var w = 0
+              while (w < windows) {
+                val lo = (w.toLong * pcm.length / windows).toInt
+                val hi = ((w + 1).toLong * pcm.length / windows).toInt
+                var s = 0L
+                var i = lo
+                while (i < hi) { s += pcm(i).toLong * pcm(i); i += 1 }
+                energy(w) = s / math.max(1, hi - lo)
+                w += 1
+              }
+              var fp = 0L
+              var b = 0
+              while (b < windows - 1) {
+                if (energy(b + 1) > energy(b)) fp |= 1L << b
+                b += 1
+              }
+              Iterator.single((id, fp, (windows - 1).toLong, pcm.length.toLong))
+            }
+          }
+        }
+      }.toDF("doc_id", "afp", "n_bits", "n_samples")
+  }
+
+  /** Audio near-dup pairs: the fingerprint through the pigeonhole
+    * hamming spine — a few flipped contour bits (light noise, codec
+    * rounding) still pair; distinct material sits near n_bits/2. */
+  def audioNearDupPairs(media: DataFrame, windows: Int = 49,
+      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame =
+    DedupOps.hammingNearPairs(
+      audioFingerprint(media, windows).select("doc_id", "afp"),
+      "doc_id", "afp", windows - 1, maxHamming, maxBucket)
+
+  /** Audio dedup: [[audioNearDupPairs]] → CC clusters → canonical
+    * (minimum-id) track per cluster. */
+  def audioDedup(media: DataFrame, windows: Int = 49, maxHamming: Int = 3,
+      maxBucket: Int = 100000,
+      mat: Materializer = Materializer.Local): DataFrame = {
+    val pairs = audioNearDupPairs(media, windows, maxHamming, maxBucket)
+    val clusters = DedupOps.nearDupClusters(pairs.select("id_a", "id_b"),
+      audioFingerprint(media, windows).select(col("doc_id")), "doc_id",
+      mat = mat)
+    audioFingerprint(media, windows).join(clusters, Seq("doc_id"))
+      .filter(col("doc_id") === col("cluster_id"))
+      .drop("cluster_id")
+  }
 }
