@@ -293,9 +293,11 @@ object TextOps {
     */
   def trainUnigramVocab(df: DataFrame, textCol: String, vocabSize: Int,
       iters: Int = 2, maxPieceLen: Int = 8, minCount: Long = 2L,
-      maxSeedSize: Int = 50000, unkScoreQ: Long = -(32L << 16)): Seq[(String, Long)] = {
+      maxSeedSize: Int = 50000, unkScoreQ: Long = -(32L << 16),
+      maxWordLen: Int = 1 << 16): Seq[(String, Long)] = {
     require(vocabSize >= 1 && iters >= 1 && maxPieceLen >= 1 &&
-      maxSeedSize >= 1, "trainUnigramVocab: dials must be positive")
+      maxSeedSize >= 1 && maxWordLen >= 1,
+      "trainUnigramVocab: dials must be positive")
     val spark = df.sparkSession
     // the ONE corpus pass: word histogram
     val words = df.filter(col(textCol).isNotNull)
@@ -304,6 +306,20 @@ object TextOps {
       .groupBy("w").agg(count(lit(1)).as("f"))
     words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // degenerate-corpus refusal (the trainBpeMergesIncremental
+      // maxPairIndexEntries discipline): the seed pass explodes
+      // |word|·maxPieceLen substring rows per DISTINCT word, so one
+      // pathological space-free document (a base64 blob, a minified
+      // bundle) becomes a one-task skew bomb and a Viterbi DP over a
+      // 2^20-char "word". Fail FAST with the dial named — before the
+      // explode, not minutes into it.
+      val longest = words.agg(max(length(col("w")))).head()
+      require(longest.isNullAt(0) || longest.getInt(0) <= maxWordLen,
+        s"trainUnigramVocab: longest space-free word is " +
+          s"${longest.getInt(0)} chars, over maxWordLen=$maxWordLen — " +
+          "the substring seed table grows as |word|·maxPieceLen per " +
+          "distinct word; pre-split or drop pathological inputs " +
+          "(base64 blobs, minified code), or raise the dial knowingly")
       // seed: substring coverage mass over the distinct words
       val subs = words.select(col("w"), col("f"),
           explode(sequence(lit(0), length(col("w")) - 1)).as("j"))

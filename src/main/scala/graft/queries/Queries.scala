@@ -2476,14 +2476,37 @@ object Queries {
       |  min(doc_id) AS first_doc
       |FROM pd GROUP BY passage HAVING count(*) >= 2""".stripMargin
 
-  /** ExactSubstr stride scorecard (DedupOps.passageRecall): passages
-    * found at stride 3 vs the stride=1 exhaustive baseline, keyed by
-    * passage string — the fourth recall-family member. The oracle
-    * replays both window enumerations (range step = stride) and the
-    * full-outer count join. */
+  /** Two-level EXACT stride-1 passages (DedupOps.duplicatedPassagesExact):
+    * the oracle brute-forces every window by BYTES — the two-level
+    * hash-then-verify plan must reproduce the brute force exactly (a
+    * hash-collision survivor or a missed candidate both hash-mismatch
+    * this row). */
+  private def dupPassagesExactQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.duplicatedPassagesExact(t(s, dir, "documents"), "doc_id",
+      "text", winTokens = 6)
+
+  private val dupPassagesExactSql =
+    """WITH ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents WHERE text IS NOT NULL),
+      |p AS (SELECT doc_id, array_to_string(ws[i:i+5],' ') AS passage
+      |      FROM ws, UNNEST(range(1, len(ws)-4, 1)) t(i)),
+      |pd AS (SELECT passage, doc_id, count(*)::BIGINT AS n_i FROM p GROUP BY 1,2)
+      |SELECT passage, count(*)::BIGINT AS n_docs, CAST(sum(n_i) AS BIGINT) AS n_occurrences,
+      |  min(doc_id) AS first_doc
+      |FROM pd GROUP BY passage HAVING count(*) >= 2""".stripMargin
+
+  /** ExactSubstr stride scorecard (DedupOps.passageRecall), one row per
+    * dial setting: stride 1 — the priced exactness option — PINS
+    * recall 1.0 against itself-as-baseline (n_exact = n_approx =
+    * n_both), stride 3 documents the 1/stride loss. The oracle replays
+    * both window enumerations (range step = stride) and the full-outer
+    * count join per row. */
   private def passageRecallQ(s: SparkSession, dir: String): DataFrame =
-    DedupOps.passageRecall(t(s, dir, "documents"), "doc_id", "text",
-      winTokens = 6, stride = 3)
+    Seq(1, 3).map { st =>
+      DedupOps.passageRecall(t(s, dir, "documents"), "doc_id", "text",
+          winTokens = 6, stride = st)
+        .select(lit(st.toLong).as("stride"), col("n_exact"),
+          col("n_approx"), col("n_both"), col("recall"))
+    }.reduce(_ unionByName _)
 
   private val passageRecallSql = {
     def passages(stride: Int) =
@@ -2494,14 +2517,17 @@ object Queries {
          |          FROM documents WHERE text IS NOT NULL),
          |         UNNEST(range(1, len(ws)-4, $stride)) t(i))
          |  GROUP BY passage HAVING count(DISTINCT doc_id) >= 2)""".stripMargin
-    s"""SELECT count(e.passage)::BIGINT AS n_exact,
-       |  count(a.passage)::BIGINT AS n_approx,
-       |  count(CASE WHEN e.passage IS NOT NULL AND a.passage IS NOT NULL THEN 1 END)::BIGINT AS n_both,
-       |  CASE WHEN count(e.passage) = 0 THEN NULL
-       |       ELSE CAST(count(CASE WHEN e.passage IS NOT NULL AND a.passage IS NOT NULL THEN 1 END) AS DOUBLE)
-       |              / count(e.passage) END AS recall
-       |FROM (${passages(1)}) e
-       |FULL OUTER JOIN (${passages(3)}) a ON e.passage = a.passage""".stripMargin
+    def scorecard(stride: Int) =
+      s"""SELECT CAST($stride AS BIGINT) AS stride,
+         |  count(e.passage)::BIGINT AS n_exact,
+         |  count(a.passage)::BIGINT AS n_approx,
+         |  count(CASE WHEN e.passage IS NOT NULL AND a.passage IS NOT NULL THEN 1 END)::BIGINT AS n_both,
+         |  CASE WHEN count(e.passage) = 0 THEN NULL
+         |       ELSE CAST(count(CASE WHEN e.passage IS NOT NULL AND a.passage IS NOT NULL THEN 1 END) AS DOUBLE)
+         |              / count(e.passage) END AS recall
+         |FROM (${passages(1)}) e
+         |FULL OUTER JOIN (${passages(stride)}) a ON e.passage = a.passage""".stripMargin
+    s"${scorecard(1)} UNION ALL ${scorecard(3)}"
   }
 
   /** Model table derived deterministically from the corpus itself: the
@@ -4191,6 +4217,7 @@ object Queries {
     "q_priority_sample" -> (prioritySampleQ _),
     "q_collocations" -> (collocationsQ _),
     "q_dup_passages" -> (dupPassagesQ _),
+    "q_dup_passages_exact" -> (dupPassagesExactQ _),
     "q_passage_recall" -> (passageRecallQ _),
     "q_classifier_score" -> (classifierScoreQ _),
     "q_lm_perplexity" -> (lmPerplexityQ _),
@@ -4347,6 +4374,7 @@ object Queries {
     "q_priority_sample" -> prioritySampleSql,
     "q_collocations" -> collocationsSql,
     "q_dup_passages" -> dupPassagesSql,
+    "q_dup_passages_exact" -> dupPassagesExactSql,
     "q_passage_recall" -> passageRecallSql,
     "q_classifier_score" -> classifierScoreSql,
     "q_lm_perplexity" -> lmPerplexitySql,

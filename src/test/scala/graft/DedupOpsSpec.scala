@@ -75,6 +75,23 @@ class DedupOpsSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("duplicatedPassagesExact == byte-keyed stride-1 brute force (fixture + real corpus)") {
+    val d = Seq(
+      (0L, "p q r s t"), (1L, "x p q r s"), (2L, "z z z"), (3L, "z z z z"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("passage")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows(DedupOps.duplicatedPassagesExact(d, "doc_id", "text", 3)) ==
+      rows(DedupOps.duplicatedPassages(d, "doc_id", "text", 3,
+        stride = 1, hashKey = false)))
+    // and on the real corpus: the two-level plan's candidate pruning
+    // must not change the byte-exact answer
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(rows(DedupOps.duplicatedPassagesExact(corpus, "doc_id", "text", 6)) ==
+      rows(DedupOps.duplicatedPassages(corpus, "doc_id", "text", 6,
+        stride = 1, hashKey = false)))
+  }
+
   test("passageRecall: stride 1 is exhaustive; stride misses only stride-misaligned repeats") {
     // the aligned repeat ("p q r" at offset 0 in both docs) survives any
     // stride; the misaligned one ("a b c" at offsets 0 vs 1) is missed

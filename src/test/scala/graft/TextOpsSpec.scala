@@ -1135,6 +1135,22 @@ class TextOpsSpec extends SparkSpec {
       intercept[IllegalArgumentException] { TextOps.unigramVocab(bad) }
   }
 
+  test("trainUnigramVocab refuses a degenerate space-free word with the dial named") {
+    import spark.implicits._
+    val poisoned = Seq((0L, "a normal short text"), (1L, "B" * 5000))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.trainUnigramVocab(poisoned, "text", vocabSize = 50,
+        maxWordLen = 4096)
+    }
+    assert(e.getMessage.contains("maxWordLen=4096") &&
+      e.getMessage.contains("5000"))
+    // raising the dial knowingly trains through
+    val ok = TextOps.trainUnigramVocab(poisoned, "text", vocabSize = 50,
+      maxWordLen = 5000)
+    assert(ok.nonEmpty)
+  }
+
   test("trainUnigramVocab: hard-EM is deterministic, covers every corpus char, and its shifted objective never decreases") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def totalScore(entries: Seq[(String, Long)]): Long =
