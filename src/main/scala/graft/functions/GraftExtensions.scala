@@ -99,7 +99,55 @@ object GraftExtensions {
     // context entries 'ctx count,…', plus the vocabulary size
     "graft_dsir_bits" -> (args => DsirBits(args.head,
       dsirModelArg(args(1), args(2), longArg(args(3), "vocab")),
-      if (args.length > 4) intArg(args(4), "fracBits").toInt else 16)))
+      if (args.length > 4) intArg(args(4), "fracBits").toInt else 16)),
+    // URL canonicalization (round 16): not a custom kernel — the rules
+    // are pure builtins, composed here at the CATALYST level (an
+    // injectFunction builder must return an analyzable Expression; the
+    // Column DSL's lazy ColumnNode trees are not). Regex constants are
+    // shared with graft.ops.UrlOps — tree equality is spec-pinned.
+    "graft_url_canonical" -> (args => urlCanonicalExpr(args.head)),
+    "graft_url_host" -> (args => urlHostExpr(args.head)))
+
+  import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayFilter,
+    ArrayJoin, Concat, EqualTo, GreaterThan, If, LambdaFunction, Length,
+    Lower, NamedLambdaVariable, Not, RegExpExtract, RegExpReplace, RLike,
+    Size, StringSplit, StringTrim, Substring}
+  import graft.ops.UrlOps
+
+  private def rr(e: Expression, p: String): Expression =
+    RegExpReplace(e, Literal(p), Literal(""))
+  private def rex(e: Expression, p: String): Expression =
+    RegExpExtract(e, Literal(p), Literal(0))
+
+  /** graft.ops.UrlOps.hostOf at the catalyst level (rule 4). */
+  private[graft] def urlHostExpr(u: Expression): Expression = {
+    val t2 = rr(rr(StringTrim(u), UrlOps.FragmentRe), UrlOps.SchemeRe)
+    rr(rr(Lower(rex(t2, UrlOps.HostRe)), UrlOps.WwwRe), UrlOps.DefaultPortRe)
+  }
+
+  /** graft.ops.UrlOps.canonicalizeUrl at the catalyst level — the same
+    * six ordered rules over the same shared regex constants. */
+  private[graft] def urlCanonicalExpr(u: Expression): Expression = {
+    val t2 = rr(rr(StringTrim(u), UrlOps.FragmentRe), UrlOps.SchemeRe)
+    val hostRaw = rex(t2, UrlOps.HostRe)
+    val host = rr(rr(Lower(hostRaw), UrlOps.WwwRe), UrlOps.DefaultPortRe)
+    val rest = Substring(t2, Add(Length(hostRaw), Literal(1)),
+      Literal(1 << 30))
+    val path = rex(rest, UrlOps.PathRe)
+    val cleanPath = rr(path, UrlOps.TrailingSlashRe)
+    val query = If(GreaterThan(Length(rest), Length(path)),
+      Substring(rest, Add(Length(path), Literal(2)), Literal(1 << 30)),
+      Literal(""))
+    val p = NamedLambdaVariable("p", StringType, nullable = true)
+    val keep = And(Not(RLike(Lower(p), Literal(UrlOps.TrackingRe))),
+      Not(EqualTo(p, Literal(""))))
+    val params = ArrayFilter(StringSplit(query, Literal("&"), Literal(-1)),
+      LambdaFunction(keep, Seq(p)))
+    Concat(Seq(host, cleanPath,
+      If(GreaterThan(Size(params), Literal(0)),
+        Concat(Seq(Literal("?"), ArrayJoin(params, Literal("&"), None))),
+        Literal(""))))
+  }
 
   private def strArg(e: Expression, what: String): String = e match {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>

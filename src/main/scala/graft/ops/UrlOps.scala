@@ -26,8 +26,18 @@ object UrlOps {
 
   /** One alternation regex over the tracking params: `utm_*` collapses
     * to a single branch. Anchored at param start, matches `name=` or a
-    * bare valueless `name`. */
-  private val TrackingRe = "^(utm_[a-z0-9]+|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)"
+    * bare valueless `name`. Shared (like the other Re constants) with
+    * the catalyst-level SQL builder in GraftExtensions — the regexes
+    * are the single source of truth; tree equality is spec-pinned. */
+  private[graft] val TrackingRe =
+    "^(utm_[a-z0-9]+|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)"
+  private[graft] val FragmentRe = "#.*$"
+  private[graft] val SchemeRe = "^[A-Za-z][A-Za-z0-9+.\\-]*://"
+  private[graft] val HostRe = "^[^/?]*"
+  private[graft] val WwwRe = "^www\\."
+  private[graft] val DefaultPortRe = ":(80|443)$"
+  private[graft] val PathRe = "^[^?]*"
+  private[graft] val TrailingSlashRe = "/+$"
 
   /** Canonical form of a URL, as explicit ordered rules (each one a
     * single replayable expression):
@@ -48,14 +58,14 @@ object UrlOps {
     * normalized — documented non-rules.
     */
   def canonicalizeUrl(url: Column): Column = {
-    val t1 = regexp_replace(trim(url), "#.*$", "")
-    val t2 = regexp_replace(t1, "^[A-Za-z][A-Za-z0-9+.\\-]*://", "")
-    val hostRaw = regexp_extract(t2, "^[^/?]*", 0)
+    val t1 = regexp_replace(trim(url), FragmentRe, "")
+    val t2 = regexp_replace(t1, SchemeRe, "")
+    val hostRaw = regexp_extract(t2, HostRe, 0)
     val host = regexp_replace(
-      regexp_replace(lower(hostRaw), "^www\\.", ""), ":(80|443)$", "")
+      regexp_replace(lower(hostRaw), WwwRe, ""), DefaultPortRe, "")
     val rest = substring(t2, length(hostRaw) + 1, lit(1 << 30))
-    val path = regexp_extract(rest, "^[^?]*", 0)
-    val cleanPath = regexp_replace(path, "/+$", "")
+    val path = regexp_extract(rest, PathRe, 0)
+    val cleanPath = regexp_replace(path, TrailingSlashRe, "")
     val query = when(length(rest) > length(path),
       substring(rest, length(path) + 2, lit(1 << 30))).otherwise(lit(""))
     val params = filter(split(query, "&"),
@@ -69,11 +79,10 @@ object UrlOps {
     * domain-blocklist join key. */
   def hostOf(url: Column): Column = {
     val t2 = regexp_replace(
-      regexp_replace(trim(url), "#.*$", ""),
-      "^[A-Za-z][A-Za-z0-9+.\\-]*://", "")
+      regexp_replace(trim(url), FragmentRe, ""), SchemeRe, "")
     regexp_replace(
-      regexp_replace(lower(regexp_extract(t2, "^[^/?]*", 0)), "^www\\.", ""),
-      ":(80|443)$", "")
+      regexp_replace(lower(regexp_extract(t2, HostRe, 0)), WwwRe, ""),
+      DefaultPortRe, "")
   }
 
   /** Exact URL-keyed dedup, keep-first: one survivor per canonical URL —
@@ -91,6 +100,20 @@ object UrlOps {
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
   }
+
+  /** Incremental URL dedup against a STANDING canonical-URL index — the
+    * daily-batch form: new rows whose canonical URL already exists in
+    * the index drop (left-anti join on the canonical key; the standing
+    * corpus is never re-canonicalized — the index IS the canonical
+    * keys). `indexUrls` carries one `canonical_url` column. Output =
+    * the surviving new rows + their `canonical_url` (ready to fold back
+    * into the index). Within-batch duplicates are ALSO collapsed
+    * (keep-first by id) — two copies co-arriving must not both pass. */
+  def urlDedupAgainstIndex(newDocs: DataFrame, indexUrls: DataFrame,
+      idCol: String, urlCol: String): DataFrame =
+    urlDedup(newDocs, idCol, urlCol)
+      .join(indexUrls.select("canonical_url"), Seq("canonical_url"),
+        "left_anti")
 
   /** Drop rows whose canonical host is a blocked domain or any of its
     * subdomains (`host == d` or `host` ends with `.d`). The blocklist is

@@ -3095,6 +3095,28 @@ object Queries {
        |QUALIFY row_number() OVER (
        |  PARTITION BY canonical_url ORDER BY doc_id) = 1""".stripMargin
 
+  /** Incremental URL dedup (UrlOps.urlDedupAgainstIndex): even docs'
+    * canonical URLs form the standing index; odd docs are the arriving
+    * batch — survivors are batch rows whose canonical key is new,
+    * keep-first within the batch. The oracle replays the anti-join +
+    * keep-first over the same canonicalization CTEs. */
+  private def urlDedupIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), synthUrl.as("url"))
+    val idx = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(UrlOps.canonicalizeUrl(col("url")).as("canonical_url"))
+      .distinct()
+    UrlOps.urlDedupAgainstIndex(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), idx, "doc_id", "url")
+  }
+
+  private def urlDedupIncrementalSql =
+    s"""WITH $urlCanonCtes
+       |SELECT canonical_url, doc_id, url FROM canon
+       |WHERE doc_id % 2 = 1 AND canonical_url NOT IN (
+       |  SELECT canonical_url FROM canon WHERE doc_id % 2 = 0)
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY canonical_url ORDER BY doc_id) = 1""".stripMargin
+
   private def curationFunnelQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val weights = corpusWeights(docs)
@@ -4241,6 +4263,7 @@ object Queries {
     "q_curation_funnel" -> (curationFunnelQ _),
     "q_url_canonical" -> (urlCanonicalQ _),
     "q_url_dedup" -> (urlDedupQ _),
+    "q_url_dedup_incremental" -> (urlDedupIncrementalQ _),
     "q_profile_by_group" -> (profileByGroupQ _),
     "q_profile_incremental" -> (profileIncrementalQ _))
 
@@ -4398,6 +4421,7 @@ object Queries {
     "q_curation_funnel" -> curationFunnelSql,
     "q_url_canonical" -> urlCanonicalSql,
     "q_url_dedup" -> urlDedupSql,
+    "q_url_dedup_incremental" -> urlDedupIncrementalSql,
     "q_profile_by_group" -> profileByGroupSql,
     "q_profile_incremental" -> numericProfileSql)
 }

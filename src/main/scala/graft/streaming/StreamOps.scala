@@ -631,6 +631,55 @@ object StreamOps {
       target, raw, fracBits)
       .filter(col("avg_logratio_q") >= minAvgLogratioQ)
 
+  /** Streaming URL ingest gate — the fifth gate (lexical / perceptual /
+    * semantic / importance / now URL-level): each micro-batch is
+    * (1) domain-blocklist filtered (broadcast left-anti — stateless,
+    * replay-safe), (2) canonical-URL deduped WITHIN the batch
+    * (keep-first — two mirrors co-arriving must not both pass),
+    * (3) anti-joined against the STANDING canonical-URL index (the
+    * corpus ever ingested is never re-canonicalized: the index stores
+    * the canonical keys themselves), and (4) survivors' canonical URLs
+    * fold into the index. Runs BEFORE the text gates in a composed
+    * ingest — a re-tracked mirror URL never reaches shingling. Same
+    * determinism/replay discipline as [[nearDupGateSink]]: per-batch
+    * overwrite, staged `__last_batch` publish, replayed epochs
+    * skipped. */
+  def urlGateSink(docs: DataFrame, urlIndexPath: String,
+      survivorsPath: String, idCol: String, urlCol: String,
+      blockedDomains: Seq[String] = Nil)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateUrlBatch(batch, urlIndexPath, survivorsPath, idCol, urlCol,
+          blockedDomains, batchId)
+      }
+
+  /** One micro-batch of the URL gate (see [[urlGateSink]]). */
+  private[graft] def gateUrlBatch(batch: DataFrame, urlIndexPath: String,
+      survivorsPath: String, idCol: String, urlCol: String,
+      blockedDomains: Seq[String], batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    foldStaged(spark, urlIndexPath, batchId) { stored =>
+      val unblocked = graft.ops.UrlOps.domainBlocklistFilter(
+        batch, urlCol, blockedDomains)
+      val survivors = stored match {
+        case Some(idx) => graft.ops.UrlOps.urlDedupAgainstIndex(
+          unblocked, idx, idCol, urlCol)
+        case None => graft.ops.UrlOps.urlDedup(unblocked, idCol, urlCol)
+      }
+      survivors.drop("canonical_url")
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$survivorsPath/batch=$batchId")
+      // index fold from the JUST-WRITTEN survivors (re-canonicalizing
+      // the small survivor set once beats carrying the dedup lineage)
+      val newKeys = spark.read.parquet(s"$survivorsPath/batch=$batchId")
+        .select(graft.ops.UrlOps.canonicalizeUrl(col(urlCol))
+          .as("canonical_url"))
+      stored.map(_.unionByName(newKeys)).getOrElse(newKeys)
+    }
+  }
+
   /** One-shot catch-up run of [[indexSink]] (processes all available
     * input then stops) — the streaming equivalent of the CLI's daily
     * invocation. */

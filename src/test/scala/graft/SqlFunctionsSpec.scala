@@ -204,4 +204,19 @@ class SqlFunctionsSpec extends SparkSpec {
       .select("d.n_tokens", "d.bits_q").head()
     assert(db == dbCol && db.getLong(0) == 2L)
   }
+
+  test("graft_url_canonical / graft_url_host compose the UrlOps rules from SQL") {
+    exprs.registerSql(spark)
+    val url = "HTTPS://WWW.News.Example.com:443/a/1/?utm_source=x&q=2#f"
+    Seq(Tuple1(url)).toDF("u").createOrReplaceTempView("sqlfn_url")
+    val got = spark.sql(
+      "SELECT graft_url_canonical(u) AS c, graft_url_host(u) AS h FROM sqlfn_url")
+      .head()
+    val viaCol = Seq(Tuple1(url)).toDF("u")
+      .select(graft.ops.UrlOps.canonicalizeUrl(col("u")).as("c"),
+        graft.ops.UrlOps.hostOf(col("u")).as("h")).head()
+    assert(got == viaCol)
+    assert(got.getString(0) == "news.example.com/a/1?q=2")
+    assert(got.getString(1) == "news.example.com")
+  }
 }

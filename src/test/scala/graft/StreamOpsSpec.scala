@@ -368,6 +368,56 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(0L, 3L, 5L))
   }
 
+  test("urlGateSink: blocklist + canonical-URL dedup within-batch and against the standing index; replay is a no-op") {
+    val in = tmpDir("graft_url_gate_in")
+    val idx = tmpDir("graft_url_gate_idx") + "/urls.parquet"
+    val out = tmpDir("graft_url_gate_out") + "/survivors"
+    val ckpt = tmpDir("graft_url_gate_ckpt")
+    // batch 1: 0 and 1 canonicalize to the SAME url (scheme/www/tracking
+    // noise) -> keep 0; 2 is on a blocked domain -> dropped at the gate
+    Seq(
+      (0L, "https://news.example.com/a/1"),
+      (1L, "HTTP://WWW.News.Example.com/a/1/?utm_source=x"),
+      (2L, "https://cdn.spamhub.example/a/9"))
+      .toDF("doc_id", "url").coalesce(1).write.parquet(s"$in/b1")
+    Thread.sleep(50)
+    // batch 2: 3 re-tracks the ALREADY-INGESTED canonical (index hit,
+    // different tracking params), 4 is new
+    Seq(
+      (3L, "https://news.example.com/a/1?fbclid=z"),
+      (4L, "https://news.example.com/a/2"))
+      .toDF("doc_id", "url").coalesce(1).write.parquet(s"$in/b2")
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = StreamOps.urlGateSink(stream, idx, out, "doc_id", "url",
+        blockedDomains = Seq("spamhub.example"))
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 4L))
+    val index = spark.read.parquet(idx)
+    assert(index.select("canonical_url").collect().map(_.getString(0)).toSet ==
+      Set("news.example.com/a/1", "news.example.com/a/2"))
+    // replay of the last epoch is a no-op
+    StreamOps.gateUrlBatch(
+      Seq((3L, "https://news.example.com/a/1?fbclid=z"),
+        (4L, "https://news.example.com/a/2")).toDF("doc_id", "url"),
+      idx, out, "doc_id", "url", Seq("spamhub.example"), batchId = 1L)
+    assert(spark.read.parquet(idx).count() == 2)
+    // a genuinely new epoch still gates against everything ingested
+    StreamOps.gateUrlBatch(
+      Seq((5L, "http://www.news.example.com/a/2"),
+        (6L, "https://news.example.com/a/3")).toDF("doc_id", "url"),
+      idx, out, "doc_id", "url", Seq("spamhub.example"), batchId = 2L)
+    assert(spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 4L, 6L))
+  }
+
   test("sessionizeStream: gap-closed sessions emit in-batch, open ones on watermark timeout") {
     val in = tmpDir("graft_stream_sess_in")
     // batch 1 (user 1): 00:00 + 00:10 form one session (gap 30m);
