@@ -115,22 +115,41 @@ object UrlOps {
       .join(indexUrls.select("canonical_url"), Seq("canonical_url"),
         "left_anti")
 
+  /** Every label-boundary suffix of the canonical host:
+    * `a.b.spam.example` → [a.b.spam.example, b.spam.example,
+    * spam.example, example]. A blocked domain matches a host iff it
+    * appears in this set — `host == d or host ends with ".d"` expressed
+    * as set membership. */
+  def hostSuffixes(url: Column): Column = {
+    val labels = split(hostOf(url), "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels)), "."))
+  }
+
   /** Drop rows whose canonical host is a blocked domain or any of its
-    * subdomains (`host == d` or `host` ends with `.d`). The blocklist is
-    * a BROADCAST side (blocklists are ~1e5 rows; the corpus is never
-    * shuffled — a left-anti broadcast join riding the scan). Domains are
-    * matched lowercase; pass registrable domains (`spam.example`), not
-    * hosts. */
+    * subdomains (`host == d` or `host` ends with `.d`). The blocklist
+    * rides the plan as ONE array literal probed with `arrays_overlap`
+    * against the host's label-boundary suffixes — MAP-ONLY, no join, no
+    * exchange, whole-stage codegen (the bloom-bitmap-literal
+    * discipline; a join formulation with the `endsWith` OR-condition
+    * plans as a BroadcastNestedLoopJoin costing |blocklist| string
+    * compares per corpus row). Per-row cost = #host labels (~2-6) hash
+    * probes, independent of blocklist size. Bounded at `MaxBlocklist`
+    * entries (~a few hundred MB of plan literal past it — split the
+    * list or pre-join offline). Domains are matched lowercase; pass
+    * registrable domains (`spam.example`), not hosts. */
   def domainBlocklistFilter(df: DataFrame, urlCol: String,
       blocked: Seq[String]): DataFrame = {
     if (blocked.isEmpty) return df
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bl = broadcast(blocked.map(_.toLowerCase).toDF("__blocked_domain"))
-    val host = hostOf(col(urlCol))
-    df.join(bl,
-        host === col("__blocked_domain") ||
-          host.endsWith(concat(lit("."), col("__blocked_domain"))),
-        "left_anti")
+    require(blocked.size <= MaxBlocklist,
+      s"blocklist has ${blocked.size} domains, over MaxBlocklist=" +
+        s"$MaxBlocklist (the plan-literal bound) — split it or " +
+        "pre-filter offline")
+    val bl = typedLit(blocked.map(_.toLowerCase))
+    df.filter(!arrays_overlap(hostSuffixes(col(urlCol)), bl))
   }
+
+  /** Plan-literal bound for [[domainBlocklistFilter]] (~tens of MB of
+    * UTF-8 at typical domain lengths). */
+  val MaxBlocklist: Int = 1 << 20
 }
