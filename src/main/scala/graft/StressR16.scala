@@ -55,8 +55,10 @@ object StressR16 {
         passages(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
       case "unigramguard" =>
         unigramGuard(spark, sfDir, args.lift(1).map(_.toInt).getOrElse(100))
+      case "media" =>
+        media(spark, args.lift(1).map(_.toInt).getOrElse(100))
       case other =>
-        sys.error(s"unknown subcommand '$other' (passages|unigramguard)")
+        sys.error(s"unknown subcommand '$other' (passages|unigramguard|media)")
     }
     spark.stop()
   }
@@ -122,6 +124,167 @@ object StressR16 {
         report(s"exact == brute force ($tag)", "verified")
       }
       docs.unpersist()
+    }
+  }
+
+  /** Video + audio dedup at 10×/100× (n = 500·reps planted PAIRS each):
+    * clips and wavs are REAL encodes generated IN THE EXECUTORS
+    * (ImageIO / hand-rolled RIFF — payload bytes never visit the
+    * driver), each pair = the same content under a different codec
+    * (PNG vs JPEG 0.9; 16-bit full volume vs 8-bit half volume). The
+    * invariant is pair-level RECALL, robust to accidental cross-pattern
+    * merges on the limited synthetic pattern space: both members of
+    * every planted pair must land in the same CC cluster — verified
+    * distributedly (label equality per pair; one aggregate row to the
+    * driver). */
+  private def media(spark: SparkSession, maxReps: Int): Unit = {
+    import spark.implicits._
+    for (reps <- Seq(10, maxReps).distinct) {
+      val n = 500 * reps
+      // --- video ---
+      val clips = spark.range(n).select(col("id")).as[Long].mapPartitions {
+        ids =>
+          // in-memory streams: the default per-encode FILE cache churns
+          // one /tmp file per image — 300k encodes of 6 KB rasters
+          // thrash the fd table long before memory matters
+          javax.imageio.ImageIO.setUseCache(false)
+          ids.flatMap { b =>
+            def img(seed: Long) = {
+              // 5×5 flat blocks, each block's luma a hash of (seed,
+              // block): frame phashes are ~uniform over the 40-bit
+              // space, so 300k frames stay DISTINCT — a realistic
+              // corpus. (A gradient family has only ~1k distinct sign
+              // patterns; at 100k clips that collapses every pigeonhole
+              // bucket into a cap-dropped hotspot — an all-same-content
+              // corpus, not a scale test.) Flat blocks also survive
+              // JPEG 0.9 (block MEANS barely move), keeping planted
+              // re-encode pairs within maxHamming.
+              val w = 40; val h = 40
+              val im = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              for (y <- 0 until h; x <- 0 until w) {
+                val bx = x * 5 / w; val by = y * 5 / h
+                // x^17 finalizer for real mixing (k·A's low byte is
+                // LINEAR in k — every frame would be a shifted copy of
+                // one progression, same sign pattern again)
+                val m = graft.functions.HashKernels.finalizeHash(
+                  seed * 25 + by * 5 + bx + 1)
+                val v = (m % 256L).toInt
+                im.setRGB(x, y, (v << 16) | (v << 8) | v)
+              }
+              im
+            }
+            def png(im: java.awt.image.BufferedImage) = {
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(im, "png", bos); bos.toByteArray
+            }
+            def jpg(im: java.awt.image.BufferedImage) = {
+              val wr = javax.imageio.ImageIO
+                .getImageWritersByFormatName("jpg").next()
+              val bos = new java.io.ByteArrayOutputStream()
+              val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+              try {
+                wr.setOutput(ios)
+                val p = wr.getDefaultWriteParam
+                p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+                p.setCompressionQuality(0.9f)
+                wr.write(null, new javax.imageio.IIOImage(im, null, null), p)
+              } finally { wr.dispose(); ios.close() }
+              bos.toByteArray
+            }
+            val frames = Seq(img(3 * b), img(3 * b + 1), img(3 * b + 2))
+            Iterator((2 * b, frames.map(png).reduce(_ ++ _)),
+              (2 * b + 1, frames.map(jpg).reduce(_ ++ _)))
+          }
+      }.toDF("doc_id", "media")
+        .withColumn("n_bytes", length(col("media")).cast("long"))
+        .repartition(64)
+      clips.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      report(s"clips (reps=$reps)", clips.count())
+      val vPairs = time(s"videoNearDupPairs (reps=$reps)") {
+        val p = graft.ops.MultimodalOps.videoNearDupPairs(clips)
+        p.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        p.count(); p
+      }
+      val vClusters = graft.ops.DedupOps.nearDupClusters(
+        vPairs.select("id_a", "id_b"), clips.select(col("doc_id")), "doc_id")
+      val vMissed = vClusters
+        .select(expr("doc_id div 2").as("pair"), col("cluster_id"))
+        .groupBy("pair")
+        .agg(countDistinct(col("cluster_id")).as("nl"))
+        .filter(col("nl") =!= 1).count()
+      require(vMissed == 0, s"$vMissed planted clip pairs did not collapse")
+      report(s"planted clip-pair recall (reps=$reps)", "1.0")
+      vPairs.unpersist(); clips.unpersist()
+      // --- audio ---
+      val wavs = spark.range(n).select(col("id")).as[Long].mapPartitions {
+        ids =>
+          ids.flatMap { b =>
+            // 16-segment hashed amplitude envelope: ~9^16 contour
+            // patterns, so 48-bit fingerprints spread across the
+            // pigeonhole buckets. (An 8-segment/9-level envelope has
+            // ~15 informative bits — at 80k wavs the chunk buckets go
+            // HOT and the candidate join quadratic: measured 34 s at
+            // 20k wavs but 1238 s at 80k. Low-entropy signatures are a
+            // corpus property; the dial for real corpora like that is
+            // maxBucket, whose cap telemetry names the drop.)
+            val env = (0 until 16).map(s =>
+              1 + (graft.functions.HashKernels.finalizeHash(
+                b * 16 + s + 1) % 9).toInt)
+            def pcm(ampl: Double) = {
+              val segLen = 200
+              val out = new Array[Int](env.length * segLen)
+              for (s <- env.indices; i <- 0 until segLen) {
+                val a = ampl * env(s) / 9.0 // envelope levels 1..9
+                out(s * segLen + i) = (a * math.sin(
+                  2 * math.Pi * 440 * (s * segLen + i) / 16000.0)).toInt
+              }
+              out
+            }
+            def wav(samples: Array[Int], bits: Int) = {
+              val bytesPer = bits / 8
+              val dataLen = samples.length * bytesPer
+              val bos = new java.io.ByteArrayOutputStream()
+              def le16(v: Int): Unit = {
+                bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+              }
+              def le32(v: Int): Unit = {
+                le16(v & 0xFFFF); le16((v >> 16) & 0xFFFF)
+              }
+              bos.write("RIFF".getBytes); le32(36 + dataLen)
+              bos.write("WAVE".getBytes)
+              bos.write("fmt ".getBytes); le32(16); le16(1); le16(1)
+              le32(16000); le32(16000 * bytesPer); le16(bytesPer); le16(bits)
+              bos.write("data".getBytes); le32(dataLen)
+              for (s <- samples)
+                if (bits == 16) le16(s & 0xFFFF)
+                else bos.write(((s >> 8) + 128) & 0xFF)
+              bos.toByteArray
+            }
+            Iterator((2 * b, wav(pcm(9000.0), 16)),
+              (2 * b + 1, wav(pcm(4500.0), 8))) // re-encode: half vol, 8-bit
+          }
+      }.toDF("doc_id", "media")
+        .withColumn("n_bytes", length(col("media")).cast("long"))
+        .repartition(64)
+      wavs.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      report(s"wavs (reps=$reps)", wavs.count())
+      val aPairs = time(s"audioNearDupPairs (reps=$reps)") {
+        val p = graft.ops.MultimodalOps.audioNearDupPairs(wavs,
+          windows = 49, maxHamming = 3)
+        p.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        p.count(); p
+      }
+      val aClusters = graft.ops.DedupOps.nearDupClusters(
+        aPairs.select("id_a", "id_b"), wavs.select(col("doc_id")), "doc_id")
+      val aMissed = aClusters
+        .select(expr("doc_id div 2").as("pair"), col("cluster_id"))
+        .groupBy("pair")
+        .agg(countDistinct(col("cluster_id")).as("nl"))
+        .filter(col("nl") =!= 1).count()
+      require(aMissed == 0, s"$aMissed planted wav pairs did not collapse")
+      report(s"planted wav-pair recall (reps=$reps)", "1.0")
+      aPairs.unpersist(); wavs.unpersist()
     }
   }
 
