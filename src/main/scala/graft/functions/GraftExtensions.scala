@@ -111,7 +111,7 @@ object GraftExtensions {
   import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayFilter,
     ArrayJoin, Concat, EqualTo, GreaterThan, If, LambdaFunction, Length,
     Lower, NamedLambdaVariable, Not, RegExpExtract, RegExpReplace, RLike,
-    Size, StringSplit, StringTrim, Substring}
+    Size, StringInstr, StringSplit, StringTrim, Substring}
   import graft.ops.UrlOps
 
   private def rr(e: Expression, p: String): Expression =
@@ -126,13 +126,20 @@ object GraftExtensions {
   }
 
   /** graft.ops.UrlOps.canonicalizeUrl at the catalyst level — the same
-    * six ordered rules over the same shared regex constants. */
+    * seven ordered rules over the same shared regex constants
+    * (including the r17 percent-normalization fold over
+    * [[graft.ops.UrlOps.PercentRules]], behind the same instr guard). */
   private[graft] def urlCanonicalExpr(u: Expression): Expression = {
     val t2 = rr(rr(StringTrim(u), UrlOps.FragmentRe), UrlOps.SchemeRe)
     val hostRaw = rex(t2, UrlOps.HostRe)
     val host = rr(rr(Lower(hostRaw), UrlOps.WwwRe), UrlOps.DefaultPortRe)
-    val rest = Substring(t2, Add(Length(hostRaw), Literal(1)),
+    val restRaw = Substring(t2, Add(Length(hostRaw), Literal(1)),
       Literal(1 << 30))
+    val chain = UrlOps.PercentRules.foldLeft(restRaw: Expression) {
+      case (acc, (pat, rep)) => RegExpReplace(acc, Literal(pat), Literal(rep))
+    }
+    val rest = If(GreaterThan(StringInstr(restRaw, Literal("%")), Literal(0)),
+      chain, restRaw)
     val path = rex(rest, UrlOps.PathRe)
     val cleanPath = rr(path, UrlOps.TrailingSlashRe)
     val query = If(GreaterThan(Length(rest), Length(path)),

@@ -96,14 +96,20 @@ object Curation {
 
   /** The funnel's surviving documents (all stages applied). */
   def curate(df: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, mat: Materializer = Materializer.Inline): DataFrame =
-    stages(df, idCol, textCol, weights, mat = mat).last._2
+      weights: DataFrame, mat: Materializer = Materializer.Inline,
+      urlCol: String = null, blockedDomains: Seq[String] = Nil): DataFrame =
+    stages(df, idCol, textCol, weights, mat = mat, urlCol = urlCol,
+      blockedDomains = blockedDomains).last._2
 
   /** Per-stage survivor counts: `(stage_ord, stage, n_docs)` — ordinal
-    * first so the report sorts stably. */
+    * first so the report sorts stably. Pass `urlCol` (web corpora) to
+    * run — and report — the URL stages first: `domain_block`,
+    * `url_dedup`, then the text stages. */
   def funnel(df: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, mat: Materializer = Materializer.Inline): DataFrame =
-    stages(df, idCol, textCol, weights, mat = mat).zipWithIndex.map {
+      weights: DataFrame, mat: Materializer = Materializer.Inline,
+      urlCol: String = null, blockedDomains: Seq[String] = Nil): DataFrame =
+    stages(df, idCol, textCol, weights, mat = mat, urlCol = urlCol,
+      blockedDomains = blockedDomains).zipWithIndex.map {
       case ((name, frame), i) =>
         frame.agg(count(lit(1)).as("n_docs"))
           .select(lit(i + 1).cast("long").as("stage_ord"),

@@ -233,8 +233,12 @@ object DedupOps {
     val h1 = base.select(col(idCol).as("__sid"),
       posexplode(graft.functions.exprs.shingleHashes(col(textCol), winTokens))
         .as(Seq("__off", "__h")))
-    val hot = h1.groupBy("__h")
-      .agg(countDistinct(col("__sid")).as("__nd"))
+    // two-level (key, doc) → key aggregate — the op family's house
+    // shape: per-doc window repeats collapse map-side and the doc count
+    // is a plain count, never a countDistinct expand
+    val hot = h1.groupBy(col("__h"), col("__sid"))
+      .agg(count(lit(1)).as("__n1"))
+      .groupBy("__h").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs).select("__h")
     val cand = mat(h1.join(hot, Seq("__h")).select("__sid", "__off"))
     val passages = base

@@ -432,16 +432,45 @@ object MultimodalOps {
     * key for the per-frame hash chain: 2^20 frames ≈ 9.7 h at 30 fps. */
   val MaxFramesPerClip: Long = 1L << 20
 
+  /** True when the payload sniffs as a REAL video container this
+    * library cannot parse: ISO-BMFF/MP4 (`ftyp` box at offset 4), EBML
+    * (Matroska/WebM, magic `1A 45 DF A3`), or RIFF/AVI (`RIFF....AVI `).
+    * Used by [[splitKeyframes]] to refuse loudly — the [[decodeLuma]] /
+    * [[decodeWavMono]] discipline: frames hashed from zero recovered
+    * keyframes would silently never match a parseable re-encode of the
+    * same clip. */
+  private[graft] def isVideoContainer(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < 12) return false
+    val mp4 = bytes(4) == 'f'.toByte && bytes(5) == 't'.toByte &&
+      bytes(6) == 'y'.toByte && bytes(7) == 'p'.toByte
+    val ebml = bytes(0) == 0x1A.toByte && bytes(1) == 0x45.toByte &&
+      bytes(2) == 0xDF.toByte && bytes(3) == 0xA3.toByte
+    val avi = bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte &&
+      bytes(8) == 'A'.toByte && bytes(9) == 'V'.toByte &&
+      bytes(10) == 'I'.toByte && bytes(11) == ' '.toByte
+    mp4 || ebml || avi
+  }
+
   /** Split an MJPEG-style clip — a concatenation of whole still-image
     * files, the simplest REAL motion container (MJPEG is literally a
     * JPEG sequence; this parser also takes PNG sequences) — into its
     * keyframes by scanning for frame magics (JPEG SOI `FF D8 FF`, PNG
     * signature `89 50 4E 47 0D 0A 1A 0A`): each frame runs from its
-    * magic to the next magic (or payload end). A payload with NO frame
-    * magic yields zero rows (not a refusal — stub/audio payloads flow
-    * through the same media tables). Output: (doc_id, frame_idx,
-    * media = the frame bytes, n_bytes). Partition-wise; payloads never
-    * visit the driver. */
+    * magic to the next magic (or payload end). A payload that sniffs as
+    * a container this parser does NOT understand ([[isVideoContainer]]:
+    * MP4 `ftyp`, EBML/Matroska, RIFF/AVI) REFUSES loudly — it would
+    * otherwise yield zero frames and sail through [[videoDedup]] as its
+    * own singleton while its re-encodes never collapse, the exact
+    * silent miss the WAV path's ADPCM refusal forbids. A RIFF/WAVE
+    * payload is KNOWN AUDIO and yields zero rows without scanning — a
+    * 16-bit PCM stream can contain `FF D8 FF` by byte coincidence, and
+    * hashing that "frame" would refuse on decode, crashing a mixed
+    * clip/track ingest (the composed-gate contract). Any other payload
+    * with no frame magic AND no known container magic yields zero rows
+    * (not a refusal — stub/text payloads flow through the same media
+    * tables). Output: (doc_id, frame_idx, media = the frame bytes,
+    * n_bytes). Partition-wise; payloads never visit the driver. */
   def splitKeyframes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -449,8 +478,15 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          if (bytes == null || bytes.length < 4) Iterator.empty
+          if (bytes == null || bytes.length < 4 || isWav(bytes))
+            Iterator.empty
           else {
+            require(!isVideoContainer(bytes),
+              s"clip $id is a real video container (MP4/Matroska/AVI) — " +
+                "this parser splits concatenated-still (MJPEG-style) " +
+                "payloads only; refusing to yield zero keyframes (the " +
+                "clip would silently never match its re-encodes). " +
+                "Demux it to stills upstream")
             def magicAt(i: Int): Boolean =
               (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte &&
                 bytes(i + 2) == 0xFF.toByte) ||
@@ -473,35 +509,49 @@ object MultimodalOps {
   /** Per-keyframe 2-D perceptual hashes of a clip corpus: frames from
     * [[splitKeyframes]] run the REAL-decode [[perceptualHash2D]] chain
     * (each frame is a whole still image, so the existing image path
-    * applies unchanged). Output: (doc_id, frame_idx, phash). */
-  def videoFrameHashes(media: DataFrame, grid: Int = 5): DataFrame = {
+    * applies unchanged). The result is MATERIALIZED per `mat` (default
+    * [[Materializer.Local]]): every downstream consumer branches on the
+    * hash frame 2-4× (sizes + packed + the spine's band/verify legs),
+    * and at 100 TB of media the per-frame `javax.imageio` decode is the
+    * dominant cost — it must run ONCE, not once per plan branch (the
+    * df-cut-postings discipline, [[DedupOps]]). Output: (doc_id,
+    * frame_idx, phash). */
+  def videoFrameHashes(media: DataFrame, grid: Int = 5,
+      mat: Materializer = Materializer.Local): DataFrame = {
     val frames = splitKeyframes(media)
       .select((col("doc_id") * MaxFramesPerClip + col("frame_idx"))
         .as("doc_id"), col("media"))
-    perceptualHash2D(frames, grid)
+    mat(perceptualHash2D(frames, grid)
       .select(
         // integer unpack: Column./ is DOUBLE division (lossy past 2^53)
         expr(s"doc_id div $MaxFramesPerClip").as("doc_id"),
         pmod(col("doc_id"), lit(MaxFramesPerClip)).as("frame_idx"),
-        col("phash2d").as("phash"))
+        col("phash2d").as("phash")))
   }
 
   /** Clip-level near-duplicate pairs by matching keyframe CONTENT: two
-    * clips pair when ≥ `minMatchFrac` of the smaller clip's keyframes
+    * clips pair when ≥ `minMatchFrac` of the SMALLER clip's keyframes
     * find a frame within `maxHamming` phash bits in the other — the
     * tolerance that makes RE-ENCODED clips (same pixels, different
     * codec/quality: PNG↔JPEG phashes land within a few bits through the
-    * real decode) collapse where exact-match would miss. Scale shape:
-    * frame hashes (a long each — payloads never shuffle) run the
-    * pigeonhole [[DedupOps.hammingNearPairs]] spine on a packed
+    * real decode) collapse where exact-match would miss. `n_matching`
+    * counts DISTINCT matched frames on the side with fewer keyframes
+    * (ties credit the lower-id side), so `match_frac = n_matching /
+    * least(na, nb)` is a true coverage fraction in [0, 1] — a 1-frame
+    * clip fully contained in a 10-frame clip scores exactly 1.0, never
+    * 10.0. Scale shape: frame hashes (a long each — payloads never
+    * shuffle; decoded ONCE via [[videoFrameHashes]]' materializer) run
+    * the pigeonhole [[DedupOps.hammingNearPairs]] spine on a packed
     * (clip, frame) key — chunk-bucketed, hot buckets capped and
     * REPORTED (all-black intro frames would otherwise go quadratic) —
-    * then one clip-pair aggregate. Output: (id_a, id_b, n_matching,
-    * match_frac), id_a < id_b. */
+    * then one clip-pair aggregate over the PAIR GRAPH (duplicate-mass-
+    * sized, not corpus-sized, so the two-distinct expand is bounded).
+    * Output: (id_a, id_b, n_matching, match_frac), id_a < id_b. */
   def videoNearDupPairs(media: DataFrame, grid: Int = 5,
       maxHamming: Int = 3, minMatchFrac: Double = 0.5,
-      maxBucket: Int = 10000): DataFrame = {
-    val fh = videoFrameHashes(media, grid)
+      maxBucket: Int = 10000,
+      mat: Materializer = Materializer.Local): DataFrame = {
+    val fh = videoFrameHashes(media, grid, mat)
     val sizes = fh.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
     val packed = fh.select(
       (col("doc_id") * MaxFramesPerClip + col("frame_idx")).as("fid"),
@@ -510,18 +560,23 @@ object MultimodalOps {
       bits2D(grid), maxHamming, maxBucket)
     // unpack to clips; packed keys sort like (clip, frame), so
     // id_a < id_b implies clip_a <= clip_b — the canonical orientation
-    // survives. distinct (id_a, id_b, fa): one match credit per frame
-    // of a, even when b repeats the frame (a still repeated 100× must
-    // not count 100 matches).
+    // survives. Distinct matched frames are counted PER SIDE (a still
+    // repeated 100× earns one credit, not 100), and the credit taken is
+    // the smaller clip's, so the fraction measures coverage-of-the-
+    // smaller as documented.
     framePairs.select(
         expr(s"id_a div $MaxFramesPerClip").as("id_a"),
         expr(s"id_b div $MaxFramesPerClip").as("id_b"),
-        pmod(col("id_a"), lit(MaxFramesPerClip)).as("fa"))
+        pmod(col("id_a"), lit(MaxFramesPerClip)).as("fa"),
+        pmod(col("id_b"), lit(MaxFramesPerClip)).as("fb"))
       .filter(col("id_a") =!= col("id_b"))
-      .distinct()
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_matching"))
+      .groupBy("id_a", "id_b")
+      .agg(count_distinct(col("fa")).as("nma"),
+        count_distinct(col("fb")).as("nmb"))
       .join(sizes.select(col("doc_id").as("id_a"), col("n_frames").as("na")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("n_frames").as("nb")), Seq("id_b"))
+      .withColumn("n_matching",
+        when(col("na") <= col("nb"), col("nma")).otherwise(col("nmb")))
       .withColumn("match_frac",
         col("n_matching").cast("double") / least(col("na"), col("nb")))
       .filter(col("match_frac") >= minMatchFrac)
@@ -534,12 +589,56 @@ object MultimodalOps {
       minMatchFrac: Double = 0.5, maxBucket: Int = 10000,
       mat: Materializer = Materializer.Local): DataFrame = {
     val pairs = videoNearDupPairs(media, grid, maxHamming, minMatchFrac,
-      maxBucket)
+      maxBucket, mat)
     val clusters = DedupOps.nearDupClusters(pairs.select("id_a", "id_b"),
       media.select(col("doc_id")), "doc_id", mat = mat)
     media.join(clusters, Seq("doc_id"))
       .filter(col("doc_id") === col("cluster_id"))
       .drop("cluster_id")
+  }
+
+  /** Incremental clip-level near-dup check of a NEW clip batch against a
+    * STORED frame-hash index ((doc_id, frame_idx, phash) parquet — the
+    * output of [[videoFrameHashes]] persisted once): the daily-ingest
+    * path that never re-splits or re-decodes the standing corpus —
+    * [[mediaDedupAgainstIndex]]'s shape lifted to clips. New frames run
+    * [[DedupOps.hammingAgainstIndex]] against the stored frames on the
+    * packed (clip, frame) key; clip pairs aggregate exactly like
+    * [[videoNearDupPairs]]: `n_matching` = distinct matched frames on
+    * the side with fewer keyframes (ties credit the NEW side),
+    * `match_frac = n_matching / least(n_new, n_old)` ∈ [0, 1]. Old-clip
+    * frame counts come from the INDEX (one aggregate over stored longs —
+    * payloads of the standing corpus are never touched). Output:
+    * (id_new, id_old, n_matching, match_frac). */
+  def videoNearDupAgainstIndex(newMedia: DataFrame, indexFrames: DataFrame,
+      grid: Int = 5, maxHamming: Int = 3, minMatchFrac: Double = 0.5,
+      maxBucket: Int = 10000,
+      mat: Materializer = Materializer.Local): DataFrame = {
+    val fhNew = videoFrameHashes(newMedia, grid, mat)
+    val sizesNew = fhNew.groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    val sizesOld = indexFrames.groupBy("doc_id").agg(count(lit(1)).as("n_old"))
+    def packed(df: DataFrame) = df.select(
+      (col("doc_id") * MaxFramesPerClip + col("frame_idx")).as("fid"),
+      col("phash"))
+    val framePairs = DedupOps.hammingAgainstIndex(packed(fhNew),
+      packed(indexFrames), "fid", "phash", bits2D(grid), maxHamming,
+      maxBucket)
+    framePairs.select(
+        expr(s"id_new div $MaxFramesPerClip").as("id_new"),
+        expr(s"id_old div $MaxFramesPerClip").as("id_old"),
+        pmod(col("id_new"), lit(MaxFramesPerClip)).as("fn"),
+        pmod(col("id_old"), lit(MaxFramesPerClip)).as("fo"))
+      .groupBy("id_new", "id_old")
+      .agg(count_distinct(col("fn")).as("nmn"),
+        count_distinct(col("fo")).as("nmo"))
+      .join(sizesNew.withColumnRenamed("doc_id", "id_new"), Seq("id_new"))
+      .join(sizesOld.withColumnRenamed("doc_id", "id_old"), Seq("id_old"))
+      .withColumn("n_matching",
+        when(col("n_new") <= col("n_old"), col("nmn")).otherwise(col("nmo")))
+      .withColumn("match_frac",
+        col("n_matching").cast("double") / least(col("n_new"), col("n_old")))
+      .filter(col("match_frac") >= minMatchFrac)
+      .select("id_new", "id_old", "n_matching", "match_frac")
   }
 
   // --- audio: REAL WAV fingerprinting (round 16) -------------------------
@@ -574,6 +673,13 @@ object MultimodalOps {
       val sz = u32(pos + 4).toInt
       require(sz >= 0, s"corrupt WAV: chunk '$id' declares size ${u32(pos + 4)}")
       if (id == "fmt ") {
+        // refuse a truncated fmt chunk HERE (the parser's own require
+        // discipline) — reading past the buffer would surface as a raw
+        // ArrayIndexOutOfBoundsException from deep inside a task
+        require(sz >= 16 && pos + 24 <= bytes.length,
+          s"corrupt WAV: fmt chunk declares $sz bytes but the PCM " +
+            "header needs 16 and must fit the payload — truncated " +
+            "or malformed; refusing to fingerprint")
         fmtCode = u16(pos + 8); channels = u16(pos + 10)
         bits = u16(pos + 22)
       } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
@@ -613,8 +719,10 @@ object MultimodalOps {
     * Volume changes scale every window's energy by the same factor, so
     * the comparisons — and the fingerprint — are invariant; so is an
     * 8↔16-bit re-encode (the decoder normalizes). Time-shift is NOT
-    * survived (documented; shift-robust constellation hashing is a real
-    * FFT away). `windows` ≤ 64 keeps the signature in one long for the
+    * survived — the windows are RELATIVE positions, so a trimmed intro
+    * shifts every boundary; use [[audioFingerprintAnchored]] (peak-
+    * anchored fixed-length frames) when re-uploads are trimmed/padded.
+    * `windows` ≤ 64 keeps the signature in one long for the
     * [[DedupOps.hammingNearPairs]] spine. Non-WAV payloads drop (mixed
     * media tables flow through). Output: (doc_id, afp, n_windows,
     * n_samples). */
@@ -656,25 +764,116 @@ object MultimodalOps {
       }.toDF("doc_id", "afp", "n_bits", "n_samples")
   }
 
+  /** Peak-ANCHORED audio fingerprint — the trim-robust variant of
+    * [[audioFingerprint]]. The contour hash windows the track by
+    * RELATIVE position, so the single most common real re-upload (a
+    * trimmed intro, prepended silence) shifts every window boundary and
+    * the copies never pair. This one anchors at the track's loudest
+    * sample (the FIRST occurrence of the maximum |sample| — argmax is
+    * preserved exactly under volume scaling and the decoder's bit-depth
+    * normalization) and hashes `windows` fixed-length energy frames of
+    * `frameLen` samples each, starting AT the anchor: bit i =
+    * [energy(i+1) > energy(i)], exact Long arithmetic throughout.
+    *
+    * Invariance envelope (documented, spec-pinned): BIT-EXACT under any
+    * edit strictly BEFORE the anchor (trim, padded silence, prepended
+    * content quieter than the peak) and any edit AFTER
+    * `anchor + windows·frameLen` samples; invariant under exact volume
+    * scaling and 8↔16-bit re-encode (same normalization as the contour
+    * hash). NOT survived: edits that remove the peak itself, re-
+    * sampling (the frame grid is in samples), or lossy codecs (PCM
+    * only, same refusal as [[decodeWavMono]]). Frames past the track
+    * end count only their real samples; a track ending before frame 0
+    * still emits (all-zero tail energies — deterministic). Non-WAV
+    * payloads drop (mixed media tables flow through). `windows` ≤ 64
+    * keeps the signature in one long for the hamming spine. Output:
+    * (doc_id, afp, n_bits, anchor, n_samples). */
+  def audioFingerprintAnchored(media: DataFrame, windows: Int = 49,
+      frameLen: Int = 256): DataFrame = {
+    require(windows >= 2 && windows <= 64,
+      s"windows must be in [2, 64], got $windows")
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (!isWav(bytes)) Iterator.empty
+          else {
+            val pcm = decodeWavMono(bytes)
+            if (pcm.isEmpty) Iterator.empty
+            else {
+              var anchor = 0
+              var best = -1L
+              var i = 0
+              while (i < pcm.length) {
+                val a = math.abs(pcm(i).toLong)
+                if (a > best) { best = a; anchor = i }
+                i += 1
+              }
+              val energy = new Array[Long](windows)
+              var w = 0
+              while (w < windows) {
+                val lo = math.min(pcm.length, anchor + w * frameLen)
+                val hi = math.min(pcm.length, anchor + (w + 1) * frameLen)
+                var s = 0L
+                var j = lo
+                while (j < hi) { s += pcm(j).toLong * pcm(j); j += 1 }
+                energy(w) = if (hi > lo) s / (hi - lo) else 0L
+                w += 1
+              }
+              var fp = 0L
+              var b = 0
+              while (b < windows - 1) {
+                if (energy(b + 1) > energy(b)) fp |= 1L << b
+                b += 1
+              }
+              Iterator.single(
+                (id, fp, (windows - 1).toLong, anchor.toLong,
+                  pcm.length.toLong))
+            }
+          }
+        }
+      }.toDF("doc_id", "afp", "n_bits", "anchor", "n_samples")
+  }
+
   /** Audio near-dup pairs: the fingerprint through the pigeonhole
     * hamming spine — a few flipped contour bits (light noise, codec
-    * rounding) still pair; distinct material sits near n_bits/2. */
+    * rounding) still pair; distinct material sits near n_bits/2. The
+    * fingerprint frame is materialized per `mat` (the WAV decode must
+    * run once, not once per spine branch). Set `anchored` to use the
+    * trim-robust [[audioFingerprintAnchored]] (with `frameLen`) instead
+    * of the cheap relative-window contour hash. */
   def audioNearDupPairs(media: DataFrame, windows: Int = 49,
-      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame =
-    DedupOps.hammingNearPairs(
-      audioFingerprint(media, windows).select("doc_id", "afp"),
+      maxHamming: Int = 3, maxBucket: Int = 100000,
+      mat: Materializer = Materializer.Local,
+      anchored: Boolean = false, frameLen: Int = 256): DataFrame = {
+    val fp =
+      if (anchored) audioFingerprintAnchored(media, windows, frameLen)
+      else audioFingerprint(media, windows)
+    DedupOps.hammingNearPairs(mat(fp.select("doc_id", "afp")),
       "doc_id", "afp", windows - 1, maxHamming, maxBucket)
+  }
 
   /** Audio dedup: [[audioNearDupPairs]] → CC clusters → canonical
-    * (minimum-id) track per cluster. */
+    * (minimum-id) track per cluster. The cluster UNIVERSE and the
+    * survivor rows are the FULL media table (original columns intact,
+    * like [[videoDedup]]): a non-WAV row has no fingerprint, so it can
+    * never pair — it survives as its own singleton rather than silently
+    * vanishing from the output (an all-MP3 corpus returns all rows, not
+    * zero). The WAV decode runs ONCE (materialized inside
+    * [[audioNearDupPairs]]). `anchored` selects the trim-robust
+    * [[audioFingerprintAnchored]]. */
   def audioDedup(media: DataFrame, windows: Int = 49, maxHamming: Int = 3,
       maxBucket: Int = 100000,
-      mat: Materializer = Materializer.Local): DataFrame = {
-    val pairs = audioNearDupPairs(media, windows, maxHamming, maxBucket)
+      mat: Materializer = Materializer.Local,
+      anchored: Boolean = false, frameLen: Int = 256): DataFrame = {
+    val pairs = audioNearDupPairs(media, windows, maxHamming, maxBucket,
+      mat, anchored, frameLen)
     val clusters = DedupOps.nearDupClusters(pairs.select("id_a", "id_b"),
-      audioFingerprint(media, windows).select(col("doc_id")), "doc_id",
-      mat = mat)
-    audioFingerprint(media, windows).join(clusters, Seq("doc_id"))
+      media.select(col("doc_id")), "doc_id", mat = mat)
+    media.join(clusters, Seq("doc_id"))
       .filter(col("doc_id") === col("cluster_id"))
       .drop("cluster_id")
   }

@@ -1357,6 +1357,67 @@ object SampleOps {
     (manifest, vocab)
   }
 
+  /** ONE-CALL trainer-ready SUPERVISED corpus — the SFT twin of
+    * [[materializeTrainingCorpus]]: quality filter + exact-dedup
+    * keep-first on the FULL example (prompt and completion joined on a
+    * NUL byte — the pair is the supervision unit, and NUL cannot
+    * collide a (prompt, completion) re-split the way a printable
+    * separator could; skipped when `curate = false`) → byte-faithful
+    * [[graft.ops.TextOps.encodeSft]] (0-masked prompt, 1-masked
+    * completion + EOS) → dense [0, V) vocabulary remap →
+    * fragment-fused concat-and-cut packing
+    * ([[materializePackedSftSequences]]) → sharded atomic publish in
+    * the mask-carrying `(t, lm)` struct-stream schema — the SAME
+    * published shape the streaming sink
+    * ([[graft.streaming.StreamOps.packedSftCorpusSink]]) and
+    * [[compactPackedSftEpochs]] emit, so every packed-SFT reader
+    * applies unchanged — with the dense vocab and the specials table
+    * as `_graft_vocab.parquet` / `_graft_specials.parquet` sidecars
+    * inside the same staged swap.
+    *
+    * Every stage is a pure content function, so a rebuild reproduces
+    * the artifact byte-for-byte; scale shape = the composed
+    * q_sft_pipeline plan (map-only encode, ONE doc-sized prefix-sum
+    * exchange, fragment-granularity assembly) + the writeSharded
+    * publish. Returns (manifest, denseVocab). */
+  def materializeSftCorpus(docs: DataFrame, idCol: String,
+      promptCol: String, completionCol: String, path: String, seqLen: Int,
+      targetTokens: Long, buckets: Int,
+      merges: Seq[(String, String)] = TextOps.DefaultBpeMerges,
+      curate: Boolean = true,
+      mat: Materializer = Materializer.Local): (DataFrame, DataFrame) = {
+    require(!docs.columns.contains("__sft_text"),
+      "materializeSftCorpus reserves the working column name __sft_text " +
+        "— rename it before materializing")
+    val survivors =
+      if (curate) {
+        val keyed = docs.withColumn("__sft_text",
+          concat_ws("\u0000", coalesce(col(promptCol), lit("")),
+            coalesce(col(completionCol), lit(""))))
+        DedupOps.exactDedup(TextOps.qualityFilter(keyed, "__sft_text"),
+          idCol, "__sft_text").drop("__sft_text")
+      } else docs
+    // the encoded frame feeds the vocab collect, the prefix-sum totals,
+    // and the staged write — materialize once (the
+    // materializeTrainingCorpus trade; pass Materializer.Reliable at
+    // 100 TB)
+    val enc = mat(TextOps.encodeSft(survivors, idCol, promptCol,
+      completionCol, merges, lossless = true))
+    val vocab = TextOps.denseVocab(enc, "token_ids",
+      Seq(TextOps.bpeEosId(merges)))
+    val dense = TextOps.densifyIds(enc, "token_ids", vocab)
+    val packed = materializePackedSftSequences(dense, col(idCol),
+      "dense_ids", "loss_mask", seqLen, buckets)
+    val rows = packed.withColumn("text",
+        zip_with(col("token_ids"), col("loss_mask"),
+          (t, m) => struct(t.as("t"), m.as("lm"))))
+      .select(col("seq_id"), col("text"), col("n_tokens"))
+    val manifest = writeSharded(rows, col("seq_id"), "n_tokens", "text",
+      path, targetTokens, buckets,
+      sidecar = Some(corpusSidecars(vocab, merges)))
+    (manifest, vocab)
+  }
+
   /** OFFLINE compaction of a [[graft.streaming.StreamOps.packedCorpusSink]]
     * epoch-segmented corpus into ONE dense-id sharded corpus — the
     * batch half of the log-structured contract (stream appends epoch

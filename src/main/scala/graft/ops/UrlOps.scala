@@ -39,6 +39,45 @@ object UrlOps {
   private[graft] val PathRe = "^[^?]*"
   private[graft] val TrailingSlashRe = "/+$"
 
+  /** Percent-encoding normalization as an ORDERED rule list of
+    * (regex, replacement) replaces — RFC 3986 §6.2.2: percent escapes
+    * of UNRESERVED characters (ALPHA / DIGIT / `-` `.` `_` `~`) decode
+    * (hex matched case-insensitively), then the hex digits of every
+    * REMAINING escape uppercase (`%3a` → `%3A`). Two URLs that encoders
+    * percent-encoded differently (`a%2Db` vs `a-b`, `%7e` vs `%7E` vs
+    * `~`) now collapse; reserved escapes (`%2F`, `%3F`, `%26`…) are
+    * NEVER decoded — decoding them would move parsing boundaries, so
+    * neither rule can introduce `/`, `?`, `#`, or `&` and the
+    * host/path/query split stays stable around the rules. The
+    * uppercase step uses capture-group replaces (`%a([0-9A-Fa-f])` →
+    * `%A$1`, then `%([0-9A-F])a` → `%$1A`) because RE2 — the oracle's
+    * engine — has no lookaround; a bare `%` followed by hex (malformed
+    * input) is normalized best-effort by the same deterministic chain
+    * on both engines. Replacements use Java `$1` syntax; the SQL oracle
+    * builder swaps to RE2's `\1`. `+` is NOT decoded to space (its
+    * meaning is scheme-specific) and `%20` stays an escape (space is
+    * not unreserved) — documented non-rules. */
+  private[graft] val PercentRules: Seq[(String, String)] = {
+    val unreserved =
+      (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+        .map(c => (f"(?i)%%${c.toInt}%02X", c.toString))
+    val upperFirst =
+      ('a' to 'f').map(d => (s"%$d([0-9A-Fa-f])", s"%${d.toUpper}$$1"))
+    val upperSecond =
+      ('a' to 'f').map(d => (s"%([0-9A-F])$d", s"%$$1${d.toUpper}"))
+    unreserved ++ upperFirst ++ upperSecond
+  }
+
+  /** [[PercentRules]] folded into one expression chain, guarded by a
+    * cheap `instr` so URLs without a `%` (the overwhelming majority)
+    * skip all the regex passes — the chain is the identity on them. */
+  private def percentNormalize(s: Column): Column = {
+    val chain = PercentRules.foldLeft(s) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+    when(instr(s, "%") > 0, chain).otherwise(s)
+  }
+
   /** Canonical form of a URL, as explicit ordered rules (each one a
     * single replayable expression):
     *  1. trim surrounding whitespace;
@@ -48,9 +87,14 @@ object UrlOps {
     *     `www.` prefix dropped, default `:80`/`:443` port dropped
     *     (the PATH keeps its case — only authority is case-insensitive
     *     per RFC 3986);
-    *  5. path: trailing `/` runs dropped;
-    *  6. query: tracking params ([[DefaultTrackingParams]], name
-    *     matched case-insensitively) and empty params dropped, the
+    *  5. percent normalization on the path+query ([[PercentRules]]):
+    *     unreserved escapes decode, remaining escape hex uppercases —
+    *     escapes in the AUTHORITY are left alone (percent-encoded
+    *     hosts are pathological; a non-rule like punycode);
+    *  6. path: trailing `/` runs dropped;
+    *  7. query: tracking params ([[DefaultTrackingParams]], name
+    *     matched case-insensitively, AFTER percent normalization — so
+    *     `utm%5Fsource` is caught) and empty params dropped, the
     *     REST kept in original order (no reorder — two URLs differing
     *     in param order stay distinct, a deliberate conservative rule);
     *     an emptied query drops its `?`.
@@ -63,7 +107,8 @@ object UrlOps {
     val hostRaw = regexp_extract(t2, HostRe, 0)
     val host = regexp_replace(
       regexp_replace(lower(hostRaw), WwwRe, ""), DefaultPortRe, "")
-    val rest = substring(t2, length(hostRaw) + 1, lit(1 << 30))
+    val rest = percentNormalize(
+      substring(t2, length(hostRaw) + 1, lit(1 << 30)))
     val path = regexp_extract(rest, PathRe, 0)
     val cleanPath = regexp_replace(path, TrailingSlashRe, "")
     val query = when(length(rest) > length(path),
@@ -88,14 +133,24 @@ object UrlOps {
   /** Exact URL-keyed dedup, keep-first: one survivor per canonical URL —
     * the row with the smallest `idCol` (deterministic, engine-replayable
     * — the [[IndexOps.dedupKeepFirst]] priority-window pattern keyed on
-    * [[canonicalizeUrl]]). Emits the input columns plus
-    * `canonical_url`. Scale shape: ONE hash-partitioned window on the
-    * canonical key — the same exchange any exact dedup pays; no joins.
+    * [[canonicalizeUrl]]). NULL-url rows are EXEMPT: a null has no
+    * canonical key, so every null-url row passes through untouched
+    * (`canonical_url` null) — without the exemption the window would
+    * group ALL null-url rows into one partition and keep-first would
+    * silently drop every document that merely lacks a URL. Implemented
+    * as a second partition key that is the row's own id when (and only
+    * when) the canonical key is null — still ONE hash-partitioned
+    * window, no union, no second exchange. Emits the input columns plus
+    * `canonical_url`. Scale bonus: the null id-salt also means a
+    * null-URL-heavy crawl slice can never become one skewed partition.
     */
   def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
-    val w = Window.partitionBy(col("canonical_url")).orderBy(col(idCol).asc)
+    val nullSalt = when(col("canonical_url").isNull,
+      col(idCol).cast("string")).otherwise(lit(""))
+    val w = Window.partitionBy(col("canonical_url"), nullSalt)
+      .orderBy(col(idCol).asc)
     keyed.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
       .drop("__graft_rn")
@@ -137,7 +192,10 @@ object UrlOps {
     * probes, independent of blocklist size. Bounded at `MaxBlocklist`
     * entries (~a few hundred MB of plan literal past it — split the
     * list or pre-join offline). Domains are matched lowercase; pass
-    * registrable domains (`spam.example`), not hosts. */
+    * registrable domains (`spam.example`), not hosts. NULL-url rows
+    * PASS (a row with no URL has no host to block — the bare
+    * `arrays_overlap` predicate would evaluate null and the filter
+    * would silently drop them). */
   def domainBlocklistFilter(df: DataFrame, urlCol: String,
       blocked: Seq[String]): DataFrame = {
     if (blocked.isEmpty) return df
@@ -146,7 +204,8 @@ object UrlOps {
         s"$MaxBlocklist (the plan-literal bound) — split it or " +
         "pre-filter offline")
     val bl = typedLit(blocked.map(_.toLowerCase))
-    df.filter(!arrays_overlap(hostSuffixes(col(urlCol)), bl))
+    df.filter(
+      coalesce(!arrays_overlap(hostSuffixes(col(urlCol)), bl), lit(true)))
   }
 
   /** Plan-literal bound for [[domainBlocklistFilter]] (~tens of MB of

@@ -3021,48 +3021,71 @@ object Queries {
     * stage, one CTE oracle. Model weights derive from the raw corpus
     * exactly as in q_classifier_score. */
   // ---------------------------------------------------------------------
-  // URL/domain curation (round 16): canonicalization + URL-keyed dedup.
-  // The documents table carries no URL column, so the queries synthesize
-  // DETERMINISTIC urls from (doc_id, source) in four shapes that exercise
-  // every rule: scheme/host case, www., default port, fragment, tracking
-  // params, trailing slash, schemeless input. Shapes 0 and 1 canonicalize
-  // to the SAME url (the merge the canonicalizer exists to make).
+  // URL/domain curation (round 16; percent rule + null exemption r17):
+  // canonicalization + URL-keyed dedup. The documents table carries no
+  // URL column, so the queries synthesize DETERMINISTIC urls from
+  // (doc_id, source) in six shapes that exercise every rule: scheme/host
+  // case, www., default port, fragment, tracking params, trailing slash,
+  // schemeless input, percent-encoded unreserved chars (shape 4 decodes
+  // to shape 1's canonical — the cross-encoder merge the r17 rule
+  // exists to make), lowercase reserved-escape hex (shape 2 uppercases,
+  // never decodes), and a NULL url (shape 5 — must pass through every
+  // stage untouched, never keep-first-collapsed with other nulls).
   // ---------------------------------------------------------------------
 
   private def synthUrl: Column = {
     val k = pmod(col("doc_id"), lit(25)).cast("string")
     val id = col("doc_id").cast("string")
-    val m = pmod(col("doc_id"), lit(4))
+    val m = pmod(col("doc_id"), lit(6))
     when(m === 0, concat(lit("HTTPS://WWW."), col("source"),
         lit(".Example.com:443/docs/"), k, lit("/?utm_source=feed&fbclid="),
         id, lit("#frag")))
       .when(m === 1, concat(lit("http://"), col("source"),
         lit(".example.com/docs/"), k))
       .when(m === 2, concat(lit("https://m."), col("source"),
-        lit(".example.com/a/"), k, lit("?gclid=1&page=2")))
-      .otherwise(concat(col("source"), lit(".spamhub.example/docs/"), k,
+        lit(".example.com/a%2fb/"), k, lit("?gclid=1&pa%67e=2")))
+      .when(m === 3, concat(col("source"), lit(".spamhub.example/docs/"), k,
         lit("?ref=tw&x=1")))
+      .when(m === 4, concat(lit("http://"), col("source"),
+        lit(".example.com/d%6Fcs/"), k))
+      .otherwise(lit(null).cast("string"))
   }
 
   private val synthUrlSql =
-    """CASE doc_id % 4
+    """CASE doc_id % 6
       | WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.com:443/docs/' || (doc_id % 25) || '/?utm_source=feed&fbclid=' || doc_id || '#frag'
       | WHEN 1 THEN 'http://' || source || '.example.com/docs/' || (doc_id % 25)
-      | WHEN 2 THEN 'https://m.' || source || '.example.com/a/' || (doc_id % 25) || '?gclid=1&page=2'
-      | ELSE source || '.spamhub.example/docs/' || (doc_id % 25) || '?ref=tw&x=1'
+      | WHEN 2 THEN 'https://m.' || source || '.example.com/a%2fb/' || (doc_id % 25) || '?gclid=1&pa%67e=2'
+      | WHEN 3 THEN source || '.spamhub.example/docs/' || (doc_id % 25) || '?ref=tw&x=1'
+      | WHEN 4 THEN 'http://' || source || '.example.com/d%6Fcs/' || (doc_id % 25)
+      | ELSE NULL
       |END""".stripMargin
 
-  /** UrlOps.canonicalizeUrl's six rules replayed literally (chained CTEs
-    * mirror the expression pipeline; every regex is RE2 ≡ Java-regex
-    * safe: anchors, char classes, alternation). */
-  private val urlCanonCtes =
-    s"""u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
+  /** [[UrlOps.PercentRules]] replayed as the same ordered replace chain
+    * (RE2 global replaces; Java's `$1` group syntax becomes RE2's
+    * `\1`). Generated from the SINGLE rule list the Spark expression
+    * folds — the two engines cannot drift. */
+  private def sqlPercentChain(inner: String): String =
+    graft.ops.UrlOps.PercentRules.foldLeft(inner) { case (acc, (pat, rep)) =>
+      s"regexp_replace($acc, '$pat', '${rep.replace("$1", "\\1")}', 'g')"
+    }
+
+  /** UrlOps.canonicalizeUrl's seven rules replayed literally (chained
+    * CTEs mirror the expression pipeline; every regex is RE2 ≡
+    * Java-regex safe: anchors, char classes, alternation, and — for the
+    * percent rules — capture-group replaces, never lookaround).
+    * `src` is the relation the synthetic urls derive from (the web
+    * funnel canonicalizes only its text-non-null stage-1 rows). */
+  private def urlCanonCtesFrom(src: String): String =
+    s"""u AS (SELECT doc_id, $synthUrlSql AS url FROM $src),
        |c1 AS (SELECT doc_id, url, regexp_replace(regexp_replace(trim(url),
        |  '#.*$$', ''), '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS t2 FROM u),
        |c2 AS (SELECT *, regexp_extract(t2, '^[^/?]*') AS hostraw FROM c1),
        |c3 AS (SELECT *, regexp_replace(regexp_replace(lower(hostraw),
        |  '^www\\.', ''), ':(80|443)$$', '') AS host,
-       |  substr(t2, length(hostraw) + 1) AS rest FROM c2),
+       |  CASE WHEN contains(substr(t2, length(hostraw) + 1), '%')
+       |       THEN ${sqlPercentChain("substr(t2, length(hostraw) + 1)")}
+       |       ELSE substr(t2, length(hostraw) + 1) END AS rest FROM c2),
        |c4 AS (SELECT *, regexp_extract(rest, '^[^?]*') AS pth FROM c3),
        |c5 AS (SELECT *, regexp_replace(pth, '/+$$', '') AS cleanpath,
        |  CASE WHEN length(rest) > length(pth)
@@ -3071,10 +3094,12 @@ object Queries {
        |  p -> NOT regexp_matches(lower(p),
        |    '^(utm_[a-z0-9]+|gclid|fbclid|ref|mc_cid|mc_eid)(=|${"$"})')
        |  AND p <> '') AS params FROM c5),
-       |canon AS (SELECT doc_id, url,
+       |canon AS (SELECT doc_id, url, host,
        |  host || cleanpath || CASE WHEN len(params) > 0
        |    THEN '?' || array_to_string(params, '&') ELSE '' END
        |    AS canonical_url FROM c6)""".stripMargin
+
+  private val urlCanonCtes = urlCanonCtesFrom("documents")
 
   private def urlCanonicalQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), synthUrl.as("url"))
@@ -3093,7 +3118,10 @@ object Queries {
     s"""WITH $urlCanonCtes
        |SELECT doc_id, url, canonical_url FROM canon
        |QUALIFY row_number() OVER (
-       |  PARTITION BY canonical_url ORDER BY doc_id) = 1""".stripMargin
+       |  PARTITION BY canonical_url,
+       |    CASE WHEN canonical_url IS NULL THEN CAST(doc_id AS VARCHAR)
+       |         ELSE '' END
+       |  ORDER BY doc_id) = 1""".stripMargin
 
   /** Incremental URL dedup (UrlOps.urlDedupAgainstIndex): even docs'
     * canonical URLs form the standing index; odd docs are the arriving
@@ -3112,10 +3140,15 @@ object Queries {
   private def urlDedupIncrementalSql =
     s"""WITH $urlCanonCtes
        |SELECT canonical_url, doc_id, url FROM canon
-       |WHERE doc_id % 2 = 1 AND canonical_url NOT IN (
-       |  SELECT canonical_url FROM canon WHERE doc_id % 2 = 0)
+       |WHERE doc_id % 2 = 1 AND (canonical_url IS NULL OR
+       |  canonical_url NOT IN (
+       |    SELECT canonical_url FROM canon
+       |    WHERE doc_id % 2 = 0 AND canonical_url IS NOT NULL))
        |QUALIFY row_number() OVER (
-       |  PARTITION BY canonical_url ORDER BY doc_id) = 1""".stripMargin
+       |  PARTITION BY canonical_url,
+       |    CASE WHEN canonical_url IS NULL THEN CAST(doc_id AS VARCHAR)
+       |         ELSE '' END
+       |  ORDER BY doc_id) = 1""".stripMargin
 
   private def curationFunnelQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -3127,13 +3160,18 @@ object Queries {
       mat = Materializer.LocalLazy)
   }
 
-  private def curationFunnelSql = {
-    val norm = "regexp_replace(trim(lower(nfc_normalize(text)), ' \t\n\r'), '[ \t\n\r]+', ' ', 'g')"
+  /** The normalize expression and the quality→dedup→classifier→sample
+    * CTE tail shared by the plain and the web (URL-staged) funnel
+    * oracles — both consume an `nrm` CTE of (doc_id, normalized text);
+    * only how `nrm` is derived differs. */
+  private val funnelNormSql =
+    "regexp_replace(trim(lower(nfc_normalize(text)), ' \t\n\r'), '[ \t\n\r]+', ' ', 'g')"
+
+  private def funnelTailCtesSql: String = {
     val stops = TextOps.Stopwords
       .map(w => s"len(list_filter(string_split(text,' '), x -> x = '$w'))")
       .mkString(" + ")
-    s"""WITH nrm AS (SELECT doc_id, $norm AS text FROM documents WHERE text IS NOT NULL),
-       |qf AS (SELECT doc_id, text FROM (
+    s"""qf AS (SELECT doc_id, text FROM (
        |  SELECT doc_id, text, len(string_split(text,' '))::BIGINT AS n_words,
        |    length(text)::BIGINT AS n_chars2, ($stops)::BIGINT AS n_stop FROM nrm)
        |  WHERE n_words >= 20
@@ -3151,13 +3189,52 @@ object Queries {
        |  SELECT doc_id, coalesce(sum(w.weight), 0) AS s
        |  FROM dtoks LEFT JOIN w ON w.term = dtoks.tok GROUP BY doc_id) sc
        |  ON sc.doc_id = dd.doc_id WHERE sc.s >= 0),
-       |sm AS (SELECT * FROM cl WHERE ${sqlHash("CAST(doc_id AS VARCHAR)")} % 1000 < 800)
+       |sm AS (SELECT * FROM cl WHERE ${sqlHash("CAST(doc_id AS VARCHAR)")} % 1000 < 800)""".stripMargin
+  }
+
+  private def curationFunnelSql =
+    s"""WITH nrm AS (SELECT doc_id, $funnelNormSql AS text FROM documents WHERE text IS NOT NULL),
+       |$funnelTailCtesSql
        |SELECT 1::BIGINT AS stage_ord, 'raw' AS stage, count(*)::BIGINT AS n_docs FROM nrm
        |UNION ALL SELECT 2, 'quality', count(*) FROM qf
        |UNION ALL SELECT 3, 'dedup', count(*) FROM dd
        |UNION ALL SELECT 4, 'classifier', count(*) FROM cl
        |UNION ALL SELECT 5, 'sample', count(*) FROM sm""".stripMargin
+
+  /** The web-corpus flagship: the WHOLE funnel with the URL stages
+    * enabled end-to-end — domain blocklist (label-boundary suffix
+    * match, nulls pass), canonical-URL keep-first dedup (nulls exempt,
+    * percent rule live), then the text stages over the URL survivors.
+    * One CTE oracle replays all seven stage counts. */
+  private def webFunnelQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curation.funnel(docs.withColumn("url", synthUrl), "doc_id", "text",
+      corpusWeights(docs), mat = Materializer.LocalLazy,
+      urlCol = "url", blockedDomains = Seq("spamhub.example"))
   }
+
+  private def webFunnelSql =
+    s"""WITH ${urlCanonCtesFrom("(SELECT * FROM documents WHERE text IS NOT NULL)")},
+       |wb AS (SELECT doc_id, url, canonical_url FROM canon
+       |  WHERE url IS NULL OR NOT (host = 'spamhub.example'
+       |    OR host LIKE '%.spamhub.example')),
+       |wd AS (SELECT doc_id FROM wb
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY canonical_url,
+       |      CASE WHEN canonical_url IS NULL THEN CAST(doc_id AS VARCHAR)
+       |           ELSE '' END
+       |    ORDER BY doc_id) = 1),
+       |nrm AS (SELECT d.doc_id, $funnelNormSql AS text
+       |        FROM documents d JOIN wd USING (doc_id)),
+       |$funnelTailCtesSql
+       |SELECT 1::BIGINT AS stage_ord, 'raw' AS stage, count(*)::BIGINT AS n_docs
+       |  FROM documents WHERE text IS NOT NULL
+       |UNION ALL SELECT 2, 'domain_block', count(*) FROM wb
+       |UNION ALL SELECT 3, 'url_dedup', count(*) FROM wd
+       |UNION ALL SELECT 4, 'quality', count(*) FROM qf
+       |UNION ALL SELECT 5, 'dedup', count(*) FROM dd
+       |UNION ALL SELECT 6, 'classifier', count(*) FROM cl
+       |UNION ALL SELECT 7, 'sample', count(*) FROM sm""".stripMargin
 
   private def profileByGroupQ(s: SparkSession, dir: String): DataFrame =
     ProfileOps.numericProfileByGroup(t(s, dir, "documents"), "lang", "n_chars")
@@ -4261,6 +4338,7 @@ object Queries {
     "q_session_attribution" -> (sessionAttributionQ _),
     "q_cms_terms" -> (cmsTermsQ _),
     "q_curation_funnel" -> (curationFunnelQ _),
+    "q_web_funnel" -> (webFunnelQ _),
     "q_url_canonical" -> (urlCanonicalQ _),
     "q_url_dedup" -> (urlDedupQ _),
     "q_url_dedup_incremental" -> (urlDedupIncrementalQ _),
@@ -4419,6 +4497,7 @@ object Queries {
     "q_session_attribution" -> sessionAttributionSql,
     "q_cms_terms" -> cmsTermsSql,
     "q_curation_funnel" -> curationFunnelSql,
+    "q_web_funnel" -> webFunnelSql,
     "q_url_canonical" -> urlCanonicalSql,
     "q_url_dedup" -> urlDedupSql,
     "q_url_dedup_incremental" -> urlDedupIncrementalSql,

@@ -358,6 +358,133 @@ object StreamOps {
     }
   }
 
+  /** Streaming VIDEO ingest gate — [[mediaGateSink]]'s shape for clip
+    * payloads, keyed on keyframe CONTENT: each micro-batch is (1)
+    * self-deduped within the batch
+    * ([[graft.ops.MultimodalOps.videoDedup]] — frame hashes → smaller-
+    * side coverage pairs → CC → canonical), (2) anti-joined against the
+    * STANDING frame-hash index
+    * ([[graft.ops.MultimodalOps.videoNearDupAgainstIndex]] — old clips
+    * are judged from their stored (doc_id, frame_idx, phash) longs,
+    * never re-split or re-decoded), and (3) the survivors' frame hashes
+    * fold into the index. A re-encoded re-delivery of yesterday's clip
+    * (PNG↔JPEG keyframes, changed quality) never reaches
+    * `survivorsPath`. Same determinism/replay discipline as the other
+    * gates: per-batch overwrite, staged `__last_batch` + sidecar-marker
+    * publish, replayed epochs skipped.
+    *
+    * Policies (stated, not leaks): zero-byte payloads drop at the gate
+    * entrance (no frames, can neither pair nor index); a payload that
+    * sniffs as a REAL container (MP4/Matroska/AVI) REFUSES loudly and
+    * fails the batch ([[graft.ops.MultimodalOps.splitKeyframes]]'s
+    * contract — demux upstream); a frameless payload (text/audio in a
+    * mixed table) passes as its own singleton and contributes nothing
+    * to the index, so an identical one re-surviving later batches is
+    * expected — run the exact-digest gate upstream for those. Dials
+    * must stay fixed for the life of `frameHashPath` (the
+    * [[nearDupGateSink]] contract). */
+  def videoGateSink(media: DataFrame, frameHashPath: String,
+      survivorsPath: String, grid: Int = 5, maxHamming: Int = 3,
+      minMatchFrac: Double = 0.5, maxBucket: Int = 10000)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateVideoBatch(batch, frameHashPath, survivorsPath, grid,
+          maxHamming, minMatchFrac, maxBucket, batchId)
+      }
+
+  /** One micro-batch of the video gate (see [[videoGateSink]]). */
+  private[graft] def gateVideoBatch(batch: DataFrame, frameHashPath: String,
+      survivorsPath: String, grid: Int, maxHamming: Int,
+      minMatchFrac: Double, maxBucket: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    foldStaged(spark, frameHashPath, batchId) { stored =>
+      val gated = batch.filter(length(col("media")) >= 1)
+      val selfDeduped = graft.ops.MultimodalOps.videoDedup(
+        gated, grid, maxHamming, minMatchFrac, maxBucket)
+      val survivors = stored match {
+        case Some(s) =>
+          val hits = graft.ops.MultimodalOps.videoNearDupAgainstIndex(
+              selfDeduped, s, grid, maxHamming, minMatchFrac, maxBucket)
+            .select(col("id_new").as("doc_id")).distinct()
+          selfDeduped.join(hits, Seq("doc_id"), "left_anti")
+        case None => selfDeduped
+      }
+      survivors.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$survivorsPath/batch=$batchId")
+      // frame hashes from the JUST-WRITTEN parquet: `survivors` carries
+      // the pairs→CC lineage, which a second reference would re-run
+      val newSigs = graft.ops.MultimodalOps.videoFrameHashes(
+        spark.read.parquet(s"$survivorsPath/batch=$batchId"), grid)
+      stored.map(_.unionByName(newSigs)).getOrElse(newSigs)
+    }
+  }
+
+  /** Streaming AUDIO ingest gate — [[mediaGateSink]]'s shape for track
+    * payloads, keyed on the energy fingerprint: each micro-batch is (1)
+    * self-deduped within the batch
+    * ([[graft.ops.MultimodalOps.audioDedup]]), (2) anti-joined against
+    * hamming near-dups of the STANDING fingerprint index (stored
+    * (doc_id, afp) longs — the corpus ever ingested is never
+    * re-decoded), and (3) the survivors' fingerprints fold into the
+    * index. A re-encoded (volume/bit-depth) — or, with
+    * `anchored = true`, a trimmed/silence-padded — re-delivery of
+    * yesterday's track never reaches `survivorsPath`. Same
+    * determinism/replay discipline as the other gates.
+    *
+    * Policies: compressed WAV (ADPCM) and truncated payloads REFUSE
+    * loudly and fail the batch (the decode contract); non-WAV payloads
+    * in a mixed table pass as singletons and never index (same caveat
+    * as the video gate — exact-digest-gate them upstream). The
+    * fingerprint family (`windows`, `anchored`, `frameLen`) must stay
+    * fixed for the life of `fpPath` — a flipped `anchored` would fork
+    * the hash family mid-index (the [[nearDupGateSink]] dial
+    * contract). */
+  def audioGateSink(media: DataFrame, fpPath: String,
+      survivorsPath: String, windows: Int = 49, maxHamming: Int = 3,
+      maxBucket: Int = 100000, anchored: Boolean = false,
+      frameLen: Int = 256)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gateAudioBatch(batch, fpPath, survivorsPath, windows, maxHamming,
+          maxBucket, anchored, frameLen, batchId)
+      }
+
+  /** One micro-batch of the audio gate (see [[audioGateSink]]). */
+  private[graft] def gateAudioBatch(batch: DataFrame, fpPath: String,
+      survivorsPath: String, windows: Int, maxHamming: Int, maxBucket: Int,
+      anchored: Boolean, frameLen: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import graft.ops.MultimodalOps
+    def fpOf(df: DataFrame): DataFrame =
+      (if (anchored) MultimodalOps.audioFingerprintAnchored(df, windows, frameLen)
+       else MultimodalOps.audioFingerprint(df, windows))
+        .select("doc_id", "afp")
+    foldStaged(spark, fpPath, batchId) { stored =>
+      val selfDeduped = MultimodalOps.audioDedup(batch, windows,
+        maxHamming, maxBucket, anchored = anchored, frameLen = frameLen)
+      val survivors = stored match {
+        case Some(s) =>
+          val hits = graft.ops.DedupOps.hammingAgainstIndex(
+              fpOf(selfDeduped), s.select("doc_id", "afp"), "doc_id",
+              "afp", windows - 1, maxHamming, maxBucket)
+            .select(col("id_new").as("doc_id")).distinct()
+          selfDeduped.join(hits, Seq("doc_id"), "left_anti")
+        case None => selfDeduped
+      }
+      survivors.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$survivorsPath/batch=$batchId")
+      // fingerprints from the JUST-WRITTEN parquet (carrying the CC
+      // lineage forward would re-run it)
+      val newSigs = fpOf(
+        spark.read.parquet(s"$survivorsPath/batch=$batchId"))
+      stored.map(_.unionByName(newSigs)).getOrElse(newSigs)
+    }
+  }
+
   /** Streaming EMBEDDING ingest gate — the semantic third of the gate
     * family ([[nearDupGateSink]] = lexical MinHash, [[mediaGateSink]] =
     * perceptual phash, this = embedding RP-LSH): each micro-batch of

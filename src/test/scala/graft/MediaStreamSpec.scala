@@ -10,77 +10,7 @@ import graft.ops.MultimodalOps
   */
 class MediaStreamSpec extends SparkSpec {
   import spark.implicits._
-
-  // ---- fixtures: real encoded frames and PCM ----
-
-  private def gradientImage(w: Int, h: Int, inverted: Boolean,
-      seed: Int = 0): java.awt.image.BufferedImage = {
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w) {
-      val base = (x * 200 / w + y * 55 / h + seed) % 256
-      val v = if (inverted) 255 - base else base
-      img.setRGB(x, y, (v << 16) | (v << 8) | v)
-    }
-    img
-  }
-
-  private def png(img: java.awt.image.BufferedImage): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
-
-  private def jpeg(img: java.awt.image.BufferedImage, q: Float): Array[Byte] = {
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    try {
-      writer.setOutput(ios)
-      val p = writer.getDefaultWriteParam
-      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      p.setCompressionQuality(q)
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
-    } finally { writer.dispose(); ios.close() }
-    bos.toByteArray
-  }
-
-  private def clip(frames: Seq[Array[Byte]]): Array[Byte] =
-    frames.reduce(_ ++ _)
-
-  /** Canonical 44-byte-header PCM WAV. samples are 16-bit mono values;
-    * bits=8 writes the same waveform as unsigned 8-bit (>> 8, +128);
-    * channels=2 duplicates the mono channel. */
-  private def wav(samples: Array[Int], bits: Int, channels: Int): Array[Byte] = {
-    val bytesPer = bits / 8
-    val dataLen = samples.length * bytesPer * channels
-    val bos = new java.io.ByteArrayOutputStream()
-    def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
-    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >> 16) & 0xFFFF) }
-    bos.write("RIFF".getBytes); le32(36 + dataLen); bos.write("WAVE".getBytes)
-    bos.write("fmt ".getBytes); le32(16); le16(1); le16(channels)
-    le32(16000); le32(16000 * bytesPer * channels); le16(bytesPer * channels)
-    le16(bits)
-    bos.write("data".getBytes); le32(dataLen)
-    for (s <- samples; _ <- 0 until channels) {
-      if (bits == 16) le16(s & 0xFFFF)
-      else bos.write(((s >> 8) + 128) & 0xFF)
-    }
-    bos.toByteArray
-  }
-
-  /** Sine with a per-segment amplitude envelope: a strong, unambiguous
-    * energy contour (segment s at amplitude env(s)·A). */
-  private def melody(env: Seq[Int], ampl: Double = 8000.0,
-      segLen: Int = 800): Array[Int] = {
-    val out = new Array[Int](env.length * segLen)
-    for (s <- env.indices; i <- 0 until segLen) {
-      val a = ampl * env(s) / env.max
-      out(s * segLen + i) =
-        (a * math.sin(2 * math.Pi * 440 * (s * segLen + i) / 16000.0)).toInt
-    }
-    out
-  }
+  import MediaFixtures._
 
   private def mediaDf(rows: (Long, Array[Byte])*) =
     rows.toSeq.toDF("doc_id", "media")
@@ -138,12 +68,52 @@ class MediaStreamSpec extends SparkSpec {
       2L -> clip(Seq(still, png(gradientImage(48, 32, true, 0)))))
     val pairs = MultimodalOps.videoNearDupPairs(media, grid = 5,
       maxHamming = 0, minMatchFrac = 0.4).collect()
-    // clip 2 has 2 frames; 1 matches -> frac 0.5; n_matching counts
-    // distinct frames of the SMALLER-id side that found a match (6 of
-    // clip 1's frames each match once -> 6 distinct fa), never 6×1
-    // cross products per frame
-    assert(pairs.length == 1 && pairs.head.getLong(2) <= 6)
-    assert(pairs.head.getDouble(3) >= 0.4)
+    // clip 2 is the smaller side (2 frames); exactly 1 of its frames
+    // finds a match -> n_matching = 1 (distinct matched frames of the
+    // SMALLER side, never the 6 cross-product credits of clip 1's
+    // repeats), frac = 1/2
+    assert(pairs.length == 1 && pairs.head.getLong(2) == 1L)
+    assert(pairs.head.getDouble(3) == 0.5)
+  }
+
+  test("match_frac is coverage of the smaller clip, capped at 1.0") {
+    val still = png(gradientImage(48, 32, false, 0))
+    // the LOWER-id clip is the LARGER one: the old fa-only credit gave
+    // 6 matches / least(6, 1) = frac 6.0 here — over-merge territory
+    val media = mediaDf(
+      1L -> clip(Seq.fill(6)(still)),
+      2L -> clip(Seq(still)))
+    val pairs = MultimodalOps.videoNearDupPairs(media, grid = 5,
+      maxHamming = 0, minMatchFrac = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(2) == 1L, s"smaller side has 1 frame: ${pairs.head}")
+    assert(pairs.head.getDouble(3) == 1.0)
+  }
+
+  test("a real video container REFUSES loudly instead of yielding zero frames") {
+    def box(tag: String): Array[Byte] =
+      Array[Byte](0, 0, 0, 24) ++ tag.getBytes("US-ASCII") ++
+        "isom".getBytes("US-ASCII") ++ new Array[Byte](12)
+    val mp4 = box("ftyp")
+    val ebml = Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) ++
+      new Array[Byte](16)
+    val avi = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 0, 0) ++
+      "AVI ".getBytes("US-ASCII") ++ new Array[Byte](16)
+    for ((name, payload) <- Seq("mp4" -> mp4, "ebml" -> ebml, "avi" -> avi)) {
+      val e = intercept[org.apache.spark.SparkException] {
+        MultimodalOps.splitKeyframes(mediaDf(1L -> payload)).collect()
+      }
+      assert(e.getMessage.contains("container") ||
+        (e.getCause != null && e.getCause.getMessage.contains("container")),
+        s"$name payload must refuse with the container message")
+    }
+    // genuinely unknown payloads still flow through silently (mixed
+    // media tables carry text/audio rows past the video ops)
+    assert(MultimodalOps.splitKeyframes(
+      mediaDf(1L -> "not a clip at all".getBytes)).count() == 0)
+    // and a WAV is NOT a video container (RIFF/WAVE != RIFF/AVI)
+    assert(MultimodalOps.splitKeyframes(
+      mediaDf(1L -> wav(melody(Seq(1, 2)), 16, 1))).count() == 0)
   }
 
   // ---- audio ----
@@ -182,5 +152,82 @@ class MediaStreamSpec extends SparkSpec {
     // a text payload in the same table is just skipped (mixed media)
     val mixed = mediaDf(1L -> good, 2L -> "not audio".getBytes)
     assert(MultimodalOps.audioFingerprint(mixed).count() == 1)
+    // a truncated fmt chunk refuses with the parser's own message, not
+    // a raw ArrayIndexOutOfBoundsException from inside a task
+    val shortFmt = good.clone(); shortFmt(16) = 8 // fmt size 16 -> 8
+    val e2 = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.audioFingerprint(mediaDf(1L -> shortFmt)).collect()
+    }
+    assert(e2.getMessage.contains("fmt") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("fmt")))
+  }
+
+  test("audioDedup keeps non-WAV rows as singletons instead of dropping them") {
+    val m = melody(Seq(1, 4, 2, 8, 3, 9, 5, 7))
+    val media = mediaDf(
+      1L -> wav(m, 16, 1),
+      2L -> wav(m.map(_ / 2), 16, 1), // re-encode: half volume
+      3L -> "ID3 not actually decodable here".getBytes) // an MP3-ish row
+    val kept = MultimodalOps.audioDedup(media, windows = 33, maxHamming = 3)
+    // the survivor universe is the FULL media table: the unfingerprintable
+    // row survives as its own singleton, original columns intact
+    assert(kept.columns.toSeq == media.columns.toSeq)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
+    // an ALL-non-WAV corpus returns every row, never empty
+    val allMp3 = mediaDf(7L -> "ID3 one".getBytes, 8L -> "ID3 two".getBytes)
+    assert(MultimodalOps.audioDedup(allMp3, windows = 33)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(7L, 8L))
+  }
+
+  test("media chains decode ONCE: the materialized spine carries no decode stage") {
+    val still = png(gradientImage(32, 24, false, 0))
+    val media = mediaDf(1L -> clip(Seq(still, still)), 2L -> clip(Seq(still)))
+    // default mat = Local: the per-frame decode runs at materialization
+    // time and the pair plan reads the checkpointed hash frame — zero
+    // MapPartitions (decode) stages anywhere downstream
+    val pairs = MultimodalOps.videoNearDupPairs(media, grid = 5)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapPartitions"), plan.take(3000))
+    // the Inline probe shows what materialization is saving: the decode
+    // stage is re-planned in every consuming branch
+    val inline = MultimodalOps.videoNearDupPairs(media, grid = 5,
+      mat = graft.ops.Materializer.Inline)
+    val n = "MapPartitions".r
+      .findAllIn(inline.queryExecution.executedPlan.toString).size
+    assert(n >= 2, s"inline probe should branch the decode, saw $n")
+    // audio: same discipline on the WAV decode
+    val wavs = mediaDf(1L -> wav(melody(Seq(1, 2, 3)), 16, 1))
+    val apairs = MultimodalOps.audioNearDupPairs(wavs)
+    assert(!apairs.queryExecution.executedPlan.toString.contains("MapPartitions"))
+  }
+
+  test("peak-anchored fingerprint is bit-exact under intro trim and leading silence") {
+    val m = melody(Seq(1, 4, 2, 8, 3, 9, 5, 7)) // peak in segment 5
+    val base = wav(m, 16, 1)
+    val trimmed = wav(m.drop(320), 16, 1) // 5% intro trim
+    val padded = wav(Array.fill(300)(0) ++ m, 16, 1) // prepended silence
+    // distinct material = a different PITCH (523 Hz vs 440): same-pitch
+    // fixtures are phase-locked at the anchor (segments start at phase
+    // 0 of a 400-sample period), which makes sign-of-change bits
+    // envelope-blind — a real melody difference moves the per-frame
+    // energy pattern itself
+    val other = wav(melody(Seq(9, 1, 8, 2, 7, 3, 6, 4), freq = 523.25), 16, 1)
+    val media = mediaDf(1L -> base, 2L -> trimmed, 3L -> padded, 4L -> other)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the relative-window contour hash provably misses the trim (its
+    // documented envelope) — the anchored variant exists for exactly this
+    val contour = MultimodalOps.audioFingerprint(media, windows = 49)
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(contour(1) != contour(0), "a 5% trim must move the contour hash")
+    val fp = MultimodalOps.audioFingerprintAnchored(media, windows = 49,
+      frameLen = 32).orderBy("doc_id").collect().map(_.getLong(1))
+    assert(fp(1) == fp(0), "intro trim must not move the anchored hash")
+    assert(fp(2) == fp(0), "leading silence must not move the anchored hash")
+    assert(ham(fp(3), fp(0)) > 8, "distinct melody stays distinct")
+    val kept = MultimodalOps.audioDedup(media, windows = 49, maxHamming = 3,
+      anchored = true, frameLen = 32)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
   }
 }

@@ -328,4 +328,78 @@ class SftSpec extends SparkSpec {
       "token_ids", "loss_mask", seqLen = 128, buckets = 8)
     assert(p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty)
   }
+
+  test("materializeSftCorpus: one call to a mountable supervised corpus — (t,lm) shards, sidecars, curation, rebuild-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sft_corpus").toFile
+    val out = new java.io.File(dir, "corpus").getPath
+    try {
+      // plant an exact duplicate PAIR (3 == 1) and a low-quality row (4)
+      val base = Seq(
+        (1L, "please summarize the following passage about distributed shuffles for me now",
+          "the shuffle moves rows between executors grouped by key and it is the dominant network cost in large joins"),
+        (2L, "translate this sentence about partitions into plain words a reader follows",
+          "a partition is the unit of parallel work each task reads transforms and writes independently of the others"),
+        (3L, "please summarize the following passage about distributed shuffles for me now",
+          "the shuffle moves rows between executors grouped by key and it is the dominant network cost in large joins"),
+        (4L, "too short", "tiny"))
+        .toDF("doc_id", "prompt", "completion")
+      // the fixture must be non-vacuous under the op's own curation key
+      val keyed = base.withColumn("__t",
+        concat_ws("\u0000", col("prompt"), col("completion")))
+      val refSurv = graft.ops.DedupOps.exactDedup(
+        TextOps.qualityFilter(keyed, "__t"), "doc_id", "__t").drop("__t")
+      assert(refSurv.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L), "fixture: dup 3 and low-quality 4 must drop")
+      val (manifest, vocab) = SampleOps.materializeSftCorpus(base, "doc_id",
+        "prompt", "completion", out, seqLen = 32, targetTokens = 200L,
+        buckets = 4)
+      // published shape == the streaming/compacted packed-SFT schema
+      val back = spark.read.parquet(out)
+      assert(back.columns.toSet ==
+        Set("shard_id", "seq_key", "n_tokens", "text"))
+      // sidecars: dense [0, V) vocab + specials, in the same swap
+      val v = spark.read.parquet(out + "/_graft_vocab.parquet")
+        .orderBy("dense_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(v.map(_._1).toSeq == (0L until v.length.toLong))
+      val specials = spark.read.parquet(out + "/_graft_specials.parquet")
+      assert(specials.filter(col("name") === "eos").count() == 1)
+      // every id is dense; manifest totals == data totals
+      val toks = back.select(explode(col("text")).as("p"))
+        .select(col("p.t").as("t"), col("p.lm").as("lm"))
+      assert(toks.agg(max("t")).head().getLong(0) < v.length)
+      assert(manifest.collect().map(_.getLong(3)).sum ==
+        back.agg(sum("n_tokens")).head().getLong(0))
+      // supervision conserved: per the encode contract, scored tokens =
+      // completion tokens + EOS per surviving example; EOS count = docs
+      val eosDense = TextOps.denseId(vocab, TextOps.bpeEosId())
+      val refEnc = TextOps.encodeSft(refSurv, "doc_id", "prompt", "completion")
+      val wantScored = refEnc.select(
+        aggregate(col("loss_mask"), lit(0L), (a, m) => a + m).as("s"))
+        .agg(sum("s")).head().getLong(0)
+      assert(toks.filter(col("lm") === 1).count() == wantScored)
+      assert(toks.filter(col("t") === eosDense).count() == 2,
+        "one supervised EOS per surviving example")
+      // rebuild from a different partitioning is byte-identical
+      val out2 = new java.io.File(dir, "corpus2").getPath
+      SampleOps.materializeSftCorpus(base.repartition(7, col("completion")),
+        "doc_id", "prompt", "completion", out2, seqLen = 32,
+        targetTokens = 200L, buckets = 4)
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(out,
+          "_graft_manifest.json")) ==
+        java.nio.file.Files.readString(java.nio.file.Paths.get(out2,
+          "_graft_manifest.json")))
+      val h = (p: String) => spark.read.parquet(p)
+        .agg(bit_xor(xxhash64(col("seq_key"), col("text").cast("string"))))
+        .head().getLong(0)
+      assert(h(out) == h(out2))
+      // curate = false keeps all four examples (EOS per example)
+      val out3 = new java.io.File(dir, "corpus3").getPath
+      val (_, vocab3) = SampleOps.materializeSftCorpus(base, "doc_id",
+        "prompt", "completion", out3, seqLen = 32, targetTokens = 200L,
+        buckets = 4, curate = false)
+      val eos3 = TextOps.denseId(vocab3, TextOps.bpeEosId())
+      assert(spark.read.parquet(out3).select(explode(col("text")).as("p"))
+        .filter(col("p.t") === eos3).count() == 4)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }

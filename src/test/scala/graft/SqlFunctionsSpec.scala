@@ -218,5 +218,13 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(got == viaCol)
     assert(got.getString(0) == "news.example.com/a/1?q=2")
     assert(got.getString(1) == "news.example.com")
+    // the r17 percent rule rides the SQL surface too (SQL == Column)
+    val purl = "https://a.example/d%6Fcs/a%2fb?utm%5Fsource=x&q=1"
+    Seq(Tuple1(purl)).toDF("u").createOrReplaceTempView("sqlfn_url2")
+    val got2 = spark.sql(
+      "SELECT graft_url_canonical(u) AS c FROM sqlfn_url2").head()
+    assert(got2.getString(0) == "a.example/docs/a%2Fb?q=1")
+    assert(got2.getString(0) == Seq(Tuple1(purl)).toDF("u")
+      .select(graft.ops.UrlOps.canonicalizeUrl(col("u"))).head().getString(0))
   }
 }

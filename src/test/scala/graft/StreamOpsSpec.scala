@@ -265,6 +265,146 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(0L, 3L, 12L))
   }
 
+  private def rawMediaDf(rows: Seq[(Long, Array[Byte])]) =
+    rows.toDF("doc_id", "media")
+      .withColumn("n_bytes", length(col("media")).cast("long"))
+
+  test("videoGateSink: keyframe-content gate blocks re-encoded clip re-deliveries across batches") {
+    import MediaFixtures._
+    val imgs = Seq(gradientImage(64, 48, false, 0),
+      gradientImage(64, 48, false, 97))
+    val clipPng = clip(imgs.map(png))
+    // the re-delivery exact dedup can never catch: SAME frames, every
+    // byte different (JPEG 0.9 re-encode)
+    val clipJpeg = clip(imgs.map(jpeg(_, 0.9f)))
+    val clipOther = clip(Seq(png(gradientImage(64, 48, true, 0)),
+      png(gradientImage(64, 48, true, 97))))
+    val clipFresh = clip(Seq(png(checkerImage(64, 48, 32)),
+      png(checkerImage(64, 48, 32, 1))))
+    val in = tmpDir("graft_stream_video_in")
+    val fh = tmpDir("graft_stream_video_fh") + "/frames.parquet"
+    val out = tmpDir("graft_stream_video_out")
+    val ckpt = tmpDir("graft_stream_video_ckpt")
+    // batch 1 includes a ZERO-BYTE payload (99): dropped per policy
+    rawMediaDf(Seq(1L -> clipPng, 2L -> clipOther, 99L -> Array.empty[Byte]))
+      .coalesce(1).write.parquet(s"$in/b1")
+    Thread.sleep(50)
+    rawMediaDf(Seq(10L -> clipJpeg, 12L -> clipFresh))
+      .coalesce(1).write.parquet(s"$in/b2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = StreamOps.videoGateSink(stream, fh, out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val survivors = spark.read.parquet(s"$out/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 12L), s"got $survivors")
+    // the standing index holds the admitted clips' per-FRAME hashes
+    val idx = spark.read.parquet(fh)
+    assert(idx.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 12L))
+    assert(idx.count() == 6, "2 keyframes per admitted clip")
+    // replaying the last epoch is a no-op (deterministic gate + skip)
+    val lb = idx.head().getAs[Long]("__last_batch")
+    StreamOps.gateVideoBatch(rawMediaDf(Seq(10L -> clipJpeg)), fh, out,
+      5, 3, 0.5, 10000, lb)
+    assert(spark.read.parquet(fh).count() == 6)
+  }
+
+  test("audioGateSink: fingerprint gate blocks re-encoded track re-deliveries across batches") {
+    import MediaFixtures._
+    val mA = melody(Seq(1, 4, 2, 8, 3, 9, 5, 7))
+    val mB = melody(Seq(9, 1, 8, 2, 7, 3, 6, 4), freq = 523.25)
+    val mC = melody(Seq(2, 9, 1, 7, 4, 8, 3, 6), freq = 659.25)
+    val notAudio = "ID3 not actually audio".getBytes("UTF-8")
+    val in = tmpDir("graft_stream_audio_in")
+    val fp = tmpDir("graft_stream_audio_fp") + "/afp.parquet"
+    val out = tmpDir("graft_stream_audio_out")
+    val ckpt = tmpDir("graft_stream_audio_ckpt")
+    rawMediaDf(Seq(1L -> wav(mA, 16, 1), 2L -> wav(mB, 16, 1),
+      3L -> notAudio)).coalesce(1).write.parquet(s"$in/b1")
+    Thread.sleep(50)
+    // 10 = 8-bit re-encode of 1's track (every byte differs); 12 fresh;
+    // 13 = byte-identical re-delivery of the non-WAV payload — passes
+    // again per the documented policy (non-fingerprintable rows never
+    // index; digest-gate them upstream)
+    rawMediaDf(Seq(10L -> wav(mA, 8, 1), 12L -> wav(mC, 16, 1),
+      13L -> notAudio)).coalesce(1).write.parquet(s"$in/b2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = StreamOps.audioGateSink(stream, fp, out, windows = 33)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val survivors = spark.read.parquet(s"$out/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 3L, 12L, 13L), s"got $survivors")
+    // the index holds fingerprints of the WAV survivors only
+    val idx = spark.read.parquet(fp)
+    assert(idx.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 12L))
+    // replaying the last epoch is a no-op
+    val lb = idx.head().getAs[Long]("__last_batch")
+    StreamOps.gateAudioBatch(rawMediaDf(Seq(10L -> wav(mA, 8, 1))), fp, out,
+      33, 3, 100000, false, 256, lb)
+    assert(spark.read.parquet(fp).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 12L))
+  }
+
+  test("composed media gates: video -> audio over one mixed clip/track corpus, two batches") {
+    import MediaFixtures._
+    // one mixed-media table: clips and tracks share it; each gate judges
+    // its own modality and passes the other through as singletons
+    val clipA = clip(Seq(png(gradientImage(64, 48, false, 0)),
+      png(gradientImage(64, 48, false, 97))))
+    val clipAJpeg = clip(Seq(jpeg(gradientImage(64, 48, false, 0), 0.9f),
+      jpeg(gradientImage(64, 48, false, 97), 0.9f)))
+    val clipFresh = clip(Seq(png(checkerImage(64, 48, 32)),
+      png(checkerImage(64, 48, 32, 1))))
+    val trackB = melody(Seq(1, 4, 2, 8, 3, 9, 5, 7))
+    val trackFresh = melody(Seq(9, 1, 8, 2, 7, 3, 6, 4), freq = 523.25)
+    val root = tmpDir("graft_media_gate_chain")
+    val (vIdx, aIdx) = (s"$root/frames.parquet", s"$root/afp.parquet")
+    val (sVid, sAud) = (s"$root/s_vid", s"$root/s_aud")
+    def runChain(rows: Seq[(Long, Array[Byte])], batchId: Long): Unit = {
+      StreamOps.gateVideoBatch(rawMediaDf(rows), vIdx, sVid,
+        5, 3, 0.5, 10000, batchId)
+      StreamOps.gateAudioBatch(spark.read.parquet(s"$sVid/batch=$batchId"),
+        aIdx, sAud, 33, 3, 100000, false, 256, batchId)
+    }
+    def ids(path: String): Set[Long] =
+      spark.read.parquet(path).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    // batch 0: one clip + one track, both novel -> both admitted
+    runChain(Seq(1L -> clipA, 2L -> wav(trackB, 16, 1)), 0L)
+    assert(ids(s"$sAud/batch=0") == Set(1L, 2L))
+    assert(ids(vIdx) == Set(1L), "frame index holds only the clip")
+    assert(ids(aIdx) == Set(2L), "fp index holds only the track")
+    // batch 1: re-encoded clip blocked by the VIDEO stage, re-encoded
+    // track blocked by the AUDIO stage, fresh one of each admitted
+    runChain(Seq(10L -> clipAJpeg, 11L -> wav(trackB, 8, 1),
+      12L -> clipFresh, 13L -> wav(trackFresh, 16, 1)), 1L)
+    assert(ids(s"$sVid/batch=1") == Set(11L, 12L, 13L),
+      "video stage blocks exactly the re-encoded clip")
+    assert(ids(s"$sAud/batch=1") == Set(12L, 13L),
+      "audio stage blocks exactly the re-encoded track")
+    assert(ids(vIdx) == Set(1L, 12L))
+    assert(ids(aIdx) == Set(2L, 13L))
+    // at-least-once replay of the whole chained epoch is a no-op
+    runChain(Seq(10L -> clipAJpeg), 1L)
+    assert(ids(vIdx) == Set(1L, 12L))
+    assert(ids(aIdx) == Set(2L, 13L))
+    for (p <- Seq(vIdx, aIdx)) {
+      assert(!new java.io.File(p + "__staging").exists(), p)
+      assert(!new java.io.File(p + "__old").exists(), p)
+    }
+  }
+
   test("embeddingGateSink: semantic gate blocks re-embedded near-dups across batches") {
     val in = tmpDir("graft_stream_embed_in")
     val sig = tmpDir("graft_stream_embed_sig") + "/rpsigs.parquet"

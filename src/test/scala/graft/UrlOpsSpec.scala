@@ -27,7 +27,18 @@ class UrlOpsSpec extends SparkSpec {
       "https://a.example/x?refresh=1" -> "a.example/x?refresh=1", // 'ref' must not prefix-match
       "a.example/x?ref=tw" -> "a.example/x", // schemeless
       "https://a.example/?gclid=1" -> "a.example", // emptied query + bare slash
-      "ftp+ssh://a.example/x" -> "a.example/x") // any scheme token
+      "ftp+ssh://a.example/x" -> "a.example/x", // any scheme token
+      // --- percent normalization (r17) ---
+      "https://a.example/a%2Db" -> "a.example/a-b", // unreserved decodes
+      "https://a.example/%7euser" -> "a.example/~user", // %7e -> ~
+      "https://a.example/%7Euser" -> "a.example/~user", // %7E -> ~ (same)
+      "https://a.example/d%6Fcs/1" -> "a.example/docs/1", // letter decodes
+      "https://a.example/a%2fb" -> "a.example/a%2Fb", // reserved: hex upper, NOT decoded
+      "https://a.example/a%3a%3Db" -> "a.example/a%3A%3Db", // both digits upper
+      "https://a.example/x?utm%5Fsource=f&q=1" -> "a.example/x?q=1", // tracking caught after decode
+      "https://a.example/x?q=a%20b" -> "a.example/x?q=a%20b", // space stays escaped
+      "https://a.example/x?q=a+b" -> "a.example/x?q=a+b", // + untouched (non-rule)
+      "https://a.example/%2541" -> "a.example/%2541") // double-encoding NOT double-decoded
     val got = canon(cases.map(_._1))
     cases.zip(got).foreach { case ((in, want), g) =>
       assert(g == want, s"canonicalizeUrl($in) = $g, want $want")
@@ -38,7 +49,11 @@ class UrlOpsSpec extends SparkSpec {
     val inputs = Seq(
       "HTTPS://WWW.A.Example.com:443/Docs/1/?utm_source=f&q=1&x=2#f",
       "a.example/x?ref=tw&q=1", "http://m.b.example//a//b/?gclid=1",
-      "https://a.example", "a.example", "a.example:8080/p?a=1&b=2")
+      "https://a.example", "a.example", "a.example:8080/p?a=1&b=2",
+      // percent shapes: decoded output and surviving uppercased escapes
+      // must both be fixed points
+      "https://a.example/d%6Fcs/a%2fb%7E?utm%5Fsource=x&q=%2541",
+      "a.example/%ZZ%2", "a.example/100%off") // malformed escapes too
     val once = canon(inputs)
     val twice = canon(once)
     once.zip(twice).foreach { case (a, b) =>
@@ -57,6 +72,41 @@ class UrlOpsSpec extends SparkSpec {
     val n = Seq((1L, null: String)).toDF("id", "u")
       .select(UrlOps.canonicalizeUrl(col("u"))).head()
     assert(n.isNullAt(0))
+  }
+
+  test("percent rule merges cross-encoded duplicates through urlDedup") {
+    val df = Seq(
+      (1L, "http://a.example/docs/7"),
+      (2L, "http://a.example/d%6Fcs/7"), // same resource, encoder disagreed
+      (3L, "http://a.example/docs%2F7") // %2F is NOT a path slash — distinct
+    ).toDF("id", "u")
+    val kept = UrlOps.urlDedup(df, "id", "u")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("null URLs are exempt: every null-url row passes dedup and the blocklist") {
+    val df = Seq(
+      (1L, "https://a.example/x"),
+      (2L, null: String),
+      (3L, null: String),
+      (4L, "http://www.a.example/x"), // collapses with 1
+      (5L, "https://spam.example/y")
+    ).toDF("id", "u")
+    val dedup = UrlOps.urlDedup(df, "id", "u")
+    assert(dedup.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 5L), "both null rows must survive, not keep-first-one")
+    assert(dedup.filter(col("id") === 2L).select("canonical_url")
+      .head().isNullAt(0))
+    // blocklist: nulls pass (no host to block); spam.example still drops
+    val kept = UrlOps.domainBlocklistFilter(df, "u", Seq("spam.example"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+    // incremental: null-url batch rows survive the anti-join too
+    val idx = Seq(Tuple1("a.example/x")).toDF("canonical_url")
+    val inc = UrlOps.urlDedupAgainstIndex(df, idx, "id", "u")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(inc == Set(2L, 3L, 5L))
   }
 
   test("hostSuffixes walks label boundaries only") {
