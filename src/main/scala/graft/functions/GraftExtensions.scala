@@ -111,7 +111,7 @@ object GraftExtensions {
   import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayFilter,
     ArrayJoin, Concat, EqualTo, GreaterThan, If, LambdaFunction, Length,
     Lower, NamedLambdaVariable, Not, RegExpExtract, RegExpReplace, RLike,
-    Size, StringInstr, StringSplit, StringTrim, Substring}
+    Size, StringSplit, StringTrim, Substring}
   import graft.ops.UrlOps
 
   private def rr(e: Expression, p: String): Expression =
@@ -135,11 +135,7 @@ object GraftExtensions {
     val host = rr(rr(Lower(hostRaw), UrlOps.WwwRe), UrlOps.DefaultPortRe)
     val restRaw = Substring(t2, Add(Length(hostRaw), Literal(1)),
       Literal(1 << 30))
-    val chain = UrlOps.PercentRules.foldLeft(restRaw: Expression) {
-      case (acc, (pat, rep)) => RegExpReplace(acc, Literal(pat), Literal(rep))
-    }
-    val rest = If(GreaterThan(StringInstr(restRaw, Literal("%")), Literal(0)),
-      chain, restRaw)
+    val rest = PercentNormalize(restRaw)
     val path = rex(rest, UrlOps.PathRe)
     val cleanPath = rr(path, UrlOps.TrailingSlashRe)
     val query = If(GreaterThan(Length(rest), Length(path)),

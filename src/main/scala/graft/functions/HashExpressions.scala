@@ -306,6 +306,117 @@ object HashKernels {
     * map-only twin of the join-based DedupOps.decontaminateSpans —
     * same output bit-for-bit.
     */
+  /** URL percent-normalization (round 17): byte-exact sequential replay
+    * of `graft.ops.UrlOps.PercentRules` — decode unreserved escapes
+    * (hex case-insensitive), then uppercase the hex of surviving
+    * escapes — with NO regex machinery: one cheap byte scan per rule,
+    * allocation only when a rule matches, early return when the input
+    * carries no `%` at all (the overwhelming majority of a crawl).
+    * Pass ORDER and per-pass semantics replicate Java's global
+    * `regexp_replace` exactly (left-to-right, non-overlapping, the
+    * scanner resumes AFTER each match), so even pathological inputs
+    * where one decode CREATES a later rule's escape (`%4%412` → pass A
+    * yields `%4A2` → pass J yields `J2`) land bit-identically — the
+    * DuckDB oracle keeps replaying the regex rule list and the two are
+    * spec-pinned equal over fuzzed inputs (UrlOpsSpec). ASCII-only
+    * patterns make the byte scan ≡ the char scan on UTF-8 (multibyte
+    * bytes are ≥ 0x80 and can never match `%` or a hex char).
+    * Measured 4.5× on the urlpct stress's all-percent corpus vs the
+    * 74-regex chain (17.8 s → 4.0 s at 600k URLs), with a bit-identical
+    * xxhash64 fold — the strongest parity witness short of the spec. */
+  def percentNormalize(s: UTF8String): UTF8String = {
+    val in0 = s.getBytes
+    var has = false
+    var i = 0
+    while (i < in0.length && !has) { if (in0(i) == '%') has = true; i += 1 }
+    if (!has) return s
+    var cur = in0
+    var r = 0
+    while (r < PctDecodeChars.length) {
+      val c = PctDecodeChars(r)
+      cur = pctDecodePass(cur, c, PctHex((c & 0xFF) >> 4), PctHex(c & 0xF))
+      r += 1
+    }
+    // all escapes decoded? the 12 uppercase passes are then no-ops
+    var pct = false
+    i = 0
+    while (i < cur.length && !pct) { if (cur(i) == '%') pct = true; i += 1 }
+    if (pct) {
+      var d = 'a'.toByte
+      while (d <= 'f') { cur = pctUpperFirstPass(cur, d); d = (d + 1).toByte }
+      d = 'a'.toByte
+      while (d <= 'f') { cur = pctUpperSecondPass(cur, d); d = (d + 1).toByte }
+    }
+    if (cur eq in0) s else UTF8String.fromBytes(cur)
+  }
+
+  /** Unreserved characters in PercentRules order (RFC 3986 §2.3). */
+  private val PctDecodeChars: Array[Byte] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+      .map(_.toByte).toArray
+  private val PctHex: Array[Byte] = "0123456789ABCDEF".getBytes
+
+  /** Hex char uppercased as an Int, or -1 when not a hex char. */
+  private def pctHexUp(b: Byte): Int =
+    if (b >= '0' && b <= '9') b
+    else if (b >= 'A' && b <= 'F') b
+    else if (b >= 'a' && b <= 'f') b - 32
+    else -1
+
+  /** One `(?i)%XY` → c global replace (3 bytes → 1). */
+  private def pctDecodePass(in: Array[Byte], c: Byte, hi: Byte,
+      lo: Byte): Array[Byte] = {
+    var out: Array[Byte] = null
+    var w = 0
+    var i = 0
+    while (i < in.length) {
+      if (i + 2 < in.length && in(i) == '%' &&
+          pctHexUp(in(i + 1)) == hi && pctHexUp(in(i + 2)) == lo) {
+        if (out == null) {
+          out = new Array[Byte](in.length)
+          System.arraycopy(in, 0, out, 0, i)
+          w = i
+        }
+        out(w) = c; w += 1; i += 3
+      } else {
+        if (out != null) { out(w) = in(i); w += 1 }
+        i += 1
+      }
+    }
+    if (out == null) in else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** One `%d([0-9A-Fa-f])` → `%D$1` global replace (same length). */
+  private def pctUpperFirstPass(in: Array[Byte], d: Byte): Array[Byte] = {
+    var out: Array[Byte] = null
+    var i = 0
+    while (i + 2 < in.length) {
+      if (in(i) == '%' && in(i + 1) == d && pctHexUp(in(i + 2)) >= 0) {
+        if (out == null) out = in.clone()
+        out(i + 1) = (d - 32).toByte
+        i += 3
+      } else i += 1
+    }
+    if (out == null) in else out
+  }
+
+  /** One `%([0-9A-F])d` → `%$1D` global replace (same length; the
+    * group class is UPPERCASE-or-digit only, exactly the rule's). */
+  private def pctUpperSecondPass(in: Array[Byte], d: Byte): Array[Byte] = {
+    var out: Array[Byte] = null
+    var i = 0
+    while (i + 2 < in.length) {
+      val g = in(i + 1)
+      if (in(i) == '%' && in(i + 2) == d &&
+          ((g >= '0' && g <= '9') || (g >= 'A' && g <= 'F'))) {
+        if (out == null) out = in.clone()
+        out(i + 2) = (d - 32).toByte
+        i += 3
+      } else i += 1
+    }
+    if (out == null) in else out
+  }
+
   def spanScrub(s: UTF8String, grams: ArrayData,
       k: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val gLen = grams.numElements()
@@ -1222,6 +1333,28 @@ object HashKernels {
 
 /** Codegen'd TextOps.charHash (custom Catalyst Expression — the brief's
   * preference (b): native Expression with doGenCode over UDFs). */
+/** Codegen'd URL percent-normalization (see
+  * [[HashKernels.percentNormalize]]): byte-exact to the
+  * `graft.ops.UrlOps.PercentRules` regex chain (spec-pinned, fuzzed),
+  * one pass per rule with no regex machinery — the Spark-side fast
+  * path under `UrlOps.canonicalizeUrl`; the DuckDB oracle keeps
+  * replaying the rule list itself. */
+case class PercentNormalize(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"percent_normalize needs string, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.percentNormalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.percentNormalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): PercentNormalize =
+    copy(child = newChild)
+}
+
 case class WeightedCharHash(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -2071,6 +2204,8 @@ object exprs {
 
   def charHashFast(c: Column): Column =
     shims.column(WeightedCharHash(shims.expression(c)))
+  def percentNormalize(c: Column): Column =
+    shims.column(PercentNormalize(shims.expression(c)))
   def shingleHashes(c: Column, k: Int): Column =
     shims.column(ShingleHashArray(shims.expression(c), k))
   def spanScrub(text: Column, grams: Column, k: Int): Column =

@@ -68,15 +68,15 @@ object UrlOps {
     unreserved ++ upperFirst ++ upperSecond
   }
 
-  /** [[PercentRules]] folded into one expression chain, guarded by a
-    * cheap `instr` so URLs without a `%` (the overwhelming majority)
-    * skip all the regex passes — the chain is the identity on them. */
-  private def percentNormalize(s: Column): Column = {
-    val chain = PercentRules.foldLeft(s) { case (acc, (pat, rep)) =>
-      regexp_replace(acc, pat, rep)
-    }
-    when(instr(s, "%") > 0, chain).otherwise(s)
-  }
+  /** [[PercentRules]] applied via the one-pass-per-rule codegen kernel
+    * [[graft.functions.PercentNormalize]] — bit-exact to folding the
+    * regex chain (spec-pinned over witnesses AND fuzzed inputs,
+    * UrlOpsSpec) with no regex machinery, and a free early-out for
+    * URLs without a `%` (the overwhelming majority of a crawl). The
+    * regex rule list stays the SPEC: the DuckDB oracle replays it
+    * literally. */
+  private def percentNormalize(s: Column): Column =
+    graft.functions.exprs.percentNormalize(s)
 
   /** Canonical form of a URL, as explicit ordered rules (each one a
     * single replayable expression):

@@ -74,6 +74,36 @@ class UrlOpsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("percent kernel == the PercentRules regex chain, fuzzed, including created-escape pathologies") {
+    def chain(c: org.apache.spark.sql.Column) =
+      UrlOps.PercentRules.foldLeft(c) { case (acc, (p, r)) =>
+        regexp_replace(acc, p, r)
+      }
+    val witnesses = Seq(
+      "%2541",      // double-encoding: %25 reserved, 41 literal
+      "%4%412",     // pass A (%41) CREATES %4A2; the later pass J (%4A)
+                    // decodes it — SEQUENTIAL semantics, both engines
+      "%%4141",     // % then a real escape
+      "a%2Db", "%7e%7E~", "x%3a%3Db", "utm%5Fsource", "100%off",
+      "%a", "%", "", "%ZZ%2", "päth%c3%a4", "%2f%2F%2d",
+      "%6f%6F%4a%4A", "%%%%", "%0%00%000")
+    val rnd = new scala.util.Random(4242L)
+    val alpha = "%0123456789abcdefABCDEF-._~/?&=xyzä"
+    val fuzz = (0 until 2000).map(_ =>
+      (0 until rnd.nextInt(24)).map(_ => alpha(rnd.nextInt(alpha.length)))
+        .mkString)
+    val df = (witnesses ++ fuzz).toDF("s")
+    val bad = df.select(col("s"),
+        graft.functions.exprs.percentNormalize(col("s")).as("k"),
+        chain(col("s")).as("c"))
+      .filter(!(col("k") <=> col("c")))
+    assert(bad.isEmpty, bad.take(5).toSeq.toString)
+    // nulls pass through both ways
+    assert(Seq((1L, null: String)).toDF("id", "s")
+      .select(graft.functions.exprs.percentNormalize(col("s")))
+      .head().isNullAt(0))
+  }
+
   test("percent rule merges cross-encoded duplicates through urlDedup") {
     val df = Seq(
       (1L, "http://a.example/docs/7"),
