@@ -135,6 +135,72 @@ object DedupOps {
         size(col("__kept")).cast("long").as("n_chunks_kept"))
   }
 
+  /** Frequency-CUT boilerplate line removal — the third member of the
+    * line/chunk family, with REMOVE-ALL semantics the other two lack:
+    * a NEWLINE-delimited line whose text occurs in MORE than `maxDf`
+    * distinct documents is boilerplate ("© 2024 Example", cookie
+    * banners, nav menus) and is cut from EVERY document — including its
+    * first occurrence, which [[chunkDedup]]'s keep-first would enshrine
+    * in one arbitrary host doc. Lines in ≤ `maxDf` docs (the content)
+    * survive untouched, intra-doc repeats included — genuine repetition
+    * inside a doc is [[dedupChunksWithinDocs]]' job, and legitimate
+    * cross-doc quotes below the threshold are content, not template.
+    * EMPTY / whitespace-only lines are STRUCTURE, not content: they are
+    * never keyed, never cut, and survive in place (cutting them would
+    * collapse paragraph breaks corpus-wide since the empty line's df is
+    * always maximal). A document whose every non-empty line is cut
+    * disappears (nothing left — the family convention).
+    *
+    * Output: (id, clean_text, n_lines_kept, n_lines_cut) — clean_text
+    * rejoined with `\n` in original line order.
+    *
+    * Shape: the split/explode is map-only; the df count is the house
+    * TWO-LEVEL (key, doc) → key aggregate (per-doc line repeats
+    * collapse map-side, df is a plain count — and deliberately COUNTS
+    * DOCS, not occurrences, so a 1000-repeat inside one doc cannot fake
+    * corpus-wide boilerplate); the > maxDf hot set is boilerplate-sized
+    * (tiny by definition) and removes by BROADCAST anti-join — the
+    * df-cut discipline ([[ngramJaccardPairs]]); reassembly is one
+    * per-doc sort-pinned collect. `hashKey` mirrors [[exactDupGroups]]:
+    * the default shuffles an 8-byte `xxhash64(line)` key, `false` the
+    * line bytes (the oracle form). No windows, no cartesian; at 100 TB
+    * the exchange carries one row per distinct line per partition.
+    */
+  def cutBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int, hashKey: Boolean = true): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val lines = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__idx", "__line")))
+    val key = if (hashKey) xxhash64(col("__line")) else col("__line")
+    val keyed = lines.withColumn("__key", key)
+      .withColumn("__blank", trim(col("__line")) === "")
+    val hot = CapTelemetry.observeCap(
+        keyed.filter(!col("__blank"))
+          .groupBy(col("__key"), col(idCol)).agg(count(lit(1)).as("__n1"))
+          .groupBy("__key").agg(count(lit(1)).as("__df")),
+        "boilerplate_line_cut", col("__df"), maxDf, routine = true)
+      .filter(col("__df") > maxDf).select("__key")
+    keyed.join(broadcast(hot), Seq("__key"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__idx"), col("__line")))),
+            l => l.getField("__line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"),
+        // at least one surviving CONTENT line, or the doc disappears
+        // (blank lines are structure — they cannot carry a doc alone)
+        max(when(col("__blank"), lit(0)).otherwise(lit(1))).as("__has"))
+      .filter(col("__has") === 1)
+      .join(
+        lines.groupBy(col(idCol)).agg(count(lit(1)).as("__total")),
+        Seq(idCol))
+      .select(col(idCol), col("clean_text"), col("n_lines_kept"),
+        (col("__total") - col("n_lines_kept")).as("n_lines_cut"))
+  }
+
   /** Duplicated-passage detection — the exact-substring half of the
     * Lee et al. pipeline ("Deduplicating Training Data Makes Language
     * Models Better", ACL 2022, suffix-array ExactSubstr), re-expressed

@@ -3459,6 +3459,59 @@ object Queries {
       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
       |FROM win WHERE rn = 1 GROUP BY doc_id""".stripMargin
 
+  // -----------------------------------------------------------------
+  // Frequency-cut boilerplate line removal (round 17). The documents
+  // table is single-line, so the query synthesizes a 4-line web-ish
+  // shape per doc: a universal nav header (df = all docs — cut), the
+  // real content line, a BLANK structural line (never cut), and a tail
+  // that is shared across a >maxDf group for doc_id % 7 == 0 (cut) or
+  // unique otherwise (kept).
+  // -----------------------------------------------------------------
+  private def synthLinedText: Column =
+    concat_ws("\n",
+      lit("NAV HOME ABOUT CONTACT"),
+      col("text"),
+      lit(""),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit("SHARED FOOTER GROUP "),
+          pmod(col("doc_id"), lit(2)).cast("string")))
+        .otherwise(concat(lit("unique tail "), col("doc_id").cast("string"))))
+
+  private val synthLinedTextSql =
+    """'NAV HOME ABOUT CONTACT' || chr(10) || text || chr(10) || chr(10) ||
+      | CASE WHEN doc_id % 7 = 0
+      |      THEN 'SHARED FOOTER GROUP ' || (doc_id % 2)
+      |      ELSE 'unique tail ' || doc_id END""".stripMargin
+
+  private def cutBoilerplateQ(s: SparkSession, dir: String): DataFrame =
+    DedupOps.cutBoilerplateLines(
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), synthLinedText.as("text")),
+      "doc_id", "text", maxDf = 10, hashKey = false)
+
+  private def cutBoilerplateSql =
+    s"""WITH src AS (SELECT doc_id, $synthLinedTextSql AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |lines AS (SELECT doc_id,
+       |  UNNEST(string_split(text, chr(10))) AS line,
+       |  UNNEST(range(len(string_split(text, chr(10))))) AS idx FROM src),
+       |hot AS (SELECT line FROM (
+       |  SELECT line, count(*) AS df FROM (
+       |    SELECT DISTINCT doc_id, line FROM lines WHERE trim(line) <> '')
+       |  GROUP BY line) WHERE df > 10),
+       |kept AS (SELECT * FROM lines
+       |  WHERE line NOT IN (SELECT line FROM hot)),
+       |agg AS (SELECT doc_id,
+       |    string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+       |    count(*)::BIGINT AS n_lines_kept,
+       |    max(CASE WHEN trim(line) <> '' THEN 1 ELSE 0 END) AS has_content
+       |  FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*)::BIGINT AS total
+       |  FROM lines GROUP BY doc_id)
+       |SELECT a.doc_id, a.clean_text, a.n_lines_kept,
+       |  (t.total - a.n_lines_kept)::BIGINT AS n_lines_cut
+       |FROM agg a JOIN tot t USING (doc_id) WHERE has_content = 1""".stripMargin
+
   private def vocabularyQ(s: SparkSession, dir: String): DataFrame =
     TextOps.vocabulary(t(s, dir, "documents"), "doc_id", "text", topN = 25)
 
@@ -4294,6 +4347,7 @@ object Queries {
     "q_dedup_clusters" -> (dedupClustersQ _),
     "q_asof_join" -> (asofJoinQ _),
     "q_chunk_dedup" -> (chunkDedupQ _),
+    "q_cut_boilerplate" -> (cutBoilerplateQ _),
     "q_mixture_sample" -> (mixtureSampleQ _),
     "q_mixture_rates" -> (mixtureRatesQ _),
     "q_rebalance_shares" -> (rebalanceSharesQ _),
@@ -4453,6 +4507,7 @@ object Queries {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_asof_join" -> asofJoinSql,
     "q_chunk_dedup" -> chunkDedupSql,
+    "q_cut_boilerplate" -> cutBoilerplateSql,
     "q_mixture_sample" -> mixtureSampleSql,
     "q_mixture_rates" -> mixtureRatesSql,
     "q_rebalance_shares" -> rebalanceSharesSql,

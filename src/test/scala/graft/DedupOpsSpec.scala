@@ -49,6 +49,43 @@ class DedupOpsSpec extends SparkSpec {
       (2L, "x y z w", 1L, 4L)))
   }
 
+  test("cutBoilerplateLines: remove-ALL semantics, blanks are structure, df counts docs") {
+    val d = Seq(
+      (1L, "NAV\ncontent one\n\nNAV"), // NAV twice here; blank stays
+      (2L, "NAV\ncontent two"),
+      (3L, "NAV\ncontent three"),
+      (4L, "NAV"), // only boilerplate -> disappears entirely
+      (5L, "quote\ncontent five"),
+      (6L, "quote\ncontent six")) // quote df=2 <= maxDf -> content, kept
+      .toDF("doc_id", "text")
+    val m = DedupOps.cutBoilerplateLines(d, "doc_id", "text", maxDf = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // NAV is in 4 docs > maxDf: cut EVERYWHERE, first occurrence included
+    // (chunkDedup's keep-first would have enshrined it in doc 1)
+    assert(!m.contains(4L), "a doc of pure boilerplate must disappear")
+    assert(m(1L) == (("content one\n", 2L, 2L))) // blank line survives in place
+    assert(m(2L) == (("content two", 1L, 1L)))
+    assert(m(5L) == (("quote\ncontent five", 2L, 0L)))
+    assert(m(6L)._1 == "quote\ncontent six")
+    // hashed key equals byte key
+    val h = DedupOps.cutBoilerplateLines(d, "doc_id", "text", maxDf = 2,
+      hashKey = false).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(h == m)
+    // df counts DOCS, not occurrences: a 50-fold repeat inside ONE doc
+    // is within-doc repetition (dedupChunksWithinDocs' job), never
+    // corpus boilerplate
+    val rep = Seq(
+      (1L, (Seq.fill(50)("again again") :+ "real content").mkString("\n")),
+      (2L, "other text")).toDF("doc_id", "text")
+    val kept1 = DedupOps.cutBoilerplateLines(rep, "doc_id", "text", maxDf = 2)
+      .filter(col("doc_id") === 1L).head().getString(1)
+    assert(kept1.contains("again again") && kept1.contains("real content"))
+  }
+
   test("duplicatedPassages finds cross-document repeated windows") {
     val d = Seq(
       (0L, "p q r s t"),
