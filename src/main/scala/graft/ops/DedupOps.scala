@@ -201,6 +201,76 @@ object DedupOps {
         (col("__total") - col("n_lines_kept")).as("n_lines_cut"))
   }
 
+  /** The standing line-df index for INCREMENTAL boilerplate cutting:
+    * one row per distinct non-blank line with its document frequency —
+    * what [[cutBoilerplateAgainstIndex]] consumes and folds. `hashKey`
+    * mirrors [[cutBoilerplateLines]] (8-byte `xxhash64(line)` key by
+    * default; `false` stores line bytes, the oracle form — pick ONE for
+    * the life of an index). Output: (line_key, df). */
+  def boilerplateLineIndex(df: DataFrame, idCol: String, textCol: String,
+      hashKey: Boolean = true): DataFrame = {
+    val lines = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(col(textCol), "\n", -1)).as("__line"))
+      .filter(trim(col("__line")) =!= "")
+    val key = if (hashKey) xxhash64(col("__line")) else col("__line")
+    lines.withColumn("line_key", key)
+      .groupBy(col("line_key"), col(idCol)).agg(count(lit(1)).as("__n1"))
+      .groupBy("line_key").agg(count(lit(1)).as("df"))
+  }
+
+  /** Incremental boilerplate-line cut of a NEW batch against a STANDING
+    * line-df index ([[boilerplateLineIndex]] persisted and folded per
+    * batch) — the daily-ingest form: a line is cut from the new docs
+    * when its COMBINED document frequency (standing + this batch)
+    * exceeds `maxDf`. The standing corpus is immutable — a line that
+    * crosses the threshold today is cut from today's docs onward, never
+    * retro-cut from published history (the same forward-only contract
+    * every against-index op here carries); re-running the batch
+    * CUMULATIVELY after folding would double-count, so fold exactly
+    * once per epoch (the staged-fold gates' job). Blank lines are
+    * structure and pass, as in [[cutBoilerplateLines]]. Returns
+    * (cleaned batch docs in [[cutBoilerplateLines]]' output shape,
+    * the FOLDED index = standing + batch dfs) — publish the second,
+    * keep the first. Shape: one two-level batch aggregate, one
+    * batch-keyed outer join against the index (index side is
+    * line-df-sized, not corpus-sized), the same broadcast hot-set cut.
+    */
+  def cutBoilerplateAgainstIndex(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, maxDf: Int,
+      hashKey: Boolean = true): (DataFrame, DataFrame) = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val batchIdx = boilerplateLineIndex(newDocs, idCol, textCol, hashKey)
+    val folded = batchIdx.select(col("line_key"), col("df"))
+      .unionByName(index.select(col("line_key"), col("df")))
+      .groupBy("line_key").agg(sum(col("df")).as("df"))
+    val lines = newDocs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__idx", "__line")))
+    val key = if (hashKey) xxhash64(col("__line")) else col("__line")
+    val keyed = lines.withColumn("line_key", key)
+      .withColumn("__blank", trim(col("__line")) === "")
+    val hot = CapTelemetry.observeCap(folded, "boilerplate_line_cut_inc",
+        col("df"), maxDf, routine = true)
+      .filter(col("df") > maxDf).select("line_key")
+    val cleaned = keyed
+      .join(broadcast(hot), Seq("line_key"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__idx"), col("__line")))),
+            l => l.getField("__line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"),
+        max(when(col("__blank"), lit(0)).otherwise(lit(1))).as("__has"))
+      .filter(col("__has") === 1)
+      .join(lines.groupBy(col(idCol)).agg(count(lit(1)).as("__total")),
+        Seq(idCol))
+      .select(col(idCol), col("clean_text"), col("n_lines_kept"),
+        (col("__total") - col("n_lines_kept")).as("n_lines_cut"))
+    (cleaned, folded)
+  }
+
   /** Duplicated-passage detection — the exact-substring half of the
     * Lee et al. pipeline ("Deduplicating Training Data Makes Language
     * Models Better", ACL 2022, suffix-array ExactSubstr), re-expressed

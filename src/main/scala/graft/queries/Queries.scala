@@ -3512,6 +3512,59 @@ object Queries {
        |  (t.total - a.n_lines_kept)::BIGINT AS n_lines_cut
        |FROM agg a JOIN tot t USING (doc_id) WHERE has_content = 1""".stripMargin
 
+  /** Incremental variant fixture: [[synthLinedText]] plus a SEASONAL
+    * banner on doc_id % 25 == 0 — present on BOTH parities, so at
+    * sf0.001 its batch-side df (10) sits UNDER maxDf 15 while the
+    * combined standing+batch df (20) crosses it: the line is cut only
+    * because of the index, the semantics this row exists to pin. */
+  private def synthLinedIncText: Column =
+    when(pmod(col("doc_id"), lit(25)) === 0,
+      concat(synthLinedText, lit("\nSEASONAL BANNER")))
+      .otherwise(synthLinedText)
+
+  private val synthLinedIncTextSql =
+    s"""CASE WHEN doc_id % 25 = 0
+       | THEN ($synthLinedTextSql) || chr(10) || 'SEASONAL BANNER'
+       | ELSE ($synthLinedTextSql) END""".stripMargin
+
+  /** Even docs' lines form the standing index; odd docs are the
+    * arriving batch. A line's combined df over even+odd = its df over
+    * ALL docs, so the oracle computes one corpus-wide df and cuts the
+    * odd docs against it. */
+  private def cutBoilerplateIncQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), synthLinedIncText.as("text"))
+    val idx = DedupOps.boilerplateLineIndex(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text",
+      hashKey = false)
+    DedupOps.cutBoilerplateAgainstIndex(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), idx,
+      "doc_id", "text", maxDf = 15, hashKey = false)._1
+  }
+
+  private def cutBoilerplateIncSql =
+    s"""WITH src AS (SELECT doc_id, $synthLinedIncTextSql AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |lines AS (SELECT doc_id,
+       |  UNNEST(string_split(text, chr(10))) AS line,
+       |  UNNEST(range(len(string_split(text, chr(10))))) AS idx FROM src),
+       |hot AS (SELECT line FROM (
+       |  SELECT line, count(*) AS df FROM (
+       |    SELECT DISTINCT doc_id, line FROM lines WHERE trim(line) <> '')
+       |  GROUP BY line) WHERE df > 15),
+       |kept AS (SELECT * FROM lines WHERE doc_id % 2 = 1
+       |  AND line NOT IN (SELECT line FROM hot)),
+       |agg AS (SELECT doc_id,
+       |    string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+       |    count(*)::BIGINT AS n_lines_kept,
+       |    max(CASE WHEN trim(line) <> '' THEN 1 ELSE 0 END) AS has_content
+       |  FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*)::BIGINT AS total
+       |  FROM lines WHERE doc_id % 2 = 1 GROUP BY doc_id)
+       |SELECT a.doc_id, a.clean_text, a.n_lines_kept,
+       |  (t.total - a.n_lines_kept)::BIGINT AS n_lines_cut
+       |FROM agg a JOIN tot t USING (doc_id) WHERE has_content = 1""".stripMargin
+
   private def vocabularyQ(s: SparkSession, dir: String): DataFrame =
     TextOps.vocabulary(t(s, dir, "documents"), "doc_id", "text", topN = 25)
 
@@ -4348,6 +4401,7 @@ object Queries {
     "q_asof_join" -> (asofJoinQ _),
     "q_chunk_dedup" -> (chunkDedupQ _),
     "q_cut_boilerplate" -> (cutBoilerplateQ _),
+    "q_cut_boilerplate_incremental" -> (cutBoilerplateIncQ _),
     "q_mixture_sample" -> (mixtureSampleQ _),
     "q_mixture_rates" -> (mixtureRatesQ _),
     "q_rebalance_shares" -> (rebalanceSharesQ _),
@@ -4508,6 +4562,7 @@ object Queries {
     "q_asof_join" -> asofJoinSql,
     "q_chunk_dedup" -> chunkDedupSql,
     "q_cut_boilerplate" -> cutBoilerplateSql,
+    "q_cut_boilerplate_incremental" -> cutBoilerplateIncSql,
     "q_mixture_sample" -> mixtureSampleSql,
     "q_mixture_rates" -> mixtureRatesSql,
     "q_rebalance_shares" -> rebalanceSharesSql,

@@ -807,6 +807,52 @@ object StreamOps {
     }
   }
 
+  /** Streaming BOILERPLATE-LINE CUT — the cleaning (not gating) member
+    * of the staged-fold family: each micro-batch of documents is
+    * line-cut against the STANDING line-df index
+    * ([[graft.ops.DedupOps.cutBoilerplateAgainstIndex]] — a line whose
+    * combined standing+batch document frequency exceeds `maxDf` is cut
+    * from the batch's docs), the cleaned docs publish per batch, and
+    * the folded index (standing + batch dfs) publishes through the
+    * staged swap. Forward-only by contract: a line that crosses the
+    * threshold today is cut from today onward — published history is
+    * immutable. The FIRST batch (no index yet) cuts against its own
+    * dfs ([[graft.ops.DedupOps.cutBoilerplateLines]] — combined ==
+    * batch when standing is empty). Same determinism/replay discipline
+    * as the gates; `hashKey` must stay fixed for the life of
+    * `lineDfPath`. */
+  def boilerplateCutSink(docs: DataFrame, lineDfPath: String,
+      cleanedPath: String, idCol: String, textCol: String, maxDf: Int,
+      hashKey: Boolean = true)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cutBoilerplateBatch(batch, lineDfPath, cleanedPath, idCol, textCol,
+          maxDf, hashKey, batchId)
+      }
+
+  /** One micro-batch of the boilerplate cut (see [[boilerplateCutSink]]). */
+  private[graft] def cutBoilerplateBatch(batch: DataFrame,
+      lineDfPath: String, cleanedPath: String, idCol: String,
+      textCol: String, maxDf: Int, hashKey: Boolean, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    foldStaged(spark, lineDfPath, batchId) { stored =>
+      val (cleaned, folded) = stored match {
+        case Some(idx) => graft.ops.DedupOps.cutBoilerplateAgainstIndex(
+          batch, idx, idCol, textCol, maxDf, hashKey)
+        case None => (
+          graft.ops.DedupOps.cutBoilerplateLines(batch, idCol, textCol,
+            maxDf, hashKey),
+          graft.ops.DedupOps.boilerplateLineIndex(batch, idCol, textCol,
+            hashKey))
+      }
+      cleaned.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$cleanedPath/batch=$batchId")
+      folded
+    }
+  }
+
   /** One-shot catch-up run of [[indexSink]] (processes all available
     * input then stops) — the streaming equivalent of the CLI's daily
     * invocation. */

@@ -86,6 +86,39 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept1.contains("again again") && kept1.contains("real content"))
   }
 
+  test("cutBoilerplateAgainstIndex: COMBINED df crosses the threshold; the index folds forward-only") {
+    val day1 = Seq((1L, "PROMO BANNER\nalpha"), (2L, "PROMO BANNER\nbeta"))
+      .toDF("doc_id", "text")
+    val idx1 = DedupOps.boilerplateLineIndex(day1, "doc_id", "text",
+      hashKey = false)
+    assert(idx1.count() == 3) // PROMO df 2, alpha 1, beta 1
+    val day2 = Seq((10L, "PROMO BANNER\ngamma"), (11L, "PROMO BANNER\ndelta"))
+      .toDF("doc_id", "text")
+    // batch df alone = 2 <= maxDf 3: cutBoilerplateLines on day2 would
+    // keep the banner — only the STANDING index pushes it over
+    assert(DedupOps.cutBoilerplateLines(day2, "doc_id", "text", maxDf = 3)
+      .filter(col("clean_text").contains("PROMO")).count() == 2)
+    val (cleaned, folded) = DedupOps.cutBoilerplateAgainstIndex(
+      day2, idx1, "doc_id", "text", maxDf = 3, hashKey = false)
+    val m = cleaned.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(m == Map(
+      10L -> (("gamma", 1L, 1L)),
+      11L -> (("delta", 1L, 1L))))
+    // the folded index carries combined dfs, ready to publish
+    val dfs = folded.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfs("PROMO BANNER") == 4L && dfs("gamma") == 1L &&
+      dfs("alpha") == 1L)
+    // hashed-key form cuts identically
+    val idxH = DedupOps.boilerplateLineIndex(day1, "doc_id", "text")
+    val cleanedH = DedupOps.cutBoilerplateAgainstIndex(
+      day2, idxH, "doc_id", "text", maxDf = 3)._1.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleanedH == Map(10L -> "gamma", 11L -> "delta"))
+  }
+
   test("duplicatedPassages finds cross-document repeated windows") {
     val d = Seq(
       (0L, "p q r s t"),

@@ -356,6 +356,44 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 12L))
   }
 
+  test("boilerplateCutSink: a line crossing the df threshold is cut forward-only; replay is a no-op") {
+    val in = tmpDir("graft_stream_bpl_in")
+    val idx = tmpDir("graft_stream_bpl_idx") + "/linedf.parquet"
+    val out = tmpDir("graft_stream_bpl_out")
+    val ckpt = tmpDir("graft_stream_bpl_ckpt")
+    // batch 1: PROMO df 2 <= maxDf 3 -> kept; batch 2 pushes combined
+    // df to 4 > 3 -> cut from batch 2's docs ONLY (history immutable)
+    Seq((1L, "PROMO BANNER\nalpha"), (2L, "PROMO BANNER\nbeta"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b1")
+    Thread.sleep(50)
+    Seq((10L, "PROMO BANNER\ngamma"), (11L, "PROMO BANNER\ndelta"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$in/b2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$in/b1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$in/*")
+    val q = StreamOps.boilerplateCutSink(stream, idx, out, "doc_id",
+      "text", maxDf = 3)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val texts = spark.read.parquet(s"$out/batch=*")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("clean_text")).toMap
+    assert(texts == Map(
+      1L -> "PROMO BANNER\nalpha", 2L -> "PROMO BANNER\nbeta",
+      10L -> "gamma", 11L -> "delta"), s"got $texts")
+    // the folded index carries combined dfs
+    val dfs = spark.read.parquet(idx)
+    assert(dfs.filter(col("df") === 4L).count() == 1, "PROMO df = 2 + 2")
+    // replaying the last epoch is a no-op
+    val lb = dfs.head().getAs[Long]("__last_batch")
+    StreamOps.cutBoilerplateBatch(
+      Seq((10L, "PROMO BANNER\ngamma")).toDF("doc_id", "text"),
+      idx, out, "doc_id", "text", 3, true, lb)
+    assert(spark.read.parquet(idx).filter(col("df") === 4L).count() == 1)
+  }
+
   test("composed media gates: video -> audio over one mixed clip/track corpus, two batches") {
     import MediaFixtures._
     // one mixed-media table: clips and tracks share it; each gate judges
