@@ -350,6 +350,17 @@ object HashKernels {
     if (cur eq in0) s else UTF8String.fromBytes(cur)
   }
 
+  /** IDN host → canonical lowercase ASCII (see [[IdnAscii]]): the JDK's
+    * IDNA ToASCII per label, lowercase fold; rejection falls back to
+    * the lowercased input (total, never lossy). */
+  def idnAscii(s: UTF8String): UTF8String = {
+    val host = s.toString
+    val out =
+      try java.net.IDN.toASCII(host)
+      catch { case _: IllegalArgumentException => host }
+    UTF8String.fromString(out.toLowerCase(java.util.Locale.ROOT))
+  }
+
   /** Unreserved characters in PercentRules order (RFC 3986 §2.3). */
   private val PctDecodeChars: Array[Byte] =
     (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
@@ -1333,6 +1344,32 @@ object HashKernels {
 
 /** Codegen'd TextOps.charHash (custom Catalyst Expression — the brief's
   * preference (b): native Expression with doGenCode over UDFs). */
+/** Codegen'd IDN (punycode) host normalization: `java.net.IDN.toASCII`
+  * (IDNA, in the JDK — zero new dependencies) over the whole host,
+  * lowercased — `bücher.example` and `xn--bcher-kva.example` land on
+  * the same canonical ASCII form, so internationalized mirrors of the
+  * same site collapse under URL dedup and match ASCII blocklists. A
+  * host IDNA rejects (overlong label, stray dot shapes) passes through
+  * LOWERCASED but otherwise unchanged — conservative, never lossy, and
+  * total on crawl garbage. KERNEL-ONLY by design: DuckDB has no IDNA,
+  * so this is an OPT-IN rule (`graft.ops.UrlOps.idnAsciiHost`) outside
+  * the oracle-replayed canonicalizer chain; the spec pins RFC-vector
+  * behavior and idempotence instead. */
+case class IdnAscii(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"idn_ascii needs string, got ${child.dataType}")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.idnAscii(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.idnAscii($c)")
+  override protected def withNewChildInternal(newChild: Expression): IdnAscii =
+    copy(child = newChild)
+}
+
 /** Codegen'd URL percent-normalization (see
   * [[HashKernels.percentNormalize]]): byte-exact to the
   * `graft.ops.UrlOps.PercentRules` regex chain (spec-pinned, fuzzed),
@@ -2206,6 +2243,8 @@ object exprs {
     shims.column(WeightedCharHash(shims.expression(c)))
   def percentNormalize(c: Column): Column =
     shims.column(PercentNormalize(shims.expression(c)))
+  def idnAscii(c: Column): Column =
+    shims.column(IdnAscii(shims.expression(c)))
   def shingleHashes(c: Column, k: Int): Column =
     shims.column(ShingleHashArray(shims.expression(c), k))
   def spanScrub(text: Column, grams: Column, k: Int): Column =

@@ -98,8 +98,10 @@ object UrlOps {
     *     REST kept in original order (no reorder — two URLs differing
     *     in param order stay distinct, a deliberate conservative rule);
     *     an emptied query drops its `?`.
-    * Nulls pass through. Credentials (`user@host`) and punycode are NOT
-    * normalized — documented non-rules.
+    * Nulls pass through. Credentials (`user@host`) are NOT normalized
+    * (a documented non-rule); punycode/IDN normalization exists as the
+    * OPT-IN kernel-only [[idnAsciiHost]] (it cannot join this chain —
+    * the oracle engine has no IDNA).
     */
   def canonicalizeUrl(url: Column): Column = {
     val t1 = regexp_replace(trim(url), FragmentRe, "")
@@ -119,6 +121,19 @@ object UrlOps {
       when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
         .otherwise(lit("")))
   }
+
+  /** The canonical host folded through IDN (punycode) normalization —
+    * the OPT-IN eighth rule: `bücher.example`, `BÜCHER.example`, and
+    * `xn--bcher-kva.example` all land on `xn--bcher-kva.example`, so
+    * internationalized mirrors collapse under URL dedup and match
+    * ASCII blocklists. Kernel-only ([[graft.functions.IdnAscii]] —
+    * JDK IDNA; DuckDB has no IDNA, so this rule CANNOT join the
+    * oracle-replayed [[canonicalizeUrl]] chain — use it as an explicit
+    * extra key/pre-step where IDN traffic matters; spec-pinned on RFC
+    * vectors + idempotence instead of an oracle row). A host IDNA
+    * rejects passes through lowercased, never lossy. */
+  def idnAsciiHost(url: Column): Column =
+    graft.functions.exprs.idnAscii(hostOf(url))
 
   /** The canonical HOST alone (rule 4 of [[canonicalizeUrl]]) — the
     * domain-blocklist join key. */

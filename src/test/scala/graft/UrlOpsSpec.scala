@@ -139,6 +139,37 @@ class UrlOpsSpec extends SparkSpec {
     assert(inc == Set(2L, 3L, 5L))
   }
 
+  test("idnAsciiHost: unicode and punycode spellings of a host collapse; garbage passes lowercased") {
+    def idn(us: Seq[String]): Seq[String] =
+      us.toDF("u").select(UrlOps.idnAsciiHost(col("u"))).collect()
+        .map(_.getString(0)).toSeq
+    val cases = Seq(
+      "https://bücher.example/x" -> "xn--bcher-kva.example",
+      "https://BÜCHER.example/x" -> "xn--bcher-kva.example",
+      "https://xn--bcher-kva.example/x" -> "xn--bcher-kva.example",
+      "https://www.münchen.example.de/x" -> "xn--mnchen-3ya.example.de",
+      "https://plain.example/x" -> "plain.example", // ASCII passthrough
+      "https://MiXeD.Example/x" -> "mixed.example")
+    cases.zip(idn(cases.map(_._1))).foreach { case ((in, want), got) =>
+      assert(got == want, s"idnAsciiHost($in) = $got, want $want")
+    }
+    // total on garbage: an IDNA-rejecting host passes through lowercased
+    val overlong = "https://" + "x" * 80 + ".example/x"
+    assert(idn(Seq(overlong)) == Seq("x" * 80 + ".example"))
+    // idempotent: the ASCII output is a fixed point
+    val once = idn(cases.map(_._1))
+    assert(idn(once.map(h => s"https://$h/")) == once)
+    // composes with the blocklist: the unicode spelling matches the
+    // ASCII blocklist entry through the IDN key
+    val df = Seq((1L, "https://spam.bücher.example/x"),
+      (2L, "https://fine.example/x")).toDF("id", "u")
+    val kept = UrlOps.domainBlocklistFilter(
+      df.withColumn("u2", concat(lit("https://"), UrlOps.idnAsciiHost(col("u")), lit("/"))),
+      "u2", Seq("xn--bcher-kva.example"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("hostSuffixes walks label boundaries only") {
     val got = Seq(Tuple1("https://a.b.spam.example/x")).toDF("u")
       .select(UrlOps.hostSuffixes(col("u"))).head().getSeq[String](0)
