@@ -39,6 +39,24 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("boilerplate cut: broadcast anti-join hot set, two-level df, no distinct expand") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text",
+        org.apache.spark.sql.functions.concat_ws("\n",
+          org.apache.spark.sql.functions.lit("NAV HOME"),
+          org.apache.spark.sql.functions.col("text")))
+    val plan = graft.ops.DedupOps
+      .cutBoilerplateLines(docs, "doc_id", "text", maxDf = 10)
+      .queryExecution.executedPlan.toString
+    // the hot set (boilerplate-sized) removes via broadcast anti-join
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(3000))
+    // df is the two-level (key, doc) -> key aggregate: a countDistinct
+    // would plan an Expand; the default key is the 8-byte hash
+    assert(!plan.contains("Expand"), plan.take(3000))
+    assert(plan.contains("xxhash64"), plan.take(3000))
+  }
+
   test("ngram pairs: the df-cut is a broadcast anti-join, not a shingle-keyed window") {
     // probe with Inline materialization: the default localCheckpoint
     // truncates the plan, hiding the cut inside a checkpointed leaf
