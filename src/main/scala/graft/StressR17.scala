@@ -56,8 +56,10 @@ object StressR17 {
         mediaMat(spark, args.lift(1).map(_.toInt).getOrElse(10))
       case "urlpct" =>
         urlPct(spark, args.lift(1).map(_.toInt).getOrElse(10))
+      case "boilerplate" =>
+        boilerplate(spark, args.lift(1).map(_.toInt).getOrElse(10))
       case other =>
-        sys.error(s"unknown stress '$other' (mediamat|urlpct)")
+        sys.error(s"unknown stress '$other' (mediamat|urlpct|boilerplate)")
     }
     spark.stop()
   }
@@ -211,6 +213,55 @@ object StressR17 {
       s"materialization must not change results: $aLocal vs $aInline")
     report(s"audio pair rows (reps=$reps)", aLocal)
     wavs.unpersist()
+  }
+
+  /** Scale shape of [[graft.ops.DedupOps.cutBoilerplateLines]]: 50k
+    * docs per 10×, each 10 unique content lines + 3 lines drawn from a
+    * 200-template boilerplate pool (every template's df far exceeds
+    * maxDf) + 1 blank — the hot set stays POOL-sized while the corpus
+    * grows, which is the broadcast anti-join's whole premise. Verifies
+    * distributedly: no surviving doc carries a hot line, every doc
+    * survives (content lines are unique), and exactly 3 lines were cut
+    * per doc; only aggregate counts reach the driver. */
+  private def boilerplate(spark: SparkSession, reps: Int): Unit = {
+    import spark.implicits._
+    import graft.ops.DedupOps
+    val n = 50000L * reps / 10
+    val docs = spark.range(n).select(col("id").as("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { i =>
+          val sb = new StringBuilder
+          sb.append("BOILER TEMPLATE ").append(i % 200).append('\n')
+          var l = 0
+          while (l < 10) {
+            sb.append("content ").append(i).append(" line ").append(l)
+              .append(" with some filler words ").append((i * 31 + l) % 997)
+              .append('\n')
+            l += 1
+          }
+          sb.append('\n') // blank structural line
+          sb.append("BOILER TEMPLATE ").append((i + 7) % 200).append('\n')
+          sb.append("BOILER FOOTER ").append((i * 3) % 200)
+          (i, sb.toString)
+        }
+      }.toDF("doc_id", "text")
+      .repartition(64)
+    docs.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    report(s"docs (reps=$reps)", docs.count())
+    val out = time(s"cutBoilerplateLines (reps=$reps)") {
+      val o = DedupOps.cutBoilerplateLines(docs, "doc_id", "text",
+        maxDf = 100)
+      o.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      o.count(); o
+    }
+    // distributed invariants: every doc survives with exactly its 10
+    // content lines + the blank kept and its 3 boilerplate lines cut
+    val bad = out.filter(col("n_lines_kept") =!= 11 ||
+      col("n_lines_cut") =!= 3 || col("clean_text").contains("BOILER"))
+      .count()
+    require(bad == 0, s"$bad docs violate the cut invariant")
+    report(s"survivors (reps=$reps)", out.count())
+    out.unpersist(); docs.unpersist()
   }
 
   private def urlPct(spark: SparkSession, reps: Int): Unit = {
