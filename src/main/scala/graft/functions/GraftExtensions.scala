@@ -106,7 +106,12 @@ object GraftExtensions {
     // Column DSL's lazy ColumnNode trees are not). Regex constants are
     // shared with graft.ops.UrlOps — tree equality is spec-pinned.
     "graft_url_canonical" -> (args => urlCanonicalExpr(args.head)),
-    "graft_url_host" -> (args => urlHostExpr(args.head)))
+    "graft_url_host" -> (args => urlHostExpr(args.head)),
+    // round-17 URL kernels standalone: percent normalization (the
+    // canonicalizer already runs it internally; exposed for callers
+    // normalizing bare paths/queries) and the opt-in IDN host fold
+    "graft_percent_normalize" -> (args => PercentNormalize(args.head)),
+    "graft_idn_ascii" -> (args => IdnAscii(args.head)))
 
   import org.apache.spark.sql.catalyst.expressions.{Add, And, ArrayFilter,
     ArrayJoin, Concat, EqualTo, GreaterThan, If, LambdaFunction, Length,

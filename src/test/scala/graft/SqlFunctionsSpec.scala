@@ -226,5 +226,11 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(got2.getString(0) == "a.example/docs/a%2Fb?q=1")
     assert(got2.getString(0) == Seq(Tuple1(purl)).toDF("u")
       .select(graft.ops.UrlOps.canonicalizeUrl(col("u"))).head().getString(0))
+    // the standalone kernels reach pure SQL as well
+    val got3 = spark.sql(
+      "SELECT graft_percent_normalize('a%2Db%2f') AS p, " +
+        "graft_idn_ascii('BÜCHER.example') AS h").head()
+    assert(got3.getString(0) == "a-b%2F")
+    assert(got3.getString(1) == "xn--bcher-kva.example")
   }
 }
