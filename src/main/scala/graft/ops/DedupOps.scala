@@ -148,8 +148,13 @@ object DedupOps {
     * EMPTY / whitespace-only lines are STRUCTURE, not content: they are
     * never keyed, never cut, and survive in place (cutting them would
     * collapse paragraph breaks corpus-wide since the empty line's df is
-    * always maximal). A document whose every non-empty line is cut
-    * disappears (nothing left — the family convention).
+    * always maximal). "Whitespace-only" is the ASCII class minus the
+    * delimiter — space, tab, CR, FF, VT ([[blankLine]]) — so a CRLF
+    * corpus's `"\r"` blank lines and a tab-indented `"\t"` blank are
+    * structure too, not one corpus-wide hot key (r17 cut them, first
+    * occurrences included, collapsing every CRLF paragraph break; the
+    * r18 fix). A document whose every non-empty line is cut disappears
+    * (nothing left — the family convention).
     *
     * Output: (id, clean_text, n_lines_kept, n_lines_cut) — clean_text
     * rejoined with `\n` in original line order.
@@ -166,6 +171,20 @@ object DedupOps {
     * line bytes (the oracle form). No windows, no cartesian; at 100 TB
     * the exchange carries one row per distinct line per partition.
     */
+  /** True when a split-out line is blank STRUCTURE for the boilerplate
+    * family: nothing but ASCII whitespace — space, tab, CR, FF, VT
+    * (`\n` cannot appear; it is the split delimiter). Deliberately NOT
+    * `trim(x) === ""` (Spark/DuckDB `trim` strips SPACES only, so a
+    * CRLF corpus's `"\r"` lines read as content — one key whose df is
+    * ~every doc, cut corpus-wide) and NOT a `^\s*$` regex (Java's `$`
+    * matches before a trailing line terminator, RE2's does not — a
+    * lone U+2028 line would diverge between the engines). `translate`
+    * has identical semantics on both engines, so the oracle replays it
+    * exactly: `translate(line, ' '||chr(9)||chr(13)||chr(12)||chr(11),
+    * '') = ''`. */
+  private def blankLine(line: Column): Column =
+    translate(line, " \t\r\f\u000B", "") === ""
+
   def cutBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
       maxDf: Int, hashKey: Boolean = true): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
@@ -174,7 +193,7 @@ object DedupOps {
         posexplode(split(col(textCol), "\n", -1)).as(Seq("__idx", "__line")))
     val key = if (hashKey) xxhash64(col("__line")) else col("__line")
     val keyed = lines.withColumn("__key", key)
-      .withColumn("__blank", trim(col("__line")) === "")
+      .withColumn("__blank", blankLine(col("__line")))
     val hot = CapTelemetry.observeCap(
         keyed.filter(!col("__blank"))
           .groupBy(col("__key"), col(idCol)).agg(count(lit(1)).as("__n1"))
@@ -211,7 +230,7 @@ object DedupOps {
       hashKey: Boolean = true): DataFrame = {
     val lines = df.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(split(col(textCol), "\n", -1)).as("__line"))
-      .filter(trim(col("__line")) =!= "")
+      .filter(!blankLine(col("__line")))
     val key = if (hashKey) xxhash64(col("__line")) else col("__line")
     lines.withColumn("line_key", key)
       .groupBy(col("line_key"), col(idCol)).agg(count(lit(1)).as("__n1"))
@@ -248,7 +267,7 @@ object DedupOps {
         posexplode(split(col(textCol), "\n", -1)).as(Seq("__idx", "__line")))
     val key = if (hashKey) xxhash64(col("__line")) else col("__line")
     val keyed = lines.withColumn("line_key", key)
-      .withColumn("__blank", trim(col("__line")) === "")
+      .withColumn("__blank", blankLine(col("__line")))
     val hot = CapTelemetry.observeCap(folded, "boilerplate_line_cut_inc",
         col("df"), maxDf, routine = true)
       .filter(col("df") > maxDf).select("line_key")

@@ -3460,28 +3460,44 @@ object Queries {
       |FROM win WHERE rn = 1 GROUP BY doc_id""".stripMargin
 
   // -----------------------------------------------------------------
-  // Frequency-cut boilerplate line removal (round 17). The documents
-  // table is single-line, so the query synthesizes a 4-line web-ish
-  // shape per doc: a universal nav header (df = all docs — cut), the
-  // real content line, a BLANK structural line (never cut), and a tail
-  // that is shared across a >maxDf group for doc_id % 7 == 0 (cut) or
-  // unique otherwise (kept).
+  // Frequency-cut boilerplate line removal (round 17; blank rule r18).
+  // The documents table is single-line, so the query synthesizes a
+  // 4-line web-ish shape per doc: a universal nav header (df = all
+  // docs — cut), the real content line, a BLANK structural line (never
+  // cut — even docs get a CRLF-style "\r" blank, odd docs a true ""
+  // blank, pinning the r18 translate-based blank test: under r17's
+  // space-only trim the "\r" line was one corpus-wide hot key and every
+  // even doc lost its paragraph break), and a tail that is shared
+  // across a >maxDf group for doc_id % 7 == 0 (cut) or unique
+  // otherwise (kept).
   // -----------------------------------------------------------------
   private def synthLinedText: Column =
     concat_ws("\n",
       lit("NAV HOME ABOUT CONTACT"),
       col("text"),
-      lit(""),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("\r")).otherwise(lit("")),
       when(pmod(col("doc_id"), lit(7)) === 0,
         concat(lit("SHARED FOOTER GROUP "),
           pmod(col("doc_id"), lit(2)).cast("string")))
         .otherwise(concat(lit("unique tail "), col("doc_id").cast("string"))))
 
   private val synthLinedTextSql =
-    """'NAV HOME ABOUT CONTACT' || chr(10) || text || chr(10) || chr(10) ||
+    """'NAV HOME ABOUT CONTACT' || chr(10) || text || chr(10) ||
+      | CASE WHEN doc_id % 2 = 0 THEN chr(13) ELSE '' END || chr(10) ||
       | CASE WHEN doc_id % 7 = 0
       |      THEN 'SHARED FOOTER GROUP ' || (doc_id % 2)
       |      ELSE 'unique tail ' || doc_id END""".stripMargin
+
+  /** The boilerplate family's blank-line test, replayed exactly
+    * (DedupOps.blankLine): a line is blank STRUCTURE iff it is nothing
+    * but ASCII whitespace minus the `\n` delimiter — space, tab(9),
+    * CR(13), FF(12), VT(11). `translate` (not `trim`, which strips
+    * spaces only and would cut a CRLF corpus's `"\r"` paragraph breaks
+    * corpus-wide; not a `^\s*$` regex, whose `$` semantics differ
+    * between Java and RE2 on trailing line terminators) — identical
+    * builtin on both engines. */
+  private def sqlLineBlank(line: String): String =
+    s"translate($line, ' ' || chr(9) || chr(13) || chr(12) || chr(11), '') = ''"
 
   private def cutBoilerplateQ(s: SparkSession, dir: String): DataFrame =
     DedupOps.cutBoilerplateLines(
@@ -3497,14 +3513,14 @@ object Queries {
        |  UNNEST(range(len(string_split(text, chr(10))))) AS idx FROM src),
        |hot AS (SELECT line FROM (
        |  SELECT line, count(*) AS df FROM (
-       |    SELECT DISTINCT doc_id, line FROM lines WHERE trim(line) <> '')
+       |    SELECT DISTINCT doc_id, line FROM lines WHERE NOT ${sqlLineBlank("line")})
        |  GROUP BY line) WHERE df > 10),
        |kept AS (SELECT * FROM lines
        |  WHERE line NOT IN (SELECT line FROM hot)),
        |agg AS (SELECT doc_id,
        |    string_agg(line, chr(10) ORDER BY idx) AS clean_text,
        |    count(*)::BIGINT AS n_lines_kept,
-       |    max(CASE WHEN trim(line) <> '' THEN 1 ELSE 0 END) AS has_content
+       |    max(CASE WHEN NOT ${sqlLineBlank("line")} THEN 1 ELSE 0 END) AS has_content
        |  FROM kept GROUP BY doc_id),
        |tot AS (SELECT doc_id, count(*)::BIGINT AS total
        |  FROM lines GROUP BY doc_id)
@@ -3550,14 +3566,14 @@ object Queries {
        |  UNNEST(range(len(string_split(text, chr(10))))) AS idx FROM src),
        |hot AS (SELECT line FROM (
        |  SELECT line, count(*) AS df FROM (
-       |    SELECT DISTINCT doc_id, line FROM lines WHERE trim(line) <> '')
+       |    SELECT DISTINCT doc_id, line FROM lines WHERE NOT ${sqlLineBlank("line")})
        |  GROUP BY line) WHERE df > 15),
        |kept AS (SELECT * FROM lines WHERE doc_id % 2 = 1
        |  AND line NOT IN (SELECT line FROM hot)),
        |agg AS (SELECT doc_id,
        |    string_agg(line, chr(10) ORDER BY idx) AS clean_text,
        |    count(*)::BIGINT AS n_lines_kept,
-       |    max(CASE WHEN trim(line) <> '' THEN 1 ELSE 0 END) AS has_content
+       |    max(CASE WHEN NOT ${sqlLineBlank("line")} THEN 1 ELSE 0 END) AS has_content
        |  FROM kept GROUP BY doc_id),
        |tot AS (SELECT doc_id, count(*)::BIGINT AS total
        |  FROM lines WHERE doc_id % 2 = 1 GROUP BY doc_id)

@@ -86,6 +86,45 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept1.contains("again again") && kept1.contains("real content"))
   }
 
+  test("cutBoilerplateLines: CRLF/tab blank lines are structure — paragraph breaks survive a corpus-wide banner cut") {
+    // CRLF corpus: every line ends in \r, blank lines split out as "\r".
+    // Under a space-only trim test (the r17 bug) "\r" reads as content,
+    // shares ONE key across all docs (df = 3 > maxDf), and every
+    // paragraph break is cut corpus-wide. The r18 blank test (ASCII
+    // whitespace class: space/tab/CR/FF/VT) keeps them in place.
+    val crlf = Seq(
+      (1L, "BANNER\r\npara one a\r\n\r\npara one b\r"),
+      (2L, "BANNER\r\npara two a\r\n\r\npara two b\r"),
+      (3L, "BANNER\r\npara three a\r\n\t\npara three b\r")) // tab-blank
+      .toDF("doc_id", "text")
+    val m = DedupOps.cutBoilerplateLines(crlf, "doc_id", "text", maxDf = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the banner (df 3 > 2) is cut everywhere; the structural blank
+    // ("\r" / "\t") survives IN PLACE between the two paragraphs
+    assert(m(1L) == (("para one a\r\n\r\npara one b\r", 3L, 1L)))
+    assert(m(2L) == (("para two a\r\n\r\npara two b\r", 3L, 1L)))
+    assert(m(3L) == (("para three a\r\n\t\npara three b\r", 3L, 1L)))
+    // a doc of banner + blanks only still disappears (blanks cannot
+    // carry a doc alone)
+    val only = Seq(
+      (1L, "BANNER\r\nx\r"), (2L, "BANNER\r\ny\r"), (3L, "BANNER\r\nz\r"),
+      (4L, "BANNER\r\n\r\n\r")).toDF("doc_id", "text")
+    assert(!DedupOps.cutBoilerplateLines(only, "doc_id", "text", maxDf = 2)
+      .collect().map(_.getLong(0)).contains(4L))
+    // the incremental form shares the same blank rule: "\r" blanks are
+    // never keyed into the index and never cut against it
+    val idx = DedupOps.boilerplateLineIndex(crlf, "doc_id", "text")
+    assert(idx.filter(col("line_key") ===
+      org.apache.spark.sql.functions.xxhash64(lit("\r"))).count() == 0)
+    val day2 = Seq((10L, "BANNER\r\nnew a\r\n\r\nnew b\r")).toDF("doc_id", "text")
+    val cleaned = DedupOps.cutBoilerplateAgainstIndex(
+      day2, idx, "doc_id", "text", maxDf = 2)._1.collect()
+    assert(cleaned.length == 1 &&
+      cleaned.head.getString(1) == "new a\r\n\r\nnew b\r")
+  }
+
   test("cutBoilerplateAgainstIndex: COMBINED df crosses the threshold; the index folds forward-only") {
     val day1 = Seq((1L, "PROMO BANNER\nalpha"), (2L, "PROMO BANNER\nbeta"))
       .toDF("doc_id", "text")
