@@ -452,25 +452,113 @@ object MultimodalOps {
     mp4 || ebml || avi
   }
 
+  /** True when bytes(i..) start a frame magic this splitter knows:
+    * JPEG SOI `FF D8 FF` or the PNG signature prefix `89 50 4E 47`. */
+  private[graft] def frameMagicAt(bytes: Array[Byte], i: Int): Boolean =
+    i >= 0 && i + 4 <= bytes.length &&
+      ((bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte &&
+        bytes(i + 2) == 0xFF.toByte) ||
+       (bytes(i) == 0x89.toByte && bytes(i + 1) == 0x50.toByte &&
+        bytes(i + 2) == 0x4E.toByte && bytes(i + 3) == 0x47.toByte))
+
+  /** Exclusive end of the PNG file starting at `off`, walked
+    * STRUCTURALLY — 8-byte signature, then chunks of (4-byte BE
+    * length, 4-byte type, data, 4-byte CRC) to IEND inclusive — or -1
+    * when the walk runs off the payload / a length is corrupt. The
+    * format states every frame's exact extent; scanning IDAT bytes for
+    * magics instead would false-split (zlib-compressed IDAT is
+    * arbitrary bytes — a ~1 MB frame has percent-level odds of
+    * containing `FF D8 FF`). */
+  private[graft] def pngEnd(bytes: Array[Byte], off: Int): Int = {
+    if (off + 8 > bytes.length || bytes(off + 4) != 0x0D.toByte ||
+        bytes(off + 5) != 0x0A.toByte || bytes(off + 6) != 0x1A.toByte ||
+        bytes(off + 7) != 0x0A.toByte) return -1
+    var pos = off + 8
+    while (pos + 8 <= bytes.length) {
+      val len = ((bytes(pos) & 0xFF) << 24) | ((bytes(pos + 1) & 0xFF) << 16) |
+        ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+      if (len < 0 || pos + 12L + len > bytes.length) return -1
+      val iend = bytes(pos + 4) == 'I'.toByte && bytes(pos + 5) == 'E'.toByte &&
+        bytes(pos + 6) == 'N'.toByte && bytes(pos + 7) == 'D'.toByte
+      pos += 12 + len
+      if (iend) return pos
+    }
+    -1
+  }
+
+  /** Exclusive end of the JPEG file starting at `off`, walked
+    * STRUCTURALLY — SOI, then marker segments skipped via their 2-byte
+    * BE length (APP1 bodies hold EXIF thumbnails that are REAL nested
+    * SOIs: every camera JPEG is a guaranteed false split under a magic
+    * scan), entropy-coded scan data after SOS honoring FF-stuffing
+    * (`FF 00`), fill bytes (`FF FF`) and restart markers (`FF D0-D7`),
+    * to EOI `FF D9` inclusive — or -1 when truncated/malformed. */
+  private[graft] def jpegEnd(bytes: Array[Byte], off: Int): Int = {
+    var pos = off + 2 // past SOI
+    while (pos + 1 < bytes.length) {
+      if (bytes(pos) != 0xFF.toByte) return -1
+      while (pos + 1 < bytes.length && bytes(pos + 1) == 0xFF.toByte)
+        pos += 1 // fill bytes before a marker
+      if (pos + 1 >= bytes.length) return -1
+      val m = bytes(pos + 1) & 0xFF
+      if (m == 0xD9) return pos + 2 // EOI
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) pos += 2 // TEM/RST
+      else if (m == 0xD8 || m == 0x00) return -1 // nested SOI / stray
+      else {
+        if (pos + 3 >= bytes.length) return -1
+        val segLen = ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+        if (segLen < 2 || pos + 2L + segLen > bytes.length) return -1
+        pos += 2 + segLen
+        if (m == 0xDA) { // SOS: skip entropy-coded data to the next marker
+          var done = false
+          while (!done) {
+            if (pos + 1 >= bytes.length) return -1
+            if (bytes(pos) == 0xFF.toByte) {
+              val n = bytes(pos + 1) & 0xFF
+              if (n == 0x00 || n == 0xFF) pos += (if (n == 0xFF) 1 else 2)
+              else if (n >= 0xD0 && n <= 0xD7) pos += 2
+              else done = true // a real marker: EOI / DNL / next SOS
+            } else pos += 1
+          }
+        }
+      }
+    }
+    -1
+  }
+
   /** Split an MJPEG-style clip — a concatenation of whole still-image
     * files, the simplest REAL motion container (MJPEG is literally a
     * JPEG sequence; this parser also takes PNG sequences) — into its
-    * keyframes by scanning for frame magics (JPEG SOI `FF D8 FF`, PNG
-    * signature `89 50 4E 47 0D 0A 1A 0A`): each frame runs from its
-    * magic to the next magic (or payload end). A payload that sniffs as
-    * a container this parser does NOT understand ([[isVideoContainer]]:
-    * MP4 `ftyp`, EBML/Matroska, RIFF/AVI) REFUSES loudly — it would
-    * otherwise yield zero frames and sail through [[videoDedup]] as its
-    * own singleton while its re-encodes never collapse, the exact
-    * silent miss the WAV path's ADPCM refusal forbids. A RIFF/WAVE
-    * payload is KNOWN AUDIO and yields zero rows without scanning — a
-    * 16-bit PCM stream can contain `FF D8 FF` by byte coincidence, and
-    * hashing that "frame" would refuse on decode, crashing a mixed
-    * clip/track ingest (the composed-gate contract). Any other payload
-    * with no frame magic AND no known container magic yields zero rows
-    * (not a refusal — stub/text payloads flow through the same media
-    * tables). Output: (doc_id, frame_idx, media = the frame bytes,
-    * n_bytes). Partition-wise; payloads never visit the driver. */
+    * keyframes. Frames are parsed STRUCTURALLY (r18): a frame starting
+    * at a magic (JPEG SOI `FF D8 FF`, PNG signature) runs to the
+    * extent the FORMAT declares — [[pngEnd]] walks chunk lengths to
+    * IEND, [[jpegEnd]] walks marker segments and entropy data to EOI —
+    * never to the next magic occurrence, because magics occur INSIDE
+    * frame data (zlib IDAT bytes; EXIF thumbnails in APP1 are real
+    * SOIs) and the r17 magic scan truncated the parent frame there,
+    * crashing ingest via the decode refusal. Bytes between frames
+    * (padding, stream garbage) belong to no frame and are skipped to
+    * the next magic; a frame whose structural walk fails
+    * (truncated/corrupt) falls back to the magic-scan extent — next
+    * top-level magic or payload end — the best-effort r17 semantics,
+    * for unknown layouts only. A payload that sniffs as a container
+    * this parser does NOT understand ([[isVideoContainer]]: MP4
+    * `ftyp`, EBML/Matroska, RIFF/AVI) REFUSES loudly — it would
+    * otherwise yield zero frames and sail through [[videoDedup]] as
+    * its own singleton while its re-encodes never collapse, the exact
+    * silent miss the WAV path's ADPCM refusal forbids. The sniff is
+    * SKIPPED when a frame magic sits at offset 0 (mirroring the
+    * RIFF/WAVE carve-out): a legitimate still sequence whose first
+    * frame happens to carry `ftyp` at bytes 4-7 — e.g. inside a JPEG
+    * APP segment — is frames, not a box tree. A RIFF/WAVE payload is
+    * KNOWN AUDIO and yields zero rows without scanning — a 16-bit PCM
+    * stream can contain `FF D8 FF` by byte coincidence, and hashing
+    * that "frame" would refuse on decode, crashing a mixed clip/track
+    * ingest (the composed-gate contract). Any other payload with no
+    * frame magic AND no known container magic yields zero rows (not a
+    * refusal — stub/text payloads flow through the same media tables).
+    * Output: (doc_id, frame_idx, media = the frame bytes, n_bytes).
+    * Partition-wise; payloads never visit the driver. */
   def splitKeyframes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -481,24 +569,39 @@ object MultimodalOps {
           if (bytes == null || bytes.length < 4 || isWav(bytes))
             Iterator.empty
           else {
-            require(!isVideoContainer(bytes),
+            require(frameMagicAt(bytes, 0) || !isVideoContainer(bytes),
               s"clip $id is a real video container (MP4/Matroska/AVI) — " +
                 "this parser splits concatenated-still (MJPEG-style) " +
                 "payloads only; refusing to yield zero keyframes (the " +
                 "clip would silently never match its re-encodes). " +
                 "Demux it to stills upstream")
-            def magicAt(i: Int): Boolean =
-              (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte &&
-                bytes(i + 2) == 0xFF.toByte) ||
-              (bytes(i) == 0x89.toByte && bytes(i + 1) == 0x50.toByte &&
-                bytes(i + 2) == 0x4E.toByte && bytes(i + 3) == 0x47.toByte)
-            val offs = (0 to bytes.length - 4).iterator.filter(magicAt).toArray
-            require(offs.length <= MaxFramesPerClip,
-              s"clip $id has ${offs.length} keyframes, over the " +
-                s"$MaxFramesPerClip packing bound — split the clip")
-            offs.iterator.zipWithIndex.map { case (start, fi) =>
-              val end = if (fi + 1 < offs.length) offs(fi + 1) else bytes.length
-              (id, fi.toLong, java.util.Arrays.copyOfRange(bytes, start, end))
+            val frames = Seq.newBuilder[(Int, Int)]
+            var pos = 0
+            var n = 0L
+            while (pos <= bytes.length - 4) {
+              if (!frameMagicAt(bytes, pos)) pos += 1
+              else {
+                val structEnd =
+                  if (bytes(pos) == 0x89.toByte) pngEnd(bytes, pos)
+                  else jpegEnd(bytes, pos)
+                val end =
+                  if (structEnd > pos) structEnd
+                  else { // unknown layout: best-effort magic-scan extent
+                    var i = pos + 4
+                    while (i <= bytes.length - 4 && !frameMagicAt(bytes, i))
+                      i += 1
+                    if (i <= bytes.length - 4) i else bytes.length
+                  }
+                frames += ((pos, end))
+                n += 1
+                require(n <= MaxFramesPerClip,
+                  s"clip $id has over $MaxFramesPerClip keyframes — " +
+                    "the packing bound; split the clip")
+                pos = end
+              }
+            }
+            frames.result().iterator.zipWithIndex.map { case ((s, e), fi) =>
+              (id, fi.toLong, java.util.Arrays.copyOfRange(bytes, s, e))
             }
           }
         }
