@@ -126,7 +126,8 @@ object GraftExtensions {
 
   /** graft.ops.UrlOps.hostOf at the catalyst level (rule 4). */
   private[graft] def urlHostExpr(u: Expression): Expression = {
-    val t2 = rr(rr(StringTrim(u), UrlOps.FragmentRe), UrlOps.SchemeRe)
+    val t2 = rr(rr(rr(StringTrim(u), UrlOps.FragmentRe), UrlOps.SchemeRe),
+      UrlOps.ProtoRelRe)
     rr(rr(Lower(rex(t2, UrlOps.HostRe)), UrlOps.WwwRe), UrlOps.DefaultPortRe)
   }
 
@@ -135,7 +136,8 @@ object GraftExtensions {
     * (including the r17 percent-normalization fold over
     * [[graft.ops.UrlOps.PercentRules]], behind the same instr guard). */
   private[graft] def urlCanonicalExpr(u: Expression): Expression = {
-    val t2 = rr(rr(StringTrim(u), UrlOps.FragmentRe), UrlOps.SchemeRe)
+    val t2 = rr(rr(rr(StringTrim(u), UrlOps.FragmentRe), UrlOps.SchemeRe),
+      UrlOps.ProtoRelRe)
     val hostRaw = rex(t2, UrlOps.HostRe)
     val host = rr(rr(Lower(hostRaw), UrlOps.WwwRe), UrlOps.DefaultPortRe)
     val restRaw = Substring(t2, Add(Length(hostRaw), Literal(1)),

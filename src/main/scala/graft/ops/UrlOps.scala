@@ -33,6 +33,19 @@ object UrlOps {
     "^(utm_[a-z0-9]+|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)"
   private[graft] val FragmentRe = "#.*$"
   private[graft] val SchemeRe = "^[A-Za-z][A-Za-z0-9+.\\-]*://"
+  /** Rule 3b (r18): a PROTOCOL-RELATIVE url (`//example.com/x` — RFC
+    * 3986 network-path reference, common in crawled hrefs) drops its
+    * leading `//` after the scheme strip, so it keys and blocks like
+    * its absolute twin. Without it [[HostRe]] (`^[^/?]*`) read an
+    * EMPTY host: the canonical key kept the `//` (never collapsing
+    * with the absolute form) and — worse — [[domainBlocklistFilter]]
+    * saw host `""` and PASSED a blocklisted domain. `//+` (not `//`)
+    * so the rule is IDEMPOTENT on pathological slash runs: `////x`
+    * must not canonicalize to `//x`, which a second pass would then
+    * rewrite to `x` — canonical keys are stored and re-canonicalized
+    * by the incremental index, so every output must be a fixed
+    * point. */
+  private[graft] val ProtoRelRe = "^//+"
   private[graft] val HostRe = "^[^/?]*"
   private[graft] val WwwRe = "^www\\."
   private[graft] val DefaultPortRe = ":(80|443)$"
@@ -82,7 +95,9 @@ object UrlOps {
     * single replayable expression):
     *  1. trim surrounding whitespace;
     *  2. strip the fragment (`#…`);
-    *  3. strip the scheme (`http://`, `https://`, any `x+y://`);
+    *  3. strip the scheme (`http://`, `https://`, any `x+y://`), then
+    *     (3b) a leading `//` — a protocol-relative reference's host is
+    *     a host, not an empty-host path ([[ProtoRelRe]]);
     *  4. host = everything before the first `/` or `?`, lowercased,
     *     `www.` prefix dropped, default `:80`/`:443` port dropped
     *     (the PATH keeps its case — only authority is case-insensitive
@@ -105,7 +120,7 @@ object UrlOps {
     */
   def canonicalizeUrl(url: Column): Column = {
     val t1 = regexp_replace(trim(url), FragmentRe, "")
-    val t2 = regexp_replace(t1, SchemeRe, "")
+    val t2 = regexp_replace(regexp_replace(t1, SchemeRe, ""), ProtoRelRe, "")
     val hostRaw = regexp_extract(t2, HostRe, 0)
     val host = regexp_replace(
       regexp_replace(lower(hostRaw), WwwRe, ""), DefaultPortRe, "")
@@ -138,8 +153,8 @@ object UrlOps {
   /** The canonical HOST alone (rule 4 of [[canonicalizeUrl]]) — the
     * domain-blocklist join key. */
   def hostOf(url: Column): Column = {
-    val t2 = regexp_replace(
-      regexp_replace(trim(url), FragmentRe, ""), SchemeRe, "")
+    val t2 = regexp_replace(regexp_replace(
+      regexp_replace(trim(url), FragmentRe, ""), SchemeRe, ""), ProtoRelRe, "")
     regexp_replace(
       regexp_replace(lower(regexp_extract(t2, HostRe, 0)), WwwRe, ""),
       DefaultPortRe, "")

@@ -3040,8 +3040,13 @@ object Queries {
     when(m === 0, concat(lit("HTTPS://WWW."), col("source"),
         lit(".Example.com:443/docs/"), k, lit("/?utm_source=feed&fbclid="),
         id, lit("#frag")))
-      .when(m === 1, concat(lit("http://"), col("source"),
-        lit(".example.com/docs/"), k))
+      // shape 1 goes PROTOCOL-RELATIVE for doc_id % 12 == 7 (r18 rule
+      // 3b witness): '//src.example.com/docs/k' must collapse with its
+      // absolute twin 'http://src.example.com/docs/k'
+      .when(m === 1, concat(
+        when(pmod(col("doc_id"), lit(12)) === 7, lit("//"))
+          .otherwise(lit("http://")),
+        col("source"), lit(".example.com/docs/"), k))
       .when(m === 2, concat(lit("https://m."), col("source"),
         lit(".example.com/a%2fb/"), k, lit("?gclid=1&pa%67e=2")))
       .when(m === 3, concat(col("source"), lit(".spamhub.example/docs/"), k,
@@ -3054,7 +3059,7 @@ object Queries {
   private val synthUrlSql =
     """CASE doc_id % 6
       | WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.com:443/docs/' || (doc_id % 25) || '/?utm_source=feed&fbclid=' || doc_id || '#frag'
-      | WHEN 1 THEN 'http://' || source || '.example.com/docs/' || (doc_id % 25)
+      | WHEN 1 THEN CASE WHEN doc_id % 12 = 7 THEN '//' ELSE 'http://' END || source || '.example.com/docs/' || (doc_id % 25)
       | WHEN 2 THEN 'https://m.' || source || '.example.com/a%2fb/' || (doc_id % 25) || '?gclid=1&pa%67e=2'
       | WHEN 3 THEN source || '.spamhub.example/docs/' || (doc_id % 25) || '?ref=tw&x=1'
       | WHEN 4 THEN 'http://' || source || '.example.com/d%6Fcs/' || (doc_id % 25)
@@ -3078,8 +3083,8 @@ object Queries {
     * funnel canonicalizes only its text-non-null stage-1 rows). */
   private def urlCanonCtesFrom(src: String): String =
     s"""u AS (SELECT doc_id, $synthUrlSql AS url FROM $src),
-       |c1 AS (SELECT doc_id, url, regexp_replace(regexp_replace(trim(url),
-       |  '#.*$$', ''), '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS t2 FROM u),
+       |c1 AS (SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace(trim(url),
+       |  '#.*$$', ''), '^[A-Za-z][A-Za-z0-9+.\\-]*://', ''), '^//+', '') AS t2 FROM u),
        |c2 AS (SELECT *, regexp_extract(t2, '^[^/?]*') AS hostraw FROM c1),
        |c3 AS (SELECT *, regexp_replace(regexp_replace(lower(hostraw),
        |  '^www\\.', ''), ':(80|443)$$', '') AS host,

@@ -226,6 +226,12 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(got2.getString(0) == "a.example/docs/a%2Fb?q=1")
     assert(got2.getString(0) == Seq(Tuple1(purl)).toDF("u")
       .select(graft.ops.UrlOps.canonicalizeUrl(col("u"))).head().getString(0))
+    // the r18 protocol-relative rule rides the SQL surface too
+    val got2b = spark.sql(
+      "SELECT graft_url_canonical('//WWW.A.Example/x') AS c, " +
+        "graft_url_host('//WWW.A.Example/x') AS h").head()
+    assert(got2b.getString(0) == "a.example/x" &&
+      got2b.getString(1) == "a.example")
     // the standalone kernels reach pure SQL as well
     val got3 = spark.sql(
       "SELECT graft_percent_normalize('a%2Db%2f') AS p, " +

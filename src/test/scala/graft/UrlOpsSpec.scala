@@ -28,6 +28,10 @@ class UrlOpsSpec extends SparkSpec {
       "a.example/x?ref=tw" -> "a.example/x", // schemeless
       "https://a.example/?gclid=1" -> "a.example", // emptied query + bare slash
       "ftp+ssh://a.example/x" -> "a.example/x", // any scheme token
+      // --- protocol-relative (r18 rule 3b) ---
+      "//a.example/x" -> "a.example/x", // network-path ref = its absolute twin
+      "//WWW.A.Example:443/x" -> "a.example/x", // host rules apply to it
+      "////a.example/x" -> "a.example/x", // slash runs: one idempotent strip
       // --- percent normalization (r17) ---
       "https://a.example/a%2Db" -> "a.example/a-b", // unreserved decodes
       "https://a.example/%7euser" -> "a.example/~user", // %7e -> ~
@@ -53,7 +57,8 @@ class UrlOpsSpec extends SparkSpec {
       // percent shapes: decoded output and surviving uppercased escapes
       // must both be fixed points
       "https://a.example/d%6Fcs/a%2fb%7E?utm%5Fsource=x&q=%2541",
-      "a.example/%ZZ%2", "a.example/100%off") // malformed escapes too
+      "a.example/%ZZ%2", "a.example/100%off", // malformed escapes too
+      "//b.example/x?ref=1", "////x", "///") // protocol-relative + slash runs
     val once = canon(inputs)
     val twice = canon(once)
     once.zip(twice).foreach { case (a, b) =>
@@ -137,6 +142,32 @@ class UrlOpsSpec extends SparkSpec {
     val inc = UrlOps.urlDedupAgainstIndex(df, idx, "id", "u")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(inc == Set(2L, 3L, 5L))
+  }
+
+  test("protocol-relative URLs collapse with their absolute twins and cannot bypass the blocklist") {
+    // dedup: the network-path reference and the absolute form share one
+    // canonical key (r17 kept the '//' and they never collapsed)
+    val df = Seq(
+      (1L, "http://a.example/x"),
+      (2L, "//a.example/x"), // keep-first collapses onto 1
+      (3L, "//b.example/y"), // its own key, survives
+      (4L, "//spamhub.example/z"), // blocked domain via '//'
+      (5L, "https://ok.example/w")
+    ).toDF("id", "u")
+    val kept = UrlOps.urlDedup(df, "id", "u")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+    // blocklist: r17's empty-host extract PASSED row 4 — a filter
+    // BYPASS, not just a missed merge
+    val unblocked = UrlOps.domainBlocklistFilter(
+      df, "u", Seq("spamhub.example"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(unblocked == Set(1L, 2L, 3L, 5L),
+      s"//spamhub.example must be dropped, got $unblocked")
+    // hostOf reads the real host through the '//'
+    assert(Seq(Tuple1("//www.Spamhub.example:443/z")).toDF("u")
+      .select(UrlOps.hostOf(col("u"))).head().getString(0) ==
+      "spamhub.example")
   }
 
   test("idnAsciiHost: unicode and punycode spellings of a host collapse; garbage passes lowercased") {
