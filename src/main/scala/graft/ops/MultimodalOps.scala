@@ -763,13 +763,21 @@ object MultimodalOps {
     * samples (8-bit PCM is unsigned per the spec; it is recentred and
     * scaled ×256 so the same waveform fingerprints identically at
     * either bit depth). */
-  private[graft] def decodeWavMono(bytes: Array[Byte]): Array[Int] = {
+  private[graft] def decodeWavMono(bytes: Array[Byte]): Array[Int] =
+    decodeWavMonoRate(bytes)._1
+
+  /** [[decodeWavMono]] plus the fmt chunk's SAMPLE RATE (Hz) — the
+    * field r17 parsed past and discarded, which
+    * [[audioFingerprintAnchored]]'s rate-proportional frame grid
+    * needs: without it a 44.1↔48 kHz re-encode (the most common
+    * transcode after volume/bit-depth) never pairs. */
+  private[graft] def decodeWavMonoRate(bytes: Array[Byte]): (Array[Int], Int) = {
     def u16(i: Int) = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
     def u32(i: Int) = (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
       ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
     require(isWav(bytes), "not a RIFF/WAVE payload")
     var pos = 12
-    var fmtCode = -1; var channels = 0; var bits = 0
+    var fmtCode = -1; var channels = 0; var bits = 0; var rate = 0
     var dataOff = -1; var dataLen = 0
     while (pos + 8 <= bytes.length && (fmtCode < 0 || dataOff < 0)) {
       val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -784,6 +792,7 @@ object MultimodalOps {
             "header needs 16 and must fit the payload — truncated " +
             "or malformed; refusing to fingerprint")
         fmtCode = u16(pos + 8); channels = u16(pos + 10)
+        rate = u32(pos + 12).toInt
         bits = u16(pos + 22)
       } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
       pos += 8 + sz + (sz & 1) // chunks are word-aligned
@@ -813,7 +822,7 @@ object MultimodalOps {
       out(i) = sum / channels
       i += 1
     }
-    out
+    (out, rate)
   }
 
   /** Audio fingerprint: the energy-contour difference hash — window the
@@ -883,19 +892,32 @@ object MultimodalOps {
     * content quieter than the peak) and any edit AFTER
     * `anchor + windows·frameLen` samples; invariant under exact volume
     * scaling and 8↔16-bit re-encode (same normalization as the contour
-    * hash). NOT survived: edits that remove the peak itself, re-
-    * sampling (the frame grid is in samples), or lossy codecs (PCM
-    * only, same refusal as [[decodeWavMono]]). Frames past the track
-    * end count only their real samples; a track ending before frame 0
-    * still emits (all-zero tail energies — deterministic). Non-WAV
-    * payloads drop (mixed media tables flow through). `windows` ≤ 64
-    * keeps the signature in one long for the hamming spine. Output:
-    * (doc_id, afp, n_bits, anchor, n_samples). */
+    * hash). With `frameMs > 0` (r18) the frame grid is in TIME, not
+    * samples: each track's frame length is `frameMs · rate / 1000`
+    * samples (exact integer floor over the fmt chunk's parsed rate —
+    * choose `frameMs` a multiple of 20 and the division is EXACT at
+    * every standard rate, 8/16/22.05/44.1/48/96 kHz, all divisible by
+    * 50), so a 44.1↔48 kHz re-encode — the most common transcode after
+    * volume/bit-depth, which the r17 sample grid could never pair —
+    * lands its frames on the same time spans and the energy CONTOUR
+    * (the compared quantity; resampling interpolates values, so
+    * bit-exactness of energies is not claimed, only the comparisons'
+    * robustness) survives. NOT survived: edits that remove the peak
+    * itself, sample-grid mode (`frameMs = 0`, the default) under
+    * resampling, or lossy codecs (PCM only, same refusal as
+    * [[decodeWavMono]]). Frames past the track end count only their
+    * real samples; a track ending before frame 0 still emits (all-zero
+    * tail energies — deterministic). Non-WAV payloads drop (mixed
+    * media tables flow through). `windows` ≤ 64 keeps the signature in
+    * one long for the hamming spine. `frameMs` is a HASH-FAMILY dial
+    * like `windows`: fingerprints from different grids never compare.
+    * Output: (doc_id, afp, n_bits, anchor, n_samples). */
   def audioFingerprintAnchored(media: DataFrame, windows: Int = 49,
-      frameLen: Int = 256): DataFrame = {
+      frameLen: Int = 256, frameMs: Int = 0): DataFrame = {
     require(windows >= 2 && windows <= 64,
       s"windows must be in [2, 64], got $windows")
     require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    require(frameMs >= 0, s"frameMs must be >= 0, got $frameMs")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("media"))
@@ -904,7 +926,14 @@ object MultimodalOps {
         rows.flatMap { case (id, bytes) =>
           if (!isWav(bytes)) Iterator.empty
           else {
-            val pcm = decodeWavMono(bytes)
+            val (pcm, rate) = decodeWavMonoRate(bytes)
+            val fl =
+              if (frameMs == 0) frameLen
+              else {
+                require(rate > 0, s"track $id declares sample rate $rate" +
+                  " — cannot build a time-proportional frame grid")
+                math.max(1, (frameMs.toLong * rate / 1000L).toInt)
+              }
             if (pcm.isEmpty) Iterator.empty
             else {
               var anchor = 0
@@ -918,8 +947,8 @@ object MultimodalOps {
               val energy = new Array[Long](windows)
               var w = 0
               while (w < windows) {
-                val lo = math.min(pcm.length, anchor + w * frameLen)
-                val hi = math.min(pcm.length, anchor + (w + 1) * frameLen)
+                val lo = math.min(pcm.length.toLong, anchor + w.toLong * fl).toInt
+                val hi = math.min(pcm.length.toLong, anchor + (w + 1).toLong * fl).toInt
                 var s = 0L
                 var j = lo
                 while (j < hi) { s += pcm(j).toLong * pcm(j); j += 1 }
@@ -947,13 +976,15 @@ object MultimodalOps {
     * fingerprint frame is materialized per `mat` (the WAV decode must
     * run once, not once per spine branch). Set `anchored` to use the
     * trim-robust [[audioFingerprintAnchored]] (with `frameLen`) instead
-    * of the cheap relative-window contour hash. */
+    * of the cheap relative-window contour hash; `frameMs > 0` makes its
+    * frame grid time-proportional (resample-robust). */
   def audioNearDupPairs(media: DataFrame, windows: Int = 49,
       maxHamming: Int = 3, maxBucket: Int = 100000,
       mat: Materializer = Materializer.Local,
-      anchored: Boolean = false, frameLen: Int = 256): DataFrame = {
+      anchored: Boolean = false, frameLen: Int = 256,
+      frameMs: Int = 0): DataFrame = {
     val fp =
-      if (anchored) audioFingerprintAnchored(media, windows, frameLen)
+      if (anchored) audioFingerprintAnchored(media, windows, frameLen, frameMs)
       else audioFingerprint(media, windows)
     DedupOps.hammingNearPairs(mat(fp.select("doc_id", "afp")),
       "doc_id", "afp", windows - 1, maxHamming, maxBucket)
@@ -971,9 +1002,10 @@ object MultimodalOps {
   def audioDedup(media: DataFrame, windows: Int = 49, maxHamming: Int = 3,
       maxBucket: Int = 100000,
       mat: Materializer = Materializer.Local,
-      anchored: Boolean = false, frameLen: Int = 256): DataFrame = {
+      anchored: Boolean = false, frameLen: Int = 256,
+      frameMs: Int = 0): DataFrame = {
     val pairs = audioNearDupPairs(media, windows, maxHamming, maxBucket,
-      mat, anchored, frameLen)
+      mat, anchored, frameLen, frameMs)
     val clusters = DedupOps.nearDupClusters(pairs.select("id_a", "id_b"),
       media.select(col("doc_id")), "doc_id", mat = mat)
     media.join(clusters, Seq("doc_id"))

@@ -437,35 +437,37 @@ object StreamOps {
     * loudly and fail the batch (the decode contract); non-WAV payloads
     * in a mixed table pass as singletons and never index (same caveat
     * as the video gate — exact-digest-gate them upstream). The
-    * fingerprint family (`windows`, `anchored`, `frameLen`) must stay
-    * fixed for the life of `fpPath` — a flipped `anchored` would fork
-    * the hash family mid-index (the [[nearDupGateSink]] dial
-    * contract). */
+    * fingerprint family (`windows`, `anchored`, `frameLen`, `frameMs`)
+    * must stay fixed for the life of `fpPath` — a flipped `anchored`
+    * would fork the hash family mid-index (the [[nearDupGateSink]]
+    * dial contract). */
   def audioGateSink(media: DataFrame, fpPath: String,
       survivorsPath: String, windows: Int = 49, maxHamming: Int = 3,
       maxBucket: Int = 100000, anchored: Boolean = false,
-      frameLen: Int = 256)
+      frameLen: Int = 256, frameMs: Int = 0)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     media.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gateAudioBatch(batch, fpPath, survivorsPath, windows, maxHamming,
-          maxBucket, anchored, frameLen, batchId)
+          maxBucket, anchored, frameLen, frameMs, batchId)
       }
 
   /** One micro-batch of the audio gate (see [[audioGateSink]]). */
   private[graft] def gateAudioBatch(batch: DataFrame, fpPath: String,
       survivorsPath: String, windows: Int, maxHamming: Int, maxBucket: Int,
-      anchored: Boolean, frameLen: Int, batchId: Long): Unit = {
+      anchored: Boolean, frameLen: Int, frameMs: Int, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import graft.ops.MultimodalOps
     def fpOf(df: DataFrame): DataFrame =
-      (if (anchored) MultimodalOps.audioFingerprintAnchored(df, windows, frameLen)
+      (if (anchored) MultimodalOps.audioFingerprintAnchored(df, windows,
+        frameLen, frameMs)
        else MultimodalOps.audioFingerprint(df, windows))
         .select("doc_id", "afp")
     foldStaged(spark, fpPath, batchId) { stored =>
       val selfDeduped = MultimodalOps.audioDedup(batch, windows,
-        maxHamming, maxBucket, anchored = anchored, frameLen = frameLen)
+        maxHamming, maxBucket, anchored = anchored, frameLen = frameLen,
+        frameMs = frameMs)
       val survivors = stored match {
         case Some(s) =>
           val hits = graft.ops.DedupOps.hammingAgainstIndex(

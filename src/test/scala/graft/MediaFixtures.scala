@@ -58,8 +58,10 @@ object MediaFixtures {
 
   /** Canonical 44-byte-header PCM WAV. samples are 16-bit mono values;
     * bits=8 writes the same waveform as unsigned 8-bit (>> 8, +128);
-    * channels=2 duplicates the mono channel. */
-  def wav(samples: Array[Int], bits: Int, channels: Int): Array[Byte] = {
+    * channels=2 duplicates the mono channel; `rate` lands in the fmt
+    * chunk (resample fixtures). */
+  def wav(samples: Array[Int], bits: Int, channels: Int,
+      rate: Int = 16000): Array[Byte] = {
     val bytesPer = bits / 8
     val dataLen = samples.length * bytesPer * channels
     val bos = new java.io.ByteArrayOutputStream()
@@ -67,7 +69,7 @@ object MediaFixtures {
     def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >> 16) & 0xFFFF) }
     bos.write("RIFF".getBytes); le32(36 + dataLen); bos.write("WAVE".getBytes)
     bos.write("fmt ".getBytes); le32(16); le16(1); le16(channels)
-    le32(16000); le32(16000 * bytesPer * channels); le16(bytesPer * channels)
+    le32(rate); le32(rate * bytesPer * channels); le16(bytesPer * channels)
     le16(bits)
     bos.write("data".getBytes); le32(dataLen)
     for (s <- samples; _ <- 0 until channels) {

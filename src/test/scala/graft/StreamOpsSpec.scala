@@ -351,7 +351,7 @@ class StreamOpsSpec extends SparkSpec {
     // replaying the last epoch is a no-op
     val lb = idx.head().getAs[Long]("__last_batch")
     StreamOps.gateAudioBatch(rawMediaDf(Seq(10L -> wav(mA, 8, 1))), fp, out,
-      33, 3, 100000, false, 256, lb)
+      33, 3, 100000, false, 256, 0, lb)
     assert(spark.read.parquet(fp).select("doc_id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 12L))
   }
@@ -413,7 +413,7 @@ class StreamOpsSpec extends SparkSpec {
       StreamOps.gateVideoBatch(rawMediaDf(rows), vIdx, sVid,
         5, 3, 0.5, 10000, batchId)
       StreamOps.gateAudioBatch(spark.read.parquet(s"$sVid/batch=$batchId"),
-        aIdx, sAud, 33, 3, 100000, false, 256, batchId)
+        aIdx, sAud, 33, 3, 100000, false, 256, 0, batchId)
     }
     def ids(path: String): Set[Long] =
       spark.read.parquet(path).select("doc_id").collect()
