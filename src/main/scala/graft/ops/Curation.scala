@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   *  0. web corpora only (opt-in): `domain_block` + `url_dedup`
   *     ([[UrlOps]] — blocklisted domains out, one survivor per
   *     canonical URL), then `extract` (HTML main-content,
-  *     [[TextOps.extractMainContent]]);
+  *     [[TextOps.extractMainContent]]), then `boilerplate` (opt-in
+  *     r18, `boilerplateMaxDf > 0`: frequency-cut line removal,
+  *     [[DedupOps.cutBoilerplateLines]] — the CCNet position, BETWEEN
+  *     extraction and quality, so nav/footer lines that survive
+  *     main-content extraction never reach shingles or quality stats);
   *  1. `normalize`  — Unicode canonicalization (NFC, casefold,
   *     whitespace collapse) so every later stage keys on canonical text;
   *  2. `quality`    — the composite heuristic gate
@@ -46,7 +50,8 @@ object Curation {
       mat: Materializer = Materializer.Inline,
       fromHtml: Boolean = false,
       urlCol: String = null,
-      blockedDomains: Seq[String] = Nil): Seq[(String, DataFrame)] = {
+      blockedDomains: Seq[String] = Nil,
+      boilerplateMaxDf: Int = 0): Seq[(String, DataFrame)] = {
     val preUrl = df.filter(col(textCol).isNotNull)
     // stage -1 (web corpora with a URL column): URL-level curation runs
     // FIRST — domain blocklist, then canonical-URL dedup keep-first —
@@ -75,7 +80,21 @@ object Curation {
           Seq(idCol))
         .withColumn(textCol, col("main_text")).drop("main_text")
         .select(input.columns.map(col): _*))
-    val normalized = mat(raw.withColumn(textCol,
+    // opt-in boilerplate line cut (CCNet order: after extraction,
+    // before normalize/quality) — a doc whose every content line is
+    // boilerplate disappears here, like the extract stage's n_kept = 0
+    val deboiled =
+      if (boilerplateMaxDf <= 0) raw
+      else mat(raw
+        .join(DedupOps.cutBoilerplateLines(raw, idCol, textCol,
+            boilerplateMaxDf)
+          .select(col(idCol), col("clean_text")), Seq(idCol))
+        .withColumn(textCol, col("clean_text")).drop("clean_text")
+        .select(raw.columns.map(col): _*))
+    // `normalize` is deliberately NOT a reported funnel stage: it is a
+    // per-row rewrite that drops nothing, so its count equals its
+    // predecessor's by construction — a report row would be noise
+    val normalized = mat(deboiled.withColumn(textCol,
       TextOps.normalizeText(col(textCol))))
     val quality = mat(TextOps.qualityFilter(normalized, textCol, minWords,
         maxStopRatio, minAvgLen, maxAvgLen)
@@ -89,7 +108,8 @@ object Curation {
       sampleNum, sampleDen)
     val head =
       Seq("raw" -> preUrl) ++ urlStages ++
-        (if (fromHtml) Seq("extract" -> raw) else Nil)
+        (if (fromHtml) Seq("extract" -> raw) else Nil) ++
+        (if (boilerplateMaxDf > 0) Seq("boilerplate" -> deboiled) else Nil)
     head ++ Seq("quality" -> quality, "dedup" -> deduped,
       "classifier" -> classified, "sample" -> sampled)
   }
@@ -97,9 +117,11 @@ object Curation {
   /** The funnel's surviving documents (all stages applied). */
   def curate(df: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, mat: Materializer = Materializer.Inline,
-      urlCol: String = null, blockedDomains: Seq[String] = Nil): DataFrame =
+      urlCol: String = null, blockedDomains: Seq[String] = Nil,
+      boilerplateMaxDf: Int = 0): DataFrame =
     stages(df, idCol, textCol, weights, mat = mat, urlCol = urlCol,
-      blockedDomains = blockedDomains).last._2
+      blockedDomains = blockedDomains,
+      boilerplateMaxDf = boilerplateMaxDf).last._2
 
   /** Per-stage survivor counts: `(stage_ord, stage, n_docs)` — ordinal
     * first so the report sorts stably. Pass `urlCol` (web corpora) to
@@ -107,9 +129,11 @@ object Curation {
     * `url_dedup`, then the text stages. */
   def funnel(df: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, mat: Materializer = Materializer.Inline,
-      urlCol: String = null, blockedDomains: Seq[String] = Nil): DataFrame =
+      urlCol: String = null, blockedDomains: Seq[String] = Nil,
+      boilerplateMaxDf: Int = 0): DataFrame =
     stages(df, idCol, textCol, weights, mat = mat, urlCol = urlCol,
-      blockedDomains = blockedDomains).zipWithIndex.map {
+      blockedDomains = blockedDomains,
+      boilerplateMaxDf = boilerplateMaxDf).zipWithIndex.map {
       case ((name, frame), i) =>
         frame.agg(count(lit(1)).as("n_docs"))
           .select(lit(i + 1).cast("long").as("stage_ord"),

@@ -3241,6 +3241,61 @@ object Queries {
        |UNION ALL SELECT 6, 'classifier', count(*) FROM cl
        |UNION ALL SELECT 7, 'sample', count(*) FROM sm""".stripMargin
 
+  /** The r18 extension of the web flagship: the SAME URL-staged funnel
+    * with the opt-in BOILERPLATE line-cut stage live, over the
+    * synthetic LINED corpus — the composed raw-HTML-to-clean-text path
+    * a CCNet-order pipeline actually runs (blocklist → url dedup →
+    * line-level boilerplate removal → quality → dedup → classifier →
+    * sample), eight stage counts in one CTE oracle. */
+  private def webFunnelBoilerplateQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curation.funnel(
+      docs.filter(col("text").isNotNull)
+        .withColumn("text", synthLinedText).withColumn("url", synthUrl),
+      "doc_id", "text", corpusWeights(docs), mat = Materializer.LocalLazy,
+      urlCol = "url", blockedDomains = Seq("spamhub.example"),
+      boilerplateMaxDf = 10)
+  }
+
+  private def webFunnelBoilerplateSql =
+    s"""WITH lsrc AS (SELECT doc_id, source, $synthLinedTextSql AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |${urlCanonCtesFrom("lsrc")},
+       |wb AS (SELECT doc_id, url, canonical_url FROM canon
+       |  WHERE url IS NULL OR NOT (host = 'spamhub.example'
+       |    OR host LIKE '%.spamhub.example')),
+       |wd AS (SELECT doc_id FROM wb
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY canonical_url,
+       |      CASE WHEN canonical_url IS NULL THEN CAST(doc_id AS VARCHAR)
+       |           ELSE '' END
+       |    ORDER BY doc_id) = 1),
+       |bsrc AS (SELECT l.doc_id, l.text FROM lsrc l JOIN wd USING (doc_id)),
+       |blines AS (SELECT doc_id,
+       |  UNNEST(string_split(text, chr(10))) AS line,
+       |  UNNEST(range(len(string_split(text, chr(10))))) AS idx FROM bsrc),
+       |bhot AS (SELECT line FROM (
+       |  SELECT line, count(*) AS df FROM (
+       |    SELECT DISTINCT doc_id, line FROM blines
+       |    WHERE NOT ${sqlLineBlank("line")})
+       |  GROUP BY line) WHERE df > 10),
+       |bkept AS (SELECT * FROM blines
+       |  WHERE line NOT IN (SELECT line FROM bhot)),
+       |bp AS (SELECT doc_id,
+       |    string_agg(line, chr(10) ORDER BY idx) AS text
+       |  FROM bkept GROUP BY doc_id
+       |  HAVING max(CASE WHEN NOT ${sqlLineBlank("line")} THEN 1 ELSE 0 END) = 1),
+       |nrm AS (SELECT doc_id, $funnelNormSql AS text FROM bp),
+       |$funnelTailCtesSql
+       |SELECT 1::BIGINT AS stage_ord, 'raw' AS stage, count(*)::BIGINT AS n_docs FROM lsrc
+       |UNION ALL SELECT 2, 'domain_block', count(*) FROM wb
+       |UNION ALL SELECT 3, 'url_dedup', count(*) FROM wd
+       |UNION ALL SELECT 4, 'boilerplate', count(*) FROM bp
+       |UNION ALL SELECT 5, 'quality', count(*) FROM qf
+       |UNION ALL SELECT 6, 'dedup', count(*) FROM dd
+       |UNION ALL SELECT 7, 'classifier', count(*) FROM cl
+       |UNION ALL SELECT 8, 'sample', count(*) FROM sm""".stripMargin
+
   private def profileByGroupQ(s: SparkSession, dir: String): DataFrame =
     ProfileOps.numericProfileByGroup(t(s, dir, "documents"), "lang", "n_chars")
 
@@ -4468,6 +4523,7 @@ object Queries {
     "q_cms_terms" -> (cmsTermsQ _),
     "q_curation_funnel" -> (curationFunnelQ _),
     "q_web_funnel" -> (webFunnelQ _),
+    "q_web_funnel_boilerplate" -> (webFunnelBoilerplateQ _),
     "q_url_canonical" -> (urlCanonicalQ _),
     "q_url_dedup" -> (urlDedupQ _),
     "q_url_dedup_incremental" -> (urlDedupIncrementalQ _),
@@ -4629,6 +4685,7 @@ object Queries {
     "q_cms_terms" -> cmsTermsSql,
     "q_curation_funnel" -> curationFunnelSql,
     "q_web_funnel" -> webFunnelSql,
+    "q_web_funnel_boilerplate" -> webFunnelBoilerplateSql,
     "q_url_canonical" -> urlCanonicalSql,
     "q_url_dedup" -> urlDedupSql,
     "q_url_dedup_incremental" -> urlDedupIncrementalSql,

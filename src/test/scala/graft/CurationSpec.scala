@@ -104,4 +104,43 @@ class CurationSpec extends SparkSpec {
     val funnel = Curation.funnel(d, "doc_id", "text", weights)
     assert(funnel.count() == 5) // default path unchanged
   }
+
+  test("boilerplateMaxDf inserts the line-cut stage between extract and quality") {
+    val fill = (1 to 20).map(i => s"w$i").mkString(" ")
+    // every doc shares a nav line (df 4 > maxDf 2 -> cut); doc 9 is
+    // nav+blank only and must DISAPPEAR at the boilerplate stage; the
+    // rest carry unique content that survives to quality
+    val d = Seq(
+      (1L, s"NAV HOME ABOUT\ncontent one $fill\n\ntail 1"),
+      (2L, s"NAV HOME ABOUT\ncontent two $fill\n\ntail 2"),
+      (3L, s"NAV HOME ABOUT\ncontent three $fill\n\ntail 3"),
+      (9L, "NAV HOME ABOUT\n\n")) // boilerplate-only page
+      .toDF("doc_id", "text")
+    val weights = Seq(("bad", -100L)).toDF("term", "weight")
+    val stages = Curation.stages(d, "doc_id", "text", weights,
+      boilerplateMaxDf = 2)
+    assert(stages.map(_._1) == Seq("raw", "boilerplate", "quality",
+      "dedup", "classifier", "sample"))
+    val bp = stages(1)._2
+    assert(bp.count() == 3L, "the nav-only page must drop at the boilerplate stage")
+    val t1 = bp.filter(col("doc_id") === 1L).select("text").head().getString(0)
+    assert(t1 == s"content one $fill\n\ntail 1",
+      s"nav line cut, structure kept: $t1")
+    // downstream stages consume the CUT text (the nav words are gone
+    // before quality/dedup ever key on them)
+    val quality = stages(2)._2
+    assert(quality.count() == 3L)
+    // composes with the URL stages in CCNet order
+    val withUrl = d.withColumn("url",
+      concat(lit("http://h"), col("doc_id"), lit(".example/p")))
+    val names = Curation.stages(withUrl, "doc_id", "text", weights,
+      urlCol = "url", boilerplateMaxDf = 2).map(_._1)
+    assert(names == Seq("raw", "domain_block", "url_dedup", "boilerplate",
+      "quality", "dedup", "classifier", "sample"))
+    // funnel report carries the stage row
+    val funnel = Curation.funnel(d, "doc_id", "text", weights,
+      boilerplateMaxDf = 2).orderBy("stage_ord").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(funnel.toSeq.take(2) == Seq("raw" -> 4L, "boilerplate" -> 3L))
+  }
 }
