@@ -111,8 +111,20 @@ object MultimodalOps {
     */
   def mediaDedup(media: DataFrame, bits: Int = 48, maxHamming: Int = 3,
       maxBucket: Int = 100000,
+      mat: Materializer = Materializer.Local): DataFrame =
+    mediaDedupFromPhash(media, perceptualHash(media, bits), bits,
+      maxHamming, maxBucket, mat)
+
+  /** [[mediaDedup]] over a precomputed (doc_id, phash) frame — the
+    * hash-once seam (r18), mirroring the video/audio `From*` variants:
+    * the streaming gate hashes each micro-batch once and threads the
+    * frame through self-dedup, the against-index check, and the index
+    * fold. */
+  def mediaDedupFromPhash(media: DataFrame, ph: DataFrame, bits: Int = 48,
+      maxHamming: Int = 3, maxBucket: Int = 100000,
       mat: Materializer = Materializer.Local): DataFrame = {
-    val pairs = mediaNearDupPairs(media, bits, maxHamming, maxBucket)
+    val pairs = DedupOps.hammingNearPairs(ph, "doc_id", "phash",
+      bits, maxHamming, maxBucket)
     val clusters = DedupOps.nearDupClusters(pairs.select("id_a", "id_b"),
       media.select(col("doc_id")), "doc_id", mat = mat)
     media.join(clusters, Seq("doc_id"))
@@ -653,8 +665,19 @@ object MultimodalOps {
   def videoNearDupPairs(media: DataFrame, grid: Int = 5,
       maxHamming: Int = 3, minMatchFrac: Double = 0.5,
       maxBucket: Int = 10000,
-      mat: Materializer = Materializer.Local): DataFrame = {
-    val fh = videoFrameHashes(media, grid, mat)
+      mat: Materializer = Materializer.Local): DataFrame =
+    videoNearDupPairsFromHashes(videoFrameHashes(media, grid, mat), grid,
+      maxHamming, minMatchFrac, maxBucket)
+
+  /** [[videoNearDupPairs]] over an ALREADY-COMPUTED (and ideally
+    * materialized) frame-hash frame — the decode-once seam (r18): a
+    * caller that needs self-pairs AND an against-index check AND the
+    * index fold (the streaming gate) computes [[videoFrameHashes]]
+    * once and threads it through all three, instead of re-decoding the
+    * payloads per consumer. */
+  def videoNearDupPairsFromHashes(fh: DataFrame, grid: Int = 5,
+      maxHamming: Int = 3, minMatchFrac: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
     val sizes = fh.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
     val packed = fh.select(
       (col("doc_id") * MaxFramesPerClip + col("frame_idx")).as("fid"),
@@ -690,9 +713,18 @@ object MultimodalOps {
     * cluster spine → keep the canonical (minimum-id) clip per cluster. */
   def videoDedup(media: DataFrame, grid: Int = 5, maxHamming: Int = 3,
       minMatchFrac: Double = 0.5, maxBucket: Int = 10000,
+      mat: Materializer = Materializer.Local): DataFrame =
+    videoDedupFromHashes(media, videoFrameHashes(media, grid, mat), grid,
+      maxHamming, minMatchFrac, maxBucket, mat)
+
+  /** [[videoDedup]] over a precomputed frame-hash frame (the
+    * decode-once seam — see [[videoNearDupPairsFromHashes]]). */
+  def videoDedupFromHashes(media: DataFrame, fh: DataFrame, grid: Int = 5,
+      maxHamming: Int = 3, minMatchFrac: Double = 0.5,
+      maxBucket: Int = 10000,
       mat: Materializer = Materializer.Local): DataFrame = {
-    val pairs = videoNearDupPairs(media, grid, maxHamming, minMatchFrac,
-      maxBucket, mat)
+    val pairs = videoNearDupPairsFromHashes(fh, grid, maxHamming,
+      minMatchFrac, maxBucket)
     val clusters = DedupOps.nearDupClusters(pairs.select("id_a", "id_b"),
       media.select(col("doc_id")), "doc_id", mat = mat)
     media.join(clusters, Seq("doc_id"))
@@ -716,8 +748,17 @@ object MultimodalOps {
   def videoNearDupAgainstIndex(newMedia: DataFrame, indexFrames: DataFrame,
       grid: Int = 5, maxHamming: Int = 3, minMatchFrac: Double = 0.5,
       maxBucket: Int = 10000,
-      mat: Materializer = Materializer.Local): DataFrame = {
-    val fhNew = videoFrameHashes(newMedia, grid, mat)
+      mat: Materializer = Materializer.Local): DataFrame =
+    videoNearDupAgainstIndexFromHashes(videoFrameHashes(newMedia, grid, mat),
+      indexFrames, grid, maxHamming, minMatchFrac, maxBucket)
+
+  /** [[videoNearDupAgainstIndex]] with the NEW side's frame hashes
+    * precomputed (the decode-once seam — see
+    * [[videoNearDupPairsFromHashes]]); the index side was always
+    * stored longs. */
+  def videoNearDupAgainstIndexFromHashes(fhNew: DataFrame,
+      indexFrames: DataFrame, grid: Int = 5, maxHamming: Int = 3,
+      minMatchFrac: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
     val sizesNew = fhNew.groupBy("doc_id").agg(count(lit(1)).as("n_new"))
     val sizesOld = indexFrames.groupBy("doc_id").agg(count(lit(1)).as("n_old"))
     def packed(df: DataFrame) = df.select(
@@ -986,9 +1027,19 @@ object MultimodalOps {
     val fp =
       if (anchored) audioFingerprintAnchored(media, windows, frameLen, frameMs)
       else audioFingerprint(media, windows)
-    DedupOps.hammingNearPairs(mat(fp.select("doc_id", "afp")),
-      "doc_id", "afp", windows - 1, maxHamming, maxBucket)
+    audioNearDupPairsFromFp(mat(fp.select("doc_id", "afp")), windows,
+      maxHamming, maxBucket)
   }
+
+  /** [[audioNearDupPairs]] over an ALREADY-COMPUTED (doc_id, afp)
+    * fingerprint frame — the decode-once seam (r18), mirroring
+    * [[videoNearDupPairsFromHashes]]: the streaming gate computes the
+    * WAV decode once per micro-batch and threads the fingerprints
+    * through self-dedup, the against-index check, and the index fold. */
+  def audioNearDupPairsFromFp(fp: DataFrame, windows: Int = 49,
+      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame =
+    DedupOps.hammingNearPairs(fp.select("doc_id", "afp"),
+      "doc_id", "afp", windows - 1, maxHamming, maxBucket)
 
   /** Audio dedup: [[audioNearDupPairs]] → CC clusters → canonical
     * (minimum-id) track per cluster. The cluster UNIVERSE and the
@@ -1006,6 +1057,19 @@ object MultimodalOps {
       frameMs: Int = 0): DataFrame = {
     val pairs = audioNearDupPairs(media, windows, maxHamming, maxBucket,
       mat, anchored, frameLen, frameMs)
+    val clusters = DedupOps.nearDupClusters(pairs.select("id_a", "id_b"),
+      media.select(col("doc_id")), "doc_id", mat = mat)
+    media.join(clusters, Seq("doc_id"))
+      .filter(col("doc_id") === col("cluster_id"))
+      .drop("cluster_id")
+  }
+
+  /** [[audioDedup]] over a precomputed (doc_id, afp) frame (the
+    * decode-once seam — see [[audioNearDupPairsFromFp]]). */
+  def audioDedupFromFp(media: DataFrame, fp: DataFrame, windows: Int = 49,
+      maxHamming: Int = 3, maxBucket: Int = 100000,
+      mat: Materializer = Materializer.Local): DataFrame = {
+    val pairs = audioNearDupPairsFromFp(fp, windows, maxHamming, maxBucket)
     val clusters = DedupOps.nearDupClusters(pairs.select("id_a", "id_b"),
       media.select(col("doc_id")), "doc_id", mat = mat)
     media.join(clusters, Seq("doc_id"))

@@ -338,22 +338,28 @@ object StreamOps {
       // zero-byte payloads: no perceptual content, can neither pair nor
       // index — dropped per the documented gate policy
       val gated = batch.filter(length(col("media")) >= 1)
-      val selfDeduped = graft.ops.MultimodalOps.mediaDedup(
-        gated, bits, maxHamming, maxBucket)
+      // hash ONCE per micro-batch (r18): the materialized phash frame
+      // threads through self-dedup, against-index, and the index fold
+      val ph = graft.ops.Materializer.Local(
+        graft.ops.MultimodalOps.perceptualHash(gated, bits))
+      val selfDeduped = graft.ops.MultimodalOps.mediaDedupFromPhash(
+        gated, ph, bits, maxHamming, maxBucket)
       val survivors = stored match {
         case Some(s) =>
-          val hits = graft.ops.MultimodalOps.mediaDedupAgainstIndex(
-              selfDeduped, s, bits, maxHamming, maxBucket)
+          val hits = graft.ops.DedupOps.hammingAgainstIndex(
+              ph.join(selfDeduped.select("doc_id"), Seq("doc_id")), s,
+              "doc_id", "phash", bits, maxHamming, maxBucket)
             .select(col("id_new").as("doc_id")).distinct()
           selfDeduped.join(hits, Seq("doc_id"), "left_anti")
         case None => selfDeduped
       }
       survivors.write.mode("overwrite").option("compression", "zstd")
         .parquet(s"$survivorsPath/batch=$batchId")
-      // phashes from the JUST-WRITTEN parquet: `survivors` carries the
-      // pairs→CC lineage, which a second reference would re-run
-      val newSigs = graft.ops.MultimodalOps.perceptualHash(
-        spark.read.parquet(s"$survivorsPath/batch=$batchId"), bits)
+      // index fold: the SAME phashes, restricted to the just-written
+      // survivor ids (read back — the replay contract)
+      val newSigs = ph.join(
+        spark.read.parquet(s"$survivorsPath/batch=$batchId")
+          .select("doc_id"), Seq("doc_id"))
       stored.map(_.unionByName(newSigs)).getOrElse(newSigs)
     }
   }
@@ -401,22 +407,32 @@ object StreamOps {
     val spark = batch.sparkSession
     foldStaged(spark, frameHashPath, batchId) { stored =>
       val gated = batch.filter(length(col("media")) >= 1)
-      val selfDeduped = graft.ops.MultimodalOps.videoDedup(
-        gated, grid, maxHamming, minMatchFrac, maxBucket)
+      // decode ONCE per micro-batch (r18): the materialized frame-hash
+      // frame threads through self-dedup, the against-index check, and
+      // the index fold — r17 re-decoded the payloads ~3x per batch,
+      // against the very mediamat discipline the batch ops follow
+      val fh = graft.ops.MultimodalOps.videoFrameHashes(gated, grid)
+      val selfDeduped = graft.ops.MultimodalOps.videoDedupFromHashes(
+        gated, fh, grid, maxHamming, minMatchFrac, maxBucket)
       val survivors = stored match {
         case Some(s) =>
-          val hits = graft.ops.MultimodalOps.videoNearDupAgainstIndex(
-              selfDeduped, s, grid, maxHamming, minMatchFrac, maxBucket)
+          val fhSelf = fh.join(selfDeduped.select("doc_id"), Seq("doc_id"))
+          val hits =
+            graft.ops.MultimodalOps.videoNearDupAgainstIndexFromHashes(
+              fhSelf, s, grid, maxHamming, minMatchFrac, maxBucket)
             .select(col("id_new").as("doc_id")).distinct()
           selfDeduped.join(hits, Seq("doc_id"), "left_anti")
         case None => selfDeduped
       }
       survivors.write.mode("overwrite").option("compression", "zstd")
         .parquet(s"$survivorsPath/batch=$batchId")
-      // frame hashes from the JUST-WRITTEN parquet: `survivors` carries
-      // the pairs→CC lineage, which a second reference would re-run
-      val newSigs = graft.ops.MultimodalOps.videoFrameHashes(
-        spark.read.parquet(s"$survivorsPath/batch=$batchId"), grid)
+      // index fold: the SAME materialized hashes, restricted to the
+      // just-written survivor ids (read back so the fold's universe is
+      // exactly what published — the replay contract; the payloads are
+      // NOT re-split or re-decoded)
+      val survivorIds = spark.read
+        .parquet(s"$survivorsPath/batch=$batchId").select("doc_id")
+      val newSigs = fh.join(survivorIds, Seq("doc_id"))
       stored.map(_.unionByName(newSigs)).getOrElse(newSigs)
     }
   }
@@ -465,13 +481,17 @@ object StreamOps {
        else MultimodalOps.audioFingerprint(df, windows))
         .select("doc_id", "afp")
     foldStaged(spark, fpPath, batchId) { stored =>
-      val selfDeduped = MultimodalOps.audioDedup(batch, windows,
-        maxHamming, maxBucket, anchored = anchored, frameLen = frameLen,
-        frameMs = frameMs)
+      // decode ONCE per micro-batch (r18): one materialized
+      // fingerprint frame feeds self-dedup, the against-index check,
+      // and the index fold (r17 re-parsed the WAVs ~3x per batch)
+      val fp = graft.ops.Materializer.Local(fpOf(batch))
+      val selfDeduped = MultimodalOps.audioDedupFromFp(batch, fp, windows,
+        maxHamming, maxBucket)
       val survivors = stored match {
         case Some(s) =>
           val hits = graft.ops.DedupOps.hammingAgainstIndex(
-              fpOf(selfDeduped), s.select("doc_id", "afp"), "doc_id",
+              fp.join(selfDeduped.select("doc_id"), Seq("doc_id")),
+              s.select("doc_id", "afp"), "doc_id",
               "afp", windows - 1, maxHamming, maxBucket)
             .select(col("id_new").as("doc_id")).distinct()
           selfDeduped.join(hits, Seq("doc_id"), "left_anti")
@@ -479,10 +499,11 @@ object StreamOps {
       }
       survivors.write.mode("overwrite").option("compression", "zstd")
         .parquet(s"$survivorsPath/batch=$batchId")
-      // fingerprints from the JUST-WRITTEN parquet (carrying the CC
-      // lineage forward would re-run it)
-      val newSigs = fpOf(
-        spark.read.parquet(s"$survivorsPath/batch=$batchId"))
+      // index fold: the SAME fingerprints, restricted to the
+      // just-written survivor ids (read back — the replay contract)
+      val newSigs = fp.join(
+        spark.read.parquet(s"$survivorsPath/batch=$batchId")
+          .select("doc_id"), Seq("doc_id"))
       stored.map(_.unionByName(newSigs)).getOrElse(newSigs)
     }
   }

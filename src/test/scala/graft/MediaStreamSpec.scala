@@ -268,6 +268,21 @@ class MediaStreamSpec extends SparkSpec {
     val wavs = mediaDf(1L -> wav(melody(Seq(1, 2, 3)), 16, 1))
     val apairs = MultimodalOps.audioNearDupPairs(wavs)
     assert(!apairs.queryExecution.executedPlan.toString.contains("MapPartitions"))
+    // the gate composition (r18): ONE materialized hash frame threads
+    // through self-dedup AND the against-index check — neither branch
+    // may re-plan a decode stage (gateVideoBatch/gateAudioBatch pass
+    // these exact frames)
+    val fh = MultimodalOps.videoFrameHashes(media, grid = 5)
+    for (frame <- Seq(
+        MultimodalOps.videoDedupFromHashes(media, fh, grid = 5),
+        MultimodalOps.videoNearDupAgainstIndexFromHashes(fh, fh, grid = 5)))
+      assert(!frame.queryExecution.executedPlan.toString
+        .contains("MapPartitions"), "gate branch re-plans the decode")
+    val fp = graft.ops.Materializer.Local(
+      MultimodalOps.audioFingerprint(wavs, windows = 33)
+        .select("doc_id", "afp"))
+    assert(!MultimodalOps.audioDedupFromFp(wavs, fp, windows = 33)
+      .queryExecution.executedPlan.toString.contains("MapPartitions"))
   }
 
   test("peak-anchored fingerprint is bit-exact under intro trim and leading silence") {
