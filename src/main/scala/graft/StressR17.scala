@@ -51,7 +51,7 @@ object StressR17 {
   def main(args: Array[String]): Unit = {
     val spark = session()
     args.headOption.getOrElse(
-        sys.error("usage: StressR17 <mediamat|urlpct> [reps]")) match {
+        sys.error("usage: StressR17 <mediamat|urlpct|boilerplate> [reps]")) match {
       case "mediamat" =>
         mediaMat(spark, args.lift(1).map(_.toInt).getOrElse(10))
       case "urlpct" =>

@@ -355,9 +355,13 @@ object HashKernels {
     * the lowercased input (total, never lossy). */
   def idnAscii(s: UTF8String): UTF8String = {
     val host = s.toString
+    // NonFatal, not just IllegalArgumentException: the totality promise
+    // ("total on crawl garbage") must hold against ANY unchecked
+    // exception a pathological host shakes out of the JDK IDNA/punycode
+    // machinery — one weird label must never kill a whole job
     val out =
       try java.net.IDN.toASCII(host)
-      catch { case _: IllegalArgumentException => host }
+      catch { case scala.util.control.NonFatal(_) => host }
     UTF8String.fromString(out.toLowerCase(java.util.Locale.ROOT))
   }
 
