@@ -464,6 +464,168 @@ object MultimodalOps {
     mp4 || ebml || avi
   }
 
+  /** True when the payload carries an ISO-BMFF `ftyp` box signature. */
+  private[graft] def isMp4(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      bytes(4) == 'f'.toByte && bytes(5) == 't'.toByte &&
+      bytes(6) == 'y'.toByte && bytes(7) == 'p'.toByte
+
+  // --- ISO-BMFF structural keyframe extraction (round 18) ---------------
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  private def boxTag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Child boxes of `[start, end)` as (tag, payloadStart, payloadEnd);
+    * stops at the first malformed header (truncated/absurd size). */
+  private def childBoxes(b: Array[Byte], start: Int, end: Int)
+      : Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+    private var pos = start
+    private var nextBox: (String, Int, Int) = advance()
+    private def advance(): (String, Int, Int) = {
+      if (pos + 8 > end) return null
+      val s32 = be32(b, pos)
+      val tag = boxTag(b, pos + 4)
+      var hdr = 8L
+      var sz = s32
+      if (s32 == 1) {
+        if (pos + 16 > end) return null
+        sz = be64(b, pos + 8); hdr = 16
+      } else if (s32 == 0) sz = (end - pos).toLong
+      if (sz < hdr || pos + sz > end) return null
+      val out = (tag, (pos + hdr).toInt, (pos + sz).toInt)
+      pos += sz.toInt
+      out
+    }
+    def hasNext: Boolean = nextBox != null
+    def next(): (String, Int, Int) = {
+      val out = nextBox; nextBox = advance(); out
+    }
+  }
+
+  private def findBox(b: Array[Byte], start: Int, end: Int,
+      tag: String): Option[(Int, Int)] =
+    childBoxes(b, start, end).collectFirst { case (`tag`, s, e) => (s, e) }
+
+  /** Sample-description formats whose samples are WHOLE still-image
+    * files the existing imageio seam decodes: MJPEG-in-MP4 and
+    * PNG-in-MP4. Real inter-frame codecs (avc1/hvc1/vp09/av01/mp4v…)
+    * are NOT here — their keyframes need a real decoder, so the
+    * container refusal stands for them. */
+  private val Mp4StillFormats = Set("jpeg", "mjpa", "mjpb", "png ")
+
+  /** Structural keyframe extraction from an ISO-BMFF payload (r18,
+    * closing the r17 "demux upstream" gap for the still-codec case):
+    * walk `moov/trak/mdia` to the first track whose handler is `vide`
+    * and whose `stbl/stsd` entry format is a STILL-IMAGE codec
+    * ([[Mp4StillFormats]]), then resolve the sync samples — `stss`
+    * sample numbers, or every sample when `stss` is absent (ISO
+    * 14496-12 §8.6.2: no stss ⇒ all sync) — to exact byte extents via
+    * `stsz` (sizes) + `stsc` (samples per chunk) + `stco`/`co64`
+    * (chunk offsets). Returns the sync samples' (offset, size) in
+    * track order, or None when the box tree is unparseable, no video
+    * track exists, the codec is not a still format, or any table is
+    * inconsistent — the caller refuses loudly then, exactly as before
+    * (None is never "zero frames"). Pure offset arithmetic: the mdat
+    * payload is untouched until the caller slices the frames. */
+  private[graft] def mp4Keyframes(bytes: Array[Byte])
+      : Option[Seq[(Int, Int)]] = {
+    val moov = findBox(bytes, 0, bytes.length, "moov").getOrElse {
+      return None
+    }
+    val tracks = childBoxes(bytes, moov._1, moov._2)
+      .collect { case ("trak", s, e) => (s, e) }
+    val stillStbl = tracks.flatMap { case (ts, te) =>
+      for {
+        (ms, me) <- findBox(bytes, ts, te, "mdia")
+        (hs, _) <- findBox(bytes, ms, me, "hdlr")
+        if hs + 12 <= me && boxTag(bytes, hs + 8) == "vide"
+        (ns, ne) <- findBox(bytes, ms, me, "minf")
+        (ss, se) <- findBox(bytes, ns, ne, "stbl")
+        (ds, de) <- findBox(bytes, ss, se, "stsd")
+        // stsd: ver/flags(4) count(4), then entry: size(4) format(4)
+        if ds + 16 <= de && Mp4StillFormats.contains(boxTag(bytes, ds + 12))
+      } yield (ss, se)
+    }.toSeq.headOption
+    stillStbl.flatMap { case (ss, se) =>
+      for {
+        (zs, ze) <- findBox(bytes, ss, se, "stsz")
+        (cs, ce) <- findBox(bytes, ss, se, "stsc")
+        (os, oe, wide) <- findBox(bytes, ss, se, "stco")
+          .map { case (s, e) => (s, e, false) }
+          .orElse(findBox(bytes, ss, se, "co64")
+            .map { case (s, e) => (s, e, true) })
+        frames <- resolveSamples(bytes, zs, ze, cs, ce, os, oe, wide,
+          findBox(bytes, ss, se, "stss"))
+      } yield frames
+    }
+  }
+
+  /** The stsz/stsc/stco→(offset, size) resolution of [[mp4Keyframes]];
+    * None on any inconsistent table. */
+  private def resolveSamples(bytes: Array[Byte], zs: Int, ze: Int,
+      cs: Int, ce: Int, os: Int, oe: Int, wide: Boolean,
+      stss: Option[(Int, Int)]): Option[Seq[(Int, Int)]] = {
+    if (zs + 12 > ze || cs + 8 > ce || os + 8 > oe) return None
+    val uniform = be32(bytes, zs + 4)
+    val nSamples = be32(bytes, zs + 8).toInt
+    if (nSamples < 0 || nSamples > MaxFramesPerClip) return None
+    if (uniform == 0 && zs + 12 + 4L * nSamples > ze) return None
+    def sizeOf(i: Int): Long = // 0-based
+      if (uniform != 0) uniform else be32(bytes, zs + 12 + 4 * i)
+    val nChunks = be32(bytes, os + 4).toInt
+    val off0 = os + 8
+    if (nChunks < 0 ||
+      off0 + (if (wide) 8L else 4L) * nChunks > oe) return None
+    def chunkOff(c: Int): Long = // 0-based
+      if (wide) be64(bytes, off0 + 8 * c) else be32(bytes, off0 + 4 * c)
+    val nScEntries = be32(bytes, cs + 4).toInt
+    if (nScEntries <= 0 || cs + 8 + 12L * nScEntries > ce) return None
+    def scFirst(i: Int): Long = be32(bytes, cs + 8 + 12 * i)
+    def scCount(i: Int): Long = be32(bytes, cs + 8 + 12 * i + 4)
+    // walk chunks in order, laying samples contiguously inside each
+    val off = new Array[Long](nSamples)
+    val sz = new Array[Long](nSamples)
+    var sample = 0
+    var sc = 0
+    var chunk = 0
+    while (chunk < nChunks && sample < nSamples) {
+      while (sc + 1 < nScEntries && scFirst(sc + 1) <= chunk + 1) sc += 1
+      var inChunk = 0L
+      var pos = chunkOff(chunk)
+      while (inChunk < scCount(sc) && sample < nSamples) {
+        off(sample) = pos
+        sz(sample) = sizeOf(sample)
+        pos += sz(sample)
+        sample += 1
+        inChunk += 1
+      }
+      chunk += 1
+    }
+    if (sample != nSamples) return None
+    val sync: Seq[Int] = stss match {
+      case Some((ys, ye)) =>
+        if (ys + 8 > ye) return None
+        val n = be32(bytes, ys + 4).toInt
+        if (n < 0 || ys + 8 + 4L * n > ye) return None
+        (0 until n).map(i => be32(bytes, ys + 8 + 4 * i).toInt - 1)
+      case None => 0 until nSamples // no stss: every sample is sync
+    }
+    val frames = sync.map { s =>
+      if (s < 0 || s >= nSamples) return None
+      if (off(s) < 0 || off(s) + sz(s) > bytes.length ||
+        sz(s) <= 0 || sz(s) > Int.MaxValue) return None
+      (off(s).toInt, sz(s).toInt)
+    }
+    Some(frames)
+  }
+
   /** True when bytes(i..) start a frame magic this splitter knows:
     * JPEG SOI `FF D8 FF` or the PNG signature prefix `89 50 4E 47`. */
   private[graft] def frameMagicAt(bytes: Array[Byte], i: Int): Boolean =
@@ -553,9 +715,14 @@ object MultimodalOps {
     * the next magic; a frame whose structural walk fails
     * (truncated/corrupt) falls back to the magic-scan extent — next
     * top-level magic or payload end — the best-effort r17 semantics,
-    * for unknown layouts only. A payload that sniffs as a container
-    * this parser does NOT understand ([[isVideoContainer]]: MP4
-    * `ftyp`, EBML/Matroska, RIFF/AVI) REFUSES loudly — it would
+    * for unknown layouts only. An ISO-BMFF payload (`ftyp`) takes the
+    * [[mp4Keyframes]] path instead (r18): `moov/trak/mdia/minf/stbl`
+    * resolved to the sync samples' exact byte extents when the track
+    * is a still-image codec (MJPEG/PNG-in-MP4), so the dominant
+    * real-world wrapper of JPEG sequences splits without a decoder. A
+    * payload that sniffs as a container this parser does NOT
+    * understand ([[isVideoContainer]]: non-still-codec MP4,
+    * EBML/Matroska, RIFF/AVI) REFUSES loudly — it would
     * otherwise yield zero frames and sail through [[videoDedup]] as
     * its own singleton while its re-encodes never collapse, the exact
     * silent miss the WAV path's ADPCM refusal forbids. The sniff is
@@ -580,13 +747,30 @@ object MultimodalOps {
         rows.flatMap { case (id, bytes) =>
           if (bytes == null || bytes.length < 4 || isWav(bytes))
             Iterator.empty
-          else {
+          else if (isMp4(bytes) && !frameMagicAt(bytes, 0)) {
+            // ISO-BMFF (r18): walk the sample tables to the sync
+            // samples when the track is a still-image codec
+            // (MJPEG/PNG-in-MP4 — frames the imageio seam decodes);
+            // anything needing a real decoder still refuses loudly
+            val frames = mp4Keyframes(bytes)
+            require(frames.isDefined,
+              s"clip $id is an ISO-BMFF container without a parseable " +
+                "still-image video track (MJPEG/PNG-in-MP4) — " +
+                "inter-frame codecs (H.264/HEVC/VP9/AV1…) need a real " +
+                "decoder; refusing to yield zero keyframes (the clip " +
+                "would silently never match its re-encodes). Demux it " +
+                "to stills upstream")
+            frames.get.iterator.zipWithIndex.map { case ((s, len), fi) =>
+              (id, fi.toLong,
+                java.util.Arrays.copyOfRange(bytes, s, s + len))
+            }
+          } else {
             require(frameMagicAt(bytes, 0) || !isVideoContainer(bytes),
-              s"clip $id is a real video container (MP4/Matroska/AVI) — " +
+              s"clip $id is a real video container (Matroska/AVI) — " +
                 "this parser splits concatenated-still (MJPEG-style) " +
-                "payloads only; refusing to yield zero keyframes (the " +
-                "clip would silently never match its re-encodes). " +
-                "Demux it to stills upstream")
+                "payloads and still-codec ISO-BMFF only; refusing to " +
+                "yield zero keyframes (the clip would silently never " +
+                "match its re-encodes). Demux it to stills upstream")
             val frames = Seq.newBuilder[(Int, Int)]
             var pos = 0
             var n = 0L

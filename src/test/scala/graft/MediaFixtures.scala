@@ -56,6 +56,42 @@ object MediaFixtures {
   def clip(frames: Seq[Array[Byte]]): Array[Byte] =
     frames.reduce(_ ++ _)
 
+  /** Minimal valid ISO-BMFF wrapper (ftyp + mdat + moov) around still
+    * frames: one `vide` track, `format` in stsd (e.g. "jpeg", "png ",
+    * "avc1"), one chunk holding all samples, per-sample stsz sizes,
+    * `syncSamples` (1-based) as stss — empty = no stss box (every
+    * sample is sync per ISO 14496-12 §8.6.2). */
+  def mp4Clip(frames: Seq[Array[Byte]], format: String = "jpeg",
+      syncSamples: Seq[Int] = Nil): Array[Byte] = {
+    def be32(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def box(tag: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8) ++ tag.getBytes("US-ASCII") ++ payload
+    require(format.length == 4, "stsd format must be 4 chars")
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(0) ++ "isom".getBytes("US-ASCII"))
+    val mdat = box("mdat", frames.reduce(_ ++ _))
+    val dataStart = ftyp.length + 8 // mdat payload's absolute offset
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      (be32(16) ++ format.getBytes("US-ASCII") ++ new Array[Byte](8)))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(frames.length) ++
+      frames.flatMap(f => be32(f.length)).toArray)
+    val stsc = box("stsc",
+      be32(0) ++ be32(1) ++ be32(1) ++ be32(frames.length) ++ be32(1))
+    val stco = box("stco", be32(0) ++ be32(1) ++ be32(dataStart))
+    val stss =
+      if (syncSamples.isEmpty) Array.emptyByteArray
+      else box("stss", be32(0) ++ be32(syncSamples.length) ++
+        syncSamples.flatMap(be32).toArray)
+    val hdlr = box("hdlr",
+      be32(0) ++ be32(0) ++ "vide".getBytes("US-ASCII") ++
+        new Array[Byte](12))
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco ++ stss)
+    val mdia = box("mdia", hdlr ++ box("minf", stbl))
+    val moov = box("moov", box("trak", mdia))
+    ftyp ++ mdat ++ moov
+  }
+
   /** Canonical 44-byte-header PCM WAV. samples are 16-bit mono values;
     * bits=8 writes the same waveform as unsigned 8-bit (>> 8, +128);
     * channels=2 duplicates the mono channel; `rate` lands in the fmt

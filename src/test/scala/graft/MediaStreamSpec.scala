@@ -184,6 +184,53 @@ class MediaStreamSpec extends SparkSpec {
     }
   }
 
+  test("ISO-BMFF still-codec tracks split byte-exactly via the sample tables; real codecs still refuse") {
+    val f = Seq(jpeg(gradientImage(32, 24, false, 0), 0.9f),
+      jpeg(gradientImage(32, 24, false, 97), 0.9f),
+      jpeg(gradientImage(32, 24, true, 0), 0.9f))
+    // stss [1, 3]: samples 1 and 3 are sync -> exactly those two frames
+    val mp4 = mp4Clip(f, "jpeg", syncSamples = Seq(1, 3))
+    val frames = MultimodalOps.splitKeyframes(mediaDf(1L -> mp4))
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 2)
+    assert(frames(0).getAs[Array[Byte]]("media").toSeq == f(0).toSeq)
+    assert(frames(1).getAs[Array[Byte]]("media").toSeq == f(2).toSeq)
+    // no stss box: every sample is a sync sample (ISO 14496-12 §8.6.2)
+    val all = MultimodalOps.splitKeyframes(
+      mediaDf(2L -> mp4Clip(f, "jpeg"))).orderBy("frame_idx").collect()
+    assert(all.length == 3 &&
+      all(1).getAs[Array[Byte]]("media").toSeq == f(1).toSeq)
+    // PNG-in-MP4 (Apple 'png ') works through the same tables
+    val pf = Seq(png(gradientImage(16, 12, false, 1)),
+      png(gradientImage(16, 12, true, 1)))
+    val pngFrames = MultimodalOps.splitKeyframes(
+      mediaDf(3L -> mp4Clip(pf, "png "))).orderBy("frame_idx").collect()
+    assert(pngFrames.length == 2 &&
+      pngFrames(0).getAs[Array[Byte]]("media").toSeq == pf(0).toSeq)
+    // an inter-frame codec (H.264) still refuses loudly — its keyframes
+    // need a real decoder
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.splitKeyframes(
+        mediaDf(4L -> mp4Clip(f, "avc1"))).collect()
+    }
+    assert(e.getMessage.contains("still-image") ||
+      (e.getCause != null && e.getCause.getMessage.contains("still-image")))
+  }
+
+  test("an MP4-wrapped clip collapses with its concatenated-MJPEG twin through videoDedup") {
+    val imgs = Seq(gradientImage(64, 48, false, 0),
+      gradientImage(64, 48, false, 97), gradientImage(64, 48, false, 181))
+    val media = mediaDf(
+      1L -> clip(imgs.map(jpeg(_, 0.9f))), // bare concatenation
+      2L -> mp4Clip(imgs.map(jpeg(_, 0.9f)), "jpeg"), // same frames, boxed
+      3L -> clip(Seq(png(gradientImage(64, 48, true, 0)),
+        png(gradientImage(64, 48, true, 97)))))
+    val kept = MultimodalOps.videoDedup(media, grid = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L),
+      s"container wrapping must not hide identical keyframes: $kept")
+  }
+
   // ---- audio ----
 
   test("audio fingerprint is volume- and bit-depth-invariant; stereo folds to mono") {
