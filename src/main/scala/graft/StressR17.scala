@@ -73,7 +73,7 @@ object StressR17 {
     * gradient corpus collapses to one all-zero-bit phash and the verify
     * join drowns the decode signal (measured: 9.2 s either way at 48×32
     * with 542k accidental pairs). */
-  private def clipCorpus(spark: SparkSession, n: Int): DataFrame = {
+  private[graft] def clipCorpus(spark: SparkSession, n: Int): DataFrame = {
     import spark.implicits._
     spark.range(n).select(col("id")).as[Long].mapPartitions { ids =>
       ids.flatMap { b =>
