@@ -567,6 +567,103 @@ object MultimodalOps {
     }
   }
 
+  /** True when the payload is a RIFF/AVI container. */
+  private[graft] def isAvi(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte &&
+      bytes(8) == 'A'.toByte && bytes(9) == 'V'.toByte &&
+      bytes(10) == 'I'.toByte && bytes(11) == ' '.toByte
+
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  /** RIFF child chunks of `[start, end)` as (fourcc, dataStart,
+    * dataEnd); a LIST chunk's fourcc is its LIST TYPE and its payload
+    * starts after the type word. Word-aligned; stops at the first
+    * malformed header. */
+  private def riffChunks(b: Array[Byte], start: Int, end: Int)
+      : Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+    private var pos = start
+    private var nextChunk: (String, Int, Int) = advance()
+    private def advance(): (String, Int, Int) = {
+      if (pos + 8 > end) return null
+      val id = boxTag(b, pos)
+      val sz = le32(b, pos + 4)
+      if (sz < 0 || pos + 8 + sz > end) return null
+      val out =
+        if (id == "LIST" && sz >= 4)
+          (boxTag(b, pos + 8), pos + 12, (pos + 8 + sz).toInt)
+        else (id, pos + 8, (pos + 8 + sz).toInt)
+      pos += (8 + sz + (sz & 1)).toInt // word-aligned
+      out
+    }
+    def hasNext: Boolean = nextChunk != null
+    def next(): (String, Int, Int) = {
+      val out = nextChunk; nextChunk = advance(); out
+    }
+  }
+
+  /** AVI stream handlers whose frames are WHOLE still-image files:
+    * MJPEG fourccs. (dmb1 is Matrox's no-DHT MJPEG variant — split
+    * structurally here; a table-less frame refuses at decode, which is
+    * the honest downstream behavior.) */
+  private val AviStillHandlers =
+    Set("MJPG", "mjpg", "jpeg", "JPEG", "dmb1")
+
+  /** Structural keyframe extraction from a RIFF/AVI payload (r18, the
+    * MJPEG-AVI member of the container family): `hdrl/strl/strh` must
+    * declare a `vids` stream with an MJPEG-family handler
+    * ([[AviStillHandlers]] — checked in `strh.fccHandler`, falling
+    * back to `strf.biCompression` when the handler word is blank, as
+    * many muxers leave it); the frames are then the `movi` LIST's
+    * `##dc`/`##db` chunks of the matching stream number (recursed
+    * through `rec ` grouping LISTs), every one a whole JPEG still — in
+    * MJPEG every frame is a keyframe. None when the payload is not
+    * parseable AVI, has no video stream, or the codec is not
+    * MJPEG-family (H.264-in-AVI etc.) — the caller refuses loudly,
+    * None is never "zero frames". */
+  private[graft] def aviKeyframes(bytes: Array[Byte])
+      : Option[Seq[(Int, Int)]] = {
+    if (!isAvi(bytes)) return None
+    val top = riffChunks(bytes, 12, bytes.length).toSeq
+    val hdrl = top.collectFirst { case ("hdrl", s, e) => (s, e) }
+      .getOrElse(return None)
+    // stream order defines the stream NUMBER: find the first vids
+    // stream and remember its index among all strl LISTs
+    val strls = riffChunks(bytes, hdrl._1, hdrl._2)
+      .collect { case ("strl", s, e) => (s, e) }.toSeq
+    val vids = strls.zipWithIndex.flatMap { case ((s, e), i) =>
+      riffChunks(bytes, s, e).collectFirst {
+        case ("strh", hs, he) if he - hs >= 8 &&
+          boxTag(bytes, hs) == "vids" =>
+          val handler = boxTag(bytes, hs + 4)
+          val ok = AviStillHandlers.contains(handler) || {
+            // blank/zero handler: consult strf's biCompression fourcc
+            riffChunks(bytes, s, e).collectFirst {
+              case ("strf", fs, fe) if fe - fs >= 20 =>
+                AviStillHandlers.contains(boxTag(bytes, fs + 16))
+            }.getOrElse(false)
+          }
+          (i, ok)
+      }
+    }.headOption.getOrElse(return None)
+    if (!vids._2) return None // a real inter-frame codec: refuse
+    val streamId = f"${vids._1}%02d"
+    def frames(start: Int, end: Int): Seq[(Int, Int)] =
+      riffChunks(bytes, start, end).flatMap {
+        case ("rec ", s, e) => frames(s, e) // grouping LIST
+        case (id, s, e)
+          if id.startsWith(streamId) &&
+            (id.endsWith("dc") || id.endsWith("db")) && e > s =>
+          Seq((s, e - s))
+        case _ => Nil
+      }.toSeq
+    top.collectFirst { case ("movi", s, e) => frames(s, e) }
+      .filter(_.nonEmpty)
+  }
+
   /** The stsz/stsc/stco→(offset, size) resolution of [[mp4Keyframes]];
     * None on any inconsistent table. */
   private def resolveSamples(bytes: Array[Byte], zs: Int, ze: Int,
@@ -764,13 +861,31 @@ object MultimodalOps {
               (id, fi.toLong,
                 java.util.Arrays.copyOfRange(bytes, s, s + len))
             }
+          } else if (isAvi(bytes) && !frameMagicAt(bytes, 0)) {
+            // RIFF/AVI (r18): the movi LIST's stream chunks, when the
+            // declared codec is MJPEG-family; else refuse loudly
+            val frames = aviKeyframes(bytes)
+            require(frames.isDefined,
+              s"clip $id is a RIFF/AVI container without an " +
+                "MJPEG-family video stream — inter-frame codecs need " +
+                "a real decoder; refusing to yield zero keyframes " +
+                "(the clip would silently never match its " +
+                "re-encodes). Demux it to stills upstream")
+            require(frames.get.length <= MaxFramesPerClip,
+              s"clip $id has over $MaxFramesPerClip keyframes — " +
+                "the packing bound; split the clip")
+            frames.get.iterator.zipWithIndex.map { case ((s, len), fi) =>
+              (id, fi.toLong,
+                java.util.Arrays.copyOfRange(bytes, s, s + len))
+            }
           } else {
             require(frameMagicAt(bytes, 0) || !isVideoContainer(bytes),
-              s"clip $id is a real video container (Matroska/AVI) — " +
+              s"clip $id is a real video container (Matroska) — " +
                 "this parser splits concatenated-still (MJPEG-style) " +
-                "payloads and still-codec ISO-BMFF only; refusing to " +
-                "yield zero keyframes (the clip would silently never " +
-                "match its re-encodes). Demux it to stills upstream")
+                "payloads, still-codec ISO-BMFF, and MJPEG-AVI only; " +
+                "refusing to yield zero keyframes (the clip would " +
+                "silently never match its re-encodes). Demux it to " +
+                "stills upstream")
             val frames = Seq.newBuilder[(Int, Int)]
             var pos = 0
             var n = 0L

@@ -217,6 +217,37 @@ class MediaStreamSpec extends SparkSpec {
       (e.getCause != null && e.getCause.getMessage.contains("still-image")))
   }
 
+  test("MJPEG-AVI splits via the movi chunks; inter-frame AVI codecs still refuse") {
+    val f = Seq(jpeg(gradientImage(32, 24, false, 11), 0.9f),
+      jpeg(gradientImage(32, 24, false, 53), 0.9f),
+      jpeg(gradientImage(32, 24, true, 11), 0.9f))
+    val frames = MultimodalOps.splitKeyframes(
+        mediaDf(1L -> aviClip(f, "MJPG")))
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 3)
+    f.indices.foreach { i =>
+      assert(frames(i).getAs[Array[Byte]]("media").toSeq == f(i).toSeq,
+        s"frame $i bytes differ")
+    }
+    // blank handler word (common muxer habit): strf.biCompression decides
+    val blank = MultimodalOps.splitKeyframes(
+      mediaDf(2L -> aviClip(f, "    ", strfComp = "MJPG")))
+    assert(blank.count() == 3)
+    // a real inter-frame codec refuses loudly
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.splitKeyframes(
+        mediaDf(3L -> aviClip(f, "H264"))).collect()
+    }
+    assert(e.getMessage.contains("MJPEG-family") ||
+      (e.getCause != null && e.getCause.getMessage.contains("MJPEG-family")))
+    // and a bare AVI header with no streams still refuses (container)
+    intercept[org.apache.spark.SparkException] {
+      MultimodalOps.splitKeyframes(mediaDf(4L ->
+        ("RIFF".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0) ++
+          "AVI ".getBytes("US-ASCII") ++ new Array[Byte](12)))).collect()
+    }
+  }
+
   test("an MP4-wrapped clip collapses with its concatenated-MJPEG twin through videoDedup") {
     val imgs = Seq(gradientImage(64, 48, false, 0),
       gradientImage(64, 48, false, 97), gradientImage(64, 48, false, 181))
