@@ -163,6 +163,37 @@ class MediaStreamSpec extends SparkSpec {
     assert(frames(1).getAs[Array[Byte]]("media").toSeq == other.toSeq)
   }
 
+  test("progressive JPEGs (multiple SOS scans) walk to their true EOI") {
+    // progressive encoding emits ~10 SOS segments with entropy data
+    // between them — the jpegEnd walk must chain scan after scan to
+    // the real EOI, not stop at the first
+    def progressive(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        wr.setOutput(ios)
+        val p = wr.getDefaultWriteParam
+        p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { wr.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    val f = Seq(progressive(gradientImage(64, 48, false, 2)),
+      progressive(gradientImage(64, 48, true, 2)),
+      jpeg(gradientImage(64, 48, false, 9), 0.9f))
+    val sosCount = f.head.sliding(2).count(w =>
+      w(0) == 0xFF.toByte && w(1) == 0xDA.toByte)
+    assert(sosCount > 1, s"fixture not progressive: $sosCount SOS")
+    val frames = MultimodalOps.splitKeyframes(mediaDf(1L -> clip(f)))
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 3)
+    f.indices.foreach { i =>
+      assert(frames(i).getAs[Array[Byte]]("media").toSeq == f(i).toSeq,
+        s"frame $i bytes differ")
+    }
+  }
+
   test("a frame magic at offset 0 beats the container sniff; corrupt frames fall back to magic-scan extent") {
     // SOI at 0 whose APP0 'length' bytes happen to spell "ft" and the
     // next four bytes "ftyp" sit exactly at offsets 4-7: the container
