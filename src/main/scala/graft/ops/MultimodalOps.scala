@@ -816,10 +816,12 @@ object MultimodalOps {
     * [[mp4Keyframes]] path instead (r18): `moov/trak/mdia/minf/stbl`
     * resolved to the sync samples' exact byte extents when the track
     * is a still-image codec (MJPEG/PNG-in-MP4), so the dominant
-    * real-world wrapper of JPEG sequences splits without a decoder. A
+    * real-world wrapper of JPEG sequences splits without a decoder;
+    * a RIFF/AVI payload likewise takes [[aviKeyframes]] (the movi
+    * LIST's stream chunks when the declared codec is MJPEG-family). A
     * payload that sniffs as a container this parser does NOT
-    * understand ([[isVideoContainer]]: non-still-codec MP4,
-    * EBML/Matroska, RIFF/AVI) REFUSES loudly — it would
+    * understand (non-still-codec MP4, non-MJPEG AVI, EBML/Matroska)
+    * REFUSES loudly — it would
     * otherwise yield zero frames and sail through [[videoDedup]] as
     * its own singleton while its re-encodes never collapse, the exact
     * silent miss the WAV path's ADPCM refusal forbids. The sniff is
