@@ -248,6 +248,36 @@ class MediaStreamSpec extends SparkSpec {
       (e.getCause != null && e.getCause.getMessage.contains("still-image")))
   }
 
+  test("MP4 sample tables: multi-chunk stsc runs and co64 offsets resolve byte-exactly") {
+    val f = Seq(jpeg(gradientImage(24, 16, false, 1), 0.9f),
+      jpeg(gradientImage(24, 16, false, 31), 0.9f),
+      jpeg(gradientImage(24, 16, true, 1), 0.9f),
+      jpeg(gradientImage(24, 16, true, 31), 0.9f),
+      jpeg(gradientImage(24, 16, false, 61), 0.9f))
+    // chunks [2, 2, 1]: stsc run-compresses to two entries
+    // (first_chunk 1 spc 2; first_chunk 3 spc 1) — the run walk the
+    // single-chunk fixture never exercised
+    for (wide <- Seq(false, true)) {
+      val frames = MultimodalOps.splitKeyframes(mediaDf(
+          1L -> mp4Clip(f, "jpeg", chunkSizes = Seq(2, 2, 1), wide = wide)))
+        .orderBy("frame_idx").collect()
+      assert(frames.length == 5, s"wide=$wide: ${frames.length} frames")
+      f.indices.foreach { i =>
+        assert(frames(i).getAs[Array[Byte]]("media").toSeq == f(i).toSeq,
+          s"wide=$wide frame $i bytes differ")
+      }
+    }
+    // stss over a multi-chunk layout: samples 2 and 5 live in
+    // different chunks
+    val sync = MultimodalOps.splitKeyframes(mediaDf(
+        2L -> mp4Clip(f, "jpeg", syncSamples = Seq(2, 5),
+          chunkSizes = Seq(2, 2, 1))))
+      .orderBy("frame_idx").collect()
+    assert(sync.length == 2)
+    assert(sync(0).getAs[Array[Byte]]("media").toSeq == f(1).toSeq)
+    assert(sync(1).getAs[Array[Byte]]("media").toSeq == f(4).toSeq)
+  }
+
   test("MJPEG-AVI splits via the movi chunks; inter-frame AVI codecs still refuse") {
     val f = Seq(jpeg(gradientImage(32, 24, false, 11), 0.9f),
       jpeg(gradientImage(32, 24, false, 53), 0.9f),
