@@ -660,8 +660,22 @@ object MultimodalOps {
           Seq((s, e - s))
         case _ => Nil
       }.toSeq
-    top.collectFirst { case ("movi", s, e) => frames(s, e) }
-      .filter(_.nonEmpty)
+    // primary movi, then any OpenDML extension segments — a >1 GB AVI
+    // is muxed as RIFF('AVI ') followed by RIFF('AVIX') containers
+    // each holding its own movi; walking only the primary would
+    // silently DROP the extension frames (the miss class the decode
+    // refusals exist to forbid). riffChunks from offset 12 sees the
+    // follow-on RIFF headers as sibling chunks, so they surface here.
+    val all = top.flatMap {
+      case ("movi", s, e) => frames(s, e)
+      case ("RIFF", s, e) if e - s >= 4 && boxTag(bytes, s) == "AVIX" =>
+        riffChunks(bytes, s + 4, e).flatMap {
+          case ("movi", ms, me) => frames(ms, me)
+          case _ => Nil
+        }.toSeq
+      case _ => Nil
+    }
+    Some(all).filter(_.nonEmpty)
   }
 
   /** The stsz/stsc/stco→(offset, size) resolution of [[mp4Keyframes]];

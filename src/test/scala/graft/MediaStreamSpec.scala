@@ -307,6 +307,19 @@ class MediaStreamSpec extends SparkSpec {
         ("RIFF".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0) ++
           "AVI ".getBytes("US-ASCII") ++ new Array[Byte](12)))).collect()
     }
+    // OpenDML: frames in a follow-on RIFF('AVIX') segment — how >1 GB
+    // AVIs are muxed — must be recovered too, in order, never
+    // silently dropped
+    val extra = Seq(jpeg(gradientImage(32, 24, true, 53), 0.9f),
+      jpeg(gradientImage(32, 24, true, 97), 0.9f))
+    val odml = MultimodalOps.splitKeyframes(mediaDf(
+        5L -> aviClip(f, "MJPG", avixFrames = extra)))
+      .orderBy("frame_idx").collect()
+    assert(odml.length == 5, s"AVIX frames dropped: ${odml.length} of 5")
+    (f ++ extra).zipWithIndex.foreach { case (want, i) =>
+      assert(odml(i).getAs[Array[Byte]]("media").toSeq == want.toSeq,
+        s"frame $i bytes differ")
+    }
   }
 
   test("an MP4-wrapped clip collapses with its concatenated-MJPEG twin through videoDedup") {
