@@ -40,12 +40,26 @@ object CapTelemetry {
   case class CapStats(droppedBuckets: Long, droppedRows: Long,
       totalBuckets: Long)
 
+  /** One op execution's FORMAT-SKIP report (r19 — verdict "missing
+    * #1/#2": undecodable media degrading dedup silently): how many rows
+    * an op passed over because their format has no decoder/splitter
+    * here (non-WAV audio, frameless payloads), out of how many total.
+    * Mirrors [[CapStats]]' channel: rides `Dataset.observe` on the
+    * op's input frame, surfaces per execution — per MICRO-BATCH in the
+    * streaming gates — and WARNs when the skipped fraction DOMINATES
+    * (≥ half): a mostly-MP3 corpus quietly reduced to digest-only
+    * dedup is exactly the silent miss the refusal doctrine forbids,
+    * and the strict dials on the ops turn it into a refusal. */
+  case class SkipStats(skippedRows: Long, totalRows: Long)
+
   private[graft] val Prefix = "graft_cap_"
   /** Prefix for ROUTINE trims (the ngram df-cut): removing over-cap
     * buckets is those ops' designed steady-state — report the numbers,
     * but at info and in trim wording, so the genuinely exceptional
     * skew-cap WARNs aren't buried in expected noise. */
   private[graft] val TrimPrefix = "graft_trim_"
+  /** Prefix for format-skip counters ([[SkipStats]]). */
+  private[graft] val SkipPrefix = "graft_skip_"
   private val seq = new AtomicLong()
   // WEAK keys: a strong session set would pin every stopped session
   // (and its listener) in memory forever in a process that cycles
@@ -54,6 +68,7 @@ object CapTelemetry {
     java.util.Collections.newSetFromMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   private val last = new ConcurrentHashMap[String, CapStats]()
+  private val lastSkip = new ConcurrentHashMap[String, SkipStats]()
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Attach cap metrics to a generator's bucket-count frame: rows with
@@ -72,10 +87,29 @@ object CapTelemetry {
       count(lit(1)).as("total_buckets"))
   }
 
+  /** Attach a format-skip counter to an op's input frame: rows where
+    * `skipped` holds are the ones the op will pass over for lack of a
+    * decoder (e.g. non-WAV payloads in the audio fingerprints). Returns
+    * the same frame with the observation node attached — the metrics
+    * ride whatever query consumes the op, one report per execution
+    * (per micro-batch under `foreachBatch`). */
+  def observeSkips(input: DataFrame, op: String,
+      skipped: Column): DataFrame = {
+    ensureListener(input.sparkSession)
+    input.observe(s"$SkipPrefix${op}_${seq.incrementAndGet()}",
+      coalesce(sum(when(skipped, 1L).otherwise(0L)), lit(0L))
+        .as("skipped_rows"),
+      count(lit(1)).as("total_rows"))
+  }
+
   /** The most recent execution's stats for a generator (`op` as passed
     * to [[observeCap]]), None until one has executed in this session.
     * Listener delivery is asynchronous — tests poll. */
   def lastStats(op: String): Option[CapStats] = Option(last.get(op))
+
+  /** The most recent execution's format-skip stats for an op (as passed
+    * to [[observeSkips]]), None until one has executed. */
+  def lastSkipStats(op: String): Option[SkipStats] = Option(lastSkip.get(op))
 
   /** All generators observed so far → their latest stats. */
   def snapshot: Map[String, CapStats] = {
@@ -83,7 +117,7 @@ object CapTelemetry {
     last.asScala.toMap
   }
 
-  private[graft] def clear(): Unit = last.clear()
+  private[graft] def clear(): Unit = { last.clear(); lastSkip.clear() }
 
   /** `qe.observedMetrics` misses CollectMetrics nodes that AQE hid
     * inside materialized query-stage LEAVES (a broadcast build side is
@@ -145,13 +179,45 @@ object CapTelemetry {
           // queries that observe nothing of ours
           val ours = qe.analyzed.collectWithSubqueries {
             case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
-                if c.name.startsWith(Prefix) || c.name.startsWith(TrimPrefix) => ()
+                if c.name.startsWith(Prefix) || c.name.startsWith(TrimPrefix) ||
+                  c.name.startsWith(SkipPrefix) => ()
           }
-          if (ours.nonEmpty)
-          (qe.observedMetrics.toSeq ++ deepMetrics(qe.executedPlan,
-              new java.util.IdentityHashMap()))
+          if (ours.nonEmpty) {
+          val collected = (qe.observedMetrics.toSeq ++ deepMetrics(
+              qe.executedPlan, new java.util.IdentityHashMap()))
             .filter { case (n, r) =>
-              (n.startsWith(Prefix) || n.startsWith(TrimPrefix)) && r != null }
+              (n.startsWith(Prefix) || n.startsWith(TrimPrefix) ||
+                n.startsWith(SkipPrefix)) && r != null }
+          // the SKIP channel's rows carry (skipped_rows, total_rows) —
+          // partitioned off BEFORE the cap pipeline reads cap columns
+          collected.filter(_._1.startsWith(SkipPrefix))
+            .groupMapReduce(_._1)(_._2)((a, b) =>
+              if (a.getAs[Long]("total_rows") >= b.getAs[Long]("total_rows")) a else b)
+            .toSeq
+            .map { case (name, row) =>
+              (name.stripPrefix(SkipPrefix).replaceAll("_\\d+$", ""),
+                SkipStats(row.getAs[Long]("skipped_rows"),
+                  row.getAs[Long]("total_rows")))
+            }
+            .groupMapReduce(_._1)(_._2)((a, b) => SkipStats(
+              a.skippedRows + b.skippedRows, a.totalRows + b.totalRows))
+            .foreach { case (op, st) =>
+              lastSkip.put(op, st)
+              if (st.skippedRows > 0 && st.skippedRows * 2 >= st.totalRows)
+                log.warn(s"[graft-skip] $op skipped ${st.skippedRows} of " +
+                  s"${st.totalRows} rows for lack of a decoder for their " +
+                  "format — the MAJORITY of this batch: dedup has " +
+                  "degraded to digest-only for these rows (re-encoded " +
+                  "duplicates will NOT collapse). Route/transcode " +
+                  "upstream, or set the op's strict dial to refuse.")
+              else if (st.skippedRows > 0)
+                log.info(s"[graft-skip] $op skipped ${st.skippedRows} of " +
+                  s"${st.totalRows} rows (undecodable format — they pass " +
+                  "through as singletons; re-encoded duplicates of them " +
+                  "will not collapse)")
+            }
+          collected
+            .filter { case (n, _) => !n.startsWith(SkipPrefix) }
             // two traversals can see the SAME observation (executed +
             // initial plan): resolve per NAME by the copy that ran
             .groupMapReduce(_._1)(_._2)((a, b) =>
@@ -191,6 +257,7 @@ object CapTelemetry {
                     "(exactDedup) if the hot buckets are literal copies.")
               }
             }
+          }
         } catch {
           // telemetry must NEVER hurt the query path: the listener runs
           // on the SHARED bus, where an escaped error (even a

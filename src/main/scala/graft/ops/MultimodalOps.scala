@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -520,24 +520,41 @@ object MultimodalOps {
     * container refusal stands for them. */
   private val Mp4StillFormats = Set("jpeg", "mjpa", "mjpb", "png ")
 
+  /** Outcome of the ISO-BMFF structural walk (r19 — the three cases a
+    * caller must tell apart): [[Mp4Frames]] carries a NON-EMPTY sync
+    * set's byte extents; [[Mp4OverBound]] a parseable still-codec track
+    * whose declared sample/sync count exceeds [[MaxFramesPerClip]] —
+    * the PACKING bound, which the refusal must name (r18 reported it as
+    * "unparseable track", sending the operator to the wrong dial);
+    * [[Mp4NoStillTrack]] everything else (unparseable box tree, no
+    * video track, inter-frame codec, inconsistent tables, or an EMPTY
+    * sync set — zero frames is a refusal, never a silent pass, matching
+    * the AVI path's `.filter(_.nonEmpty)`). */
+  private[graft] sealed trait Mp4Split
+  private[graft] case object Mp4NoStillTrack extends Mp4Split
+  private[graft] final case class Mp4OverBound(n: Long) extends Mp4Split
+  private[graft] final case class Mp4Frames(frames: Seq[(Int, Int)])
+    extends Mp4Split
+
   /** Structural keyframe extraction from an ISO-BMFF payload (r18,
     * closing the r17 "demux upstream" gap for the still-codec case):
-    * walk `moov/trak/mdia` to the first track whose handler is `vide`
-    * and whose `stbl/stsd` entry format is a STILL-IMAGE codec
-    * ([[Mp4StillFormats]]), then resolve the sync samples — `stss`
-    * sample numbers, or every sample when `stss` is absent (ISO
-    * 14496-12 §8.6.2: no stss ⇒ all sync) — to exact byte extents via
-    * `stsz` (sizes) + `stsc` (samples per chunk) + `stco`/`co64`
-    * (chunk offsets). Returns the sync samples' (offset, size) in
-    * track order, or None when the box tree is unparseable, no video
-    * track exists, the codec is not a still format, or any table is
-    * inconsistent — the caller refuses loudly then, exactly as before
-    * (None is never "zero frames"). Pure offset arithmetic: the mdat
-    * payload is untouched until the caller slices the frames. */
-  private[graft] def mp4Keyframes(bytes: Array[Byte])
-      : Option[Seq[(Int, Int)]] = {
+    * walk `moov/trak/mdia` over ALL tracks to the first whose handler
+    * is `vide` AND whose `stbl/stsd` entry format is a STILL-IMAGE
+    * codec ([[Mp4StillFormats]]) — a leading avc1 track does not mask
+    * a splittable jpeg track behind it — then resolve the sync
+    * samples — `stss` sample numbers, or every sample when `stss` is
+    * absent (ISO 14496-12 §8.6.2: no stss ⇒ all sync) — to exact byte
+    * extents via `stsz` (sizes) + `stsc` (samples per chunk) +
+    * `stco`/`co64` (chunk offsets). The declared sample AND sync-entry
+    * counts are bounded by [[MaxFramesPerClip]] BEFORE resolution
+    * ([[Mp4OverBound]]) — both because the packed (clip, frame) key
+    * downstream aliases past the bound (a crafted stss with repeated
+    * entries must not corrupt a neighboring clip's hashes) and so the
+    * refusal names the dial. Pure offset arithmetic: the mdat payload
+    * is untouched until the caller slices the frames. */
+  private[graft] def mp4KeyframesEx(bytes: Array[Byte]): Mp4Split = {
     val moov = findBox(bytes, 0, bytes.length, "moov").getOrElse {
-      return None
+      return Mp4NoStillTrack
     }
     val tracks = childBoxes(bytes, moov._1, moov._2)
       .collect { case ("trak", s, e) => (s, e) }
@@ -553,19 +570,46 @@ object MultimodalOps {
         if ds + 16 <= de && Mp4StillFormats.contains(boxTag(bytes, ds + 12))
       } yield (ss, se)
     }.toSeq.headOption
-    stillStbl.flatMap { case (ss, se) =>
-      for {
-        (zs, ze) <- findBox(bytes, ss, se, "stsz")
-        (cs, ce) <- findBox(bytes, ss, se, "stsc")
-        (os, oe, wide) <- findBox(bytes, ss, se, "stco")
-          .map { case (s, e) => (s, e, false) }
-          .orElse(findBox(bytes, ss, se, "co64")
-            .map { case (s, e) => (s, e, true) })
-        frames <- resolveSamples(bytes, zs, ze, cs, ce, os, oe, wide,
-          findBox(bytes, ss, se, "stss"))
-      } yield frames
+    stillStbl match {
+      case None => Mp4NoStillTrack
+      case Some((ss, se)) =>
+        (for {
+          (zs, ze) <- findBox(bytes, ss, se, "stsz")
+          (cs, ce) <- findBox(bytes, ss, se, "stsc")
+          (os, oe, wide) <- findBox(bytes, ss, se, "stco")
+            .map { case (s, e) => (s, e, false) }
+            .orElse(findBox(bytes, ss, se, "co64")
+              .map { case (s, e) => (s, e, true) })
+          if zs + 12 <= ze
+        } yield {
+          val stss = findBox(bytes, ss, se, "stss")
+          val nSamples = be32(bytes, zs + 8)
+          val nSync = stss match {
+            case Some((ys, ye)) if ys + 8 <= ye => be32(bytes, ys + 4)
+            case _ => nSamples
+          }
+          if (nSamples > MaxFramesPerClip || nSync > MaxFramesPerClip)
+            Mp4OverBound(math.max(nSamples, nSync))
+          else resolveSamples(bytes, zs, ze, cs, ce, os, oe, wide,
+              stss) match {
+            // Some(empty) would ride splitKeyframes as a SILENT
+            // zero-frame pass (the r18 gap): an stss declaring zero
+            // sync samples or a zero-sample track refuses instead
+            case Some(fr) if fr.nonEmpty => Mp4Frames(fr)
+            case _ => Mp4NoStillTrack
+          }
+        }).getOrElse(Mp4NoStillTrack)
     }
   }
+
+  /** [[mp4KeyframesEx]] flattened to an Option: Some(frames) iff a
+    * still-codec track resolved to a NON-EMPTY in-bound sync set. */
+  private[graft] def mp4Keyframes(bytes: Array[Byte])
+      : Option[Seq[(Int, Int)]] =
+    mp4KeyframesEx(bytes) match {
+      case Mp4Frames(fr) => Some(fr)
+      case _ => None
+    }
 
   /** True when the payload is a RIFF/AVI container. */
   private[graft] def isAvi(bytes: Array[Byte]): Boolean =
@@ -630,26 +674,34 @@ object MultimodalOps {
     val top = riffChunks(bytes, 12, bytes.length).toSeq
     val hdrl = top.collectFirst { case ("hdrl", s, e) => (s, e) }
       .getOrElse(return None)
-    // stream order defines the stream NUMBER: find the first vids
-    // stream and remember its index among all strl LISTs
+    // stream order defines the stream NUMBER (index among ALL strl
+    // LISTs, audio included). ALL vids streams are scanned for the
+    // first STILL-format one (r19) — a leading H.264 stream does not
+    // mask a splittable MJPEG stream behind it. The strf.biCompression
+    // fallback is consulted ONLY when strh's handler word is blank/NUL
+    // (the muxer habit it exists for, r19 — ADVICE): a contradictory
+    // file declaring fccHandler 'H264' over biCompression 'MJPG'
+    // refuses rather than trusting either side.
     val strls = riffChunks(bytes, hdrl._1, hdrl._2)
       .collect { case ("strl", s, e) => (s, e) }.toSeq
-    val vids = strls.zipWithIndex.flatMap { case ((s, e), i) =>
+    val vidsStreams = strls.zipWithIndex.flatMap { case ((s, e), i) =>
       riffChunks(bytes, s, e).collectFirst {
         case ("strh", hs, he) if he - hs >= 8 &&
           boxTag(bytes, hs) == "vids" =>
           val handler = boxTag(bytes, hs + 4)
-          val ok = AviStillHandlers.contains(handler) || {
-            // blank/zero handler: consult strf's biCompression fourcc
+          val blank = handler.forall(c => c == '\u0000' || c == ' ')
+          val ok = AviStillHandlers.contains(handler) || (blank && {
             riffChunks(bytes, s, e).collectFirst {
               case ("strf", fs, fe) if fe - fs >= 20 =>
                 AviStillHandlers.contains(boxTag(bytes, fs + 16))
             }.getOrElse(false)
-          }
+          })
           (i, ok)
       }
-    }.headOption.getOrElse(return None)
-    if (!vids._2) return None // a real inter-frame codec: refuse
+    }.toSeq
+    if (vidsStreams.isEmpty) return None // no video stream at all
+    // no still-format stream among the vids streams: refuse (real codec)
+    val vids = vidsStreams.find(_._2).getOrElse(return None)
     val streamId = f"${vids._1}%02d"
     def frames(start: Int, end: Int): Seq[(Int, Int)] =
       riffChunks(bytes, start, end).flatMap {
@@ -854,7 +906,21 @@ object MultimodalOps {
   def splitKeyframes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("doc_id"), col("media"))
+    // r19: the zero-row classes are COUNTED (graft_skip_split_keyframes
+    // — CapTelemetry.observeSkips), never silent: null/short payloads,
+    // known-audio WAV, and payloads with NO frame magic anywhere (the
+    // scan's exact zero-frame condition; unsupported containers are
+    // NOT skip — they refuse loudly and fail the batch). A clip batch
+    // that is mostly unsplittable degrades video dedup to digest-only
+    // for those rows — the WARN names it per execution/micro-batch.
+    val skipped = col("media").isNull || length(col("media")) < 4 ||
+      isWavCol(col("media")) ||
+      (!contains(col("media"),
+          lit(Array(0xFF, 0xD8, 0xFF).map(_.toByte))) &&
+        !contains(col("media"),
+          lit(Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte))))
+    CapTelemetry.observeSkips(media.select(col("doc_id"), col("media")),
+        "split_keyframes", skipped)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
@@ -864,18 +930,30 @@ object MultimodalOps {
             // ISO-BMFF (r18): walk the sample tables to the sync
             // samples when the track is a still-image codec
             // (MJPEG/PNG-in-MP4 — frames the imageio seam decodes);
-            // anything needing a real decoder still refuses loudly
-            val frames = mp4Keyframes(bytes)
-            require(frames.isDefined,
-              s"clip $id is an ISO-BMFF container without a parseable " +
-                "still-image video track (MJPEG/PNG-in-MP4) — " +
-                "inter-frame codecs (H.264/HEVC/VP9/AV1…) need a real " +
-                "decoder; refusing to yield zero keyframes (the clip " +
-                "would silently never match its re-encodes). Demux it " +
-                "to stills upstream")
-            frames.get.iterator.zipWithIndex.map { case ((s, len), fi) =>
-              (id, fi.toLong,
-                java.util.Arrays.copyOfRange(bytes, s, s + len))
+            // anything needing a real decoder still refuses loudly.
+            // r19: the over-bound case refuses with the DIAL's name
+            // (the AVI/concat branches always did), and an empty sync
+            // set refuses as container (never a silent zero-frame pass)
+            mp4KeyframesEx(bytes) match {
+              case Mp4Frames(frames) =>
+                frames.iterator.zipWithIndex.map { case ((s, len), fi) =>
+                  (id, fi.toLong,
+                    java.util.Arrays.copyOfRange(bytes, s, s + len))
+                }
+              case Mp4OverBound(n) =>
+                throw new IllegalArgumentException(
+                  s"requirement failed: clip $id declares $n keyframes " +
+                    s"— over the $MaxFramesPerClip packing bound " +
+                    "(MaxFramesPerClip); split the clip")
+              case Mp4NoStillTrack =>
+                throw new IllegalArgumentException(
+                  s"requirement failed: clip $id is an ISO-BMFF " +
+                    "container without a parseable still-image video " +
+                    "track (MJPEG/PNG-in-MP4) — inter-frame codecs " +
+                    "(H.264/HEVC/VP9/AV1…) need a real decoder; " +
+                    "refusing to yield zero keyframes (the clip would " +
+                    "silently never match its re-encodes). Demux it " +
+                    "to stills upstream")
             }
           } else if (isAvi(bytes) && !frameMagicAt(bytes, 0)) {
             // RIFF/AVI (r18): the movi LIST's stream chunks, when the
@@ -1102,6 +1180,15 @@ object MultimodalOps {
 
   // --- audio: REAL WAV fingerprinting (round 16) -------------------------
 
+  /** [[isWav]] as a PLAN-side predicate — the skip-telemetry channel
+    * ([[CapTelemetry.observeSkips]]) needs the sniff as a Column so the
+    * counter rides the op's normal execution (no second pass over
+    * payloads). Byte-identical semantics to the row-level sniff. */
+  private[graft] def isWavCol(c: Column): Column =
+    c.isNotNull && length(c) >= 12 &&
+      substring(c, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+      substring(c, 9, 4) === lit("WAVE".getBytes("US-ASCII"))
+
   /** True when the payload sniffs as RIFF/WAVE. */
   private[graft] def isWav(bytes: Array[Byte]): Boolean =
     bytes != null && bytes.length >= 12 &&
@@ -1192,19 +1279,32 @@ object MultimodalOps {
     * anchored fixed-length frames) when re-uploads are trimmed/padded.
     * `windows` ≤ 64 keeps the signature in one long for the
     * [[DedupOps.hammingNearPairs]] spine. Non-WAV payloads drop (mixed
-    * media tables flow through). Output: (doc_id, afp, n_windows,
+    * media tables flow through) — COUNTED, never silent (r19): a
+    * `graft_skip_audio_fingerprint` observation rides every execution
+    * ([[CapTelemetry.observeSkips]] — WARN when the skipped fraction
+    * dominates), and `strict = true` REFUSES the first non-WAV payload
+    * instead, for corpora where silent digest-only degradation is worse
+    * than a failed batch. Output: (doc_id, afp, n_windows,
     * n_samples). */
-  def audioFingerprint(media: DataFrame, windows: Int = 49): DataFrame = {
+  def audioFingerprint(media: DataFrame, windows: Int = 49,
+      strict: Boolean = false): DataFrame = {
     require(windows >= 2 && windows <= 64,
       s"windows must be in [2, 64], got $windows")
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("doc_id"), col("media"))
+    CapTelemetry.observeSkips(media.select(col("doc_id"), col("media")),
+        "audio_fingerprint", !isWavCol(col("media")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          if (!isWav(bytes)) Iterator.empty
-          else {
+          if (!isWav(bytes)) {
+            require(!strict, s"track $id is not RIFF/WAVE — compressed " +
+              "audio (MP3/FLAC/OGG/M4A…) needs a real codec this build " +
+              "does not carry; strict mode refuses to silently degrade " +
+              "its dedup to digest-only. Transcode to PCM WAV upstream " +
+              "or run with strict = false (skips are counted)")
+            Iterator.empty
+          } else {
             val pcm = decodeWavMono(bytes)
             if (pcm.length < windows) Iterator.empty
             else {
@@ -1264,24 +1364,35 @@ object MultimodalOps {
     * [[decodeWavMono]]). Frames past the track end count only their
     * real samples; a track ending before frame 0 still emits (all-zero
     * tail energies — deterministic). Non-WAV payloads drop (mixed
-    * media tables flow through). `windows` ≤ 64 keeps the signature in
+    * media tables flow through) — counted via the
+    * `graft_skip_audio_fingerprint_anchored` observation, with
+    * `strict = true` refusing instead (see [[audioFingerprint]]).
+    * `windows` ≤ 64 keeps the signature in
     * one long for the hamming spine. `frameMs` is a HASH-FAMILY dial
     * like `windows`: fingerprints from different grids never compare.
     * Output: (doc_id, afp, n_bits, anchor, n_samples). */
   def audioFingerprintAnchored(media: DataFrame, windows: Int = 49,
-      frameLen: Int = 256, frameMs: Int = 0): DataFrame = {
+      frameLen: Int = 256, frameMs: Int = 0,
+      strict: Boolean = false): DataFrame = {
     require(windows >= 2 && windows <= 64,
       s"windows must be in [2, 64], got $windows")
     require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
     require(frameMs >= 0, s"frameMs must be >= 0, got $frameMs")
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("doc_id"), col("media"))
+    CapTelemetry.observeSkips(media.select(col("doc_id"), col("media")),
+        "audio_fingerprint_anchored", !isWavCol(col("media")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          if (!isWav(bytes)) Iterator.empty
-          else {
+          if (!isWav(bytes)) {
+            require(!strict, s"track $id is not RIFF/WAVE — compressed " +
+              "audio (MP3/FLAC/OGG/M4A…) needs a real codec this build " +
+              "does not carry; strict mode refuses to silently degrade " +
+              "its dedup to digest-only. Transcode to PCM WAV upstream " +
+              "or run with strict = false (skips are counted)")
+            Iterator.empty
+          } else {
             val (pcm, rate) = decodeWavMonoRate(bytes)
             val fl =
               if (frameMs == 0) frameLen
@@ -1326,6 +1437,176 @@ object MultimodalOps {
       }.toDF("doc_id", "afp", "n_bits", "anchor", "n_samples")
   }
 
+  /** MULTI-anchor audio fingerprint (r19 — the post-anchor-edit gap):
+    * the single-anchor hash ([[audioFingerprintAnchored]]) is bit-exact
+    * only for edits strictly before its ONE anchor — an appended outro
+    * whose level exceeds the original peak moves the global argmax and
+    * re-anchors the whole fingerprint, so the re-upload never pairs.
+    * This one anchors at the top-`anchors` |sample| peaks — greedy
+    * argmax with a ±windows·frameLen exclusion zone per pick (so the
+    * anchors cover DISTINCT regions), first occurrence on ties: exact
+    * integer, deterministic, order preserved under volume scaling and
+    * the decoder's bit-depth normalization exactly like the single
+    * anchor — and emits ONE fingerprint per anchor. Two tracks pair
+    * when ANY anchor fingerprint pairs ([[audioNearDupPairsMulti]] —
+    * ranks are NOT matched positionally: the hamming spine buckets on
+    * fingerprint content, so the original peak pairing at rank 0 on one
+    * side and rank 1 on the other still pairs), widening the invariance
+    * envelope to edits after the first peak in the same exact-integer
+    * discipline. A track with fewer than `anchors` separable peaks
+    * emits fewer rows (never a padded fake). Same per-anchor energy
+    * frames, `frameMs` time-grid option, skip counting
+    * (`graft_skip_audio_fingerprint_multi`), and strict dial as the
+    * single-anchor op. Output: (doc_id, anchor_rank, afp, n_bits,
+    * anchor, n_samples) — rank 0 is the global peak, so rank-0 rows
+    * ARE the single-anchor fingerprints. */
+  def audioFingerprintMultiAnchor(media: DataFrame, windows: Int = 49,
+      frameLen: Int = 256, frameMs: Int = 0, anchors: Int = 3,
+      strict: Boolean = false): DataFrame = {
+    require(windows >= 2 && windows <= 64,
+      s"windows must be in [2, 64], got $windows")
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    require(frameMs >= 0, s"frameMs must be >= 0, got $frameMs")
+    require(anchors >= 1 && anchors <= 16,
+      s"anchors must be in [1, 16], got $anchors")
+    val spark = media.sparkSession
+    import spark.implicits._
+    CapTelemetry.observeSkips(media.select(col("doc_id"), col("media")),
+        "audio_fingerprint_multi", !isWavCol(col("media")))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (!isWav(bytes)) {
+            require(!strict, s"track $id is not RIFF/WAVE — compressed " +
+              "audio (MP3/FLAC/OGG/M4A…) needs a real codec this build " +
+              "does not carry; strict mode refuses to silently degrade " +
+              "its dedup to digest-only. Transcode to PCM WAV upstream " +
+              "or run with strict = false (skips are counted)")
+            Iterator.empty
+          } else {
+            val (pcm, rate) = decodeWavMonoRate(bytes)
+            val fl =
+              if (frameMs == 0) frameLen
+              else {
+                require(rate > 0, s"track $id declares sample rate $rate" +
+                  " — cannot build a time-proportional frame grid")
+                math.max(1, (frameMs.toLong * rate / 1000L).toInt)
+              }
+            if (pcm.isEmpty) Iterator.empty
+            else {
+              val span = windows.toLong * fl
+              // greedy top-k peaks, ±span exclusion, first-occurrence
+              // ties (argmax is exact under volume scaling)
+              val picks = new Array[Int](anchors)
+              var k = 0
+              var exhausted = false
+              while (k < anchors && !exhausted) {
+                var best = -1L
+                var arg = -1
+                var i = 0
+                while (i < pcm.length) {
+                  var free = true
+                  var j = 0
+                  while (free && j < k) {
+                    if (math.abs(i.toLong - picks(j)) <= span) free = false
+                    j += 1
+                  }
+                  if (free) {
+                    val a = math.abs(pcm(i).toLong)
+                    if (a > best) { best = a; arg = i }
+                  }
+                  i += 1
+                }
+                if (arg < 0) exhausted = true
+                else { picks(k) = arg; k += 1 }
+              }
+              val nAnchors = k
+              (0 until nAnchors).iterator.map { r =>
+                val anchor = picks(r)
+                val energy = new Array[Long](windows)
+                var w = 0
+                while (w < windows) {
+                  val lo = math.min(pcm.length.toLong,
+                    anchor + w.toLong * fl).toInt
+                  val hi = math.min(pcm.length.toLong,
+                    anchor + (w + 1).toLong * fl).toInt
+                  var s = 0L
+                  var j = lo
+                  while (j < hi) { s += pcm(j).toLong * pcm(j); j += 1 }
+                  energy(w) = if (hi > lo) s / (hi - lo) else 0L
+                  w += 1
+                }
+                var fp = 0L
+                var b = 0
+                while (b < windows - 1) {
+                  if (energy(b + 1) > energy(b)) fp |= 1L << b
+                  b += 1
+                }
+                (id, r.toLong, fp, (windows - 1).toLong, anchor.toLong,
+                  pcm.length.toLong)
+              }
+            }
+          }
+        }
+      }.toDF("doc_id", "anchor_rank", "afp", "n_bits", "anchor",
+        "n_samples")
+  }
+
+  /** Track-level near-dup pairs by ANY-anchor match over an
+    * ALREADY-COMPUTED [[audioFingerprintMultiAnchor]] frame (the
+    * decode-once seam): anchor fingerprints run the pigeonhole hamming
+    * spine on a packed (track, rank) key — content-bucketed, so
+    * cross-RANK matches pair (the outro-append case re-ranks the
+    * surviving peak) — then collapse to distinct track pairs. The
+    * expand is anchor-count-bounded (≤ `anchors` rows per track), the
+    * same scale shape as the video frame spine. Output: (id_a, id_b),
+    * id_a < id_b. */
+  def audioNearDupPairsMultiFromFp(fp: DataFrame, anchors: Int = 3,
+      windows: Int = 49, maxHamming: Int = 3,
+      maxBucket: Int = 100000): DataFrame = {
+    val packed = fp.select(
+      (col("doc_id") * anchors + col("anchor_rank")).as("fid"),
+      col("afp"))
+    DedupOps.hammingNearPairs(packed, "fid", "afp", windows - 1,
+        maxHamming, maxBucket)
+      .select(expr(s"id_a div $anchors").as("id_a"),
+        expr(s"id_b div $anchors").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+  }
+
+  /** [[audioNearDupPairsMultiFromFp]] from payloads: fingerprint once
+    * (materialized per `mat` — the WAV decode must not re-run per spine
+    * branch), then the any-anchor pair spine. */
+  def audioNearDupPairsMulti(media: DataFrame, windows: Int = 49,
+      frameLen: Int = 256, frameMs: Int = 0, anchors: Int = 3,
+      maxHamming: Int = 3, maxBucket: Int = 100000,
+      mat: Materializer = Materializer.Local,
+      strict: Boolean = false): DataFrame =
+    audioNearDupPairsMultiFromFp(
+      mat(audioFingerprintMultiAnchor(media, windows, frameLen, frameMs,
+        anchors, strict).select("doc_id", "anchor_rank", "afp")),
+      anchors, windows, maxHamming, maxBucket)
+
+  /** Audio dedup on the multi-anchor envelope: any-anchor pairs → CC
+    * clusters → canonical (minimum-id) track per cluster. Same
+    * full-universe survivor contract as [[audioDedup]] (non-WAV rows
+    * survive as singletons — counted, see
+    * [[audioFingerprintMultiAnchor]]). */
+  def audioDedupMulti(media: DataFrame, windows: Int = 49,
+      frameLen: Int = 256, frameMs: Int = 0, anchors: Int = 3,
+      maxHamming: Int = 3, maxBucket: Int = 100000,
+      mat: Materializer = Materializer.Local,
+      strict: Boolean = false): DataFrame = {
+    val pairs = audioNearDupPairsMulti(media, windows, frameLen, frameMs,
+      anchors, maxHamming, maxBucket, mat, strict)
+    val clusters = DedupOps.nearDupClusters(pairs.select("id_a", "id_b"),
+      media.select(col("doc_id")), "doc_id", mat = mat)
+    media.join(clusters, Seq("doc_id"))
+      .filter(col("doc_id") === col("cluster_id"))
+      .drop("cluster_id")
+  }
+
   /** Audio near-dup pairs: the fingerprint through the pigeonhole
     * hamming spine — a few flipped contour bits (light noise, codec
     * rounding) still pair; distinct material sits near n_bits/2. The
@@ -1338,10 +1619,11 @@ object MultimodalOps {
       maxHamming: Int = 3, maxBucket: Int = 100000,
       mat: Materializer = Materializer.Local,
       anchored: Boolean = false, frameLen: Int = 256,
-      frameMs: Int = 0): DataFrame = {
+      frameMs: Int = 0, strict: Boolean = false): DataFrame = {
     val fp =
-      if (anchored) audioFingerprintAnchored(media, windows, frameLen, frameMs)
-      else audioFingerprint(media, windows)
+      if (anchored) audioFingerprintAnchored(media, windows, frameLen,
+        frameMs, strict)
+      else audioFingerprint(media, windows, strict)
     audioNearDupPairsFromFp(mat(fp.select("doc_id", "afp")), windows,
       maxHamming, maxBucket)
   }
@@ -1369,9 +1651,9 @@ object MultimodalOps {
       maxBucket: Int = 100000,
       mat: Materializer = Materializer.Local,
       anchored: Boolean = false, frameLen: Int = 256,
-      frameMs: Int = 0): DataFrame = {
+      frameMs: Int = 0, strict: Boolean = false): DataFrame = {
     val pairs = audioNearDupPairs(media, windows, maxHamming, maxBucket,
-      mat, anchored, frameLen, frameMs)
+      mat, anchored, frameLen, frameMs, strict)
     val clusters = DedupOps.nearDupClusters(pairs.select("id_a", "id_b"),
       media.select(col("doc_id")), "doc_id", mat = mat)
     media.join(clusters, Seq("doc_id"))
@@ -1390,5 +1672,40 @@ object MultimodalOps {
     media.join(clusters, Seq("doc_id"))
       .filter(col("doc_id") === col("cluster_id"))
       .drop("cluster_id")
+  }
+
+  /** Pre-flight FORMAT CENSUS of a media table (r19 — verdict missing
+    * #2): one map-only pass classifying every payload by container
+    * magic, so an operator sees "90% matroska" BEFORE a gate fed those
+    * clips dies mid-batch on the (correct) decoder refusal, and routes
+    * or transcodes upstream. The sniff level is the MAGIC — container
+    * family, not codec: whether an `mp4`/`avi` member is splittable
+    * (still-codec track) needs the box walk and remains the splitters'
+    * loud refusal; this census is the cheap routing signal that runs on
+    * 100 TB (a fixed-prefix read per payload — Parquet never
+    * materializes more than the scan needs — one answer-sized
+    * aggregate, no shuffle of payloads). Classes: `wav`, `avi`, `mp4`
+    * (ISO-BMFF `ftyp`), `matroska` (EBML — WebM/MKV), `jpeg`, `png`,
+    * `empty` (null or under 4 bytes), `other`. Output: (format,
+    * n_docs), one row per present class. */
+  def formatCensus(media: DataFrame, mediaCol: String = "media")
+      : DataFrame = {
+    val c = col(mediaCol)
+    def tag(off: Int, s: String): Column =
+      substring(c, off + 1, s.length) === lit(s.getBytes("US-ASCII"))
+    val fmt =
+      when(c.isNull || length(c) < 4, "empty")
+        .when(length(c) >= 12 && tag(0, "RIFF") && tag(8, "WAVE"), "wav")
+        .when(length(c) >= 12 && tag(0, "RIFF") && tag(8, "AVI "), "avi")
+        .when(length(c) >= 8 && tag(4, "ftyp"), "mp4")
+        .when(substring(c, 1, 4) ===
+          lit(Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte)), "matroska")
+        .when(substring(c, 1, 3) ===
+          lit(Array(0xFF, 0xD8, 0xFF).map(_.toByte)), "jpeg")
+        .when(substring(c, 1, 4) ===
+          lit(Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)), "png")
+        .otherwise("other")
+    media.select(fmt.as("format"))
+      .groupBy("format").agg(count(lit(1)).as("n_docs"))
   }
 }

@@ -452,7 +452,12 @@ object StreamOps {
     * Policies: compressed WAV (ADPCM) and truncated payloads REFUSE
     * loudly and fail the batch (the decode contract); non-WAV payloads
     * in a mixed table pass as singletons and never index (same caveat
-    * as the video gate — exact-digest-gate them upstream). The
+    * as the video gate — exact-digest-gate them upstream) — COUNTED per
+    * micro-batch (r19): the fingerprint's `graft_skip_*` observation
+    * rides each batch's execution and WARNs when the skipped fraction
+    * dominates, and `strict = true` fails the batch on the first
+    * non-WAV payload instead (the dial for corpora where silent
+    * digest-only degradation is worse than a dead stream). The
     * fingerprint family (`windows`, `anchored`, `frameLen`, `frameMs`)
     * must stay fixed for the life of `fpPath` — a flipped `anchored`
     * would fork the hash family mid-index (the [[nearDupGateSink]]
@@ -460,25 +465,26 @@ object StreamOps {
   def audioGateSink(media: DataFrame, fpPath: String,
       survivorsPath: String, windows: Int = 49, maxHamming: Int = 3,
       maxBucket: Int = 100000, anchored: Boolean = false,
-      frameLen: Int = 256, frameMs: Int = 0)
+      frameLen: Int = 256, frameMs: Int = 0, strict: Boolean = false)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     media.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gateAudioBatch(batch, fpPath, survivorsPath, windows, maxHamming,
-          maxBucket, anchored, frameLen, frameMs, batchId)
+          maxBucket, anchored, frameLen, frameMs, batchId, strict)
       }
 
   /** One micro-batch of the audio gate (see [[audioGateSink]]). */
   private[graft] def gateAudioBatch(batch: DataFrame, fpPath: String,
       survivorsPath: String, windows: Int, maxHamming: Int, maxBucket: Int,
-      anchored: Boolean, frameLen: Int, frameMs: Int, batchId: Long): Unit = {
+      anchored: Boolean, frameLen: Int, frameMs: Int, batchId: Long,
+      strict: Boolean = false): Unit = {
     val spark = batch.sparkSession
     import graft.ops.MultimodalOps
     def fpOf(df: DataFrame): DataFrame =
       (if (anchored) MultimodalOps.audioFingerprintAnchored(df, windows,
-        frameLen, frameMs)
-       else MultimodalOps.audioFingerprint(df, windows))
+        frameLen, frameMs, strict)
+       else MultimodalOps.audioFingerprint(df, windows, strict))
         .select("doc_id", "afp")
     foldStaged(spark, fpPath, batchId) { stored =>
       // decode ONCE per micro-batch (r18): one materialized

@@ -510,4 +510,219 @@ class MediaStreamSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L))
   }
+
+  // ---- r19: container refusal consistency + track/stream selection ----
+
+  test("an MP4 with an EMPTY sync set refuses like the AVI path — never a silent zero-frame pass") {
+    val f = Seq(jpeg(gradientImage(24, 16, false, 3), 0.9f),
+      jpeg(gradientImage(24, 16, true, 3), 0.9f))
+    // stss present, entry_count 0: a parseable still track with zero
+    // sync frames — r18 returned Some(empty) and splitKeyframes yielded
+    // zero rows silently, violating its own "None is never zero frames"
+    val zeroSync = mp4Clip(f, "jpeg", emptyStss = true)
+    assert(MultimodalOps.mp4Keyframes(zeroSync).isEmpty,
+      "Some(empty) must not escape the walk")
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.splitKeyframes(mediaDf(1L -> zeroSync)).collect()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("still-image"), s"wrong refusal: $msg")
+  }
+
+  test("the MP4 frame-count bound refuses with the DIAL's name, not as an unparseable track") {
+    val f = Seq(jpeg(gradientImage(24, 16, false, 5), 0.9f))
+    // a lying stsz header declaring 2^20 + 1 samples: over the packing
+    // bound — the refusal must name MaxFramesPerClip (r18 reported
+    // "not a parseable still-image video track", the wrong dial)
+    val overSz = patchBe32(mp4Clip(f, "jpeg"), "stsz", 8, (1 << 20) + 1)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.splitKeyframes(mediaDf(1L -> overSz)).collect()
+    }
+    val m1 = e1.getMessage +
+      Option(e1.getCause).map(_.getMessage).getOrElse("")
+    assert(m1.contains("MaxFramesPerClip"), s"wrong refusal: $m1")
+    // same for a crafted stss whose ENTRY count exceeds the bound
+    // (repeated entries could otherwise alias frame_idx into a
+    // neighboring clip's packed (clip, frame) key)
+    val overSync = patchBe32(mp4Clip(f, "jpeg", syncSamples = Seq(1)),
+      "stss", 4, (1 << 20) + 1)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.splitKeyframes(mediaDf(2L -> overSync)).collect()
+    }
+    val m2 = e2.getMessage +
+      Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(m2.contains("MaxFramesPerClip"), s"wrong refusal: $m2")
+  }
+
+  test("a leading inter-frame track does not mask a splittable still track (MP4), nor a leading stream an MJPEG stream (AVI)") {
+    val f = Seq(jpeg(gradientImage(32, 24, false, 7), 0.9f),
+      jpeg(gradientImage(32, 24, true, 7), 0.9f))
+    // track 1 avc1, track 2 jpeg: the jpeg track splits
+    val twoTrack = MultimodalOps.splitKeyframes(mediaDf(
+        1L -> mp4Clip(f, "jpeg", leadingFormats = Seq("avc1"))))
+      .orderBy("frame_idx").collect()
+    assert(twoTrack.length == 2 &&
+      twoTrack(0).getAs[Array[Byte]]("media").toSeq == f(0).toSeq)
+    // stream 0 H.264, stream 1 MJPG with the frames muxed as 01dc:
+    // the splitter must select stream 1, not refuse on stream 0
+    val twoStream = MultimodalOps.splitKeyframes(mediaDf(
+        2L -> aviClipStreams(
+          Seq(("vids", "H264", null), ("vids", "MJPG", null)), 1, f)))
+      .orderBy("frame_idx").collect()
+    assert(twoStream.length == 2 &&
+      twoStream(1).getAs[Array[Byte]]("media").toSeq == f(1).toSeq)
+  }
+
+  test("the AVI strf fallback fires ONLY on a blank handler word — a contradictory H264/MJPG file refuses") {
+    val f = Seq(jpeg(gradientImage(32, 24, false, 13), 0.9f),
+      jpeg(gradientImage(32, 24, true, 13), 0.9f))
+    // NUL handler (the real muxer habit, alongside the spaces variant
+    // the older spec pins): biCompression decides
+    val nulHandler = MultimodalOps.splitKeyframes(mediaDf(
+      1L -> aviClip(f, "\u0000\u0000\u0000\u0000", strfComp = "MJPG")))
+    assert(nulHandler.count() == 2)
+    // contradictory: fccHandler H264 over biCompression MJPG — the
+    // handler word is NOT blank, so strf must not overrule it
+    intercept[org.apache.spark.SparkException] {
+      MultimodalOps.splitKeyframes(mediaDf(
+        2L -> aviClip(f, "H264", strfComp = "MJPG"))).collect()
+    }
+  }
+
+  // ---- r19: format-skip observability + strict dials ----
+
+  test("non-WAV payloads are COUNTED skips in the audio fingerprints; strict mode refuses them") {
+    graft.ops.CapTelemetry.clear()
+    val m = melody(Seq(1, 4, 2, 8, 3, 9, 5, 7))
+    val fake = "ID3 not actually audio, an MP3-shaped payload".getBytes
+    val media = mediaDf(1L -> wav(m, 16, 1), 2L -> fake,
+      3L -> "OggS also undecodable here".getBytes)
+    assert(MultimodalOps.audioFingerprint(media, windows = 16)
+      .count() == 1)
+    // the observation rides the count() above — poll for delivery
+    val st = (1 to 50).iterator
+      .map { _ =>
+        Thread.sleep(20)
+        graft.ops.CapTelemetry.lastSkipStats("audio_fingerprint")
+      }
+      .collectFirst { case Some(s) => s }
+    assert(st.exists(s => s.skippedRows == 2 && s.totalRows == 3),
+      s"skip telemetry missing or wrong: $st")
+    // strict: the first undecodable payload refuses loudly
+    val e = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.audioFingerprint(media, windows = 16, strict = true)
+        .collect()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("RIFF/WAVE"), s"wrong refusal: $msg")
+    // the multi-anchor variant counts through its own channel
+    assert(MultimodalOps.audioFingerprintMultiAnchor(media, windows = 16,
+      anchors = 2).select("doc_id").distinct().count() == 1)
+    val stM = (1 to 50).iterator
+      .map { _ =>
+        Thread.sleep(20)
+        graft.ops.CapTelemetry.lastSkipStats("audio_fingerprint_multi")
+      }
+      .collectFirst { case Some(s) => s }
+    assert(stM.exists(s => s.skippedRows == 2 && s.totalRows == 3))
+  }
+
+  test("frameless payloads are COUNTED skips in splitKeyframes") {
+    graft.ops.CapTelemetry.clear()
+    val f = Seq(jpeg(gradientImage(24, 16, false, 9), 0.9f))
+    val media = mediaDf(
+      1L -> clip(f), // splits: not a skip
+      2L -> wav(melody(Seq(2, 5, 1)), 16, 1), // known audio: skip
+      3L -> "plain text payload with no frame magic".getBytes, // skip
+      4L -> Array[Byte](1, 2)) // short stub: skip
+    assert(MultimodalOps.splitKeyframes(media).count() == 1)
+    val st = (1 to 50).iterator
+      .map { _ =>
+        Thread.sleep(20)
+        graft.ops.CapTelemetry.lastSkipStats("split_keyframes")
+      }
+      .collectFirst { case Some(s) => s }
+    assert(st.exists(s => s.skippedRows == 3 && s.totalRows == 4),
+      s"skip telemetry missing or wrong: $st")
+  }
+
+  // ---- r19: multi-anchor fingerprint ----
+
+  test("an outro-appended re-encode pairs through the multi-anchor fingerprint where the single anchor misses") {
+    // base track: clear peak mid-stream, quiet tail long enough that
+    // the anchored span [peak, peak + windows*frameLen) fits inside
+    val base = melody(Seq(2, 4, 9, 3, 2, 1, 1, 1, 1, 1), ampl = 6000.0)
+    // re-upload: the SAME material with a LOUDER outro appended — the
+    // global peak moves into the outro, re-anchoring the single-anchor
+    // hash; the original peak survives as the second anchor
+    val outro = melody(Seq(10, 8), ampl = 9000.0, freq = 880.0)
+    val edited = base ++ outro
+    // distinct material: different contour, same family of amplitudes
+    val other = melody(Seq(1, 7, 2, 9, 4, 3, 1, 2, 1, 1), ampl = 6000.0,
+      freq = 523.25)
+    val media = mediaDf(1L -> wav(base, 16, 1),
+      2L -> wav(edited, 16, 1), 3L -> wav(other, 16, 1))
+    // single anchor misses the pair (the documented envelope gap)
+    val single = MultimodalOps.audioNearDupPairs(media, windows = 16,
+      maxHamming = 0, anchored = true, frameLen = 128)
+    assert(single.count() == 0,
+      "the outro edit must defeat the single anchor or this test is vacuous")
+    // multi-anchor (k = 2): the base peak's fingerprint is bit-exact on
+    // both sides -> any-match pairs them; distinct material stays apart
+    val multi = MultimodalOps.audioNearDupPairsMulti(media, windows = 16,
+      frameLen = 128, anchors = 2, maxHamming = 0).collect()
+    assert(multi.length == 1 &&
+      multi.head.getLong(0) == 1L && multi.head.getLong(1) == 2L,
+      s"expected exactly (1, 2): ${multi.mkString(",")}")
+    val kept = MultimodalOps.audioDedupMulti(media, windows = 16,
+      frameLen = 128, anchors = 2, maxHamming = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    // rank 0 IS the single-anchor fingerprint (the family anchor)
+    val multiFp = MultimodalOps.audioFingerprintMultiAnchor(media,
+        windows = 16, frameLen = 128, anchors = 2)
+      .filter(col("anchor_rank") === 0)
+      .select("doc_id", "afp", "anchor")
+      .orderBy("doc_id").collect()
+    val singleFp = MultimodalOps.audioFingerprintAnchored(media,
+        windows = 16, frameLen = 128)
+      .select("doc_id", "afp", "anchor").orderBy("doc_id").collect()
+    assert(multiFp.map(_.toSeq).toSeq == singleFp.map(_.toSeq).toSeq)
+  }
+
+  test("a track with fewer separable peaks than anchors emits fewer rows, never a padded fake") {
+    // constant-amplitude track: every later argmax falls inside the
+    // first anchor's exclusion zone -> exactly ONE anchor row
+    val flat = Array.fill(2048)(500)
+    var i = 0
+    while (i < flat.length) { flat(i) = -500; i += 2 }
+    val rows = MultimodalOps.audioFingerprintMultiAnchor(
+      mediaDf(1L -> wav(flat, 16, 1)), windows = 4, frameLen = 1024,
+      anchors = 3).collect()
+    assert(rows.length == 1, s"expected 1 anchor row, got ${rows.length}")
+    assert(rows.head.getLong(1) == 0L)
+  }
+
+  // ---- r19: format census ----
+
+  test("formatCensus classifies by container magic in one map-only pass") {
+    val f = Seq(jpeg(gradientImage(16, 12, false, 1), 0.9f))
+    val media = mediaDf(
+      1L -> wav(melody(Seq(1, 3)), 16, 1),
+      2L -> aviClip(f, "MJPG"),
+      3L -> mp4Clip(f, "jpeg"),
+      4L -> (Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) ++
+        new Array[Byte](16)),
+      5L -> f.head,
+      6L -> png(gradientImage(16, 12, true, 1)),
+      7L -> Array[Byte](1, 2),
+      8L -> "just text".getBytes)
+    val census = MultimodalOps.formatCensus(media).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census == Map("wav" -> 1L, "avi" -> 1L, "mp4" -> 1L,
+      "matroska" -> 1L, "jpeg" -> 1L, "png" -> 1L, "empty" -> 1L,
+      "other" -> 1L), s"census: $census")
+  }
 }
