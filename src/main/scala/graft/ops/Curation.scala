@@ -118,22 +118,24 @@ object Curation {
   def curate(df: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, mat: Materializer = Materializer.Inline,
       urlCol: String = null, blockedDomains: Seq[String] = Nil,
-      boilerplateMaxDf: Int = 0): DataFrame =
+      boilerplateMaxDf: Int = 0, fromHtml: Boolean = false): DataFrame =
     stages(df, idCol, textCol, weights, mat = mat, urlCol = urlCol,
       blockedDomains = blockedDomains,
-      boilerplateMaxDf = boilerplateMaxDf).last._2
+      boilerplateMaxDf = boilerplateMaxDf, fromHtml = fromHtml).last._2
 
   /** Per-stage survivor counts: `(stage_ord, stage, n_docs)` — ordinal
     * first so the report sorts stably. Pass `urlCol` (web corpora) to
     * run — and report — the URL stages first: `domain_block`,
-    * `url_dedup`, then the text stages. */
+    * `url_dedup`, then the text stages; `fromHtml` adds the `extract`
+    * stage between them and the boilerplate/quality tail (the complete
+    * nine-stage CCNet order when everything is on). */
   def funnel(df: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, mat: Materializer = Materializer.Inline,
       urlCol: String = null, blockedDomains: Seq[String] = Nil,
-      boilerplateMaxDf: Int = 0): DataFrame =
+      boilerplateMaxDf: Int = 0, fromHtml: Boolean = false): DataFrame =
     stages(df, idCol, textCol, weights, mat = mat, urlCol = urlCol,
       blockedDomains = blockedDomains,
-      boilerplateMaxDf = boilerplateMaxDf).zipWithIndex.map {
+      boilerplateMaxDf = boilerplateMaxDf, fromHtml = fromHtml).zipWithIndex.map {
       case ((name, frame), i) =>
         frame.agg(count(lit(1)).as("n_docs"))
           .select(lit(i + 1).cast("long").as("stage_ord"),

@@ -2701,7 +2701,13 @@ object Queries {
         concat(lit(HtmlTplHead), col("text"), lit(HtmlTplTail))),
       "doc_id", "html")
 
-  private val htmlExtractSql = {
+  /** The extraction kernel's CTE chain, parameterized by the
+    * (doc_id, html) source relation — shared verbatim between
+    * `q_html_extract` and the nine-stage web funnel so the two oracles
+    * cannot drift. Emits `hx_k` of (doc_id, n_blocks, n_kept,
+    * main_text); names are hx_-prefixed to compose with the funnel's
+    * url/boilerplate/tail CTEs collision-free. */
+  private def htmlExtractCtesFrom(src: String): String = {
     val blockPat = "(?i)</?(p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|" +
       "section|article|header|footer|nav|aside|blockquote|main|body|" +
       "html|head|title|form)\\b[^>]*>"
@@ -2709,19 +2715,16 @@ object Queries {
       .map(w => s"len(list_filter(string_split(lower(txt),' '), x -> x = '$w'))")
       .mkString(" + ")
     val keep = "n_words >= 5 AND 3*link_chars <= raw_chars AND 20*n_stop >= n_words"
-    s"""WITH h AS (
-       |  SELECT doc_id, '$HtmlTplHead' || text || '$HtmlTplTail' AS html
-       |  FROM documents),
-       |s AS (SELECT doc_id,
+    s"""hx_s AS (SELECT doc_id,
        |  regexp_replace(regexp_replace(regexp_replace(html,
        |    '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
        |    '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-       |    '(?s)<!--.*?-->', ' ', 'g') AS nh FROM h),
-       |b AS (SELECT doc_id,
+       |    '(?s)<!--.*?-->', ' ', 'g') AS nh FROM $src),
+       |hx_b AS (SELECT doc_id,
        |  unnest(regexp_split_to_array(nh, '$blockPat')) AS blk,
        |  unnest(range(len(regexp_split_to_array(nh, '$blockPat')))) AS idx
-       |  FROM s),
-       |c AS (SELECT doc_id, idx,
+       |  FROM hx_s),
+       |hx_c AS (SELECT doc_id, idx,
        |  trim(regexp_replace(replace(replace(replace(replace(replace(replace(
        |    regexp_replace(blk, '<[^>]*>', ' ', 'g'),
        |    '&nbsp;',' '),'&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',chr(39)),'&amp;','&'),
@@ -2730,20 +2733,26 @@ object Queries {
        |  coalesce(list_aggregate(list_transform(
        |    regexp_extract_all(blk, '(?is)<a\\b[^>]*>.*?</a>'),
        |    m -> length(regexp_replace(m, '<[^>]*>', '', 'g'))), 'sum'), 0)::BIGINT AS link_chars
-       |  FROM b),
-       |w AS (SELECT doc_id, idx, txt, raw_chars, link_chars,
+       |  FROM hx_b),
+       |hx_w AS (SELECT doc_id, idx, txt, raw_chars, link_chars,
        |  len(string_split(txt, ' '))::BIGINT AS n_words,
        |  ($stops)::BIGINT AS n_stop
-       |  FROM c WHERE txt <> ''),
-       |k AS (SELECT doc_id, count(*)::BIGINT AS n_blocks,
+       |  FROM hx_c WHERE txt <> ''),
+       |hx_k AS (SELECT doc_id, count(*)::BIGINT AS n_blocks,
        |  coalesce(count(*) FILTER ($keep), 0)::BIGINT AS n_kept,
        |  coalesce(string_agg(txt, chr(10) ORDER BY idx) FILTER ($keep), '') AS main_text
-       |  FROM w GROUP BY doc_id)
+       |  FROM hx_w GROUP BY doc_id)""".stripMargin
+  }
+
+  private val htmlExtractSql =
+    s"""WITH h AS (
+       |  SELECT doc_id, '$HtmlTplHead' || text || '$HtmlTplTail' AS html
+       |  FROM documents),
+       |${htmlExtractCtesFrom("h")}
        |SELECT d.doc_id, coalesce(k.main_text, '') AS main_text,
        |  coalesce(k.n_blocks, 0)::BIGINT AS n_blocks,
        |  coalesce(k.n_kept, 0)::BIGINT AS n_kept
-       |FROM documents d LEFT JOIN k USING (doc_id)""".stripMargin
-  }
+       |FROM documents d LEFT JOIN hx_k k USING (doc_id)""".stripMargin
 
   /** Normalize-then-fingerprint: the canonicalization a dedup pipeline
     * hashes (the corpus is already canonical, so the normalizer must act
@@ -3295,6 +3304,143 @@ object Queries {
        |UNION ALL SELECT 6, 'dedup', count(*) FROM dd
        |UNION ALL SELECT 7, 'classifier', count(*) FROM cl
        |UNION ALL SELECT 8, 'sample', count(*) FROM sm""".stripMargin
+
+  // -----------------------------------------------------------------
+  // q_web_funnel_full (r19): the COMPLETE nine-stage CCNet-order web
+  // path — blocklist → url dedup → HTML main-content EXTRACTION →
+  // line-level boilerplate cut → normalize → quality → dedup →
+  // classifier → sample — every opt-in stage of Curation.stages live
+  // in ONE oracle row. The fixture wraps each document as a web page
+  // whose ARTICLE lines are separate <p> blocks: a corpus-wide nav
+  // line and a >maxDf shared footer group that PASS the extraction
+  // gates (≥5 words, stopword-bearing, link-free — extraction cannot
+  // catch side-wide repeated content; that is the df-cut's job) and a
+  // per-doc unique tail that must survive both.
+  // -----------------------------------------------------------------
+  private val WebFunnelNavLine =
+    "NAVIGATION the home page and the about page and the contact page"
+
+  private def synthWebHtml: Column =
+    concat(lit(HtmlTplHead),
+      lit(WebFunnelNavLine), lit("</p><p>"),
+      col("text"), lit("</p><p>"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit("this is the shared footer for group "),
+          pmod(col("doc_id"), lit(2)).cast("string")))
+        .otherwise(concat(lit("this is the unique tail line of document "),
+          col("doc_id").cast("string"))),
+      lit(HtmlTplTail))
+
+  // NOTE: composed into another stripMargin template — no line here may
+  // start with '|' after this stripMargin, or the outer one eats it
+  private val synthWebHtmlSql =
+    s"""'$HtmlTplHead' || '$WebFunnelNavLine' || '</p><p>' || text ||
+       | '</p><p>' || CASE WHEN doc_id % 7 = 0
+       |   THEN 'this is the shared footer for group ' || (doc_id % 2)
+       |   ELSE 'this is the unique tail line of document ' || doc_id
+       | END || '$HtmlTplTail'""".stripMargin
+
+  private def webFunnelFullQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Curation.funnel(
+      docs.filter(col("text").isNotNull)
+        .withColumn("text", synthWebHtml).withColumn("url", synthUrl),
+      "doc_id", "text", corpusWeights(docs), mat = Materializer.LocalLazy,
+      urlCol = "url", blockedDomains = Seq("spamhub.example"),
+      boilerplateMaxDf = 10, fromHtml = true)
+  }
+
+  private def webFunnelFullSql =
+    s"""WITH hsrc AS (SELECT doc_id, source, $synthWebHtmlSql AS html
+       |  FROM documents WHERE text IS NOT NULL),
+       |${urlCanonCtesFrom("hsrc")},
+       |wb AS (SELECT doc_id, url, canonical_url FROM canon
+       |  WHERE url IS NULL OR NOT (host = 'spamhub.example'
+       |    OR host LIKE '%.spamhub.example')),
+       |wd AS (SELECT doc_id FROM wb
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY canonical_url,
+       |      CASE WHEN canonical_url IS NULL THEN CAST(doc_id AS VARCHAR)
+       |           ELSE '' END
+       |    ORDER BY doc_id) = 1),
+       |esrc AS (SELECT h.doc_id, h.html FROM hsrc h JOIN wd USING (doc_id)),
+       |${htmlExtractCtesFrom("esrc")},
+       |ex AS (SELECT doc_id, main_text AS text FROM hx_k WHERE n_kept > 0),
+       |blines AS (SELECT doc_id,
+       |  UNNEST(string_split(text, chr(10))) AS line,
+       |  UNNEST(range(len(string_split(text, chr(10))))) AS idx FROM ex),
+       |bhot AS (SELECT line FROM (
+       |  SELECT line, count(*) AS df FROM (
+       |    SELECT DISTINCT doc_id, line FROM blines
+       |    WHERE NOT ${sqlLineBlank("line")})
+       |  GROUP BY line) WHERE df > 10),
+       |bkept AS (SELECT * FROM blines
+       |  WHERE line NOT IN (SELECT line FROM bhot)),
+       |bp AS (SELECT doc_id,
+       |    string_agg(line, chr(10) ORDER BY idx) AS text
+       |  FROM bkept GROUP BY doc_id
+       |  HAVING max(CASE WHEN NOT ${sqlLineBlank("line")} THEN 1 ELSE 0 END) = 1),
+       |nrm AS (SELECT doc_id, $funnelNormSql AS text FROM bp),
+       |$funnelTailCtesSql
+       |SELECT 1::BIGINT AS stage_ord, 'raw' AS stage, count(*)::BIGINT AS n_docs FROM hsrc
+       |UNION ALL SELECT 2, 'domain_block', count(*) FROM wb
+       |UNION ALL SELECT 3, 'url_dedup', count(*) FROM wd
+       |UNION ALL SELECT 4, 'extract', count(*) FROM ex
+       |UNION ALL SELECT 5, 'boilerplate', count(*) FROM bp
+       |UNION ALL SELECT 6, 'quality', count(*) FROM qf
+       |UNION ALL SELECT 7, 'dedup', count(*) FROM dd
+       |UNION ALL SELECT 8, 'classifier', count(*) FROM cl
+       |UNION ALL SELECT 9, 'sample', count(*) FROM sm""".stripMargin
+
+  // -----------------------------------------------------------------
+  // q_media_census (r19): MultimodalOps.formatCensus over a synthetic
+  // mixed-format corpus — each document's text bytes behind a magic
+  // selected by doc_id % 8 (WAV/AVI/MP4/Matroska/JPEG/PNG/null/bare).
+  // The oracle replays the sniff on HEX strings (DuckDB 1.0 has no
+  // BLOB slicing): hex position 2k+1..2k+2 IS byte k+1, so the two
+  // classifications are the same function of the same bytes.
+  // -----------------------------------------------------------------
+  private def censusPayload: Column = {
+    val m = pmod(col("doc_id"), lit(8))
+    val text = col("text").cast("binary")
+    when(m === 0, concat(unhex(lit("524946460000000057415645")), text))
+      .when(m === 1, concat(unhex(lit("524946460000000041564920")), text))
+      .when(m === 2, concat(unhex(lit("0000001866747970")), text))
+      .when(m === 3, concat(unhex(lit("1A45DFA3")), text))
+      .when(m === 4, concat(unhex(lit("FFD8FF")), text))
+      .when(m === 5, concat(unhex(lit("89504E47")), text))
+      .when(m === 6, lit(null).cast("binary"))
+      .otherwise(text)
+  }
+
+  private def mediaCensusQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.MultimodalOps.formatCensus(
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), censusPayload.as("media")))
+
+  private val mediaCensusSql =
+    """WITH m AS (SELECT doc_id, CASE doc_id % 8
+      |  WHEN 0 THEN '524946460000000057415645' || hex(encode(text))
+      |  WHEN 1 THEN '524946460000000041564920' || hex(encode(text))
+      |  WHEN 2 THEN '0000001866747970' || hex(encode(text))
+      |  WHEN 3 THEN '1A45DFA3' || hex(encode(text))
+      |  WHEN 4 THEN 'FFD8FF' || hex(encode(text))
+      |  WHEN 5 THEN '89504E47' || hex(encode(text))
+      |  WHEN 6 THEN NULL
+      |  ELSE hex(encode(text)) END AS h
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT CASE
+      |  WHEN h IS NULL OR length(h) < 8 THEN 'empty'
+      |  WHEN length(h) >= 24 AND h[1:8] = '52494646'
+      |    AND h[17:24] = '57415645' THEN 'wav'
+      |  WHEN length(h) >= 24 AND h[1:8] = '52494646'
+      |    AND h[17:24] = '41564920' THEN 'avi'
+      |  WHEN length(h) >= 16 AND h[9:16] = '66747970' THEN 'mp4'
+      |  WHEN h[1:8] = '1A45DFA3' THEN 'matroska'
+      |  WHEN h[1:6] = 'FFD8FF' THEN 'jpeg'
+      |  WHEN h[1:8] = '89504E47' THEN 'png'
+      |  ELSE 'other' END AS format FROM m)
+      |SELECT format, count(*)::BIGINT AS n_docs FROM c GROUP BY format""".stripMargin
 
   private def profileByGroupQ(s: SparkSession, dir: String): DataFrame =
     ProfileOps.numericProfileByGroup(t(s, dir, "documents"), "lang", "n_chars")
@@ -4524,6 +4670,8 @@ object Queries {
     "q_curation_funnel" -> (curationFunnelQ _),
     "q_web_funnel" -> (webFunnelQ _),
     "q_web_funnel_boilerplate" -> (webFunnelBoilerplateQ _),
+    "q_web_funnel_full" -> (webFunnelFullQ _),
+    "q_media_census" -> (mediaCensusQ _),
     "q_url_canonical" -> (urlCanonicalQ _),
     "q_url_dedup" -> (urlDedupQ _),
     "q_url_dedup_incremental" -> (urlDedupIncrementalQ _),
@@ -4686,6 +4834,8 @@ object Queries {
     "q_curation_funnel" -> curationFunnelSql,
     "q_web_funnel" -> webFunnelSql,
     "q_web_funnel_boilerplate" -> webFunnelBoilerplateSql,
+    "q_web_funnel_full" -> webFunnelFullSql,
+    "q_media_census" -> mediaCensusSql,
     "q_url_canonical" -> urlCanonicalSql,
     "q_url_dedup" -> urlDedupSql,
     "q_url_dedup_incremental" -> urlDedupIncrementalSql,

@@ -143,4 +143,45 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getLong(2)))
     assert(funnel.toSeq.take(2) == Seq("raw" -> 4L, "boilerplate" -> 3L))
   }
+
+  test("all opt-in stages together run the complete nine-stage CCNet order") {
+    val fill = (1 to 25).map(i => s"of word$i").mkString(" ")
+    // each page: url + html whose article lines are separate <p> blocks —
+    // a shared nav line that PASSES extraction (long, stopword-bearing,
+    // link-free: extraction cannot catch side-wide repeats) and a unique
+    // tail; the nav line must then fall to the boilerplate df-cut
+    val nav = "the navigation menu of the home page and the about page"
+    val d = (1L to 4L).map { i =>
+      (i, s"<html><body><nav><a href='/'>Home</a></nav><p>$nav</p>" +
+        s"<p>content $i $fill</p><p>the unique tail of document $i</p>" +
+        "</body></html>",
+        s"http://h$i.example/p")
+    }.toDF("doc_id", "text", "url")
+    val weights = Seq(("bad", -100L)).toDF("term", "weight")
+    val stages = Curation.stages(d, "doc_id", "text", weights,
+      urlCol = "url", fromHtml = true, boilerplateMaxDf = 2)
+    assert(stages.map(_._1) == Seq("raw", "domain_block", "url_dedup",
+      "extract", "boilerplate", "quality", "dedup", "classifier",
+      "sample"))
+    // extraction kept the nav LINE (it passes the block gates) and
+    // dropped the link-only template nav; the df-cut then removes it
+    val extracted = stages(3)._2.filter(col("doc_id") === 1L)
+      .select("text").head().getString(0)
+    assert(extracted.contains(nav) && !extracted.contains("Home"))
+    val deboiled = stages(4)._2.filter(col("doc_id") === 1L)
+      .select("text").head().getString(0)
+    assert(!deboiled.contains(nav) && deboiled.contains("content 1"))
+    // funnel reports all nine ordinals; curate returns the tail stage
+    // (the sample stage is a hash downsample, so its count is whatever
+    // the 800/1000 hash gate keeps — compare against the stage itself,
+    // and pin that everything upstream of it survived intact)
+    val funnel = Curation.funnel(d, "doc_id", "text", weights,
+        urlCol = "url", fromHtml = true, boilerplateMaxDf = 2)
+      .orderBy("stage_ord").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(funnel.length == 9)
+    assert(funnel.take(8).forall(_._2 == 4L), s"pre-sample drop: ${funnel.toSeq}")
+    assert(Curation.curate(d, "doc_id", "text", weights, urlCol = "url",
+      fromHtml = true, boilerplateMaxDf = 2).count() == funnel.last._2)
+  }
 }
