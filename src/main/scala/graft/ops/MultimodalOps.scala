@@ -913,12 +913,23 @@ object MultimodalOps {
     // NOT skip — they refuse loudly and fail the batch). A clip batch
     // that is mostly unsplittable degrades video dedup to digest-only
     // for those rows — the WARN names it per execution/micro-batch.
-    val skipped = col("media").isNull || length(col("media")) < 4 ||
-      isWavCol(col("media")) ||
-      (!contains(col("media"),
-          lit(Array(0xFF, 0xD8, 0xFF).map(_.toByte))) &&
-        !contains(col("media"),
-          lit(Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte))))
+    // CaseWhen, not ||: the contains() scans are O(payload) and must
+    // only run on non-container payloads — the ones the magic scan
+    // fully reads anyway; an MP4's mdat stays untouched (the splitter's
+    // own discipline), and containers are never silent regardless.
+    val m = col("media")
+    val isContainer =
+      (length(m) >= 12 && substring(m, 5, 4) ===
+        lit("ftyp".getBytes("US-ASCII"))) ||
+      (length(m) >= 12 && substring(m, 1, 4) ===
+        lit("RIFF".getBytes("US-ASCII")) && substring(m, 9, 4) ===
+        lit("AVI ".getBytes("US-ASCII"))) ||
+      substring(m, 1, 4) === lit(Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte))
+    val skipped = when(m.isNull || length(m) < 4 || isWavCol(m), true)
+      .when(isContainer, false)
+      .otherwise(
+        !contains(m, lit(Array(0xFF, 0xD8, 0xFF).map(_.toByte))) &&
+          !contains(m, lit(Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte))))
     CapTelemetry.observeSkips(media.select(col("doc_id"), col("media")),
         "split_keyframes", skipped)
       .as[(Long, Array[Byte])]
@@ -1208,6 +1219,43 @@ object MultimodalOps {
     * either bit depth). */
   private[graft] def decodeWavMono(bytes: Array[Byte]): Array[Int] =
     decodeWavMonoRate(bytes)._1
+
+  /** Header-only probe of [[decodeWavMonoRate]]'s acceptance: true iff
+    * the fmt chunk declares a PCM shape the decoder takes (format code
+    * 1, 8/16-bit, ≥1 channel) and an in-bounds data chunk exists. The
+    * deep census ([[formatCensusDeep]]) needs the CLASSIFICATION
+    * without paying the sample decode — this walks chunk headers only
+    * (the data payload is never read). Kept next to the decoder whose
+    * requires it mirrors; the acceptance spec pins them equal. */
+  private[graft] def isPcmWavHeader(bytes: Array[Byte]): Boolean = {
+    if (!isWav(bytes)) return false
+    def u16(i: Int) = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
+    def u32(i: Int) = (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
+      ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
+    var pos = 12
+    var fmtOk = false
+    var sawFmt = false
+    var dataOk = false
+    while (pos + 8 <= bytes.length && !(sawFmt && dataOk)) {
+      val id = new String(bytes, pos, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = u32(pos + 4).toInt
+      if (sz < 0) return false
+      if (id == "fmt ") {
+        sawFmt = true
+        if (sz < 16 || pos + 24 > bytes.length) return false
+        val code = u16(pos + 8)
+        val channels = u16(pos + 10)
+        val bits = u16(pos + 22)
+        fmtOk = code == 1 && channels >= 1 && (bits == 8 || bits == 16)
+      } else if (id == "data") {
+        dataOk = pos + 8 + sz <= bytes.length
+        if (!dataOk) return false
+      }
+      pos += 8 + sz + (sz & 1)
+    }
+    sawFmt && fmtOk && dataOk
+  }
 
   /** [[decodeWavMono]] plus the fmt chunk's SAMPLE RATE (Hz) — the
     * field r17 parsed past and discarded, which
@@ -1597,14 +1645,46 @@ object MultimodalOps {
       frameLen: Int = 256, frameMs: Int = 0, anchors: Int = 3,
       maxHamming: Int = 3, maxBucket: Int = 100000,
       mat: Materializer = Materializer.Local,
-      strict: Boolean = false): DataFrame = {
-    val pairs = audioNearDupPairsMulti(media, windows, frameLen, frameMs,
-      anchors, maxHamming, maxBucket, mat, strict)
+      strict: Boolean = false): DataFrame =
+    audioDedupMultiFromFp(media,
+      mat(audioFingerprintMultiAnchor(media, windows, frameLen, frameMs,
+        anchors, strict).select("doc_id", "anchor_rank", "afp")),
+      anchors, windows, maxHamming, maxBucket, mat)
+
+  /** [[audioDedupMulti]] over a precomputed (doc_id, anchor_rank, afp)
+    * frame — the decode-once seam the streaming gate threads. */
+  def audioDedupMultiFromFp(media: DataFrame, fp: DataFrame,
+      anchors: Int = 3, windows: Int = 49, maxHamming: Int = 3,
+      maxBucket: Int = 100000,
+      mat: Materializer = Materializer.Local): DataFrame = {
+    val pairs = audioNearDupPairsMultiFromFp(fp, anchors, windows,
+      maxHamming, maxBucket)
     val clusters = DedupOps.nearDupClusters(pairs.select("id_a", "id_b"),
       media.select(col("doc_id")), "doc_id", mat = mat)
     media.join(clusters, Seq("doc_id"))
       .filter(col("doc_id") === col("cluster_id"))
       .drop("cluster_id")
+  }
+
+  /** Incremental multi-anchor check of NEW tracks against a STORED
+    * (doc_id, anchor_rank, afp) index (the persisted output of
+    * [[audioFingerprintMultiAnchor]]) — the daily-ingest path that
+    * never re-decodes the standing corpus, [[DedupOps.hammingAgainstIndex]]
+    * on the packed (track, rank) key with ANY-anchor credit: a
+    * re-upload whose outro moved its global peak still hits the index
+    * through the stored original-peak anchor (cross-rank, the spine
+    * buckets on content). Output: (id_new, id_old), distinct. */
+  def audioNearDupAgainstIndexMultiFromFp(fpNew: DataFrame,
+      indexFp: DataFrame, anchors: Int = 3, windows: Int = 49,
+      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+    def packed(df: DataFrame) = df.select(
+      (col("doc_id") * anchors + col("anchor_rank")).as("fid"),
+      col("afp"))
+    DedupOps.hammingAgainstIndex(packed(fpNew), packed(indexFp), "fid",
+        "afp", windows - 1, maxHamming, maxBucket)
+      .select(expr(s"id_new div $anchors").as("id_new"),
+        expr(s"id_old div $anchors").as("id_old"))
+      .distinct()
   }
 
   /** Audio near-dup pairs: the fingerprint through the pigeonhole
@@ -1706,6 +1786,52 @@ object MultimodalOps {
           lit(Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)), "png")
         .otherwise("other")
     media.select(fmt.as("format"))
+      .groupBy("format").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** [[formatCensus]] one level deeper (r19): the same one-pass routing
+    * report with the SPLITTABILITY question answered structurally —
+    * whether THIS build's splitters/decoders would process each
+    * payload — so an operator reads "mp4-interframe 92%" and routes
+    * BEFORE a gate fails mid-batch, instead of learning it from the
+    * refusal. Classes refine the magic census: `wav-pcm` /
+    * `wav-compressed` (fmt chunk's format code), `mp4-still` /
+    * `mp4-interframe` (the [[mp4KeyframesEx]] walk: still-codec track
+    * with in-bound non-empty sync set vs everything else),
+    * `avi-mjpeg` / `avi-other` (the [[aviKeyframes]] stream scan),
+    * `frames` (a frame magic at offset 0 — concatenated-still clips
+    * and bare images), `matroska`, `empty`, `other`. The probes are
+    * the SPLITTERS' OWN parsers on header bytes only (box/chunk walks;
+    * mdat/data payloads untouched), so census and splitter can never
+    * disagree; still map-only + one answer-sized aggregate, but NOT
+    * SQL-replayable (box walks have no DuckDB twin) — spec-gated per
+    * the SURVEY contract, unlike the oracle-gated magic census.
+    * Output: (format, n_docs). */
+  def formatCensusDeep(media: DataFrame, mediaCol: String = "media")
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(mediaCol).as("media")).as[Array[Byte]]
+      .mapPartitions { rows =>
+        rows.map { bytes =>
+          if (bytes == null || bytes.length < 4) "empty"
+          else if (isWav(bytes)) {
+            if (isPcmWavHeader(bytes)) "wav-pcm" else "wav-compressed"
+          }
+          else if (frameMagicAt(bytes, 0)) "frames"
+          else if (isMp4(bytes)) mp4KeyframesEx(bytes) match {
+            case Mp4Frames(_) => "mp4-still"
+            case _ => "mp4-interframe"
+          }
+          else if (isAvi(bytes)) {
+            if (aviKeyframes(bytes).isDefined) "avi-mjpeg" else "avi-other"
+          }
+          else if (bytes.length >= 4 && bytes(0) == 0x1A.toByte &&
+            bytes(1) == 0x45.toByte && bytes(2) == 0xDF.toByte &&
+            bytes(3) == 0xA3.toByte) "matroska"
+          else "other"
+        }
+      }.toDF("format")
       .groupBy("format").agg(count(lit(1)).as("n_docs"))
   }
 }

@@ -465,41 +465,66 @@ object StreamOps {
   def audioGateSink(media: DataFrame, fpPath: String,
       survivorsPath: String, windows: Int = 49, maxHamming: Int = 3,
       maxBucket: Int = 100000, anchored: Boolean = false,
-      frameLen: Int = 256, frameMs: Int = 0, strict: Boolean = false)
+      frameLen: Int = 256, frameMs: Int = 0, strict: Boolean = false,
+      anchors: Int = 0)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     media.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         gateAudioBatch(batch, fpPath, survivorsPath, windows, maxHamming,
-          maxBucket, anchored, frameLen, frameMs, batchId, strict)
+          maxBucket, anchored, frameLen, frameMs, batchId, strict,
+          anchors)
       }
 
-  /** One micro-batch of the audio gate (see [[audioGateSink]]). */
+  /** One micro-batch of the audio gate (see [[audioGateSink]]).
+    * `anchors > 0` selects the MULTI-anchor family (r19): the index
+    * stores (doc_id, anchor_rank, afp) rows and both the within-batch
+    * self-dedup and the against-index check run any-anchor match
+    * ([[graft.ops.MultimodalOps.audioNearDupAgainstIndexMultiFromFp]]),
+    * so an outro-edited re-delivery whose GLOBAL peak moved is still
+    * blocked through the stored original-peak anchor — the envelope
+    * the single-anchor gate provably misses. Mutually exclusive with
+    * `anchored` (both fork the hash family; the dial contract). */
   private[graft] def gateAudioBatch(batch: DataFrame, fpPath: String,
       survivorsPath: String, windows: Int, maxHamming: Int, maxBucket: Int,
       anchored: Boolean, frameLen: Int, frameMs: Int, batchId: Long,
-      strict: Boolean = false): Unit = {
+      strict: Boolean = false, anchors: Int = 0): Unit = {
+    require(!(anchored && anchors > 0),
+      "anchored and anchors > 0 are distinct hash families — pick one " +
+        "for the life of fpPath (the dial contract)")
     val spark = batch.sparkSession
     import graft.ops.MultimodalOps
+    val multi = anchors > 0
     def fpOf(df: DataFrame): DataFrame =
-      (if (anchored) MultimodalOps.audioFingerprintAnchored(df, windows,
-        frameLen, frameMs, strict)
-       else MultimodalOps.audioFingerprint(df, windows, strict))
+      if (multi) MultimodalOps.audioFingerprintMultiAnchor(df, windows,
+        frameLen, frameMs, anchors, strict)
+        .select("doc_id", "anchor_rank", "afp")
+      else (if (anchored) MultimodalOps.audioFingerprintAnchored(df,
+        windows, frameLen, frameMs, strict)
+      else MultimodalOps.audioFingerprint(df, windows, strict))
         .select("doc_id", "afp")
     foldStaged(spark, fpPath, batchId) { stored =>
       // decode ONCE per micro-batch (r18): one materialized
       // fingerprint frame feeds self-dedup, the against-index check,
       // and the index fold (r17 re-parsed the WAVs ~3x per batch)
       val fp = graft.ops.Materializer.Local(fpOf(batch))
-      val selfDeduped = MultimodalOps.audioDedupFromFp(batch, fp, windows,
-        maxHamming, maxBucket)
+      val selfDeduped =
+        if (multi) MultimodalOps.audioDedupMultiFromFp(batch, fp, anchors,
+          windows, maxHamming, maxBucket)
+        else MultimodalOps.audioDedupFromFp(batch, fp, windows,
+          maxHamming, maxBucket)
       val survivors = stored match {
         case Some(s) =>
-          val hits = graft.ops.DedupOps.hammingAgainstIndex(
-              fp.join(selfDeduped.select("doc_id"), Seq("doc_id")),
-              s.select("doc_id", "afp"), "doc_id",
-              "afp", windows - 1, maxHamming, maxBucket)
-            .select(col("id_new").as("doc_id")).distinct()
+          val fpSelf = fp.join(selfDeduped.select("doc_id"), Seq("doc_id"))
+          val hits =
+            if (multi) MultimodalOps.audioNearDupAgainstIndexMultiFromFp(
+                fpSelf, s.select("doc_id", "anchor_rank", "afp"), anchors,
+                windows, maxHamming, maxBucket)
+              .select(col("id_new").as("doc_id")).distinct()
+            else graft.ops.DedupOps.hammingAgainstIndex(fpSelf,
+                s.select("doc_id", "afp"), "doc_id",
+                "afp", windows - 1, maxHamming, maxBucket)
+              .select(col("id_new").as("doc_id")).distinct()
           selfDeduped.join(hits, Seq("doc_id"), "left_anti")
         case None => selfDeduped
       }

@@ -725,4 +725,41 @@ class MediaStreamSpec extends SparkSpec {
       "matroska" -> 1L, "jpeg" -> 1L, "png" -> 1L, "empty" -> 1L,
       "other" -> 1L), s"census: $census")
   }
+
+  test("formatCensusDeep answers splittability with the splitters' own parsers") {
+    val f = Seq(jpeg(gradientImage(16, 12, false, 2), 0.9f))
+    val pcm = wav(melody(Seq(1, 3)), 16, 1)
+    // ADPCM-shaped WAV: format code 2 at byte 20 (RIFF 12 + 'fmt ' 4 +
+    // size 4) — the decoder refuses it, the census must label it
+    val adpcm = pcm.clone(); adpcm(20) = 2
+    val media = mediaDf(
+      1L -> pcm, // wav-pcm
+      2L -> adpcm, // wav-compressed
+      3L -> clip(f), // frames (magic at 0)
+      4L -> mp4Clip(f, "jpeg"), // mp4-still
+      5L -> mp4Clip(f, "avc1"), // mp4-interframe
+      6L -> aviClip(f, "MJPG"), // avi-mjpeg
+      7L -> aviClip(f, "H264"), // avi-other
+      8L -> (Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte) ++
+        new Array[Byte](8)), // matroska
+      9L -> Array[Byte](1, 2), // empty
+      10L -> "just text".getBytes) // other
+    val census = MultimodalOps.formatCensusDeep(media).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census == Map("wav-pcm" -> 1L, "wav-compressed" -> 1L,
+      "frames" -> 1L, "mp4-still" -> 1L, "mp4-interframe" -> 1L,
+      "avi-mjpeg" -> 1L, "avi-other" -> 1L, "matroska" -> 1L,
+      "empty" -> 1L, "other" -> 1L), s"census: $census")
+    // the header probe's acceptance EQUALS the decoder's — census and
+    // fingerprint can never disagree about a WAV
+    val truncFmt = pcm.clone(); truncFmt(16) = 8 // fmt declares 8 bytes
+    val truncData = pcm.clone(); truncData(40) = (truncData(40) + 100).toByte
+    val stereo8 = wav(melody(Seq(2, 5)), 8, 2)
+    for ((p, i) <- Seq(pcm, adpcm, truncFmt, truncData, stereo8,
+        "not wav".getBytes).zipWithIndex) {
+      val probe = MultimodalOps.isPcmWavHeader(p)
+      val decodes = scala.util.Try(MultimodalOps.decodeWavMono(p)).isSuccess
+      assert(probe == decodes, s"payload $i: probe $probe vs decode $decodes")
+    }
+  }
 }

@@ -356,6 +356,88 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 12L))
   }
 
+  test("audio gate: a mostly-undecodable micro-batch is counted per batch, stays green non-strict, refuses strict") {
+    import MediaFixtures._
+    graft.ops.CapTelemetry.clear()
+    val fp = tmpDir("graft_stream_skip_fp") + "/afp.parquet"
+    val out = tmpDir("graft_stream_skip_out")
+    // a mostly-MP3-shaped batch: 1 WAV, 3 undecodable payloads — the
+    // silent-degradation class the r19 telemetry makes visible
+    val batch = rawMediaDf(Seq(
+      1L -> wav(melody(Seq(1, 4, 2, 8, 3, 9, 5, 7)), 16, 1),
+      2L -> "ID3 fake mp3 payload one".getBytes("UTF-8"),
+      3L -> "fLaC fake flac payload".getBytes("UTF-8"),
+      4L -> "OggS fake ogg payload".getBytes("UTF-8")))
+    StreamOps.gateAudioBatch(batch, fp, out, 33, 3, 100000, false, 256,
+      0, 0L)
+    // gate green: every undecodable row survives as its own singleton
+    val survivors = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 3L, 4L))
+    // ... and the skip fraction was OBSERVED for the batch (3 of 4 —
+    // the dominating case the listener WARNs on); delivery is async
+    val st = (1 to 50).iterator
+      .map { _ =>
+        Thread.sleep(20)
+        graft.ops.CapTelemetry.lastSkipStats("audio_fingerprint")
+      }
+      .collectFirst { case Some(s) => s }
+    assert(st.exists(s => s.skippedRows == 3 && s.totalRows == 4),
+      s"gate batch skips not observed: $st")
+    // strict mode: the same batch REFUSES instead of degrading
+    val fpS = tmpDir("graft_stream_skip_fp_s") + "/afp.parquet"
+    val outS = tmpDir("graft_stream_skip_out_s")
+    intercept[org.apache.spark.SparkException] {
+      StreamOps.gateAudioBatch(batch, fpS, outS, 33, 3, 100000, false,
+        256, 0, 0L, strict = true)
+    }
+  }
+
+  test("multi-anchor audio gate blocks an outro-edited re-delivery the single-anchor gate admits") {
+    import MediaFixtures._
+    val base = melody(Seq(2, 4, 9, 3, 2, 1, 1, 1, 1, 1), ampl = 6000.0)
+    val outro = melody(Seq(10, 8), ampl = 9000.0, freq = 880.0)
+    val edited = base ++ outro
+    val other = melody(Seq(1, 7, 2, 9, 4, 3, 1, 2, 1, 1), ampl = 6000.0,
+      freq = 523.25)
+    // single-anchor gate: the louder outro moves the global peak, the
+    // whole fingerprint re-anchors -> the re-delivery is ADMITTED (the
+    // documented envelope gap this dial exists to close)
+    val fpS = tmpDir("graft_sgate_fp") + "/afp.parquet"
+    val outS = tmpDir("graft_sgate_out")
+    StreamOps.gateAudioBatch(rawMediaDf(Seq(1L -> wav(base, 16, 1))),
+      fpS, outS, 16, 0, 100000, true, 128, 0, 0L)
+    StreamOps.gateAudioBatch(rawMediaDf(Seq(10L -> wav(edited, 16, 1))),
+      fpS, outS, 16, 0, 100000, true, 128, 0, 1L)
+    val sSurv = spark.read.parquet(s"$outS/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sSurv == Set(10L),
+      "the outro edit must defeat the single-anchor gate or this test is vacuous")
+    // multi-anchor gate (k = 2): the original peak survives as the
+    // edited track's second anchor -> blocked through the index
+    val fpM = tmpDir("graft_mgate_fp") + "/afp.parquet"
+    val outM = tmpDir("graft_mgate_out")
+    StreamOps.gateAudioBatch(rawMediaDf(Seq(1L -> wav(base, 16, 1))),
+      fpM, outM, 16, 0, 100000, false, 128, 0, 0L, anchors = 2)
+    StreamOps.gateAudioBatch(rawMediaDf(Seq(10L -> wav(edited, 16, 1),
+        11L -> wav(other, 16, 1))),
+      fpM, outM, 16, 0, 100000, false, 128, 0, 1L, anchors = 2)
+    val mSurv = spark.read.parquet(s"$outM/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mSurv == Set(11L),
+      s"edited re-delivery blocked, fresh track kept: $mSurv")
+    // the index stores (doc_id, anchor_rank, afp) rows, survivors only
+    val idx = spark.read.parquet(fpM)
+    assert(idx.columns.contains("anchor_rank"))
+    assert(idx.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 11L))
+    // anchored and anchors > 0 fork the hash family: picking both refuses
+    intercept[IllegalArgumentException] {
+      StreamOps.gateAudioBatch(rawMediaDf(Seq(2L -> wav(base, 16, 1))),
+        fpM, outM, 16, 0, 100000, true, 128, 0, 2L, anchors = 2)
+    }
+  }
+
   test("boilerplateCutSink: a line crossing the df threshold is cut forward-only; replay is a no-op") {
     val in = tmpDir("graft_stream_bpl_in")
     val idx = tmpDir("graft_stream_bpl_idx") + "/linedf.parquet"
