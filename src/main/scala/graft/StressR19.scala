@@ -51,12 +51,87 @@ object StressR19 {
   def main(args: Array[String]): Unit = {
     val spark = session()
     args.headOption.getOrElse(
-        sys.error("usage: StressR19 <multianchor> [reps]")) match {
+        sys.error("usage: StressR19 <multianchor|funnel> [reps]")) match {
       case "multianchor" =>
         multiAnchor(spark, args.lift(1).map(_.toInt).getOrElse(10))
-      case other => sys.error(s"unknown stress '$other' (multianchor)")
+      case "funnel" =>
+        funnelStress(spark, args.lift(1).map(_.toInt).getOrElse(10))
+      case other =>
+        sys.error(s"unknown stress '$other' (multianchor|funnel)")
     }
     spark.stop()
+  }
+
+  /** The COMPLETE nine-stage web funnel (q_web_funnel_full's shape —
+    * blocklist → url dedup → HTML extraction → boilerplate line cut →
+    * normalize → quality → dedup → classifier → sample) over `reps`×
+    * replicated sf0.1 documents, each wrapped as a per-line-block web
+    * page with mostly-unique URLs (10% null — the null-exemption path
+    * stays hot). The composition is the point: every stage is
+    * individually stress-pinned in earlier rounds; this prices the
+    * staged CHAIN (LocalLazy materializes each stage once for the nine
+    * counts) and verifies the funnel invariants distributedly —
+    * 9 ordinals, monotone counts, extraction never zero. */
+  private def funnelStress(spark: SparkSession, reps: Int): Unit = {
+    import graft.ops.{Curation, Materializer}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"))
+    // replica-salt the TEXT (not just the id): an unsalted replica
+    // makes every article line df = reps, so past maxDf the df-cut
+    // eats the articles themselves and quality zeroes out (measured at
+    // 100×: quality = 0 of 500k) — true df-cut behavior on literal
+    // copies, but it would leave the tail stages vacuous here
+    val replicated = docs
+      .withColumn("r", explode(lit((0 until reps).toArray)))
+      .select((col("doc_id") * reps + col("r")).as("doc_id"),
+        col("source"),
+        concat(col("text"), lit(" in copy "), col("r").cast("string"))
+          .as("text"))
+    val navLine =
+      "NAVIGATION the home page and the about page and the contact page"
+    val paged = replicated
+      .withColumn("text", concat(
+        lit("<html><head><title>S</title></head><body><nav>" +
+          "<a href=\"/\">Home</a></nav><p>"),
+        lit(navLine), lit("</p><p>"), col("text"), lit("</p><p>"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("this is the shared footer for group "),
+            pmod(col("doc_id"), lit(2)).cast("string")))
+          .otherwise(concat(lit("this is the unique tail of document "),
+            col("doc_id").cast("string"))),
+        lit("</p><div class=\"footer\"><a href=\"/t\">Terms</a>" +
+          "</div></body></html>")))
+      .withColumn("url",
+        when(pmod(col("doc_id"), lit(10)) === 0,
+          lit(null).cast("string"))
+          .otherwise(concat(lit("http://"), col("source"),
+            lit(".example.com/docs/"), col("doc_id").cast("string"))))
+    paged.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    report(s"docs (reps=$reps)", paged.count())
+    val weights = {
+      import spark.implicits._
+      Seq(("the", 1L), ("and", 1L), ("zzzneverseen", -100L))
+        .toDF("term", "weight")
+    }
+    val funnel = time(s"nine-stage funnel (reps=$reps)") {
+      Curation.funnel(paged, "doc_id", "text", weights,
+        mat = Materializer.LocalLazy, urlCol = "url",
+        blockedDomains = Seq("spamhub.example"), boilerplateMaxDf = 10,
+        fromHtml = true)
+        .orderBy("stage_ord").collect()
+    }
+    funnel.foreach(r => report(s"stage ${r.getLong(0)} ${r.getString(1)}",
+      r.getLong(2)))
+    require(funnel.length == 9, s"nine stages expected: ${funnel.length}")
+    val counts = funnel.map(_.getLong(2))
+    require(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      "funnel counts must be monotone non-increasing")
+    require(counts(3) > 0, "extraction must keep documents")
+    require(counts(5) > 0,
+      "quality must keep documents — the salt keeps article lines " +
+        "under the df-cut, so a zero here is a chain defect")
   }
 
   /** 16-bit mono PCM WAV around the samples (the MediaFixtures builder's

@@ -1232,27 +1232,39 @@ object MultimodalOps {
     def u16(i: Int) = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8)
     def u32(i: Int) = (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
       ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
-    var pos = 12
+    // LONG cursor: a crafted chunk size near 2^32 would wrap an Int
+    // cursor negative and index out of bounds — the census must LABEL
+    // hostile payloads, never crash on one
+    var posL = 12L
     var fmtOk = false
     var sawFmt = false
     var dataOk = false
-    while (pos + 8 <= bytes.length && !(sawFmt && dataOk)) {
+    while (posL + 8 <= bytes.length && !(sawFmt && dataOk)) {
+      val pos = posL.toInt
       val id = new String(bytes, pos, 4,
         java.nio.charset.StandardCharsets.US_ASCII)
-      val sz = u32(pos + 4).toInt
-      if (sz < 0) return false
+      val sz = u32(pos + 4)
       if (id == "fmt ") {
         sawFmt = true
         if (sz < 16 || pos + 24 > bytes.length) return false
-        val code = u16(pos + 8)
+        var code = u16(pos + 8)
         val channels = u16(pos + 10)
         val bits = u16(pos + 22)
-        fmtOk = code == 1 && channels >= 1 && (bits == 8 || bits == 16)
+        if (code == 0xFFFE) { // extensible: the SubFormat GUID decides
+          if (sz < 40 || pos + 48 > bytes.length) return false
+          val pcmGuid = Array(0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10,
+            0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+            .map(_.toByte)
+          if ((0 until 16).forall(k => bytes(pos + 32 + k) == pcmGuid(k)))
+            code = 1
+        }
+        fmtOk = code == 1 && channels >= 1 &&
+          (bits == 8 || bits == 16 || bits == 24)
       } else if (id == "data") {
-        dataOk = pos + 8 + sz <= bytes.length
+        dataOk = posL + 8 + sz <= bytes.length
         if (!dataOk) return false
       }
-      pos += 8 + sz + (sz & 1)
+      posL += 8 + sz + (sz & 1)
     }
     sawFmt && fmtOk && dataOk
   }
@@ -1267,13 +1279,20 @@ object MultimodalOps {
     def u32(i: Int) = (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
       ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
     require(isWav(bytes), "not a RIFF/WAVE payload")
-    var pos = 12
+    // LONG cursor: a crafted chunk size near 2^32 would wrap an Int
+    // cursor negative and surface as a raw index exception instead of
+    // the loud refusal below (the probe walks the same way)
+    var posL = 12L
     var fmtCode = -1; var channels = 0; var bits = 0; var rate = 0
     var dataOff = -1; var dataLen = 0
-    while (pos + 8 <= bytes.length && (fmtCode < 0 || dataOff < 0)) {
+    while (posL + 8 <= bytes.length && (fmtCode < 0 || dataOff < 0)) {
+      val pos = posL.toInt
       val id = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val sz = u32(pos + 4).toInt
-      require(sz >= 0, s"corrupt WAV: chunk '$id' declares size ${u32(pos + 4)}")
+      val szL = u32(pos + 4)
+      require(szL <= Int.MaxValue,
+        s"corrupt WAV: chunk '$id' declares size $szL — over the 2 GiB " +
+          "payload bound; refusing to fingerprint")
+      val sz = szL.toInt
       if (id == "fmt ") {
         // refuse a truncated fmt chunk HERE (the parser's own require
         // discipline) — reading past the buffer would surface as a raw
@@ -1285,13 +1304,31 @@ object MultimodalOps {
         fmtCode = u16(pos + 8); channels = u16(pos + 10)
         rate = u32(pos + 12).toInt
         bits = u16(pos + 22)
+        // WAVE_FORMAT_EXTENSIBLE (0xFFFE, r19 — how pro-audio and >2ch
+        // encoders mux plain PCM): the REAL format is the SubFormat
+        // GUID at payload offset 24; accept exactly the PCM GUID
+        // (KSDATAFORMAT_SUBTYPE_PCM) and keep refusing everything else
+        // (float PCM, ADPCM-in-extensible…) — same decode-or-refuse
+        // contract, wider real-world acceptance
+        if (fmtCode == 0xFFFE) {
+          require(sz >= 40 && pos + 48 <= bytes.length,
+            "corrupt WAV: extensible fmt chunk needs 40 bytes for the " +
+              "SubFormat GUID — truncated or malformed; refusing to " +
+              "fingerprint")
+          val pcmGuid = Array(0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10,
+            0x00, 0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+            .map(_.toByte)
+          val guidOff = pos + 32
+          if ((0 until 16).forall(k => bytes(guidOff + k) == pcmGuid(k)))
+            fmtCode = 1
+        }
       } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
-      pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      posL += 8L + sz + (sz & 1) // chunks are word-aligned
     }
     require(fmtCode == 1, s"WAV format code $fmtCode is not PCM — " +
       "compressed audio needs a real codec; refusing to fingerprint " +
       "undecoded bytes (they would never match decoded duplicates)")
-    require(channels >= 1 && (bits == 8 || bits == 16),
+    require(channels >= 1 && (bits == 8 || bits == 16 || bits == 24),
       s"unsupported PCM shape: $channels ch × $bits bit")
     require(dataOff >= 0 && dataOff + dataLen <= bytes.length,
       "WAV data chunk missing or truncated")
@@ -1304,8 +1341,14 @@ object MultimodalOps {
       var c = 0
       while (c < channels) {
         val off = dataOff + (i * channels + c) * bytesPer
+        // every depth normalizes to the SIGNED 16-BIT scale so the
+        // same waveform fingerprints identically at 8, 16, or 24 bits
+        // (an exact depth conversion is a pure shift — bit-exact here)
         val s =
           if (bits == 16) (u16(off) << 16) >> 16 // sign-extend
+          else if (bits == 24) // 3-byte LE, sign-extend 24 → scale >> 8
+            (((bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+              ((bytes(off + 2) & 0xFF) << 16)) << 8) >> 16
           else ((bytes(off) & 0xFF) - 128) << 8 // unsigned 8 → centred 16
         sum += s
         c += 1

@@ -762,4 +762,49 @@ class MediaStreamSpec extends SparkSpec {
       assert(probe == decodes, s"payload $i: probe $probe vs decode $decodes")
     }
   }
+
+  test("24-bit and WAVE_FORMAT_EXTENSIBLE PCM decode; the same waveform fingerprints identically at every depth/header") {
+    val m = melody(Seq(1, 4, 2, 8, 3, 9, 5, 7))
+    val media = mediaDf(
+      1L -> wav(m, 16, 1), // the plain 16-bit reference
+      2L -> wav(m, 24, 1), // exact 24-bit upscale (<< 8)
+      3L -> wav(m, 16, 1, extensible = true), // 0xFFFE + PCM GUID
+      4L -> wav(m, 24, 2, extensible = true)) // ext, 24-bit, stereo
+    val fps = MultimodalOps.audioFingerprint(media, windows = 16)
+      .orderBy("doc_id").collect()
+    assert(fps.length == 4)
+    assert(fps.map(_.getLong(1)).distinct.length == 1,
+      "one waveform, one fingerprint — depth and header are transport")
+    // the pro-audio re-encode collapses through audioDedup like any other
+    val kept = MultimodalOps.audioDedup(media, windows = 16,
+      maxHamming = 0).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    // a float-PCM extensible GUID REFUSES — decode-or-refuse, never
+    // fingerprint undecoded bytes
+    intercept[org.apache.spark.SparkException] {
+      MultimodalOps.audioFingerprint(mediaDf(
+        5L -> wav(m, 16, 1, extensible = true, pcmGuid = false)),
+        windows = 16).collect()
+    }
+    // the census probe tracks the widened acceptance exactly — incl. a
+    // HOSTILE chunk size near 2^32, which must refuse/label cleanly
+    // (an Int cursor would wrap negative and crash on a raw index)
+    val hostile = "RIFF".getBytes ++ Array[Byte](16, 0, 0, 0) ++
+      "WAVE".getBytes ++ "JUNK".getBytes ++
+      Array(0xF0, 0xFF, 0xFF, 0xFF).map(_.toByte) ++ new Array[Byte](8)
+    assert(!MultimodalOps.isPcmWavHeader(hostile))
+    for ((p, i) <- Seq(wav(m, 24, 1),
+        wav(m, 16, 1, extensible = true),
+        wav(m, 24, 2, extensible = true),
+        wav(m, 16, 1, extensible = true, pcmGuid = false),
+        hostile).zipWithIndex) {
+      val probe = MultimodalOps.isPcmWavHeader(p)
+      val decodes = scala.util.Try(MultimodalOps.decodeWavMono(p)).isSuccess
+      assert(probe == decodes, s"payload $i: probe $probe vs decode $decodes")
+    }
+    // ... and the deep census LABELS the hostile payload, never crashes
+    val labeled = MultimodalOps.formatCensusDeep(mediaDf(1L -> hostile))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labeled == Map("wav-compressed" -> 1L), s"got $labeled")
+  }
 }
