@@ -1337,7 +1337,9 @@ object MultimodalOps {
     val out = new Array[Int](n)
     var i = 0
     while (i < n) {
-      var sum = 0
+      // LONG accumulator: a crafted 65k-channel header would overflow
+      // an Int mix sum silently (wrong fingerprint, not a crash)
+      var sum = 0L
       var c = 0
       while (c < channels) {
         val off = dataOff + (i * channels + c) * bytesPer
@@ -1353,7 +1355,7 @@ object MultimodalOps {
         sum += s
         c += 1
       }
-      out(i) = sum / channels
+      out(i) = (sum / channels).toInt
       i += 1
     }
     (out, rate)
