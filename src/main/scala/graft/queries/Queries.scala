@@ -3393,16 +3393,25 @@ object Queries {
        |UNION ALL SELECT 9, 'sample', count(*) FROM sm""".stripMargin
 
   // -----------------------------------------------------------------
-  // q_media_census (r19): MultimodalOps.formatCensus over a synthetic
-  // mixed-format corpus — each document's text bytes behind a magic
-  // selected by doc_id % 8 (WAV/AVI/MP4/Matroska/JPEG/PNG/null/bare).
-  // The oracle replays the sniff on HEX strings (DuckDB 1.0 has no
-  // BLOB slicing): hex position 2k+1..2k+2 IS byte k+1, so the two
-  // classifications are the same function of the same bytes.
+  // q_media_census (r19; widened r20): MultimodalOps.formatCensus over
+  // a synthetic mixed-format corpus — each document's text bytes
+  // behind a magic selected by doc_id % 13 (WAV/AVI/MP4/Matroska/JPEG/
+  // PNG/null/bare, r20: corroborated GIF, uncorroborated "GIF89a…"
+  // prose, BMP with a true size field, BMP with a lying size field,
+  // AIFF). The oracle replays the sniff on HEX strings (DuckDB 1.0 has
+  // no BLOB slicing): hex position 2k+1..2k+2 IS byte k+1, so the two
+  // classifications are the same function of the same bytes — incl.
+  // the GIF trailer and BMP little-endian size corroborations.
   // -----------------------------------------------------------------
   private def censusPayload: Column = {
-    val m = pmod(col("doc_id"), lit(8))
+    val m = pmod(col("doc_id"), lit(13))
     val text = col("text").cast("binary")
+    // BMP size field: little-endian u32 of the TRUE payload length
+    // ('BM' + 4 size bytes + text) — built by byte-pair-reversing the
+    // big-endian hex of the length
+    val beHex = lpad(hex(length(text) + 6), 8, "0")
+    val leHex = concat(substring(beHex, 7, 2), substring(beHex, 5, 2),
+      substring(beHex, 3, 2), substring(beHex, 1, 2))
     when(m === 0, concat(unhex(lit("524946460000000057415645")), text))
       .when(m === 1, concat(unhex(lit("524946460000000041564920")), text))
       .when(m === 2, concat(unhex(lit("0000001866747970")), text))
@@ -3410,6 +3419,14 @@ object Queries {
       .when(m === 4, concat(unhex(lit("FFD8FF")), text))
       .when(m === 5, concat(unhex(lit("89504E47")), text))
       .when(m === 6, lit(null).cast("binary"))
+      .when(m === 8, concat(lit("GIF89a".getBytes("US-ASCII")), text,
+        unhex(lit("3B"))))
+      .when(m === 9, concat(lit("GIF89a".getBytes("US-ASCII")), text))
+      .when(m === 10, concat(lit("BM".getBytes("US-ASCII")),
+        unhex(leHex), text))
+      .when(m === 11, concat(lit("BM".getBytes("US-ASCII")),
+        unhex(lit("07000000")), text))
+      .when(m === 12, concat(unhex(lit("464F524D0000000041494646")), text))
       .otherwise(text)
   }
 
@@ -3419,7 +3436,7 @@ object Queries {
         .select(col("doc_id"), censusPayload.as("media")))
 
   private val mediaCensusSql =
-    """WITH m AS (SELECT doc_id, CASE doc_id % 8
+    """WITH m AS (SELECT doc_id, CASE doc_id % 13
       |  WHEN 0 THEN '524946460000000057415645' || hex(encode(text))
       |  WHEN 1 THEN '524946460000000041564920' || hex(encode(text))
       |  WHEN 2 THEN '0000001866747970' || hex(encode(text))
@@ -3427,6 +3444,17 @@ object Queries {
       |  WHEN 4 THEN 'FFD8FF' || hex(encode(text))
       |  WHEN 5 THEN '89504E47' || hex(encode(text))
       |  WHEN 6 THEN NULL
+      |  WHEN 8 THEN '474946383961' || hex(encode(text)) || '3B'
+      |  WHEN 9 THEN '474946383961' || hex(encode(text))
+      |  WHEN 10 THEN '424D' ||
+      |    printf('%02X%02X%02X%02X',
+      |      (octet_length(encode(text)) + 6) % 256,
+      |      ((octet_length(encode(text)) + 6) // 256) % 256,
+      |      ((octet_length(encode(text)) + 6) // 65536) % 256,
+      |      ((octet_length(encode(text)) + 6) // 16777216) % 256) ||
+      |    hex(encode(text))
+      |  WHEN 11 THEN '424D07000000' || hex(encode(text))
+      |  WHEN 12 THEN '464F524D0000000041494646' || hex(encode(text))
       |  ELSE hex(encode(text)) END AS h
       |  FROM documents WHERE text IS NOT NULL),
       |c AS (SELECT CASE
@@ -3435,10 +3463,18 @@ object Queries {
       |    AND h[17:24] = '57415645' THEN 'wav'
       |  WHEN length(h) >= 24 AND h[1:8] = '52494646'
       |    AND h[17:24] = '41564920' THEN 'avi'
-      |  WHEN length(h) >= 16 AND h[9:16] = '66747970' THEN 'mp4'
+      |  WHEN length(h) >= 24 AND h[1:8] = '464F524D'
+      |    AND (h[17:24] = '41494646' OR h[17:24] = '41494643') THEN 'aiff'
+      |  WHEN length(h) >= 24 AND h[9:16] = '66747970' THEN 'mp4'
       |  WHEN h[1:8] = '1A45DFA3' THEN 'matroska'
       |  WHEN h[1:6] = 'FFD8FF' THEN 'jpeg'
       |  WHEN h[1:8] = '89504E47' THEN 'png'
+      |  WHEN length(h) >= 16
+      |    AND (h[1:12] = '474946383761' OR h[1:12] = '474946383961')
+      |    AND h[length(h)-1:length(h)] = '3B' THEN 'gif'
+      |  WHEN length(h) >= 16 AND h[1:4] = '424D'
+      |    AND CAST('0x' || h[11:12] || h[9:10] || h[7:8] || h[5:6] AS BIGINT)
+      |      * 2 = length(h) THEN 'bmp'
       |  ELSE 'other' END AS format FROM m)
       |SELECT format, count(*)::BIGINT AS n_docs FROM c GROUP BY format""".stripMargin
 

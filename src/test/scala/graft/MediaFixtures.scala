@@ -266,6 +266,76 @@ object MediaFixtures {
     bos.toByteArray
   }
 
+  /** Animated GIF via the JDK's own sequence writer: same-sized
+    * opaque frames → full-screen descriptors at (0,0) with no
+    * transparency, i.e. exactly the self-contained shape
+    * [[graft.ops.MultimodalOps.gifSplit]] accepts. Use 2-color
+    * checker frames when exact hash equality with a PNG twin matters
+    * (a 256-color palette represents them losslessly). */
+  def gifAnim(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { img =>
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** One EBML element: raw id bytes + a 1-byte size varint + content
+    * (enough for hand-built Matroska census fixtures). */
+  def ebmlEl(idBytes: Array[Int], content: Array[Byte]): Array[Byte] = {
+    require(content.length < 127, "1-byte size varint fixture only")
+    idBytes.map(_.toByte) ++ Array((0x80 | content.length).toByte) ++ content
+  }
+
+  /** FORM/AIFF (or AIFC when `comp` is given) fixture — the big-endian
+    * mirror of [[wav]]: COMM carries channels / frame count / bits /
+    * an 80-bit extended sample rate; SSND carries interleaved
+    * big-endian signed PCM. `samples` are on the signed 16-bit scale
+    * like [[wav]]'s, so the SAME array containered both ways must
+    * fingerprint identically (the r20 acceptance-widening pin). */
+  def aiff(samples: Array[Int], bits: Int, channels: Int,
+      rate: Int = 16000, comp: String = ""): Array[Byte] = {
+    val aifc = comp.nonEmpty
+    val bytesPer = bits / 8
+    val dataLen = samples.length * bytesPer * channels
+    val commLen = if (aifc) 24 else 18 // + compressionType + empty pstring
+    val ssndLen = 8 + dataLen
+    val bos = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF) }
+    def be32(v: Int): Unit = { be16((v >> 16) & 0xFFFF); be16(v & 0xFFFF) }
+    bos.write("FORM".getBytes)
+    be32(4 + 8 + commLen + 8 + ssndLen + (ssndLen & 1))
+    bos.write((if (aifc) "AIFC" else "AIFF").getBytes)
+    bos.write("COMM".getBytes); be32(commLen)
+    be16(channels); be32(samples.length); be16(bits)
+    // 80-bit extended float: normalized mantissa, exp = 16383 + msb
+    val msb = 31 - Integer.numberOfLeadingZeros(rate)
+    be16(16383 + msb)
+    var mant = rate.toLong << (63 - msb)
+    for (k <- 7 to 0 by -1) bos.write(((mant >>> (8 * k)) & 0xFF).toInt)
+    if (aifc) { bos.write(comp.getBytes); bos.write(0); bos.write(0) }
+    bos.write("SSND".getBytes); be32(ssndLen); be32(0); be32(0)
+    for (s <- samples; _ <- 0 until channels) {
+      if (bits == 16) be16(s & 0xFFFF)
+      else if (bits == 24) {
+        val v = s << 8
+        bos.write((v >> 16) & 0xFF); bos.write((v >> 8) & 0xFF)
+        bos.write(v & 0xFF)
+      }
+      else bos.write((s >> 8) & 0xFF) // SIGNED 8-bit (AIFF, unlike WAV)
+    }
+    if ((ssndLen & 1) == 1) bos.write(0)
+    bos.toByteArray
+  }
+
   /** Sine with a per-segment amplitude envelope: a strong, unambiguous
     * energy contour (segment s at amplitude env(s)·A). Distinct
     * `freq`s give genuinely distinct material — same-pitch fixtures are

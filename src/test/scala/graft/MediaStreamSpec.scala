@@ -807,4 +807,199 @@ class MediaStreamSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(labeled == Map("wav-compressed" -> 1L), s"got $labeled")
   }
+
+  test("AIFF PCM decodes; a WAV<->AIFF re-container collapses through audioDedup; AIFC compressed refuses") {
+    val m = melody(Seq(1, 4, 2, 8, 3, 9, 5, 7))
+    val media = mediaDf(
+      1L -> wav(m, 16, 1), // the 16-bit WAV reference
+      2L -> aiff(m, 16, 1), // same samples, big-endian container
+      3L -> aiff(m, 24, 2), // depth and channel count are transport
+      4L -> wav(m, 8, 1), // the 8-bit pair: WAV's unsigned vs
+      5L -> aiff(m, 8, 1)) //   AIFF's signed 8 quantize IDENTICALLY
+    val fps = MultimodalOps.audioFingerprint(media, windows = 16)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fps.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(fps(1)._2 == fps(0)._2 && fps(2)._2 == fps(0)._2,
+      "one waveform, one fingerprint — the container is transport")
+    assert(fps(4)._2 == fps(3)._2,
+      "8-bit WAV and 8-bit AIFF round-trip to the same samples")
+    // the re-container collapses through audioDedup like a re-encode
+    val kept = MultimodalOps.audioDedup(media, windows = 16,
+      maxHamming = 3).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"got $kept")
+    // AIFC with a real compression type REFUSES — decode-or-refuse
+    intercept[org.apache.spark.SparkException] {
+      MultimodalOps.audioFingerprint(
+        mediaDf(6L -> aiff(m, 16, 1, comp = "sowt")), windows = 16)
+        .collect()
+    }
+    // probe == decoder acceptance on every branch (truncated: FORM +
+    // full COMM but no SSND — labeled, never crashed)
+    val truncated = aiff(m, 16, 1).take(40)
+    for ((p, i) <- Seq(aiff(m, 16, 1), aiff(m, 24, 2), aiff(m, 8, 1),
+        aiff(m, 16, 1, comp = "sowt"), aiff(m, 16, 1, comp = "NONE"),
+        truncated).zipWithIndex) {
+      val probe = MultimodalOps.isPcmAiffHeader(p)
+      val decodes =
+        scala.util.Try(MultimodalOps.decodeAiffMonoRate(p)).isSuccess
+      assert(probe == decodes, s"payload $i: probe $probe vs decode $decodes")
+    }
+    // the deep census classes are the probe's answer, by construction
+    val labeled = MultimodalOps.formatCensusDeep(mediaDf(
+      1L -> aiff(m, 16, 1), 2L -> aiff(m, 16, 1, comp = "sowt"),
+      3L -> truncated))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labeled == Map("aiff-pcm" -> 1L, "aiff-compressed" -> 2L),
+      s"got $labeled")
+  }
+
+  // ---- r20: animated-GIF structural split + Matroska census depth ----
+
+  // hand-built GIF walk fixtures: the walk never decodes LZW data, so
+  // garbage pixel sub-blocks exercise it exactly like real ones
+  private def gifLe16(v: Int) =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def gifGce(transparent: Boolean) = Array(0x21, 0xF9, 0x04,
+    if (transparent) 0x01 else 0x00, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+  private def gifDesc(l: Int, t: Int, w: Int, h: Int) =
+    Array(0x2C.toByte) ++ gifLe16(l) ++ gifLe16(t) ++ gifLe16(w) ++
+      gifLe16(h) ++ Array(0x00.toByte)
+  private val gifPix =
+    Array(0x02, 0x02, 0xAA, 0xBB, 0x00).map(_.toByte) // lzwMin + subblock
+  private val gifHdr = "GIF89a".getBytes ++ gifLe16(4) ++ gifLe16(3) ++
+    Array(0x00, 0x00, 0x00).map(_.toByte) // 4x3 screen, no GCT
+  private val gifFull = gifDesc(0, 0, 4, 3) ++ gifPix
+
+  test("a two-frame GIF splits structurally; a PNG-clip re-encode of the same frames collapses through videoDedup") {
+    val f1 = checkerImage(64, 48, 16)
+    val f2 = checkerImage(64, 48, 16, 1)
+    val g = gifAnim(Seq(f1, f2))
+    // frames come out as standalone single-frame GIFs that REALLY decode
+    val frames = MultimodalOps.splitKeyframes(mediaDf(1L -> g))
+      .orderBy("frame_idx").collect()
+    assert(frames.length == 2, s"got ${frames.length} frames")
+    frames.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("media")))
+      assert(img != null && img.getWidth == 64 && img.getHeight == 48)
+    }
+    // the cross-container re-encode exact dedup can never catch: the
+    // SAME frames as a concatenated-PNG clip (2-color frames — the GIF
+    // palette is lossless, so the decoded luma is bit-identical)
+    val twin = clip(Seq(png(f1), png(f2)))
+    val fresh = clip(Seq(png(checkerImage(64, 48, 32)),
+      png(checkerImage(64, 48, 32, 1))))
+    val kept = MultimodalOps.videoDedup(
+      mediaDf(1L -> g, 2L -> twin, 3L -> fresh))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"got $kept")
+  }
+
+  test("GIF delta/transparent/truncated payloads refuse; GIF89a prose stays a counted zero-frame skip") {
+    graft.ops.CapTelemetry.clear()
+    val anim = gifHdr ++ gifGce(false) ++ gifFull ++ gifGce(false) ++
+      gifFull ++ Array(0x3B.toByte)
+    MultimodalOps.gifSplit(anim) match {
+      case MultimodalOps.GifFrames(he, fs) =>
+        assert(he == 13 && fs.length == 2)
+      case r => fail(s"expected 2 frames, got $r")
+    }
+    // an optimized (delta) second frame covers part of the screen
+    val delta = gifHdr ++ gifGce(false) ++ gifFull ++ gifGce(false) ++
+      (gifDesc(1, 0, 2, 3) ++ gifPix) ++ Array(0x3B.toByte)
+    // a transparent second frame shows through to the previous canvas
+    val trans = gifHdr ++ gifGce(false) ++ gifFull ++ gifGce(true) ++
+      gifFull ++ Array(0x3B.toByte)
+    assert(MultimodalOps.gifSplit(delta)
+      .isInstanceOf[MultimodalOps.GifRefuse])
+    assert(MultimodalOps.gifSplit(trans)
+      .isInstanceOf[MultimodalOps.GifRefuse])
+    // ... and through the splitter both REFUSE loudly (never a
+    // wrong-content or zero-frame pass)
+    for (bad <- Seq(delta, trans)) {
+      val e = intercept[org.apache.spark.SparkException] {
+        MultimodalOps.splitKeyframes(mediaDf(9L -> bad)).collect()
+      }
+      assert(e.getMessage.contains("render to full frames upstream") ||
+        e.getCause.getMessage.contains("render to full frames upstream"))
+    }
+    // a walk running off the payload refuses too (corroborated GIF,
+    // block structure truncated): trailer present, sub-block lies
+    val lying = gifHdr ++ gifGce(false) ++ gifDesc(0, 0, 4, 3) ++
+      Array(0x02, 0x7F).map(_.toByte) ++ Array(0x3B.toByte)
+    assert(MultimodalOps.gifSplit(lying)
+      .isInstanceOf[MultimodalOps.GifRefuse])
+    // GIF89a PROSE (no trailer): not corroborated — zero frames,
+    // COUNTED as a skip, never routed to the GIF walk
+    val prose = ("GIF89a is an image format from 1989, " +
+      "not a document about one.").getBytes("UTF-8")
+    assert(MultimodalOps.splitKeyframes(mediaDf(1L -> prose)).count() == 0)
+    val st = (1 to 50).iterator
+      .map { _ =>
+        Thread.sleep(20)
+        graft.ops.CapTelemetry.lastSkipStats("split_keyframes")
+      }
+      .collectFirst { case Some(s) => s }
+    assert(st.exists(s => s.skippedRows == 1 && s.totalRows == 1),
+      s"prose skip not observed: $st")
+  }
+
+  test("deep census: gif-anim / gif-still / gif-refused and mkv-<codec> classes; truncated EBML labels matroska") {
+    val anim = gifAnim(Seq(checkerImage(16, 12, 4), checkerImage(16, 12, 4, 1)))
+    val still = gifAnim(Seq(checkerImage(16, 12, 4)))
+    val delta = gifHdr ++ gifGce(false) ++ gifFull ++ gifGce(false) ++
+      (gifDesc(1, 0, 2, 3) ++ gifPix) ++ Array(0x3B.toByte)
+    // hand-built Matroska: EBML header + Segment > Tracks > TrackEntry
+    // (video, V_MPEG4/ISO/AVC); a second file with an AUDIO track first
+    // must still report the VIDEO track's codec
+    val ebmlHdr = ebmlEl(Array(0x1A, 0x45, 0xDF, 0xA3), Array.empty)
+    def trackEntry(kind: Int, codec: String) = ebmlEl(Array(0xAE),
+      ebmlEl(Array(0x83), Array(kind.toByte)) ++
+        ebmlEl(Array(0x86), codec.getBytes("US-ASCII")))
+    def mkvOf(entries: Array[Byte]) = ebmlHdr ++
+      ebmlEl(Array(0x18, 0x53, 0x80, 0x67),
+        ebmlEl(Array(0x16, 0x54, 0xAE, 0x6B), entries))
+    val mkvAvc = mkvOf(trackEntry(1, "V_MPEG4/ISO/AVC"))
+    val mkvAudioFirst = mkvOf(trackEntry(2, "A_OPUS") ++
+      trackEntry(1, "V_VP9"))
+    val labeled = MultimodalOps.formatCensusDeep(mediaDf(
+      1L -> anim, 2L -> still, 3L -> delta, 4L -> mkvAvc,
+      5L -> mkvAudioFirst, 6L -> mkvAvc.dropRight(8)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labeled == Map("gif-anim" -> 1L, "gif-still" -> 1L,
+      "gif-refused" -> 1L, "mkv-v_mpeg4/iso/avc" -> 1L,
+      "mkv-v_vp9" -> 1L, "matroska" -> 1L), s"got $labeled")
+    // the magic census (oracle-replayed tri-SF) counts the same GIFs
+    // under its corroborated 'gif' class
+    val magic = MultimodalOps.formatCensus(mediaDf(1L -> anim, 2L -> still))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(magic == Map("gif" -> 2L), s"got $magic")
+  }
+
+  test("NEGATIVE doc_ids route correctly through the packed frame/anchor keys (floor-div unpack)") {
+    // ADVICE r19: the truncating-div unpack misrouted xxhash64-style
+    // negative ids (anchors of track -5 unpacked as -4/-5); the
+    // (x - pmod) div floor form pins them exact on both families
+    val f = Seq(png(checkerImage(32, 24, 8)), png(checkerImage(32, 24, 8, 1)))
+    val clips = mediaDf(-5L -> clip(f), -6L -> clip(f.reverse))
+    val fh = MultimodalOps.videoFrameHashes(clips).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(fh.map(_._1).toSet == Set(-5L, -6L), s"got ${fh.toSeq}")
+    assert(fh.map(_._2).toSet == Set(0L, 1L))
+    // the re-ordered twin pairs across the negative ids (2/2 frames
+    // match under smaller-side coverage)
+    val pairs = MultimodalOps.videoNearDupPairs(clips)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((-6L, -5L)), s"got $pairs")
+    // audio multi-anchor: a planted duplicate with negative ids pairs
+    val m = melody(Seq(2, 4, 9, 3, 2, 1, 1, 1))
+    val tracks = mediaDf(-7L -> wav(m, 16, 1),
+      -8L -> wav(m.map(_ / 2), 16, 1)) // half volume: envelope-invariant
+    val apairs = MultimodalOps.audioNearDupPairsMulti(tracks,
+      windows = 16, frameLen = 128, anchors = 2, maxHamming = 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(apairs == Set((-8L, -7L)), s"got $apairs")
+  }
 }
