@@ -1555,14 +1555,137 @@ object MultimodalOps {
       (substring(c, 9, 4) === lit("AIFF".getBytes("US-ASCII")) ||
         substring(c, 9, 4) === lit("AIFC".getBytes("US-ASCII")))
 
+  /** True when the payload sniffs as a Sun/NeXT AU (".snd") container
+    * (r20 — the telephony sibling: µ-law/A-law companding expands by an
+    * EXACT integer formula, so AU decodes structurally like WAV/AIFF,
+    * zero new dependencies). */
+  private[graft] def isAu(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 24 &&
+      bytes(0) == '.'.toByte && bytes(1) == 's'.toByte &&
+      bytes(2) == 'n'.toByte && bytes(3) == 'd'.toByte
+
+  /** [[isAu]] as a plan-side predicate. */
+  private[graft] def isAuCol(c: Column): Column =
+    c.isNotNull && length(c) >= 24 &&
+      substring(c, 1, 4) === lit(".snd".getBytes("US-ASCII"))
+
   /** The union sniff the audio ops dispatch on: structurally decodable
-    * lossless PCM containers = RIFF/WAVE or FORM/AIFF. */
+    * PCM containers = RIFF/WAVE, FORM/AIFF, or Sun AU. */
   private[graft] def isAudio(bytes: Array[Byte]): Boolean =
-    isWav(bytes) || isAiff(bytes)
+    isWav(bytes) || isAiff(bytes) || isAu(bytes)
 
   /** [[isAudio]] as a plan-side predicate. */
   private[graft] def isAudioCol(c: Column): Column =
-    isWavCol(c) || isAiffCol(c)
+    isWavCol(c) || isAiffCol(c) || isAuCol(c)
+
+  /** µ-law byte → linear 16-bit sample (ITU-T G.711, the exact integer
+    * expansion — bit-identical to every conforming decoder). */
+  private[graft] def mulawToLinear(b: Byte): Int = {
+    val u = (~b) & 0xFF
+    val sign = (u & 0x80) != 0
+    val exp = (u >> 4) & 7
+    val mant = u & 0xF
+    val mag = (((mant << 3) + 0x84) << exp) - 0x84
+    if (sign) -mag else mag
+  }
+
+  /** A-law byte → linear 16-bit sample (ITU-T G.711, exact; after the
+    * 0x55 even-bit toggle, bit 7 SET means positive). */
+  private[graft] def alawToLinear(b: Byte): Int = {
+    val a = (b ^ 0x55) & 0xFF
+    val exp = (a >> 4) & 7
+    val mant = a & 0xF
+    val mag =
+      if (exp == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** Header-only probe of [[decodeAuMonoRate]]'s acceptance (the
+    * [[isPcmWavHeader]] shape): encodings 1 (µ-law), 2/3/4 (linear
+    * 8/16/24 BE), 27 (A-law); in-bounds header fields. */
+  private[graft] def isPcmAuHeader(bytes: Array[Byte]): Boolean = {
+    if (!isAu(bytes)) return false
+    def u32(i: Int) = ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+      ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+    val off = u32(4)
+    val enc = u32(12)
+    val channels = u32(20)
+    off >= 24 && off <= bytes.length && channels >= 1 &&
+      (enc == 1L || enc == 2L || enc == 3L || enc == 4L || enc == 27L)
+  }
+
+  /** REAL Sun AU decode — 24-byte big-endian header (magic, data
+    * offset, data size, encoding, rate, channels) over raw samples:
+    * µ-law (1) and A-law (27) expand by the exact G.711 integer
+    * formulas; linear 8/16/24 (2/3/4, signed big-endian) normalize by
+    * exact shifts like the AIFF path. Anything else (float, ADPCM,
+    * G.72x) REFUSES loudly — the decode-or-refuse contract. The
+    * declared data size is clamped to the payload (0xFFFFFFFF =
+    * "unknown" is the format's streamed convention). Companded
+    * (µ-law/A-law) samples are already on a 14/13-bit magnitude scale;
+    * they stay as the expansion formula yields them — the energy
+    * contour compares WITHIN one track, so the comparison family is
+    * consistent, and a µ-law re-encode of a PCM original pairs within
+    * the hamming budget rather than bit-exactly (companding is lossy;
+    * spec-pinned both ways). */
+  private[graft] def decodeAuMonoRate(bytes: Array[Byte]): (Array[Int], Int) = {
+    require(isAu(bytes), "not a Sun AU payload")
+    def u32(i: Int) = ((bytes(i) & 0xFFL) << 24) | ((bytes(i + 1) & 0xFFL) << 16) |
+      ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
+    val off = u32(4)
+    val declared = u32(8)
+    val enc = u32(12)
+    val rate = u32(16)
+    val channelsL = u32(20)
+    require(off >= 24 && off <= bytes.length,
+      s"corrupt AU: data offset $off outside the payload; refusing to " +
+        "fingerprint")
+    require(channelsL >= 1 && channelsL <= 0xFFFF,
+      s"corrupt AU: $channelsL channels; refusing to fingerprint")
+    require(rate >= 0 && rate <= Int.MaxValue,
+      s"corrupt AU: sample rate $rate; refusing to fingerprint")
+    val channels = channelsL.toInt
+    val bytesPer = enc match {
+      case 1L | 2L | 27L => 1
+      case 3L => 2
+      case 4L => 3
+      case other => throw new IllegalArgumentException(
+        s"AU encoding $other is not µ-law/A-law/linear PCM — compressed " +
+          "audio (G.72x/ADPCM/float) needs a real codec; refusing to " +
+          "fingerprint undecoded bytes (they would never match decoded " +
+          "duplicates)")
+    }
+    val avail = bytes.length - off
+    val dataLen =
+      if (declared == 0xFFFFFFFFL) avail // the format's "unknown" marker
+      else math.min(declared, avail)
+    val n = (dataLen / (bytesPer * channels)).toInt
+    val out = new Array[Int](n)
+    val d0 = off.toInt
+    var i = 0
+    while (i < n) {
+      var sum = 0L // Long accumulator — the decodeWavMonoRate discipline
+      var c = 0
+      while (c < channels) {
+        val p = d0 + (i * channels + c) * bytesPer
+        val s = enc match {
+          case 1L => mulawToLinear(bytes(p))
+          case 27L => alawToLinear(bytes(p))
+          case 2L => bytes(p).toInt << 8 // signed linear-8 → 16 scale
+          case 3L => (bytes(p) << 8) | (bytes(p + 1) & 0xFF) // BE 16
+          case _ => // 4L: BE 24 → exact >> 8 to the 16-bit scale
+            ((bytes(p) << 16) | ((bytes(p + 1) & 0xFF) << 8) |
+              (bytes(p + 2) & 0xFF)) >> 8
+        }
+        sum += s
+        c += 1
+      }
+      out(i) = (sum / channels).toInt
+      i += 1
+    }
+    (out, rate.toInt)
+  }
 
   /** Parse an 80-bit IEEE 754 extended float (the COMM chunk's sample
     * rate field) to an integer Hz — exact for every real-world rate
@@ -1722,15 +1845,19 @@ object MultimodalOps {
     (out, rate)
   }
 
-  /** Decode-or-refuse dispatch over the lossless PCM containers this
-    * build accepts (RIFF/WAVE little-endian, FORM/AIFF big-endian) —
-    * the single seam the audio fingerprints call, so widening
-    * acceptance never forks per-operator behavior. Both decoders
-    * normalize to the same signed-16-bit mono scale with exact integer
-    * arithmetic: a WAV↔AIFF re-container of the same samples
-    * fingerprints identically (spec-pinned). */
+  /** Decode-or-refuse dispatch over the PCM containers this build
+    * accepts (RIFF/WAVE little-endian, FORM/AIFF big-endian, Sun AU
+    * incl. G.711 µ-law/A-law) — the single seam the audio fingerprints
+    * call, so widening acceptance never forks per-operator behavior.
+    * All decoders normalize to the same signed-16-bit mono scale with
+    * exact integer arithmetic: a WAV↔AIFF↔AU-linear re-container of
+    * the same samples fingerprints identically, and a µ-law/A-law
+    * re-encode pairs within the hamming budget (companding is lossy) —
+    * both spec-pinned. */
   private[graft] def decodeAudioMonoRate(bytes: Array[Byte]): (Array[Int], Int) =
-    if (isWav(bytes)) decodeWavMonoRate(bytes) else decodeAiffMonoRate(bytes)
+    if (isWav(bytes)) decodeWavMonoRate(bytes)
+    else if (isAiff(bytes)) decodeAiffMonoRate(bytes)
+    else decodeAuMonoRate(bytes)
 
   /** [[decodeAudioMonoRate]] without the rate (the [[decodeWavMono]]
     * shape). */
@@ -2186,7 +2313,12 @@ object MultimodalOps {
     * 100 TB (a fixed-prefix read per payload — Parquet never
     * materializes more than the scan needs — one answer-sized
     * aggregate, no shuffle of payloads). Classes: `wav`, `aiff`
-    * (FORM/AIFF or AIFC — r20), `avi`, `mp4` (ISO-BMFF `ftyp`, length
+    * (FORM/AIFF or AIFC — r20), `au` (Sun ".snd" — r20), `avi`,
+    * `webp` (RIFF/WEBP — r20: the dominant modern web image would
+    * otherwise hide in `other`), `avif` / `heic` (ISO-BMFF `ftyp`
+    * with an image brand — r20: they are IMAGES needing AV1/HEVC
+    * decoders, and the bare `mp4` class would route them at the wrong
+    * operator), `mp4` (other ISO-BMFF `ftyp`, length
     * ≥ 12 to match [[isMp4]] byte-for-byte — r20, ADVICE: an 8–11-byte
     * ftyp stub classed `mp4` here but `other` in the deep census),
     * `matroska` (EBML — WebM/MKV), `jpeg`, `png`, `gif` / `bmp` (r20 —
@@ -2213,8 +2345,14 @@ object MultimodalOps {
       when(c.isNull || length(c) < 4, "empty")
         .when(length(c) >= 12 && tag(0, "RIFF") && tag(8, "WAVE"), "wav")
         .when(length(c) >= 12 && tag(0, "RIFF") && tag(8, "AVI "), "avi")
+        .when(length(c) >= 12 && tag(0, "RIFF") && tag(8, "WEBP"), "webp")
         .when(length(c) >= 12 && tag(0, "FORM") &&
           (tag(8, "AIFF") || tag(8, "AIFC")), "aiff")
+        .when(length(c) >= 24 && tag(0, ".snd"), "au")
+        .when(length(c) >= 12 && tag(4, "ftyp") &&
+          (tag(8, "avif") || tag(8, "avis")), "avif")
+        .when(length(c) >= 12 && tag(4, "ftyp") &&
+          (tag(8, "heic") || tag(8, "heix") || tag(8, "mif1")), "heic")
         .when(length(c) >= 12 && tag(4, "ftyp"), "mp4")
         .when(substring(c, 1, 4) ===
           lit(Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte)), "matroska")
@@ -2330,7 +2468,12 @@ object MultimodalOps {
     * refusal. Classes refine the magic census: `wav-pcm` /
     * `wav-compressed` (fmt chunk's format code), `aiff-pcm` /
     * `aiff-compressed` (r20 — [[isPcmAiffHeader]], pinned equal to
-    * [[decodeAiffMonoRate]]'s acceptance), `mp4-still` /
+    * [[decodeAiffMonoRate]]'s acceptance), `au-pcm` / `au-compressed`
+    * (r20 — [[isPcmAuHeader]] likewise: µ-law/A-law/linear decode,
+    * G.72x/float refuse), `webp` / `avif` / `heic` (r20 — images this
+    * build cannot decode, named so the routing report sends them to a
+    * real decoder instead of lumping them into `other`/`mp4`),
+    * `mp4-still` /
     * `mp4-interframe` (the [[mp4KeyframesEx]] walk: still-codec track
     * with in-bound non-empty sync set vs everything else),
     * `avi-mjpeg` / `avi-other` (the [[aviKeyframes]] stream scan),
@@ -2361,10 +2504,28 @@ object MultimodalOps {
           else if (isAiff(bytes)) {
             if (isPcmAiffHeader(bytes)) "aiff-pcm" else "aiff-compressed"
           }
+          else if (isAu(bytes)) {
+            if (isPcmAuHeader(bytes)) "au-pcm" else "au-compressed"
+          }
+          else if (bytes.length >= 12 &&
+            bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+            bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte &&
+            bytes(8) == 'W'.toByte && bytes(9) == 'E'.toByte &&
+            bytes(10) == 'B'.toByte && bytes(11) == 'P'.toByte) "webp"
           else if (frameMagicAt(bytes, 0)) "frames"
-          else if (isMp4(bytes)) mp4KeyframesEx(bytes) match {
-            case Mp4Frames(_) => "mp4-still"
-            case _ => "mp4-interframe"
+          else if (isMp4(bytes)) {
+            // ISO-BMFF image brands (r20): AVIF/HEIC are IMAGES whose
+            // payload needs an AV1/HEVC decoder — 'mp4-interframe'
+            // would route them at the wrong operator
+            val brand = new String(bytes, 8, 4,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            if (brand == "avif" || brand == "avis") "avif"
+            else if (brand == "heic" || brand == "heix" || brand == "mif1")
+              "heic"
+            else mp4KeyframesEx(bytes) match {
+              case Mp4Frames(_) => "mp4-still"
+              case _ => "mp4-interframe"
+            }
           }
           else if (isGifStructural(bytes)) gifSplit(bytes) match {
             // r20: splittability answered by the splitter's OWN walk —

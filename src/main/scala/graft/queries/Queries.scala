@@ -3404,7 +3404,7 @@ object Queries {
   // the GIF trailer and BMP little-endian size corroborations.
   // -----------------------------------------------------------------
   private def censusPayload: Column = {
-    val m = pmod(col("doc_id"), lit(13))
+    val m = pmod(col("doc_id"), lit(17))
     val text = col("text").cast("binary")
     // BMP size field: little-endian u32 of the TRUE payload length
     // ('BM' + 4 size bytes + text) — built by byte-pair-reversing the
@@ -3427,6 +3427,12 @@ object Queries {
       .when(m === 11, concat(lit("BM".getBytes("US-ASCII")),
         unhex(lit("07000000")), text))
       .when(m === 12, concat(unhex(lit("464F524D0000000041494646")), text))
+      // AU: ".snd", offset 24, size unknown, enc 1 (µ-law), 16 kHz, mono
+      .when(m === 13, concat(unhex(lit(
+        "2E736E6400000018FFFFFFFF0000000100003E8000000001")), text))
+      .when(m === 14, concat(unhex(lit("524946460000000057454250")), text))
+      .when(m === 15, concat(unhex(lit("000000186674797061766966")), text))
+      .when(m === 16, concat(unhex(lit("000000186674797068656963")), text))
       .otherwise(text)
   }
 
@@ -3436,7 +3442,7 @@ object Queries {
         .select(col("doc_id"), censusPayload.as("media")))
 
   private val mediaCensusSql =
-    """WITH m AS (SELECT doc_id, CASE doc_id % 13
+    """WITH m AS (SELECT doc_id, CASE doc_id % 17
       |  WHEN 0 THEN '524946460000000057415645' || hex(encode(text))
       |  WHEN 1 THEN '524946460000000041564920' || hex(encode(text))
       |  WHEN 2 THEN '0000001866747970' || hex(encode(text))
@@ -3455,6 +3461,11 @@ object Queries {
       |    hex(encode(text))
       |  WHEN 11 THEN '424D07000000' || hex(encode(text))
       |  WHEN 12 THEN '464F524D0000000041494646' || hex(encode(text))
+      |  WHEN 13 THEN '2E736E6400000018FFFFFFFF0000000100003E8000000001'
+      |    || hex(encode(text))
+      |  WHEN 14 THEN '524946460000000057454250' || hex(encode(text))
+      |  WHEN 15 THEN '000000186674797061766966' || hex(encode(text))
+      |  WHEN 16 THEN '000000186674797068656963' || hex(encode(text))
       |  ELSE hex(encode(text)) END AS h
       |  FROM documents WHERE text IS NOT NULL),
       |c AS (SELECT CASE
@@ -3463,8 +3474,16 @@ object Queries {
       |    AND h[17:24] = '57415645' THEN 'wav'
       |  WHEN length(h) >= 24 AND h[1:8] = '52494646'
       |    AND h[17:24] = '41564920' THEN 'avi'
+      |  WHEN length(h) >= 24 AND h[1:8] = '52494646'
+      |    AND h[17:24] = '57454250' THEN 'webp'
       |  WHEN length(h) >= 24 AND h[1:8] = '464F524D'
       |    AND (h[17:24] = '41494646' OR h[17:24] = '41494643') THEN 'aiff'
+      |  WHEN length(h) >= 48 AND h[1:8] = '2E736E64' THEN 'au'
+      |  WHEN length(h) >= 24 AND h[9:16] = '66747970'
+      |    AND (h[17:24] = '61766966' OR h[17:24] = '61766973') THEN 'avif'
+      |  WHEN length(h) >= 24 AND h[9:16] = '66747970'
+      |    AND (h[17:24] = '68656963' OR h[17:24] = '68656978'
+      |      OR h[17:24] = '6D696631') THEN 'heic'
       |  WHEN length(h) >= 24 AND h[9:16] = '66747970' THEN 'mp4'
       |  WHEN h[1:8] = '1A45DFA3' THEN 'matroska'
       |  WHEN h[1:6] = 'FFD8FF' THEN 'jpeg'

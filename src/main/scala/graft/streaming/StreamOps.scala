@@ -149,8 +149,13 @@ object StreamOps {
       java.nio.file.Files.readString(f.toPath).trim.toLong).toOption
   }
 
-  /** Family + dial stamp for the MEDIA gates' standing indexes (audio
-    * fp, video frame-hash, image phash) — the
+  /** Family + dial stamp for the standing tables the fold sinks
+    * maintain — the media gates' fingerprint indexes (audio fp, video
+    * frame-hash, image phash) and, since the same r20 pass, the
+    * mergeable-summary folds (HLL lgK, CMS depth/log2w, KLL k — a
+    * drifted CMS restart would union cells from DIFFERENT hash spaces
+    * and read garbage forever; a drifted lgK would silently union at
+    * the smaller precision) — the
     * [[graft.ops.SimilarityOps.rpSignatures]] RpMeta pattern applied to
     * the fingerprint families VERDICT r19 found unstamped: the three
     * audio families (plain / anchored / multi-anchor) and the
@@ -233,10 +238,16 @@ object StreamOps {
   private[graft] def foldSketchBatch(batch: DataFrame, sketchPath: String,
       keyCol: String, groupCols: Seq[String], lgK: Int, batchId: Long): Unit =
     foldStaged(batch.sparkSession, sketchPath, batchId) { stored =>
+      // r20: a drifted lgK would union at the SMALLER precision
+      // silently (hll_union's allowDifferentLgConfigK) — the same
+      // dial-drift class the media GateStamp refuses; stamp + check
+      stored.foreach(GateStamp.check(_, "sketch", sketchPath,
+        "hll-distinct", Seq("lgK" -> lgK.toLong)))
       val delta = graft.ops.SketchOps.distinctSketches(batch, keyCol, lgK, groupCols)
-      stored
+      GateStamp.stamp(stored
         .map(s => graft.ops.SketchOps.updateSketchIndex(s, delta, groupCols))
-        .getOrElse(delta)
+        .getOrElse(delta),
+        "sketch", "hll-distinct", Seq("lgK" -> lgK.toLong))
     }
 
   /** Fold per-micro-batch count-min cell tables into a stored CMS —
@@ -262,10 +273,18 @@ object StreamOps {
   private[graft] def foldCmsBatch(batch: DataFrame, cmsPath: String,
       textCol: String, depth: Int, log2w: Int, batchId: Long): Unit =
     foldStaged(batch.sparkSession, cmsPath, batchId) { stored =>
+      // r20: cmsMerge's SAME-(depth, log2w) contract was documented but
+      // unenforced — a drifted restart would union cells from DIFFERENT
+      // hash spaces and every later estimate reads garbage with no
+      // warning, the worst member of the dial-drift class; stamp+check
+      stored.foreach(GateStamp.check(_, "cell", cmsPath, "cms-freq",
+        Seq("depth" -> depth.toLong, "log2w" -> log2w.toLong)))
       val delta = graft.ops.SketchOps.cmsCells(batch, textCol, depth, log2w)
-      stored
+      GateStamp.stamp(stored
         .map(s => graft.ops.SketchOps.cmsMerge(Seq(s, delta)))
-        .getOrElse(delta)
+        .getOrElse(delta),
+        "cell", "cms-freq",
+        Seq("depth" -> depth.toLong, "log2w" -> log2w.toLong))
     }
 
   /** Fold per-micro-batch QUANTILE-SKETCH parts into a stored sketch —
@@ -299,10 +318,17 @@ object StreamOps {
   private[graft] def foldQuantileBatch(batch: DataFrame, sketchPath: String,
       valueCol: String, k: Int, batchId: Long): Unit =
     foldStaged(batch.sparkSession, sketchPath, batchId) { stored =>
+      // r20: a drifted k re-compacts valid (level, value) parts at a
+      // different capacity — semantically sound but it silently changes
+      // the error envelope mid-stream; stamped for uniformity with the
+      // HLL/CMS folds (refuse, name the dial, rebuild deliberately)
+      stored.foreach(GateStamp.check(_, "value", sketchPath,
+        "kll-quantile", Seq("k" -> k.toLong)))
       val delta = graft.ops.ProfileOps.quantileSketchParts(batch, valueCol, k)
-      stored
+      GateStamp.stamp(stored
         .map(s => graft.ops.ProfileOps.sketchFromParts(s.unionByName(delta), k))
-        .getOrElse(delta)
+        .getOrElse(delta),
+        "value", "kll-quantile", Seq("k" -> k.toLong))
     }
 
   /** Streaming NEAR-dup ingest gate — the incremental-dedup path

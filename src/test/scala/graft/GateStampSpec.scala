@@ -111,6 +111,40 @@ class GateStampSpec extends SparkSpec {
     }
   }
 
+  test("sketch folds: HLL lgK / CMS depth,log2w / KLL k drift each refuse; same dials fold on") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // HLL: a drifted lgK would union at the SMALLER precision silently
+    val hll = tmpDir("graft_stamp_hll") + "/sketch.parquet"
+    StreamOps.foldSketchBatch(docs, hll, "doc_id", Nil, 12, 0L)
+    val e1 = intercept[IllegalArgumentException] {
+      StreamOps.foldSketchBatch(docs, hll, "doc_id", Nil, 8, 1L)
+    }
+    assert(e1.getMessage.contains("lgK=12") &&
+      e1.getMessage.contains("lgK=8"), e1.getMessage)
+    StreamOps.foldSketchBatch(docs, hll, "doc_id", Nil, 12, 1L) // same: ok
+    // CMS: a drifted log2w unions cells from DIFFERENT hash spaces —
+    // every later estimate would read garbage with no warning
+    val cms = tmpDir("graft_stamp_cms") + "/cells.parquet"
+    StreamOps.foldCmsBatch(docs, cms, "text", 4, 14, 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamOps.foldCmsBatch(docs, cms, "text", 4, 12, 1L)
+    }
+    assert(e2.getMessage.contains("log2w=14") &&
+      e2.getMessage.contains("log2w=12"), e2.getMessage)
+    StreamOps.foldCmsBatch(docs, cms, "text", 4, 14, 1L)
+    // KLL: a drifted k silently changes the error envelope mid-stream
+    val kll = tmpDir("graft_stamp_kll") + "/parts.parquet"
+    val vals = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    StreamOps.foldQuantileBatch(vals, kll, "v", 256, 0L)
+    val e3 = intercept[IllegalArgumentException] {
+      StreamOps.foldQuantileBatch(vals, kll, "v", 128, 1L)
+    }
+    assert(e3.getMessage.contains("k=256") &&
+      e3.getMessage.contains("k=128"), e3.getMessage)
+    StreamOps.foldQuantileBatch(vals, kll, "v", 256, 1L)
+  }
+
   test("media gate: a bits drift refuses; video gate: a grid drift refuses") {
     def mediaOf(rows: Seq[(Long, String)]) =
       graft.ops.MultimodalOps.attachFakeMedia(

@@ -336,6 +336,49 @@ object MediaFixtures {
     bos.toByteArray
   }
 
+  /** G.711 µ-law compress (the standard reference formula) — the
+    * fixture side of [[graft.ops.MultimodalOps.mulawToLinear]]. */
+  def linearToMulaw(s0: Int): Byte = {
+    var s = s0
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > 32635) s = 32635
+    s += 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (s >> (exp + 3)) & 0x0F
+    (~(sign | (exp << 4) | mant)).toByte
+  }
+
+  /** Sun AU (".snd") fixture: 24-byte big-endian header + samples in
+    * `enc` (1 = µ-law, 2/3/4 = signed linear 8/16/24 BE, 27 = A-law
+    * via raw bytes — pass pre-companded samples for 27). `samples` are
+    * on the signed 16-bit scale like [[wav]]'s. */
+  def au(samples: Array[Int], enc: Int, channels: Int,
+      rate: Int = 16000): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { bos.write((v >> 8) & 0xFF); bos.write(v & 0xFF) }
+    def be32(v: Int): Unit = { be16((v >> 16) & 0xFFFF); be16(v & 0xFFFF) }
+    val bytesPer = enc match {
+      case 1 | 2 | 27 => 1; case 3 => 2; case 4 => 3
+      case other => sys.error(s"fixture: unsupported AU encoding $other")
+    }
+    bos.write(".snd".getBytes)
+    be32(24); be32(samples.length * bytesPer * channels)
+    be32(enc); be32(rate); be32(channels)
+    for (s <- samples; _ <- 0 until channels) enc match {
+      case 1 => bos.write(linearToMulaw(s) & 0xFF)
+      case 27 => bos.write(s & 0xFF) // raw pre-companded byte
+      case 2 => bos.write((s >> 8) & 0xFF)
+      case 3 => be16(s & 0xFFFF)
+      case 4 =>
+        val v = s << 8
+        bos.write((v >> 16) & 0xFF); bos.write((v >> 8) & 0xFF)
+        bos.write(v & 0xFF)
+    }
+    bos.toByteArray
+  }
+
   /** Sine with a per-segment amplitude envelope: a strong, unambiguous
     * energy contour (segment s at amplitude env(s)·A). Distinct
     * `freq`s give genuinely distinct material — same-pitch fixtures are

@@ -853,6 +853,80 @@ class MediaStreamSpec extends SparkSpec {
       s"got $labeled")
   }
 
+  test("Sun AU decodes: linear PCM is container transport, µ-law pairs within budget, G.72x refuses") {
+    val m = melody(Seq(1, 4, 2, 8, 3, 9, 5, 7))
+    val media = mediaDf(
+      1L -> wav(m, 16, 1), // the WAV reference
+      2L -> au(m, 3, 1), // BE linear-16: bit-exact with WAV
+      3L -> au(m, 4, 2), // linear-24 stereo: transport
+      4L -> au(m, 1, 1)) // µ-law: companded, pairs within the budget
+    val fps = MultimodalOps.audioFingerprint(media, windows = 16)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fps.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(fps(1)._2 == fps(0)._2 && fps(2)._2 == fps(0)._2,
+      "linear AU is transport — fingerprints bit-equal with WAV")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(3)._2, fps(0)._2) <= 3,
+      s"mu-law re-encode within tolerance, got ${ham(fps(3)._2, fps(0)._2)}")
+    val kept = MultimodalOps.audioDedup(media, windows = 16,
+      maxHamming = 3).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"got $kept")
+    // G.711 known points: the exact integer expansions
+    assert(MultimodalOps.mulawToLinear(0xFF.toByte) == 0)
+    assert(MultimodalOps.mulawToLinear(0x7F.toByte) == 0) // negative zero
+    assert(MultimodalOps.alawToLinear(0xD5.toByte) == 8) // ^0x55 = 0x80
+    assert(MultimodalOps.alawToLinear(0x55.toByte) == -8)
+    // compress→expand roundtrip error bounded by the segment step
+    for (s <- Seq(-30000, -1000, -1, 0, 1, 977, 8191, 30000))
+      assert(math.abs(MultimodalOps.mulawToLinear(linearToMulaw(s)) - s) <=
+        math.max(8, math.abs(s) / 16), s"mu-law roundtrip at $s")
+    // A-law AU: raw companded bytes decode via the exact formula
+    val rawA = Array(0xD5, 0x55, 0xC5, 0x45)
+    val gotA = MultimodalOps.decodeAuMonoRate(au(rawA, 27, 1))._1
+    assert(gotA.toSeq == rawA.map(b =>
+      MultimodalOps.alawToLinear(b.toByte)).toSeq)
+    // a compressed encoding (G.721 = 23) refuses loudly
+    def patched(enc: Int): Array[Byte] = {
+      val x = au(m, 3, 1); x(15) = enc.toByte; x
+    }
+    intercept[org.apache.spark.SparkException] {
+      MultimodalOps.audioFingerprint(mediaDf(9L -> patched(23)),
+        windows = 16).collect()
+    }
+    // probe == decoder acceptance on every branch
+    for ((p, i) <- Seq(au(m, 1, 1), au(m, 3, 1), au(m, 4, 2),
+        au(rawA, 27, 1), patched(23), au(m, 3, 1).take(20)).zipWithIndex) {
+      val probe = MultimodalOps.isPcmAuHeader(p)
+      val decodes =
+        scala.util.Try(MultimodalOps.decodeAuMonoRate(p)).isSuccess
+      assert(probe == decodes, s"payload $i: probe $probe vs decode $decodes")
+    }
+    // deep census: the probe's answer, by construction
+    val labeled = MultimodalOps.formatCensusDeep(mediaDf(
+      1L -> au(m, 1, 1), 2L -> patched(23)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labeled == Map("au-pcm" -> 1L, "au-compressed" -> 1L),
+      s"got $labeled")
+  }
+
+  test("webp/avif/heic route as named undecodable classes, not other/mp4") {
+    val webp = "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+      "WEBP".getBytes ++ "VP8 ".getBytes
+    val avif = Array[Byte](0, 0, 0, 0x18) ++ "ftyp".getBytes ++
+      "avif".getBytes ++ new Array[Byte](8)
+    val heic = Array[Byte](0, 0, 0, 0x18) ++ "ftyp".getBytes ++
+      "heic".getBytes ++ new Array[Byte](8)
+    val media = mediaDf(1L -> webp, 2L -> avif, 3L -> heic)
+    val magic = MultimodalOps.formatCensus(media)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(magic == Map("webp" -> 1L, "avif" -> 1L, "heic" -> 1L),
+      s"got $magic")
+    val deep = MultimodalOps.formatCensusDeep(media)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deep == Map("webp" -> 1L, "avif" -> 1L, "heic" -> 1L),
+      s"got $deep")
+  }
+
   // ---- r20: animated-GIF structural split + Matroska census depth ----
 
   // hand-built GIF walk fixtures: the walk never decodes LZW data, so
