@@ -1050,6 +1050,31 @@ class MediaStreamSpec extends SparkSpec {
     assert(magic == Map("gif" -> 2L), s"got $magic")
   }
 
+  test("the video gate blocks a PNG-clip re-delivery of an ingested GIF animation (split path e2e)") {
+    import graft.streaming.StreamOps
+    val f1 = checkerImage(64, 48, 16)
+    val f2 = checkerImage(64, 48, 16, 1)
+    val fh = java.nio.file.Files.createTempDirectory("graft_gifgate")
+      .toString + "/frames.parquet"
+    val out = java.nio.file.Files.createTempDirectory("graft_gifgate_out")
+      .toString
+    def batchOf(rows: (Long, Array[Byte])*) = mediaDf(rows: _*)
+    // batch 0: the GIF animation indexes its per-frame hashes
+    StreamOps.gateVideoBatch(batchOf(1L -> gifAnim(Seq(f1, f2))),
+      fh, out, 5, 3, 0.5, 10000, 0L)
+    // batch 1: the SAME frames re-delivered as a concatenated-PNG clip
+    // (every byte differs) — blocked through the standing index; a
+    // fresh clip passes
+    val fresh = clip(Seq(png(checkerImage(64, 48, 32)),
+      png(checkerImage(64, 48, 32, 1))))
+    StreamOps.gateVideoBatch(batchOf(
+      10L -> clip(Seq(png(f1), png(f2))), 12L -> fresh),
+      fh, out, 5, 3, 0.5, 10000, 1L)
+    val survivors = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(12L), s"got $survivors")
+  }
+
   test("NEGATIVE doc_ids route correctly through the packed frame/anchor keys (floor-div unpack)") {
     // ADVICE r19: the truncating-div unpack misrouted xxhash64-style
     // negative ids (anchors of track -5 unpacked as -4/-5); the
