@@ -1050,6 +1050,28 @@ class MediaStreamSpec extends SparkSpec {
     assert(magic == Map("gif" -> 2L), s"got $magic")
   }
 
+  test("the audio gate blocks AIFF and AU re-containers of an ingested WAV track (dispatch e2e)") {
+    import graft.streaming.StreamOps
+    val m = melody(Seq(1, 4, 2, 8, 3, 9, 5, 7))
+    val other = melody(Seq(9, 1, 8, 2, 7, 3, 6, 4), freq = 523.25)
+    val fp = java.nio.file.Files.createTempDirectory("graft_augate")
+      .toString + "/afp.parquet"
+    val out = java.nio.file.Files.createTempDirectory("graft_augate_out")
+      .toString
+    // batch 0: the WAV original indexes its fingerprint
+    StreamOps.gateAudioBatch(mediaDf(1L -> wav(m, 16, 1)), fp, out,
+      16, 3, 100000, false, 256, 0, 0L)
+    // batch 1: the SAME samples re-containered as AIFF and as AU
+    // linear-16 (every byte differs) — both blocked through the
+    // standing index; a fresh track passes
+    StreamOps.gateAudioBatch(mediaDf(10L -> aiff(m, 16, 1),
+      11L -> au(m, 3, 1), 12L -> wav(other, 16, 1)), fp, out,
+      16, 3, 100000, false, 256, 0, 1L)
+    val survivors = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(12L), s"got $survivors")
+  }
+
   test("the video gate blocks a PNG-clip re-delivery of an ingested GIF animation (split path e2e)") {
     import graft.streaming.StreamOps
     val f1 = checkerImage(64, 48, 16)
