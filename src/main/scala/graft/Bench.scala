@@ -71,7 +71,21 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // optional comma-separated subset for fast LOCAL iteration during
+    // optimization (unset/empty = all queries; the driver never sets it
+    // — a subset bench.json is for A/B spot checks, never a round
+    // number). Mirrors Verify's SPARK_GRAFT_ONLY contract.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not registered: ${unknown.mkString(",")}")
+      System.err.println(s"[bench] SUBSET run (${names.size} queries) — not a round number")
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
       val n = if (watch(name)) math.max(runs, 3) else runs
       var times = (1 to n).flatMap(_ => runOnce(name, fn))
       // round-8 protocol: ANY query whose fastest run is >= 1s gets the

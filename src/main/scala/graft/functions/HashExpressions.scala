@@ -1113,6 +1113,8 @@ object HashKernels {
     */
   def bpeTokenStats(s: UTF8String, merges: Array[String]): ArrayData = {
     val text = s.toString
+    val cache = bpeCacheTL.get()
+    cache.resetIfChanged(merges, null)
     var nWords = 0L
     var nTok = 0L
     val n = text.length
@@ -1122,7 +1124,14 @@ object HashKernels {
       if (i == n || text.charAt(i) == ' ') {
         if (i > start) {
           nWords += 1
-          nTok += bpeWordTokenCount(text, start, i, merges)
+          val w = text.substring(start, i)
+          var c = cache.counts.get(w)
+          if (c == null) {
+            c = java.lang.Long.valueOf(
+              bpeWordTokenCount(text, start, i, merges))
+            cache.putCount(w, c)
+          }
+          nTok += c.longValue()
         }
         start = i + 1
       }
@@ -1130,6 +1139,47 @@ object HashKernels {
     }
     ArrayData.toArrayData(Array(nWords, nTok))
   }
+
+  /** Per-task BPE memo (guide-§4.5 heavyweight-state amortization):
+    * word→ids / word→count results of the PURE word tokenization under
+    * ONE merges table. Words repeat heavily in natural text, so the
+    * per-word Sennrich fixpoint (O(rules × length) with per-pass
+    * allocation) runs once per DISTINCT word per task instead of once
+    * per occurrence. Thread-local (codegen calls these kernels from
+    * many task threads); keyed by the merges/ids REFERENCE identity —
+    * the Expression ships both as reference objects, so within a task
+    * they are fixed, and a different merges table (another query, the
+    * trainer's growing table) resets the memo. Size-capped with
+    * clear-on-overflow: bounded memory, amortized O(1), and a cleared
+    * memo only costs recomputation — results are identical with or
+    * without the cache (pure function), so this cannot change any
+    * query's output. */
+  private final class BpeMemo {
+    var merges: Array[String] = null
+    var ids: java.util.HashMap[String, java.lang.Long] = null
+    val words = new java.util.HashMap[String, Array[Long]]()
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    def resetIfChanged(m: Array[String],
+        i: java.util.HashMap[String, java.lang.Long]): Unit = {
+      if ((merges ne m) || ((i ne null) && (ids ne i))) {
+        words.clear(); counts.clear()
+        merges = m
+        if (i ne null) ids = i
+      } else if ((i ne null) && (ids eq null)) ids = i
+    }
+    private val Cap = 1 << 16
+    def putWord(w: String, v: Array[Long]): Unit = {
+      if (words.size >= Cap) words.clear()
+      words.put(w, v)
+    }
+    def putCount(w: String, v: java.lang.Long): Unit = {
+      if (counts.size >= Cap) counts.clear()
+      counts.put(w, v)
+    }
+  }
+
+  private val bpeCacheTL: ThreadLocal[BpeMemo] =
+    new ThreadLocal[BpeMemo] { override def initialValue(): BpeMemo = new BpeMemo }
 
   /** BPE token SEQUENCE of one word (no spaces expected) under the
     * merges table — the training loop's re-tokenizer ([[bpeTokenStats]]
@@ -1167,20 +1217,34 @@ object HashKernels {
       var changed = true
       while (changed && toks.size > 1) {
         changed = false
-        val out = new java.util.ArrayList[String](toks.size)
-        var t = 0
+        // find the first (a, b) adjacency WITHOUT allocating: most rules
+        // never fire on a given word, and the original
+        // always-allocate-a-pass ArrayList dominated the kernel's
+        // profile (31 rules × one ArrayList + full copy per word)
         val sz = toks.size
-        while (t < sz) {
-          if (t + 1 < sz && toks.get(t) == a && toks.get(t + 1) == b) {
-            out.add(a + b)
-            t += 2
-            changed = true
-          } else {
-            out.add(toks.get(t))
-            t += 1
-          }
+        var first = -1
+        var t = 0
+        while (first < 0 && t + 1 < sz) {
+          if (toks.get(t) == a && toks.get(t + 1) == b) first = t
+          t += 1
         }
-        toks = out
+        if (first >= 0) {
+          // same leftmost-first pass as before, prefix copied verbatim
+          val out = new java.util.ArrayList[String](sz)
+          var u = 0
+          while (u < first) { out.add(toks.get(u)); u += 1 }
+          while (u < sz) {
+            if (u + 1 < sz && toks.get(u) == a && toks.get(u + 1) == b) {
+              out.add(a + b)
+              u += 2
+              changed = true
+            } else {
+              out.add(toks.get(u))
+              u += 1
+            }
+          }
+          toks = out
+        }
       }
       r += 2
     }
@@ -1239,22 +1303,55 @@ object HashKernels {
       ids: java.util.HashMap[String, java.lang.Long],
       lossless: Boolean): ArrayData = {
     val text = s.toString
-    val out = new java.util.ArrayList[String]()
+    val cache = bpeCacheTL.get()
+    cache.resetIfChanged(merges, ids)
     val n = text.length
+    var buf = new Array[Long](math.max(8, n / 2))
+    var len = 0
     var start = 0
     var i = 0
     while (i <= n) {
       if (i == n || text.charAt(i) == ' ') {
-        if (i > start) out.addAll(bpeWordTokenList(text, start, i, merges))
-        if (i < n && lossless) out.add(" ")
+        if (i > start) {
+          val w = text.substring(start, i)
+          var idsArr = cache.words.get(w)
+          if (idsArr == null) {
+            idsArr = bpeWordIds(w, merges, ids)
+            cache.putWord(w, idsArr)
+          }
+          if (len + idsArr.length > buf.length)
+            buf = java.util.Arrays.copyOf(buf,
+              math.max(buf.length * 2, len + idsArr.length))
+          System.arraycopy(idsArr, 0, buf, len, idsArr.length)
+          len += idsArr.length
+        }
+        if (i < n && lossless) {
+          if (len == buf.length)
+            buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+          buf(len) = 32L // the space token rides the stream in position
+          len += 1
+        }
         start = i + 1
       }
       i += 1
     }
-    val arr = new Array[Long](out.size)
+    ArrayData.toArrayData(
+      if (len == buf.length) buf else java.util.Arrays.copyOf(buf, len))
+  }
+
+  /** One word's BPE token-id sequence (the memoized unit of
+    * [[bpeDocTokenIds]]): the Sennrich fixpoint then the id map —
+    * identical arithmetic to the previous inline loop, factored so the
+    * per-task memo caches the RESULT per distinct word. Mode-free: the
+    * lossless space tokens live BETWEEN words, so one cache serves both
+    * encode modes. */
+  private def bpeWordIds(w: String, merges: Array[String],
+      ids: java.util.HashMap[String, java.lang.Long]): Array[Long] = {
+    val toks = bpeWordTokenList(w, 0, w.length, merges)
+    val arr = new Array[Long](toks.size)
     var j = 0
     while (j < arr.length) {
-      val tok = out.get(j)
+      val tok = toks.get(j)
       arr(j) =
         if (tok.codePointCount(0, tok.length) == 1) tok.codePointAt(0).toLong
         else {
@@ -1266,7 +1363,7 @@ object HashKernels {
         }
       j += 1
     }
-    ArrayData.toArrayData(arr)
+    arr
   }
 
   /** Count of card-pattern matches passing the Luhn mod-10 checksum —

@@ -200,10 +200,16 @@ object SampleOps {
     val nb = resolveBuckets(df, buckets)
     val h = keyHash(key)
     val bucket = pmod(h, lit(nb.toLong))
+    // materialize the input ONCE before the two consumers below (the
+    // eager bucket-totals collect and the window plan): without this
+    // the whole upstream — for the packers, the BPE encode over the
+    // corpus — evaluates twice per query (guide §1.2: remove redundant
+    // passes before tuning inside them; measured on the pack family)
+    val dfm = Materializer.Local(df)
     // B-row totals -> exclusive global offsets (driver-side prefix sum
     // over the bucket ids, the zOrdered one-stats-scan idiom); an
     // all-null bucket sums to NULL -> 0, matching the window side
-    val totals = df.select(bucket.as("__b"), weight.as("__t"))
+    val totals = dfm.select(bucket.as("__b"), weight.as("__t"))
       .groupBy("__b").agg(coalesce(sum(col("__t")), lit(0L)).as("__t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -218,7 +224,7 @@ object SampleOps {
           org.apache.spark.sql.types.LongType, nullable = false))))
     val w = Window.partitionBy(col("__sb")).orderBy(col("__h").asc, key.asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val out = df.withColumn("__h", h).withColumn("__sb", bucket)
+    val out = dfm.withColumn("__h", h).withColumn("__sb", bucket)
       .withColumn("__w", weight)
       .withColumn("__cum", coalesce(sum(col("__w")).over(w), lit(0L)))
       .join(broadcast(offDf), col("__sb") === col("__ob"))
