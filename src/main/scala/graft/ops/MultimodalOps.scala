@@ -1059,7 +1059,13 @@ object MultimodalOps {
         lit("RIFF".getBytes("US-ASCII")) && substring(m, 9, 4) ===
         lit("AVI ".getBytes("US-ASCII"))) ||
       substring(m, 1, 4) === lit(Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte))
-    val skipped = when(m.isNull || length(m) < 4 || isWavCol(m), true)
+    // isAudioCol, not isWavCol (r21, ADVICE): AIFF/AU are first-class
+    // audio since r20 — a multi-MB AIFF/AU payload in a mixed table has
+    // real odds (~0.6 expected hits per 10 MB) of a spurious FF D8 FF
+    // in its sample bytes, and the magic-scan branch would emit a
+    // garbage "frame" that sniffs as JPEG and fails the whole batch on
+    // valid audio — the exact failure this skip exists to prevent.
+    val skipped = when(m.isNull || length(m) < 4 || isAudioCol(m), true)
       .when(isContainer, false)
       .when(isGifStructuralCol(m), false) // r20: the GIF branch splits
       .otherwise(
@@ -1076,7 +1082,7 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          if (bytes == null || bytes.length < 4 || isWav(bytes))
+          if (bytes == null || bytes.length < 4 || isAudio(bytes))
             Iterator.empty
           else if (isMp4(bytes) && !frameMagicAt(bytes, 0)) {
             // ISO-BMFF (r18): walk the sample tables to the sync
@@ -1610,8 +1616,13 @@ object MultimodalOps {
       ((bytes(i + 2) & 0xFFL) << 8) | (bytes(i + 3) & 0xFFL)
     val off = u32(4)
     val enc = u32(12)
+    val rate = u32(16)
     val channels = u32(20)
-    off >= 24 && off <= bytes.length && channels >= 1 &&
+    // channels/rate bounds match decodeAuMonoRate exactly (r21, ADVICE:
+    // the probe was looser than the decoder, so an adversarial header
+    // censused 'au-pcm' yet the decoder threw)
+    off >= 24 && off <= bytes.length &&
+      channels >= 1 && channels <= 0xFFFF && rate <= Int.MaxValue &&
       (enc == 1L || enc == 2L || enc == 3L || enc == 4L || enc == 27L)
   }
 
@@ -1874,7 +1885,7 @@ object MultimodalOps {
     * shifts every boundary; use [[audioFingerprintAnchored]] (peak-
     * anchored fixed-length frames) when re-uploads are trimmed/padded.
     * `windows` ≤ 64 keeps the signature in one long for the
-    * [[DedupOps.hammingNearPairs]] spine. Non-WAV/AIFF payloads drop (mixed
+    * [[DedupOps.hammingNearPairs]] spine. Non-WAV/AIFF/AU payloads drop (mixed
     * media tables flow through) — COUNTED, never silent (r19): a
     * `graft_skip_audio_fingerprint` observation rides every execution
     * ([[CapTelemetry.observeSkips]] — WARN when the skipped fraction
@@ -1894,10 +1905,10 @@ object MultimodalOps {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           if (!isAudio(bytes)) {
-            require(!strict, s"track $id is not RIFF/WAVE or FORM/AIFF — compressed " +
+            require(!strict, s"track $id is not RIFF/WAVE, FORM/AIFF, or Sun AU (.snd) — compressed " +
               "audio (MP3/FLAC/OGG/M4A…) needs a real codec this build " +
               "does not carry; strict mode refuses to silently degrade " +
-              "its dedup to digest-only. Transcode to PCM WAV/AIFF upstream " +
+              "its dedup to digest-only. Transcode to PCM WAV/AIFF/AU upstream " +
               "or run with strict = false (skips are counted)")
             Iterator.empty
           } else {
@@ -1959,7 +1970,7 @@ object MultimodalOps {
     * resampling, or lossy codecs (PCM only, same refusal as
     * [[decodeWavMono]]). Frames past the track end count only their
     * real samples; a track ending before frame 0 still emits (all-zero
-    * tail energies — deterministic). Non-WAV/AIFF payloads drop (mixed
+    * tail energies — deterministic). Non-WAV/AIFF/AU payloads drop (mixed
     * media tables flow through) — counted via the
     * `graft_skip_audio_fingerprint_anchored` observation, with
     * `strict = true` refusing instead (see [[audioFingerprint]]).
@@ -1982,10 +1993,10 @@ object MultimodalOps {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           if (!isAudio(bytes)) {
-            require(!strict, s"track $id is not RIFF/WAVE or FORM/AIFF — compressed " +
+            require(!strict, s"track $id is not RIFF/WAVE, FORM/AIFF, or Sun AU (.snd) — compressed " +
               "audio (MP3/FLAC/OGG/M4A…) needs a real codec this build " +
               "does not carry; strict mode refuses to silently degrade " +
-              "its dedup to digest-only. Transcode to PCM WAV/AIFF upstream " +
+              "its dedup to digest-only. Transcode to PCM WAV/AIFF/AU upstream " +
               "or run with strict = false (skips are counted)")
             Iterator.empty
           } else {
@@ -2073,10 +2084,10 @@ object MultimodalOps {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           if (!isAudio(bytes)) {
-            require(!strict, s"track $id is not RIFF/WAVE or FORM/AIFF — compressed " +
+            require(!strict, s"track $id is not RIFF/WAVE, FORM/AIFF, or Sun AU (.snd) — compressed " +
               "audio (MP3/FLAC/OGG/M4A…) needs a real codec this build " +
               "does not carry; strict mode refuses to silently degrade " +
-              "its dedup to digest-only. Transcode to PCM WAV/AIFF upstream " +
+              "its dedup to digest-only. Transcode to PCM WAV/AIFF/AU upstream " +
               "or run with strict = false (skips are counted)")
             Iterator.empty
           } else {

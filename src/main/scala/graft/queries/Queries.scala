@@ -3395,10 +3395,11 @@ object Queries {
   // -----------------------------------------------------------------
   // q_media_census (r19; widened r20): MultimodalOps.formatCensus over
   // a synthetic mixed-format corpus — each document's text bytes
-  // behind a magic selected by doc_id % 13 (WAV/AVI/MP4/Matroska/JPEG/
+  // behind a magic selected by doc_id % 17 (WAV/AVI/MP4/Matroska/JPEG/
   // PNG/null/bare, r20: corroborated GIF, uncorroborated "GIF89a…"
   // prose, BMP with a true size field, BMP with a lying size field,
-  // AIFF). The oracle replays the sniff on HEX strings (DuckDB 1.0 has
+  // AIFF, and the four late-r20 classes: Sun AU, WEBP, AVIF, HEIC).
+  // The oracle replays the sniff on HEX strings (DuckDB 1.0 has
   // no BLOB slicing): hex position 2k+1..2k+2 IS byte k+1, so the two
   // classifications are the same function of the same bytes — incl.
   // the GIF trailer and BMP little-endian size corroborations.
