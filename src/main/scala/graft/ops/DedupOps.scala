@@ -425,23 +425,58 @@ object DedupOps {
         explode(array_distinct(graft.functions.exprs.shingleHashes(col(textCol), k))).as("sh"))
 
   /** The df-cut inverted index both n-gram pair generators share:
-    * shingle postings (one pass), ultra-hot shingles dropped by a
-    * broadcast anti-join against the > maxDf set, and each doc's
-    * POST-CUT set size attached as `n_sh` (one per-doc window). Output
-    * columns: (sid, sh, n_sh), materialized per `mat`. */
+    * (sid, sh, n_sh) with ultra-hot (> maxDf docs) shingles dropped and
+    * each doc's POST-CUT set size attached, materialized per `mat`.
+    *
+    * r21 shape (broadcast path): the hot set — boilerplate-sized by
+    * definition — rides a scalar-subquery ARRAY and the cut is a
+    * map-only `array_except` on the per-doc shingle array, with `n_sh`
+    * read off the same array. This removes BOTH post-cut exchanges the
+    * r6 form paid: the postings anti-join AND the
+    * `Window.partitionBy(sid)` size shuffle+sort (measured A/B at
+    * sf0.1: q_ngram_jaccard_pairs/q_containment_pairs/q_lsh_recall each
+    * lose one Exchange+Sort; plan dumps in plans/r21). The df count
+    * still runs over the one-pass explode; the kernel runs a second
+    * map-only pass for the arrays — cheaper than materializing the raw
+    * postings for an anti-join probe (`matPostings` now only affects
+    * the anti-join fallback path). `broadcastHotSet = false` keeps the
+    * r6 anti-join/window form for a pathological maxDf whose over-the-
+    * cut set is too big to ship as one array. */
   private def dfCutPostingsWithSizes(df: DataFrame, idCol: String,
       textCol: String, k: Int, maxDf: Int, mat: Materializer,
       broadcastHotSet: Boolean, matPostings: Boolean): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val raw = shingleHashes(df, idCol, textCol, k)
-    val postings = if (matPostings) mat(raw) else raw
-    val hot = CapTelemetry.observeCap(
-        postings.groupBy("sh").agg(count(lit(1)).as("df_cnt")),
-        "ngram_df_cut", col("df_cnt"), maxDf, routine = true)
-      .filter(col("df_cnt") > maxDf).select("sh")
-    val hotSide = if (broadcastHotSet) broadcast(hot) else hot
-    mat(postings.join(hotSide, Seq("sh"), "left_anti")
-      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("sid"))))
+    if (broadcastHotSet) {
+      val raw = shingleHashes(df, idCol, textCol, k)
+      val hot = CapTelemetry.observeCap(
+          raw.groupBy("sh").agg(count(lit(1)).as("df_cnt")),
+          "ngram_df_cut", col("df_cnt"), maxDf, routine = true)
+        .filter(col("df_cnt") > maxDf).select("sh")
+      val hotArr = hot.agg(collect_list(col("sh")).as("hs"))
+      // array_except dedups like the explode(array_distinct(...)) of
+      // shingleHashes, so (sid, sh) rows and n_sh match the anti-join
+      // form exactly. The ARRAYS materialize (checkpoint barrier) and
+      // explode/size derive from the cached arrays ABOVE it — deriving
+      // them in the same plan re-evaluates the kernel per reference
+      // (measured: the un-materialized form is ~5% SLOWER than the r6
+      // anti-join shape; this one is ~12% faster, interleaved medians)
+      val arrs = mat(df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("sid"),
+          array_except(graft.functions.exprs.shingleHashes(col(textCol), k),
+            coalesce(hotArr.scalar(), array().cast("array<bigint>")))
+            .as("__sharr")))
+      arrs.select(col("sid"), explode(col("__sharr")).as("sh"),
+        size(col("__sharr")).cast("long").as("n_sh"))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val raw = shingleHashes(df, idCol, textCol, k)
+      val postings = if (matPostings) mat(raw) else raw
+      val hot = CapTelemetry.observeCap(
+          postings.groupBy("sh").agg(count(lit(1)).as("df_cnt")),
+          "ngram_df_cut", col("df_cnt"), maxDf, routine = true)
+        .filter(col("df_cnt") > maxDf).select("sh")
+      mat(postings.join(hot, Seq("sh"), "left_anti")
+        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("sid"))))
+    }
   }
 
   /** Persist an intermediate when asked. The postings/signatures below
@@ -1243,10 +1278,14 @@ object DedupOps {
     // round. Works uniformly for ALL label types (the decimal-cast sum
     // invariant and the string-side any-row-changed join this replaces
     // were two type-split paths for the same "no node changed"
-    // criterion). Materialization stays EAGER: a lazy checkpoint whose
-    // first action is the short-circuiting convergence probe leaves most
-    // partitions uncached for the next round's two label references —
-    // measured 1.2-1.6x SLOWER on the CC bench family.
+    // criterion). Materialization stays EAGER (a lazy checkpoint whose
+    // first action short-circuits leaves partitions uncached for the
+    // next round's two label references — measured 1.2-1.6x SLOWER on
+    // the CC bench family in r20). r21: the probe is a full COUNT, not
+    // isEmpty — take(1)'s converged round scans the cached frame in
+    // 1/4/16/… limit waves (one job launch each), where count is one
+    // job over cached blocks; interleaved medians at sf0.1 read 2.06 s
+    // (count) vs 2.41 s (isEmpty) for the pairs+CC chain.
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -1262,8 +1301,7 @@ object DedupOps {
             lit(null).cast(labels.schema("label").dataType)))
           .groupBy("node").agg(min(col("label")).as("label"),
             max(col("__own")).as("__own")))
-      // the convergence action IS the round's materialization action
-      converged = nextM.filter(col("label") =!= col("__own")).isEmpty
+      converged = nextM.filter(col("label") =!= col("__own")).count() == 0L
       mat.release(labelsM)
       labelsM = nextM
       labels = nextM.drop("__own")

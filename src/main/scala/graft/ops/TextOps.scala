@@ -1650,11 +1650,16 @@ object TextOps {
     val ctxCnt = pairCnt.groupBy(col("__ctx").as("__ctx2"))
       .agg(sum(col("__c_pair")).as("__c_ctx"))
     // (ctx, tok) rows are distinct in the model, so the vocabulary is a
-    // distinct-count over the model table — model-sized, not corpus-sized
-    val vocab = pairCnt.agg(countDistinct(col("__tok"))).head().getLong(0)
-    // model-sized count over the materialized table (cheap)
-    BigramModel(pairCnt, ctxCnt, vocab,
-      pairCnt.count() <= maxBroadcastModelRows)
+    // distinct-count over the model table — model-sized, not corpus-
+    // sized — and the broadcast-eligibility row count rides the SAME
+    // aggregate: one driver action instead of two (r21 — each action is
+    // a full job launch; dsirWeights builds two models, so this halves
+    // four blocking actions to two per DSIR query)
+    val stats = pairCnt
+      .agg(countDistinct(col("__tok")).as("__v"), count(lit(1)).as("__n"))
+      .head()
+    BigramModel(pairCnt, ctxCnt, stats.getLong(0),
+      stats.getLong(1) <= maxBroadcastModelRows)
   }
 
   /** DSIR-style importance weights (Xie et al., "Data Selection for

@@ -57,19 +57,29 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("xxhash64"), plan.take(3000))
   }
 
-  test("ngram pairs: the df-cut is a broadcast anti-join, not a shingle-keyed window") {
+  test("ngram pairs: the df-cut is a map-only scalar-array except — no window, no anti-join") {
     // probe with Inline materialization: the default localCheckpoint
     // truncates the plan, hiding the cut inside a checkpointed leaf
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = graft.ops.DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
         k = 3, minJaccard = 0.5, mat = graft.ops.Materializer.Inline)
       .queryExecution.executedPlan.toString
-    // default shape: hot shingles counted map-side-combined and removed
-    // with a broadcast LeftAnti join; the only window left is the
-    // per-doc size ride-along (partitioned by doc id, never by shingle)
-    assert(plan.contains("LeftAnti"), plan.take(3000))
-    assert(!plan.contains("windowspecdefinition(sh"), plan.take(3000))
-    assert(plan.contains("windowspecdefinition(sid"), plan.take(3000))
+    // r21 default shape: the hot (> maxDf) shingle set rides a scalar
+    // subquery ARRAY and the cut is array_except in a map-only
+    // projection with the per-doc size read off the same array — no
+    // shingle-keyed window, no per-doc window, no anti-join exchange
+    assert(plan.contains("array_except"), plan.take(3000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(3000))
+    assert(!plan.contains("LeftAnti"), plan.take(3000))
+    // the anti-join FALLBACK (broadcastHotSet = false) keeps the r6
+    // shape: anti-join cut + per-doc (never shingle-keyed) size window
+    val fb = graft.ops.DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, minJaccard = 0.5, mat = graft.ops.Materializer.Inline,
+        broadcastHotSet = false)
+      .queryExecution.executedPlan.toString
+    assert(fb.contains("LeftAnti"), fb.take(3000))
+    assert(!fb.contains("windowspecdefinition(sh"), fb.take(3000))
+    assert(fb.contains("windowspecdefinition(sid"), fb.take(3000))
   }
 
   test("prefix ngram variant: window-free, scalar-subquery cut, array verify") {
