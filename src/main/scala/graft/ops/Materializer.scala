@@ -58,6 +58,13 @@ object Materializer {
     */
   case object LocalLazy extends Materializer {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
+    // r21 measured alternative, REJECTED: a lazy persist(MEMORY_AND_DISK)
+    // strategy (job-free at wiring where this one materializes upstream
+    // exchanges under AQE) ran the nine-stage funnel 2x SLOWER
+    // (interleaved medians 8.37 s vs 4.00 s, identical results) — the
+    // un-truncated lineage turns the staged chain into one enormous
+    // composite plan whose planning/cache-scan overhead dwarfs the
+    // wiring jobs it saves. Lineage truncation is load-bearing here.
   }
 
   /** Reliable RDD checkpoint. `dir` (when given) is installed as the

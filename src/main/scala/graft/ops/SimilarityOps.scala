@@ -925,8 +925,12 @@ object SimilarityOps {
   def pqCodebookFromRows(rows: DataFrame, idCol: String, vecCol: String,
       m: Int): DataFrame = {
     require(m >= 1, s"need m >= 1 subspaces, got $m")
-    val dim = rows.select(size(quantize(col(vecCol)))).limit(1).collect()
-      .headOption.map(_.getInt(0))
+    // ONE model-sized collect feeds both the dimension probe and the
+    // dense-id rank list (r21 — was a limit(1) job plus a distinct()
+    // job per codebook build; q_pq_residual_recall builds two books)
+    val idDims = rows
+      .select(col(idCol).cast("long"), size(quantize(col(vecCol)))).collect()
+    val dim = idDims.headOption.map(_.getInt(1))
       .getOrElse(throw new IllegalArgumentException("empty PQ codebook sample"))
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
@@ -935,8 +939,7 @@ object SimilarityOps {
     // build inside a registered query must honor it): the id list is
     // model-sized by contract, so rank against a collected sorted
     // literal — array_position is O(ksub) per row over ksub rows
-    val ids = rows.select(col(idCol).cast("long")).distinct().collect()
-      .map(_.getLong(0)).sorted
+    val ids = idDims.map(_.getLong(0)).distinct.sorted
     require(ids.nonEmpty, "empty PQ codebook sample")
     val unit = rows
       .select(col(idCol).as("__rid"), quantize(col(vecCol)).as("__vq"))
@@ -1378,13 +1381,14 @@ object SimilarityOps {
   def pqResidualCodebookFromRows(rows: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, m: Int): DataFrame = {
     require(m >= 1, s"need m >= 1 subspaces, got $m")
-    val dim = rows.select(size(quantize(col(vecCol)))).limit(1).collect()
-      .headOption.map(_.getInt(0))
+    // one model-sized collect for dim + ids (see pqCodebookFromRows)
+    val idDims = rows
+      .select(col(idCol).cast("long"), size(quantize(col(vecCol)))).collect()
+    val dim = idDims.headOption.map(_.getInt(1))
       .getOrElse(throw new IllegalArgumentException("empty PQ codebook sample"))
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    val ids = rows.select(col(idCol).cast("long")).distinct().collect()
-      .map(_.getLong(0)).sorted
+    val ids = idDims.map(_.getLong(0)).distinct.sorted
     require(ids.nonEmpty, "empty PQ codebook sample")
     val cents = withQ(centroids, idCol, vecCol, "cent")
     val centsU = cents.select(col("cent_id").as("__cl"),

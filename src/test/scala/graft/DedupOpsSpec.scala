@@ -521,6 +521,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a", "e" -> "e"))
   }
 
+  test("nearDupClusters: a chain LONGER than maxRounds still merges fully (pointer jumping)") {
+    // diameter-40 path graph under the default maxRounds = 20: plain
+    // min-label propagation moves one hop per round and would UNDER-
+    // MERGE silently; the r21 pointer-jumping compression reaches
+    // diameter ~2^rounds, so the whole chain must collapse to node 0
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ids = (0L to 41L).toDF("doc_id")
+    val got = DedupOps.nearDupClusters(pairs, ids, "doc_id")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.take(41).forall(_._2 == 0L), got.mkString(","))
+    assert(got(41) == (41L -> 41L)) // off-chain singleton untouched
+  }
+
   test("simhashNearPairs rejects bit widths the long chunk math cannot hold") {
     intercept[IllegalArgumentException] {
       DedupOps.simhashNearPairs(docs, "doc_id", "text", bits = 64, maxHamming = 0)
