@@ -424,27 +424,35 @@ object DedupOps {
     df.select(col(idCol).as("sid"),
         explode(array_distinct(graft.functions.exprs.shingleHashes(col(textCol), k))).as("sh"))
 
-  /** The df-cut inverted index both n-gram pair generators share:
-    * (sid, sh, n_sh) with ultra-hot (> maxDf docs) shingles dropped and
-    * each doc's POST-CUT set size attached, materialized per `mat`.
+  /** The df-cut inverted index both n-gram pair generators share,
+    * split into the NARROW postings `(sid, sh)` that feed the self-join
+    * and the per-doc post-cut sizes `(sid, n_sh)` the callers join back
+    * AFTER their pair aggregate — at sf0.1 the n_sh ride-along was a
+    * third of the self-join's exchange bytes for a value that is
+    * functionally dependent on sid (interleaved medians 2.21 → 1.99 s
+    * on the Jaccard chain; the post-agg join touches only the
+    * pair-table, and at 100 TB postings ≫ docs so the saving grows).
     *
-    * r21 shape (broadcast path): the hot set — boilerplate-sized by
-    * definition — rides a scalar-subquery ARRAY and the cut is a
-    * map-only `array_except` on the per-doc shingle array, with `n_sh`
-    * read off the same array. This removes BOTH post-cut exchanges the
-    * r6 form paid: the postings anti-join AND the
-    * `Window.partitionBy(sid)` size shuffle+sort (measured A/B at
-    * sf0.1: q_ngram_jaccard_pairs/q_containment_pairs/q_lsh_recall each
-    * lose one Exchange+Sort; plan dumps in plans/r21). The df count
-    * still runs over the one-pass explode; the kernel runs a second
-    * map-only pass for the arrays — cheaper than materializing the raw
-    * postings for an anti-join probe (`matPostings` now only affects
-    * the anti-join fallback path). `broadcastHotSet = false` keeps the
-    * r6 anti-join/window form for a pathological maxDf whose over-the-
-    * cut set is too big to ship as one array. */
+    * r21 shape (broadcast path): the hot (> maxDf docs) shingle set —
+    * boilerplate-sized by definition — rides a scalar-subquery ARRAY
+    * and the cut is a map-only `array_except` on the per-doc
+    * shingle-array kernel; `n_sh` is `size()` of the same cached
+    * array. This removes BOTH post-cut exchanges the r6 form paid: the
+    * postings anti-join AND the `Window.partitionBy(sid)` size
+    * shuffle+sort (subtree plans in plans/r21). Only the ARRAYS
+    * materialize (checkpoint barrier) — deriving explode/size in the
+    * same un-materialized plan re-evaluates the kernel per reference
+    * (measured ~5% SLOWER than the r6 shape; the barrier form is ~12%
+    * faster). `broadcastHotSet = false` keeps the r6 anti-join cut for
+    * a pathological maxDf whose over-the-cut set is too big to ship as
+    * one array (sizes there come from one aggregate over the
+    * materialized cut postings — the r6 window is gone on both paths).
+    */
+  private final case class CutPostings(postings: DataFrame, sizes: DataFrame)
+
   private def dfCutPostingsWithSizes(df: DataFrame, idCol: String,
       textCol: String, k: Int, maxDf: Int, mat: Materializer,
-      broadcastHotSet: Boolean, matPostings: Boolean): DataFrame = {
+      broadcastHotSet: Boolean, matPostings: Boolean): CutPostings = {
     if (broadcastHotSet) {
       val raw = shingleHashes(df, idCol, textCol, k)
       val hot = CapTelemetry.observeCap(
@@ -454,28 +462,26 @@ object DedupOps {
       val hotArr = hot.agg(collect_list(col("sh")).as("hs"))
       // array_except dedups like the explode(array_distinct(...)) of
       // shingleHashes, so (sid, sh) rows and n_sh match the anti-join
-      // form exactly. The ARRAYS materialize (checkpoint barrier) and
-      // explode/size derive from the cached arrays ABOVE it — deriving
-      // them in the same plan re-evaluates the kernel per reference
-      // (measured: the un-materialized form is ~5% SLOWER than the r6
-      // anti-join shape; this one is ~12% faster, interleaved medians)
+      // form exactly
       val arrs = mat(df.filter(col(textCol).isNotNull)
         .select(col(idCol).as("sid"),
           array_except(graft.functions.exprs.shingleHashes(col(textCol), k),
             coalesce(hotArr.scalar(), array().cast("array<bigint>")))
             .as("__sharr")))
-      arrs.select(col("sid"), explode(col("__sharr")).as("sh"),
-        size(col("__sharr")).cast("long").as("n_sh"))
+      CutPostings(
+        arrs.select(col("sid"), explode(col("__sharr")).as("sh")),
+        arrs.select(col("sid"), size(col("__sharr")).cast("long").as("n_sh"))
+          .filter(col("n_sh") > 0))
     } else {
-      import org.apache.spark.sql.expressions.Window
       val raw = shingleHashes(df, idCol, textCol, k)
       val postings = if (matPostings) mat(raw) else raw
       val hot = CapTelemetry.observeCap(
           postings.groupBy("sh").agg(count(lit(1)).as("df_cnt")),
           "ngram_df_cut", col("df_cnt"), maxDf, routine = true)
         .filter(col("df_cnt") > maxDf).select("sh")
-      mat(postings.join(hot, Seq("sh"), "left_anti")
-        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("sid"))))
+      val cut = mat(postings.join(hot, Seq("sh"), "left_anti"))
+      CutPostings(cut,
+        cut.groupBy("sid").agg(count(lit(1)).as("n_sh")))
     }
   }
 
@@ -596,12 +602,16 @@ object DedupOps {
       mat: Materializer = Materializer.Local,
       broadcastHotSet: Boolean = true,
       matPostings: Boolean = true): DataFrame = {
-    val filtered = dfCutPostingsWithSizes(df, idCol, textCol, k, maxDf,
+    val cp = dfCutPostingsWithSizes(df, idCol, textCol, k, maxDf,
       mat, broadcastHotSet, matPostings)
-    val a = filtered.select(col("sid").as("id_a"), col("n_sh").as("n_a"), col("sh"))
-    val b = filtered.select(col("sid").as("id_b"), col("n_sh").as("n_b"), col("sh"))
+    // narrow self-join: (sid, sh) only; sizes join onto the pair-sized
+    // aggregate afterwards (the verifyPairsJaccard shape)
+    val a = cp.postings.select(col("sid").as("id_a"), col("sh"))
+    val b = cp.postings.select(col("sid").as("id_b"), col("sh"))
     a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_common"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+      .join(cp.sizes.select(col("sid").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(cp.sizes.select(col("sid").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
@@ -718,16 +728,20 @@ object DedupOps {
       mat: Materializer = Materializer.Local,
       broadcastHotSet: Boolean = true,
       matPostings: Boolean = true): DataFrame = {
-    val filtered = dfCutPostingsWithSizes(df, idCol, textCol, k, maxDf,
+    val cp = dfCutPostingsWithSizes(df, idCol, textCol, k, maxDf,
       mat, broadcastHotSet, matPostings)
-    val a = filtered.select(col("sid").as("id_x"), col("n_sh").as("n_x"), col("sh"))
-    val b = filtered.select(col("sid").as("id_y"), col("n_sh").as("n_y"), col("sh"))
-    // both direction branches of the union read this frame — materialize
-    // the candidate-pair-sized result once or the posting self-join (the
-    // op's dominant stage) executes twice
+    // narrow self-join: (sid, sh) only (the ngramJaccardPairs shape);
+    // sizes attach to the pair-sized aggregate BEFORE materialization,
+    // so both direction branches read (id_x, id_y, n_common, n_x, n_y)
+    // from the cached frame — the posting self-join (the op's dominant
+    // stage) still executes exactly once
+    val a = cp.postings.select(col("sid").as("id_x"), col("sh"))
+    val b = cp.postings.select(col("sid").as("id_y"), col("sh"))
     val unordered = mat(
       a.join(b, Seq("sh")).filter(col("id_x") < col("id_y"))
-        .groupBy("id_x", "id_y", "n_x", "n_y").agg(count(lit(1)).as("n_common")))
+        .groupBy("id_x", "id_y").agg(count(lit(1)).as("n_common"))
+        .join(cp.sizes.select(col("sid").as("id_x"), col("n_sh").as("n_x")), Seq("id_x"))
+        .join(cp.sizes.select(col("sid").as("id_y"), col("n_sh").as("n_y")), Seq("id_y")))
     val fwd = unordered.select(col("id_x").as("id_a"), col("id_y").as("id_b"),
       col("n_common"), col("n_x").as("n_a"), col("n_y").as("n_b"))
     val rev = unordered.select(col("id_y").as("id_a"), col("id_x").as("id_b"),

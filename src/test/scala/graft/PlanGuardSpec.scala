@@ -71,15 +71,15 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("array_except"), plan.take(3000))
     assert(!plan.contains("windowspecdefinition"), plan.take(3000))
     assert(!plan.contains("LeftAnti"), plan.take(3000))
-    // the anti-join FALLBACK (broadcastHotSet = false) keeps the r6
-    // shape: anti-join cut + per-doc (never shingle-keyed) size window
+    // the anti-join FALLBACK (broadcastHotSet = false) keeps the
+    // anti-join cut, but sizes are an aggregate joined onto the pair
+    // table — no window on either path since r21
     val fb = graft.ops.DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
         k = 3, minJaccard = 0.5, mat = graft.ops.Materializer.Inline,
         broadcastHotSet = false)
       .queryExecution.executedPlan.toString
     assert(fb.contains("LeftAnti"), fb.take(3000))
-    assert(!fb.contains("windowspecdefinition(sh"), fb.take(3000))
-    assert(fb.contains("windowspecdefinition(sid"), fb.take(3000))
+    assert(!fb.contains("windowspecdefinition"), fb.take(3000))
   }
 
   test("prefix ngram variant: window-free, scalar-subquery cut, array verify") {
